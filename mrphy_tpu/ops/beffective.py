@@ -1,0 +1,226 @@
+r"""B-effective assembly and rotation extraction.
+
+Feature parity with ``/root/reference/mrphy/beffective.py``:
+
+- :func:`rfgr2beff` — assemble B-effective from RF + gradients + locations,
+  with off-resonance and multi-coil transmit-sensitivity (B1) mixing
+  (ref ``beffective.py:107-168``). The gradient·location term and the
+  coil mixing are expressed as batched contractions (``einsum``) that XLA
+  maps onto the MXU.
+- :func:`beff2uphi` — rotation axis/angle from B-effective
+  (ref ``beffective.py:18-37``).
+- :func:`beff2ab` — Hargreaves affine propagator (A, B) such that
+  ``M_out = A @ M_in + B`` over a whole pulse (doi:10.1002/mrm.1170;
+  ref ``beffective.py:40-104``), as a ``lax.scan`` over time.
+- :func:`beff2ab_assoc` — the same propagator via
+  ``lax.associative_scan``: affine-map composition is associative, so the
+  time axis (strictly sequential in the reference's Python loop,
+  ``beffective.py:88``) evaluates in O(log nT) parallel depth. This is the
+  TPU-idiomatic "sequence-axis" scaling strategy (SURVEY §2.9/§5.7);
+  it trades O(nT·9·nSpins) extra memory for parallel time.
+"""
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from mrphy_tpu import gamH, dt0, pi
+from mrphy_tpu._kwalias import kwalias
+from mrphy_tpu.utils import uphirot
+from mrphy_tpu.utils._shapes import rshape
+
+__all__ = ['beff2ab', 'beff2ab_assoc', 'beff2uphi', 'rfgr2beff']
+
+_NORM_EPS = 1e-12  # matches torch.nn.functional.normalize default eps
+
+
+def beff2uphi(beff, gam2pidt, *, dim: int = -1) -> Tuple[jax.Array, jax.Array]:
+    r"""Compute rotation axes and angles from B-effectives.
+
+    Inputs:
+        - ``beff``: `(N, *Nd, xyz)`, "Gauss".
+        - ``gam2pidt``: `()` ⊻ `(N ⊻ 1, *Nd ⊻ 1,)`, "Rad/Gauss",
+          2π·γ·dt.
+    Optionals:
+        - ``dim``: the ``xyz`` axis of ``beff``.
+    Outputs:
+        - ``u``: `(N, *Nd, xyz)`, unit rotation axis.
+        - ``phi``: `(N, *Nd)`, rotation angle; negated (Bloch precession is
+          M×B, ref ``beffective.py:36``).
+
+    Parity: ``/root/reference/mrphy/beffective.py:18-37`` (``beff2uϕ``).
+    """
+    beff = jnp.asarray(beff)
+    nrm = jnp.linalg.norm(beff, axis=dim)
+    u = beff / jnp.maximum(jnp.expand_dims(nrm, dim), _NORM_EPS)
+    phi = -nrm * gam2pidt
+    return u, phi
+
+
+def _ab_step_inputs(beff, E1, E2, gam, dt):
+    r"""Shared preprocessing for the two A/B propagator implementations."""
+    beff = jnp.asarray(beff)
+    ndim = beff.ndim - 2  # (N, *Nd) rank
+    E1, E2, gam, dt = (rshape(x, ndim) for x in (E1, E2, gam, dt))
+    gam2pidt = 2 * pi * gam * dt
+    return beff, E1, E2, gam2pidt
+
+
+@kwalias(**{'γ': 'gam'})
+def beff2ab(beff, *, E1=0.0, E2=0.0, gam=gamH, dt=dt0):
+    r"""Hargreaves A/B affine propagator of a whole pulse.
+
+    Runs the time loop once over an affine state ``AB = [A | B]`` of shape
+    `(N, *Nd, xyz, 4)`, producing the pulse's total affine map
+    ``M → A·M + B`` including per-step E1/E2 relaxation.
+
+    Inputs:
+        - ``beff``: `(N, *Nd, nT, xyz)`, "Gauss".
+    Optionals:
+        - ``E1``/``E2``: `()` ⊻ `(N ⊻ 1, *Nd ⊻ 1,)`, per-step relaxation
+          factors ``exp(-dt/T1)`` / ``exp(-dt/T2)``. (Defaults 0.0 match the
+          reference signature ``beffective.py:40-46``.)
+        - ``gam`` (alias ``γ``): `()` ⊻ `(N ⊻ 1, *Nd ⊻ 1,)`, "Hz/Gauss".
+        - ``dt``: `()` ⊻ `(N ⊻ 1,)`, "Sec".
+    Outputs:
+        - ``A``: `(N, *Nd, xyz, 3)`; ``B``: `(N, *Nd, xyz)`.
+
+    Parity: ``/root/reference/mrphy/beffective.py:40-104``; the Python time
+    loop becomes ``lax.scan`` (single compiled loop, no per-step dispatch).
+    """
+    beff, E1, E2, gam2pidt = _ab_step_inputs(beff, E1, E2, gam, dt)
+    NNd, nT = beff.shape[:-2], beff.shape[-2]
+
+    E2_ = E2[..., None, None]   # scales rows 0:2 of (xyz, 4)
+    E1_ = E1[..., None]         # scales row 2
+    E1_1 = E1 - 1
+
+    eye34 = jnp.concatenate(
+        [jnp.eye(3, dtype=beff.dtype), jnp.zeros((3, 1), dtype=beff.dtype)],
+        axis=-1)
+    ab0 = jnp.broadcast_to(eye34, NNd + (3, 4))
+
+    beff_t = jnp.moveaxis(beff, -2, 0)  # (nT, N, *Nd, xyz)
+
+    def step(ab, b_t):
+        u, phi = beff2uphi(b_t, gam2pidt)
+        ab1 = uphirot(u, phi, ab)  # rotate the 4 affine columns
+        ab1 = jnp.concatenate([ab1[..., 0:2, :] * E2_,
+                               ab1[..., 2:3, :] * E1_[..., None]], axis=-2)
+        ab1 = ab1.at[..., 2, 3].add(-E1_1)
+        return ab1, None
+
+    ab, _ = jax.lax.scan(step, ab0, beff_t)
+    return ab[..., 0:3], ab[..., 3]
+
+
+@kwalias(**{'γ': 'gam'})
+def beff2ab_assoc(beff, *, E1=0.0, E2=0.0, gam=gamH, dt=dt0):
+    r"""A/B propagator via parallel-in-time ``lax.associative_scan``.
+
+    Same result as :func:`beff2ab`. Each step is an affine map
+    ``M → D·R(u,φ)·M + c`` (D = diag(E2,E2,E1), c = [0,0,1-E1]); affine
+    composition is associative, so the whole pulse composes in O(log nT)
+    parallel depth instead of a sequential scan. Costs O(nT·12·nSpins)
+    intermediate memory — prefer for short pulses / when time-axis
+    parallelism matters more than memory.
+    """
+    beff, E1, E2, gam2pidt = _ab_step_inputs(beff, E1, E2, gam, dt)
+    NNd = beff.shape[:-2]
+    nT = beff.shape[-2]
+
+    u, phi = beff2uphi(beff, gam2pidt[..., None])  # (N,*Nd,nT,xyz), (...,nT)
+    cphi, sphi = jnp.cos(phi)[..., None, None], jnp.sin(phi)[..., None, None]
+
+    eye = jnp.eye(3, dtype=beff.dtype)
+    uut = u[..., :, None] * u[..., None, :]             # (..., nT, 3, 3)
+    zero = jnp.zeros(NNd + (nT,), dtype=beff.dtype)
+    ux, uy, uz = u[..., 0], u[..., 1], u[..., 2]
+    ucross = jnp.stack([
+        jnp.stack([zero, -uz, uy], axis=-1),
+        jnp.stack([uz, zero, -ux], axis=-1),
+        jnp.stack([-uy, ux, zero], axis=-1)], axis=-2)  # [u]ₓ: u×v = [u]ₓ v
+    rot = cphi * eye + (1 - cphi) * uut + sphi * ucross
+
+    d = jnp.stack([jnp.broadcast_to(E2, NNd),
+                   jnp.broadcast_to(E2, NNd),
+                   jnp.broadcast_to(E1, NNd)], axis=-1)  # (N,*Nd,3)
+    a_t = d[..., None, :, None] * rot                    # (..., nT, 3, 3)
+    c_t = jnp.concatenate(
+        [jnp.zeros(NNd + (nT, 2), beff.dtype),
+         jnp.broadcast_to((1 - E1)[..., None, None], NNd + (nT, 1))], axis=-1)
+
+    a_t = jnp.moveaxis(a_t, -3, 0)  # (nT, N, *Nd, 3, 3)
+    c_t = jnp.moveaxis(c_t, -2, 0)  # (nT, N, *Nd, 3)
+
+    def combine(lo, hi):  # hi ∘ lo  (lo happened first)
+        a1, b1 = lo
+        a2, b2 = hi
+        return (jnp.einsum('...ij,...jk->...ik', a2, a1),
+                jnp.einsum('...ij,...j->...i', a2, b1) + b2)
+
+    a_all, b_all = jax.lax.associative_scan(combine, (a_t, c_t))
+    return a_all[-1], b_all[-1]
+
+
+@kwalias(**{'γ': 'gam', 'Δf': 'df'})
+def rfgr2beff(rf, gr, loc, *, df: Optional[jax.Array] = None,
+              b1Map: Optional[jax.Array] = None, gam=gamH):
+    r"""Assemble B-effective from RF and gradients.
+
+    Inputs:
+        - ``rf``: `(N, xy, nT, (nCoils))`, "Gauss"; x: real, y: imag.
+        - ``gr``: `(N, xyz, nT)`, "Gauss/cm".
+        - ``loc``: `(N, *Nd, xyz)`, "cm", spin locations.
+    Optionals:
+        - ``df`` (alias ``Δf``): `(N, *Nd)`, "Hz", off-resonance.
+        - ``b1Map``: `(N, *Nd, xy, (nCoils))`, a.u., transmit sensitivity
+          (complex as real/imag pairs along ``xy``).
+        - ``gam`` (alias ``γ``): `()` ⊻ `(N ⊻ 1, *Nd ⊻ 1,)`, "Hz/Gauss".
+    Outputs:
+        - ``beff``: `(N, *Nd, nT, xyz)`, "Gauss".
+
+    Parity: ``/root/reference/mrphy/beffective.py:107-168``, including the
+    missing-coil-dim conventions (``:148-156``): an ``rf`` with a coil dim
+    but no ``b1Map`` is summed over coils; a coil-less ``rf`` or ``b1Map``
+    is treated as single-coil. ``Bz = loc·gr`` and the coil mixing are
+    einsum contractions (MXU-path under XLA).
+    """
+    rf, gr, loc = jnp.asarray(rf), jnp.asarray(gr), jnp.asarray(loc)
+    shape = loc.shape
+    N, Nd = shape[0], shape[1:-1]
+    nT = gr.shape[2]
+
+    loc2 = loc.reshape(N, -1, 3)                       # (N, nS, xyz)
+    Bz = jnp.einsum('nsx,nxt->nst', loc2, gr)          # (N, nS, nT)
+
+    if df is not None:
+        df = jnp.asarray(df).reshape(N, -1)            # (N, nS)
+        gam_b = jnp.broadcast_to(jnp.asarray(gam), shape[:-1]).reshape(N, -1)
+        Bz = Bz + (df / gam_b)[..., None]
+
+    if b1Map is None:
+        if rf.ndim == 4:  # (N, xy, nT, nCoils): sum over coils
+            rf = jnp.sum(rf, axis=-1)
+        Bx = jnp.broadcast_to(rf[:, 0, None, :], Bz.shape)
+        By = jnp.broadcast_to(rf[:, 1, None, :], Bz.shape)
+    else:
+        b1Map = jnp.asarray(b1Map)
+        if b1Map.ndim == 2 + len(Nd):   # (N, *Nd, xy) → add coil dim
+            b1Map = b1Map[..., None]
+        if rf.ndim == 3:                # (N, xy, nT) → add coil dim
+            rf = rf[..., None]
+        # b1Map spatial dims may be 1 (broadcast over spins, like the
+        # reference's expand_as at beffective.py:162)
+        b1 = b1Map.reshape(N, -1, 2, b1Map.shape[-1])  # (N, nSb, xy, nCoils)
+        # complex mix: B = Σ_coils b1 ⊗ rf  (b1, rf complex as xy pairs)
+        Bx = (jnp.einsum('nsc,ntc->nst', b1[:, :, 0], rf[:, 0])
+              - jnp.einsum('nsc,ntc->nst', b1[:, :, 1], rf[:, 1]))
+        By = (jnp.einsum('nsc,ntc->nst', b1[:, :, 0], rf[:, 1])
+              + jnp.einsum('nsc,ntc->nst', b1[:, :, 1], rf[:, 0]))
+        Bx = jnp.broadcast_to(Bx, Bz.shape)
+        By = jnp.broadcast_to(By, Bz.shape)
+
+    beff = jnp.stack([Bx, By, Bz], axis=-1)            # (N, nS, nT, xyz)
+    return beff.reshape((N,) + tuple(Nd) + (nT, 3))

@@ -1,0 +1,178 @@
+r"""Bloch simulation with implicit (autodiff) Jacobians — the oracle engine.
+
+Feature parity with ``/root/reference/mrphy/slowsims.py``: a pure
+``lax.scan`` over the composed L1/L2 helpers (``beff2uphi`` + ``uphirot`` +
+relaxation), differentiable by plain ``jax.grad``. This is the correctness
+oracle the explicit-Jacobian engine (:mod:`mrphy_tpu.ops.sims`) is tested
+against, mirroring the reference's test strategy
+(``/root/reference/tests/test_sims.py:26-28``).
+
+Unlike the reference's Python loop (``slowsims.py:101-113``), the scan is a
+single compiled XLA loop; reverse-mode AD through ``lax.scan`` gives the
+standard checkpoint-free reverse scan. For long pulses under memory
+pressure, wrap calls in ``jax.checkpoint`` or use
+:func:`blochsim_segmented` for time-segmented rematerialization.
+"""
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from mrphy_tpu import gamH, dt0, pi
+from mrphy_tpu._kwalias import kwalias
+from mrphy_tpu.ops import beffective
+from mrphy_tpu.utils import uphirot
+from mrphy_tpu.utils._shapes import rshape
+
+__all__ = ['blochsim_1step', 'blochsim', 'blochsim_ab', 'blochsim_segmented',
+           'freeprec']
+
+
+@kwalias(**{'γ2πdt': 'gam2pidt'})
+def blochsim_1step(M, M1, b, E1, E1_1, E2, gam2pidt):
+    r"""Single Bloch step: rotation by B-effective + relaxation.
+
+    Inputs:
+        - ``M``: `(N, *Nd, xyz)`, spins.
+        - ``M1``: ignored (the reference takes a pre-allocated output buffer,
+          ``slowsims.py:15-31``; functional JAX needs none — kept for call
+          compatibility).
+        - ``b``: `(N, *Nd, xyz)`, "Gauss", B-effective of this step.
+        - ``E1``, ``E1_1`` (=E1-1), ``E2``: `()` ⊻ `(N ⊻ 1, *Nd ⊻ 1,)`.
+        - ``gam2pidt`` (alias ``γ2πdt``): `()` ⊻ broadcastable, "Rad/Gauss".
+    Outputs:
+        - ``(M, M1)``: stepped spins, and the previous spins (the reference
+          returns its swapped double-buffer pair, ``slowsims.py:53-54``).
+
+    Parity: ``/root/reference/mrphy/slowsims.py:15-54``.
+    """
+    M = jnp.asarray(M)
+    u, phi = beffective.beff2uphi(b, gam2pidt)
+    Mr = uphirot(u, phi, M)
+    E1, E1_1, E2 = (jnp.asarray(x) for x in (E1, E1_1, E2))
+    Mnew = jnp.concatenate([Mr[..., 0:2] * E2[..., None],
+                            (Mr[..., 2] * E1 - E1_1)[..., None]], axis=-1)
+    return Mnew, M
+
+
+@kwalias(**{'γ': 'gam'})
+def blochsim(M, Beff, *, T1: Optional[jax.Array] = None,
+             T2: Optional[jax.Array] = None, gam=gamH, dt=dt0):
+    r"""Bloch simulator with implicit (autodiff) Jacobians.
+
+    Inputs:
+        - ``M``: `(N, *Nd, xyz)`, spins (equilibrium ``[0, 0, 1]``).
+        - ``Beff``: `(N, *Nd, nT, xyz)`, "Gauss".
+    Optionals:
+        - ``T1``/``T2``: `()` ⊻ `(N ⊻ 1, *Nd ⊻ 1,)`, "Sec"; pass both
+          ``None`` to ignore relaxation.
+        - ``gam`` (alias ``γ``): `()` ⊻ `(N ⊻ 1, *Nd ⊻ 1,)`, "Hz/Gauss".
+        - ``dt``: `()` ⊻ `(N ⊻ 1,)`, "Sec".
+    Outputs:
+        - ``M``: `(N, *Nd, xyz)`, spins after the pulse.
+
+    Parity: ``/root/reference/mrphy/slowsims.py:57-114``; the hot loop is
+    ``lax.scan`` over the time axis.
+    """
+    M, Beff = jnp.asarray(M), jnp.asarray(Beff)
+    assert M.shape[:-1] == Beff.shape[:-2]
+    ndim = M.ndim - 1
+
+    assert (T1 is None) == (T2 is None), 'pass both T1 and T2, or neither'
+    one = jnp.ones((), dtype=M.dtype)
+    dt_r = rshape(dt, ndim)
+    E1 = one if T1 is None else jnp.exp(-dt_r / rshape(T1, ndim))
+    E2 = one if T2 is None else jnp.exp(-dt_r / rshape(T2, ndim))
+    E1_1 = E1 - 1
+    gam2pidt = 2 * pi * rshape(gam, ndim) * dt_r
+
+    beff_t = jnp.moveaxis(Beff, -2, 0)  # (nT, N, *Nd, xyz)
+
+    def step(m, b_t):
+        m1, _ = blochsim_1step(m, None, b_t, E1, E1_1, E2, gam2pidt)
+        return m1, None
+
+    M, _ = jax.lax.scan(step, M, beff_t)
+    return M
+
+
+@kwalias(**{'γ': 'gam'})
+def blochsim_segmented(M, Beff, *, T1=None, T2=None, gam=gamH, dt=dt0,
+                       segments: int = 8):
+    r"""Time-segmented, rematerialized Bloch simulation.
+
+    Same result as :func:`blochsim`, but the time axis is split into
+    ``segments`` chunks each wrapped in ``jax.checkpoint``: reverse-mode AD
+    stores only segment-boundary states and recomputes within segments —
+    O(nT/segments + segments) live memory instead of O(nT). This is the
+    TPU-native answer to the reference's memory/compute trade discussion
+    (``/root/reference/mrphy/sims.py:298-301``).
+
+    ``nT`` must be divisible by ``segments``.
+    """
+    M, Beff = jnp.asarray(M), jnp.asarray(Beff)
+    nT = Beff.shape[-2]
+    assert nT % segments == 0, f'nT={nT} not divisible by segments={segments}'
+
+    @jax.checkpoint
+    def run_segment(m, beff_seg):
+        return blochsim(m, beff_seg, T1=T1, T2=T2, gam=gam, dt=dt), None
+
+    segs = jnp.moveaxis(Beff, -2, 0).reshape(
+        (segments, nT // segments) + Beff.shape[:-2] + (3,))
+    segs = jnp.moveaxis(segs, 1, -2)  # (segments, N, *Nd, nT/seg, xyz)
+    M, _ = jax.lax.scan(run_segment, M, segs)
+    return M
+
+
+def blochsim_ab(M, A, B):
+    r"""Apply a Hargreaves affine propagator: ``M → A·M + B``.
+
+    Inputs:
+        - ``M``: `(N, *Nd, xyz)`; ``A``: `(N, *Nd, xyz, 3)`;
+          ``B``: `(N, *Nd, xyz)`.
+    Outputs:
+        - ``M``: `(N, *Nd, xyz)`.
+
+    Parity: ``/root/reference/mrphy/slowsims.py:117-131``.
+    """
+    M, A, B = jnp.asarray(M), jnp.asarray(A), jnp.asarray(B)
+    return jnp.einsum('...ij,...j->...i', A, M) + B
+
+
+@kwalias(**{'Δf': 'df'})
+def freeprec(M, dur, *, T1=None, T2=None, df=None):
+    r"""Free precession with relaxation and off-resonance (closed form).
+
+    Inputs:
+        - ``M``: `(N, *Nd, xyz)`, spins.
+        - ``dur``: `()` ⊻ `(N ⊻ 1,)`, "Sec", duration.
+    Optionals:
+        - ``T1``/``T2``: `()` ⊻ `(N ⊻ 1, *Nd ⊻ 1,)`, "Sec" (both or neither).
+        - ``df`` (alias ``Δf``): `(N ⊻ 1, *Nd ⊻ 1,)`, "Hz"; positive ``df``
+          dephases clockwise (negative φ).
+    Outputs:
+        - ``M``: `(N, *Nd, xyz)`.
+
+    Parity: ``/root/reference/mrphy/slowsims.py:134-174``.
+    """
+    M = jnp.asarray(M)
+    ndim = M.ndim
+    dur = rshape(dur, ndim)
+
+    Mx, My, Mz = M[..., 0:1], M[..., 1:2], M[..., 2:3]
+
+    if df is not None:
+        df = rshape(df, ndim)
+        phi = -(2 * pi) * df * dur
+        cphi, sphi = jnp.cos(phi), jnp.sin(phi)
+        Mx, My = cphi * Mx - sphi * My, sphi * Mx + cphi * My
+
+    assert (T1 is None) == (T2 is None), 'pass both T1 and T2, or neither'
+    if T1 is not None:
+        T1, T2 = rshape(T1, ndim), rshape(T2, ndim)
+        E1, E2 = jnp.exp(-dur / T1), jnp.exp(-dur / T2)
+        Mx, My, Mz = E2 * Mx, E2 * My, E1 * Mz + 1 - E1
+
+    return jnp.concatenate((Mx, My, Mz), axis=-1)

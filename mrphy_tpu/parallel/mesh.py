@@ -1,0 +1,112 @@
+r"""Device meshes and spin-sharded simulation.
+
+The reference has **no** distributed machinery (verified in SURVEY §2.9:
+no torch.distributed / NCCL / multi-process code anywhere). The workload's
+parallel axes are the batch ``N`` and the spin axis ``nM``/``*Nd`` — every
+per-step op of the Bloch scan is elementwise over spins, so spin-sharded
+data parallelism is **communication-free in the hot loop**; collectives
+appear only in loss reductions.
+
+TPU-native design (this module):
+
+- a ``jax.sharding.Mesh`` over ``('batch', 'spins')`` — batch-DP across
+  DCN-connected slices, spin-sharding across ICI-connected chips;
+- ``NamedSharding`` constructors for the ``(N, nM, ...)`` shape grammar;
+- :func:`blochsim_sharded`: the fast engine under ``jit`` with sharding
+  constraints — XLA partitions the scan with zero collectives;
+- :func:`psum_loss`: mean-loss helper whose gradient is correct under
+  sharding (XLA inserts the ``psum`` over ICI automatically).
+
+Time (``nT``) is never sharded: it is the sequential scan axis; its
+scaling story is segmented remat (:func:`mrphy_tpu.ops.slowsims.
+blochsim_segmented`) and the associative A/B propagator
+(:func:`mrphy_tpu.ops.beffective.beff2ab_assoc`).
+"""
+
+import math
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mrphy_tpu.ops import sims
+
+__all__ = ['make_mesh', 'shard_spins', 'blochsim_sharded', 'psum_loss',
+           'pad_spins']
+
+BATCH_AXIS = 'batch'
+SPIN_AXIS = 'spins'
+
+
+def make_mesh(devices: Optional[Sequence] = None, *,
+              batch: int = 1, spins: Optional[int] = None) -> Mesh:
+    r"""Build a ``(batch, spins)`` device mesh.
+
+    Optionals:
+        - ``devices``: devices to use (default ``jax.devices()``).
+        - ``batch``: mesh extent for batch-DP (default 1).
+        - ``spins``: mesh extent for spin sharding (default: all remaining
+          devices).
+    """
+    devices = list(jax.devices()) if devices is None else list(devices)
+    n = len(devices)
+    if spins is None:
+        assert n % batch == 0, f'{n} devices not divisible by batch={batch}'
+        spins = n // batch
+    assert batch * spins == n, f'{batch}x{spins} != {n} devices'
+    dev_arr = np.asarray(devices).reshape(batch, spins)
+    return Mesh(dev_arr, (BATCH_AXIS, SPIN_AXIS))
+
+
+def pad_spins(x, mesh: Mesh, *, axis: int = 1):
+    r"""Zero-pad the spin axis to a multiple of the mesh's spin extent."""
+    import jax.numpy as jnp
+    n = x.shape[axis]
+    k = mesh.shape[SPIN_AXIS]
+    pad = (-n) % k
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+def shard_spins(mesh: Mesh, ndim: int, *, spin_axis: int = 1,
+                batch_axis: int = 0) -> NamedSharding:
+    r"""NamedSharding placing ``batch_axis`` on the batch mesh axis and
+    ``spin_axis`` on the spin mesh axis of an ``ndim``-rank array."""
+    spec = [None] * ndim
+    spec[batch_axis] = BATCH_AXIS
+    spec[spin_axis] = SPIN_AXIS
+    return NamedSharding(mesh, P(*spec))
+
+
+def blochsim_sharded(mesh: Mesh, Mi, Beff, **kw):
+    r"""Fast-engine Bloch simulation with ``(N, nM)`` sharded over the mesh.
+
+    ``Mi``: `(N, nM, xyz)`; ``Beff``: `(N, nM, nT, xyz)`. ``nM`` must be
+    divisible by the mesh's spin extent (see :func:`pad_spins`). The scan
+    body is elementwise over spins → XLA partitions with no collectives.
+    """
+    sh_m = shard_spins(mesh, 3)
+    sh_b = shard_spins(mesh, 4)
+    Mi = jax.device_put(Mi, sh_m)
+    Beff = jax.device_put(Beff, sh_b)
+    out_sh = shard_spins(mesh, 3)
+    f = jax.jit(lambda m, b: sims.blochsim(m, b, **kw),
+                out_shardings=out_sh)
+    return f(Mi, Beff)
+
+
+def psum_loss(fn):
+    r"""Wrap a per-spin loss ``fn(...) -> (N, nM)`` into a global mean that
+    is sharding-correct: ``jnp.mean`` under ``jit`` + sharding lowers to a
+    local reduce + ``psum`` over ICI."""
+    import jax.numpy as jnp
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*args, **kw):
+        return jnp.mean(fn(*args, **kw))
+    return wrapped

@@ -1,0 +1,29 @@
+r"""MRphy-TPU utilities: indexing, conversions, reparametrizations, rotation.
+
+Feature-parity surface of ``/root/reference/mrphy/utils.py`` with
+ASCII-primary names plus Unicode aliases matching the reference API
+(including both the U+03C6/``φ`` and U+03D5/``ϕ`` spellings — the reference
+``__all__`` and function name disagree, ``utils.py:24`` vs ``:333``).
+"""
+
+from mrphy_tpu.utils.conversions import ctrsub, g2k, g2s, k2g, s2g
+from mrphy_tpu.utils.rf import (rf_c2r, rf_r2c, rf2trho_theta,
+                                trho_theta2rf, rf2lrho_theta,
+                                lrho_theta2rf, rfclamp)
+from mrphy_tpu.utils.slew import s2ts, ts2s, sclamp
+from mrphy_tpu.utils.rotation import uphirot
+
+# -- Unicode aliases (reference spellings) --
+uϕrot = uphirot          # noqa: E741  /root/reference/mrphy/utils.py:333
+uφrot = uphirot          # spelling used in the reference __all__ (:24)
+rf2tρθ = rf2trho_theta   # /root/reference/mrphy/utils.py:196
+tρθ2rf = trho_theta2rf   # /root/reference/mrphy/utils.py:313
+rf2lρθ = rf2lrho_theta   # /root/reference/mrphy/utils.py:171
+lρθ2rf = lrho_theta2rf   # /root/reference/mrphy/utils.py:114
+
+__all__ = ['ctrsub', 'g2k', 'g2s', 'k2g', 'rf_c2r', 'rf_r2c',
+           'rf2trho_theta', 'trho_theta2rf', 'rf2lrho_theta',
+           'lrho_theta2rf', 'rfclamp', 's2g', 's2ts', 'sclamp', 'ts2s',
+           'uphirot',
+           # Unicode aliases
+           'uϕrot', 'uφrot', 'rf2tρθ', 'tρθ2rf', 'rf2lρθ', 'lρθ2rf']

@@ -1,0 +1,212 @@
+r"""Object-model tests: Pulse / SpinArray / SpinCube / Examples.
+
+Mirrors `/root/reference/tests/test_mobjs.py`: construction + deepcopy +
+asdict round-trip, crds_ writes (functional idiom), applypulse golden
+values with/without relaxation and doUpdate semantics, freeprec golden,
+interpT against hand-computed samples. Adds pytree/jit round-trip checks.
+"""
+
+from copy import deepcopy
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mrphy_tpu import gamH, dt0, pi, _slice
+from mrphy_tpu.models import mobjs
+
+from tests._scenario import (MO_GOLD_RELAX, MO_GOLD_NORELAX, FREEPREC_GOLD)
+
+ATOL = 1e-9
+DTYPE = jnp.float64
+
+
+def _setup(T1_, T2, gam, dtype=DTYPE):
+    r"""Rebuild of the reference's test scenario (test_mobjs.py:14-59)."""
+    N, Nd, nT = 1, (3, 3, 3), 512
+
+    t = jnp.arange(nT, dtype=dtype).reshape((N, 1, nT))
+    rf = 10 * jnp.concatenate([jnp.cos(t / nT * 2 * pi),
+                               jnp.sin(t / nT * 2 * pi)], 1)
+    gr = jnp.concatenate([jnp.ones((N, 1, nT), dtype),
+                          jnp.ones((N, 1, nT), dtype),
+                          10 * jnp.arctan(t - round(nT / 2)) / pi], 1)
+
+    p = mobjs.Pulse(rf=rf, gr=gr, dt=dt0, dtype=dtype)
+    p = deepcopy(p)
+    p = mobjs.Pulse(**p.asdict(toNumpy=False))
+
+    shape = (N, *Nd)
+    mask = np.zeros((1,) + Nd, dtype=bool)
+    mask[0, :, 1, :], mask[0, 1, :, :] = True, True
+    fov = jnp.asarray([[3., 3., 3.]], dtype)
+    ofst = jnp.asarray([[0., 0., 1.]], dtype)
+
+    cube = mobjs.SpinCube(shape, fov, mask=mask, T1_=jnp.asarray(T1_, dtype),
+                          gam=gam, dtype=dtype)
+    cube = deepcopy(cube)
+    d = cube.asdict(toNumpy=False)
+    cube = mobjs.SpinCube(**{k: d[k] for k in
+                             ('shape', 'fov', 'mask', 'T1', 'γ', 'dtype')})
+    cube.ofst = ofst
+
+    cube.M_ = jnp.asarray([0., 1., 0.], dtype)
+    cube.T2 = jnp.broadcast_to(jnp.asarray(T2, dtype), cube.shape)
+
+    M001 = jnp.asarray([0., 0., 1.], dtype)
+    M100 = jnp.asarray([1., 0., 0.], dtype)
+    # functional indexed writes via crds_ (the JAX idiom for the
+    # reference's cube.M_[crds] = v, reference test_mobjs.py:53-57)
+    crds_100 = cube.crds_([_slice, [0, 1], [1, 0], _slice, _slice])
+    cube.M_ = cube.M_.at[tuple(crds_100)].set(M100)
+    crds_001 = cube.crds_([_slice, [2, 1], [1, 2], _slice, _slice])
+    cube.M_ = cube.M_.at[tuple(crds_001)].set(M001)
+
+    return cube, p
+
+
+class TestMobjs:
+    gam = jnp.asarray(gamH, DTYPE)
+
+    def test_examples(self):
+        assert isinstance(mobjs.Examples.pulse(), mobjs.Pulse)
+        assert isinstance(mobjs.Examples.spinarray(), mobjs.SpinArray)
+        assert isinstance(mobjs.Examples.spincube(), mobjs.SpinCube)
+        assert isinstance(mobjs.Examples.spincube(), mobjs.SpinArray)
+
+    def test_mobjs_basic(self):
+        cube, p = _setup([[1.]], [[4e-2]], self.gam)
+        assert p.shape == (1, 1, 512)
+        assert cube.dim() == len(cube.shape) == 4
+        assert cube.nM == 15  # 3x3x3 cross mask
+        assert cube.numel() == 27
+        assert p.is_cuda is False and cube.is_cuda is False
+
+    def test_asdict_roundtrip_numpy(self):
+        cube, p = _setup([[1.]], [[4e-2]], self.gam)
+        d = p.asdict(toNumpy=True)
+        assert isinstance(d['rf'], np.ndarray)
+        p2 = mobjs.Pulse(**d)
+        np.testing.assert_allclose(p2.rf, p.rf, atol=0)
+        dc = cube.asdict(toNumpy=True, doEmbed=False)
+        assert set(dc) >= {'loc_', 'Δf_', 'fov', 'ofst', 'T1_', 'T2_',
+                           'γ_', 'M_', 'mask', 'shape'}
+
+    def test_applypulse_golden(self):
+        cube, p = _setup([[1.]], [[4e-2]], self.gam)
+        # gradient x/y == 1 Gauss/cm cancels Δf of the two cross arms
+        cube.df = jnp.sum(-cube.loc[0:1, :, :, :, 0:2], axis=-1) * cube.gam
+
+        Mres1a = cube.applypulse(p, doEmbed=True)
+        cube.applypulse(p, doEmbed=True, doRelax=False, doUpdate=True)
+        Mres1b = cube.M
+
+        np.testing.assert_allclose(
+            np.asarray(Mres1a)[0:1, 1, :, 1, :], MO_GOLD_RELAX, atol=ATOL)
+        np.testing.assert_allclose(
+            np.asarray(Mres1a)[0:1, :, 1, 1, :], MO_GOLD_RELAX, atol=ATOL)
+        np.testing.assert_allclose(
+            np.asarray(Mres1b)[0:1, 1, :, 1, :], MO_GOLD_NORELAX, atol=ATOL)
+        np.testing.assert_allclose(
+            np.asarray(Mres1b)[0:1, :, 1, 1, :], MO_GOLD_NORELAX, atol=ATOL)
+
+    def test_freeprec_golden(self):
+        E = jnp.asarray([[0.5]], DTYPE)
+        dur = jnp.asarray(0.5, DTYPE)
+        T1 = T2 = -dur / jnp.log(E)
+
+        cube, _ = _setup(T1, T2, self.gam)
+        _df = jnp.asarray([[[1 / 4 / dur], [-1 / 4 / dur], [1]]], DTYPE)
+        cube.df = jnp.tile(_df, (1, 3, 1, 3))
+
+        Mres1a = cube.freeprec(dur, doEmbed=True)
+        np.testing.assert_allclose(
+            np.asarray(Mres1a)[0:1, 1, :, 1, :], FREEPREC_GOLD, atol=ATOL)
+
+    def test_pulse_interpT(self):
+        dt_n = jnp.asarray(dt0 * 5, DTYPE)
+        nT = 11
+        kw = {'num': nT, 'axis': 2}
+        rf = 0.1 * np.concatenate([np.linspace([[0.]], 1., **kw),
+                                   np.linspace([[1.]], 0., **kw)], 1)
+        gr = 0.1 * np.concatenate([np.linspace([[0.]], 1., **kw),
+                                   np.linspace([[1.]], 0., **kw),
+                                   np.ones((1, 1, nT))], 1)
+
+        p_old = mobjs.Pulse(rf=jnp.asarray(rf, DTYPE),
+                            gr=jnp.asarray(gr, DTYPE), dt=dt0, dtype=DTYPE)
+        p_new = p_old.interpT(dt=dt_n, kind='linear')
+
+        np.testing.assert_allclose(
+            p_new.rf, np.array([[[0.04, 0.09], [0.06, 0.01]]]), atol=ATOL)
+        np.testing.assert_allclose(
+            p_new.gr, np.array([[[0.04, 0.09], [0.06, 0.01],
+                                 [0.1, 0.1]]]), atol=ATOL)
+        # same dt → deepcopy
+        p_same = p_old.interpT(dt=jnp.asarray(dt0, DTYPE))
+        np.testing.assert_allclose(p_same.rf, p_old.rf, atol=0)
+
+    def test_readonly_and_validation(self):
+        cube, p = _setup([[1.]], [[4e-2]], self.gam)
+        with pytest.raises(AttributeError):
+            p.shape = (2, 1, 3)
+        with pytest.raises(AttributeError):
+            cube.loc_ = jnp.zeros((1, 15, 3))
+        with pytest.raises(AttributeError):
+            cube.spinarray = None
+
+    def test_embed_extract_roundtrip(self):
+        arr = mobjs.Examples.spinarray(dtype=DTYPE)
+        rng = np.random.default_rng(0)
+        v_ = jnp.asarray(rng.random((1, arr.nM, 3)), DTYPE)
+        v = arr.embed(v_)
+        assert v.shape == arr.shape + (3,)
+        np.testing.assert_allclose(arr.extract(v), v_, atol=0)
+        assert bool(jnp.all(jnp.isnan(v[:, 0, 0, 0, :])))  # outside mask
+
+    def test_mask_(self):
+        arr = mobjs.Examples.spinarray(dtype=DTYPE)
+        m = np.zeros_like(arr.mask)
+        m[0, 1, 1, 1] = True
+        m_ = arr.mask_(mask=m)
+        assert m_.shape == (1, arr.nM)
+        assert m_.sum() == 1
+
+    def test_unicode_attr_aliases(self):
+        cube = mobjs.Examples.spincube(dtype=DTYPE)
+        np.testing.assert_allclose(getattr(cube, 'γ_'), cube.gam_, atol=0)
+        np.testing.assert_allclose(getattr(cube, 'Δf_'), cube.df_, atol=0)
+        setattr(cube, 'Δf_', 5.0)
+        np.testing.assert_allclose(cube.df_, 5.0 * jnp.ones_like(cube.df_))
+
+    def test_pytree_jit(self):
+        r"""Objects pass through jit as pytrees (no reference analog)."""
+        cube = mobjs.Examples.spincube(dtype=DTYPE)
+        p = mobjs.Examples.pulse(dtype=DTYPE)
+
+        @jax.jit
+        def f(cube, p):
+            return cube.applypulse(p, doEmbed=False)
+
+        M_ = f(cube, p)
+        M_ref = cube.applypulse(p, doEmbed=False)
+        np.testing.assert_allclose(M_, M_ref, atol=1e-12)
+
+        leaves, treedef = jax.tree_util.tree_flatten(cube)
+        cube2 = jax.tree_util.tree_unflatten(treedef, leaves)
+        np.testing.assert_allclose(cube2.M_, cube.M_, atol=0)
+
+    def test_spincube_update_loc_on_fov_set(self):
+        cube = mobjs.Examples.spincube(dtype=DTYPE)
+        loc0 = np.asarray(cube.loc_)
+        cube.fov = 2.0 * cube.fov
+        np.testing.assert_allclose(
+            np.asarray(cube.loc_) - np.asarray(cube.ofst)[:, None, :],
+            2 * (loc0 - np.asarray(cube.ofst)[:, None, :]), atol=1e-12)
+
+    def test_pulse_to_dtype(self):
+        p = mobjs.Examples.pulse(dtype=jnp.float32)
+        p64 = p.to(dtype=jnp.float64)
+        assert p64.rf.dtype == jnp.float64
+        assert p.to().rf.dtype == jnp.float32

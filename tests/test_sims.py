@@ -1,0 +1,148 @@
+r"""Explicit-Jacobian engine vs autodiff oracle parity tests.
+
+Mirrors `/root/reference/tests/test_sims.py`: forward values and gradients
+(∂Mi, ∂Beff) of the custom-VJP engine must match plain autodiff through the
+oracle scan at 1e-9 (f64), with and without relaxation; same for freeprec.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mrphy_tpu.ops import beffective, sims, slowsims
+
+from tests._scenario import pulse_arrays
+
+ATOL = 1e-9
+DTYPE = jnp.float64
+
+
+def _setup(nM=16 * 16 * 2, nT=512):
+    sc = pulse_arrays(nM=nM, nT=nT, dtype=DTYPE)
+    rng = np.random.default_rng(7)
+    M0 = jnp.asarray(rng.random((1, nM, 3)), DTYPE)
+    T1 = jnp.asarray([[1.]], DTYPE)
+    T2 = jnp.asarray([[4e-2]], DTYPE)
+    beff = beffective.rfgr2beff(sc['rf'], sc['gr'], sc['loc'], df=sc['df'],
+                                b1Map=sc['b1Map'], gam=sc['gam'])
+    return sc, M0, T1, T2, beff
+
+
+class TestSims:
+
+    def test_missing_coil_dim(self):
+        sc, M0, T1, T2, beff = _setup(nM=8, nT=32)
+        beff2 = beffective.rfgr2beff(sc['rf'][..., 0], sc['gr'], sc['loc'],
+                                     df=sc['df'], b1Map=sc['b1Map'][..., 0],
+                                     gam=sc['gam'])
+        np.testing.assert_allclose(beff, beff2, atol=ATOL)
+
+    def test_blochsim_fwd_and_grads_with_relax(self):
+        sc, M0, T1, T2, beff = _setup()
+        gam, dt = sc['gam'], sc['dt']
+
+        def loss_slow(m0, b):
+            return jnp.sum(slowsims.blochsim(m0, b, T1=T1, T2=T2,
+                                             gam=gam, dt=dt))
+
+        def loss_fast(m0, b):
+            return jnp.sum(sims.blochsim(m0, b, T1=T1, T2=T2,
+                                         gam=gam, dt=dt, backend='xla'))
+
+        Mo_slow = slowsims.blochsim(M0, beff, T1=T1, T2=T2, gam=gam, dt=dt)
+        Mo_fast = sims.blochsim(M0, beff, T1=T1, T2=T2, gam=gam, dt=dt,
+                                backend='xla')
+        np.testing.assert_allclose(Mo_fast, Mo_slow, atol=ATOL)
+
+        g_slow = jax.grad(loss_slow, argnums=(0, 1))(M0, beff)
+        g_fast = jax.grad(loss_fast, argnums=(0, 1))(M0, beff)
+        np.testing.assert_allclose(g_fast[0], g_slow[0], atol=ATOL)
+        np.testing.assert_allclose(g_fast[1], g_slow[1], atol=ATOL)
+
+    def test_blochsim_fwd_and_grads_no_relax(self):
+        sc, M0, T1, T2, beff = _setup()
+        gam, dt = sc['gam'], sc['dt']
+
+        def loss_slow(m0, b):
+            return jnp.sum(slowsims.blochsim(m0, b, T1=None, T2=None,
+                                             gam=gam, dt=dt))
+
+        def loss_fast(m0, b):
+            return jnp.sum(sims.blochsim(m0, b, T1=None, T2=None,
+                                         gam=gam, dt=dt, backend='xla'))
+
+        np.testing.assert_allclose(
+            sims.blochsim(M0, beff, gam=gam, dt=dt, backend='xla'),
+            slowsims.blochsim(M0, beff, gam=gam, dt=dt), atol=ATOL)
+
+        g_slow = jax.grad(loss_slow, argnums=(0, 1))(M0, beff)
+        g_fast = jax.grad(loss_fast, argnums=(0, 1))(M0, beff)
+        np.testing.assert_allclose(g_fast[0], g_slow[0], atol=ATOL)
+        np.testing.assert_allclose(g_fast[1], g_slow[1], atol=ATOL)
+
+    def test_blochsim_jit_and_chain_to_rf_gr(self):
+        r"""Gradients chain through rfgr2beff to rf/gr under jit, engine vs
+        oracle (the reference verifies the chain at test_slowsims.py:86-96).
+        """
+        sc, M0, T1, T2, _ = _setup(nM=32, nT=64)
+        gam, dt = sc['gam'], sc['dt']
+
+        def mk_loss(engine):
+            def loss(rf, gr):
+                beff = beffective.rfgr2beff(rf, gr, sc['loc'], df=sc['df'],
+                                            b1Map=sc['b1Map'], gam=gam)
+                return jnp.sum(engine(M0, beff, T1=T1, T2=T2, gam=gam,
+                                      dt=dt))
+            return loss
+
+        g_fast = jax.jit(jax.grad(mk_loss(
+            lambda *a, **k: sims.blochsim(*a, backend='xla', **k)),
+            argnums=(0, 1)))(sc['rf'], sc['gr'])
+        g_slow = jax.grad(mk_loss(slowsims.blochsim),
+                          argnums=(0, 1))(sc['rf'], sc['gr'])
+        np.testing.assert_allclose(g_fast[0], g_slow[0], atol=ATOL)
+        np.testing.assert_allclose(g_fast[1], g_slow[1], atol=ATOL)
+
+    def test_blochsim_zero_beff_singularity(self):
+        r"""ϕ→0 singularity: zero B-effective must give identity rotation
+        with finite gradients (reference TODO at sims.py:210-213)."""
+        M0 = jnp.asarray([[[0.3, -0.4, 0.5]]], DTYPE)
+        beff = jnp.zeros((1, 1, 8, 3), DTYPE)
+        Mo = sims.blochsim(M0, beff, T1=None, T2=None, backend='xla')
+        np.testing.assert_allclose(Mo, M0, atol=1e-12)
+        g = jax.grad(lambda b: jnp.sum(
+            sims.blochsim(M0, b, T1=None, T2=None, backend='xla')))(beff)
+        assert bool(jnp.all(jnp.isfinite(g)))
+
+    def test_freeprec_parity(self):
+        sc, M0, T1, T2, _ = _setup(nM=16, nT=4)
+        gam = sc['gam']
+        dur = jnp.asarray(0.5, DTYPE)
+        df = sc['df']
+
+        Mo1 = slowsims.freeprec(M0, dur, T1=T1, T2=T2, df=df)
+        Mo2 = sims.freeprec(M0, dur, T1=T1, T2=T2, df=df)
+        np.testing.assert_allclose(Mo2, Mo1, atol=ATOL)
+
+        g1 = jax.grad(lambda m: jnp.sum(
+            slowsims.freeprec(m, dur, T1=T1, T2=T2, df=df)))(M0)
+        g2 = jax.grad(lambda m: jnp.sum(
+            sims.freeprec(m, dur, T1=T1, T2=T2, df=df)))(M0)
+        np.testing.assert_allclose(g2, g1, atol=ATOL)
+
+        # no relax / no df variants
+        np.testing.assert_allclose(
+            sims.freeprec(M0, dur, df=df),
+            slowsims.freeprec(M0, dur, df=df), atol=ATOL)
+        np.testing.assert_allclose(
+            sims.freeprec(M0, dur, T1=T1, T2=T2),
+            slowsims.freeprec(M0, dur, T1=T1, T2=T2), atol=ATOL)
+
+    def test_freeprec_nondiff_params(self):
+        r"""freeprec is differentiable w.r.t. Mi only; df grads are zero
+        (reference contract, sims.py:321)."""
+        M0 = jnp.asarray([[[1., 0., 0.]]], DTYPE)
+        dur = jnp.asarray(0.5, DTYPE)
+        df = jnp.asarray([[2.0]], DTYPE)
+        g = jax.grad(lambda d: jnp.sum(sims.freeprec(M0, dur, df=d)))(df)
+        np.testing.assert_allclose(g, jnp.zeros_like(df), atol=0)

@@ -1,0 +1,132 @@
+r"""Round-trip and golden tests for mrphy_tpu.utils.
+
+Mirrors the reference test strategy (`/root/reference/tests/test_utils.py`):
+every conversion pair is verified as a round-trip; `ctrsub` against exact
+values. Adds jit-compilation checks the reference has no analog for.
+"""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from mrphy_tpu import gamH, dt0, rfmax0, smax0
+from mrphy_tpu import utils
+
+ATOL32 = 1e-4
+
+
+class TestUtils:
+    dtype = jnp.float32
+    gam = jnp.asarray(gamH, dtype)
+    dt = jnp.asarray(dt0, dtype)
+
+    def test_ctrsub(self):
+        x = utils.ctrsub(np.arange(7))
+        assert np.all(x == np.array([0, 0, 1, 1, 2, 2, 3]))
+        assert utils.ctrsub(7) == 3
+        assert utils.ctrsub((4, 5)) == (2, 2)
+
+    def test_kgs_roundtrip(self):
+        k = jnp.asarray([[[1., 2., 3., 4., 0.]]], self.dtype)
+        gTx = utils.k2g(k, True, dt=self.dt, gam=self.gam)
+        gRx = utils.k2g(k, False, dt=self.dt, gam=self.gam)
+        gTx1 = utils.s2g(utils.g2s(gTx, self.dt), self.dt)
+
+        np.testing.assert_allclose(
+            utils.g2k(gTx, True, dt=self.dt, gam=self.gam), k, atol=ATOL32)
+        np.testing.assert_allclose(
+            utils.g2k(gRx, False, dt=self.dt, gam=self.gam), k, atol=ATOL32)
+        np.testing.assert_allclose(gTx, gTx1, atol=ATOL32)
+
+    def test_k2g_requires_tx_origin(self):
+        k = jnp.asarray([[[1., 2., 3., 4., 5.]]], self.dtype)
+        with pytest.raises(ValueError):
+            utils.k2g(k, True, dt=self.dt, gam=self.gam)
+
+    def test_kgs_unicode_kwargs(self):
+        k = jnp.asarray([[[1., 0.]]], self.dtype)
+        a = utils.g2k(utils.k2g(k, False, self.dt, **{'γ': self.gam}),
+                      False, self.dt, **{'γ': self.gam})
+        np.testing.assert_allclose(a, k, atol=ATOL32)
+
+    def test_rf_c2r_r2c_roundtrip(self):
+        rng = np.random.default_rng(0)
+        rf0 = rng.random((1, 2, 5))
+        rf1 = utils.rf_c2r(utils.rf_r2c(rf0))
+        np.testing.assert_allclose(rf0, rf1, atol=ATOL32)
+        # with coil dim
+        rf0 = rng.random((2, 2, 5, 3))
+        rf1 = utils.rf_c2r(utils.rf_r2c(rf0))
+        np.testing.assert_allclose(rf0, rf1, atol=ATOL32)
+
+    def test_rfclamp_tan_roundtrip(self):
+        rng = np.random.default_rng(1)
+        rfmax = jnp.asarray(rfmax0, self.dtype)
+        rf0 = utils.rfclamp(
+            rfmax0 * (rng.random((1, 2, 10)) - 0.5) * 4, rfmax)
+        assert bool(jnp.all(jnp.linalg.norm(rf0, axis=1) <= rfmax0))
+        trho, theta = utils.rf2trho_theta(rf0, rfmax)
+        rf1 = utils.trho_theta2rf(trho, theta, rfmax)
+        np.testing.assert_allclose(rf0, rf1, atol=ATOL32)
+        # unicode aliases point to the same functions
+        assert utils.rf2tρθ is utils.rf2trho_theta
+        assert utils.tρθ2rf is utils.trho_theta2rf
+
+    def test_rfclamp_logit_roundtrip(self):
+        rng = np.random.default_rng(2)
+        rfmax = jnp.asarray(rfmax0, self.dtype)
+        rf0 = utils.rfclamp(
+            rfmax0 * (rng.random((1, 2, 10)) - 0.5) * 4, rfmax)
+        lrho, theta = utils.rf2lrho_theta(rf0, rfmax)
+        rf1 = utils.lrho_theta2rf(lrho, theta, rfmax)
+        np.testing.assert_allclose(rf0, rf1, atol=ATOL32)
+
+    def test_sclamp_tan_roundtrip(self):
+        rng = np.random.default_rng(3)
+        smax = jnp.asarray(smax0, self.dtype)
+        s0 = utils.sclamp(smax0 * (rng.random((1, 3, 10)) - 0.5) * 4, smax)
+        assert bool(jnp.all(jnp.abs(s0) <= smax0))
+        s1 = utils.ts2s(utils.s2ts(s0, smax), smax)
+        np.testing.assert_allclose(s0, s1, atol=ATOL32 * smax0)
+
+    def test_uphirot_matches_rotation_matrix(self):
+        rng = np.random.default_rng(4)
+        u = rng.normal(size=(2, 5, 3))
+        u /= np.linalg.norm(u, axis=-1, keepdims=True)
+        phi = rng.normal(size=(2, 5))
+        v = rng.normal(size=(2, 5, 3))
+
+        vo = utils.uphirot(u, phi, v)
+
+        # oracle: Rodrigues rotation matrix
+        def rotmat(u, phi):
+            ux = np.array([[0, -u[2], u[1]],
+                           [u[2], 0, -u[0]],
+                           [-u[1], u[0], 0]])
+            return (np.cos(phi) * np.eye(3)
+                    + (1 - np.cos(phi)) * np.outer(u, u)
+                    + np.sin(phi) * ux)
+
+        for i in range(2):
+            for j in range(5):
+                expect = rotmat(u[i, j], phi[i, j]) @ v[i, j]
+                np.testing.assert_allclose(vo[i, j], expect, atol=1e-9)
+
+    def test_uphirot_trailing_nv_dim(self):
+        rng = np.random.default_rng(5)
+        u = rng.normal(size=(1, 4, 3))
+        u /= np.linalg.norm(u, axis=-1, keepdims=True)
+        phi = rng.normal(size=(1, 4))
+        v = rng.normal(size=(1, 4, 3, 6))
+        vo = utils.uphirot(u, phi, v)
+        for nv in range(6):
+            np.testing.assert_allclose(
+                vo[..., nv], utils.uphirot(u, phi, v[..., nv]), atol=1e-12)
+
+    def test_jittable(self):
+        k = jnp.asarray([[[1., 2., 0.]]], self.dtype)
+        f = jax.jit(lambda k: utils.g2k(
+            utils.k2g(k, False, self.dt, gam=self.gam),
+            False, self.dt, gam=self.gam))
+        np.testing.assert_allclose(f(k), k, atol=ATOL32)
