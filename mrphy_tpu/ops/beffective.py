@@ -154,11 +154,13 @@ def beff2ab_assoc(beff, *, E1=0.0, E2=0.0, gam=gamH, dt=dt0):
     a_t = jnp.moveaxis(a_t, -3, 0)  # (nT, N, *Nd, 3, 3)
     c_t = jnp.moveaxis(c_t, -2, 0)  # (nT, N, *Nd, 3)
 
+    _PH = jax.lax.Precision.HIGHEST
+
     def combine(lo, hi):  # hi ∘ lo  (lo happened first)
         a1, b1 = lo
         a2, b2 = hi
-        return (jnp.einsum('...ij,...jk->...ik', a2, a1),
-                jnp.einsum('...ij,...j->...i', a2, b1) + b2)
+        return (jnp.einsum('...ij,...jk->...ik', a2, a1, precision=_PH),
+                jnp.einsum('...ij,...j->...i', a2, b1, precision=_PH) + b2)
 
     a_all, b_all = jax.lax.associative_scan(combine, (a_t, c_t))
     return a_all[-1], b_all[-1]
@@ -192,8 +194,13 @@ def rfgr2beff(rf, gr, loc, *, df: Optional[jax.Array] = None,
     N, Nd = shape[0], shape[1:-1]
     nT = gr.shape[2]
 
+    # precision='highest': TPU default matmul precision is bf16-input,
+    # which costs ~1e-3 relative error in Beff and compounds over the
+    # Bloch scan; the contraction dims here are tiny (3 / nCoils) so full
+    # f32 passes are effectively free.
+    _PH = jax.lax.Precision.HIGHEST
     loc2 = loc.reshape(N, -1, 3)                       # (N, nS, xyz)
-    Bz = jnp.einsum('nsx,nxt->nst', loc2, gr)          # (N, nS, nT)
+    Bz = jnp.einsum('nsx,nxt->nst', loc2, gr, precision=_PH)  # (N, nS, nT)
 
     if df is not None:
         df = jnp.asarray(df).reshape(N, -1)            # (N, nS)
@@ -215,10 +222,14 @@ def rfgr2beff(rf, gr, loc, *, df: Optional[jax.Array] = None,
         # reference's expand_as at beffective.py:162)
         b1 = b1Map.reshape(N, -1, 2, b1Map.shape[-1])  # (N, nSb, xy, nCoils)
         # complex mix: B = Σ_coils b1 ⊗ rf  (b1, rf complex as xy pairs)
-        Bx = (jnp.einsum('nsc,ntc->nst', b1[:, :, 0], rf[:, 0])
-              - jnp.einsum('nsc,ntc->nst', b1[:, :, 1], rf[:, 1]))
-        By = (jnp.einsum('nsc,ntc->nst', b1[:, :, 0], rf[:, 1])
-              + jnp.einsum('nsc,ntc->nst', b1[:, :, 1], rf[:, 0]))
+        Bx = (jnp.einsum('nsc,ntc->nst', b1[:, :, 0], rf[:, 0],
+                         precision=_PH)
+              - jnp.einsum('nsc,ntc->nst', b1[:, :, 1], rf[:, 1],
+                           precision=_PH))
+        By = (jnp.einsum('nsc,ntc->nst', b1[:, :, 0], rf[:, 1],
+                         precision=_PH)
+              + jnp.einsum('nsc,ntc->nst', b1[:, :, 1], rf[:, 0],
+                           precision=_PH))
         Bx = jnp.broadcast_to(Bx, Bz.shape)
         By = jnp.broadcast_to(By, Bz.shape)
 

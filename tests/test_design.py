@@ -1,0 +1,59 @@
+r"""Joint RF+gradient design loop tests: loss decreases, constraints hold,
+multi-scale interpT refinement works end-to-end."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from mrphy_tpu import dt0
+from mrphy_tpu.design import (DesignConfig, design_pulse, init_params,
+                              params2pulse)
+from mrphy_tpu.models.mobjs import Examples
+from mrphy_tpu.utils import g2s
+
+
+class TestDesign:
+
+    def test_params_roundtrip(self):
+        # rfmax strictly above the demo pulse's |rf|=10 so the waveform is
+        # interior to the clamp (at the boundary tan(ρ/rfmax·π/2) diverges
+        # and the f32 round-trip degrades by design)
+        cfg = DesignConfig(rfmax=12.0, smax=5e6, dt=float(dt0))
+        p = Examples.pulse()
+        params = init_params(p.rf, p.gr, cfg)
+        rf, gr = params2pulse(params, cfg)
+        np.testing.assert_allclose(rf, np.asarray(p.rf), atol=1e-4)
+        np.testing.assert_allclose(gr, np.asarray(p.gr), atol=2e-2)
+
+    def test_design_reduces_loss_and_respects_limits(self):
+        cube = Examples.spincube()
+        p = Examples.pulse()
+        cfg = DesignConfig(niter=15, lr=0.05, rfmax=10.0, smax=5e6,
+                           dt=float(dt0))
+        Mtgt_ = jnp.tile(jnp.asarray([0., 0., -1.], jnp.float32),
+                         (1, cube.nM, 1))
+        p2, losses = design_pulse(cube, p, Mtgt_, cfg=cfg)
+
+        assert float(losses[-1]) < float(losses[0])
+        assert float(jnp.max(jnp.linalg.norm(p2.rf, axis=1))) <= 10.0 + 1e-4
+        s = g2s(p2.gr, cfg.dt)
+        assert float(jnp.max(jnp.abs(s))) <= cfg.smax * (1 + 1e-4)
+
+    def test_multiscale_interpT_refine(self):
+        r"""Design at coarse dt, refine via interpT, continue: the README's
+        multi-scale strategy (/root/reference/README.md:27-36)."""
+        cube = Examples.spincube()
+        p = Examples.pulse()
+        dt_c = float(dt0) * 2
+        p_coarse = p.interpT(jnp.asarray(dt_c))
+        cfg_c = DesignConfig(niter=5, lr=0.05, rfmax=10.0, smax=5e6,
+                             dt=dt_c)
+        Mtgt_ = jnp.tile(jnp.asarray([0., 0., -1.], jnp.float32),
+                         (1, cube.nM, 1))
+        p1, losses1 = design_pulse(cube, p_coarse, Mtgt_, cfg=cfg_c)
+
+        p_fine = p1.interpT(jnp.asarray(float(dt0)))
+        cfg_f = DesignConfig(niter=5, lr=0.05, rfmax=10.0, smax=5e6,
+                             dt=float(dt0))
+        p2, losses2 = design_pulse(cube, p_fine, Mtgt_, cfg=cfg_f)
+        assert float(losses2[-1]) < float(losses2[0])
+        assert p2.rf.shape[2] == p_fine.rf.shape[2]

@@ -1,0 +1,83 @@
+r"""Multi-device sharding tests on the 8-virtual-device CPU mesh.
+
+The reference has no distributed machinery to mirror (SURVEY §2.9); these
+tests validate the TPU-native design: spin-sharded simulation equals the
+single-device result, and the graft entry's sharded training step runs.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mrphy_tpu.ops import sims
+from mrphy_tpu.parallel import make_mesh, shard_spins, blochsim_sharded
+from mrphy_tpu.parallel.mesh import pad_spins, SPIN_AXIS
+
+
+class TestParallel:
+
+    def test_eight_virtual_devices(self):
+        assert len(jax.devices()) == 8
+
+    def test_mesh_shapes(self):
+        mesh = make_mesh(batch=2)
+        assert mesh.shape == {'batch': 2, 'spins': 4}
+        mesh = make_mesh()
+        assert mesh.shape == {'batch': 1, 'spins': 8}
+
+    def test_blochsim_sharded_matches_single_device(self):
+        mesh = make_mesh()  # 1 x 8
+        rng = np.random.default_rng(0)
+        N, nM, nT = 1, 64, 32
+        Mi = jnp.asarray(rng.random((N, nM, 3)))
+        Beff = jnp.asarray(rng.random((N, nM, nT, 3)))
+        T1 = jnp.asarray([[1.]])
+        T2 = jnp.asarray([[4e-2]])
+
+        Mo_ref = sims.blochsim(Mi, Beff, T1=T1, T2=T2, backend='xla')
+        Mo_sh = blochsim_sharded(mesh, Mi, Beff, T1=T1, T2=T2,
+                                 backend='xla')
+        np.testing.assert_allclose(Mo_sh, Mo_ref, atol=1e-12)
+
+    def test_grad_sharded_matches(self):
+        mesh = make_mesh()
+        rng = np.random.default_rng(1)
+        N, nM, nT = 1, 64, 16
+        Mi = jnp.asarray(rng.random((N, nM, 3)))
+        Beff = jnp.asarray(rng.random((N, nM, nT, 3)))
+
+        def loss(b):
+            return jnp.sum(sims.blochsim(Mi, b, backend='xla') ** 2)
+
+        g_ref = jax.grad(loss)(Beff)
+        sh = shard_spins(mesh, 4)
+        g_sh = jax.jit(jax.grad(loss))(jax.device_put(Beff, sh))
+        np.testing.assert_allclose(g_sh, g_ref, atol=1e-12)
+
+    def test_pad_spins(self):
+        mesh = make_mesh()
+        x = jnp.ones((1, 13, 3))
+        xp = pad_spins(x, mesh)
+        assert xp.shape == (1, 16, 3)
+        assert mesh.shape[SPIN_AXIS] == 8
+        np.testing.assert_allclose(xp[:, :13], x, atol=0)
+        np.testing.assert_allclose(xp[:, 13:], 0, atol=0)
+
+    def test_graft_dryrun_multichip(self):
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            'graft_entry', '__graft_entry__.py')
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        mod.dryrun_multichip(8)
+        mod.dryrun_multichip(4)
+
+    def test_graft_entry_compiles(self):
+        import importlib.util
+        spec = importlib.util.spec_from_file_location(
+            'graft_entry', '__graft_entry__.py')
+        mod = importlib.util.module_from_spec(spec)
+        spec.loader.exec_module(mod)
+        fn, args = mod.entry()
+        out = jax.jit(fn)(*args)
+        assert bool(jnp.all(jnp.isfinite(out)))

@@ -146,3 +146,58 @@ class TestSims:
         df = jnp.asarray([[2.0]], DTYPE)
         g = jax.grad(lambda d: jnp.sum(sims.freeprec(M0, dur, df=d)))(df)
         np.testing.assert_allclose(g, jnp.zeros_like(df), atol=0)
+
+
+class TestBlochsimRfgr:
+    r"""Fused waveform engine vs (rfgr2beff → blochsim) composition."""
+
+    def test_fwd_and_grads_match_composed_path(self):
+        sc, M0, T1, T2, beff = _setup(nM=64, nT=128)
+        gam, dt = sc['gam'], sc['dt']
+
+        def loss_composed(rf, gr):
+            b = beffective.rfgr2beff(rf, gr, sc['loc'], df=sc['df'],
+                                     b1Map=sc['b1Map'], gam=gam)
+            return jnp.sum(slowsims.blochsim(M0, b, T1=T1, T2=T2,
+                                             gam=gam, dt=dt))
+
+        def loss_fused(rf, gr):
+            return jnp.sum(sims.blochsim_rfgr(M0, rf, gr, sc['loc'],
+                                              T1=T1, T2=T2, df=sc['df'],
+                                              b1Map=sc['b1Map'], gam=gam,
+                                              dt=dt))
+
+        np.testing.assert_allclose(
+            sims.blochsim_rfgr(M0, sc['rf'], sc['gr'], sc['loc'], T1=T1,
+                               T2=T2, df=sc['df'], b1Map=sc['b1Map'],
+                               gam=gam, dt=dt),
+            slowsims.blochsim(M0, beff, T1=T1, T2=T2, gam=gam, dt=dt)[
+                ..., :],
+            atol=ATOL)
+
+        g_c = jax.grad(loss_composed, argnums=(0, 1))(sc['rf'], sc['gr'])
+        g_f = jax.jit(jax.grad(loss_fused, argnums=(0, 1)))(sc['rf'],
+                                                            sc['gr'])
+        np.testing.assert_allclose(g_f[0], g_c[0], atol=ATOL)
+        np.testing.assert_allclose(g_f[1], g_c[1], atol=ATOL)
+
+    def test_no_b1_no_df_no_relax(self):
+        sc, M0, T1, T2, _ = _setup(nM=32, nT=64)
+        gam, dt = sc['gam'], sc['dt']
+        rf3 = sc['rf'][..., 0]  # no coil dim
+
+        b = beffective.rfgr2beff(rf3, sc['gr'], sc['loc'], gam=gam)
+        np.testing.assert_allclose(
+            sims.blochsim_rfgr(M0, rf3, sc['gr'], sc['loc'], gam=gam,
+                               dt=dt),
+            slowsims.blochsim(M0, b, gam=gam, dt=dt), atol=ATOL)
+
+    def test_dMi_matches(self):
+        sc, M0, T1, T2, beff = _setup(nM=16, nT=32)
+        gam, dt = sc['gam'], sc['dt']
+        g_f = jax.grad(lambda m: jnp.sum(sims.blochsim_rfgr(
+            m, sc['rf'], sc['gr'], sc['loc'], T1=T1, T2=T2, df=sc['df'],
+            b1Map=sc['b1Map'], gam=gam, dt=dt)))(M0)
+        g_s = jax.grad(lambda m: jnp.sum(slowsims.blochsim(
+            m, beff, T1=T1, T2=T2, gam=gam, dt=dt)))(M0)
+        np.testing.assert_allclose(g_f, g_s, atol=ATOL)
