@@ -6,30 +6,45 @@ with pre-allocated ``out=`` buffers and a hand-derived reverse-time adjoint
 writing grads in-place):
 
 - **Layout**: the public API keeps the reference's ``(N, *Nd, nT, xyz)``
-  convention, but internally the engine transposes to a structure-of-arrays
-  ``(nT, xyz, nSpins)`` layout so the spin axis lands on the TPU vector
-  lanes (last dim = 128 lanes); with ``xyz`` minor, lane utilization would
-  be 3/128.
+  convention, but internally the engine uses a structure-of-arrays
+  ``(xyz, B1, 128)`` layout — the spin axis is split over the TPU's
+  (sublane, lane) tile so f32 arrays tile with zero padding. With ``xyz``
+  minor, lane utilization would be 3/128; with a flat ``(3, B)`` shape,
+  sublane padding 3→8 wastes 2.7× of every HBM byte.
 - **Forward**: one ``lax.scan`` over time; the fused per-step
   rotation+relaxation is ~25 elementwise ops that XLA fuses into a single
   loop body (the Pallas variant in :mod:`mrphy_tpu.ops.pallas_kernels`
-  additionally keeps the carry in VMEM across a time block).
-- **Adjoint**: ``jax.custom_vjp`` with a reverse-time ``lax.scan``. Instead
-  of saving the reference's per-step trig residuals
-  (``Φ, cΦ-1, sΦ, uᵀm₀`` — ``sims.py:128-130``), only the magnetization
-  history ``M(t)`` is saved and the per-step rotation data is *recomputed*
-  in the backward scan: on TPU the ~20 FLOPs of recompute are far cheaper
-  than the HBM traffic of 4 extra ``(nT, nSpins)`` residual arrays
-  (the workload is bandwidth-bound). The per-step VJP is derived by JAX's
-  transpose of the step function at trace time — the same fused math as a
-  hand-derived adjoint, without the sign/ordering risk the reference's
-  in-place choreography carries (``sims.py:187-261``).
-- The ``ϕ → 0`` singularity (reference clamps at ``sims.py:101`` and has an
-  unresolved TODO at ``:210-213``) is handled by the same ``max(ϕ, 1e-12)``
-  clamp, which is exact to O(ϕ²) ≈ 1e-24 and safe in both passes.
+  additionally keeps the carry in VMEM across the whole time loop).
+- **Adjoint** (``jax.custom_vjp``), two modes:
 
-Like the reference, differentiable w.r.t. ``Mi`` and ``Beff`` only
-(``T1/T2/γ/dt`` receive symbolic-zero gradients).
+  * ``adjoint='reconstruct'`` (default): the reverse-time scan rebuilds
+    the magnetization trajectory on the fly — rotations are isometries
+    (exactly invertible) and inverse relaxation ``exp(+dt/T2)`` compounds
+    to only ``exp(nT·dt/T2)`` (≈6% for 1000 steps of 4 µs at T2=70 ms),
+    so **no O(nM·nT) residual is stored at all**. This removes the
+    dominant HBM traffic of the reference's design (which caches the full
+    per-step history + trig residuals, ``sims.py:128-130``).
+  * ``adjoint='history'``: classic checkpoint-free reverse scan over a
+    saved magnetization history (the reference's strategy); numerically
+    independent of reconstruction, kept as an oracle and for extreme
+    relaxation regimes (``nT·dt ≫ T2``) where inversion would amplify
+    rounding.
+
+  In both modes the per-step rotation data (u, ϕ, trig) is *recomputed*
+  in the backward pass: ~20 FLOPs of recompute per spin-step is far
+  cheaper on TPU than the HBM traffic of 4 extra ``(nT, nSpins)``
+  residual arrays — the workload is bandwidth-bound. The per-step VJP is
+  derived by JAX's transpose of the step function at trace time — the
+  same fused math as a hand-derived adjoint, without the sign/ordering
+  risk the reference's in-place choreography carries (``sims.py:187-261``).
+- The ``ϕ → 0`` singularity (reference clamps at ``sims.py:101`` with an
+  unresolved TODO at ``:210-213``) is handled by clamping *under* the
+  square root, which keeps both the primal and the VJP finite and is
+  exact to O(ϕ²) ≈ 1e-24.
+
+Like the reference, differentiable w.r.t. ``Mi`` and ``Beff`` (and, for
+:func:`blochsim_rfgr`, ``rf``/``gr``) only; configuration parameters
+receive symbolic-zero gradients.
 """
 
 import math
@@ -45,24 +60,37 @@ from mrphy_tpu.utils._shapes import rshape
 __all__ = ['blochsim', 'blochsim_rfgr', 'freeprec']
 
 _PHI_EPS = 1e-12  # matches the reference clamp (/root/reference/mrphy/sims.py:101)
+_LANE = 128       # TPU lane count
+_TILE = 1024      # pad spins to a multiple of 8 sublanes x 128 lanes
 
 
-# --------------------------------------------------------------------------
-# Core engine, structure-of-arrays layout: m (xyz, B); beff (nT, xyz, B)
-# --------------------------------------------------------------------------
+def _padded_spins(B: int) -> int:
+    return max(_TILE, -(-B // _TILE) * _TILE)
 
-def _step(m, beff_t, E, e1_1, g2pd):
-    r"""One fused rotation+relaxation step in planes layout.
 
-    ``m``: `(3, B)` spins; ``beff_t``: `(3, B)` Gauss; ``g2pd``: `(B,)`
-    2π·γ·dt; ``E``: `(3, B)` = [E2, E2, E1] or None; ``e1_1``: `(B,)` = E1-1.
+def _pad_axis(x, axis: int, target: int, fill=0.0):
+    # NB: relaxation factors must pad with fill=1 — the reconstruction
+    # adjoint divides by E, and 0-padded lanes would produce NaNs that
+    # contaminate the cross-spin reductions of waveform gradients.
+    n = x.shape[axis]
+    if n == target:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, target - n)
+    return jnp.pad(x, widths, constant_values=fill)
 
-    Rotation by angle ``-ϕ`` about ``u = b/ϕ`` (Bloch is M×B):
+
+# ==========================================================================
+# Core engine on Beff, layout: m (3, B1, L); beff (nT, 3, B1, L)
+# ==========================================================================
+
+def _rot_relax(m, b, E, e1_1):
+    r"""Rotate ``m`` by the field impulse ``b`` (radians), then relax.
+
+    ``m``, ``b``: `(3, ...)`. Rotation by angle ``-ϕ`` about ``u = b/ϕ``
+    (Bloch precession is M×B):
     ``m₁ = m₀ - sinϕ·(u×m₀) + (cosϕ-1)·(m₀ - (uᵀm₀)·u)``.
     """
-    b = g2pd * beff_t
-    # clamp under the sqrt: at ‖b‖=0 the max picks the constant branch, so
-    # the VJP of sqrt never sees 0 (else grad = g/0 → NaN); error is O(ϕ²)
     phi = jnp.sqrt(jnp.maximum(jnp.sum(b * b, axis=0), _PHI_EPS ** 2))
     u = b / phi
     sphi, cphi_1 = jnp.sin(phi), jnp.cos(phi) - 1
@@ -75,35 +103,79 @@ def _step(m, beff_t, E, e1_1, g2pd):
     return m1
 
 
-@jax.custom_vjp
-def _blochsim_core(mi, beff, E, e1_1, g2pd):
-    return _blochsim_core_fwd(mi, beff, E, e1_1, g2pd)[0]
+def _unrot_unrelax(m1, b, E, e1_1):
+    r"""Exact inverse of :func:`_rot_relax` (for trajectory reconstruction).
+
+    Inverse relaxation first (``m̃ = (m₁ + (E₁-1)·ẑ) / E``), then the
+    inverse rotation — same axis, opposite angle.
+    """
+    if E is not None:
+        m1 = m1.at[2].add(e1_1)
+        m1 = m1 / E
+    phi = jnp.sqrt(jnp.maximum(jnp.sum(b * b, axis=0), _PHI_EPS ** 2))
+    u = b / phi
+    sphi, cphi_1 = jnp.sin(phi), jnp.cos(phi) - 1
+    utm = jnp.sum(u * m1, axis=0)
+    uxm = jnp.cross(u, m1, axis=0)
+    return m1 + sphi * uxm + cphi_1 * (m1 - utm * u)
 
 
-def _blochsim_core_fwd(mi, beff, E, e1_1, g2pd):
-    def scan_step(m, b_t):
-        return _step(m, b_t, E, e1_1, g2pd), m  # ys: m *before* the step
-
-    mo, m0hist = jax.lax.scan(scan_step, mi, beff)
-    return mo, (m0hist, beff, E, e1_1, g2pd)
+def _step(m, beff_t, E, e1_1, g2pd):
+    return _rot_relax(m, g2pd * beff_t, E, e1_1)
 
 
-def _blochsim_core_bwd(res, g):
-    m0hist, beff, E, e1_1, g2pd = res
+def _mk_blochsim_core(adjoint: str):
+    r"""Build the custom-VJP core for one adjoint mode (module-level
+    instances so jit caches are stable)."""
 
-    def scan_step(h, xs):
-        m0, b_t = xs
-        _, vjp_fn = jax.vjp(lambda m, b: _step(m, b, E, e1_1, g2pd), m0, b_t)
-        h_prev, db_t = vjp_fn(h)
-        return h_prev, db_t
+    @jax.custom_vjp
+    def core(mi, beff, E, e1_1, g2pd):
+        return fwd(mi, beff, E, e1_1, g2pd)[0]
 
-    dmi, dbeff = jax.lax.scan(scan_step, g, (m0hist, beff), reverse=True)
-    dE = None if E is None else jnp.zeros_like(E)
-    de1_1 = None if e1_1 is None else jnp.zeros_like(e1_1)
-    return dmi, dbeff, dE, de1_1, jnp.zeros_like(g2pd)
+    def fwd(mi, beff, E, e1_1, g2pd):
+        if adjoint == 'history':
+            def scan_step(m, b_t):
+                return _step(m, b_t, E, e1_1, g2pd), m  # ys: m before step
+            mo, m0hist = jax.lax.scan(scan_step, mi, beff)
+            return mo, (m0hist, beff, E, e1_1, g2pd)
+        else:
+            def scan_step(m, b_t):
+                return _step(m, b_t, E, e1_1, g2pd), None
+            mo, _ = jax.lax.scan(scan_step, mi, beff)
+            return mo, (mo, beff, E, e1_1, g2pd)
+
+    def bwd(res, g):
+        m_res, beff, E, e1_1, g2pd = res
+
+        if adjoint == 'history':
+            def scan_step(h, xs):
+                m0, b_t = xs
+                _, vjp_fn = jax.vjp(
+                    lambda m, b: _step(m, b, E, e1_1, g2pd), m0, b_t)
+                h_prev, db_t = vjp_fn(h)
+                return h_prev, db_t
+            dmi, dbeff = jax.lax.scan(scan_step, g, (m_res, beff),
+                                      reverse=True)
+        else:
+            def scan_step(carry, b_t):
+                m1, h = carry
+                m0 = _unrot_unrelax(m1, g2pd * b_t, E, e1_1)
+                _, vjp_fn = jax.vjp(
+                    lambda m, b: _step(m, b, E, e1_1, g2pd), m0, b_t)
+                h_prev, db_t = vjp_fn(h)
+                return (m0, h_prev), db_t
+            (_, dmi), dbeff = jax.lax.scan(scan_step, (m_res, g), beff,
+                                           reverse=True)
+
+        zl = lambda x: None if x is None else jnp.zeros_like(x)  # noqa: E731
+        return dmi, dbeff, zl(E), zl(e1_1), jnp.zeros_like(g2pd)
+
+    core.defvjp(fwd, bwd)
+    return core
 
 
-_blochsim_core.defvjp(_blochsim_core_fwd, _blochsim_core_bwd)
+_BLOCHSIM_CORES = {k: _mk_blochsim_core(k) for k in ('reconstruct',
+                                                     'history')}
 
 
 def _flat_param(x, NNd, dtype):
@@ -115,7 +187,7 @@ def _flat_param(x, NNd, dtype):
 @kwalias(**{'γ': 'gam'})
 def blochsim(Mi, Beff, *, T1: Optional[jax.Array] = None,
              T2: Optional[jax.Array] = None, gam=gamH, dt=dt0,
-             backend: str = 'auto'):
+             backend: str = 'auto', adjoint: str = 'reconstruct'):
     r"""Bloch simulator with explicit Jacobian (custom VJP).
 
     Differentiable w.r.t. ``Mi`` and ``Beff`` only (``T1``, ``T2``,
@@ -130,9 +202,9 @@ def blochsim(Mi, Beff, *, T1: Optional[jax.Array] = None,
         - ``T1``/``T2``: `()` ⊻ `(N ⊻ 1, *Nd ⊻ 1,)`, "Sec" (both or neither).
         - ``gam`` (alias ``γ``): `()` ⊻ `(N ⊻ 1, *Nd ⊻ 1,)`, "Hz/Gauss".
         - ``dt``: `()` ⊻ `(N ⊻ 1,)`, "Sec".
-        - ``backend``: ``'auto'`` | ``'xla'`` | ``'pallas'``. ``'auto'``
-          picks the Pallas fused kernel on TPU when shapes allow, else the
-          XLA scan.
+        - ``backend``: ``'auto'`` | ``'xla'`` | ``'pallas'``.
+        - ``adjoint``: ``'reconstruct'`` (O(nM) memory, default) |
+          ``'history'`` (O(nM·nT) residual, reference strategy).
     Outputs:
         - ``Mo``: `(N, *Nd, xyz)`.
 
@@ -143,132 +215,184 @@ def blochsim(Mi, Beff, *, T1: Optional[jax.Array] = None,
     assert Mi.shape[:-1] == Beff.shape[:-2], (
         f'Mi {Mi.shape} and Beff {Beff.shape} disagree on (N, *Nd)')
     assert (T1 is None) == (T2 is None), 'pass both T1 and T2, or neither'
+    assert adjoint in ('reconstruct', 'history'), adjoint
 
     NNd, nT = Beff.shape[:-2], Beff.shape[-2]
     B = math.prod(NNd)
+    Bp = _padded_spins(B)
+    B1 = Bp // _LANE
     dtype = Beff.dtype
 
-    # → structure-of-arrays planes (outside the custom_vjp: the transpose
-    #   adjoints are handled by plain autodiff)
-    mi = Mi.reshape(B, 3).T                             # (3, B)
-    beff = Beff.reshape(B, nT, 3).transpose(1, 2, 0)    # (nT, 3, B)
+    # → tile-aligned structure-of-arrays planes (outside the custom_vjp:
+    #   the pad/transpose adjoints are handled by plain autodiff)
+    mi = _pad_axis(Mi.reshape(B, 3).T, 1, Bp).reshape(3, B1, _LANE)
+    beff = _pad_axis(Beff.reshape(B, nT, 3).transpose(1, 2, 0), 2,
+                     Bp).reshape(nT, 3, B1, _LANE)
 
-    dt_f = _flat_param(dt, NNd, dtype)
-    g2pd = 2 * pi * _flat_param(gam, NNd, dtype) * dt_f
+    dt_f = _pad_axis(_flat_param(dt, NNd, dtype), 0, Bp)
+    gam_f = _pad_axis(_flat_param(gam, NNd, dtype), 0, Bp)
+    g2pd = (2 * pi * gam_f * dt_f).reshape(B1, _LANE)
 
     if T1 is None:
         E = e1_1 = None
     else:
-        E1 = jnp.exp(-dt_f / _flat_param(T1, NNd, dtype))
-        E2 = jnp.exp(-dt_f / _flat_param(T2, NNd, dtype))
-        E, e1_1 = jnp.stack([E2, E2, E1]), E1 - 1
+        # compute on the unpadded flats, then pad (avoids exp(-dt/0))
+        E1 = jnp.exp(-_flat_param(dt, NNd, dtype) /
+                     _flat_param(T1, NNd, dtype))
+        E2 = jnp.exp(-_flat_param(dt, NNd, dtype) /
+                     _flat_param(T2, NNd, dtype))
+        E = _pad_axis(jnp.stack([E2, E2, E1]), 1, Bp,
+                      fill=1.0).reshape(3, B1, _LANE)
+        e1_1 = _pad_axis(E1 - 1, 0, Bp).reshape(B1, _LANE)
 
     if backend == 'auto':
         from mrphy_tpu.ops import pallas_kernels
-        use_pallas = pallas_kernels.is_available(nT=nT, nspins=B,
-                                                 dtype=dtype)
-        backend = 'pallas' if use_pallas else 'xla'
+        backend = ('pallas' if pallas_kernels.is_available(
+            nT=nT, nspins=Bp, dtype=dtype) else 'xla')
 
     if backend == 'pallas':
         from mrphy_tpu.ops import pallas_kernels
         mo = pallas_kernels.blochsim_core(mi, beff, E, e1_1, g2pd)
     elif backend == 'xla':
-        mo = _blochsim_core(mi, beff, E, e1_1, g2pd)
+        mo = _BLOCHSIM_CORES[adjoint](mi, beff, E, e1_1, g2pd)
     else:
         raise ValueError(f'unknown backend {backend!r}')
 
-    return mo.T.reshape(NNd + (3,))
+    return mo.reshape(3, Bp).T[:B].reshape(NNd + (3,))
 
 
-# --------------------------------------------------------------------------
+# ==========================================================================
 # Fused RF/GR engine: B-effective assembled inside the scan
-# --------------------------------------------------------------------------
+# Layout: m (N, 3, S1, L); rf (nT, N, 2, C); gr (nT, N, 3)
+# ==========================================================================
 #
 # The reference left this as a TODO ("Create `BlochSim_rfgr` that directly
 # computes grads w.r.t. `rf` and `gr`", /root/reference/mrphy/sims.py:16).
 # On TPU it is the memory-optimal formulation: Beff for 1M spins x 1000
-# steps is 12 GB (f32) -- materializing it (plus its gradient) cannot fit
-# HBM. Here each step rebuilds b_t from (rf_t, gr_t, loc, df, b1) inline:
-# per-step HBM traffic is the M carry + the constant per-spin fields, the
-# adjoint emits tiny (nT,)-shaped waveform gradients instead of a 12 GB
-# dBeff, and the only O(nM*nT) residual is the magnetization history.
+# steps is 12 GB (f32) — materializing it (plus its 12 GB gradient) cannot
+# fit HBM. Here each step rebuilds b_t from (rf_t, gr_t, loc, df, b1)
+# inline: per-step HBM traffic is the M carry + the constant per-spin
+# fields, and the adjoint emits tiny (nT,)-shaped waveform gradients.
 
-def _step_rfgr(m, rf_t, gr_t, loc_p, dfg, b1_p, E, e1_1, g2pd):
-    r"""Fused per-step B-assembly + rotation + relaxation (planes layout).
+def _assemble_b(rf_t, gr_t, loc_p, dfg, b1_p, g2pd):
+    r"""Per-step B-effective in planes layout, scaled to radians.
 
-    ``m``: `(N, 3, nS)`; ``rf_t``: `(N, 2, nCoils)`; ``gr_t``: `(N, 3)`;
-    ``loc_p``: `(N, 3, nS)`; ``dfg`` (=df/γ): `(N, nS)` or None;
-    ``b1_p``: `(N, 2, nCoils, nS)` or None; ``g2pd``: `(N, nS)`.
+    ``rf_t``: `(N, 2, C)`; ``gr_t``: `(N, 3)`; ``loc_p``: `(N, 3, S1, L)`;
+    ``dfg`` (=df/γ): `(N, S1, L)` or None; ``b1_p``: `(N, 2, C, S1, L)` or
+    None; ``g2pd``: `(N, S1, L)`. Returns ``b``: `(N, 3, S1, L)`.
     """
-    bz = jnp.sum(gr_t[..., None] * loc_p, axis=1)          # (N, nS)
+    bz = jnp.sum(gr_t[:, :, None, None] * loc_p, axis=1)     # (N, S1, L)
     if dfg is not None:
         bz = bz + dfg
     if b1_p is None:
-        rf_s = jnp.sum(rf_t, axis=-1)                      # Σ coils
-        bx = jnp.broadcast_to(rf_s[:, 0, None], bz.shape)
-        by = jnp.broadcast_to(rf_s[:, 1, None], bz.shape)
+        rf_s = jnp.sum(rf_t, axis=-1)                         # Σ coils
+        bx = jnp.broadcast_to(rf_s[:, 0, None, None], bz.shape)
+        by = jnp.broadcast_to(rf_s[:, 1, None, None], bz.shape)
     else:
-        rfx, rfy = rf_t[:, 0, :, None], rf_t[:, 1, :, None]  # (N, C, 1)
-        b1x, b1y = b1_p[:, 0], b1_p[:, 1]                    # (N, C, nS)
+        rfx = rf_t[:, 0, :, None, None]                       # (N, C, 1, 1)
+        rfy = rf_t[:, 1, :, None, None]
+        b1x, b1y = b1_p[:, 0], b1_p[:, 1]                     # (N, C, S1, L)
         bx = jnp.sum(b1x * rfx - b1y * rfy, axis=1)
         by = jnp.sum(b1x * rfy + b1y * rfx, axis=1)
-    b = g2pd[:, None, :] * jnp.stack([bx, by, bz], axis=1)   # (N, 3, nS)
+    return g2pd[:, None] * jnp.stack([bx, by, bz], axis=1)    # (N, 3, S1, L)
 
+
+def _rot_relax_n(m, b, E, e1_1):
+    r"""Batched :func:`_rot_relax`: xyz on axis 1 of `(N, 3, S1, L)`."""
     phi = jnp.sqrt(jnp.maximum(jnp.sum(b * b, axis=1), _PHI_EPS ** 2))
-    u = b / phi[:, None, :]
-    sphi, cphi_1 = jnp.sin(phi), jnp.cos(phi) - 1
-    utm = jnp.sum(u * m, axis=1)
+    u = b / phi[:, None]
+    sphi, cphi_1 = jnp.sin(phi)[:, None], (jnp.cos(phi) - 1)[:, None]
+    utm = jnp.sum(u * m, axis=1, keepdims=True)
     uxm = jnp.cross(u, m, axis=1)
-    m1 = (m - sphi[:, None, :] * uxm
-          + cphi_1[:, None, :] * (m - utm[:, None, :] * u))
+    m1 = m - sphi * uxm + cphi_1 * (m - utm * u)
     if E is not None:
         m1 = m1 * E
         m1 = m1.at[:, 2].add(-e1_1)
     return m1
 
 
-@jax.custom_vjp
-def _blochsim_rfgr_core(mi, rf, gr, loc_p, dfg, b1_p, E, e1_1, g2pd):
-    return _blochsim_rfgr_fwd(mi, rf, gr, loc_p, dfg, b1_p, E, e1_1,
-                              g2pd)[0]
+def _unrot_unrelax_n(m1, b, E, e1_1):
+    if E is not None:
+        m1 = m1.at[:, 2].add(e1_1)
+        m1 = m1 / E
+    phi = jnp.sqrt(jnp.maximum(jnp.sum(b * b, axis=1), _PHI_EPS ** 2))
+    u = b / phi[:, None]
+    sphi, cphi_1 = jnp.sin(phi)[:, None], (jnp.cos(phi) - 1)[:, None]
+    utm = jnp.sum(u * m1, axis=1, keepdims=True)
+    uxm = jnp.cross(u, m1, axis=1)
+    return m1 + sphi * uxm + cphi_1 * (m1 - utm * u)
 
 
-def _blochsim_rfgr_fwd(mi, rf, gr, loc_p, dfg, b1_p, E, e1_1, g2pd):
-    r"""``mi``: `(N, 3, nS)`; ``rf``: `(nT, N, 2, C)`; ``gr``: `(nT, N, 3)`."""
-    def scan_step(m, xs):
-        rf_t, gr_t = xs
-        m1 = _step_rfgr(m, rf_t, gr_t, loc_p, dfg, b1_p, E, e1_1, g2pd)
-        return m1, m
-
-    mo, m0hist = jax.lax.scan(scan_step, mi, (rf, gr))
-    return mo, (m0hist, rf, gr, loc_p, dfg, b1_p, E, e1_1, g2pd)
+def _step_rfgr(m, rf_t, gr_t, loc_p, dfg, b1_p, E, e1_1, g2pd):
+    b = _assemble_b(rf_t, gr_t, loc_p, dfg, b1_p, g2pd)
+    return _rot_relax_n(m, b, E, e1_1)
 
 
-def _blochsim_rfgr_bwd(res, g):
-    m0hist, rf, gr, loc_p, dfg, b1_p, E, e1_1, g2pd = res
+def _mk_rfgr_core(adjoint: str):
 
-    def scan_step(h, xs):
-        m0, rf_t, gr_t = xs
-        _, vjp_fn = jax.vjp(
-            lambda m, r, gg: _step_rfgr(m, r, gg, loc_p, dfg, b1_p,
-                                        E, e1_1, g2pd), m0, rf_t, gr_t)
-        h_prev, drf_t, dgr_t = vjp_fn(h)
-        return h_prev, (drf_t, dgr_t)
+    @jax.custom_vjp
+    def core(mi, rf, gr, loc_p, dfg, b1_p, E, e1_1, g2pd):
+        return fwd(mi, rf, gr, loc_p, dfg, b1_p, E, e1_1, g2pd)[0]
 
-    dmi, (drf, dgr) = jax.lax.scan(scan_step, g, (m0hist, rf, gr),
-                                   reverse=True)
-    zl = lambda x: None if x is None else jnp.zeros_like(x)  # noqa: E731
-    return (dmi, drf, dgr, zl(loc_p), zl(dfg), zl(b1_p), zl(E), zl(e1_1),
-            jnp.zeros_like(g2pd))
+    def fwd(mi, rf, gr, loc_p, dfg, b1_p, E, e1_1, g2pd):
+        if adjoint == 'history':
+            def scan_step(m, xs):
+                rf_t, gr_t = xs
+                return _step_rfgr(m, rf_t, gr_t, loc_p, dfg, b1_p, E,
+                                  e1_1, g2pd), m
+            mo, m0hist = jax.lax.scan(scan_step, mi, (rf, gr))
+            res = (m0hist, rf, gr, loc_p, dfg, b1_p, E, e1_1, g2pd)
+        else:
+            def scan_step(m, xs):
+                rf_t, gr_t = xs
+                return _step_rfgr(m, rf_t, gr_t, loc_p, dfg, b1_p, E,
+                                  e1_1, g2pd), None
+            mo, _ = jax.lax.scan(scan_step, mi, (rf, gr))
+            res = (mo, rf, gr, loc_p, dfg, b1_p, E, e1_1, g2pd)
+        return mo, res
+
+    def bwd(res, g):
+        m_res, rf, gr, loc_p, dfg, b1_p, E, e1_1, g2pd = res
+
+        def step_vjp(m0, rf_t, gr_t, h):
+            _, vjp_fn = jax.vjp(
+                lambda m, r, gg: _step_rfgr(m, r, gg, loc_p, dfg, b1_p,
+                                            E, e1_1, g2pd), m0, rf_t, gr_t)
+            return vjp_fn(h)
+
+        if adjoint == 'history':
+            def scan_step(h, xs):
+                m0, rf_t, gr_t = xs
+                h_prev, drf_t, dgr_t = step_vjp(m0, rf_t, gr_t, h)
+                return h_prev, (drf_t, dgr_t)
+            dmi, (drf, dgr) = jax.lax.scan(scan_step, g, (m_res, rf, gr),
+                                           reverse=True)
+        else:
+            def scan_step(carry, xs):
+                rf_t, gr_t = xs
+                m1, h = carry
+                b = _assemble_b(rf_t, gr_t, loc_p, dfg, b1_p, g2pd)
+                m0 = _unrot_unrelax_n(m1, b, E, e1_1)
+                h_prev, drf_t, dgr_t = step_vjp(m0, rf_t, gr_t, h)
+                return (m0, h_prev), (drf_t, dgr_t)
+            (_, dmi), (drf, dgr) = jax.lax.scan(scan_step, (m_res, g),
+                                                (rf, gr), reverse=True)
+
+        zl = lambda x: None if x is None else jnp.zeros_like(x)  # noqa: E731
+        return (dmi, drf, dgr, zl(loc_p), zl(dfg), zl(b1_p), zl(E),
+                zl(e1_1), jnp.zeros_like(g2pd))
+
+    core.defvjp(fwd, bwd)
+    return core
 
 
-_blochsim_rfgr_core.defvjp(_blochsim_rfgr_fwd, _blochsim_rfgr_bwd)
+_RFGR_CORES = {k: _mk_rfgr_core(k) for k in ('reconstruct', 'history')}
 
 
 @kwalias(**{'γ': 'gam', 'Δf': 'df'})
 def blochsim_rfgr(Mi, rf, gr, loc, *, T1: Optional[jax.Array] = None,
                   T2: Optional[jax.Array] = None, df=None, b1Map=None,
-                  gam=gamH, dt=dt0):
+                  gam=gamH, dt=dt0, adjoint: str = 'reconstruct'):
     r"""Fused Bloch simulator taking raw waveforms: grads w.r.t. rf/gr
     without materializing B-effective.
 
@@ -281,8 +405,10 @@ def blochsim_rfgr(Mi, rf, gr, loc, *, T1: Optional[jax.Array] = None,
     Inputs:
         - ``Mi``: `(N, *Nd, xyz)`; ``rf``: `(N, xy, nT, (nCoils))`;
           ``gr``: `(N, xyz, nT)`; ``loc``: `(N, *Nd, xyz)`, "cm".
-    Optionals: as :func:`blochsim` plus ``df``/``b1Map`` as
-        :func:`mrphy_tpu.ops.beffective.rfgr2beff`.
+    Optionals: as :func:`blochsim`, plus ``df``/``b1Map`` as
+        :func:`mrphy_tpu.ops.beffective.rfgr2beff`, and ``adjoint``
+        (``'reconstruct'``: O(nM) total memory — this engine never holds
+        more than a few copies of the spin state regardless of nT).
     Outputs:
         - ``Mo``: `(N, *Nd, xyz)`.
 
@@ -292,26 +418,36 @@ def blochsim_rfgr(Mi, rf, gr, loc, *, T1: Optional[jax.Array] = None,
     Mi, rf, gr, loc = (jnp.asarray(x) for x in (Mi, rf, gr, loc))
     assert Mi.shape[:-1] == loc.shape[:-1], 'Mi/loc (N, *Nd) mismatch'
     assert (T1 is None) == (T2 is None), 'pass both T1 and T2, or neither'
+    assert adjoint in ('reconstruct', 'history'), adjoint
 
     NNd = Mi.shape[:-1]
     N, Nd = NNd[0], NNd[1:]
     nS = math.prod(Nd) if Nd else 1
+    Sp = _padded_spins(nS)
+    S1 = Sp // _LANE
     nT = gr.shape[2]
     dtype = jnp.result_type(rf.dtype, gr.dtype, Mi.dtype)
 
-    mi = Mi.reshape(N, nS, 3).transpose(0, 2, 1)         # (N, 3, nS)
-    loc_p = loc.reshape(N, nS, 3).transpose(0, 2, 1)     # (N, 3, nS)
+    def planes(x, k):  # (N, nS, k) → (N, k, S1, L)
+        x = _pad_axis(x.reshape(N, nS, k).transpose(0, 2, 1), 2, Sp)
+        return x.reshape(N, k, S1, _LANE)
+
+    mi = planes(Mi, 3)
+    loc_p = planes(loc, 3)
     if rf.ndim == 3:
         rf = rf[..., None]                               # add coil dim
     rf_t = rf.transpose(2, 0, 1, 3).astype(dtype)        # (nT, N, 2, C)
     gr_t = gr.transpose(2, 0, 1).astype(dtype)           # (nT, N, 3)
 
-    def flat(x):
+    def flat(x):  # `()` ⊻ `(N ⊻ 1, *Nd ⊻ 1)` param → (N, nS)
         x = rshape(jnp.asarray(x, dtype=dtype), len(NNd))
         return jnp.broadcast_to(x, NNd).reshape(N, nS)
 
-    g2pd = 2 * pi * flat(gam) * flat(dt)
-    dfg = None if df is None else flat(df) / flat(gam)
+    def padf(x):  # (N, nS) → (N, S1, L)
+        return _pad_axis(x, 1, Sp).reshape(N, S1, _LANE)
+
+    g2pd = padf(2 * pi * flat(gam) * flat(dt))
+    dfg = None if df is None else padf(flat(df) / flat(gam))
 
     if b1Map is None:
         b1_p = None
@@ -320,25 +456,29 @@ def blochsim_rfgr(Mi, rf, gr, loc, *, T1: Optional[jax.Array] = None,
         if b1Map.ndim == 2 + len(Nd):
             b1Map = b1Map[..., None]                     # add coil dim
         nC = b1Map.shape[-1]
-        b1_p = jnp.broadcast_to(
-            b1Map.reshape(N, -1, 2, nC),
-            (N, nS, 2, nC)).transpose(0, 2, 3, 1)        # (N, 2, C, nS)
+        b1 = jnp.broadcast_to(b1Map.reshape(N, -1, 2, nC),
+                              (N, nS, 2, nC))            # (N, nS, 2, C)
+        b1 = _pad_axis(b1.transpose(0, 2, 3, 1), 3, Sp)  # (N, 2, C, Sp)
+        b1_p = b1.reshape(N, 2, nC, S1, _LANE)
 
     if T1 is None:
         E = e1_1 = None
     else:
         E1 = jnp.exp(-flat(dt) / flat(T1))
         E2 = jnp.exp(-flat(dt) / flat(T2))
-        E, e1_1 = jnp.stack([E2, E2, E1], axis=1), E1 - 1   # (N,3,nS),(N,nS)
+        E = _pad_axis(jnp.stack([E2, E2, E1], axis=1), 2, Sp,
+                      fill=1.0).reshape(N, 3, S1, _LANE)
+        e1_1 = padf(E1 - 1)
 
-    mo = _blochsim_rfgr_core(mi, rf_t, gr_t, loc_p, dfg, b1_p, E, e1_1,
-                             g2pd)
-    return mo.transpose(0, 2, 1).reshape(NNd + (3,))
+    mo = _RFGR_CORES[adjoint](mi, rf_t, gr_t, loc_p, dfg, b1_p, E, e1_1,
+                              g2pd)
+    mo = mo.reshape(N, 3, Sp).transpose(0, 2, 1)[:, :nS]
+    return mo.reshape(NNd + (3,))
 
 
-# --------------------------------------------------------------------------
+# ==========================================================================
 # Free precession with explicit Jacobian
-# --------------------------------------------------------------------------
+# ==========================================================================
 
 @jax.custom_vjp
 def _freeprec_core(Mi, cphi, sphi, E1, E2):

@@ -201,3 +201,42 @@ class TestBlochsimRfgr:
         g_s = jax.grad(lambda m: jnp.sum(slowsims.blochsim(
             m, beff, T1=T1, T2=T2, gam=gam, dt=dt)))(M0)
         np.testing.assert_allclose(g_f, g_s, atol=ATOL)
+
+
+class TestAdjointModes:
+    r"""'reconstruct' (O(nM) memory) vs 'history' adjoints agree with the
+    oracle at 1e-9 (f64)."""
+
+    def test_blochsim_adjoint_modes(self):
+        sc, M0, T1, T2, beff = _setup(nM=64, nT=256)
+        gam, dt = sc['gam'], sc['dt']
+
+        def mk(adjoint):
+            return jax.grad(lambda m0, b: jnp.sum(sims.blochsim(
+                m0, b, T1=T1, T2=T2, gam=gam, dt=dt, backend='xla',
+                adjoint=adjoint) ** 2), argnums=(0, 1))
+
+        g_r = mk('reconstruct')(M0, beff)
+        g_h = mk('history')(M0, beff)
+        g_o = jax.grad(lambda m0, b: jnp.sum(slowsims.blochsim(
+            m0, b, T1=T1, T2=T2, gam=gam, dt=dt) ** 2),
+            argnums=(0, 1))(M0, beff)
+        for a, b_ in ((g_r, g_o), (g_h, g_o)):
+            np.testing.assert_allclose(a[0], b_[0], atol=ATOL)
+            np.testing.assert_allclose(a[1], b_[1], atol=ATOL)
+
+    def test_rfgr_adjoint_modes(self):
+        sc, M0, T1, T2, _ = _setup(nM=48, nT=128)
+        gam, dt = sc['gam'], sc['dt']
+
+        def mk(adjoint):
+            return jax.grad(lambda rf, gr: jnp.sum(sims.blochsim_rfgr(
+                M0, rf, gr, sc['loc'], T1=T1, T2=T2, df=sc['df'],
+                b1Map=sc['b1Map'], gam=gam, dt=dt, adjoint=adjoint) ** 2),
+                argnums=(0, 1))
+
+        g_r = mk('reconstruct')(sc['rf'], sc['gr'])
+        g_h = mk('history')(sc['rf'], sc['gr'])
+        np.testing.assert_allclose(g_r[0], g_h[0], atol=ATOL)
+        np.testing.assert_allclose(g_r[1], g_h[1], atol=ATOL)
+        assert bool(jnp.all(jnp.isfinite(g_r[0])))
