@@ -27,7 +27,10 @@ class TestDesign:
     def test_design_reduces_loss_and_respects_limits(self):
         cube = Examples.spincube()
         p = Examples.pulse()
-        cfg = DesignConfig(niter=15, lr=0.05, rfmax=10.0, smax=5e6,
+        # lr small enough that Adam descends monotonically-ish on this
+        # tiny nonconvex problem (larger lrs make the trace sensitive to
+        # last-ulp gradient differences between adjoint implementations)
+        cfg = DesignConfig(niter=30, lr=0.01, rfmax=10.0, smax=5e6,
                            dt=float(dt0))
         Mtgt_ = jnp.tile(jnp.asarray([0., 0., -1.], jnp.float32),
                          (1, cube.nM, 1))
