@@ -1,30 +1,420 @@
-r"""Pallas TPU kernels for the fused Bloch rotation+relaxation step.
+r"""Pallas TPU kernels for the fused Bloch rotation+relaxation loop.
 
 The TPU-native equivalent of the reference's hand-tuned inner loops
-(``/root/reference/mrphy/sims.py:91-126`` forward, ``:195-261`` adjoint):
-where the reference pre-allocates buffers and uses ``out=`` ops to avoid
-allocator traffic on CUDA, the TPU version keeps the loop-carried
-magnetization in VMEM across a block of time steps and streams
-``Beff``/``Mhst`` blocks HBM↔VMEM through the Pallas pipeline.
+(``/root/reference/mrphy/sims.py:91-126`` forward, ``:195-261`` adjoint).
+Where the reference pre-allocates buffers and uses ``out=`` ops to avoid
+allocator traffic on CUDA, this kernel attacks the actual TPU bottleneck:
+**HBM traffic**. Under an XLA ``lax.scan``, the loop-invariant per-spin
+fields (loc, Δf/γ, 2πγdt, E1/E2) and the magnetization carry are re-read
+from / written to HBM on *every* time step (~60 MB/step for 1M spins).
+Here:
 
-Layout contract (shared with :mod:`mrphy_tpu.ops.sims`):
-``m`` is `(xyz=3, B)`; ``beff`` is `(nT, 3, B)`; spin axis on lanes.
+- the grid runs over spin tiles ``(TS, 128)``;
+- per tile, ALL loop-invariant fields are loaded into VMEM **once**, the
+  magnetization stays in VMEM for the whole ``nT``-step ``fori_loop``, and
+  the tiny per-step waveforms (rf, gr — a few KB total) sit in SMEM;
+- per-tile HBM traffic is therefore O(nM) total, independent of nT: the
+  kernel is compute-bound (the VPU trig/rotation math), not
+  bandwidth-bound.
 
-This module is import-light: importing it does not build kernels.
+The backward kernel uses the same trick plus the reverse-reconstruction
+adjoint of :mod:`mrphy_tpu.ops.sims`: it re-derives the trajectory
+backwards in VMEM (no O(nM·nT) residual), rotates the cotangent back, and
+reduces the per-step field gradients to waveform-shaped outputs
+``(nT, ...)`` inside the kernel.
+
+Layout contract (shared with :mod:`mrphy_tpu.ops.sims`): planes
+``(xyz, S1, 128)``, spin axis on (sublane, lane).
+
+Scope: TPU backend, f32, batch ``N == 1`` (the throughput case; other
+configs use the XLA scan engine). CPU tests run via ``interpret=True``.
 """
 
-import jax.numpy as jnp
+import functools
+import math
 
-__all__ = ['is_available', 'blochsim_core']
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ['is_available', 'blochsim_core', 'rfgr_core', 'rfgr_fwd_planes',
+           'rfgr_bwd_planes']
+
+_PHI_EPS = 1e-12
+_LANE = 128
+_DEF_TS = 256            # sublane tile: 256x128 = 32768 spins per tile
+_VMEM_LIMIT = 64 * 1024 * 1024  # v5e has 128 MB physical VMEM; default cap is 16 MB
 
 
 def is_available(*, nT: int, nspins: int, dtype) -> bool:
-    r"""Whether the fused Pallas path supports this problem instance."""
-    # Pallas fused kernel lands in a later milestone; XLA scan is the
-    # default engine until it wins benchmarks.
+    r"""Whether the fused Pallas path supports this problem instance
+    (for the Beff-streaming engine — not yet enabled)."""
     return False
 
 
 def blochsim_core(mi, beff, E, e1_1, g2pd):
     raise NotImplementedError(
-        'Pallas blochsim kernel not yet enabled; use backend="xla"')
+        'Pallas beff-streaming kernel not yet enabled; use backend="xla"')
+
+
+def rfgr_is_available(*, N: int, dtype) -> bool:
+    r"""Whether the fused rf/gr Pallas kernels support this instance."""
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError:
+        return False
+    return (N == 1 and jnp.dtype(dtype) == jnp.float32
+            and platform.startswith(('tpu', 'axon')))
+
+
+# --------------------------------------------------------------------------
+# Forward kernel
+# --------------------------------------------------------------------------
+
+def _fwd_kernel(nT: int, nC: int, relax: bool, has_dfg: bool, has_b1: bool,
+                rf_ref, gr_ref, *refs):
+    r"""One spin tile, full time loop. Positional refs (after rf/gr):
+    mi, loc, g2pd, [dfg], [b1], [E, e1_1], mo."""
+    i = 0
+    mi_ref, loc_ref, g2pd_ref = refs[i], refs[i + 1], refs[i + 2]
+    i += 3
+    dfg_ref = None
+    if has_dfg:
+        dfg_ref = refs[i]
+        i += 1
+    b1_ref = None
+    if has_b1:
+        b1_ref = refs[i]
+        i += 1
+    if relax:
+        E_ref, e1_ref = refs[i], refs[i + 1]
+        i += 2
+    mo_ref = refs[i]
+
+    locx, locy, locz = loc_ref[0], loc_ref[1], loc_ref[2]
+    g2pd = g2pd_ref[:]
+    dfg = dfg_ref[:] if has_dfg else None
+    if relax:
+        E2, E1 = E_ref[0], E_ref[2]
+        e1_1 = e1_ref[:]
+
+    def body(t, m):
+        mx, my, mz = m
+        bz = gr_ref[t, 0] * locx + gr_ref[t, 1] * locy + gr_ref[t, 2] * locz
+        if has_dfg:
+            bz = bz + dfg
+        if has_b1:
+            bx = b1_ref[0] * rf_ref[t, 0] - b1_ref[nC] * rf_ref[t, nC]
+            by = b1_ref[0] * rf_ref[t, nC] + b1_ref[nC] * rf_ref[t, 0]
+            for c in range(1, nC):
+                bx += (b1_ref[c] * rf_ref[t, c]
+                       - b1_ref[nC + c] * rf_ref[t, nC + c])
+                by += (b1_ref[c] * rf_ref[t, nC + c]
+                       + b1_ref[nC + c] * rf_ref[t, c])
+        else:
+            rfx = rf_ref[t, 0]
+            rfy = rf_ref[t, nC]
+            for c in range(1, nC):
+                rfx += rf_ref[t, c]
+                rfy += rf_ref[t, nC + c]
+            bx = jnp.full_like(bz, rfx)
+            by = jnp.full_like(bz, rfy)
+        bx, by, bz = g2pd * bx, g2pd * by, g2pd * bz
+
+        phi = jnp.sqrt(jnp.maximum(bx * bx + by * by + bz * bz,
+                                   _PHI_EPS ** 2))
+        inv = 1.0 / phi
+        ux, uy, uz = bx * inv, by * inv, bz * inv
+        s, c1 = jnp.sin(phi), jnp.cos(phi) - 1.0
+        utm = ux * mx + uy * my + uz * mz
+        # m₁ = m − s·(u×m) + (c−1)·(m − (uᵀm)·u)
+        m1x = mx - s * (uy * mz - uz * my) + c1 * (mx - utm * ux)
+        m1y = my - s * (uz * mx - ux * mz) + c1 * (my - utm * uy)
+        m1z = mz - s * (ux * my - uy * mx) + c1 * (mz - utm * uz)
+        if relax:
+            m1x, m1y, m1z = m1x * E2, m1y * E2, m1z * E1 - e1_1
+        return m1x, m1y, m1z
+
+    mx, my, mz = jax.lax.fori_loop(
+        0, nT, body, (mi_ref[0], mi_ref[1], mi_ref[2]))
+    mo_ref[0], mo_ref[1], mo_ref[2] = mx, my, mz
+
+
+def rfgr_fwd_planes(mi, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd, *,
+                    ts: int = _DEF_TS, interpret: bool = False):
+    r"""Pallas forward in planes layout.
+
+    ``mi``/``loc_p``/``E``: `(3, S1, L)`; ``dfg``/``e1_1``/``g2pd``:
+    `(S1, L)`; ``b1_p``: `(2C, S1, L)` or None; ``rf2``: `(nT, 2C)`;
+    ``gr2``: `(nT, 3)`. ``S1`` must be a multiple of ``ts``.
+    """
+    nT = gr2.shape[0]
+    nC = rf2.shape[1] // 2
+    S1 = mi.shape[1]
+    assert S1 % ts == 0, (S1, ts)
+    grid = (S1 // ts,)
+    relax, has_dfg, has_b1 = E is not None, dfg is not None, b1_p is not None
+
+    tile3 = pl.BlockSpec((3, ts, _LANE), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM)
+    tile1 = pl.BlockSpec((ts, _LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    in_specs = [smem, smem, tile3, tile3, tile1]
+    args = [rf2, gr2, mi, loc_p, g2pd]
+    if has_dfg:
+        in_specs.append(tile1)
+        args.append(dfg)
+    if has_b1:
+        in_specs.append(pl.BlockSpec((2 * nC, ts, _LANE),
+                                     lambda i: (0, i, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(b1_p)
+    if relax:
+        in_specs += [tile3, tile1]
+        args += [E, e1_1]
+
+    kernel = functools.partial(_fwd_kernel, nT, nC, relax, has_dfg, has_b1)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tile3,
+        out_shape=jax.ShapeDtypeStruct(mi.shape, mi.dtype),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(*args)
+
+
+# --------------------------------------------------------------------------
+# Backward kernel (reverse-reconstruction adjoint)
+# --------------------------------------------------------------------------
+
+def _bwd_kernel(nT: int, nC: int, relax: bool, has_dfg: bool, has_b1: bool,
+                rf_ref, gr_ref, *refs):
+    r"""Reverse time loop for one spin tile: reconstruct m, rotate the
+    cotangent back, reduce per-step waveform gradients.
+
+    Positional refs (after rf/gr): mo, g, loc, g2pd, [dfg], [b1],
+    [E, e1_1], dmi, dwf. ``dwf`` holds lane-partial waveform grads,
+    rows ``[dgx, dgy, dgz, drf_x coils..., drf_y coils...]``."""
+    i = 0
+    mo_ref, g_ref, loc_ref, g2pd_ref = (refs[i], refs[i + 1], refs[i + 2],
+                                        refs[i + 3])
+    i += 4
+    dfg_ref = None
+    if has_dfg:
+        dfg_ref = refs[i]
+        i += 1
+    b1_ref = None
+    if has_b1:
+        b1_ref = refs[i]
+        i += 1
+    if relax:
+        E_ref, e1_ref = refs[i], refs[i + 1]
+        i += 2
+    dmi_ref, dwf_ref = refs[i], refs[i + 1]
+
+    locx, locy, locz = loc_ref[0], loc_ref[1], loc_ref[2]
+    g2pd = g2pd_ref[:]
+    dfg = dfg_ref[:] if has_dfg else None
+    if relax:
+        E2, E1 = E_ref[0], E_ref[2]
+        e1_1 = e1_ref[:]
+
+    def body(k, carry):
+        t = nT - 1 - k
+        mx, my, mz, hx, hy, hz = carry
+
+        # recompute b_t (same as forward)
+        bz = gr_ref[t, 0] * locx + gr_ref[t, 1] * locy + gr_ref[t, 2] * locz
+        if has_dfg:
+            bz = bz + dfg
+        if has_b1:
+            bx = b1_ref[0] * rf_ref[t, 0] - b1_ref[nC] * rf_ref[t, nC]
+            by = b1_ref[0] * rf_ref[t, nC] + b1_ref[nC] * rf_ref[t, 0]
+            for c in range(1, nC):
+                bx += (b1_ref[c] * rf_ref[t, c]
+                       - b1_ref[nC + c] * rf_ref[t, nC + c])
+                by += (b1_ref[c] * rf_ref[t, nC + c]
+                       + b1_ref[nC + c] * rf_ref[t, c])
+        else:
+            rfx = rf_ref[t, 0]
+            rfy = rf_ref[t, nC]
+            for c in range(1, nC):
+                rfx += rf_ref[t, c]
+                rfy += rf_ref[t, nC + c]
+            bx = jnp.full_like(bz, rfx)
+            by = jnp.full_like(bz, rfy)
+        bx, by, bz = g2pd * bx, g2pd * by, g2pd * bz
+
+        phi = jnp.sqrt(jnp.maximum(bx * bx + by * by + bz * bz,
+                                   _PHI_EPS ** 2))
+        inv = 1.0 / phi
+        ux, uy, uz = bx * inv, by * inv, bz * inv
+        s, c = jnp.sin(phi), jnp.cos(phi)
+        c1 = c - 1.0
+
+        # undo relaxation: m̃ = (m₁ + e1z)/E, h̃ = E∘h₁
+        if relax:
+            iE2 = 1.0 / E2
+            mtx, mty, mtz = mx * iE2, my * iE2, (mz + e1_1) / E1
+            htx, hty, htz = hx * E2, hy * E2, hz * E1
+        else:
+            mtx, mty, mtz = mx, my, mz
+            htx, hty, htz = hx, hy, hz
+
+        # m₀ = Rᵀ m̃ (rotation by +ϕ);  uᵀm̃ == uᵀm₀
+        utm = ux * mtx + uy * mty + uz * mtz
+        m0x = mtx + s * (uy * mtz - uz * mty) + c1 * (mtx - utm * ux)
+        m0y = mty + s * (uz * mtx - ux * mtz) + c1 * (mty - utm * uy)
+        m0z = mtz + s * (ux * mty - uy * mtx) + c1 * (mtz - utm * uz)
+
+        # h₀ = Rᵀ h̃
+        uth = ux * htx + uy * hty + uz * htz
+        uxhx, uxhy, uxhz = (uy * htz - uz * hty, uz * htx - ux * htz,
+                            ux * hty - uy * htx)
+        h0x = htx + s * uxhx + c1 * (htx - uth * ux)
+        h0y = hty + s * uxhy + c1 * (hty - uth * uy)
+        h0z = htz + s * uxhz + c1 * (htz - uth * uz)
+
+        # ∂L/∂b = −s/ϕ·(m₀×h̃) − (c−1)/ϕ·((uᵀh̃)m₀ + (uᵀm₀)h̃) + K·u
+        sp, c1p = s * inv, c1 * inv
+        mxhx, mxhy, mxhz = (m0y * htz - m0z * hty, m0z * htx - m0x * htz,
+                            m0x * hty - m0y * htx)
+        T = ux * mxhx + uy * mxhy + uz * mxhz
+        hm = htx * m0x + hty * m0y + htz * m0z
+        K = (sp - c) * T + (2 * c1p + s) * utm * uth - s * hm
+        dbx = -sp * mxhx - c1p * (uth * m0x + utm * htx) + K * ux
+        dby = -sp * mxhy - c1p * (uth * m0y + utm * hty) + K * uy
+        dbz = -sp * mxhz - c1p * (uth * m0z + utm * htz) + K * uz
+
+        # chain through b = g2pd·(B-assembly): waveform-grad reductions.
+        # Reduce over sublanes only (→ (LANE,) rows stored to VMEM); the
+        # cross-lane reduction happens outside the kernel — SMEM scalar
+        # outputs are too small (1 MB) and scalar VMEM stores too slow.
+        dbx, dby, dbz = g2pd * dbx, g2pd * dby, g2pd * dbz
+        dwf_ref[0, t, 0] = jnp.sum(dbz * locx, axis=0)
+        dwf_ref[0, t, 1] = jnp.sum(dbz * locy, axis=0)
+        dwf_ref[0, t, 2] = jnp.sum(dbz * locz, axis=0)
+        if has_b1:
+            for cc in range(nC):
+                dwf_ref[0, t, 3 + cc] = jnp.sum(
+                    b1_ref[cc] * dbx + b1_ref[nC + cc] * dby, axis=0)
+                dwf_ref[0, t, 3 + nC + cc] = jnp.sum(
+                    b1_ref[cc] * dby - b1_ref[nC + cc] * dbx, axis=0)
+        else:
+            sx = jnp.sum(dbx, axis=0)
+            sy = jnp.sum(dby, axis=0)
+            for cc in range(nC):
+                dwf_ref[0, t, 3 + cc] = sx
+                dwf_ref[0, t, 3 + nC + cc] = sy
+
+        return m0x, m0y, m0z, h0x, h0y, h0z
+
+    m0x, m0y, m0z, h0x, h0y, h0z = jax.lax.fori_loop(
+        0, nT, body,
+        (mo_ref[0], mo_ref[1], mo_ref[2], g_ref[0], g_ref[1], g_ref[2]))
+    dmi_ref[0], dmi_ref[1], dmi_ref[2] = h0x, h0y, h0z
+
+
+def rfgr_bwd_planes(mo, g, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd, *,
+                    ts: int = _DEF_TS, interpret: bool = False):
+    r"""Pallas backward in planes layout. Returns ``(dmi, drf2, dgr2)``
+    with ``drf2``: `(nT, 2C)`, ``dgr2``: `(nT, 3)` (summed over all spin
+    tiles outside the kernel — per-tile partials are the kernel output)."""
+    nT = gr2.shape[0]
+    nC = rf2.shape[1] // 2
+    S1 = mo.shape[1]
+    assert S1 % ts == 0, (S1, ts)
+    ntiles = S1 // ts
+    grid = (ntiles,)
+    relax, has_dfg, has_b1 = E is not None, dfg is not None, b1_p is not None
+
+    tile3 = pl.BlockSpec((3, ts, _LANE), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM)
+    tile1 = pl.BlockSpec((ts, _LANE), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    in_specs = [smem, smem, tile3, tile3, tile3, tile1]
+    args = [rf2, gr2, mo, g, loc_p, g2pd]
+    if has_dfg:
+        in_specs.append(tile1)
+        args.append(dfg)
+    if has_b1:
+        in_specs.append(pl.BlockSpec((2 * nC, ts, _LANE),
+                                     lambda i: (0, i, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(b1_p)
+    if relax:
+        in_specs += [tile3, tile1]
+        args += [E, e1_1]
+
+    kernel = functools.partial(_bwd_kernel, nT, nC, relax, has_dfg, has_b1)
+    # per-tile lane-partial waveform grads: (1, nT, K, LANE) VMEM blocks
+    # of an (ntiles, nT, K, LANE) output (block dims equal to array dims
+    # are exempt from the (8, 128) divisibility rule)
+    K = 3 + 2 * nC
+    dmi, dwf_part = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(
+            tile3,
+            pl.BlockSpec((1, nT, K, _LANE), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct(mo.shape, mo.dtype),
+            jax.ShapeDtypeStruct((ntiles, nT, K, _LANE), mo.dtype),
+        ),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(*args)
+    dwf = jnp.sum(dwf_part, axis=(0, 3))          # tiles + lanes → (nT, K)
+    return dmi, dwf[:, 3:], dwf[:, :3]            # (drf2, dgr2)
+
+
+# --------------------------------------------------------------------------
+# custom_vjp wrapper (planes layout, N=1)
+# --------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
+def rfgr_core(mi, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd,
+              interpret=False):
+    return _rfgr_core_fwd(mi, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd,
+                          interpret)[0]
+
+
+def _rfgr_core_fwd(mi, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd,
+                   interpret):
+    ts = _pick_ts(mi.shape[1])
+    mo = rfgr_fwd_planes(mi, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd,
+                         ts=ts, interpret=interpret)
+    return mo, (mo, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd)
+
+
+def _rfgr_core_bwd(interpret, res, g):
+    mo, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd = res
+    ts = _pick_ts(mo.shape[1])
+    dmi, drf2, dgr2 = rfgr_bwd_planes(mo, g, rf2, gr2, loc_p, dfg, b1_p,
+                                      E, e1_1, g2pd, ts=ts,
+                                      interpret=interpret)
+    zl = lambda x: None if x is None else jnp.zeros_like(x)  # noqa: E731
+    return (dmi, drf2, dgr2, zl(loc_p), zl(dfg), zl(b1_p), zl(E),
+            zl(e1_1), jnp.zeros_like(g2pd))
+
+
+rfgr_core.defvjp(_rfgr_core_fwd, _rfgr_core_bwd)
+
+
+def _pick_ts(S1: int) -> int:
+    r"""Largest tile ≤ _DEF_TS sublanes dividing S1 (S1 is a multiple of
+    8 by construction)."""
+    ts = math.gcd(S1, _DEF_TS)
+    return ts

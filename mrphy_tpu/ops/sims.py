@@ -62,9 +62,15 @@ __all__ = ['blochsim', 'blochsim_rfgr', 'freeprec']
 _PHI_EPS = 1e-12  # matches the reference clamp (/root/reference/mrphy/sims.py:101)
 _LANE = 128       # TPU lane count
 _TILE = 1024      # pad spins to a multiple of 8 sublanes x 128 lanes
+_BIG_TILE = 256 * _LANE  # large problems align to full Pallas spin tiles
 
 
 def _padded_spins(B: int) -> int:
+    # Large problems pad to a multiple of the Pallas tile (256 sublanes x
+    # 128 lanes) so the fused kernel gets full-depth tiles (≤1.6% waste);
+    # small ones to one (8, 128)-tiled vreg block.
+    if B >= _BIG_TILE:
+        return -(-B // _BIG_TILE) * _BIG_TILE
     return max(_TILE, -(-B // _TILE) * _TILE)
 
 
@@ -445,7 +451,8 @@ _RFGR_CORES = {k: _mk_rfgr_core(k) for k in ('reconstruct', 'history')}
 @kwalias(**{'γ': 'gam', 'Δf': 'df'})
 def blochsim_rfgr(Mi, rf, gr, loc, *, T1: Optional[jax.Array] = None,
                   T2: Optional[jax.Array] = None, df=None, b1Map=None,
-                  gam=gamH, dt=dt0, adjoint: str = 'reconstruct'):
+                  gam=gamH, dt=dt0, adjoint: str = 'reconstruct',
+                  backend: str = 'auto', _pallas_interpret: bool = False):
     r"""Fused Bloch simulator taking raw waveforms: grads w.r.t. rf/gr
     without materializing B-effective.
 
@@ -523,8 +530,31 @@ def blochsim_rfgr(Mi, rf, gr, loc, *, T1: Optional[jax.Array] = None,
                       fill=1.0).reshape(N, 3, S1, _LANE)
         e1_1 = padf(E1 - 1)
 
-    mo = _RFGR_CORES[adjoint](mi, rf_t, gr_t, loc_p, dfg, b1_p, E, e1_1,
-                              g2pd)
+    if backend == 'auto':
+        from mrphy_tpu.ops import pallas_kernels
+        backend = ('pallas' if (not _pallas_interpret and
+                                pallas_kernels.rfgr_is_available(
+                                    N=N, dtype=dtype)) else 'xla')
+
+    if backend == 'pallas' or _pallas_interpret:
+        from mrphy_tpu.ops import pallas_kernels
+        nC = rf_t.shape[-1]
+        # drop the batch dim (pallas path supports N == 1)
+        assert N == 1, 'pallas backend supports batch N == 1'
+        # columns: [x coils..., y coils...]
+        rf2 = jnp.concatenate([rf_t[:, 0, 0, :], rf_t[:, 0, 1, :]], axis=-1)
+        gr2 = gr_t[:, 0, :]
+        sq = lambda x: None if x is None else x[0]  # noqa: E731
+        b1_sq = None if b1_p is None else b1_p[0].reshape(2 * nC, S1, _LANE)
+        mo = pallas_kernels.rfgr_core(
+            mi[0], rf2, gr2, loc_p[0], sq(dfg), b1_sq, sq(E), sq(e1_1),
+            g2pd[0], _pallas_interpret)[None]
+    elif backend == 'xla':
+        mo = _RFGR_CORES[adjoint](mi, rf_t, gr_t, loc_p, dfg, b1_p, E,
+                                  e1_1, g2pd)
+    else:
+        raise ValueError(f'unknown backend {backend!r}')
+
     mo = mo.reshape(N, 3, Sp).transpose(0, 2, 1)[:, :nS]
     return mo.reshape(NNd + (3,))
 
