@@ -80,6 +80,15 @@ from mrphy_tpu import parallel               # noqa: E402
 from mrphy_tpu import design                 # noqa: E402
 from mrphy_tpu.version import __version__    # noqa: F401,E402
 
+# Make the reference's flat import paths work (`import mrphy_tpu.sims`,
+# `from mrphy_tpu.beffective import *`) while the implementations live in
+# the ops/models subpackages.
+import sys as _sys                           # noqa: E402
+
+for _name, _mod in (('beffective', beffective), ('sims', sims),
+                    ('slowsims', slowsims), ('mobjs', mobjs)):
+    _sys.modules[f'{__name__}.{_name}'] = _mod
+
 __all__ = ['gamH', 'γH', 'T1G', 'T2G', 'dt0', 'gmax0', 'smax0', 'rfmax0',
            'utils', 'beffective', 'sims', 'slowsims', 'mobjs',
            'parallel', 'design', 'tpu_is_available']

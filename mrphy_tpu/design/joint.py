@@ -57,7 +57,8 @@ def init_params(rf, gr, cfg: DesignConfig) -> dict:
     return {'trho': trho, 'theta': theta, 'ts': s2ts(s, jnp.asarray(cfg.smax))}
 
 
-def params2pulse(params: dict, cfg: DesignConfig) -> Tuple[jax.Array, jax.Array]:
+def params2pulse(params: dict,
+                 cfg: DesignConfig) -> Tuple[jax.Array, jax.Array]:
     r"""Unbounded design variables → (rf, gr) respecting rfmax/smax."""
     rf = trho_theta2rf(params['trho'], params['theta'], cfg.rfmax)
     s = ts2s(params['ts'], jnp.asarray(cfg.smax))

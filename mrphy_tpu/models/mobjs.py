@@ -121,8 +121,8 @@ class Pulse(_SlotStateMixin):
             'Missing both `rf` and `gr` inputs'
 
         if dtype is None:
-            cands = [jnp.asarray(x).dtype
-                     for x in (rf, gr) if x is not None and hasattr(x, 'dtype')]
+            cands = [jnp.asarray(x).dtype for x in (rf, gr)
+                     if x is not None and hasattr(x, 'dtype')]
             dtype = jnp.result_type(*cands) if cands else jnp.float32
             if not jnp.issubdtype(dtype, jnp.floating):
                 dtype = jnp.float32

@@ -30,7 +30,14 @@ from mrphy_tpu._kwalias import kwalias
 from mrphy_tpu.utils import uphirot
 from mrphy_tpu.utils._shapes import rshape
 
-__all__ = ['beff2ab', 'beff2ab_assoc', 'beff2uphi', 'rfgr2beff']
+# NB: Python NFKC-normalizes identifiers, so source code written with
+# either reference spelling (`beff2uϕ` U+03D5 or `beff2uφ` U+03C6)
+# resolves to the single normalized attribute 'beff2uφ' below. The
+# reference's `__all__` lists the *string* 'beff2uφ' while its function
+# normalizes the same way — so its star-import works by accident; a
+# string entry with U+03D5 would not (strings are not normalized).
+__all__ = ['beff2ab', 'beff2ab_assoc', 'beff2uphi', 'rfgr2beff',
+           'beff2uφ']
 
 _NORM_EPS = 1e-12  # matches torch.nn.functional.normalize default eps
 
@@ -235,3 +242,9 @@ def rfgr2beff(rf, gr, loc, *, df: Optional[jax.Array] = None,
 
     beff = jnp.stack([Bx, By, Bz], axis=-1)            # (N, nS, nT, xyz)
     return beff.reshape((N,) + tuple(Nd) + (nT, 3))
+
+
+# Unicode alias: source written with either `beff2uϕ` (U+03D5, the
+# reference's function name at beffective.py:18) or `beff2uφ` (U+03C6,
+# its __all__ spelling at :15) NFKC-normalizes to this one attribute.
+beff2uφ = beff2uphi

@@ -44,7 +44,8 @@ __all__ = ['is_available', 'blochsim_core', 'rfgr_core', 'rfgr_fwd_planes',
 _PHI_EPS = 1e-12
 _LANE = 128
 _DEF_TS = 256            # sublane tile: 256x128 = 32768 spins per tile
-_VMEM_LIMIT = 64 * 1024 * 1024  # v5e has 128 MB physical VMEM; default cap is 16 MB
+# v5e has 128 MB physical VMEM; the default compiler cap is 16 MB
+_VMEM_LIMIT = 64 * 1024 * 1024
 
 
 def is_available(*, nT: int, nspins: int, dtype) -> bool:

@@ -630,5 +630,6 @@ def freeprec(Mi, dur, *, T1=None, T2=None, df=None):
         E2 = jnp.exp(-dur / rshape(T2, ndim))
 
     # stop_gradient: grads flow to Mi only (reference contract)
-    sg = lambda x: None if x is None else jax.lax.stop_gradient(x)  # noqa: E731
+    def sg(x):
+        return None if x is None else jax.lax.stop_gradient(x)
     return _freeprec_core(Mi, sg(cphi), sg(sphi), sg(E1), sg(E2))

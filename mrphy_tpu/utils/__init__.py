@@ -14,8 +14,12 @@ from mrphy_tpu.utils.slew import s2ts, ts2s, sclamp
 from mrphy_tpu.utils.rotation import uphirot
 
 # -- Unicode aliases (reference spellings) --
-uϕrot = uphirot          # noqa: E741  /root/reference/mrphy/utils.py:333
-uφrot = uphirot          # spelling used in the reference __all__ (:24)
+# Python NFKC-normalizes identifiers: source written as `uϕrot` (U+03D5,
+# the reference's function name, utils.py:333) or `uφrot` (U+03C6, its
+# __all__ spelling, utils.py:24) both resolve to the single normalized
+# attribute 'uφrot'. __all__ strings are NOT normalized, so only the
+# normalized spelling may appear there.
+uφrot = uphirot          # covers both uϕrot / uφrot source spellings
 rf2tρθ = rf2trho_theta   # /root/reference/mrphy/utils.py:196
 tρθ2rf = trho_theta2rf   # /root/reference/mrphy/utils.py:313
 rf2lρθ = rf2lrho_theta   # /root/reference/mrphy/utils.py:171
@@ -25,5 +29,5 @@ __all__ = ['ctrsub', 'g2k', 'g2s', 'k2g', 'rf_c2r', 'rf_r2c',
            'rf2trho_theta', 'trho_theta2rf', 'rf2lrho_theta',
            'lrho_theta2rf', 'rfclamp', 's2g', 's2ts', 'sclamp', 'ts2s',
            'uphirot',
-           # Unicode aliases
-           'uϕrot', 'uφrot', 'rf2tρθ', 'tρθ2rf', 'rf2lρθ', 'lρθ2rf']
+           # Unicode aliases (NFKC-normalized spellings)
+           'uφrot', 'rf2tρθ', 'tρθ2rf', 'rf2lρθ', 'lρθ2rf']

@@ -5,8 +5,10 @@ complex↔real converters (``rf_c2r``/``rf_r2c``), magnitude clamp
 (``rfclamp``), and the two bounded↔unbounded bijections used to run
 unconstrained optimization over peak-limited RF:
 
-- tan-based:   ``rf2trho_theta`` / ``trho_theta2rf``  (ref ``rf2tρθ``/``tρθ2rf``)
-- logit-based: ``rf2lrho_theta`` / ``lrho_theta2rf``  (ref ``rf2lρθ``/``lρθ2rf``)
+- tan-based:   ``rf2trho_theta`` / ``trho_theta2rf``
+  (ref ``rf2tρθ``/``tρθ2rf``)
+- logit-based: ``rf2lrho_theta`` / ``lrho_theta2rf``
+  (ref ``rf2lρθ``/``lρθ2rf``)
 
 No numpy/cupy split is needed (the reference dispatches on array type at
 ``utils.py:147-152``): jnp handles host and device arrays uniformly, and the
