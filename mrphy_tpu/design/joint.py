@@ -29,7 +29,7 @@ import jax.numpy as jnp
 import optax
 
 from mrphy_tpu import gamH, dt0, rfmax0, smax0
-from mrphy_tpu.ops import beffective, sims
+from mrphy_tpu.ops import sims
 from mrphy_tpu.utils import (rf2trho_theta, trho_theta2rf, s2ts, ts2s,
                              s2g, g2s, rfclamp, sclamp)
 
@@ -69,10 +69,11 @@ def params2pulse(params: dict,
 def _loss_fn(params, cfg, M0_, loc_, Mtgt_, T1_, T2_, gam_, df_, b1Map_,
              doRelax: bool):
     rf, gr = params2pulse(params, cfg)
-    beff_ = beffective.rfgr2beff(rf, gr, loc_, df=df_, b1Map=b1Map_,
-                                 gam=gam_)
     T1, T2 = (T1_, T2_) if doRelax else (None, None)
-    M_ = sims.blochsim(M0_, beff_, T1=T1, T2=T2, gam=gam_, dt=cfg.dt)
+    # fused engine: B-effective is assembled inside the scan, so the
+    # design loop never materializes the O(nM·nT) field tensor
+    M_ = sims.blochsim_rfgr(M0_, rf, gr, loc_, T1=T1, T2=T2, df=df_,
+                            b1Map=b1Map_, gam=gam_, dt=cfg.dt)
     err = jnp.mean(jnp.sum((M_ - Mtgt_) ** 2, axis=-1))
     pow_pen = cfg.lam_pow * jnp.mean(jnp.sum(rf ** 2, axis=1))
     return err + pow_pen, M_
@@ -99,6 +100,11 @@ def design_pulse(spinarray, pulse, Mtgt_, *, loc_=None, df_=None,
           ``T1_``, ``T2_``, ``gam_``; a cube also supplies ``loc_``/``df_``).
         - ``pulse``: initial :class:`~mrphy_tpu.models.mobjs.Pulse`.
         - ``Mtgt_``: `(N, nM, xyz)`, target magnetization (compact).
+    Optionals:
+        - ``verbose``: print per-iteration losses. This switches from the
+          single-dispatch path (the whole optimization is ONE jitted
+          ``lax.scan`` over iterations — no host round-trip per step) to a
+          per-iteration host loop.
     Outputs:
         - ``(pulse, losses)``: designed Pulse and per-iteration loss array.
     """
@@ -115,20 +121,35 @@ def design_pulse(spinarray, pulse, Mtgt_, *, loc_=None, df_=None,
     optimizer = optax.adam(cfg.lr)
     opt_state = optimizer.init(params)
 
-    step = jax.jit(lambda p, s: design_step(
-        p, s, optimizer, cfg, spinarray.M_, loc_, Mtgt_,
-        spinarray.T1_, spinarray.T2_, spinarray.gam_, df_, b1Map_,
-        doRelax))
+    step_args = (spinarray.M_, loc_, Mtgt_, spinarray.T1_, spinarray.T2_,
+                 spinarray.gam_, df_, b1Map_, doRelax)
 
-    losses = []
-    for it in range(cfg.niter):
-        params, opt_state, loss, _ = step(params, opt_state)
-        losses.append(loss)
-        if verbose and (it % max(1, cfg.niter // 10) == 0):
-            print(f'iter {it:4d}  loss {float(loss):.6e}')
+    if verbose:
+        step = jax.jit(lambda p, s: design_step(p, s, optimizer, cfg,
+                                                *step_args))
+        losses = []
+        for it in range(cfg.niter):
+            params, opt_state, loss, _ = step(params, opt_state)
+            losses.append(loss)
+            if it % max(1, cfg.niter // 10) == 0:
+                print(f'iter {it:4d}  loss {float(loss):.6e}')
+        losses = jnp.stack(losses)
+    else:
+        @jax.jit
+        def run(params, opt_state):
+            def body(carry, _):
+                params, opt_state = carry
+                params, opt_state, loss, _ = design_step(
+                    params, opt_state, optimizer, cfg, *step_args)
+                return (params, opt_state), loss
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), None, length=cfg.niter)
+            return params, losses
+
+        params, losses = run(params, opt_state)
 
     rf, gr = params2pulse(params, cfg)
     out = Pulse(rf, gr, dt=cfg.dt, rfmax=cfg.rfmax, smax=cfg.smax,
                 desc=f'{pulse.desc} + designed({cfg.niter} iters)',
                 dtype=pulse.dtype)
-    return out, jnp.stack(losses)
+    return out, losses

