@@ -63,17 +63,21 @@ def bench_fwd_adjoint(nM, nT, dtype_name='float32', repeats=3):
 
     step = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)))
 
-    # warmup / compile
-    (v, g) = step(a['rf'], a['gr'])
-    jax.block_until_ready((v, g))
+    # warmup / compile (host read = reliable sync; block_until_ready does
+    # not dependably block on remote-attached runtimes)
+    v, (grf, ggr) = step(a['rf'], a['gr'])
+    float(v)
 
-    best = float('inf')
+    # chained amortized timing: iteration k+1 consumes iteration k's
+    # gradient, so the device must serialize the K steps; one host read
+    # at the end syncs the whole chain
+    rf = a['rf']
+    t0 = time.perf_counter()
     for _ in range(repeats):
-        t0 = time.perf_counter()
-        out = step(a['rf'], a['gr'])
-        jax.block_until_ready(out)
-        best = min(best, time.perf_counter() - t0)
-    return best
+        v, (grf, ggr) = step(rf, a['gr'])
+        rf = rf + 1e-12 * grf
+    float(jnp.sum(rf))
+    return (time.perf_counter() - t0) / repeats
 
 
 def main():

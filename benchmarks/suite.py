@@ -1,0 +1,152 @@
+r"""Benchmark suite covering the BASELINE.json scenario configs.
+
+Run on real TPU: ``python benchmarks/suite.py [config ...]``.
+Prints one JSON line per config (bench.py stays the single-line headline
+benchmark the driver consumes).
+
+Configs:
+  tiny        blochsim forward, 3x3x3 SpinCube, 512-step pulse (config 1)
+  freeprec32  multi-coil excitation + freeprec, 32^3 cube, off-resonance
+              (config 3)
+  design64    joint RF+gradient design iteration rate, 64^3 voxels,
+              tan-clamped rf/gr (config 4)
+  throughput  1M spins x 1000 steps fwd+adjoint, fused engine (config 5)
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _read(out):
+    r"""Force completion via a host read (block_until_ready does not
+    dependably block on remote-attached runtimes)."""
+    import jax
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    np.asarray(leaf).ravel()[0]
+
+
+def _timeit(f, *args, repeats=8):
+    out = f(*args)
+    _read(out)  # warm / compile
+    t0 = time.perf_counter()
+    outs = [f(*args) for _ in range(repeats)]
+    for o in outs:
+        _read(o)
+    return (time.perf_counter() - t0) / repeats
+
+
+def bench_tiny():
+    import jax
+    from mrphy_tpu.models.mobjs import Examples
+    cube, p = Examples.spincube(), Examples.pulse()
+    f = jax.jit(lambda c, pl: c.applypulse(pl))
+    secs = _timeit(f, cube, p)
+    return {'metric': 'tiny applypulse (3x3x3 cube, 512 steps) latency',
+            'value': round(secs * 1e3, 3), 'unit': 'ms'}
+
+
+def bench_freeprec32():
+    import jax
+    import jax.numpy as jnp
+    from mrphy_tpu import dt0, pi
+    from mrphy_tpu.models import mobjs
+    n, nT, nC = 32, 512, 8
+    rng = np.random.default_rng(0)
+    shape = (1, n, n, n)
+    cube = mobjs.SpinCube(shape, jnp.asarray([[24., 24., 24.]]),
+                          T1_=jnp.asarray([[1.47]]),
+                          T2_=jnp.asarray([[0.07]]))
+    cube.df = jnp.asarray(rng.normal(size=shape) * 50, jnp.float32)
+    b1 = jnp.asarray(rng.normal(size=shape + (2, nC)) * .3 + .5,
+                     jnp.float32)
+    t = jnp.arange(nT, dtype=jnp.float32).reshape(1, 1, nT)
+    rf = 0.1 * jnp.concatenate([jnp.cos(t / 40), jnp.sin(t / 40)],
+                               1)[..., None] * jnp.ones((1, 1, 1, nC))
+    gr = jnp.asarray(rng.normal(size=(1, 3, nT)), jnp.float32)
+    p = mobjs.Pulse(rf=rf, gr=gr, dt=dt0)
+
+    def seq(cube, p, b1):
+        M_ = cube.applypulse(p, b1Map=b1)
+        from mrphy_tpu.ops import sims
+        return sims.freeprec(M_, 5e-3, T1=cube.T1_, T2=cube.T2_,
+                             df=cube.df_)
+
+    f = jax.jit(seq)
+    secs = _timeit(f, cube, p, b1)
+    return {'metric': f'freeprec32: {nC}-coil excite + freeprec, 32^3 '
+                      f'cube, {nT} steps',
+            'value': round(secs * 1e3, 2), 'unit': 'ms',
+            'spin_steps_per_sec': round(n ** 3 * nT / secs / 1e6, 1)}
+
+
+def bench_design64():
+    import jax
+    import jax.numpy as jnp
+    from mrphy_tpu import dt0
+    from mrphy_tpu.models import mobjs
+    from mrphy_tpu.design import DesignConfig, design_pulse
+    n, nT = 64, 256
+    rng = np.random.default_rng(0)
+    shape = (1, n, n, n)
+    cube = mobjs.SpinCube(shape, jnp.asarray([[24., 24., 24.]]),
+                          T1_=jnp.asarray([[1.47]]),
+                          T2_=jnp.asarray([[0.07]]))
+    t = jnp.arange(nT, dtype=jnp.float32).reshape(1, 1, nT)
+    rf = 0.05 * jnp.concatenate([jnp.cos(t / 40), jnp.sin(t / 40)], 1)
+    gr = jnp.asarray(rng.normal(size=(1, 3, nT)) * 0.2, jnp.float32)
+    p = mobjs.Pulse(rf=rf, gr=gr, dt=dt0)
+
+    # 3D tailored excitation: flip a central ball, keep the rest at +z
+    locn = np.asarray(cube.loc_)
+    ball = (np.linalg.norm(locn, axis=-1) < 6.0)
+    Mtgt = np.tile([0., 0., 1.], (1, cube.nM, 1))
+    Mtgt[0, ball[0]] = [0., 1., 0.]
+
+    niter = 20
+    cfg = DesignConfig(niter=niter, lr=0.02, rfmax=0.25, smax=12e3,
+                       dt=float(dt0))
+    # warm-up/compile
+    design_pulse(cube, p, jnp.asarray(Mtgt, jnp.float32), cfg=cfg)
+    t0 = time.perf_counter()
+    _, losses = design_pulse(cube, p, jnp.asarray(Mtgt, jnp.float32),
+                             cfg=cfg)
+    jax.block_until_ready(losses)
+    secs = time.perf_counter() - t0
+    return {'metric': f'design64: joint rf+gr design, 64^3 voxels, '
+                      f'{nT} steps',
+            'value': round(niter / secs, 2), 'unit': 'iters/s',
+            'loss_first_last': [round(float(losses[0]), 4),
+                                round(float(losses[-1]), 4)]}
+
+
+def bench_throughput():
+    sys.path.insert(0, '.')
+    import bench
+    secs = bench.bench_fwd_adjoint(1_000_000, 1000)
+    return {'metric': '1M spins x 1000 steps fwd+adjoint (fused pallas)',
+            'value': round(1_000_000 * 1000 / secs / 1e6, 1),
+            'unit': 'M spin*steps/s/chip'}
+
+
+ALL = {'tiny': bench_tiny, 'freeprec32': bench_freeprec32,
+       'design64': bench_design64, 'throughput': bench_throughput}
+
+
+def main():
+    names = sys.argv[1:] or list(ALL)
+    for name in names:
+        try:
+            print(json.dumps({'config': name, **ALL[name]()}))
+        except Exception as e:  # noqa: BLE001
+            print(json.dumps({'config': name, 'error': f'{type(e).__name__}'
+                              f': {e}'[:300]}))
+
+
+if __name__ == '__main__':
+    main()
