@@ -276,7 +276,8 @@ def blochsim(Mi, Beff, *, T1: Optional[jax.Array] = None,
     B = math.prod(NNd)
     Bp = _padded_spins(B)
     B1 = Bp // _LANE
-    dtype = Beff.dtype
+    dtype = jnp.result_type(Mi.dtype, Beff.dtype)
+    Mi, Beff = Mi.astype(dtype), Beff.astype(dtype)
 
     # → tile-aligned structure-of-arrays planes (outside the custom_vjp:
     #   the pad/transpose adjoints are handled by plain autodiff)
@@ -491,6 +492,7 @@ def blochsim_rfgr(Mi, rf, gr, loc, *, T1: Optional[jax.Array] = None,
     S1 = Sp // _LANE
     nT = gr.shape[2]
     dtype = jnp.result_type(rf.dtype, gr.dtype, Mi.dtype)
+    Mi, loc = Mi.astype(dtype), loc.astype(dtype)
 
     def planes(x, k):  # (N, nS, k) → (N, k, S1, L)
         x = _pad_axis(x.reshape(N, nS, k).transpose(0, 2, 1), 2, Sp)

@@ -110,3 +110,31 @@ def psum_loss(fn):
     def wrapped(*args, **kw):
         return jnp.mean(fn(*args, **kw))
     return wrapped
+
+
+def shard_spin_obj(obj, mesh: Mesh):
+    r"""Shard a ``SpinArray``/``SpinCube`` (any registered pytree with
+    ``shape``/``nM``) over the mesh: leaf axis 0 of extent ``N`` goes to
+    the batch mesh axis, leaf axis 1 of extent ``nM`` to the spin axis;
+    everything else replicates. ``nM`` must be divisible by the mesh's
+    spin extent (pad the mask/compact attrs otherwise).
+    """
+    import jax.numpy as jnp  # noqa: F401
+
+    N, nM = obj.shape[0], obj.nM
+    k = mesh.shape[SPIN_AXIS]
+    assert nM % k == 0, (f'nM={nM} not divisible by spin mesh extent {k}; '
+                         f'pad the mask to a multiple')
+
+    def put(x):
+        if not hasattr(x, 'ndim'):
+            return x
+        spec = [None] * x.ndim
+        if x.ndim >= 1 and x.shape[0] == N:
+            spec[0] = BATCH_AXIS
+        if x.ndim >= 2 and x.shape[1] == nM:
+            spec[1] = SPIN_AXIS
+        return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+
+    leaves, treedef = jax.tree_util.tree_flatten(obj)
+    return jax.tree_util.tree_unflatten(treedef, [put(x) for x in leaves])

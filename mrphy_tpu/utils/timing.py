@@ -1,0 +1,64 @@
+r"""Timing and profiling harness.
+
+The reference instruments with bare ``time.time()`` in tests
+(``/root/reference/tests/test_sims.py:73-97``); on an asynchronously
+dispatched runtime that measures dispatch, not execution (and
+``block_until_ready`` does not dependably block on remote-attached
+runtimes). These helpers measure honestly:
+
+- :func:`host_sync` — force completion via a host read;
+- :func:`amortized_timeit` — K calls + host sync, amortized;
+- :func:`chained_timeit` — iterations chained through a data dependency
+  (the strictest serialization);
+- :func:`trace` — ``jax.profiler`` trace context for XProf dumps.
+"""
+
+import contextlib
+import time
+
+import numpy as np
+import jax
+
+__all__ = ['host_sync', 'amortized_timeit', 'chained_timeit', 'trace']
+
+
+def host_sync(out):
+    r"""Force completion of ``out`` (any pytree) via a host read."""
+    for leaf in jax.tree_util.tree_leaves(out):
+        np.asarray(leaf).ravel()[:1]
+    return out
+
+
+def amortized_timeit(f, *args, repeats: int = 8) -> float:
+    r"""Seconds per call of ``f(*args)``: warm once, run ``repeats``
+    times, host-sync every output."""
+    host_sync(f(*args))
+    t0 = time.perf_counter()
+    outs = [f(*args) for _ in range(repeats)]
+    for o in outs:
+        host_sync(o)
+    return (time.perf_counter() - t0) / repeats
+
+
+def chained_timeit(f, x0, *args, repeats: int = 4,
+                   feedback=lambda x, out: out) -> float:
+    r"""Seconds per call of ``f(x, *args)`` where iteration k+1's input is
+    derived from iteration k's output via ``feedback`` — the device must
+    serialize the chain; one host sync at the end."""
+    host_sync(f(x0, *args))
+    x = x0
+    t0 = time.perf_counter()
+    for _ in range(repeats):
+        x = feedback(x, f(x, *args))
+    host_sync(x)
+    return (time.perf_counter() - t0) / repeats
+
+
+@contextlib.contextmanager
+def trace(logdir: str):
+    r"""``jax.profiler`` trace context (view with XProf/TensorBoard)."""
+    jax.profiler.start_trace(logdir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

@@ -81,3 +81,32 @@ class TestParallel:
         fn, args = mod.entry()
         out = jax.jit(fn)(*args)
         assert bool(jnp.all(jnp.isfinite(out)))
+
+    def test_shard_spin_obj(self):
+        from mrphy_tpu.parallel import shard_spin_obj
+        from mrphy_tpu.models.mobjs import SpinArray, Pulse
+        import numpy as np
+        mesh = make_mesh()
+        rng = np.random.default_rng(0)
+        arr = SpinArray((1, 4, 4), M_=jnp.asarray(rng.random((1, 16, 3))))
+        arr_sh = shard_spin_obj(arr, mesh)
+        np.testing.assert_allclose(arr_sh.M_, arr.M_, atol=0)
+        assert 'spins' in str(arr_sh.M_.sharding.spec)
+        # sharded object still simulates correctly
+        p_rf = jnp.asarray(rng.random((1, 2, 8)))
+        p_gr = jnp.asarray(rng.random((1, 3, 8)))
+        M1 = arr.applypulse(Pulse(p_rf, p_gr), loc_=jnp.asarray(
+            rng.random((1, 16, 3))) * 0)
+        M2 = arr_sh.applypulse(Pulse(p_rf, p_gr), loc_=jnp.zeros((1, 16, 3)))
+        np.testing.assert_allclose(M1, M2, atol=1e-12)
+
+    def test_timing_utils(self):
+        from mrphy_tpu.utils.timing import (host_sync, amortized_timeit,
+                                            chained_timeit)
+        f = jax.jit(lambda x: x * 2 + 1)
+        x = jnp.ones((64, 64))
+        host_sync(f(x))
+        dt1 = amortized_timeit(f, x, repeats=2)
+        dt2 = chained_timeit(f, x, repeats=2,
+                             feedback=lambda x, out: out * 0.5)
+        assert dt1 > 0 and dt2 > 0
