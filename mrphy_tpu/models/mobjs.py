@@ -444,12 +444,13 @@ class SpinArray(_SlotStateMixin):
 
         v_ = _asarr(v_, self._dtype)
         shape = self._shape
+        vec3 = ('M_', 'vel_')  # (N, nM, xyz)-shaped compact attributes
         if k_ + '_' in self._compact:  # non-compact assignment → extract
             k_ = k_ + '_'
-            tgt = shape + ((3,) if k_ == 'M_' else ())
+            tgt = shape + ((3,) if k_ in vec3 else ())
             v_ = self.extract(jnp.broadcast_to(v_, tgt))
 
-        if k_ == 'M_':
+        if k_ in vec3:
             v_ = jnp.broadcast_to(v_, (shape[0], self.nM, 3))
         elif k_ in self._compact:  # (T1_, T2_, gam_)
             v_ = jnp.broadcast_to(v_, (shape[0], self.nM))
@@ -808,11 +809,96 @@ jax.tree_util.register_pytree_node(SpinCube, _spincube_flatten,
 
 
 class SpinBolus(SpinArray):
-    r"""Placeholder for flow/bolus simulations
-    (parity: ``/root/reference/mrphy/mobjs.py:968-973``, an empty stub)."""
+    r"""Flowing spin ensemble: a :class:`SpinArray` whose spins move with
+    per-spin velocities during the pulse.
 
-    def __init__(self):
-        pass
+    The reference left this as an empty stub
+    (``/root/reference/mrphy/mobjs.py:968-973``); here it is implemented
+    on the fused waveform engine: locations evolve as ``loc + vel·t``
+    *inside* the Bloch scan (no per-step location tensors materialize),
+    capturing flow/bolus effects like gradient-induced phase accrual of
+    moving spins.
+
+    Usage:
+        ``SpinBolus(shape, mask, *, vel(_), T1(_), T2(_), γ(_), M(_),``
+        `` dtype)``
+
+    Extra properties:
+        - ``vel_``: `(N, nM, xyz)`, "cm/s", per-spin velocity (grid form
+          ``vel`` embeds/extracts like every other attribute).
+    """
+
+    _compact = SpinArray._compact + ('vel_',)
+    __slots__ = ('vel_',)
+
+    def __init__(self, shape: tuple, mask=None, *, vel=None, vel_=None,
+                 **kw):
+        super().__init__(shape, mask, **kw)
+        assert (vel is None) or (vel_ is None)
+        if vel is None:
+            self.vel_ = (jnp.zeros(3, self.dtype) if vel_ is None
+                         else vel_)
+        else:
+            self.vel = vel
+
+    def applypulse(self, pulse: Pulse, *, doEmbed: bool = False,
+                   doRelax: bool = True, doUpdate: bool = False,
+                   loc=None, loc_=None, b1Map=None, b1Map_=None, **kw):
+        r"""Apply a pulse to the flowing ensemble (``loc``/``loc_`` are
+        the spins' positions at t=0). Same flags and ⊻-kwargs as
+        :meth:`SpinArray.applypulse`."""
+        df = kw.pop('df', kw.pop('Δf', None))
+        df_ = kw.pop('df_', kw.pop('Δf_', None))
+        assert not kw, f'unknown kwargs: {sorted(kw)}'
+        assert (loc_ is None) != (loc is None), 'need loc xor loc_'
+        loc_ = loc_ if loc is None else self.extract(loc)
+        assert (df_ is None) or (df is None)
+        df_ = df_ if df is None else self.extract(df)
+        assert (b1Map_ is None) or (b1Map is None)
+        b1Map_ = b1Map_ if b1Map is None else self.extract(b1Map)
+
+        pulse = pulse.to(dtype=self.dtype)
+        T1, T2 = (self.T1_, self.T2_) if doRelax else (None, None)
+        M_ = sims.blochsim_rfgr(self.M_, pulse.rf, pulse.gr, loc_,
+                                T1=T1, T2=T2, df=df_, b1Map=b1Map_,
+                                gam=self.gam_, dt=pulse.dt,
+                                vel=self.vel_)
+        if doUpdate:
+            self.M_ = M_
+        return self.embed(M_) if doEmbed else M_
+
+    def asdict(self, *, toNumpy: bool = True, doEmbed: bool = True) -> dict:
+        d = super().asdict(toNumpy=toNumpy, doEmbed=doEmbed)
+        k = 'vel' if doEmbed else 'vel_'
+        d[k] = _tonp(getattr(self, k), toNumpy)
+        return d
+
+    def __repr__(self):
+        return (f'SpinBolus(shape={self.shape}, nM={self.nM}, '
+                f'dtype={self.dtype})')
+
+
+def _spinbolus_flatten(sb: SpinBolus):
+    leaves = (sb.T1_, sb.T2_, sb.gam_, sb.M_, sb.vel_)
+    aux = (sb._shape, sb._mask.tobytes(), sb._dtype)
+    return leaves, aux
+
+
+def _spinbolus_unflatten(aux, leaves):
+    sb = object.__new__(SpinBolus)
+    shape, mask_bytes, dtype = aux
+    mask = np.frombuffer(mask_bytes, dtype=bool).reshape((1,) + shape[1:])
+    object.__setattr__(sb, '_shape', shape)
+    object.__setattr__(sb, '_mask', mask)
+    object.__setattr__(sb, '_midx', np.flatnonzero(mask[0].reshape(-1)))
+    object.__setattr__(sb, '_dtype', dtype)
+    for k, v in zip(('T1_', 'T2_', 'gam_', 'M_', 'vel_'), leaves):
+        object.__setattr__(sb, k, v)
+    return sb
+
+
+jax.tree_util.register_pytree_node(SpinBolus, _spinbolus_flatten,
+                                   _spinbolus_unflatten)
 
 
 # ==========================================================================

@@ -132,9 +132,9 @@ def _fwd_kernel(nT: int, nC: int, relax: bool, has_dfg: bool, has_b1: bool,
             by = jnp.full_like(bz, rfy)
         bx, by, bz = g2pd * bx, g2pd * by, g2pd * bz
 
-        phi = jnp.sqrt(jnp.maximum(bx * bx + by * by + bz * bz,
-                                   _PHI_EPS ** 2))
-        inv = 1.0 / phi
+        n2 = jnp.maximum(bx * bx + by * by + bz * bz, _PHI_EPS ** 2)
+        inv = jax.lax.rsqrt(n2)
+        phi = n2 * inv
         ux, uy, uz = bx * inv, by * inv, bz * inv
         s, c1 = jnp.sin(phi), jnp.cos(phi) - 1.0
         utm = ux * mx + uy * my + uz * mz
@@ -234,6 +234,7 @@ def _bwd_kernel(nT: int, nC: int, relax: bool, has_dfg: bool, has_b1: bool,
     if relax:
         E2, E1 = E_ref[0], E_ref[2]
         e1_1 = e1_ref[:]
+        iE2, iE1 = 1.0 / E2, 1.0 / E1  # hoisted: divides are VPU-costly
 
     def body(k, carry):
         t = nT - 1 - k
@@ -261,17 +262,16 @@ def _bwd_kernel(nT: int, nC: int, relax: bool, has_dfg: bool, has_b1: bool,
             by = jnp.full_like(bz, rfy)
         bx, by, bz = g2pd * bx, g2pd * by, g2pd * bz
 
-        phi = jnp.sqrt(jnp.maximum(bx * bx + by * by + bz * bz,
-                                   _PHI_EPS ** 2))
-        inv = 1.0 / phi
+        n2 = jnp.maximum(bx * bx + by * by + bz * bz, _PHI_EPS ** 2)
+        inv = jax.lax.rsqrt(n2)
+        phi = n2 * inv
         ux, uy, uz = bx * inv, by * inv, bz * inv
         s, c = jnp.sin(phi), jnp.cos(phi)
         c1 = c - 1.0
 
         # undo relaxation: m̃ = (m₁ + e1z)/E, h̃ = E∘h₁
         if relax:
-            iE2 = 1.0 / E2
-            mtx, mty, mtz = mx * iE2, my * iE2, (mz + e1_1) / E1
+            mtx, mty, mtz = mx * iE2, my * iE2, (mz + e1_1) * iE1
             htx, hty, htz = hx * E2, hy * E2, hz * E1
         else:
             mtx, mty, mtz = mx, my, mz
@@ -436,9 +436,9 @@ def _pick_ts(S1: int) -> int:
 # --------------------------------------------------------------------------
 
 def _rot_relax_planes(mx, my, mz, bx, by, bz, relax, E2, E1, e1_1):
-    phi = jnp.sqrt(jnp.maximum(bx * bx + by * by + bz * bz,
-                               _PHI_EPS ** 2))
-    inv = 1.0 / phi
+    n2 = jnp.maximum(bx * bx + by * by + bz * bz, _PHI_EPS ** 2)
+    inv = jax.lax.rsqrt(n2)
+    phi = n2 * inv
     ux, uy, uz = bx * inv, by * inv, bz * inv
     s, c1 = jnp.sin(phi), jnp.cos(phi) - 1.0
     utm = ux * mx + uy * my + uz * mz
@@ -522,9 +522,9 @@ def _beff_bwd_kernel(tc: int, ntc: int, relax: bool, *refs):
         by = g2pd * beff_ref[t, 1]
         bz = g2pd * beff_ref[t, 2]
 
-        phi = jnp.sqrt(jnp.maximum(bx * bx + by * by + bz * bz,
-                                   _PHI_EPS ** 2))
-        inv = 1.0 / phi
+        n2 = jnp.maximum(bx * bx + by * by + bz * bz, _PHI_EPS ** 2)
+        inv = jax.lax.rsqrt(n2)
+        phi = n2 * inv
         ux, uy, uz = bx * inv, by * inv, bz * inv
         s, c = jnp.sin(phi), jnp.cos(phi)
         c1 = c - 1.0

@@ -333,13 +333,20 @@ def blochsim(Mi, Beff, *, T1: Optional[jax.Array] = None,
 # inline: per-step HBM traffic is the M carry + the constant per-spin
 # fields, and the adjoint emits tiny (nT,)-shaped waveform gradients.
 
-def _assemble_b(rf_t, gr_t, loc_p, dfg, b1_p, g2pd):
+def _assemble_b(rf_t, gr_t, loc_p, dfg, b1_p, g2pd, vel_p=None,
+                tval=None):
     r"""Per-step B-effective in planes layout, scaled to radians.
 
     ``rf_t``: `(N, 2, C)`; ``gr_t``: `(N, 3)`; ``loc_p``: `(N, 3, S1, L)`;
     ``dfg`` (=df/γ): `(N, S1, L)` or None; ``b1_p``: `(N, 2, C, S1, L)` or
     None; ``g2pd``: `(N, S1, L)`. Returns ``b``: `(N, 3, S1, L)`.
+
+    Flow support (SpinBolus): with ``vel_p`` `(N, 3, S1, L)` (cm/s) and a
+    per-step time ``tval`` `()` (s), locations are ``loc + v·t`` — spins
+    move through the gradient field during the pulse.
     """
+    if vel_p is not None:
+        loc_p = loc_p + tval * vel_p
     bz = jnp.sum(gr_t[:, :, None, None] * loc_p, axis=1)     # (N, S1, L)
     if dfg is not None:
         bz = bz + dfg
@@ -356,13 +363,16 @@ def _assemble_b(rf_t, gr_t, loc_p, dfg, b1_p, g2pd):
     return g2pd[:, None] * jnp.stack([bx, by, bz], axis=1)    # (N, 3, S1, L)
 
 
-def _assemble_b_transpose(db, loc_p, b1_p, g2pd):
+def _assemble_b_transpose(db, loc_p, b1_p, g2pd, vel_p=None, tval=None):
     r"""Transpose of :func:`_assemble_b` w.r.t. (rf_t, gr_t).
 
     ``db``: `(N, 3, S1, L)` cotangent of the scaled b. Returns
     ``(drf_t (N, 2, C), dgr_t (N, 3))``; ``C = 1`` when ``b1_p`` is None
-    (caller broadcasts over coils).
+    (caller broadcasts over coils). With flow, ``dgr`` contracts against
+    the effective (moved) locations.
     """
+    if vel_p is not None:
+        loc_p = loc_p + tval * vel_p
     db_raw = g2pd[:, None] * db
     dgr_t = jnp.sum(db_raw[:, 2:3] * loc_p, axis=(2, 3))       # (N, 3)
     dbx, dby = db_raw[:, 0], db_raw[:, 1]                      # (N, S1, L)
@@ -378,8 +388,9 @@ def _assemble_b_transpose(db, loc_p, b1_p, g2pd):
     return jnp.stack([drfx, drfy], axis=1), dgr_t              # (N,2,C)
 
 
-def _step_rfgr(m, rf_t, gr_t, loc_p, dfg, b1_p, E, e1_1, g2pd):
-    b = _assemble_b(rf_t, gr_t, loc_p, dfg, b1_p, g2pd)
+def _step_rfgr(m, rf_t, gr_t, loc_p, dfg, b1_p, E, e1_1, g2pd,
+               vel_p=None, tval=None):
+    b = _assemble_b(rf_t, gr_t, loc_p, dfg, b1_p, g2pd, vel_p, tval)
     e1z = None if e1_1 is None else e1_1[:, None] * _ez(m.ndim, 1, m.dtype)
     return _fused_fwd_step(m, b, E, e1z, axis=1)
 
@@ -387,41 +398,47 @@ def _step_rfgr(m, rf_t, gr_t, loc_p, dfg, b1_p, E, e1_1, g2pd):
 def _mk_rfgr_core(adjoint: str):
 
     @jax.custom_vjp
-    def core(mi, rf, gr, loc_p, dfg, b1_p, E, e1_1, g2pd):
-        return fwd(mi, rf, gr, loc_p, dfg, b1_p, E, e1_1, g2pd)[0]
+    def core(mi, rf, gr, tarr, loc_p, dfg, b1_p, E, e1_1, g2pd, vel_p):
+        return fwd(mi, rf, gr, tarr, loc_p, dfg, b1_p, E, e1_1, g2pd,
+                   vel_p)[0]
 
-    def fwd(mi, rf, gr, loc_p, dfg, b1_p, E, e1_1, g2pd):
+    def fwd(mi, rf, gr, tarr, loc_p, dfg, b1_p, E, e1_1, g2pd, vel_p):
         if adjoint == 'history':
             def scan_step(m, xs):
-                rf_t, gr_t = xs
+                rf_t, gr_t, tval = xs
                 return _step_rfgr(m, rf_t, gr_t, loc_p, dfg, b1_p, E,
-                                  e1_1, g2pd), m
-            mo, m0hist = jax.lax.scan(scan_step, mi, (rf, gr))
-            res = (m0hist, rf, gr, loc_p, dfg, b1_p, E, e1_1, g2pd)
+                                  e1_1, g2pd, vel_p, tval), m
+            mo, m0hist = jax.lax.scan(scan_step, mi, (rf, gr, tarr))
+            res = (m0hist, rf, gr, tarr, loc_p, dfg, b1_p, E, e1_1, g2pd,
+                   vel_p)
         else:
             def scan_step(m, xs):
-                rf_t, gr_t = xs
+                rf_t, gr_t, tval = xs
                 return _step_rfgr(m, rf_t, gr_t, loc_p, dfg, b1_p, E,
-                                  e1_1, g2pd), None
-            mo, _ = jax.lax.scan(scan_step, mi, (rf, gr))
-            res = (mo, rf, gr, loc_p, dfg, b1_p, E, e1_1, g2pd)
+                                  e1_1, g2pd, vel_p, tval), None
+            mo, _ = jax.lax.scan(scan_step, mi, (rf, gr, tarr))
+            res = (mo, rf, gr, tarr, loc_p, dfg, b1_p, E, e1_1, g2pd,
+                   vel_p)
         return mo, res
 
     def bwd(res, g):
-        m_res, rf, gr, loc_p, dfg, b1_p, E, e1_1, g2pd = res
+        (m_res, rf, gr, tarr, loc_p, dfg, b1_p, E, e1_1, g2pd,
+         vel_p) = res
 
-        def step_vjp(m0, rf_t, gr_t, h):
+        def step_vjp(m0, rf_t, gr_t, tval, h):
             _, vjp_fn = jax.vjp(
                 lambda m, r, gg: _step_rfgr(m, r, gg, loc_p, dfg, b1_p,
-                                            E, e1_1, g2pd), m0, rf_t, gr_t)
+                                            E, e1_1, g2pd, vel_p, tval),
+                m0, rf_t, gr_t)
             return vjp_fn(h)
 
         if adjoint == 'history':
             def scan_step(h, xs):
-                m0, rf_t, gr_t = xs
-                h_prev, drf_t, dgr_t = step_vjp(m0, rf_t, gr_t, h)
+                m0, rf_t, gr_t, tval = xs
+                h_prev, drf_t, dgr_t = step_vjp(m0, rf_t, gr_t, tval, h)
                 return h_prev, (drf_t, dgr_t)
-            dmi, (drf, dgr) = jax.lax.scan(scan_step, g, (m_res, rf, gr),
+            dmi, (drf, dgr) = jax.lax.scan(scan_step, g,
+                                           (m_res, rf, gr, tarr),
                                            reverse=True)
         else:
             e1z = (None if e1_1 is None else
@@ -429,22 +446,25 @@ def _mk_rfgr_core(adjoint: str):
             nC = rf.shape[-1]
 
             def scan_step(carry, xs):
-                rf_t, gr_t = xs
+                rf_t, gr_t, tval = xs
                 m1, h = carry
-                b = _assemble_b(rf_t, gr_t, loc_p, dfg, b1_p, g2pd)
+                b = _assemble_b(rf_t, gr_t, loc_p, dfg, b1_p, g2pd,
+                                vel_p, tval)
                 m0, h_prev, db = _fused_bwd_step(m1, h, b, E, e1z, axis=1)
                 drf_t, dgr_t = _assemble_b_transpose(db, loc_p, b1_p,
-                                                     g2pd)
+                                                     g2pd, vel_p, tval)
                 if b1_p is None:  # coil sum in _assemble_b broadcasts back
                     drf_t = jnp.broadcast_to(drf_t, drf_t.shape[:-1] +
                                              (nC,))
                 return (m0, h_prev), (drf_t, dgr_t)
             (_, dmi), (drf, dgr) = jax.lax.scan(scan_step, (m_res, g),
-                                                (rf, gr), reverse=True)
+                                                (rf, gr, tarr),
+                                                reverse=True)
 
         zl = lambda x: None if x is None else jnp.zeros_like(x)  # noqa: E731
-        return (dmi, drf, dgr, zl(loc_p), zl(dfg), zl(b1_p), zl(E),
-                zl(e1_1), jnp.zeros_like(g2pd))
+        return (dmi, drf, dgr, jnp.zeros_like(tarr), zl(loc_p), zl(dfg),
+                zl(b1_p), zl(E), zl(e1_1), jnp.zeros_like(g2pd),
+                zl(vel_p))
 
     core.defvjp(fwd, bwd)
     return core
@@ -456,7 +476,8 @@ _RFGR_CORES = {k: _mk_rfgr_core(k) for k in ('reconstruct', 'history')}
 @kwalias(**{'γ': 'gam', 'Δf': 'df'})
 def blochsim_rfgr(Mi, rf, gr, loc, *, T1: Optional[jax.Array] = None,
                   T2: Optional[jax.Array] = None, df=None, b1Map=None,
-                  gam=gamH, dt=dt0, adjoint: str = 'reconstruct',
+                  gam=gamH, dt=dt0, vel=None,
+                  adjoint: str = 'reconstruct',
                   backend: str = 'auto', _pallas_interpret: bool = False):
     r"""Fused Bloch simulator taking raw waveforms: grads w.r.t. rf/gr
     without materializing B-effective.
@@ -471,9 +492,12 @@ def blochsim_rfgr(Mi, rf, gr, loc, *, T1: Optional[jax.Array] = None,
         - ``Mi``: `(N, *Nd, xyz)`; ``rf``: `(N, xy, nT, (nCoils))`;
           ``gr``: `(N, xyz, nT)`; ``loc``: `(N, *Nd, xyz)`, "cm".
     Optionals: as :func:`blochsim`, plus ``df``/``b1Map`` as
-        :func:`mrphy_tpu.ops.beffective.rfgr2beff`, and ``adjoint``
+        :func:`mrphy_tpu.ops.beffective.rfgr2beff`; ``adjoint``
         (``'reconstruct'``: O(nM) total memory — this engine never holds
-        more than a few copies of the spin state regardless of nT).
+        more than a few copies of the spin state regardless of nT); and
+        ``vel``: `(N, *Nd, xyz)`, "cm/s" — per-spin velocities for flow
+        simulation (SpinBolus): locations evolve as ``loc + vel·t``
+        inside the scan (nondifferentiable; XLA backend).
     Outputs:
         - ``Mo``: `(N, *Nd, xyz)`.
 
@@ -500,10 +524,16 @@ def blochsim_rfgr(Mi, rf, gr, loc, *, T1: Optional[jax.Array] = None,
 
     mi = planes(Mi, 3)
     loc_p = planes(loc, 3)
+    vel_p = None if vel is None else planes(
+        jnp.asarray(vel, dtype), 3)
     if rf.ndim == 3:
         rf = rf[..., None]                               # add coil dim
     rf_t = rf.transpose(2, 0, 1, 3).astype(dtype)        # (nT, N, 2, C)
     gr_t = gr.transpose(2, 0, 1).astype(dtype)           # (nT, N, 3)
+    # per-step elapsed time for flow (uses a scalar dt; per-batch dt with
+    # flow is unsupported)
+    tarr = (jnp.arange(nT, dtype=dtype)
+            * jnp.asarray(dt, dtype).reshape(-1)[0])     # (nT,)
 
     def flat(x):  # `()` ⊻ `(N ⊻ 1, *Nd ⊻ 1)` param → (N, nS)
         x = rshape(jnp.asarray(x, dtype=dtype), len(NNd))
@@ -538,7 +568,7 @@ def blochsim_rfgr(Mi, rf, gr, loc, *, T1: Optional[jax.Array] = None,
 
     if backend == 'auto':
         from mrphy_tpu.ops import pallas_kernels
-        backend = ('pallas' if (not _pallas_interpret and
+        backend = ('pallas' if (not _pallas_interpret and vel is None and
                                 pallas_kernels.rfgr_is_available(
                                     N=N, dtype=dtype, nspins=nS))
                    else 'xla')
@@ -548,6 +578,7 @@ def blochsim_rfgr(Mi, rf, gr, loc, *, T1: Optional[jax.Array] = None,
         nC = rf_t.shape[-1]
         # drop the batch dim (pallas path supports N == 1)
         assert N == 1, 'pallas backend supports batch N == 1'
+        assert vel is None, 'flow (vel) uses the XLA backend'
         # columns: [x coils..., y coils...]
         rf2 = jnp.concatenate([rf_t[:, 0, 0, :], rf_t[:, 0, 1, :]], axis=-1)
         gr2 = gr_t[:, 0, :]
@@ -557,8 +588,8 @@ def blochsim_rfgr(Mi, rf, gr, loc, *, T1: Optional[jax.Array] = None,
             mi[0], rf2, gr2, loc_p[0], sq(dfg), b1_sq, sq(E), sq(e1_1),
             g2pd[0], _pallas_interpret)[None]
     elif backend == 'xla':
-        mo = _RFGR_CORES[adjoint](mi, rf_t, gr_t, loc_p, dfg, b1_p, E,
-                                  e1_1, g2pd)
+        mo = _RFGR_CORES[adjoint](mi, rf_t, gr_t, tarr, loc_p, dfg, b1_p,
+                                  E, e1_1, g2pd, vel_p)
     else:
         raise ValueError(f'unknown backend {backend!r}')
 
