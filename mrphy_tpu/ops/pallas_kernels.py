@@ -42,6 +42,7 @@ __all__ = ['is_available', 'blochsim_core', 'rfgr_core', 'rfgr_fwd_planes',
            'rfgr_bwd_planes']
 
 _PHI_EPS = 1e-12
+_UNROLL = 4      # time-loop unroll: amortizes Mosaic loop overhead
 _LANE = 128
 _DEF_TS = 256            # sublane tile: 256x128 = 32768 spins per tile
 # v5e has 128 MB physical VMEM; the default compiler cap is 16 MB
@@ -109,25 +110,25 @@ def _fwd_kernel(nT: int, nC: int, relax: bool, has_dfg: bool, has_b1: bool,
         E2, E1 = E_ref[0], E_ref[2]
         e1_1 = e1_ref[:]
 
-    def body(t, m):
+    def step(t, m):
         mx, my, mz = m
-        bz = gr_ref[t, 0] * locx + gr_ref[t, 1] * locy + gr_ref[t, 2] * locz
+        bz = gr_ref[0, t] * locx + gr_ref[1, t] * locy + gr_ref[2, t] * locz
         if has_dfg:
             bz = bz + dfg
         if has_b1:
-            bx = b1_ref[0] * rf_ref[t, 0] - b1_ref[nC] * rf_ref[t, nC]
-            by = b1_ref[0] * rf_ref[t, nC] + b1_ref[nC] * rf_ref[t, 0]
+            bx = b1_ref[0] * rf_ref[0, t] - b1_ref[nC] * rf_ref[nC, t]
+            by = b1_ref[0] * rf_ref[nC, t] + b1_ref[nC] * rf_ref[0, t]
             for c in range(1, nC):
-                bx += (b1_ref[c] * rf_ref[t, c]
-                       - b1_ref[nC + c] * rf_ref[t, nC + c])
-                by += (b1_ref[c] * rf_ref[t, nC + c]
-                       + b1_ref[nC + c] * rf_ref[t, c])
+                bx += (b1_ref[c] * rf_ref[c, t]
+                       - b1_ref[nC + c] * rf_ref[nC + c, t])
+                by += (b1_ref[c] * rf_ref[nC + c, t]
+                       + b1_ref[nC + c] * rf_ref[c, t])
         else:
-            rfx = rf_ref[t, 0]
-            rfy = rf_ref[t, nC]
+            rfx = rf_ref[0, t]
+            rfy = rf_ref[nC, t]
             for c in range(1, nC):
-                rfx += rf_ref[t, c]
-                rfy += rf_ref[t, nC + c]
+                rfx += rf_ref[c, t]
+                rfy += rf_ref[nC + c, t]
             bx = jnp.full_like(bz, rfx)
             by = jnp.full_like(bz, rfy)
         bx, by, bz = g2pd * bx, g2pd * by, g2pd * bz
@@ -146,8 +147,18 @@ def _fwd_kernel(nT: int, nC: int, relax: bool, has_dfg: bool, has_b1: bool,
             m1x, m1y, m1z = m1x * E2, m1y * E2, m1z * E1 - e1_1
         return m1x, m1y, m1z
 
+    # Mosaic fori_loop only supports unroll=1 or full; unroll manually to
+    # amortize the per-iteration loop overhead (the dominant cost: the
+    # per-step VPU math on one tile is ~2 us)
+    u = math.gcd(nT, _UNROLL)
+
+    def body(k, m):
+        for j in range(u):
+            m = step(k * u + j, m)
+        return m
+
     mx, my, mz = jax.lax.fori_loop(
-        0, nT, body, (mi_ref[0], mi_ref[1], mi_ref[2]))
+        0, nT // u, body, (mi_ref[0], mi_ref[1], mi_ref[2]))
     mo_ref[0], mo_ref[1], mo_ref[2] = mx, my, mz
 
 
@@ -172,8 +183,10 @@ def rfgr_fwd_planes(mi, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd, *,
                          memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
+    # waveforms transposed to (k, nT): SMEM rows pad to 512 B, so a
+    # (nT, k) layout would cost nT*512 B and overflow the 1 MB SMEM
     in_specs = [smem, smem, tile3, tile3, tile1]
-    args = [rf2, gr2, mi, loc_p, g2pd]
+    args = [rf2.T, gr2.T, mi, loc_p, g2pd]
     if has_dfg:
         in_specs.append(tile1)
         args.append(dfg)
@@ -236,28 +249,27 @@ def _bwd_kernel(nT: int, nC: int, relax: bool, has_dfg: bool, has_b1: bool,
         e1_1 = e1_ref[:]
         iE2, iE1 = 1.0 / E2, 1.0 / E1  # hoisted: divides are VPU-costly
 
-    def body(k, carry):
-        t = nT - 1 - k
+    def step(t, carry):
         mx, my, mz, hx, hy, hz = carry
 
         # recompute b_t (same as forward)
-        bz = gr_ref[t, 0] * locx + gr_ref[t, 1] * locy + gr_ref[t, 2] * locz
+        bz = gr_ref[0, t] * locx + gr_ref[1, t] * locy + gr_ref[2, t] * locz
         if has_dfg:
             bz = bz + dfg
         if has_b1:
-            bx = b1_ref[0] * rf_ref[t, 0] - b1_ref[nC] * rf_ref[t, nC]
-            by = b1_ref[0] * rf_ref[t, nC] + b1_ref[nC] * rf_ref[t, 0]
+            bx = b1_ref[0] * rf_ref[0, t] - b1_ref[nC] * rf_ref[nC, t]
+            by = b1_ref[0] * rf_ref[nC, t] + b1_ref[nC] * rf_ref[0, t]
             for c in range(1, nC):
-                bx += (b1_ref[c] * rf_ref[t, c]
-                       - b1_ref[nC + c] * rf_ref[t, nC + c])
-                by += (b1_ref[c] * rf_ref[t, nC + c]
-                       + b1_ref[nC + c] * rf_ref[t, c])
+                bx += (b1_ref[c] * rf_ref[c, t]
+                       - b1_ref[nC + c] * rf_ref[nC + c, t])
+                by += (b1_ref[c] * rf_ref[nC + c, t]
+                       + b1_ref[nC + c] * rf_ref[c, t])
         else:
-            rfx = rf_ref[t, 0]
-            rfy = rf_ref[t, nC]
+            rfx = rf_ref[0, t]
+            rfy = rf_ref[nC, t]
             for c in range(1, nC):
-                rfx += rf_ref[t, c]
-                rfy += rf_ref[t, nC + c]
+                rfx += rf_ref[c, t]
+                rfy += rf_ref[nC + c, t]
             bx = jnp.full_like(bz, rfx)
             by = jnp.full_like(bz, rfy)
         bx, by, bz = g2pd * bx, g2pd * by, g2pd * bz
@@ -325,8 +337,15 @@ def _bwd_kernel(nT: int, nC: int, relax: bool, has_dfg: bool, has_b1: bool,
 
         return m0x, m0y, m0z, h0x, h0y, h0z
 
+    u = math.gcd(nT, _UNROLL)
+
+    def body(k, carry):
+        for j in range(u):
+            carry = step(nT - 1 - (k * u + j), carry)
+        return carry
+
     m0x, m0y, m0z, h0x, h0y, h0z = jax.lax.fori_loop(
-        0, nT, body,
+        0, nT // u, body,
         (mo_ref[0], mo_ref[1], mo_ref[2], g_ref[0], g_ref[1], g_ref[2]))
     dmi_ref[0], dmi_ref[1], dmi_ref[2] = h0x, h0y, h0z
 
@@ -351,7 +370,7 @@ def rfgr_bwd_planes(mo, g, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd, *,
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
 
     in_specs = [smem, smem, tile3, tile3, tile3, tile1]
-    args = [rf2, gr2, mo, g, loc_p, g2pd]
+    args = [rf2.T, gr2.T, mo, g, loc_p, g2pd]
     if has_dfg:
         in_specs.append(tile1)
         args.append(dfg)
