@@ -9,25 +9,29 @@ fields (loc, Δf/γ, 2πγdt, E1/E2) and the magnetization carry are re-read
 from / written to HBM on *every* time step (~60 MB/step for 1M spins).
 Here:
 
-- the grid runs over spin tiles ``(TS, 128)``;
+- the grid runs over ``(batch, spin tiles)``;
 - per tile, ALL loop-invariant fields are loaded into VMEM **once**, the
-  magnetization stays in VMEM for the whole ``nT``-step ``fori_loop``, and
-  the tiny per-step waveforms (rf, gr — a few KB total) sit in SMEM;
+  magnetization stays in VMEM for the whole ``nT``-step time loop, and
+  the tiny per-step waveforms (rf, gr) sit in SMEM — transposed to
+  ``(k, nT)`` because SMEM rows pad to 512 B;
 - per-tile HBM traffic is therefore O(nM) total, independent of nT: the
-  kernel is compute-bound (the VPU trig/rotation math), not
-  bandwidth-bound.
+  kernel is compute-bound (the VPU trig/rotation math), sustaining
+  ~7 G spin·steps/s fwd+adjoint on one v5e chip.
 
 The backward kernel uses the same trick plus the reverse-reconstruction
 adjoint of :mod:`mrphy_tpu.ops.sims`: it re-derives the trajectory
 backwards in VMEM (no O(nM·nT) residual), rotates the cotangent back, and
 reduces the per-step field gradients to waveform-shaped outputs
-``(nT, ...)`` inside the kernel.
+``(nT, ...)`` inside the kernel (sublane reduction in-kernel, lane/tile
+reduction outside).
 
 Layout contract (shared with :mod:`mrphy_tpu.ops.sims`): planes
-``(xyz, S1, 128)``, spin axis on (sublane, lane).
+``(N, xyz, S1, 128)`` for the rf/gr engine (grid covers the batch), and
+``(xyz, S1, 128)`` with batch folded into spins for the Beff-streaming
+engine.
 
-Scope: TPU backend, f32, batch ``N == 1`` (the throughput case; other
-configs use the XLA scan engine). CPU tests run via ``interpret=True``.
+Scope: TPU backend, f32 (CPU tests run via ``interpret=True``); flow
+(``vel``) uses the XLA engine.
 """
 
 import functools
@@ -39,100 +43,116 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ['is_available', 'blochsim_core', 'rfgr_core', 'rfgr_fwd_planes',
-           'rfgr_bwd_planes']
+           'rfgr_bwd_planes', 'rfgr_is_available']
 
 _PHI_EPS = 1e-12
-_UNROLL = 4      # time-loop unroll: amortizes Mosaic loop overhead
+_UNROLL = 4      # manual time-loop unroll (Mosaic fori_loop can't unroll)
 _LANE = 128
 _DEF_TS = 256            # sublane tile: 256x128 = 32768 spins per tile
 # v5e has 128 MB physical VMEM; the default compiler cap is 16 MB
 _VMEM_LIMIT = 64 * 1024 * 1024
-
-
-def is_available(*, nT: int, nspins: int, dtype) -> bool:
-    r"""Whether the Beff-streaming Pallas engine supports this instance
-    (and is worth its compile time — see :func:`rfgr_is_available`)."""
-    try:
-        platform = jax.devices()[0].platform
-    except RuntimeError:
-        return False
-    return (jnp.dtype(dtype) == jnp.float32
-            and nspins >= _MIN_AUTO_SPINS
-            and platform.startswith(('tpu', 'axon')))
-
-
 _MIN_AUTO_SPINS = 32768  # below one full spin tile, the XLA scan is
 #                          already fast and compiles far quicker
 
 
-def rfgr_is_available(*, N: int, dtype, nspins: int = _MIN_AUTO_SPINS
-                      ) -> bool:
-    r"""Whether the fused rf/gr Pallas kernels support this instance (and
-    are worth their compile time — 'auto' prefers XLA for small spin
-    counts)."""
+def _on_tpu() -> bool:
     try:
-        platform = jax.devices()[0].platform
+        return jax.devices()[0].platform.startswith(('tpu', 'axon'))
     except RuntimeError:
         return False
-    return (N == 1 and jnp.dtype(dtype) == jnp.float32
-            and nspins >= _MIN_AUTO_SPINS
-            and platform.startswith(('tpu', 'axon')))
 
 
-# --------------------------------------------------------------------------
-# Forward kernel
-# --------------------------------------------------------------------------
+def is_available(*, nT: int, nspins: int, dtype) -> bool:
+    r"""Whether the Beff-streaming Pallas engine supports this instance
+    (and is worth its compile time — 'auto' prefers XLA when small)."""
+    return (jnp.dtype(dtype) == jnp.float32
+            and nspins >= _MIN_AUTO_SPINS and _on_tpu())
 
-def _fwd_kernel(nT: int, nC: int, relax: bool, has_dfg: bool, has_b1: bool,
-                rf_ref, gr_ref, *refs):
-    r"""One spin tile, full time loop. Positional refs (after rf/gr):
-    mi, loc, g2pd, [dfg], [b1], [E, e1_1], mo."""
-    i = 0
-    mi_ref, loc_ref, g2pd_ref = refs[i], refs[i + 1], refs[i + 2]
-    i += 3
-    dfg_ref = None
+
+def rfgr_is_available(*, N: int, dtype, nspins: int = _MIN_AUTO_SPINS
+                      ) -> bool:
+    r"""Whether the fused rf/gr Pallas kernels support this instance (any
+    batch size; 'auto' prefers XLA for small spin counts)."""
+    del N  # batched grids are supported
+    return (jnp.dtype(dtype) == jnp.float32
+            and nspins >= _MIN_AUTO_SPINS and _on_tpu())
+
+
+def _pick_ts(S1: int) -> int:
+    r"""Largest tile ≤ _DEF_TS sublanes dividing S1 (S1 is a multiple of
+    8 by construction)."""
+    return math.gcd(S1, _DEF_TS)
+
+
+# ==========================================================================
+# Fused rf/gr kernels, grid = (batch, spin tiles)
+# ==========================================================================
+
+def _unpack(refs, relax, has_dfg, has_b1, n_lead):
+    r"""Unpack the optional-argument tail shared by both kernels."""
+    i = n_lead
+    dfg_ref = b1_ref = E_ref = e1_ref = None
     if has_dfg:
         dfg_ref = refs[i]
         i += 1
-    b1_ref = None
     if has_b1:
         b1_ref = refs[i]
         i += 1
     if relax:
         E_ref, e1_ref = refs[i], refs[i + 1]
         i += 2
-    mo_ref = refs[i]
+    return refs[:n_lead], dfg_ref, b1_ref, E_ref, e1_ref, refs[i:]
 
-    locx, locy, locz = loc_ref[0], loc_ref[1], loc_ref[2]
-    g2pd = g2pd_ref[:]
-    dfg = dfg_ref[:] if has_dfg else None
+
+def _assemble_b_tile(n, t, nC, has_dfg, has_b1, rf_ref, gr_ref,
+                     locx, locy, locz, dfg, b1_ref, g2pd):
+    r"""Per-step scaled field for one tile (shared by fwd and bwd)."""
+    bz = (gr_ref[n, 0, t] * locx + gr_ref[n, 1, t] * locy
+          + gr_ref[n, 2, t] * locz)
+    if has_dfg:
+        bz = bz + dfg
+    if has_b1:
+        bx = (b1_ref[0, 0] * rf_ref[n, 0, t]
+              - b1_ref[0, nC] * rf_ref[n, nC, t])
+        by = (b1_ref[0, 0] * rf_ref[n, nC, t]
+              + b1_ref[0, nC] * rf_ref[n, 0, t])
+        for c in range(1, nC):
+            bx += (b1_ref[0, c] * rf_ref[n, c, t]
+                   - b1_ref[0, nC + c] * rf_ref[n, nC + c, t])
+            by += (b1_ref[0, c] * rf_ref[n, nC + c, t]
+                   + b1_ref[0, nC + c] * rf_ref[n, c, t])
+    else:
+        rfx = rf_ref[n, 0, t]
+        rfy = rf_ref[n, nC, t]
+        for c in range(1, nC):
+            rfx += rf_ref[n, c, t]
+            rfy += rf_ref[n, nC + c, t]
+        bx = jnp.full_like(bz, rfx)
+        by = jnp.full_like(bz, rfy)
+    return g2pd * bx, g2pd * by, g2pd * bz
+
+
+def _rfgr_fwd_kernel(nT: int, nC: int, relax: bool, has_dfg: bool,
+                     has_b1: bool, rf_ref, gr_ref, *refs):
+    r"""One (batch, spin tile) grid cell, full time loop. Positional refs
+    (after rf/gr): mi, loc, g2pd, [dfg], [b1], [E, e1_1], mo."""
+    (mi_ref, loc_ref, g2pd_ref), dfg_ref, b1_ref, E_ref, e1_ref, outs = \
+        _unpack(refs, relax, has_dfg, has_b1, 3)
+    mo_ref = outs[0]
+    n = pl.program_id(0)
+
+    locx, locy, locz = loc_ref[0, 0], loc_ref[0, 1], loc_ref[0, 2]
+    g2pd = g2pd_ref[0]
+    dfg = dfg_ref[0] if has_dfg else None
     if relax:
-        E2, E1 = E_ref[0], E_ref[2]
-        e1_1 = e1_ref[:]
+        E2, E1 = E_ref[0, 0], E_ref[0, 2]
+        e1_1 = e1_ref[0]
 
     def step(t, m):
         mx, my, mz = m
-        bz = gr_ref[0, t] * locx + gr_ref[1, t] * locy + gr_ref[2, t] * locz
-        if has_dfg:
-            bz = bz + dfg
-        if has_b1:
-            bx = b1_ref[0] * rf_ref[0, t] - b1_ref[nC] * rf_ref[nC, t]
-            by = b1_ref[0] * rf_ref[nC, t] + b1_ref[nC] * rf_ref[0, t]
-            for c in range(1, nC):
-                bx += (b1_ref[c] * rf_ref[c, t]
-                       - b1_ref[nC + c] * rf_ref[nC + c, t])
-                by += (b1_ref[c] * rf_ref[nC + c, t]
-                       + b1_ref[nC + c] * rf_ref[c, t])
-        else:
-            rfx = rf_ref[0, t]
-            rfy = rf_ref[nC, t]
-            for c in range(1, nC):
-                rfx += rf_ref[c, t]
-                rfy += rf_ref[nC + c, t]
-            bx = jnp.full_like(bz, rfx)
-            by = jnp.full_like(bz, rfy)
-        bx, by, bz = g2pd * bx, g2pd * by, g2pd * bz
-
+        bx, by, bz = _assemble_b_tile(n, t, nC, has_dfg, has_b1, rf_ref,
+                                      gr_ref, locx, locy, locz, dfg,
+                                      b1_ref, g2pd)
         n2 = jnp.maximum(bx * bx + by * by + bz * bz, _PHI_EPS ** 2)
         inv = jax.lax.rsqrt(n2)
         phi = n2 * inv
@@ -148,8 +168,7 @@ def _fwd_kernel(nT: int, nC: int, relax: bool, has_dfg: bool, has_b1: bool,
         return m1x, m1y, m1z
 
     # Mosaic fori_loop only supports unroll=1 or full; unroll manually to
-    # amortize the per-iteration loop overhead (the dominant cost: the
-    # per-step VPU math on one tile is ~2 us)
+    # amortize the per-iteration loop overhead
     u = math.gcd(nT, _UNROLL)
 
     def body(k, m):
@@ -158,121 +177,36 @@ def _fwd_kernel(nT: int, nC: int, relax: bool, has_dfg: bool, has_b1: bool,
         return m
 
     mx, my, mz = jax.lax.fori_loop(
-        0, nT // u, body, (mi_ref[0], mi_ref[1], mi_ref[2]))
-    mo_ref[0], mo_ref[1], mo_ref[2] = mx, my, mz
+        0, nT // u, body, (mi_ref[0, 0], mi_ref[0, 1], mi_ref[0, 2]))
+    mo_ref[0, 0], mo_ref[0, 1], mo_ref[0, 2] = mx, my, mz
 
 
-def rfgr_fwd_planes(mi, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd, *,
-                    ts: int = _DEF_TS, interpret: bool = False):
-    r"""Pallas forward in planes layout.
-
-    ``mi``/``loc_p``/``E``: `(3, S1, L)`; ``dfg``/``e1_1``/``g2pd``:
-    `(S1, L)`; ``b1_p``: `(2C, S1, L)` or None; ``rf2``: `(nT, 2C)`;
-    ``gr2``: `(nT, 3)`. ``S1`` must be a multiple of ``ts``.
-    """
-    nT = gr2.shape[0]
-    nC = rf2.shape[1] // 2
-    S1 = mi.shape[1]
-    assert S1 % ts == 0, (S1, ts)
-    grid = (S1 // ts,)
-    relax, has_dfg, has_b1 = E is not None, dfg is not None, b1_p is not None
-
-    tile3 = pl.BlockSpec((3, ts, _LANE), lambda i: (0, i, 0),
-                         memory_space=pltpu.VMEM)
-    tile1 = pl.BlockSpec((ts, _LANE), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM)
-    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-
-    # waveforms transposed to (k, nT): SMEM rows pad to 512 B, so a
-    # (nT, k) layout would cost nT*512 B and overflow the 1 MB SMEM
-    in_specs = [smem, smem, tile3, tile3, tile1]
-    args = [rf2.T, gr2.T, mi, loc_p, g2pd]
-    if has_dfg:
-        in_specs.append(tile1)
-        args.append(dfg)
-    if has_b1:
-        in_specs.append(pl.BlockSpec((2 * nC, ts, _LANE),
-                                     lambda i: (0, i, 0),
-                                     memory_space=pltpu.VMEM))
-        args.append(b1_p)
-    if relax:
-        in_specs += [tile3, tile1]
-        args += [E, e1_1]
-
-    kernel = functools.partial(_fwd_kernel, nT, nC, relax, has_dfg, has_b1)
-    return pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=in_specs,
-        out_specs=tile3,
-        out_shape=jax.ShapeDtypeStruct(mi.shape, mi.dtype),
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT),
-        interpret=interpret,
-    )(*args)
-
-
-# --------------------------------------------------------------------------
-# Backward kernel (reverse-reconstruction adjoint)
-# --------------------------------------------------------------------------
-
-def _bwd_kernel(nT: int, nC: int, relax: bool, has_dfg: bool, has_b1: bool,
-                rf_ref, gr_ref, *refs):
-    r"""Reverse time loop for one spin tile: reconstruct m, rotate the
-    cotangent back, reduce per-step waveform gradients.
+def _rfgr_bwd_kernel(nT: int, nC: int, relax: bool, has_dfg: bool,
+                     has_b1: bool, rf_ref, gr_ref, *refs):
+    r"""Reverse time loop for one (batch, spin tile) cell: reconstruct m,
+    rotate the cotangent back, reduce per-step waveform gradients.
 
     Positional refs (after rf/gr): mo, g, loc, g2pd, [dfg], [b1],
-    [E, e1_1], dmi, dwf. ``dwf`` holds lane-partial waveform grads,
-    rows ``[dgx, dgy, dgz, drf_x coils..., drf_y coils...]``."""
-    i = 0
-    mo_ref, g_ref, loc_ref, g2pd_ref = (refs[i], refs[i + 1], refs[i + 2],
-                                        refs[i + 3])
-    i += 4
-    dfg_ref = None
-    if has_dfg:
-        dfg_ref = refs[i]
-        i += 1
-    b1_ref = None
-    if has_b1:
-        b1_ref = refs[i]
-        i += 1
-    if relax:
-        E_ref, e1_ref = refs[i], refs[i + 1]
-        i += 2
-    dmi_ref, dwf_ref = refs[i], refs[i + 1]
+    [E, e1_1], dmi, dwf. ``dwf`` rows: [dgx, dgy, dgz, drf_x coils...,
+    drf_y coils...] as (LANE,) sublane-partials."""
+    ((mo_ref, g_ref, loc_ref, g2pd_ref), dfg_ref, b1_ref, E_ref, e1_ref,
+     outs) = _unpack(refs, relax, has_dfg, has_b1, 4)
+    dmi_ref, dwf_ref = outs
+    n = pl.program_id(0)
 
-    locx, locy, locz = loc_ref[0], loc_ref[1], loc_ref[2]
-    g2pd = g2pd_ref[:]
-    dfg = dfg_ref[:] if has_dfg else None
+    locx, locy, locz = loc_ref[0, 0], loc_ref[0, 1], loc_ref[0, 2]
+    g2pd = g2pd_ref[0]
+    dfg = dfg_ref[0] if has_dfg else None
     if relax:
-        E2, E1 = E_ref[0], E_ref[2]
-        e1_1 = e1_ref[:]
+        E2, E1 = E_ref[0, 0], E_ref[0, 2]
+        e1_1 = e1_ref[0]
         iE2, iE1 = 1.0 / E2, 1.0 / E1  # hoisted: divides are VPU-costly
 
     def step(t, carry):
         mx, my, mz, hx, hy, hz = carry
-
-        # recompute b_t (same as forward)
-        bz = gr_ref[0, t] * locx + gr_ref[1, t] * locy + gr_ref[2, t] * locz
-        if has_dfg:
-            bz = bz + dfg
-        if has_b1:
-            bx = b1_ref[0] * rf_ref[0, t] - b1_ref[nC] * rf_ref[nC, t]
-            by = b1_ref[0] * rf_ref[nC, t] + b1_ref[nC] * rf_ref[0, t]
-            for c in range(1, nC):
-                bx += (b1_ref[c] * rf_ref[c, t]
-                       - b1_ref[nC + c] * rf_ref[nC + c, t])
-                by += (b1_ref[c] * rf_ref[nC + c, t]
-                       + b1_ref[nC + c] * rf_ref[c, t])
-        else:
-            rfx = rf_ref[0, t]
-            rfy = rf_ref[nC, t]
-            for c in range(1, nC):
-                rfx += rf_ref[c, t]
-                rfy += rf_ref[nC + c, t]
-            bx = jnp.full_like(bz, rfx)
-            by = jnp.full_like(bz, rfy)
-        bx, by, bz = g2pd * bx, g2pd * by, g2pd * bz
+        bx, by, bz = _assemble_b_tile(n, t, nC, has_dfg, has_b1, rf_ref,
+                                      gr_ref, locx, locy, locz, dfg,
+                                      b1_ref, g2pd)
 
         n2 = jnp.maximum(bx * bx + by * by + bz * bz, _PHI_EPS ** 2)
         inv = jax.lax.rsqrt(n2)
@@ -316,24 +250,25 @@ def _bwd_kernel(nT: int, nC: int, relax: bool, has_dfg: bool, has_b1: bool,
 
         # chain through b = g2pd·(B-assembly): waveform-grad reductions.
         # Reduce over sublanes only (→ (LANE,) rows stored to VMEM); the
-        # cross-lane reduction happens outside the kernel — SMEM scalar
-        # outputs are too small (1 MB) and scalar VMEM stores too slow.
+        # cross-lane reduction happens outside the kernel.
         dbx, dby, dbz = g2pd * dbx, g2pd * dby, g2pd * dbz
-        dwf_ref[0, t, 0] = jnp.sum(dbz * locx, axis=0)
-        dwf_ref[0, t, 1] = jnp.sum(dbz * locy, axis=0)
-        dwf_ref[0, t, 2] = jnp.sum(dbz * locz, axis=0)
+        dwf_ref[0, 0, t, 0] = jnp.sum(dbz * locx, axis=0)
+        dwf_ref[0, 0, t, 1] = jnp.sum(dbz * locy, axis=0)
+        dwf_ref[0, 0, t, 2] = jnp.sum(dbz * locz, axis=0)
         if has_b1:
             for cc in range(nC):
-                dwf_ref[0, t, 3 + cc] = jnp.sum(
-                    b1_ref[cc] * dbx + b1_ref[nC + cc] * dby, axis=0)
-                dwf_ref[0, t, 3 + nC + cc] = jnp.sum(
-                    b1_ref[cc] * dby - b1_ref[nC + cc] * dbx, axis=0)
+                dwf_ref[0, 0, t, 3 + cc] = jnp.sum(
+                    b1_ref[0, cc] * dbx + b1_ref[0, nC + cc] * dby,
+                    axis=0)
+                dwf_ref[0, 0, t, 3 + nC + cc] = jnp.sum(
+                    b1_ref[0, cc] * dby - b1_ref[0, nC + cc] * dbx,
+                    axis=0)
         else:
             sx = jnp.sum(dbx, axis=0)
             sy = jnp.sum(dby, axis=0)
             for cc in range(nC):
-                dwf_ref[0, t, 3 + cc] = sx
-                dwf_ref[0, t, 3 + nC + cc] = sy
+                dwf_ref[0, 0, t, 3 + cc] = sx
+                dwf_ref[0, 0, t, 3 + nC + cc] = sy
 
         return m0x, m0y, m0z, h0x, h0y, h0z
 
@@ -346,72 +281,121 @@ def _bwd_kernel(nT: int, nC: int, relax: bool, has_dfg: bool, has_b1: bool,
 
     m0x, m0y, m0z, h0x, h0y, h0z = jax.lax.fori_loop(
         0, nT // u, body,
-        (mo_ref[0], mo_ref[1], mo_ref[2], g_ref[0], g_ref[1], g_ref[2]))
-    dmi_ref[0], dmi_ref[1], dmi_ref[2] = h0x, h0y, h0z
+        (mo_ref[0, 0], mo_ref[0, 1], mo_ref[0, 2],
+         g_ref[0, 0], g_ref[0, 1], g_ref[0, 2]))
+    dmi_ref[0, 0], dmi_ref[0, 1], dmi_ref[0, 2] = h0x, h0y, h0z
 
 
-def rfgr_bwd_planes(mo, g, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd, *,
-                    ts: int = _DEF_TS, interpret: bool = False):
-    r"""Pallas backward in planes layout. Returns ``(dmi, drf2, dgr2)``
-    with ``drf2``: `(nT, 2C)`, ``dgr2``: `(nT, 3)` (summed over all spin
-    tiles outside the kernel — per-tile partials are the kernel output)."""
-    nT = gr2.shape[0]
-    nC = rf2.shape[1] // 2
-    S1 = mo.shape[1]
-    assert S1 % ts == 0, (S1, ts)
-    ntiles = S1 // ts
-    grid = (ntiles,)
-    relax, has_dfg, has_b1 = E is not None, dfg is not None, b1_p is not None
-
-    tile3 = pl.BlockSpec((3, ts, _LANE), lambda i: (0, i, 0),
+def _rfgr_specs(ts, nC):
+    tile3 = pl.BlockSpec((1, 3, ts, _LANE), lambda n, i: (n, 0, i, 0),
                          memory_space=pltpu.VMEM)
-    tile1 = pl.BlockSpec((ts, _LANE), lambda i: (i, 0),
+    tile1 = pl.BlockSpec((1, ts, _LANE), lambda n, i: (n, i, 0),
                          memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    b1spec = pl.BlockSpec((1, 2 * nC, ts, _LANE),
+                          lambda n, i: (n, 0, i, 0),
+                          memory_space=pltpu.VMEM)
+    return tile3, tile1, smem, b1spec
 
-    in_specs = [smem, smem, tile3, tile3, tile3, tile1]
-    args = [rf2.T, gr2.T, mo, g, loc_p, g2pd]
+
+def rfgr_fwd_planes(mi, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd, *,
+                    ts=None, interpret: bool = False):
+    r"""Pallas forward, batched planes layout.
+
+    ``mi``/``loc_p``/``E``: `(N, 3, S1, L)`; ``dfg``/``e1_1``/``g2pd``:
+    `(N, S1, L)`; ``b1_p``: `(N, 2C, S1, L)` or None; ``rf2``:
+    `(N, 2C, nT)`; ``gr2``: `(N, 3, nT)` (waveforms live in SMEM,
+    (k, nT)-ordered because SMEM rows pad to 512 B).
+    """
+    N, _, S1, _ = mi.shape
+    nT = gr2.shape[-1]
+    nC = rf2.shape[1] // 2
+    ts = _pick_ts(S1) if ts is None else ts
+    assert S1 % ts == 0, (S1, ts)
+    grid = (N, S1 // ts)
+    relax, has_dfg, has_b1 = E is not None, dfg is not None, b1_p is not None
+    tile3, tile1, smem, b1spec = _rfgr_specs(ts, nC)
+
+    in_specs = [smem, smem, tile3, tile3, tile1]
+    args = [rf2, gr2, mi, loc_p, g2pd]
     if has_dfg:
         in_specs.append(tile1)
         args.append(dfg)
     if has_b1:
-        in_specs.append(pl.BlockSpec((2 * nC, ts, _LANE),
-                                     lambda i: (0, i, 0),
-                                     memory_space=pltpu.VMEM))
+        in_specs.append(b1spec)
         args.append(b1_p)
     if relax:
         in_specs += [tile3, tile1]
         args += [E, e1_1]
 
-    kernel = functools.partial(_bwd_kernel, nT, nC, relax, has_dfg, has_b1)
-    # per-tile lane-partial waveform grads: (1, nT, K, LANE) VMEM blocks
-    # of an (ntiles, nT, K, LANE) output (block dims equal to array dims
-    # are exempt from the (8, 128) divisibility rule)
+    kernel = functools.partial(_rfgr_fwd_kernel, nT, nC, relax, has_dfg,
+                               has_b1)
+    return pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tile3,
+        out_shape=jax.ShapeDtypeStruct(mi.shape, mi.dtype),
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(*args)
+
+
+def rfgr_bwd_planes(mo, g, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd, *,
+                    ts=None, interpret: bool = False):
+    r"""Pallas backward (reverse-reconstruction adjoint), batched planes.
+    Returns ``(dmi, drf2 (N, 2C, nT), dgr2 (N, 3, nT))``."""
+    N, _, S1, _ = mo.shape
+    nT = gr2.shape[-1]
+    nC = rf2.shape[1] // 2
+    ts = _pick_ts(S1) if ts is None else ts
+    assert S1 % ts == 0, (S1, ts)
+    ntiles = S1 // ts
+    grid = (N, ntiles)
+    relax, has_dfg, has_b1 = E is not None, dfg is not None, b1_p is not None
+    tile3, tile1, smem, b1spec = _rfgr_specs(ts, nC)
+
+    in_specs = [smem, smem, tile3, tile3, tile3, tile1]
+    args = [rf2, gr2, mo, g, loc_p, g2pd]
+    if has_dfg:
+        in_specs.append(tile1)
+        args.append(dfg)
+    if has_b1:
+        in_specs.append(b1spec)
+        args.append(b1_p)
+    if relax:
+        in_specs += [tile3, tile1]
+        args += [E, e1_1]
+
     K = 3 + 2 * nC
+    kernel = functools.partial(_rfgr_bwd_kernel, nT, nC, relax, has_dfg,
+                               has_b1)
+    # per-tile lane-partial waveform grads; block dims equal to array dims
+    # are exempt from the (8, 128) divisibility rule
     dmi, dwf_part = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=(
             tile3,
-            pl.BlockSpec((1, nT, K, _LANE), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((1, 1, nT, K, _LANE),
+                         lambda n, i: (n, i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct(mo.shape, mo.dtype),
-            jax.ShapeDtypeStruct((ntiles, nT, K, _LANE), mo.dtype),
+            jax.ShapeDtypeStruct((N, ntiles, nT, K, _LANE), mo.dtype),
         ),
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(*args)
-    dwf = jnp.sum(dwf_part, axis=(0, 3))          # tiles + lanes → (nT, K)
-    return dmi, dwf[:, 3:], dwf[:, :3]            # (drf2, dgr2)
+    dwf = jnp.sum(dwf_part, axis=(1, 4))     # tiles + lanes → (N, nT, K)
+    drf2 = dwf[..., 3:].transpose(0, 2, 1)   # (N, 2C, nT)
+    dgr2 = dwf[..., :3].transpose(0, 2, 1)   # (N, 3, nT)
+    return dmi, drf2, dgr2
 
-
-# --------------------------------------------------------------------------
-# custom_vjp wrapper (planes layout, N=1)
-# --------------------------------------------------------------------------
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
 def rfgr_core(mi, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd,
@@ -422,18 +406,15 @@ def rfgr_core(mi, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd,
 
 def _rfgr_core_fwd(mi, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd,
                    interpret):
-    ts = _pick_ts(mi.shape[1])
     mo = rfgr_fwd_planes(mi, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd,
-                         ts=ts, interpret=interpret)
+                         interpret=interpret)
     return mo, (mo, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd)
 
 
 def _rfgr_core_bwd(interpret, res, g):
     mo, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd = res
-    ts = _pick_ts(mo.shape[1])
     dmi, drf2, dgr2 = rfgr_bwd_planes(mo, g, rf2, gr2, loc_p, dfg, b1_p,
-                                      E, e1_1, g2pd, ts=ts,
-                                      interpret=interpret)
+                                      E, e1_1, g2pd, interpret=interpret)
     zl = lambda x: None if x is None else jnp.zeros_like(x)  # noqa: E731
     return (dmi, drf2, dgr2, zl(loc_p), zl(dfg), zl(b1_p), zl(E),
             zl(e1_1), jnp.zeros_like(g2pd))
@@ -442,17 +423,11 @@ def _rfgr_core_bwd(interpret, res, g):
 rfgr_core.defvjp(_rfgr_core_fwd, _rfgr_core_bwd)
 
 
-def _pick_ts(S1: int) -> int:
-    r"""Largest tile ≤ _DEF_TS sublanes dividing S1 (S1 is a multiple of
-    8 by construction)."""
-    ts = math.gcd(S1, _DEF_TS)
-    return ts
-
-
-# --------------------------------------------------------------------------
+# ==========================================================================
 # Beff-streaming engine: beff (nT, 3, S1, L) streamed through VMEM in time
 # chunks; magnetization lives in VMEM scratch across the whole time loop.
-# --------------------------------------------------------------------------
+# (Batch is folded into the spin axis by the caller.)
+# ==========================================================================
 
 def _rot_relax_planes(mx, my, mz, bx, by, bz, relax, E2, E1, e1_1):
     n2 = jnp.maximum(bx * bx + by * by + bz * bz, _PHI_EPS ** 2)

@@ -576,17 +576,16 @@ def blochsim_rfgr(Mi, rf, gr, loc, *, T1: Optional[jax.Array] = None,
     if backend == 'pallas' or _pallas_interpret:
         from mrphy_tpu.ops import pallas_kernels
         nC = rf_t.shape[-1]
-        # drop the batch dim (pallas path supports N == 1)
-        assert N == 1, 'pallas backend supports batch N == 1'
         assert vel is None, 'flow (vel) uses the XLA backend'
-        # columns: [x coils..., y coils...]
-        rf2 = jnp.concatenate([rf_t[:, 0, 0, :], rf_t[:, 0, 1, :]], axis=-1)
-        gr2 = gr_t[:, 0, :]
-        sq = lambda x: None if x is None else x[0]  # noqa: E731
-        b1_sq = None if b1_p is None else b1_p[0].reshape(2 * nC, S1, _LANE)
-        mo = pallas_kernels.rfgr_core(
-            mi[0], rf2, gr2, loc_p[0], sq(dfg), b1_sq, sq(E), sq(e1_1),
-            g2pd[0], _pallas_interpret)[None]
+        # waveforms (k, nT)-ordered for SMEM; rows [x coils..., y coils...]
+        rf2 = jnp.concatenate([rf[:, 0].transpose(0, 2, 1),
+                               rf[:, 1].transpose(0, 2, 1)],
+                              axis=1).astype(dtype)      # (N, 2C, nT)
+        gr2 = gr.astype(dtype)                           # (N, 3, nT)
+        b1_4 = (None if b1_p is None
+                else b1_p.reshape(N, 2 * nC, S1, _LANE))
+        mo = pallas_kernels.rfgr_core(mi, rf2, gr2, loc_p, dfg, b1_4,
+                                      E, e1_1, g2pd, _pallas_interpret)
     elif backend == 'xla':
         mo = _RFGR_CORES[adjoint](mi, rf_t, gr_t, tarr, loc_p, dfg, b1_p,
                                   E, e1_1, g2pd, vel_p)

@@ -119,3 +119,51 @@ class TestBeffStreamingInterpret:
         gp = jax.grad(lambda m: jnp.sum(W * sims.blochsim(
             m, beff, _pallas_interpret=True)))(Mi)
         np.testing.assert_allclose(gp, gx, atol=2e-5)
+
+
+class TestBatchedPallas:
+    r"""N>1 batched Pallas rf/gr path (interpret mode)."""
+
+    def test_batched_matches_per_batch(self):
+        rng = np.random.default_rng(6)
+        N, nM, nT, nC = 3, 1024, 16, 2
+        Mi = jnp.asarray(rng.random((N, nM, 3)), DT32)
+        loc = jnp.asarray(rng.random((N, nM, 3)), DT32)
+        df = jnp.asarray(rng.random((N, nM)) * 30, DT32)
+        b1 = jnp.asarray(rng.random((N, nM, 2, nC)), DT32)
+        rf = jnp.asarray(rng.random((N, 2, nT, nC)), DT32)
+        gr = jnp.asarray(rng.normal(size=(N, 3, nT)), DT32)
+        T1 = jnp.asarray([[1.]], DT32)
+        T2 = jnp.asarray([[4e-2]], DT32)
+        kw = dict(T1=T1, T2=T2, df=df, b1Map=b1)
+
+        batched = sims.blochsim_rfgr(Mi, rf, gr, loc,
+                                     _pallas_interpret=True, **kw)
+        for n in range(N):
+            single = sims.blochsim_rfgr(
+                Mi[n:n + 1], rf[n:n + 1], gr[n:n + 1], loc[n:n + 1],
+                T1=T1, T2=T2, df=df[n:n + 1], b1Map=b1[n:n + 1],
+                backend='xla')
+            np.testing.assert_allclose(batched[n:n + 1], single,
+                                       atol=2e-6)
+
+    def test_batched_grads(self):
+        rng = np.random.default_rng(7)
+        N, nM, nT = 2, 1024, 12
+        Mi = jnp.asarray(rng.random((N, nM, 3)), DT32)
+        loc = jnp.asarray(rng.random((N, nM, 3)), DT32)
+        rf = jnp.asarray(rng.random((N, 2, nT)), DT32)
+        gr = jnp.asarray(rng.normal(size=(N, 3, nT)), DT32)
+        T1 = jnp.asarray([[1.]], DT32)
+        T2 = jnp.asarray([[4e-2]], DT32)
+        W = jnp.asarray(rng.normal(size=Mi.shape), DT32)
+
+        gx = jax.grad(lambda r, g_: jnp.sum(W * sims.blochsim_rfgr(
+            Mi, r, g_, loc, T1=T1, T2=T2, backend='xla')),
+            argnums=(0, 1))(rf, gr)
+        gp = jax.grad(lambda r, g_: jnp.sum(W * sims.blochsim_rfgr(
+            Mi, r, g_, loc, T1=T1, T2=T2, _pallas_interpret=True)),
+            argnums=(0, 1))(rf, gr)
+        for a, b in zip(gp, gx):
+            scale = float(jnp.max(jnp.abs(b))) + 1e-30
+            np.testing.assert_allclose(a / scale, b / scale, atol=2e-3)
