@@ -938,6 +938,16 @@ class Examples:
                          gam_=gamH, dtype=dtype)
 
     @staticmethod
+    def spinbolus(dtype=jnp.float32) -> 'SpinBolus':
+        r"""3x3x3 cross-masked bolus flowing at 10 cm/s along z."""
+        shape = (1, 3, 3, 3)
+        return SpinBolus(shape, mask=Examples._cross_mask(),
+                         vel=jnp.asarray([0., 0., 10.], dtype),
+                         T1_=jnp.asarray([[1.]], dtype),
+                         T2_=jnp.asarray([[4e-2]], dtype),
+                         gam_=gamH, dtype=dtype)
+
+    @staticmethod
     def spincube(dtype=jnp.float32) -> SpinCube:
         r"""3×3×3 cross-masked cube, fov=[3,3,3], ofst=[0,0,1], Δf ∝ -x-y."""
         shape = (1, 3, 3, 3)

@@ -210,3 +210,34 @@ class TestMobjs:
         p64 = p.to(dtype=jnp.float64)
         assert p64.rf.dtype == jnp.float64
         assert p.to().rf.dtype == jnp.float32
+
+
+class TestSmallCoverage:
+
+    def test_pulse_limit_setters(self):
+        p = mobjs.Examples.pulse()
+        p.gmax = 4.0
+        assert p.gmax.shape == (1, 3)
+        p.smax = jnp.asarray([1e4, 2e4, 3e4])
+        assert p.smax.shape == (1, 3)
+        p.rfmax = jnp.asarray([[0.25]])
+        assert p.rfmax.shape == (1,)
+        p.dt = 8e-6
+        assert p.dt.shape == (1,)
+        with pytest.raises(AssertionError):
+            p.rf = jnp.zeros((2, 2, 512))  # wrong batch
+
+    def test_spinarray_to_dtype(self):
+        arr = mobjs.Examples.spinarray(dtype=jnp.float32)
+        arr64 = arr.to(dtype=jnp.float64)
+        assert arr64.M_.dtype == jnp.float64
+        assert arr.to() is arr
+
+    def test_examples_spinbolus(self):
+        bol = mobjs.Examples.spinbolus()
+        assert isinstance(bol, mobjs.SpinBolus)
+        assert bol.vel_.shape == (1, bol.nM, 3)
+
+    def test_tpu_is_available_runs(self):
+        import mrphy_tpu
+        assert mrphy_tpu.tpu_is_available() in (True, False)

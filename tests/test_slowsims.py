@@ -95,3 +95,22 @@ class TestSlowsims:
         # unicode kwarg
         Mo2 = slowsims.freeprec(Mi, dur, T1=T1, T2=T2, **{'Δf': df})
         np.testing.assert_allclose(Mo2, FREEPREC_GOLD, atol=ATOL)
+
+    def test_blochsim_tparallel(self):
+        r"""Parallel-in-time path equals the sequential scan."""
+        sc = pulse_arrays(nM=5, nT=64, dtype=DTYPE)
+        gam, dt = sc['gam'], sc['dt']
+        M0 = jnp.asarray(np.random.default_rng(0).random((1, 5, 3)), DTYPE)
+        T1 = jnp.asarray([[1.]], DTYPE)
+        T2 = jnp.asarray([[4e-2]], DTYPE)
+        beff = beffective.rfgr2beff(sc['rf'], sc['gr'], sc['loc'],
+                                    df=sc['df'], b1Map=sc['b1Map'],
+                                    gam=gam)
+        a = slowsims.blochsim_tparallel(M0, beff, T1=T1, T2=T2, gam=gam,
+                                        dt=dt)
+        b = slowsims.blochsim(M0, beff, T1=T1, T2=T2, gam=gam, dt=dt)
+        np.testing.assert_allclose(a, b, atol=ATOL)
+        # no-relax variant
+        np.testing.assert_allclose(
+            slowsims.blochsim_tparallel(M0, beff, gam=gam, dt=dt),
+            slowsims.blochsim(M0, beff, gam=gam, dt=dt), atol=ATOL)
