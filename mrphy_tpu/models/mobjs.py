@@ -152,8 +152,6 @@ class Pulse(_SlotStateMixin):
             return
         v = _asarr(v, self._dtype)
         if k in ('rf', 'gr'):
-            if hasattr(self, 'rf') or k == 'gr':
-                pass  # N/nT cross-checks below when both present
             cur = getattr(self, 'gr' if k == 'rf' else 'rf', None)
             if cur is not None:
                 assert v.shape[0] == cur.shape[0] and \
@@ -238,8 +236,12 @@ class Pulse(_SlotStateMixin):
             - ``kind``: 'linear' (native). Other SciPy kinds are supported
               on host if SciPy is installed.
         """
-        dt_o = float(np.asarray(self.dt).reshape(-1)[0])
-        dt_n = float(np.asarray(dt).reshape(-1)[0])
+        # compare both dwell times in the pulse dtype (the stored dt is
+        # e.g. float32; comparing it to a float64 argument would miss the
+        # equality shortcut and floor away the final resampled step)
+        cast = np.dtype(self.dtype).type
+        dt_o = float(cast(np.asarray(self.dt).reshape(-1)[0]))
+        dt_n = float(cast(np.asarray(dt).reshape(-1)[0]))
         assert np.asarray(self.dt).size == 1 and np.asarray(dt).size == 1, \
             'interpT requires scalar/global dwell times'
         if dt_o == dt_n:
@@ -252,7 +254,9 @@ class Pulse(_SlotStateMixin):
 
         nT = rf0.shape[2]
         t_o = np.arange(nT) * dt_o
-        t_n = np.arange(1, int(t_o[-1] // dt_n) + 1) * dt_n
+        # tolerant floor: dt ratios that are exact in intent (e.g. dt/2)
+        # may be a few ulps under an integer after float conversion
+        t_n = np.arange(1, int(np.floor(t_o[-1] / dt_n + 1e-9)) + 1) * dt_n
 
         if kind == 'linear':
             def interp_time(x):  # x: (..., nT_old, ...) time on axis 2
@@ -386,7 +390,10 @@ class SpinArray(_SlotStateMixin):
         else:
             self.M = M
 
-        del device  # placement is managed by JAX
+        if device is not None:
+            for k in self._compact:
+                object.__setattr__(self, k,
+                                   jax.device_put(getattr(self, k), device))
 
     # -- static properties --
     @property
@@ -694,7 +701,10 @@ class SpinCube(SpinArray):
             self.df_ = 0.0 if df_ is None else df_
         else:
             self.df = df
-        del device
+        if device is not None:
+            for k in ('fov', 'ofst', 'df_', 'loc_'):
+                object.__setattr__(self, k,
+                                   jax.device_put(getattr(self, k), device))
 
     # -- attribute forwarding & semantics (parity: mobjs.py:761-813) --
     @property
@@ -872,6 +882,14 @@ class SpinBolus(SpinArray):
         k = 'vel' if doEmbed else 'vel_'
         d[k] = _tonp(getattr(self, k), toNumpy)
         return d
+
+    def to(self, *, device=None, dtype=None) -> 'SpinBolus':
+        dtype = self.dtype if dtype is None else dtype
+        if dtype == self.dtype and device is None:
+            return self
+        return SpinBolus(self.shape, self.mask, vel_=self.vel_,
+                         T1_=self.T1_, T2_=self.T2_, gam_=self.gam_,
+                         M_=self.M_, device=device, dtype=dtype)
 
     def __repr__(self):
         return (f'SpinBolus(shape={self.shape}, nM={self.nM}, '

@@ -211,7 +211,10 @@ def rfgr2beff(rf, gr, loc, *, df: Optional[jax.Array] = None,
 
     if df is not None:
         df = jnp.asarray(df).reshape(N, -1)            # (N, nS)
-        gam_b = jnp.broadcast_to(jnp.asarray(gam), shape[:-1]).reshape(N, -1)
+        # right-pad gam like the reference (beffective.py:141): plain
+        # broadcast_to would mis-align a (N,) gam against (N, *Nd)
+        gam_b = jnp.broadcast_to(rshape(gam, len(shape) - 1),
+                                 shape[:-1]).reshape(N, -1)
         Bz = Bz + (df / gam_b)[..., None]
 
     if b1Map is None:

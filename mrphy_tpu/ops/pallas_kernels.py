@@ -69,13 +69,19 @@ def is_available(*, nT: int, nspins: int, dtype) -> bool:
             and nspins >= _MIN_AUTO_SPINS and _on_tpu())
 
 
-def rfgr_is_available(*, N: int, dtype, nspins: int = _MIN_AUTO_SPINS
-                      ) -> bool:
+_SMEM_BUDGET = 768 * 1024  # of the 1 MB SMEM; rows pad to 512 B
+
+
+def rfgr_is_available(*, N: int, dtype, nspins: int = _MIN_AUTO_SPINS,
+                      nT: int = 0, nC: int = 1) -> bool:
     r"""Whether the fused rf/gr Pallas kernels support this instance (any
-    batch size; 'auto' prefers XLA for small spin counts)."""
-    del N  # batched grids are supported
+    batch size; 'auto' prefers XLA for small spin counts, and falls back
+    when the waveforms would overflow the 1 MB SMEM)."""
+    row = -(-max(nT, 1) * 4 // 512) * 512          # padded bytes per row
+    smem_bytes = N * (2 * nC + 3) * row
     return (jnp.dtype(dtype) == jnp.float32
-            and nspins >= _MIN_AUTO_SPINS and _on_tpu())
+            and nspins >= _MIN_AUTO_SPINS
+            and smem_bytes <= _SMEM_BUDGET and _on_tpu())
 
 
 def _pick_ts(S1: int) -> int:

@@ -303,13 +303,18 @@ def blochsim(Mi, Beff, *, T1: Optional[jax.Array] = None,
 
     if backend == 'auto':
         from mrphy_tpu.ops import pallas_kernels
+        # the Pallas path implements only the reconstruction adjoint; an
+        # explicit adjoint='history' request must get the XLA engine
         backend = ('pallas' if (not _pallas_interpret
+                                and adjoint == 'reconstruct'
                                 and pallas_kernels.is_available(
                                     nT=nT, nspins=Bp, dtype=dtype))
                    else 'xla')
 
     if backend == 'pallas' or _pallas_interpret:
         from mrphy_tpu.ops import pallas_kernels
+        assert adjoint == 'reconstruct', \
+            "the pallas backend implements adjoint='reconstruct' only"
         mo = pallas_kernels.blochsim_core(mi, beff, E, e1_1, g2pd,
                                           _pallas_interpret)
     elif backend == 'xla':
@@ -530,10 +535,11 @@ def blochsim_rfgr(Mi, rf, gr, loc, *, T1: Optional[jax.Array] = None,
         rf = rf[..., None]                               # add coil dim
     rf_t = rf.transpose(2, 0, 1, 3).astype(dtype)        # (nT, N, 2, C)
     gr_t = gr.transpose(2, 0, 1).astype(dtype)           # (nT, N, 3)
-    # per-step elapsed time for flow (uses a scalar dt; per-batch dt with
-    # flow is unsupported)
-    tarr = (jnp.arange(nT, dtype=dtype)
-            * jnp.asarray(dt, dtype).reshape(-1)[0])     # (nT,)
+    # per-step elapsed time for flow, per batch (broadcasts against the
+    # (N, 3, S1, L) planes inside _assemble_b)
+    dt_b = jnp.broadcast_to(jnp.asarray(dt, dtype).reshape(-1), (N,))
+    tarr = (jnp.arange(nT, dtype=dtype)[:, None] *
+            dt_b[None, :])[..., None, None, None]        # (nT, N, 1, 1, 1)
 
     def flat(x):  # `()` ⊻ `(N ⊻ 1, *Nd ⊻ 1)` param → (N, nS)
         x = rshape(jnp.asarray(x, dtype=dtype), len(NNd))
@@ -566,17 +572,23 @@ def blochsim_rfgr(Mi, rf, gr, loc, *, T1: Optional[jax.Array] = None,
                       fill=1.0).reshape(N, 3, S1, _LANE)
         e1_1 = padf(E1 - 1)
 
+    nC = rf_t.shape[-1]
     if backend == 'auto':
         from mrphy_tpu.ops import pallas_kernels
+        # the Pallas path implements only the reconstruction adjoint; an
+        # explicit adjoint='history' request must get the XLA engine
         backend = ('pallas' if (not _pallas_interpret and vel is None and
+                                adjoint == 'reconstruct' and
                                 pallas_kernels.rfgr_is_available(
-                                    N=N, dtype=dtype, nspins=nS))
+                                    N=N, dtype=dtype, nspins=nS, nT=nT,
+                                    nC=nC))
                    else 'xla')
 
     if backend == 'pallas' or _pallas_interpret:
         from mrphy_tpu.ops import pallas_kernels
-        nC = rf_t.shape[-1]
         assert vel is None, 'flow (vel) uses the XLA backend'
+        assert adjoint == 'reconstruct', \
+            "the pallas backend implements adjoint='reconstruct' only"
         # waveforms (k, nT)-ordered for SMEM; rows [x coils..., y coils...]
         rf2 = jnp.concatenate([rf[:, 0].transpose(0, 2, 1),
                                rf[:, 1].transpose(0, 2, 1)],

@@ -59,8 +59,15 @@ def make_mesh(devices: Optional[Sequence] = None, *,
     return Mesh(dev_arr, (BATCH_AXIS, SPIN_AXIS))
 
 
-def pad_spins(x, mesh: Mesh, *, axis: int = 1):
-    r"""Zero-pad the spin axis to a multiple of the mesh's spin extent."""
+def pad_spins(x, mesh: Mesh, *, axis: int = 1, fill=0.0):
+    r"""Pad the spin axis to a multiple of the mesh's spin extent.
+
+    .. warning::
+        Relaxation attributes (``T1_``/``T2_``) must pad with a POSITIVE
+        ``fill`` (e.g. 1.0): zero-padded relaxation times give
+        ``E = exp(-dt/0) = 0`` and the reconstruction adjoint divides by
+        E, NaN-poisoning cross-spin waveform-gradient reductions.
+    """
     import jax.numpy as jnp
     n = x.shape[axis]
     k = mesh.shape[SPIN_AXIS]
@@ -69,7 +76,7 @@ def pad_spins(x, mesh: Mesh, *, axis: int = 1):
         return x
     widths = [(0, 0)] * x.ndim
     widths[axis] = (0, pad)
-    return jnp.pad(x, widths)
+    return jnp.pad(x, widths, constant_values=fill)
 
 
 def shard_spins(mesh: Mesh, ndim: int, *, spin_axis: int = 1,
@@ -82,21 +89,37 @@ def shard_spins(mesh: Mesh, ndim: int, *, spin_axis: int = 1,
     return NamedSharding(mesh, P(*spec))
 
 
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _sharded_blochsim_jit(arr_keys: tuple, static_kw: tuple):
+    r"""One jitted callable per (array-kwarg names, static kwargs) combo —
+    a fresh jit per call would retrace/recompile every invocation."""
+    def f(Mi, Beff, *vals):
+        kw = dict(zip(arr_keys, vals))
+        kw.update(dict(static_kw))
+        return sims.blochsim(Mi, Beff, **kw)
+    return jax.jit(f)
+
+
 def blochsim_sharded(mesh: Mesh, Mi, Beff, **kw):
     r"""Fast-engine Bloch simulation with ``(N, nM)`` sharded over the mesh.
 
     ``Mi``: `(N, nM, xyz)`; ``Beff``: `(N, nM, nT, xyz)`. ``nM`` must be
     divisible by the mesh's spin extent (see :func:`pad_spins`). The scan
-    body is elementwise over spins → XLA partitions with no collectives.
+    body is elementwise over spins → XLA partitions with no collectives
+    (output sharding follows the inputs).
     """
-    sh_m = shard_spins(mesh, 3)
-    sh_b = shard_spins(mesh, 4)
-    Mi = jax.device_put(Mi, sh_m)
-    Beff = jax.device_put(Beff, sh_b)
-    out_sh = shard_spins(mesh, 3)
-    f = jax.jit(lambda m, b: sims.blochsim(m, b, **kw),
-                out_shardings=out_sh)
-    return f(Mi, Beff)
+    Mi = jax.device_put(Mi, shard_spins(mesh, 3))
+    Beff = jax.device_put(Beff, shard_spins(mesh, 4))
+    static = tuple(sorted((k, v) for k, v in kw.items()
+                          if isinstance(v, (str, bool, int, float))
+                          or v is None))
+    arrays = {k: v for k, v in kw.items() if k not in dict(static)}
+    arr_keys = tuple(sorted(arrays))
+    f = _sharded_blochsim_jit(arr_keys, static)
+    return f(Mi, Beff, *[arrays[k] for k in arr_keys])
 
 
 def psum_loss(fn):

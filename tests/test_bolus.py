@@ -121,3 +121,22 @@ class TestBolus:
         np.testing.assert_allclose(bol2.vel_, bol.vel_, atol=0)
         # unicode/grid access
         assert bol.vel.shape == (1, 3, 3, 3, 3)
+
+    def test_flow_per_batch_dt(self):
+        r"""Per-batch dwell times: each batch's spins move on its own
+        clock (review finding: tarr previously used dt[0] for all)."""
+        rng = np.random.default_rng(3)
+        nM, nT = 4, 20
+        loc0 = jnp.asarray(rng.random((2, nM, 3)), DTYPE)
+        vel = jnp.asarray(rng.normal(size=(2, nM, 3)) * 30, DTYPE)
+        rf = jnp.asarray(rng.random((2, 2, nT)), DTYPE)
+        gr = jnp.asarray(rng.normal(size=(2, 3, nT)), DTYPE)
+        Mi = jnp.asarray(rng.random((2, nM, 3)), DTYPE)
+        dt2 = jnp.asarray([4e-6, 8e-6], DTYPE)
+
+        Mo = sims.blochsim_rfgr(Mi, rf, gr, loc0, dt=dt2, vel=vel)
+        for n, dtn in enumerate([4e-6, 8e-6]):
+            ref = sims.blochsim_rfgr(Mi[n:n + 1], rf[n:n + 1],
+                                     gr[n:n + 1], loc0[n:n + 1],
+                                     dt=dtn, vel=vel[n:n + 1])
+            np.testing.assert_allclose(Mo[n:n + 1], ref, atol=ATOL)

@@ -241,3 +241,18 @@ class TestSmallCoverage:
     def test_tpu_is_available_runs(self):
         import mrphy_tpu
         assert mrphy_tpu.tpu_is_available() in (True, False)
+
+    def test_interpT_same_dt_f32_roundtrip(self):
+        r"""Resampling to the pulse's own dt must be a deepcopy even when
+        the stored dt is f32 and the argument f64 (review finding)."""
+        p = mobjs.Examples.pulse()  # f32, dt=4e-6
+        p2 = p.interpT(jnp.asarray(4e-6, jnp.float64))
+        assert p2.rf.shape == p.rf.shape
+        np.testing.assert_allclose(p2.rf, p.rf, atol=0)
+
+    def test_spinbolus_to_preserves_class_and_vel(self):
+        bol = mobjs.Examples.spinbolus()
+        bol64 = bol.to(dtype=jnp.float64)
+        assert isinstance(bol64, mobjs.SpinBolus)
+        assert bol64.vel_.dtype == jnp.float64
+        np.testing.assert_allclose(bol64.vel_, bol.vel_, atol=0)
