@@ -30,8 +30,9 @@ Layout contract (shared with :mod:`mrphy_tpu.ops.sims`): planes
 ``(xyz, S1, 128)`` with batch folded into spins for the Beff-streaming
 engine.
 
-Scope: TPU backend, f32 (CPU tests run via ``interpret=True``); flow
-(``vel``) uses the XLA engine.
+Scope: TPU backend, f32 (CPU tests run via ``interpret=True``). Flow
+(``vel``) is supported: effective locations ``loc + vel·t`` are formed
+per step from a VMEM velocity tile and an SMEM time row.
 """
 
 import functools
@@ -94,10 +95,10 @@ def _pick_ts(S1: int) -> int:
 # Fused rf/gr kernels, grid = (batch, spin tiles)
 # ==========================================================================
 
-def _unpack(refs, relax, has_dfg, has_b1, n_lead):
+def _unpack(refs, relax, has_dfg, has_b1, has_vel, n_lead):
     r"""Unpack the optional-argument tail shared by both kernels."""
     i = n_lead
-    dfg_ref = b1_ref = E_ref = e1_ref = None
+    dfg_ref = b1_ref = E_ref = e1_ref = vel_ref = tarr_ref = None
     if has_dfg:
         dfg_ref = refs[i]
         i += 1
@@ -107,7 +108,20 @@ def _unpack(refs, relax, has_dfg, has_b1, n_lead):
     if relax:
         E_ref, e1_ref = refs[i], refs[i + 1]
         i += 2
-    return refs[:n_lead], dfg_ref, b1_ref, E_ref, e1_ref, refs[i:]
+    if has_vel:
+        vel_ref, tarr_ref = refs[i], refs[i + 1]
+        i += 2
+    return (refs[:n_lead], dfg_ref, b1_ref, E_ref, e1_ref, vel_ref,
+            tarr_ref, refs[i:])
+
+
+def _loc_eff(t, n, locx, locy, locz, vel_ref, tarr_ref):
+    r"""Effective (moved) locations at step ``t``: loc + vel·t."""
+    if vel_ref is None:
+        return locx, locy, locz
+    tval = tarr_ref[n, t]
+    return (locx + tval * vel_ref[0, 0], locy + tval * vel_ref[0, 1],
+            locz + tval * vel_ref[0, 2])
 
 
 def _assemble_b_tile(n, t, nC, has_dfg, has_b1, rf_ref, gr_ref,
@@ -139,11 +153,13 @@ def _assemble_b_tile(n, t, nC, has_dfg, has_b1, rf_ref, gr_ref,
 
 
 def _rfgr_fwd_kernel(nT: int, nC: int, relax: bool, has_dfg: bool,
-                     has_b1: bool, rf_ref, gr_ref, *refs):
+                     has_b1: bool, has_vel: bool, rf_ref, gr_ref, *refs):
     r"""One (batch, spin tile) grid cell, full time loop. Positional refs
-    (after rf/gr): mi, loc, g2pd, [dfg], [b1], [E, e1_1], mo."""
-    (mi_ref, loc_ref, g2pd_ref), dfg_ref, b1_ref, E_ref, e1_ref, outs = \
-        _unpack(refs, relax, has_dfg, has_b1, 3)
+    (after rf/gr): mi, loc, g2pd, [dfg], [b1], [E, e1_1], [vel, tarr],
+    mo."""
+    ((mi_ref, loc_ref, g2pd_ref), dfg_ref, b1_ref, E_ref, e1_ref,
+     vel_ref, tarr_ref, outs) = _unpack(refs, relax, has_dfg, has_b1,
+                                        has_vel, 3)
     mo_ref = outs[0]
     n = pl.program_id(0)
 
@@ -156,8 +172,9 @@ def _rfgr_fwd_kernel(nT: int, nC: int, relax: bool, has_dfg: bool,
 
     def step(t, m):
         mx, my, mz = m
+        lx, ly, lz = _loc_eff(t, n, locx, locy, locz, vel_ref, tarr_ref)
         bx, by, bz = _assemble_b_tile(n, t, nC, has_dfg, has_b1, rf_ref,
-                                      gr_ref, locx, locy, locz, dfg,
+                                      gr_ref, lx, ly, lz, dfg,
                                       b1_ref, g2pd)
         n2 = jnp.maximum(bx * bx + by * by + bz * bz, _PHI_EPS ** 2)
         inv = jax.lax.rsqrt(n2)
@@ -188,7 +205,7 @@ def _rfgr_fwd_kernel(nT: int, nC: int, relax: bool, has_dfg: bool,
 
 
 def _rfgr_bwd_kernel(nT: int, nC: int, relax: bool, has_dfg: bool,
-                     has_b1: bool, rf_ref, gr_ref, *refs):
+                     has_b1: bool, has_vel: bool, rf_ref, gr_ref, *refs):
     r"""Reverse time loop for one (batch, spin tile) cell: reconstruct m,
     rotate the cotangent back, reduce per-step waveform gradients.
 
@@ -196,7 +213,8 @@ def _rfgr_bwd_kernel(nT: int, nC: int, relax: bool, has_dfg: bool,
     [E, e1_1], dmi, dwf. ``dwf`` rows: [dgx, dgy, dgz, drf_x coils...,
     drf_y coils...] as (LANE,) sublane-partials."""
     ((mo_ref, g_ref, loc_ref, g2pd_ref), dfg_ref, b1_ref, E_ref, e1_ref,
-     outs) = _unpack(refs, relax, has_dfg, has_b1, 4)
+     vel_ref, tarr_ref, outs) = _unpack(refs, relax, has_dfg, has_b1,
+                                        has_vel, 4)
     dmi_ref, dwf_ref = outs
     n = pl.program_id(0)
 
@@ -210,8 +228,9 @@ def _rfgr_bwd_kernel(nT: int, nC: int, relax: bool, has_dfg: bool,
 
     def step(t, carry):
         mx, my, mz, hx, hy, hz = carry
+        lx, ly, lz = _loc_eff(t, n, locx, locy, locz, vel_ref, tarr_ref)
         bx, by, bz = _assemble_b_tile(n, t, nC, has_dfg, has_b1, rf_ref,
-                                      gr_ref, locx, locy, locz, dfg,
+                                      gr_ref, lx, ly, lz, dfg,
                                       b1_ref, g2pd)
 
         n2 = jnp.maximum(bx * bx + by * by + bz * bz, _PHI_EPS ** 2)
@@ -258,9 +277,9 @@ def _rfgr_bwd_kernel(nT: int, nC: int, relax: bool, has_dfg: bool,
         # Reduce over sublanes only (→ (LANE,) rows stored to VMEM); the
         # cross-lane reduction happens outside the kernel.
         dbx, dby, dbz = g2pd * dbx, g2pd * dby, g2pd * dbz
-        dwf_ref[0, 0, t, 0] = jnp.sum(dbz * locx, axis=0)
-        dwf_ref[0, 0, t, 1] = jnp.sum(dbz * locy, axis=0)
-        dwf_ref[0, 0, t, 2] = jnp.sum(dbz * locz, axis=0)
+        dwf_ref[0, 0, t, 0] = jnp.sum(dbz * lx, axis=0)
+        dwf_ref[0, 0, t, 1] = jnp.sum(dbz * ly, axis=0)
+        dwf_ref[0, 0, t, 2] = jnp.sum(dbz * lz, axis=0)
         if has_b1:
             for cc in range(nC):
                 dwf_ref[0, 0, t, 3 + cc] = jnp.sum(
@@ -304,7 +323,8 @@ def _rfgr_specs(ts, nC):
     return tile3, tile1, smem, b1spec
 
 
-def rfgr_fwd_planes(mi, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd, *,
+def rfgr_fwd_planes(mi, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd,
+                    vel_p=None, tarr2=None, *,
                     ts=None, interpret: bool = False):
     r"""Pallas forward, batched planes layout.
 
@@ -320,6 +340,7 @@ def rfgr_fwd_planes(mi, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd, *,
     assert S1 % ts == 0, (S1, ts)
     grid = (N, S1 // ts)
     relax, has_dfg, has_b1 = E is not None, dfg is not None, b1_p is not None
+    has_vel = vel_p is not None
     tile3, tile1, smem, b1spec = _rfgr_specs(ts, nC)
 
     in_specs = [smem, smem, tile3, tile3, tile1]
@@ -333,9 +354,12 @@ def rfgr_fwd_planes(mi, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd, *,
     if relax:
         in_specs += [tile3, tile1]
         args += [E, e1_1]
+    if has_vel:
+        in_specs += [tile3, smem]
+        args += [vel_p, tarr2]
 
     kernel = functools.partial(_rfgr_fwd_kernel, nT, nC, relax, has_dfg,
-                               has_b1)
+                               has_b1, has_vel)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -348,7 +372,8 @@ def rfgr_fwd_planes(mi, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd, *,
     )(*args)
 
 
-def rfgr_bwd_planes(mo, g, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd, *,
+def rfgr_bwd_planes(mo, g, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd,
+                    vel_p=None, tarr2=None, *,
                     ts=None, interpret: bool = False):
     r"""Pallas backward (reverse-reconstruction adjoint), batched planes.
     Returns ``(dmi, drf2 (N, 2C, nT), dgr2 (N, 3, nT))``."""
@@ -360,6 +385,7 @@ def rfgr_bwd_planes(mo, g, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd, *,
     ntiles = S1 // ts
     grid = (N, ntiles)
     relax, has_dfg, has_b1 = E is not None, dfg is not None, b1_p is not None
+    has_vel = vel_p is not None
     tile3, tile1, smem, b1spec = _rfgr_specs(ts, nC)
 
     in_specs = [smem, smem, tile3, tile3, tile3, tile1]
@@ -373,10 +399,13 @@ def rfgr_bwd_planes(mo, g, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd, *,
     if relax:
         in_specs += [tile3, tile1]
         args += [E, e1_1]
+    if has_vel:
+        in_specs += [tile3, smem]
+        args += [vel_p, tarr2]
 
     K = 3 + 2 * nC
     kernel = functools.partial(_rfgr_bwd_kernel, nT, nC, relax, has_dfg,
-                               has_b1)
+                               has_b1, has_vel)
     # per-tile lane-partial waveform grads; block dims equal to array dims
     # are exempt from the (8, 128) divisibility rule
     dmi, dwf_part = pl.pallas_call(
@@ -403,27 +432,29 @@ def rfgr_bwd_planes(mo, g, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd, *,
     return dmi, drf2, dgr2
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(9,))
-def rfgr_core(mi, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd,
-              interpret=False):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11,))
+def rfgr_core(mi, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd, vel_p,
+              tarr2, interpret=False):
     return _rfgr_core_fwd(mi, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd,
-                          interpret)[0]
+                          vel_p, tarr2, interpret)[0]
 
 
-def _rfgr_core_fwd(mi, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd,
-                   interpret):
+def _rfgr_core_fwd(mi, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd, vel_p,
+                   tarr2, interpret):
     mo = rfgr_fwd_planes(mi, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd,
-                         interpret=interpret)
-    return mo, (mo, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd)
+                         vel_p, tarr2, interpret=interpret)
+    return mo, (mo, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd, vel_p,
+                tarr2)
 
 
 def _rfgr_core_bwd(interpret, res, g):
-    mo, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd = res
+    (mo, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd, vel_p, tarr2) = res
     dmi, drf2, dgr2 = rfgr_bwd_planes(mo, g, rf2, gr2, loc_p, dfg, b1_p,
-                                      E, e1_1, g2pd, interpret=interpret)
+                                      E, e1_1, g2pd, vel_p, tarr2,
+                                      interpret=interpret)
     zl = lambda x: None if x is None else jnp.zeros_like(x)  # noqa: E731
     return (dmi, drf2, dgr2, zl(loc_p), zl(dfg), zl(b1_p), zl(E),
-            zl(e1_1), jnp.zeros_like(g2pd))
+            zl(e1_1), jnp.zeros_like(g2pd), zl(vel_p), zl(tarr2))
 
 
 rfgr_core.defvjp(_rfgr_core_fwd, _rfgr_core_bwd)

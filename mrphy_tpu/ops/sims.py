@@ -502,7 +502,7 @@ def blochsim_rfgr(Mi, rf, gr, loc, *, T1: Optional[jax.Array] = None,
         more than a few copies of the spin state regardless of nT); and
         ``vel``: `(N, *Nd, xyz)`, "cm/s" — per-spin velocities for flow
         simulation (SpinBolus): locations evolve as ``loc + vel·t``
-        inside the scan (nondifferentiable; XLA backend).
+        inside the scan (nondifferentiable).
     Outputs:
         - ``Mo``: `(N, *Nd, xyz)`.
 
@@ -577,7 +577,7 @@ def blochsim_rfgr(Mi, rf, gr, loc, *, T1: Optional[jax.Array] = None,
         from mrphy_tpu.ops import pallas_kernels
         # the Pallas path implements only the reconstruction adjoint; an
         # explicit adjoint='history' request must get the XLA engine
-        backend = ('pallas' if (not _pallas_interpret and vel is None and
+        backend = ('pallas' if (not _pallas_interpret and
                                 adjoint == 'reconstruct' and
                                 pallas_kernels.rfgr_is_available(
                                     N=N, dtype=dtype, nspins=nS, nT=nT,
@@ -586,7 +586,6 @@ def blochsim_rfgr(Mi, rf, gr, loc, *, T1: Optional[jax.Array] = None,
 
     if backend == 'pallas' or _pallas_interpret:
         from mrphy_tpu.ops import pallas_kernels
-        assert vel is None, 'flow (vel) uses the XLA backend'
         assert adjoint == 'reconstruct', \
             "the pallas backend implements adjoint='reconstruct' only"
         # waveforms (k, nT)-ordered for SMEM; rows [x coils..., y coils...]
@@ -596,8 +595,10 @@ def blochsim_rfgr(Mi, rf, gr, loc, *, T1: Optional[jax.Array] = None,
         gr2 = gr.astype(dtype)                           # (N, 3, nT)
         b1_4 = (None if b1_p is None
                 else b1_p.reshape(N, 2 * nC, S1, _LANE))
+        tarr2 = None if vel_p is None else tarr[:, :, 0, 0, 0].T  # (N, nT)
         mo = pallas_kernels.rfgr_core(mi, rf2, gr2, loc_p, dfg, b1_4,
-                                      E, e1_1, g2pd, _pallas_interpret)
+                                      E, e1_1, g2pd, vel_p, tarr2,
+                                      _pallas_interpret)
     elif backend == 'xla':
         mo = _RFGR_CORES[adjoint](mi, rf_t, gr_t, tarr, loc_p, dfg, b1_p,
                                   E, e1_1, g2pd, vel_p)

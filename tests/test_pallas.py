@@ -167,3 +167,34 @@ class TestBatchedPallas:
         for a, b in zip(gp, gx):
             scale = float(jnp.max(jnp.abs(b))) + 1e-30
             np.testing.assert_allclose(a / scale, b / scale, atol=2e-3)
+
+
+class TestFlowPallas:
+    r"""Flow (vel) on the Pallas path vs the XLA engine."""
+
+    def test_flow_fwd_and_grads(self):
+        rng = np.random.default_rng(8)
+        nM, nT = 1024, 16
+        Mi = jnp.asarray(rng.random((1, nM, 3)), DT32)
+        loc = jnp.asarray(rng.random((1, nM, 3)), DT32)
+        vel = jnp.asarray(rng.normal(size=(1, nM, 3)) * 30, DT32)
+        rf = jnp.asarray(rng.random((1, 2, nT)), DT32)
+        gr = jnp.asarray(rng.normal(size=(1, 3, nT)), DT32)
+        T1 = jnp.asarray([[1.]], DT32)
+        T2 = jnp.asarray([[4e-2]], DT32)
+        kw = dict(T1=T1, T2=T2, vel=vel)
+
+        a = sims.blochsim_rfgr(Mi, rf, gr, loc, backend='xla', **kw)
+        b = sims.blochsim_rfgr(Mi, rf, gr, loc, _pallas_interpret=True,
+                               **kw)
+        np.testing.assert_allclose(b, a, atol=2e-6)
+
+        W = jnp.asarray(rng.normal(size=a.shape), DT32)
+        gx = jax.grad(lambda r, g_: jnp.sum(W * sims.blochsim_rfgr(
+            Mi, r, g_, loc, backend='xla', **kw)), argnums=(0, 1))(rf, gr)
+        gp = jax.grad(lambda r, g_: jnp.sum(W * sims.blochsim_rfgr(
+            Mi, r, g_, loc, _pallas_interpret=True, **kw)),
+            argnums=(0, 1))(rf, gr)
+        for a_, b_ in zip(gp, gx):
+            scale = float(jnp.max(jnp.abs(b_))) + 1e-30
+            np.testing.assert_allclose(a_ / scale, b_ / scale, atol=2e-3)
