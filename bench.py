@@ -47,7 +47,7 @@ def _build(nM, nT, dtype):
                 rf=rf, gr=gr, gam=gamH, dt=dt0)
 
 
-def bench_fwd_adjoint(nM, nT, dtype_name='float32', repeats=3):
+def bench_fwd_adjoint(nM, nT, dtype_name='float32', repeats=3, passes=4):
     import jax
     import jax.numpy as jnp
     from mrphy_tpu.ops import sims
@@ -70,14 +70,19 @@ def bench_fwd_adjoint(nM, nT, dtype_name='float32', repeats=3):
 
     # chained amortized timing: iteration k+1 consumes iteration k's
     # gradient, so the device must serialize the K steps; one host read
-    # at the end syncs the whole chain
-    rf = a['rf']
-    t0 = time.perf_counter()
-    for _ in range(repeats):
-        v, (grf, ggr) = step(rf, a['gr'])
-        rf = rf + 1e-12 * grf
-    float(jnp.sum(rf))
-    return (time.perf_counter() - t0) / repeats
+    # at the end syncs the whole chain. The chip is shared/remote and
+    # noisy, so take the best of several passes (min is the least-noise
+    # estimator of the true cost).
+    best = float('inf')
+    for _ in range(passes):
+        rf = a['rf']
+        t0 = time.perf_counter()
+        for _ in range(repeats):
+            v, (grf, ggr) = step(rf, a['gr'])
+            rf = rf + 1e-12 * grf
+        float(jnp.sum(rf))
+        best = min(best, (time.perf_counter() - t0) / repeats)
+    return best
 
 
 def main():

@@ -1,0 +1,140 @@
+r"""Analytic-physics golden tests.
+
+Third kind of oracle (beyond golden values copied from the reference and
+cross-implementation equivalence): closed-form solutions of the Bloch
+equation derived from physics alone. Each case is exact for the
+discrete-rotation simulator (fixed rotation axes compose exactly), so the
+assertions run at the f64 oracle tolerance of 1e-9 like the reference's
+physics tests (`/root/reference/tests/test_sims.py:16`).
+
+Conventions under test (reference parity):
+- rotation angle per step is ``phi = -gamma*2*pi*dt*|B|`` about ``B/|B|``
+  (`/root/reference/mrphy/beffective.py:18-37` — negated because the Bloch
+  equation is dM/dt = M x gamma*B);
+- free precession phase is ``phi = -2*pi*df*dur`` about z with relaxation
+  ``Mxy *= E2``, ``Mz -> Mz*E1 + (1 - E1)``
+  (`/root/reference/mrphy/slowsims.py:134-174`).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from mrphy_tpu import gamH
+from mrphy_tpu.ops import sims, slowsims
+
+ATOL = 1e-9
+
+
+def _mk(x, dtype=jnp.float64):
+    return jnp.asarray(x, dtype)
+
+
+class TestAnalyticRotations:
+
+    def test_exact_flip_angle_on_resonance(self):
+        r"""Constant on-resonance B1 along x for time T tips M from z by
+        theta = gamma*2*pi*B1*T: M = (0, sin(theta), cos(theta))."""
+        nT, dt, b1 = 257, 4e-6, 0.05  # Gauss
+        for engine in (sims.blochsim, slowsims.blochsim):
+            Mi = _mk([[[0., 0., 1.]]])
+            beff = jnp.broadcast_to(_mk([b1, 0., 0.]), (1, 1, nT, 3))
+            Mo = np.asarray(engine(Mi, beff, gam=_mk(gamH), dt=_mk(dt)))
+            theta = gamH * 2 * np.pi * b1 * nT * dt
+            want = [0., np.sin(theta), np.cos(theta)]
+            assert np.allclose(Mo[0, 0], want, atol=ATOL), (engine, Mo)
+
+    def test_rabi_offresonance_nutation(self):
+        r"""Constant B1 with off-resonance df: the effective field tilts
+        and Mz(t) = 1 - (w1^2/weff^2) * (1 - cos(weff*t)) (Rabi formula).
+        Exact for the discrete simulator because the axis is fixed."""
+        nT, dt, b1 = 199, 4e-6, 0.03
+        df = 150.0  # Hz
+        Mi = _mk([[[0., 0., 1.]]])
+        rf = jnp.broadcast_to(_mk([[b1], [0.]]), (1, 2, nT))
+        gr = jnp.zeros((1, 3, nT), jnp.float64)
+        loc = jnp.zeros((1, 1, 3), jnp.float64)
+        Mo = np.asarray(sims.blochsim_rfgr(
+            Mi, rf, gr, loc, df=_mk([[df]]), gam=_mk(gamH), dt=_mk(dt)))
+        w1 = gamH * 2 * np.pi * b1
+        dw = 2 * np.pi * df
+        weff = np.hypot(w1, dw)
+        t = nT * dt
+        mz_want = 1 - (w1 / weff) ** 2 * (1 - np.cos(weff * t))
+        assert np.allclose(Mo[0, 0, 2], mz_want, atol=ATOL), Mo
+
+    def test_gradient_dephasing_phase(self):
+        r"""Constant gradient gz: a spin at z accrues transverse phase
+        -gamma*2*pi*gz*z*T (the k-space/Fourier relation)."""
+        nT, dt, gz = 128, 4e-6, 0.8  # G/cm
+        zs = np.linspace(-1.0, 1.0, 7)  # cm
+        nM = zs.size
+        Mi = jnp.broadcast_to(_mk([1., 0., 0.]), (1, nM, 3))
+        rf = jnp.zeros((1, 2, nT), jnp.float64)
+        gr = jnp.broadcast_to(_mk([0., 0., gz])[:, None], (1, 3, nT))
+        loc = _mk(np.stack([np.zeros(nM), np.zeros(nM), zs], -1))[None]
+        Mo = np.asarray(sims.blochsim_rfgr(
+            Mi, rf, gr, loc, gam=_mk(gamH), dt=_mk(dt)))
+        phase = -gamH * 2 * np.pi * gz * zs * nT * dt
+        want = np.stack([np.cos(phase), np.sin(phase), np.zeros(nM)], -1)
+        assert np.allclose(Mo[0], want, atol=ATOL), Mo[0] - want
+
+
+class TestAnalyticRelaxation:
+
+    def test_freeprec_decay_and_recovery(self):
+        r"""M0 = (1,0,0): Mxy = e^(-t/T2), Mz = 1 - e^(-t/T1)."""
+        T1, T2, dur = 1.47, 0.07, 0.1
+        Mi = _mk([[[1., 0., 0.]]])
+        for fp in (sims.freeprec, slowsims.freeprec):
+            Mo = np.asarray(fp(Mi, _mk(dur), T1=_mk([[T1]]), T2=_mk([[T2]])))
+            want = [np.exp(-dur / T2), 0., 1 - np.exp(-dur / T1)]
+            assert np.allclose(Mo[0, 0], want, atol=ATOL), (fp, Mo)
+
+    def test_inversion_recovery(self):
+        r"""M0 = (0,0,-1): Mz(t) = 1 - 2 e^(-t/T1); null at t = T1 ln 2."""
+        T1, T2 = 1.47, 0.07
+        Mi = _mk([[[0., 0., -1.]]])
+        t_null = T1 * np.log(2.0)
+        Mo = np.asarray(sims.freeprec(Mi, _mk(t_null),
+                                      T1=_mk([[T1]]), T2=_mk([[T2]])))
+        assert np.allclose(Mo[0, 0], [0., 0., 0.], atol=ATOL), Mo
+        dur = 0.33
+        Mo = np.asarray(sims.freeprec(Mi, _mk(dur),
+                                      T1=_mk([[T1]]), T2=_mk([[T2]])))
+        assert np.allclose(Mo[0, 0, 2], 1 - 2 * np.exp(-dur / T1),
+                           atol=ATOL), Mo
+
+
+class TestSpinEcho:
+
+    @pytest.mark.parametrize('fp', [sims.freeprec, slowsims.freeprec],
+                             ids=['sims', 'slowsims'])
+    def test_hahn_echo_refocuses(self, fp):
+        r"""Dephase an off-resonance ensemble for tau, flip 180deg about y,
+        dephase tau again: every spin refocuses to
+        (0, E2^2, (1-E1)^2) regardless of its df — the Hahn echo."""
+        T1, T2, tau = 1.47, 0.07, 0.02
+        nM = 33
+        dfs = np.linspace(-80., 80., nM)  # Hz
+        Mi = jnp.broadcast_to(_mk([0., 1., 0.]), (1, nM, 3))
+        T1_, T2_ = _mk([[T1]]), _mk([[T2]])
+        df_ = _mk(dfs)[None]
+
+        M = fp(Mi, _mk(tau), T1=T1_, T2=T2_, df=df_)
+        # mid-point sanity: the ensemble mean transverse magnitude has
+        # genuinely dephased (|mean Mxy| well below the per-spin E2)
+        mean_xy = np.linalg.norm(np.asarray(M)[0, :, :2].mean(0))
+        assert mean_xy < 0.5 * np.exp(-tau / T2), mean_xy
+
+        # hard 180deg about y (relaxation-free pulse -> exact flip)
+        nT, dt = 64, 4e-6
+        b1y = np.pi / (gamH * 2 * np.pi * nT * dt)
+        beff = jnp.broadcast_to(_mk([0., b1y, 0.]), (1, nM, nT, 3))
+        M = sims.blochsim(M, beff, gam=_mk(gamH), dt=_mk(dt))
+
+        M = np.asarray(fp(M, _mk(tau), T1=T1_, T2=T2_, df=df_))
+        E1, E2 = np.exp(-tau / T1), np.exp(-tau / T2)
+        want = np.array([0., E2 ** 2, (1 - E1) ** 2])
+        assert np.allclose(M[0], want[None], atol=ATOL), \
+            np.abs(M[0] - want).max()
