@@ -1,0 +1,104 @@
+r"""Slice-selective excitation: windowed-sinc RF + slab-select gradient.
+
+The canonical 1D excitation experiment: a Hamming-windowed sinc RF pulse
+played under a constant Gz excites a slab whose profile is (small-tip
+theory) the Fourier transform of the RF envelope; a trailing negative
+gradient lobe with half the main-lobe area refocuses the in-slice phase.
+
+This demo builds the pulse analytically, simulates it through the full
+object-model stack (SpinCube → applypulse → fused Bloch engine), and
+checks the result against both the small-tip-angle Fourier prediction and
+the nominal slice geometry.
+
+Usage::
+
+    python examples/slice_select.py [--flip 30] [--thk 0.5] [--tb 8]
+                                    [--nz 512]
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--flip', type=float, default=30., help='deg')
+    ap.add_argument('--thk', type=float, default=0.5, help='slice (cm)')
+    ap.add_argument('--tb', type=float, default=8., help='time-bandwidth')
+    ap.add_argument('--nz', type=int, default=512, help='spins along z')
+    ap.add_argument('--dur', type=float, default=2.56e-3, help='RF dur (s)')
+    args = ap.parse_args()
+
+    import jax.numpy as jnp
+    from mrphy_tpu import gamH, dt0
+    from mrphy_tpu.models import mobjs
+
+    dt = float(dt0)
+    nT = int(round(args.dur / dt))
+    bw = args.tb / args.dur                    # Hz
+    gz = bw / (gamH * args.thk)                # G/cm
+    flip = np.deg2rad(args.flip)
+
+    # Hamming-windowed sinc, peak-normalized, scaled to the target flip:
+    # theta = gamma*2pi * integral(B1 dt)
+    t = (np.arange(nT) - nT / 2 + 0.5) * dt
+    env = np.sinc(bw * t) * np.hamming(nT)
+    b1 = env * flip / (gamH * 2 * np.pi * env.sum() * dt)
+
+    # refocusing lobe: -Gz for half the RF duration (linear-phase sinc)
+    nRef = nT // 2
+    rf = np.zeros((1, 2, nT + nRef))
+    rf[0, 0, :nT] = b1
+    gr = np.zeros((1, 3, nT + nRef))
+    gr[0, 2, :nT] = gz
+    gr[0, 2, nT:] = -gz
+    p = mobjs.Pulse(rf=jnp.asarray(rf, jnp.float32),
+                    gr=jnp.asarray(gr, jnp.float32), dt=dt)
+
+    fov_z = 4 * args.thk
+    cube = mobjs.SpinCube((1, 1, 1, args.nz),
+                          jnp.asarray([[1., 1., fov_z]], jnp.float32),
+                          T1_=jnp.asarray([[1.47]], jnp.float32),
+                          T2_=jnp.asarray([[0.07]], jnp.float32))
+    z = np.asarray(cube.loc_[0, :, 2])
+
+    M = np.asarray(cube.applypulse(p, doRelax=False))[0].reshape(-1, 3)
+    mxy = M[:, 0] + 1j * M[:, 1]
+
+    # small-tip prediction: Mxy(z) = i*gamma*2pi*dt * sum_j B1_j e^{i*phi_j}
+    # with phi_j = -gamma*2pi*Gz*z*(T_total - t_j). The half-area
+    # refocusing lobe cancels the center-of-pulse term, leaving
+    # phi_j = +gamma*2pi*Gz*z*t_j in pulse-centered time t_j.
+    stp = 1j * gamH * 2 * np.pi * dt * (
+        b1[None] * np.exp(1j * 2 * np.pi * gamH * gz
+                          * np.outer(z, t))).sum(1)
+
+    inslice = np.abs(z) < args.thk * 0.35      # plateau only
+    outslice = np.abs(z) > args.thk * 0.80
+    flip_meas = np.rad2deg(np.arctan2(np.abs(mxy[inslice]),
+                                      M[inslice, 2])).mean()
+    ripple = np.abs(mxy[outslice]).max()
+    stp_err = np.abs(mxy - stp)[inslice].max()
+    phase_dev = np.angle(mxy[inslice] * np.exp(-1j * np.pi / 2))
+    print(f'target flip {args.flip:.1f} deg, slice {args.thk} cm, '
+          f'TB {args.tb}, Gz {gz * 1e3:.2f} mG/cm, nT {nT}+{nRef}')
+    print(f'in-slice mean flip : {flip_meas:7.2f} deg')
+    print(f'out-of-slice |Mxy| : {ripple:7.4f} (max)')
+    print(f'|sim - small-tip|  : {stp_err:7.4f} (max, in-slice)')
+    print(f'in-slice phase dev : {np.rad2deg(np.abs(phase_dev).max()):7.2f}'
+          f' deg from +90 (refocused)')
+
+    ok = (abs(flip_meas - args.flip) < 0.05 * args.flip
+          and ripple < 0.03 and stp_err < 0.05)
+    print('PASS' if ok else 'FAIL')
+    return 0 if ok else 1
+
+
+if __name__ == '__main__':
+    sys.exit(main())
