@@ -117,7 +117,11 @@ def design_pulse(spinarray, pulse, Mtgt_, *, loc_=None, df_=None,
     if df_ is None:
         df_ = getattr(spinarray, 'df_', None)
 
-    params = init_params(pulse.rf, pulse.gr, cfg)
+    # jit the whole constrained->unconstrained preamble: run eagerly it
+    # is dozens of tiny dispatches, which on a remote-attached device
+    # cost ~1 s each (70+ s measured) vs one ~1 s compile here
+    params = jax.jit(lambda rf, gr: init_params(rf, gr, cfg))(
+        pulse.rf, pulse.gr)
     optimizer = optax.adam(cfg.lr)
     opt_state = optimizer.init(params)
 
@@ -148,7 +152,7 @@ def design_pulse(spinarray, pulse, Mtgt_, *, loc_=None, df_=None,
 
         params, losses = run(params, opt_state)
 
-    rf, gr = params2pulse(params, cfg)
+    rf, gr = jax.jit(lambda p: params2pulse(p, cfg))(params)
     out = Pulse(rf, gr, dt=cfg.dt, rfmax=cfg.rfmax, smax=cfg.smax,
                 desc=f'{pulse.desc} + designed({cfg.niter} iters)',
                 dtype=pulse.dtype)

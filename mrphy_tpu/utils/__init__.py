@@ -12,6 +12,7 @@ from mrphy_tpu.utils.rf import (rf_c2r, rf_r2c, rf2trho_theta,
                                 lrho_theta2rf, rfclamp)
 from mrphy_tpu.utils.slew import s2ts, ts2s, sclamp
 from mrphy_tpu.utils.rotation import uphirot
+from mrphy_tpu.utils import timing  # noqa: F401  (timing/profiling harness)
 
 # -- Unicode aliases (reference spellings) --
 # Python NFKC-normalizes identifiers: source written as `uϕrot` (U+03D5,

@@ -19,7 +19,22 @@ import time
 import numpy as np
 import jax
 
-__all__ = ['host_sync', 'amortized_timeit', 'chained_timeit', 'trace']
+__all__ = ['host_sync', 'amortized_timeit', 'chained_timeit', 'trace',
+           'enable_persistent_cache']
+
+
+def enable_persistent_cache(path: str = '~/.cache/mrphy_tpu_jax') -> None:
+    r"""Opt into JAX's persistent compilation cache at ``path``.
+
+    Design-scale graphs (scan over optimizer iterations of a custom-VJP
+    Bloch engine) take tens of seconds to minutes to compile on a remote
+    attachment; the persistent cache makes later processes reuse the
+    compiled executables. Call once, before the first ``jit`` runs.
+    """
+    import os
+    jax.config.update('jax_compilation_cache_dir',
+                      os.path.expanduser(path))
+    jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
 
 
 def host_sync(out):
