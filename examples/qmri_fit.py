@@ -1,0 +1,114 @@
+r"""Quantitative MRI: fit per-voxel T1/T2 maps by gradient descent
+through the differentiable Bloch simulator.
+
+The reference's fast engine is explicitly NOT differentiable w.r.t.
+T1/T2 (``/root/reference/mrphy/sims.py:149-150``). The autodiff oracle
+engines here are — ``jax.grad`` flows through relaxation — so tissue
+parameters become design variables. This demo:
+
+1. simulates inversion-recovery (IR) and spin-echo (SE) experiments over
+   a grid of voxels with heterogeneous ground-truth T1/T2;
+2. recovers the maps by Adam on log-parametrized T1/T2 through the
+   simulator (one jitted ``lax.scan`` over iterations);
+3. reports max relative error of the recovered maps.
+
+Usage::
+
+    python examples/qmri_fit.py [--nvox 256] [--iters 800] [--noise 0.0]
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--nvox', type=int, default=256)
+    ap.add_argument('--iters', type=int, default=800)
+    ap.add_argument('--lr', type=float, default=0.05)
+    ap.add_argument('--noise', type=float, default=0.0,
+                    help='measurement noise stddev')
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from mrphy_tpu.ops import slowsims
+
+    nM = args.nvox
+    rng = np.random.default_rng(7)
+    T1_true = jnp.asarray(rng.uniform(0.3, 2.5, (1, nM)), jnp.float32)
+    T2_true = jnp.asarray(rng.uniform(0.03, 0.25, (1, nM)), jnp.float32)
+
+    TIs = jnp.asarray([0.1, 0.3, 0.6, 1.2, 2.4, 4.8], jnp.float32)
+    taus = jnp.asarray([0.01, 0.03, 0.06, 0.12, 0.24], jnp.float32) / 2
+
+    minus_z = jnp.tile(jnp.asarray([0., 0., -1.], jnp.float32), (1, nM, 1))
+    plus_y = jnp.tile(jnp.asarray([0., 1., 0.], jnp.float32), (1, nM, 1))
+
+    def ir_signal(T1, T2):
+        r"""Mz(TI) after ideal inversion: 1 - 2 exp(-TI/T1)."""
+        def one(TI):
+            return slowsims.freeprec(minus_z, TI, T1=T1, T2=T2)[..., 2]
+        return jax.vmap(one)(TIs)                    # (nTI, 1, nM)
+
+    def se_signal(T1, T2):
+        r"""My(TE=2*tau) after ideal 90x - tau - 180y - tau: exp(-TE/T2)."""
+        def one(tau):
+            M = slowsims.freeprec(plus_y, tau, T1=T1, T2=T2)
+            M = M * jnp.asarray([-1., 1., -1.])      # exact 180y flip
+            return slowsims.freeprec(M, tau, T1=T1, T2=T2)[..., 1]
+        return jax.vmap(one)(taus)                   # (nTE, 1, nM)
+
+    key = jax.random.PRNGKey(0)
+    ir_meas = ir_signal(T1_true, T2_true)
+    se_meas = se_signal(T1_true, T2_true)
+    if args.noise > 0:
+        k1, k2 = jax.random.split(key)
+        ir_meas += args.noise * jax.random.normal(k1, ir_meas.shape)
+        se_meas += args.noise * jax.random.normal(k2, se_meas.shape)
+
+    def loss_fn(params):
+        T1, T2 = jnp.exp(params['lT1']), jnp.exp(params['lT2'])
+        return (jnp.mean((ir_signal(T1, T2) - ir_meas) ** 2)
+                + jnp.mean((se_signal(T1, T2) - se_meas) ** 2))
+
+    params = {'lT1': jnp.zeros((1, nM), jnp.float32),
+              'lT2': jnp.full((1, nM), -2.0, jnp.float32)}
+    opt = optax.adam(args.lr)
+
+    @jax.jit
+    def run(params):
+        state = opt.init(params)
+
+        def body(carry, _):
+            params, state = carry
+            loss, g = jax.value_and_grad(loss_fn)(params)
+            updates, state = opt.update(g, state, params)
+            return (optax.apply_updates(params, updates), state), loss
+
+        (params, _), losses = jax.lax.scan(body, (params, state), None,
+                                           length=args.iters)
+        return params, losses
+
+    params, losses = run(params)
+    T1_fit, T2_fit = jnp.exp(params['lT1']), jnp.exp(params['lT2'])
+    e1 = float(jnp.max(jnp.abs(T1_fit - T1_true) / T1_true))
+    e2 = float(jnp.max(jnp.abs(T2_fit - T2_true) / T2_true))
+    print(f'{nM} voxels, {args.iters} iters: loss '
+          f'{float(losses[0]):.3e} -> {float(losses[-1]):.3e}')
+    print(f'max rel err: T1 {e1:.4%}   T2 {e2:.4%}')
+    tol = 0.01 if args.noise == 0 else 0.15
+    ok = e1 < tol and e2 < tol
+    print('PASS' if ok else 'FAIL')
+    return 0 if ok else 1
+
+
+if __name__ == '__main__':
+    sys.exit(main())

@@ -198,3 +198,19 @@ class TestFlowPallas:
         for a_, b_ in zip(gp, gx):
             scale = float(jnp.max(jnp.abs(b_))) + 1e-30
             np.testing.assert_allclose(a_ / scale, b_ / scale, atol=2e-3)
+
+
+class TestFastSincos:
+
+    def test_matches_reference_over_range(self):
+        r"""The kernels' polynomial sincos is f32-exact (~1e-7) for all
+        phi the physics can produce (phi = gam*2pi*dt*|B| >= 0; 60 rad
+        corresponds to ~560 Gauss at dt=4us — far beyond hardware)."""
+        from mrphy_tpu.ops.pallas_kernels import _fast_sincos
+        phi = jnp.asarray(
+            np.concatenate([np.linspace(0, 60, 200001),
+                            [0.0, 1e-12, 1e-6, np.pi / 2, np.pi]]), DT32)
+        s, c = _fast_sincos(phi)
+        phi64 = np.asarray(phi, np.float64)
+        assert np.abs(np.asarray(s) - np.sin(phi64)).max() < 2e-7
+        assert np.abs(np.asarray(c) - np.cos(phi64)).max() < 2e-7
