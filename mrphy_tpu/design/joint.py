@@ -22,6 +22,7 @@ jitted component:
 """
 
 import dataclasses
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -89,6 +90,35 @@ def design_step(params, opt_state, optimizer, cfg, *args, **kw):
     return params, opt_state, loss, M_
 
 
+@functools.partial(jax.jit, static_argnames=('cfg', 'niter', 'doRelax'))
+def _design_scan(params, opt_state, cfg, niter, M0_, loc_, Mtgt_, T1_,
+                 T2_, gam_, df_, b1Map_, doRelax):
+    r"""The whole optimization as ONE jitted ``lax.scan``. Module-level
+    (not a per-call closure) so repeated ``design_pulse`` calls — e.g.
+    multi-scale stages — reuse the compiled executable; ``cfg`` is a
+    frozen (hashable) dataclass and serves as the static key."""
+    optimizer = optax.adam(cfg.lr)
+
+    def body(carry, _):
+        params, opt_state = carry
+        params, opt_state, loss, _ = design_step(
+            params, opt_state, optimizer, cfg, M0_, loc_, Mtgt_, T1_,
+            T2_, gam_, df_, b1Map_, doRelax)
+        return (params, opt_state), loss
+
+    (params, opt_state), losses = jax.lax.scan(
+        body, (params, opt_state), None, length=niter)
+    return params, losses
+
+
+@functools.partial(jax.jit, static_argnames=('cfg', 'doRelax'))
+def _design_step_jit(params, opt_state, cfg, M0_, loc_, Mtgt_, T1_, T2_,
+                     gam_, df_, b1Map_, doRelax):
+    optimizer = optax.adam(cfg.lr)
+    return design_step(params, opt_state, optimizer, cfg, M0_, loc_,
+                       Mtgt_, T1_, T2_, gam_, df_, b1Map_, doRelax)
+
+
 def design_pulse(spinarray, pulse, Mtgt_, *, loc_=None, df_=None,
                  b1Map_=None, cfg: Optional[DesignConfig] = None,
                  doRelax: bool = True, verbose: bool = False):
@@ -126,31 +156,20 @@ def design_pulse(spinarray, pulse, Mtgt_, *, loc_=None, df_=None,
     opt_state = optimizer.init(params)
 
     step_args = (spinarray.M_, loc_, Mtgt_, spinarray.T1_, spinarray.T2_,
-                 spinarray.gam_, df_, b1Map_, doRelax)
+                 spinarray.gam_, df_, b1Map_)
 
     if verbose:
-        step = jax.jit(lambda p, s: design_step(p, s, optimizer, cfg,
-                                                *step_args))
         losses = []
         for it in range(cfg.niter):
-            params, opt_state, loss, _ = step(params, opt_state)
+            params, opt_state, loss, _ = _design_step_jit(
+                params, opt_state, cfg, *step_args, doRelax=doRelax)
             losses.append(loss)
             if it % max(1, cfg.niter // 10) == 0:
                 print(f'iter {it:4d}  loss {float(loss):.6e}')
         losses = jnp.stack(losses)
     else:
-        @jax.jit
-        def run(params, opt_state):
-            def body(carry, _):
-                params, opt_state = carry
-                params, opt_state, loss, _ = design_step(
-                    params, opt_state, optimizer, cfg, *step_args)
-                return (params, opt_state), loss
-            (params, opt_state), losses = jax.lax.scan(
-                body, (params, opt_state), None, length=cfg.niter)
-            return params, losses
-
-        params, losses = run(params, opt_state)
+        params, losses = _design_scan(params, opt_state, cfg, cfg.niter,
+                                      *step_args, doRelax=doRelax)
 
     rf, gr = jax.jit(lambda p: params2pulse(p, cfg))(params)
     out = Pulse(rf, gr, dt=cfg.dt, rfmax=cfg.rfmax, smax=cfg.smax,
