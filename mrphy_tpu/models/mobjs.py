@@ -514,8 +514,9 @@ class SpinArray(_SlotStateMixin):
     # -- physics methods --
     def applypulse(self, pulse: Pulse, *, doEmbed: bool = False,
                    doRelax: bool = True, doUpdate: bool = False,
+                   doFuse: bool = True,
                    loc=None, loc_=None, b1Map=None, b1Map_=None, **kw):
-        r"""Apply a pulse: ``pulse2beff`` → fast-engine ``sims.blochsim``.
+        r"""Apply a pulse through the fast engine.
 
         Inputs:
             - ``pulse``: :class:`Pulse`.
@@ -524,6 +525,11 @@ class SpinArray(_SlotStateMixin):
             - ``doEmbed``: return grid ``M`` instead of compact ``M_``.
             - ``doRelax``: include T1/T2 relaxation.
             - ``doUpdate``: assign the result to ``self.M_``.
+            - ``doFuse``: assemble B-effective *inside* the time loop
+              (``sims.blochsim_rfgr``) so the O(nM·nT) field tensor never
+              materializes — same physics, same gradients. ``False``
+              composes ``pulse2beff`` → ``sims.blochsim`` like the
+              reference (``/root/reference/mrphy/mobjs.py:394-450``).
             - ``df`` ⊻ ``df_`` (aliases ``Δf``/``Δf_``): `(N, *Nd ⊻ nM)`.
             - ``b1Map`` ⊻ ``b1Map_``: `(N, *Nd ⊻ nM, xy, (nCoils))`.
 
@@ -539,11 +545,17 @@ class SpinArray(_SlotStateMixin):
         assert (b1Map_ is None) or (b1Map is None)
         b1Map_ = b1Map_ if b1Map is None else self.extract(b1Map)
 
-        beff_ = self.pulse2beff(pulse, loc_=loc_, df_=df_, b1Map_=b1Map_,
-                                doEmbed=False)
         T1, T2 = (self.T1_, self.T2_) if doRelax else (None, None)
-        M_ = sims.blochsim(self.M_, beff_, T1=T1, T2=T2, gam=self.gam_,
-                           dt=pulse.dt)
+        if doFuse:
+            pulse = pulse.to(dtype=self.dtype)
+            M_ = sims.blochsim_rfgr(self.M_, pulse.rf, pulse.gr, loc_,
+                                    T1=T1, T2=T2, df=df_, b1Map=b1Map_,
+                                    gam=self.gam_, dt=pulse.dt)
+        else:
+            beff_ = self.pulse2beff(pulse, loc_=loc_, df_=df_,
+                                    b1Map_=b1Map_, doEmbed=False)
+            M_ = sims.blochsim(self.M_, beff_, T1=T1, T2=T2,
+                               gam=self.gam_, dt=pulse.dt)
         if doUpdate:
             self.M_ = M_
         return self.embed(M_) if doEmbed else M_
@@ -762,12 +774,12 @@ class SpinCube(SpinArray):
     # -- physics methods (inject loc_, df_; parity: mobjs.py:841-944) --
     def applypulse(self, pulse: Pulse, *, doEmbed: bool = False,
                    doRelax: bool = True, doUpdate: bool = False,
-                   b1Map=None, b1Map_=None):
+                   doFuse: bool = True, b1Map=None, b1Map_=None):
         sp = self._spinarray
         assert (b1Map_ is None) or (b1Map is None)
         b1Map_ = b1Map_ if b1Map is None else sp.extract(b1Map)
         return sp.applypulse(pulse, doEmbed=doEmbed, doRelax=doRelax,
-                             doUpdate=doUpdate, df_=self.df_,
+                             doUpdate=doUpdate, doFuse=doFuse, df_=self.df_,
                              loc_=self.loc_, b1Map_=b1Map_)
 
     def freeprec(self, dur, *, doEmbed: bool = False, doRelax: bool = True,

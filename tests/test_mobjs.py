@@ -256,3 +256,25 @@ class TestSmallCoverage:
         assert isinstance(bol64, mobjs.SpinBolus)
         assert bol64.vel_.dtype == jnp.float64
         np.testing.assert_allclose(bol64.vel_, bol.vel_, atol=0)
+
+
+class TestApplypulseFused:
+
+    def test_fused_matches_composed(self):
+        r"""doFuse=True (B-effective assembled inside the scan) must equal
+        the composed pulse2beff -> blochsim path, values and gradients."""
+        import jax
+        cube, p = mobjs.Examples.spincube(), mobjs.Examples.pulse()
+        for doRelax in (True, False):
+            a = cube.applypulse(p, doRelax=doRelax, doFuse=True)
+            b = cube.applypulse(p, doRelax=doRelax, doFuse=False)
+            assert jnp.max(jnp.abs(a - b)) < 1e-11, float(jnp.max(
+                jnp.abs(a - b)))
+
+        def loss(rf, fuse):
+            p2 = mobjs.Pulse(rf, p.gr, dt=p.dt, dtype=p.dtype)
+            return jnp.sum(cube.applypulse(p2, doFuse=fuse) ** 2)
+        ga = jax.grad(lambda rf: loss(rf, True))(p.rf)
+        gb = jax.grad(lambda rf: loss(rf, False))(p.rf)
+        assert jnp.max(jnp.abs(ga - gb)) < 1e-10, float(jnp.max(
+            jnp.abs(ga - gb)))
