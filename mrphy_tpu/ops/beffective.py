@@ -136,41 +136,66 @@ def beff2ab_assoc(beff, *, E1=0.0, E2=0.0, gam=gamH, dt=dt0):
     beff, E1, E2, gam2pidt = _ab_step_inputs(beff, E1, E2, gam, dt)
     NNd = beff.shape[:-2]
     nT = beff.shape[-2]
+    dtype = beff.dtype
 
     u, phi = beff2uphi(beff, gam2pidt[..., None])  # (N,*Nd,nT,xyz), (...,nT)
-    cphi, sphi = jnp.cos(phi)[..., None, None], jnp.sin(phi)[..., None, None]
 
-    eye = jnp.eye(3, dtype=beff.dtype)
-    uut = u[..., :, None] * u[..., None, :]             # (..., nT, 3, 3)
-    zero = jnp.zeros(NNd + (nT,), dtype=beff.dtype)
-    ux, uy, uz = u[..., 0], u[..., 1], u[..., 2]
-    ucross = jnp.stack([
-        jnp.stack([zero, -uz, uy], axis=-1),
-        jnp.stack([uz, zero, -ux], axis=-1),
-        jnp.stack([-uy, ux, zero], axis=-1)], axis=-2)  # [u]ₓ: u×v = [u]ₓ v
-    rot = cphi * eye + (1 - cphi) * uut + sphi * ucross
+    # TPU layout: structure-of-arrays. The affine map of each step is
+    # held as 9 + 3 separate (nT, S) planes (flattened spin axis S on
+    # the vector lanes), so every op below is elementwise on well-tiled
+    # arrays. Carrying (…, 3, 3)-trailing tensors instead makes XLA pad
+    # the matrix dims onto the (sublane, lane) tile at a measured 57x
+    # memory expansion (nT=65k exceeded HBM by 16 GB), and einsums over
+    # the tiny contraction dim lower to badly-laid-out convolutions.
+    u2 = jnp.moveaxis(u.reshape(-1, nT, 3), 0, -1)      # (nT, 3, S)
+    cp = jnp.moveaxis(jnp.cos(phi).reshape(-1, nT), 0, -1)   # (nT, S)
+    sp = jnp.moveaxis(jnp.sin(phi).reshape(-1, nT), 0, -1)
+    ux, uy, uz = u2[:, 0], u2[:, 1], u2[:, 2]           # (nT, S)
 
-    d = jnp.stack([jnp.broadcast_to(E2, NNd),
-                   jnp.broadcast_to(E2, NNd),
-                   jnp.broadcast_to(E1, NNd)], axis=-1)  # (N,*Nd,3)
-    a_t = d[..., None, :, None] * rot                    # (..., nT, 3, 3)
-    c_t = jnp.concatenate(
-        [jnp.zeros(NNd + (nT, 2), beff.dtype),
-         jnp.broadcast_to((1 - E1)[..., None, None], NNd + (nT, 1))], axis=-1)
+    E1f = jnp.broadcast_to(E1, NNd).reshape(-1).astype(dtype)   # (S,)
+    E2f = jnp.broadcast_to(E2, NNd).reshape(-1).astype(dtype)
+    c1 = 1 - cp
+    # rows of D·R(u,φ): R_ik = cφ·δ_ik + (1−cφ)·u_i·u_k + sφ·[u]ₓ_ik
+    row = ((cp + c1 * ux * ux, c1 * ux * uy - sp * uz,
+            c1 * ux * uz + sp * uy),
+           (c1 * uy * ux + sp * uz, cp + c1 * uy * uy,
+            c1 * uy * uz - sp * ux),
+           (c1 * uz * ux - sp * uy, c1 * uz * uy + sp * ux,
+            cp + c1 * uz * uz))
+    dscale = (E2f, E2f, E1f)
+    a = [[dscale[i] * row[i][k] for k in range(3)] for i in range(3)]
+    zb = jnp.zeros((nT,) + E1f.shape, dtype)
+    b = [zb, zb, jnp.broadcast_to(1 - E1f, (nT,) + E1f.shape)]
 
-    a_t = jnp.moveaxis(a_t, -3, 0)  # (nT, N, *Nd, 3, 3)
-    c_t = jnp.moveaxis(c_t, -2, 0)  # (nT, N, *Nd, 3)
+    # pairwise tree reduction: only the FINAL propagator is needed, so
+    # composing pairs (O(nT) total work, log2(nT) layers of elementwise
+    # mul-adds) beats associative_scan, which materializes every prefix.
+    nrem = nT
+    while nrem > 1:
+        odd = nrem % 2
+        if odd:  # hold the temporally-last step out, re-append after
+            a_last = [[m[-1:] for m in r] for r in a]
+            b_last = [v[-1:] for v in b]
+            a = [[m[:-1] for m in r] for r in a]
+            b = [v[:-1] for v in b]
+        lo = [[m[0::2] for m in r] for r in a]
+        hi = [[m[1::2] for m in r] for r in a]
+        b_lo = [v[0::2] for v in b]
+        b_hi = [v[1::2] for v in b]
+        a = [[hi[i][0] * lo[0][k] + hi[i][1] * lo[1][k]
+              + hi[i][2] * lo[2][k] for k in range(3)] for i in range(3)]
+        b = [hi[i][0] * b_lo[0] + hi[i][1] * b_lo[1] + hi[i][2] * b_lo[2]
+             + b_hi[i] for i in range(3)]
+        if odd:
+            a = [[jnp.concatenate([a[i][k], a_last[i][k]])
+                  for k in range(3)] for i in range(3)]
+            b = [jnp.concatenate([b[i], b_last[i]]) for i in range(3)]
+        nrem = nrem // 2 + odd
 
-    _PH = jax.lax.Precision.HIGHEST
-
-    def combine(lo, hi):  # hi ∘ lo  (lo happened first)
-        a1, b1 = lo
-        a2, b2 = hi
-        return (jnp.einsum('...ij,...jk->...ik', a2, a1, precision=_PH),
-                jnp.einsum('...ij,...j->...i', a2, b1, precision=_PH) + b2)
-
-    a_all, b_all = jax.lax.associative_scan(combine, (a_t, c_t))
-    return a_all[-1], b_all[-1]
+    A = jnp.stack([jnp.stack([a[i][k][0] for k in range(3)], -1)
+                   for i in range(3)], -2).reshape(NNd + (3, 3))
+    B = jnp.stack([b[i][0] for i in range(3)], -1).reshape(NNd + (3,))
+    return A, B
 
 
 @kwalias(**{'γ': 'gam', 'Δf': 'df'})

@@ -182,11 +182,15 @@ def freeprec(M, dur, *, T1=None, T2=None, df=None):
 def blochsim_tparallel(M, Beff, *, T1=None, T2=None, gam=gamH, dt=dt0):
     r"""Parallel-in-time Bloch simulation.
 
-    Composes the per-step affine maps with ``lax.associative_scan``
+    Composes the per-step affine maps by pairwise tree reduction
     (:func:`mrphy_tpu.ops.beffective.beff2ab_assoc`) and applies the
-    resulting propagator — O(log nT) sequential depth instead of a scan,
-    at O(nT·12·nSpins) extra memory. The TPU-idiomatic "sequence-axis"
-    scaling path (SURVEY §2.9): useful when nT, not nM, is the long axis.
+    resulting propagator — O(log nT) sequential depth instead of a scan.
+    The TPU-idiomatic "sequence-axis" scaling path (SURVEY §2.9): use
+    when nT, not nM, is the long axis (measured on one v5e: 8.3× faster
+    than the sequential engine at 128 spins × 65536 steps). Memory: the
+    first tree level holds 12 f32 planes of (nT, nSpins) — keep
+    nT·nSpins ≲ 2.5e8 per 16 GB of HBM; at grid-scale nM the sequential
+    engine is the right tool.
 
     Same signature/semantics as :func:`blochsim` (relaxation optional).
     """

@@ -106,6 +106,43 @@ class TestAnalyticRelaxation:
                            atol=ATOL), Mo
 
 
+class TestAdiabatic:
+
+    def test_hyperbolic_secant_inversion_b1_insensitive(self):
+        r"""A hyperbolic-secant (HS1) frequency-swept pulse inverts spins
+        for ANY B1 amplitude above the adiabatic threshold — the defining
+        property of adiabatic passage, and a stringent nonlinear test of
+        the simulator (no small-angle regime, strong frequency
+        modulation). Encoded as Bz(t) = sweep/gamma in the rotating
+        frame."""
+        nT, dt = 2500, 4e-6                   # 10 ms pulse
+        T = nT * dt
+        beta = 2 * 5.3 / T                    # sech truncation ~1%
+        mu = 5.0
+        A0 = 0.15                             # Gauss; threshold ~0.089
+        t = (np.arange(nT) + 0.5) * dt - T / 2
+        am = A0 / np.cosh(beta * t)
+        sweep = mu * beta * np.tanh(beta * t) / (2 * np.pi)  # Hz
+
+        scales = np.array([0.8, 1.0, 1.4, 2.0])
+        for s in scales:
+            beff = np.zeros((1, 1, nT, 3))
+            beff[0, 0, :, 0] = s * am
+            beff[0, 0, :, 2] = sweep / gamH
+            Mo = np.asarray(sims.blochsim(
+                _mk([[[0., 0., 1.]]]), _mk(beff), gam=_mk(gamH),
+                dt=_mk(dt)))
+            assert Mo[0, 0, 2] < -0.9, (s, Mo)
+
+        # below threshold, inversion fails — the test is discriminating
+        beff = np.zeros((1, 1, nT, 3))
+        beff[0, 0, :, 0] = 0.2 * am
+        beff[0, 0, :, 2] = sweep / gamH
+        Mo = np.asarray(sims.blochsim(_mk([[[0., 0., 1.]]]), _mk(beff),
+                                      gam=_mk(gamH), dt=_mk(dt)))
+        assert Mo[0, 0, 2] > -0.5, Mo
+
+
 class TestTissueParamGradients:
     r"""Differentiability w.r.t. T1/T2 — beyond the reference, whose fast
     engine returns no tissue-parameter gradients

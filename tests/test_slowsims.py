@@ -6,6 +6,7 @@ triples, (2) blochsim == per-step blochsim_1step == A/B-propagator apply,
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -114,3 +115,20 @@ class TestSlowsims:
         np.testing.assert_allclose(
             slowsims.blochsim_tparallel(M0, beff, gam=gam, dt=dt),
             slowsims.blochsim(M0, beff, gam=gam, dt=dt), atol=ATOL)
+
+
+class TestAssocTreeReduction:
+
+    @pytest.mark.parametrize('nT', [1, 2, 7, 33, 64, 513])
+    def test_beff2ab_assoc_odd_lengths(self, nT):
+        r"""The pairwise tree reduction holds the temporally-last step
+        out at odd levels — every length must compose in the right
+        order. Compared against the sequential beff2ab at 1e-9 (f64)."""
+        rng = np.random.default_rng(nT)
+        beff = jnp.asarray(rng.normal(size=(2, 5, nT, 3)) * 0.05)
+        E1 = jnp.asarray(np.exp(-4e-6 / 1.47))
+        E2 = jnp.asarray(np.exp(-4e-6 / 0.07))
+        A0, B0 = beffective.beff2ab(beff, E1=E1, E2=E2)
+        A1, B1 = beffective.beff2ab_assoc(beff, E1=E1, E2=E2)
+        assert jnp.max(jnp.abs(A0 - A1)) < 1e-9
+        assert jnp.max(jnp.abs(B0 - B1)) < 1e-9
