@@ -132,3 +132,23 @@ class TestAssocTreeReduction:
         A1, B1 = beffective.beff2ab_assoc(beff, E1=E1, E2=E2)
         assert jnp.max(jnp.abs(A0 - A1)) < 1e-9
         assert jnp.max(jnp.abs(B0 - B1)) < 1e-9
+
+    def test_tparallel_grads_match_scan(self):
+        r"""jax.grad through the tree reduction (w.r.t. Beff and M0)
+        equals grads through the sequential scan at 1e-9 (f64)."""
+        rng = np.random.default_rng(5)
+        M0 = jnp.asarray(rng.random((1, 6, 3)) - 0.5)
+        beff = jnp.asarray(rng.normal(size=(1, 6, 48, 3)) * 0.05)
+        T1 = jnp.asarray([[1.0]])
+        T2 = jnp.asarray([[0.05]])
+
+        def loss(fn, M0, beff):
+            return jnp.sum(fn(M0, beff, T1=T1, T2=T2) ** 2)
+
+        for argnum in (0, 1):
+            ga = jax.grad(lambda m, b: loss(
+                slowsims.blochsim_tparallel, m, b), argnum)(M0, beff)
+            gb = jax.grad(lambda m, b: loss(
+                slowsims.blochsim, m, b), argnum)(M0, beff)
+            assert jnp.max(jnp.abs(ga - gb)) < 1e-9, float(
+                jnp.max(jnp.abs(ga - gb)))
