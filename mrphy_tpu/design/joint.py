@@ -90,8 +90,18 @@ def design_step(params, opt_state, optimizer, cfg, *args, **kw):
     return params, opt_state, loss, M_
 
 
-@functools.partial(jax.jit, static_argnames=('cfg', 'niter', 'doRelax'))
-def _design_scan(params, opt_state, cfg, niter, M0_, loc_, Mtgt_, T1_,
+@functools.partial(jax.jit, static_argnames=('cfg',))
+def _init_params_jit(rf, gr, cfg):
+    return init_params(rf, gr, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=('cfg',))
+def _params2pulse_jit(params, cfg):
+    return params2pulse(params, cfg)
+
+
+@functools.partial(jax.jit, static_argnames=('cfg', 'doRelax'))
+def _design_scan(params, opt_state, cfg, M0_, loc_, Mtgt_, T1_,
                  T2_, gam_, df_, b1Map_, doRelax):
     r"""The whole optimization as ONE jitted ``lax.scan``. Module-level
     (not a per-call closure) so repeated ``design_pulse`` calls — e.g.
@@ -107,7 +117,7 @@ def _design_scan(params, opt_state, cfg, niter, M0_, loc_, Mtgt_, T1_,
         return (params, opt_state), loss
 
     (params, opt_state), losses = jax.lax.scan(
-        body, (params, opt_state), None, length=niter)
+        body, (params, opt_state), None, length=cfg.niter)
     return params, losses
 
 
@@ -149,9 +159,9 @@ def design_pulse(spinarray, pulse, Mtgt_, *, loc_=None, df_=None,
 
     # jit the whole constrained->unconstrained preamble: run eagerly it
     # is dozens of tiny dispatches, which on a remote-attached device
-    # cost ~1 s each (70+ s measured) vs one ~1 s compile here
-    params = jax.jit(lambda rf, gr: init_params(rf, gr, cfg))(
-        pulse.rf, pulse.gr)
+    # cost ~1 s each (70+ s measured); module-level jits so repeated
+    # calls reuse the compiled executables
+    params = _init_params_jit(pulse.rf, pulse.gr, cfg)
     optimizer = optax.adam(cfg.lr)
     opt_state = optimizer.init(params)
 
@@ -168,10 +178,10 @@ def design_pulse(spinarray, pulse, Mtgt_, *, loc_=None, df_=None,
                 print(f'iter {it:4d}  loss {float(loss):.6e}')
         losses = jnp.stack(losses)
     else:
-        params, losses = _design_scan(params, opt_state, cfg, cfg.niter,
+        params, losses = _design_scan(params, opt_state, cfg,
                                       *step_args, doRelax=doRelax)
 
-    rf, gr = jax.jit(lambda p: params2pulse(p, cfg))(params)
+    rf, gr = _params2pulse_jit(params, cfg)
     out = Pulse(rf, gr, dt=cfg.dt, rfmax=cfg.rfmax, smax=cfg.smax,
                 desc=f'{pulse.desc} + designed({cfg.niter} iters)',
                 dtype=pulse.dtype)

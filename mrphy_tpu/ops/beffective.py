@@ -124,14 +124,16 @@ def beff2ab(beff, *, E1=0.0, E2=0.0, gam=gamH, dt=dt0):
 
 @kwalias(**{'γ': 'gam'})
 def beff2ab_assoc(beff, *, E1=0.0, E2=0.0, gam=gamH, dt=dt0):
-    r"""A/B propagator via parallel-in-time ``lax.associative_scan``.
+    r"""A/B propagator via parallel-in-time pairwise tree reduction.
 
     Same result as :func:`beff2ab`. Each step is an affine map
     ``M → D·R(u,φ)·M + c`` (D = diag(E2,E2,E1), c = [0,0,1-E1]); affine
     composition is associative, so the whole pulse composes in O(log nT)
-    parallel depth instead of a sequential scan. Costs O(nT·12·nSpins)
-    intermediate memory — prefer for short pulses / when time-axis
-    parallelism matters more than memory.
+    parallel depth instead of a sequential scan. Only the final
+    propagator is materialized (no all-prefix ``associative_scan``);
+    peak memory is the 12 f32 planes of (nT, nSpins) at the first tree
+    level — keep ``nT·nSpins ≲ 2.5e8`` per 16 GB HBM, and prefer the
+    sequential :func:`beff2ab` at grid-scale spin counts.
     """
     beff, E1, E2, gam2pidt = _ab_step_inputs(beff, E1, E2, gam, dt)
     NNd = beff.shape[:-2]

@@ -237,15 +237,27 @@ def _rfgr_fwd_kernel(nT: int, nC: int, relax: bool, has_dfg: bool,
 def _rfgr_bwd_kernel(nT: int, nC: int, relax: bool, has_dfg: bool,
                      has_b1: bool, has_vel: bool, rf_ref, gr_ref, *refs):
     r"""Reverse time loop for one (batch, spin tile) cell: reconstruct m,
-    rotate the cotangent back, reduce per-step waveform gradients.
+    rotate the cotangent back, reduce per-step waveform gradients, and
+    accumulate per-spin field gradients (dloc/ddfg/db1/dvel) alongside.
 
     Positional refs (after rf/gr): mo, g, loc, g2pd, [dfg], [b1],
-    [E, e1_1], dmi, dwf. ``dwf`` rows: [dgx, dgy, dgz, drf_x coils...,
-    drf_y coils...] as (LANE,) sublane-partials."""
+    [E, e1_1], dmi, dwf, dloc, [ddfg], [db1], [dvel]. ``dwf`` rows:
+    [dgx, dgy, dgz, drf_x coils..., drf_y coils...] as (LANE,)
+    sublane-partials."""
     ((mo_ref, g_ref, loc_ref, g2pd_ref), dfg_ref, b1_ref, E_ref, e1_ref,
      vel_ref, tarr_ref, outs) = _unpack(refs, relax, has_dfg, has_b1,
                                         has_vel, 4)
-    dmi_ref, dwf_ref = outs
+    dmi_ref, dwf_ref, dloc_ref = outs[0], outs[1], outs[2]
+    i = 3
+    ddfg_ref = db1g_ref = dvel_ref = None
+    if has_dfg:
+        ddfg_ref = outs[i]
+        i += 1
+    if has_b1:
+        db1g_ref = outs[i]
+        i += 1
+    if has_vel:
+        dvel_ref = outs[i]
     n = pl.program_id(0)
 
     locx, locy, locz = loc_ref[0, 0], loc_ref[0, 1], loc_ref[0, 2]
@@ -256,8 +268,12 @@ def _rfgr_bwd_kernel(nT: int, nC: int, relax: bool, has_dfg: bool,
         e1_1 = e1_ref[0]
         iE2, iE1 = 1.0 / E2, 1.0 / E1  # hoisted: divides are VPU-costly
 
+    n_acc = 3 + int(has_dfg) + (2 * nC if has_b1 else 0) \
+        + (3 if has_vel else 0)
+
     def step(t, carry):
-        mx, my, mz, hx, hy, hz = carry
+        mx, my, mz, hx, hy, hz = carry[:6]
+        acc = list(carry[6:])
         lx, ly, lz = _loc_eff(t, n, locx, locy, locz, vel_ref, tarr_ref)
         bx, by, bz = _assemble_b_tile(n, t, nC, has_dfg, has_b1, rf_ref,
                                       gr_ref, lx, ly, lz, dfg,
@@ -325,7 +341,33 @@ def _rfgr_bwd_kernel(nT: int, nC: int, relax: bool, has_dfg: bool,
                 dwf_ref[0, 0, t, 3 + cc] = sx
                 dwf_ref[0, 0, t, 3 + nC + cc] = sy
 
-        return m0x, m0y, m0z, h0x, h0y, h0z
+        # per-spin field-gradient accumulation (dbx/dby/dbz are already
+        # the unscaled-assembly cotangents): dloc += dbz·gr_t,
+        # ddfg += dbz, db1_c += (dbx,dby)·rf_c, dvel += dbz·gr_t·t
+        grx, gry, grz = gr_ref[n, 0, t], gr_ref[n, 1, t], gr_ref[n, 2, t]
+        a = 0
+        acc[0] = acc[0] + dbz * grx
+        acc[1] = acc[1] + dbz * gry
+        acc[2] = acc[2] + dbz * grz
+        a = 3
+        if has_dfg:
+            acc[a] = acc[a] + dbz
+            a += 1
+        if has_b1:
+            for cc in range(nC):
+                acc[a + cc] = (acc[a + cc] + dbx * rf_ref[n, cc, t]
+                               + dby * rf_ref[n, nC + cc, t])
+                acc[a + nC + cc] = (acc[a + nC + cc]
+                                    + dby * rf_ref[n, cc, t]
+                                    - dbx * rf_ref[n, nC + cc, t])
+            a += 2 * nC
+        if has_vel:
+            tval = tarr_ref[n, t]
+            acc[a] = acc[a] + dbz * (grx * tval)
+            acc[a + 1] = acc[a + 1] + dbz * (gry * tval)
+            acc[a + 2] = acc[a + 2] + dbz * (grz * tval)
+
+        return (m0x, m0y, m0z, h0x, h0y, h0z) + tuple(acc)
 
     u = math.gcd(nT, _UNROLL)
 
@@ -334,11 +376,26 @@ def _rfgr_bwd_kernel(nT: int, nC: int, relax: bool, has_dfg: bool,
             carry = step(nT - 1 - (k * u + j), carry)
         return carry
 
-    m0x, m0y, m0z, h0x, h0y, h0z = jax.lax.fori_loop(
+    zacc = tuple(jnp.zeros_like(g2pd) for _ in range(n_acc))
+    carry = jax.lax.fori_loop(
         0, nT // u, body,
         (mo_ref[0, 0], mo_ref[0, 1], mo_ref[0, 2],
-         g_ref[0, 0], g_ref[0, 1], g_ref[0, 2]))
+         g_ref[0, 0], g_ref[0, 1], g_ref[0, 2]) + zacc)
+    h0x, h0y, h0z = carry[3], carry[4], carry[5]
+    acc = carry[6:]
     dmi_ref[0, 0], dmi_ref[0, 1], dmi_ref[0, 2] = h0x, h0y, h0z
+    dloc_ref[0, 0], dloc_ref[0, 1], dloc_ref[0, 2] = acc[0], acc[1], acc[2]
+    a = 3
+    if has_dfg:
+        ddfg_ref[0] = acc[a]
+        a += 1
+    if has_b1:
+        for cc in range(2 * nC):
+            db1g_ref[0, cc] = acc[a + cc]
+        a += 2 * nC
+    if has_vel:
+        dvel_ref[0, 0], dvel_ref[0, 1], dvel_ref[0, 2] = \
+            acc[a], acc[a + 1], acc[a + 2]
 
 
 def _rfgr_specs(ts, nC):
@@ -406,7 +463,9 @@ def rfgr_bwd_planes(mo, g, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd,
                     vel_p=None, tarr2=None, *,
                     ts=None, interpret: bool = False):
     r"""Pallas backward (reverse-reconstruction adjoint), batched planes.
-    Returns ``(dmi, drf2 (N, 2C, nT), dgr2 (N, 3, nT))``."""
+    Returns ``(dmi, drf2 (N, 2C, nT), dgr2 (N, 3, nT), dloc, ddfg, db1g,
+    dvel)`` — the last four per-spin plane-shaped (None where the
+    corresponding input is None)."""
     N, _, S1, _ = mo.shape
     nT = gr2.shape[-1]
     nC = rf2.shape[1] // 2
@@ -438,28 +497,56 @@ def rfgr_bwd_planes(mo, g, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd,
                                has_b1, has_vel)
     # per-tile lane-partial waveform grads; block dims equal to array dims
     # are exempt from the (8, 128) divisibility rule
-    dmi, dwf_part = pl.pallas_call(
+    out_specs = [
+        tile3,
+        pl.BlockSpec((1, 1, nT, K, _LANE),
+                     lambda n, i: (n, i, 0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        tile3,                                           # dloc
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct(mo.shape, mo.dtype),
+        jax.ShapeDtypeStruct((N, ntiles, nT, K, _LANE), mo.dtype),
+        jax.ShapeDtypeStruct(loc_p.shape, mo.dtype),
+    ]
+    if has_dfg:
+        out_specs.append(tile1)
+        out_shape.append(jax.ShapeDtypeStruct(dfg.shape, mo.dtype))
+    if has_b1:
+        b1g_spec = pl.BlockSpec((1, 2 * nC, ts, _LANE),
+                                lambda n, i: (n, 0, i, 0),
+                                memory_space=pltpu.VMEM)
+        out_specs.append(b1g_spec)
+        out_shape.append(jax.ShapeDtypeStruct(b1_p.shape, mo.dtype))
+    if has_vel:
+        out_specs.append(tile3)
+        out_shape.append(jax.ShapeDtypeStruct(vel_p.shape, mo.dtype))
+
+    outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=(
-            tile3,
-            pl.BlockSpec((1, 1, nT, K, _LANE),
-                         lambda n, i: (n, i, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct(mo.shape, mo.dtype),
-            jax.ShapeDtypeStruct((N, ntiles, nT, K, _LANE), mo.dtype),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(*args)
+    dmi, dwf_part, dloc = outs[0], outs[1], outs[2]
+    j = 3
+    ddfg = db1g = dvel = None
+    if has_dfg:
+        ddfg = outs[j]
+        j += 1
+    if has_b1:
+        db1g = outs[j]
+        j += 1
+    if has_vel:
+        dvel = outs[j]
     dwf = jnp.sum(dwf_part, axis=(1, 4))     # tiles + lanes → (N, nT, K)
     drf2 = dwf[..., 3:].transpose(0, 2, 1)   # (N, 2C, nT)
     dgr2 = dwf[..., :3].transpose(0, 2, 1)   # (N, 3, nT)
-    return dmi, drf2, dgr2
+    return dmi, drf2, dgr2, dloc, ddfg, db1g, dvel
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(11,))
@@ -479,12 +566,12 @@ def _rfgr_core_fwd(mi, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd, vel_p,
 
 def _rfgr_core_bwd(interpret, res, g):
     (mo, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd, vel_p, tarr2) = res
-    dmi, drf2, dgr2 = rfgr_bwd_planes(mo, g, rf2, gr2, loc_p, dfg, b1_p,
-                                      E, e1_1, g2pd, vel_p, tarr2,
-                                      interpret=interpret)
+    dmi, drf2, dgr2, dloc, ddfg, db1g, dvel = rfgr_bwd_planes(
+        mo, g, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd, vel_p, tarr2,
+        interpret=interpret)
     zl = lambda x: None if x is None else jnp.zeros_like(x)  # noqa: E731
-    return (dmi, drf2, dgr2, zl(loc_p), zl(dfg), zl(b1_p), zl(E),
-            zl(e1_1), jnp.zeros_like(g2pd), zl(vel_p), zl(tarr2))
+    return (dmi, drf2, dgr2, dloc, ddfg, db1g, zl(E),
+            zl(e1_1), jnp.zeros_like(g2pd), dvel, zl(tarr2))
 
 
 rfgr_core.defvjp(_rfgr_core_fwd, _rfgr_core_bwd)

@@ -393,6 +393,35 @@ def _assemble_b_transpose(db, loc_p, b1_p, g2pd, vel_p=None, tval=None):
     return jnp.stack([drfx, drfy], axis=1), dgr_t              # (N,2,C)
 
 
+def _assemble_b_vjp_fields(db, rf_t, gr_t, b1_p, g2pd, vel_p=None,
+                           tval=None):
+    r"""Transpose of :func:`_assemble_b` w.r.t. the per-spin fields:
+    one step's additive contributions to ``(dloc, ddfg, db1, dvel)``
+    (``None`` where the corresponding input is absent).
+
+    ``db``: `(N, 3, S1, L)` cotangent of the scaled b. Math (with
+    ``db_raw = g2pd·db`` the cotangent of the unscaled assembly):
+    ``bz = Σ_k gr_k·(loc_k + vel_k·t) + dfg`` →
+    ``dloc_k += db_raw_z·gr_k``, ``dvel_k += db_raw_z·gr_k·t``,
+    ``ddfg += db_raw_z``; ``bx+iby = Σ_c (b1_c)(rf_c)`` (complex) →
+    ``db1_c += conj-free pairing of (db_raw_x, db_raw_y) with rf_c``.
+    """
+    db_raw = g2pd[:, None] * db                                # (N,3,S1,L)
+    dbz = db_raw[:, 2]
+    dloc = db_raw[:, 2:3] * gr_t[:, :, None, None]             # (N,3,S1,L)
+    dvel = None if vel_p is None else dloc * tval
+    ddfg = dbz
+    if b1_p is None:
+        db1 = None
+    else:
+        dbx, dby = db_raw[:, 0, None], db_raw[:, 1, None]      # (N,1,S1,L)
+        rfx = rf_t[:, 0, :, None, None]                        # (N,C,1,1)
+        rfy = rf_t[:, 1, :, None, None]
+        db1 = jnp.stack([dbx * rfx + dby * rfy,
+                         dby * rfx - dbx * rfy], axis=1)       # (N,2,C,S1,L)
+    return dloc, ddfg, db1, dvel
+
+
 def _step_rfgr(m, rf_t, gr_t, loc_p, dfg, b1_p, E, e1_1, g2pd,
                vel_p=None, tval=None):
     b = _assemble_b(rf_t, gr_t, loc_p, dfg, b1_p, g2pd, vel_p, tval)
@@ -429,22 +458,27 @@ def _mk_rfgr_core(adjoint: str):
     def bwd(res, g):
         (m_res, rf, gr, tarr, loc_p, dfg, b1_p, E, e1_1, g2pd,
          vel_p) = res
-
-        def step_vjp(m0, rf_t, gr_t, tval, h):
-            _, vjp_fn = jax.vjp(
-                lambda m, r, gg: _step_rfgr(m, r, gg, loc_p, dfg, b1_p,
-                                            E, e1_1, g2pd, vel_p, tval),
-                m0, rf_t, gr_t)
-            return vjp_fn(h)
+        zl = lambda x: None if x is None else jnp.zeros_like(x)  # noqa: E731
+        acc0 = (jnp.zeros_like(loc_p), zl(dfg), zl(b1_p), zl(vel_p))
 
         if adjoint == 'history':
-            def scan_step(h, xs):
+            def step_vjp(m0, rf_t, gr_t, tval, h):
+                _, vjp_fn = jax.vjp(
+                    lambda m, r, gg, lp, dg, b1, vp: _step_rfgr(
+                        m, r, gg, lp, dg, b1, E, e1_1, g2pd, vp, tval),
+                    m0, rf_t, gr_t, loc_p, dfg, b1_p, vel_p)
+                return vjp_fn(h)
+
+            def scan_step(carry, xs):
                 m0, rf_t, gr_t, tval = xs
-                h_prev, drf_t, dgr_t = step_vjp(m0, rf_t, gr_t, tval, h)
-                return h_prev, (drf_t, dgr_t)
-            dmi, (drf, dgr) = jax.lax.scan(scan_step, g,
-                                           (m_res, rf, gr, tarr),
-                                           reverse=True)
+                h, acc = carry
+                (h_prev, drf_t, dgr_t, dlp, ddg, db1, dvp) = step_vjp(
+                    m0, rf_t, gr_t, tval, h)
+                acc = jax.tree_util.tree_map(
+                    jnp.add, acc, (dlp, ddg, db1, dvp))
+                return (h_prev, acc), (drf_t, dgr_t)
+            ((dmi, (dloc, ddfg, db1, dvel)), (drf, dgr)) = jax.lax.scan(
+                scan_step, (g, acc0), (m_res, rf, gr, tarr), reverse=True)
         else:
             e1z = (None if e1_1 is None else
                    e1_1[:, None] * _ez(m_res.ndim, 1, m_res.dtype))
@@ -452,24 +486,27 @@ def _mk_rfgr_core(adjoint: str):
 
             def scan_step(carry, xs):
                 rf_t, gr_t, tval = xs
-                m1, h = carry
+                m1, h, acc = carry
                 b = _assemble_b(rf_t, gr_t, loc_p, dfg, b1_p, g2pd,
                                 vel_p, tval)
                 m0, h_prev, db = _fused_bwd_step(m1, h, b, E, e1z, axis=1)
                 drf_t, dgr_t = _assemble_b_transpose(db, loc_p, b1_p,
                                                      g2pd, vel_p, tval)
+                dlp, ddg, db1, dvp = _assemble_b_vjp_fields(
+                    db, rf_t, gr_t, b1_p, g2pd, vel_p, tval)
+                acc = jax.tree_util.tree_map(
+                    jnp.add, acc, (dlp, None if dfg is None else ddg,
+                                   db1, dvp))
                 if b1_p is None:  # coil sum in _assemble_b broadcasts back
                     drf_t = jnp.broadcast_to(drf_t, drf_t.shape[:-1] +
                                              (nC,))
-                return (m0, h_prev), (drf_t, dgr_t)
-            (_, dmi), (drf, dgr) = jax.lax.scan(scan_step, (m_res, g),
-                                                (rf, gr, tarr),
-                                                reverse=True)
+                return (m0, h_prev, acc), (drf_t, dgr_t)
+            ((_, dmi, (dloc, ddfg, db1, dvel)),
+             (drf, dgr)) = jax.lax.scan(scan_step, (m_res, g, acc0),
+                                        (rf, gr, tarr), reverse=True)
 
-        zl = lambda x: None if x is None else jnp.zeros_like(x)  # noqa: E731
-        return (dmi, drf, dgr, jnp.zeros_like(tarr), zl(loc_p), zl(dfg),
-                zl(b1_p), zl(E), zl(e1_1), jnp.zeros_like(g2pd),
-                zl(vel_p))
+        return (dmi, drf, dgr, jnp.zeros_like(tarr), dloc, ddfg,
+                db1, zl(E), zl(e1_1), jnp.zeros_like(g2pd), dvel)
 
     core.defvjp(fwd, bwd)
     return core
@@ -490,8 +527,11 @@ def blochsim_rfgr(Mi, rf, gr, loc, *, T1: Optional[jax.Array] = None,
     Equivalent to ``blochsim(Mi, rfgr2beff(rf, gr, loc, ...), ...)`` but
     B-effective is assembled per step *inside* the scan — O(nM) live
     memory instead of O(nM·nT), and the adjoint emits waveform-shaped
-    gradients directly. Differentiable w.r.t. ``Mi``, ``rf``, ``gr``
-    (``loc``/``df``/``b1Map``/relaxation get zero gradients).
+    gradients directly. Differentiable w.r.t. ``Mi``, ``rf``, ``gr``,
+    ``loc``, ``df``, ``b1Map``, and ``vel`` (the adjoint accumulates
+    per-spin field gradients alongside the reverse scan);
+    ``T1``/``T2``/``gam``/``dt`` get zero gradients like the reference
+    engine (``/root/reference/mrphy/sims.py:149-150``).
 
     Inputs:
         - ``Mi``: `(N, *Nd, xyz)`; ``rf``: `(N, xy, nT, (nCoils))`;
@@ -549,7 +589,12 @@ def blochsim_rfgr(Mi, rf, gr, loc, *, T1: Optional[jax.Array] = None,
         return _pad_axis(x, 1, Sp).reshape(N, S1, _LANE)
 
     g2pd = padf(2 * pi * flat(gam) * flat(dt))
-    dfg = None if df is None else padf(flat(df) / flat(gam))
+    # stop_gradient on γ here: the engine's contract gives zero grads
+    # w.r.t. γ (reference parity); without it the now-nonzero dfg
+    # cotangent would leak a PARTIAL (wrong) γ gradient through df/γ
+    # while the g2pd chain stays zero
+    dfg = (None if df is None
+           else padf(flat(df) / jax.lax.stop_gradient(flat(gam))))
 
     if b1Map is None:
         b1_p = None

@@ -214,3 +214,79 @@ class TestFastSincos:
         phi64 = np.asarray(phi, np.float64)
         assert np.abs(np.asarray(s) - np.sin(phi64)).max() < 2e-7
         assert np.abs(np.asarray(c) - np.cos(phi64)).max() < 2e-7
+
+
+class TestFieldGradients:
+    r"""blochsim_rfgr is differentiable w.r.t. loc/df/b1Map/vel (the
+    fused adjoint accumulates per-spin field gradients); validated
+    against the composed rfgr2beff -> blochsim autodiff chain."""
+
+    def test_pallas_field_grads_match_xla(self):
+        nM, nT, nC = 24, 16, 2
+        Mi, loc, df, b1, rf, gr, T1, T2 = _mk(nM, nT, nC, seed=4)
+        vel = jnp.asarray(
+            np.random.default_rng(9).random((1, nM, 3)), DT32)
+
+        def loss(loc, df, b1, vel, backend, interp):
+            Mo = sims.blochsim_rfgr(
+                Mi, rf, gr, loc, T1=T1, T2=T2, df=df, b1Map=b1, vel=vel,
+                backend=backend, _pallas_interpret=interp)
+            return jnp.sum(Mo ** 2 * jnp.asarray([1., 2., 3.], DT32))
+
+        gx = jax.grad(lambda *a: loss(*a, 'xla', False),
+                      argnums=(0, 1, 2, 3))(loc, df, b1, vel)
+        gp = jax.grad(lambda *a: loss(*a, 'pallas', True),
+                      argnums=(0, 1, 2, 3))(loc, df, b1, vel)
+        for name, a, b in zip(('dloc', 'ddf', 'db1', 'dvel'), gp, gx):
+            scale = float(jnp.max(jnp.abs(b))) + 1e-30
+            err = float(jnp.max(jnp.abs(a - b))) / scale
+            assert err < 1e-5, (name, err)
+            assert float(jnp.max(jnp.abs(b))) > 0, name
+
+    def test_field_grads_match_composed_chain_f64(self):
+        import mrphy_tpu.ops.beffective as beffective
+        from mrphy_tpu import gamH, dt0
+        rng = np.random.default_rng(11)
+        N, nM, nT, nC = 2, 5, 12, 2
+        f64 = jnp.float64
+        Mi = jnp.asarray(rng.random((N, nM, 3)) - 0.5, f64)
+        loc = jnp.asarray(rng.random((N, nM, 3)) * 2 - 1, f64)
+        df = jnp.asarray(rng.random((N, nM)) * 100 - 50, f64)
+        b1 = jnp.asarray(rng.random((N, nM, 2, nC)) - 0.3, f64)
+        rf = jnp.asarray(rng.random((N, 2, nT, nC)) - 0.5, f64)
+        gr = jnp.asarray(rng.random((N, 3, nT)) - 0.5, f64)
+        T1, T2 = jnp.asarray([[1.]], f64), jnp.asarray([[0.05]], f64)
+
+        def fused(loc, df, b1, adjoint):
+            Mo = sims.blochsim_rfgr(Mi, rf, gr, loc, T1=T1, T2=T2, df=df,
+                                    b1Map=b1, gam=gamH, dt=dt0,
+                                    adjoint=adjoint)
+            return jnp.sum(Mo ** 2 * jnp.asarray([1., 2., 3.], f64))
+
+        def composed(loc, df, b1):
+            beff = beffective.rfgr2beff(rf, gr, loc, df=df, b1Map=b1,
+                                        gam=gamH)
+            Mo = sims.blochsim(Mi, beff, T1=T1, T2=T2, gam=gamH, dt=dt0)
+            return jnp.sum(Mo ** 2 * jnp.asarray([1., 2., 3.], f64))
+
+        gc = jax.grad(composed, argnums=(0, 1, 2))(loc, df, b1)
+        for adj in ('reconstruct', 'history'):
+            gf = jax.grad(lambda l, d, b: fused(l, d, b, adj),
+                          argnums=(0, 1, 2))(loc, df, b1)
+            for name, a, b in zip(('dloc', 'ddf', 'db1'), gf, gc):
+                assert float(jnp.max(jnp.abs(a - b))) < 1e-9, (adj, name)
+
+    def test_gam_dt_grads_stay_zero(self):
+        r"""Reference contract: no gradients w.r.t. gam (the df/gam
+        chain must not leak a partial one)."""
+        from mrphy_tpu import dt0
+        nM, nT = 8, 8
+        Mi, loc, df, b1, rf, gr, T1, T2 = _mk(nM, nT, seed=5)
+        gam = jnp.asarray([[4257.6]], DT32)
+
+        def loss(gam):
+            Mo = sims.blochsim_rfgr(Mi, rf, gr, loc, T1=T1, T2=T2,
+                                    df=df, gam=gam, dt=dt0)
+            return jnp.sum(Mo ** 2)
+        g = jax.grad(loss)(gam)
+        assert float(jnp.max(jnp.abs(g))) == 0.0, g
