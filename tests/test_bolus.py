@@ -140,3 +140,53 @@ class TestBolus:
                                      gr[n:n + 1], loc0[n:n + 1],
                                      dt=dtn, vel=vel[n:n + 1])
             np.testing.assert_allclose(Mo[n:n + 1], ref, atol=ATOL)
+
+
+class TestVelocityEstimation:
+
+    def test_recover_velocity_by_gradient_descent(self):
+        r"""Inverse flow problem: recover per-spin velocities from the
+        magnetization a bipolar-encoded pulse produces, by gradient
+        descent through the flow simulator — enabled by the fused
+        engine's dvel gradients."""
+        import optax
+        rng = np.random.default_rng(4)
+        nM, nT = 6, 64
+        dt = float(dt0)
+        loc0 = jnp.asarray(rng.random((1, nM, 3)) - 0.5, DTYPE)
+        vel_true = jnp.asarray(np.stack(
+            [np.zeros(nM), np.zeros(nM),
+             rng.uniform(-40, 40, nM)], -1)[None], DTYPE)
+        Mi = jnp.broadcast_to(jnp.asarray([1., 0., 0.], DTYPE), (1, nM, 3))
+        rf = jnp.zeros((1, 2, nT), DTYPE)
+        # bipolar z-gradient: zero net area, nonzero first moment
+        gz = np.concatenate([np.ones(nT // 2), -np.ones(nT // 2)])
+        gr = jnp.asarray(np.stack([np.zeros(nT), np.zeros(nT), gz])[None],
+                         DTYPE)
+
+        def sim(vel):
+            return sims.blochsim_rfgr(Mi, rf, gr, loc0, gam=gamH, dt=dt,
+                                      vel=vel)
+        M_meas = sim(vel_true)
+
+        def loss(vz):
+            vel = jnp.concatenate(
+                [jnp.zeros((1, nM, 2), DTYPE), vz[..., None]], -1)
+            return jnp.mean((sim(vel) - M_meas) ** 2)
+
+        vz = jnp.zeros((1, nM), DTYPE)
+        opt = optax.adam(1.0)
+        state = opt.init(vz)
+
+        @jax.jit
+        def run(vz, state):
+            def body(c, _):
+                vz, state = c
+                u, state = opt.update(jax.grad(loss)(vz), state, vz)
+                return (optax.apply_updates(vz, u), state), None
+            (vz, state), _ = jax.lax.scan(body, (vz, state), None,
+                                          length=800)
+            return vz
+        vz = run(vz, state)
+        err = float(jnp.max(jnp.abs(vz - vel_true[..., 2])))
+        assert err < 1e-3, err  # cm/s, velocities up to +-40
