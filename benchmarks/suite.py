@@ -11,6 +11,8 @@ Configs:
   design64    joint RF+gradient design iteration rate, 64^3 voxels,
               tan-clamped rf/gr (config 4)
   throughput  1M spins x 1000 steps fwd+adjoint, fused engine (config 5)
+  deeptime    parallel-in-time tree-reduction propagator vs sequential
+              scan, 128 spins x 65536 steps
 """
 
 import json
@@ -134,8 +136,36 @@ def bench_throughput():
             'unit': 'M spin*steps/s/chip'}
 
 
+def bench_deeptime():
+    r"""Parallel-in-time vs sequential when nT, not nM, is the long
+    axis (128 spins x 65536 steps, relax, f32)."""
+    import jax
+    import jax.numpy as jnp
+    from mrphy_tpu import gamH, dt0
+    from mrphy_tpu.ops import sims, slowsims
+    rng = np.random.default_rng(0)
+    nM, nT = 128, 65536
+    Mi = jnp.asarray(rng.random((1, nM, 3)) - 0.5, jnp.float32)
+    beff = jnp.asarray(rng.random((1, nM, nT, 3)) * 0.1, jnp.float32)
+    T1 = jnp.asarray([[1.47]], jnp.float32)
+    T2 = jnp.asarray([[0.07]], jnp.float32)
+    seq = jax.jit(lambda m, b: sims.blochsim(m, b, T1=T1, T2=T2,
+                                             gam=gamH, dt=dt0))
+    par = jax.jit(lambda m, b: slowsims.blochsim_tparallel(
+        m, b, T1=T1, T2=T2, gam=gamH, dt=dt0))
+    ts = _timeit(seq, Mi, beff)
+    tp = _timeit(par, Mi, beff)
+    d = float(jnp.max(jnp.abs(seq(Mi, beff) - par(Mi, beff))))
+    return {'metric': f'deeptime: {nM} spins x {nT} steps fwd, '
+                      'tree-reduction propagator vs sequential scan',
+            'value': round(tp * 1e3, 1), 'unit': 'ms',
+            'sequential_ms': round(ts * 1e3, 1),
+            'speedup': round(ts / tp, 1), 'maxdiff': f'{d:.1e}'}
+
+
 ALL = {'tiny': bench_tiny, 'freeprec32': bench_freeprec32,
-       'design64': bench_design64, 'throughput': bench_throughput}
+       'design64': bench_design64, 'throughput': bench_throughput,
+       'deeptime': bench_deeptime}
 
 
 def main():
