@@ -317,3 +317,29 @@ class TestSpinEcho:
         want = np.array([0., E2 ** 2, (1 - E1) ** 2])
         assert np.allclose(M[0], want[None], atol=ATOL), \
             np.abs(M[0] - want).max()
+
+
+class TestInvariants:
+
+    def test_rotation_isometry_all_engines(self):
+        r"""Without relaxation every Bloch step is a pure rotation:
+        |M| is conserved for ANY field — an invariant no golden value
+        can miss. Checked across both engines and the fused path."""
+        rng = np.random.default_rng(8)
+        nM, nT = 9, 77
+        Mi = _mk(rng.random((1, nM, 3)) - 0.5)
+        norms0 = np.linalg.norm(np.asarray(Mi), axis=-1)
+        beff = _mk(rng.normal(size=(1, nM, nT, 3)) * 2)
+
+        for engine in (sims.blochsim, slowsims.blochsim,
+                       slowsims.blochsim_tparallel):
+            Mo = np.asarray(engine(Mi, beff, gam=_mk(gamH), dt=_mk(4e-6)))
+            assert np.allclose(np.linalg.norm(Mo, axis=-1), norms0,
+                               atol=ATOL), engine
+
+        rf = _mk(rng.random((1, 2, nT)))
+        gr = _mk(rng.random((1, 3, nT)))
+        loc = _mk(rng.random((1, nM, 3)))
+        Mo = np.asarray(sims.blochsim_rfgr(Mi, rf, gr, loc, gam=_mk(gamH),
+                                           dt=_mk(4e-6)))
+        assert np.allclose(np.linalg.norm(Mo, axis=-1), norms0, atol=ATOL)
