@@ -542,7 +542,7 @@ def blochsim_rfgr(Mi, rf, gr, loc, *, T1: Optional[jax.Array] = None,
         more than a few copies of the spin state regardless of nT); and
         ``vel``: `(N, *Nd, xyz)`, "cm/s" — per-spin velocities for flow
         simulation (SpinBolus): locations evolve as ``loc + vel·t``
-        inside the scan (nondifferentiable).
+        inside the scan (differentiable, like the other fields).
     Outputs:
         - ``Mo``: `(N, *Nd, xyz)`.
 

@@ -7,6 +7,7 @@ moved positions and run the autodiff engine.
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -149,7 +150,7 @@ class TestVelocityEstimation:
         magnetization a bipolar-encoded pulse produces, by gradient
         descent through the flow simulator — enabled by the fused
         engine's dvel gradients."""
-        import optax
+        optax = pytest.importorskip("optax")
         rng = np.random.default_rng(4)
         nM, nT = 6, 64
         dt = float(dt0)

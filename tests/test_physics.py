@@ -187,7 +187,7 @@ class TestTissueParamGradients:
         gradient descent through the simulator (compact version of
         examples/qmri_fit.py)."""
         import jax
-        import optax
+        optax = pytest.importorskip("optax")
         nM = 8
         rng = np.random.default_rng(3)
         T1_true = _mk(rng.uniform(0.4, 2.0, (1, nM)))
