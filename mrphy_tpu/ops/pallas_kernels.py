@@ -155,7 +155,11 @@ def _loc_eff(t, n, locx, locy, locz, vel_ref, tarr_ref):
 
 def _assemble_b_tile(n, t, nC, has_dfg, has_b1, rf_ref, gr_ref,
                      locx, locy, locz, dfg, b1_ref, g2pd):
-    r"""Per-step scaled field for one tile (shared by fwd and bwd)."""
+    r"""Per-step field for one tile (shared by fwd and bwd).
+
+    The per-spin fields (loc, dfg, b1) arrive pre-scaled by γ2πdt, so no
+    per-step scaling happens here except the no-B1 transverse case
+    (per-step RF scalars must meet the per-spin ``g2pd`` somewhere)."""
     bz = (gr_ref[n, 0, t] * locx + gr_ref[n, 1, t] * locy
           + gr_ref[n, 2, t] * locz)
     if has_dfg:
@@ -176,9 +180,9 @@ def _assemble_b_tile(n, t, nC, has_dfg, has_b1, rf_ref, gr_ref,
         for c in range(1, nC):
             rfx += rf_ref[n, c, t]
             rfy += rf_ref[n, nC + c, t]
-        bx = jnp.full_like(bz, rfx)
-        by = jnp.full_like(bz, rfy)
-    return g2pd * bx, g2pd * by, g2pd * bz
+        bx = g2pd * rfx
+        by = g2pd * rfy
+    return bx, by, bz
 
 
 def _rfgr_fwd_kernel(nT: int, nC: int, relax: bool, has_dfg: bool,
@@ -319,10 +323,9 @@ def _rfgr_bwd_kernel(nT: int, nC: int, relax: bool, has_dfg: bool,
         dby = -sp * mxhy - c1p * (uth * m0y + utm * hty) + K * uy
         dbz = -sp * mxhz - c1p * (uth * m0z + utm * htz) + K * uz
 
-        # chain through b = g2pd·(B-assembly): waveform-grad reductions.
-        # Reduce over sublanes only (→ (LANE,) rows stored to VMEM); the
-        # cross-lane reduction happens outside the kernel.
-        dbx, dby, dbz = g2pd * dbx, g2pd * dby, g2pd * dbz
+        # waveform-grad reductions (operands pre-scaled by γ2πdt, so no
+        # per-step rescale). Reduce over sublanes only (→ (LANE,) rows
+        # stored to VMEM); the cross-lane reduction happens outside.
         dwf_ref[0, 0, t, 0] = jnp.sum(dbz * lx, axis=0)
         dwf_ref[0, 0, t, 1] = jnp.sum(dbz * ly, axis=0)
         dwf_ref[0, 0, t, 2] = jnp.sum(dbz * lz, axis=0)
@@ -335,8 +338,9 @@ def _rfgr_bwd_kernel(nT: int, nC: int, relax: bool, has_dfg: bool,
                     b1_ref[0, cc] * dby - b1_ref[0, nC + cc] * dbx,
                     axis=0)
         else:
-            sx = jnp.sum(dbx, axis=0)
-            sy = jnp.sum(dby, axis=0)
+            # no-B1: b_xy = g2pd·rf, so drf needs the g2pd factor here
+            sx = jnp.sum(g2pd * dbx, axis=0)
+            sy = jnp.sum(g2pd * dby, axis=0)
             for cc in range(nC):
                 dwf_ref[0, 0, t, 3 + cc] = sx
                 dwf_ref[0, 0, t, 3 + nC + cc] = sy

@@ -342,11 +342,16 @@ def _assemble_b(rf_t, gr_t, loc_p, dfg, b1_p, g2pd, vel_p=None,
                 tval=None):
     r"""Per-step B-effective in planes layout, scaled to radians.
 
+    The per-spin fields arrive PRE-SCALED by γ2πdt (``loc_p``/``vel_p``/
+    ``b1_p`` multiplied, ``dfg`` = 2πdt·df), so the per-step γ2πdt
+    multiplies are hoisted out of the time loop entirely; only the
+    no-B1 transverse components (per-step scalars) still need ``g2pd``.
+
     ``rf_t``: `(N, 2, C)`; ``gr_t``: `(N, 3)`; ``loc_p``: `(N, 3, S1, L)`;
-    ``dfg`` (=df/γ): `(N, S1, L)` or None; ``b1_p``: `(N, 2, C, S1, L)` or
+    ``dfg``: `(N, S1, L)` or None; ``b1_p``: `(N, 2, C, S1, L)` or
     None; ``g2pd``: `(N, S1, L)`. Returns ``b``: `(N, 3, S1, L)`.
 
-    Flow support (SpinBolus): with ``vel_p`` `(N, 3, S1, L)` (cm/s) and a
+    Flow support (SpinBolus): with ``vel_p`` `(N, 3, S1, L)` and a
     per-step time ``tval`` `()` (s), locations are ``loc + v·t`` — spins
     move through the gradient field during the pulse.
     """
@@ -357,33 +362,33 @@ def _assemble_b(rf_t, gr_t, loc_p, dfg, b1_p, g2pd, vel_p=None,
         bz = bz + dfg
     if b1_p is None:
         rf_s = jnp.sum(rf_t, axis=-1)                         # Σ coils
-        bx = jnp.broadcast_to(rf_s[:, 0, None, None], bz.shape)
-        by = jnp.broadcast_to(rf_s[:, 1, None, None], bz.shape)
+        bx = g2pd * rf_s[:, 0, None, None]
+        by = g2pd * rf_s[:, 1, None, None]
     else:
         rfx = rf_t[:, 0, :, None, None]                       # (N, C, 1, 1)
         rfy = rf_t[:, 1, :, None, None]
         b1x, b1y = b1_p[:, 0], b1_p[:, 1]                     # (N, C, S1, L)
         bx = jnp.sum(b1x * rfx - b1y * rfy, axis=1)
         by = jnp.sum(b1x * rfy + b1y * rfx, axis=1)
-    return g2pd[:, None] * jnp.stack([bx, by, bz], axis=1)    # (N, 3, S1, L)
+    return jnp.stack([bx, by, bz], axis=1)                    # (N, 3, S1, L)
 
 
 def _assemble_b_transpose(db, loc_p, b1_p, g2pd, vel_p=None, tval=None):
     r"""Transpose of :func:`_assemble_b` w.r.t. (rf_t, gr_t).
 
-    ``db``: `(N, 3, S1, L)` cotangent of the scaled b. Returns
+    ``db``: `(N, 3, S1, L)` cotangent of b. Inputs pre-scaled as in
+    :func:`_assemble_b`, so no per-step rescale is needed. Returns
     ``(drf_t (N, 2, C), dgr_t (N, 3))``; ``C = 1`` when ``b1_p`` is None
     (caller broadcasts over coils). With flow, ``dgr`` contracts against
     the effective (moved) locations.
     """
     if vel_p is not None:
         loc_p = loc_p + tval * vel_p
-    db_raw = g2pd[:, None] * db
-    dgr_t = jnp.sum(db_raw[:, 2:3] * loc_p, axis=(2, 3))       # (N, 3)
-    dbx, dby = db_raw[:, 0], db_raw[:, 1]                      # (N, S1, L)
+    dgr_t = jnp.sum(db[:, 2:3] * loc_p, axis=(2, 3))           # (N, 3)
+    dbx, dby = db[:, 0], db[:, 1]                              # (N, S1, L)
     if b1_p is None:
-        drfx = jnp.sum(dbx, axis=(1, 2))[:, None]              # (N, 1)
-        drfy = jnp.sum(dby, axis=(1, 2))[:, None]
+        drfx = jnp.sum(g2pd * dbx, axis=(1, 2))[:, None]       # (N, 1)
+        drfy = jnp.sum(g2pd * dby, axis=(1, 2))[:, None]
     else:
         b1x, b1y = b1_p[:, 0], b1_p[:, 1]                      # (N, C, S1, L)
         drfx = jnp.sum(b1x * dbx[:, None] + b1y * dby[:, None],
@@ -395,26 +400,24 @@ def _assemble_b_transpose(db, loc_p, b1_p, g2pd, vel_p=None, tval=None):
 
 def _assemble_b_vjp_fields(db, rf_t, gr_t, b1_p, g2pd, vel_p=None,
                            tval=None):
-    r"""Transpose of :func:`_assemble_b` w.r.t. the per-spin fields:
-    one step's additive contributions to ``(dloc, ddfg, db1, dvel)``
-    (``None`` where the corresponding input is absent).
+    r"""Transpose of :func:`_assemble_b` w.r.t. the (pre-scaled)
+    per-spin fields: one step's additive contributions to
+    ``(dloc, ddfg, db1, dvel)`` (``None`` where the input is absent).
+    The γ2πdt chain back to the user-facing arrays happens once in the
+    wrapper's pre-scaling ops, not per step.
 
-    ``db``: `(N, 3, S1, L)` cotangent of the scaled b. Math (with
-    ``db_raw = g2pd·db`` the cotangent of the unscaled assembly):
-    ``bz = Σ_k gr_k·(loc_k + vel_k·t) + dfg`` →
-    ``dloc_k += db_raw_z·gr_k``, ``dvel_k += db_raw_z·gr_k·t``,
-    ``ddfg += db_raw_z``; ``bx+iby = Σ_c (b1_c)(rf_c)`` (complex) →
-    ``db1_c += conj-free pairing of (db_raw_x, db_raw_y) with rf_c``.
+    ``bz = Σ_k gr_k·(loc'_k + vel'_k·t) + dfg'`` →
+    ``dloc'_k += db_z·gr_k``, ``dvel'_k += db_z·gr_k·t``,
+    ``ddfg' += db_z``; ``bx+iby = Σ_c (b1'_c)(rf_c)`` (complex) →
+    ``db1'_c += conj pairing of (db_x, db_y) with rf_c``.
     """
-    db_raw = g2pd[:, None] * db                                # (N,3,S1,L)
-    dbz = db_raw[:, 2]
-    dloc = db_raw[:, 2:3] * gr_t[:, :, None, None]             # (N,3,S1,L)
+    dloc = db[:, 2:3] * gr_t[:, :, None, None]                 # (N,3,S1,L)
     dvel = None if vel_p is None else dloc * tval
-    ddfg = dbz
+    ddfg = db[:, 2]
     if b1_p is None:
         db1 = None
     else:
-        dbx, dby = db_raw[:, 0, None], db_raw[:, 1, None]      # (N,1,S1,L)
+        dbx, dby = db[:, 0, None], db[:, 1, None]              # (N,1,S1,L)
         rfx = rf_t[:, 0, :, None, None]                        # (N,C,1,1)
         rfy = rf_t[:, 1, :, None, None]
         db1 = jnp.stack([dbx * rfx + dby * rfy,
@@ -589,12 +592,19 @@ def blochsim_rfgr(Mi, rf, gr, loc, *, T1: Optional[jax.Array] = None,
         return _pad_axis(x, 1, Sp).reshape(N, S1, _LANE)
 
     g2pd = padf(2 * pi * flat(gam) * flat(dt))
-    # stop_gradient on γ here: the engine's contract gives zero grads
-    # w.r.t. γ (reference parity); without it the now-nonzero dfg
-    # cotangent would leak a PARTIAL (wrong) γ gradient through df/γ
-    # while the g2pd chain stays zero
+    # Pre-scale the per-spin fields by γ2πdt ONCE, so the kernels never
+    # multiply by it inside the time loop (3 muls/step saved, and the
+    # field-gradient chain back to user arrays is these few ops'
+    # autodiff). stop_gradient on the scale: the engine's contract gives
+    # zero grads w.r.t. γ/dt (reference parity, sims.py:149-150); a live
+    # scale here would leak PARTIAL (wrong) γ/dt gradients.
+    g2pd_sg = jax.lax.stop_gradient(g2pd)
+    loc_p = g2pd_sg[:, None] * loc_p
+    if vel_p is not None:
+        vel_p = g2pd_sg[:, None] * vel_p
+    # dfg = γ2πdt·(df/γ) = 2πdt·df — γ cancels exactly
     dfg = (None if df is None
-           else padf(flat(df) / jax.lax.stop_gradient(flat(gam))))
+           else padf(flat(df) * jax.lax.stop_gradient(2 * pi * flat(dt))))
 
     if b1Map is None:
         b1_p = None
@@ -606,7 +616,7 @@ def blochsim_rfgr(Mi, rf, gr, loc, *, T1: Optional[jax.Array] = None,
         b1 = jnp.broadcast_to(b1Map.reshape(N, -1, 2, nC),
                               (N, nS, 2, nC))            # (N, nS, 2, C)
         b1 = _pad_axis(b1.transpose(0, 2, 3, 1), 3, Sp)  # (N, 2, C, Sp)
-        b1_p = b1.reshape(N, 2, nC, S1, _LANE)
+        b1_p = g2pd_sg[:, None, None] * b1.reshape(N, 2, nC, S1, _LANE)
 
     if T1 is None:
         E = e1_1 = None
