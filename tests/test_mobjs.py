@@ -262,9 +262,13 @@ class TestApplypulseFused:
 
     def test_fused_matches_composed(self):
         r"""doFuse=True (B-effective assembled inside the scan) must equal
-        the composed pulse2beff -> blochsim path, values and gradients."""
+        the composed pulse2beff -> blochsim path, values and gradients.
+        f64: the two paths order the γ2πdt scaling differently (the fused
+        engine pre-scales the per-spin fields), so f32 agreement is only
+        to rounding (~5e-6); the math is identical."""
         import jax
-        cube, p = mobjs.Examples.spincube(), mobjs.Examples.pulse()
+        cube = mobjs.Examples.spincube().to(dtype=jnp.float64)
+        p = mobjs.Examples.pulse(dtype=jnp.float64)
         for doRelax in (True, False):
             a = cube.applypulse(p, doRelax=doRelax, doFuse=True)
             b = cube.applypulse(p, doRelax=doRelax, doFuse=False)
