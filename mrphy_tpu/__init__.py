@@ -7,8 +7,9 @@ A ground-up rebuild of the capabilities of ``MRphy.py``
 - arrays are immutable pytrees; the Bloch time loop is ``lax.scan``;
 - the hand-derived explicit-Jacobian engine of the reference
   (``/root/reference/mrphy/sims.py:24-269``) becomes ``jax.custom_vjp``
-  with a structure-of-arrays ``(nT, xyz, nSpins)`` internal layout so the
-  VPU lanes run along the spin axis;
+  with a tile-aligned structure-of-arrays ``(xyz, nSpins/128, 128)``
+  internal layout so the spin axis lands on the VPU (sublane, lane)
+  tile with zero padding;
 - the hot fused rotation+relaxation step ships as a Pallas TPU kernel
   with an XLA ``lax.scan`` fallback/oracle;
 - multi-chip scaling is a ``jax.sharding`` mesh over ``(batch, spins)``

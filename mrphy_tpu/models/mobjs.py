@@ -865,10 +865,14 @@ class SpinBolus(SpinArray):
 
     def applypulse(self, pulse: Pulse, *, doEmbed: bool = False,
                    doRelax: bool = True, doUpdate: bool = False,
+                   doFuse: bool = True,
                    loc=None, loc_=None, b1Map=None, b1Map_=None, **kw):
         r"""Apply a pulse to the flowing ensemble (``loc``/``loc_`` are
         the spins' positions at t=0). Same flags and ⊻-kwargs as
-        :meth:`SpinArray.applypulse`."""
+        :meth:`SpinArray.applypulse`, except flow only runs on the fused
+        engine (``doFuse=False`` is rejected — a composed path would
+        need the O(nM·nT) moving-field tensor)."""
+        assert doFuse, 'SpinBolus flow requires the fused engine'
         df = kw.pop('df', kw.pop('Δf', None))
         df_ = kw.pop('df_', kw.pop('Δf_', None))
         assert not kw, f'unknown kwargs: {sorted(kw)}'

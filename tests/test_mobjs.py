@@ -260,19 +260,23 @@ class TestSmallCoverage:
 
 class TestApplypulseFused:
 
-    def test_fused_matches_composed(self):
+    @pytest.mark.parametrize('dtype,vtol,gtol', [
+        (jnp.float64, 1e-11, 1e-10),
+        # f32 (the production default): the two paths order the γ2πdt
+        # scaling differently (the fused engine pre-scales the per-spin
+        # fields), so agreement is to f32 rounding, not bit-identical
+        (jnp.float32, 2e-5, 1e-4),
+    ], ids=['f64', 'f32'])
+    def test_fused_matches_composed(self, dtype, vtol, gtol):
         r"""doFuse=True (B-effective assembled inside the scan) must equal
-        the composed pulse2beff -> blochsim path, values and gradients.
-        f64: the two paths order the γ2πdt scaling differently (the fused
-        engine pre-scales the per-spin fields), so f32 agreement is only
-        to rounding (~5e-6); the math is identical."""
+        the composed pulse2beff -> blochsim path, values and gradients."""
         import jax
-        cube = mobjs.Examples.spincube().to(dtype=jnp.float64)
-        p = mobjs.Examples.pulse(dtype=jnp.float64)
+        cube = mobjs.Examples.spincube(dtype=dtype)
+        p = mobjs.Examples.pulse(dtype=dtype)
         for doRelax in (True, False):
             a = cube.applypulse(p, doRelax=doRelax, doFuse=True)
             b = cube.applypulse(p, doRelax=doRelax, doFuse=False)
-            assert jnp.max(jnp.abs(a - b)) < 1e-11, float(jnp.max(
+            assert jnp.max(jnp.abs(a - b)) < vtol, float(jnp.max(
                 jnp.abs(a - b)))
 
         def loss(rf, fuse):
@@ -280,5 +284,5 @@ class TestApplypulseFused:
             return jnp.sum(cube.applypulse(p2, doFuse=fuse) ** 2)
         ga = jax.grad(lambda rf: loss(rf, True))(p.rf)
         gb = jax.grad(lambda rf: loss(rf, False))(p.rf)
-        assert jnp.max(jnp.abs(ga - gb)) < 1e-10, float(jnp.max(
+        assert jnp.max(jnp.abs(ga - gb)) < gtol, float(jnp.max(
             jnp.abs(ga - gb)))
