@@ -68,14 +68,18 @@ def params2pulse(params: dict,
 
 
 def _loss_fn(params, cfg, M0_, loc_, Mtgt_, T1_, T2_, gam_, df_, b1Map_,
-             doRelax: bool):
+             w_, doRelax: bool):
     rf, gr = params2pulse(params, cfg)
     T1, T2 = (T1_, T2_) if doRelax else (None, None)
     # fused engine: B-effective is assembled inside the scan, so the
     # design loop never materializes the O(nM·nT) field tensor
     M_ = sims.blochsim_rfgr(M0_, rf, gr, loc_, T1=T1, T2=T2, df=df_,
                             b1Map=b1Map_, gam=gam_, dt=cfg.dt)
-    err = jnp.mean(jnp.sum((M_ - Mtgt_) ** 2, axis=-1))
+    se = jnp.sum((M_ - Mtgt_) ** 2, axis=-1)
+    if w_ is None:
+        err = jnp.mean(se)
+    else:  # per-spin weights, e.g. don't-care transition bands at 0
+        err = jnp.sum(w_ * se) / jnp.sum(w_)
     pow_pen = cfg.lam_pow * jnp.mean(jnp.sum(rf ** 2, axis=1))
     return err + pow_pen, M_
 
@@ -102,7 +106,7 @@ def _params2pulse_jit(params, cfg):
 
 @functools.partial(jax.jit, static_argnames=('cfg', 'doRelax'))
 def _design_scan(params, opt_state, cfg, M0_, loc_, Mtgt_, T1_,
-                 T2_, gam_, df_, b1Map_, doRelax):
+                 T2_, gam_, df_, b1Map_, w_, doRelax):
     r"""The whole optimization as ONE jitted ``lax.scan``. Module-level
     (not a per-call closure) so repeated ``design_pulse`` calls — e.g.
     multi-scale stages — reuse the compiled executable; ``cfg`` is a
@@ -113,7 +117,7 @@ def _design_scan(params, opt_state, cfg, M0_, loc_, Mtgt_, T1_,
         params, opt_state = carry
         params, opt_state, loss, _ = design_step(
             params, opt_state, optimizer, cfg, M0_, loc_, Mtgt_, T1_,
-            T2_, gam_, df_, b1Map_, doRelax)
+            T2_, gam_, df_, b1Map_, w_, doRelax)
         return (params, opt_state), loss
 
     (params, opt_state), losses = jax.lax.scan(
@@ -123,14 +127,15 @@ def _design_scan(params, opt_state, cfg, M0_, loc_, Mtgt_, T1_,
 
 @functools.partial(jax.jit, static_argnames=('cfg', 'doRelax'))
 def _design_step_jit(params, opt_state, cfg, M0_, loc_, Mtgt_, T1_, T2_,
-                     gam_, df_, b1Map_, doRelax):
+                     gam_, df_, b1Map_, w_, doRelax):
     optimizer = optax.adam(cfg.lr)
     return design_step(params, opt_state, optimizer, cfg, M0_, loc_,
-                       Mtgt_, T1_, T2_, gam_, df_, b1Map_, doRelax)
+                       Mtgt_, T1_, T2_, gam_, df_, b1Map_, w_, doRelax)
 
 
 def design_pulse(spinarray, pulse, Mtgt_, *, loc_=None, df_=None,
-                 b1Map_=None, cfg: Optional[DesignConfig] = None,
+                 b1Map_=None, w_=None,
+                 cfg: Optional[DesignConfig] = None,
                  doRelax: bool = True, verbose: bool = False):
     r"""Jointly design RF + gradients steering ``spinarray`` to ``Mtgt_``.
 
@@ -141,6 +146,11 @@ def design_pulse(spinarray, pulse, Mtgt_, *, loc_=None, df_=None,
         - ``pulse``: initial :class:`~mrphy_tpu.models.mobjs.Pulse`.
         - ``Mtgt_``: `(N, nM, xyz)`, target magnetization (compact).
     Optionals:
+        - ``w_``: `(N ⊻ 1, nM)`, per-spin loss weights (normalized by
+          their sum). Use 0 for don't-care regions — e.g. the physically
+          unavoidable transition band of a slab profile — and larger
+          values to emphasize under-represented ensemble members in
+          robust (B0/B1-ensemble) designs.
         - ``verbose``: print per-iteration losses. This switches from the
           single-dispatch path (the whole optimization is ONE jitted
           ``lax.scan`` over iterations — no host round-trip per step) to a
@@ -166,7 +176,8 @@ def design_pulse(spinarray, pulse, Mtgt_, *, loc_=None, df_=None,
     opt_state = optimizer.init(params)
 
     step_args = (spinarray.M_, loc_, Mtgt_, spinarray.T1_, spinarray.T2_,
-                 spinarray.gam_, df_, b1Map_)
+                 spinarray.gam_, df_, b1Map_,
+                 None if w_ is None else jnp.asarray(w_))
 
     if verbose:
         losses = []

@@ -106,12 +106,24 @@ def rfgr_is_available(*, N: int, dtype, nspins: int = _MIN_AUTO_SPINS,
                       nT: int = 0, nC: int = 1) -> bool:
     r"""Whether the fused rf/gr Pallas kernels support this instance (any
     batch size; 'auto' prefers XLA for small spin counts, and falls back
-    when the waveforms would overflow the 1 MB SMEM)."""
-    row = -(-max(nT, 1) * 4 // 512) * 512          # padded bytes per row
+    when the waveforms would overflow the 1 MB SMEM or the backward's
+    per-tile waveform-gradient buffers would blow past VMEM/HBM — the
+    XLA scan handles long pulses with O(nT) waveform grads instead)."""
+    nT = max(nT, 1)
+    row = -(-nT * 4 // 512) * 512                  # padded bytes per row
     smem_bytes = N * (2 * nC + 3) * row
+    # backward buffers: dwf VMEM block is (nT, K, LANE) f32 per tile;
+    # the HBM partial is that times (N, ntiles)
+    K = 3 + 2 * nC
+    dwf_block = nT * K * _LANE * 4
+    ntiles = max(1, -(-nspins // (_DEF_TS * _LANE)))
+    dwf_hbm = N * ntiles * dwf_block
     return (jnp.dtype(dtype) == jnp.float32
             and nspins >= _MIN_AUTO_SPINS
-            and smem_bytes <= _SMEM_BUDGET and _on_tpu())
+            and smem_bytes <= _SMEM_BUDGET
+            and dwf_block <= 16 * 1024 * 1024      # fits VMEM comfortably
+            and dwf_hbm <= 2 * 1024 ** 3           # bounded HBM partials
+            and _on_tpu())
 
 
 def _pick_ts(S1: int) -> int:

@@ -94,3 +94,29 @@ class TestDesign:
         assert p2.rf.shape == (1, 2, nT, nC)
         assert float(losses[-1]) < 0.1 * float(losses[0])
         assert float(jnp.abs(p2.rf).max()) <= 0.25 + 1e-5
+
+    def test_weighted_loss_ignores_dont_care(self):
+        r"""w_=0 spins must not influence the design: corrupting their
+        targets changes nothing."""
+        import numpy as np
+        from mrphy_tpu import dt0
+        from mrphy_tpu.models import mobjs
+        from mrphy_tpu.design import design_pulse, DesignConfig
+
+        cube = mobjs.Examples.spincube()
+        p = mobjs.Examples.pulse()
+        nM = cube.nM
+        rng = np.random.default_rng(0)
+        Mtgt = np.tile([0., 1., 0.], (1, nM, 1))
+        w = (rng.random(nM) > 0.4).astype(np.float32)
+        Mtgt_bad = Mtgt.copy()
+        Mtgt_bad[0, w == 0] = rng.normal(size=(int((w == 0).sum()), 3))
+        cfg = DesignConfig(niter=10, lr=0.02, rfmax=0.25, smax=12e3,
+                           dt=float(dt0))
+        w_ = jnp.asarray(w[None])
+        p1, l1 = design_pulse(cube, p, jnp.asarray(Mtgt, jnp.float32),
+                              w_=w_, cfg=cfg)
+        p2, l2 = design_pulse(cube, p, jnp.asarray(Mtgt_bad, jnp.float32),
+                              w_=w_, cfg=cfg)
+        assert jnp.allclose(l1, l2, atol=1e-7)
+        assert jnp.allclose(p1.rf, p2.rf, atol=1e-7)
