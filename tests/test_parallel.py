@@ -110,3 +110,13 @@ class TestParallel:
         dt2 = chained_timeit(f, x, repeats=2,
                              feedback=lambda x, out: out * 0.5)
         assert dt1 > 0 and dt2 > 0
+
+
+def test_enable_persistent_cache(tmp_path):
+    r"""Smoke: sets the compilation-cache config (behavior is exercised
+    on real hardware; here we only verify the knobs are applied)."""
+    import jax
+    from mrphy_tpu.utils.timing import enable_persistent_cache
+    d = str(tmp_path / 'jc')
+    enable_persistent_cache(d)
+    assert jax.config.jax_compilation_cache_dir == d
