@@ -68,13 +68,21 @@ def params2pulse(params: dict,
 
 
 def _loss_fn(params, cfg, M0_, loc_, Mtgt_, T1_, T2_, gam_, df_, b1Map_,
-             w_, doRelax: bool):
+             w_, doRelax: bool, mesh=None):
     rf, gr = params2pulse(params, cfg)
     T1, T2 = (T1_, T2_) if doRelax else (None, None)
     # fused engine: B-effective is assembled inside the scan, so the
     # design loop never materializes the O(nM·nT) field tensor
-    M_ = sims.blochsim_rfgr(M0_, rf, gr, loc_, T1=T1, T2=T2, df=df_,
-                            b1Map=b1Map_, gam=gam_, dt=cfg.dt)
+    if mesh is None:
+        M_ = sims.blochsim_rfgr(M0_, rf, gr, loc_, T1=T1, T2=T2, df=df_,
+                                b1Map=b1Map_, gam=gam_, dt=cfg.dt)
+    else:
+        # multi-chip: each device runs the engine (Pallas included) on
+        # its local spin block; waveform grads psum over the spin axis
+        from mrphy_tpu.parallel.mesh import rfgr_sharded_traceable
+        M_ = rfgr_sharded_traceable(mesh, M0_, rf, gr, loc_, T1=T1,
+                                    T2=T2, df=df_, b1Map=b1Map_,
+                                    gam=gam_, dt=cfg.dt)
     se = jnp.sum((M_ - Mtgt_) ** 2, axis=-1)
     if w_ is None:
         err = jnp.mean(se)
@@ -104,20 +112,21 @@ def _params2pulse_jit(params, cfg):
     return params2pulse(params, cfg)
 
 
-@functools.partial(jax.jit, static_argnames=('cfg', 'doRelax'))
+@functools.partial(jax.jit, static_argnames=('cfg', 'doRelax', 'mesh'))
 def _design_scan(params, opt_state, cfg, M0_, loc_, Mtgt_, T1_,
-                 T2_, gam_, df_, b1Map_, w_, doRelax):
+                 T2_, gam_, df_, b1Map_, w_, doRelax, mesh=None):
     r"""The whole optimization as ONE jitted ``lax.scan``. Module-level
     (not a per-call closure) so repeated ``design_pulse`` calls — e.g.
     multi-scale stages — reuse the compiled executable; ``cfg`` is a
-    frozen (hashable) dataclass and serves as the static key."""
+    frozen (hashable) dataclass and serves as the static key (``mesh``,
+    also hashable, keys the multi-chip variant)."""
     optimizer = optax.adam(cfg.lr)
 
     def body(carry, _):
         params, opt_state = carry
         params, opt_state, loss, _ = design_step(
             params, opt_state, optimizer, cfg, M0_, loc_, Mtgt_, T1_,
-            T2_, gam_, df_, b1Map_, w_, doRelax)
+            T2_, gam_, df_, b1Map_, w_, doRelax, mesh=mesh)
         return (params, opt_state), loss
 
     (params, opt_state), losses = jax.lax.scan(
@@ -125,18 +134,20 @@ def _design_scan(params, opt_state, cfg, M0_, loc_, Mtgt_, T1_,
     return params, losses
 
 
-@functools.partial(jax.jit, static_argnames=('cfg', 'doRelax'))
+@functools.partial(jax.jit, static_argnames=('cfg', 'doRelax', 'mesh'))
 def _design_step_jit(params, opt_state, cfg, M0_, loc_, Mtgt_, T1_, T2_,
-                     gam_, df_, b1Map_, w_, doRelax):
+                     gam_, df_, b1Map_, w_, doRelax, mesh=None):
     optimizer = optax.adam(cfg.lr)
     return design_step(params, opt_state, optimizer, cfg, M0_, loc_,
-                       Mtgt_, T1_, T2_, gam_, df_, b1Map_, w_, doRelax)
+                       Mtgt_, T1_, T2_, gam_, df_, b1Map_, w_, doRelax,
+                       mesh=mesh)
 
 
 def design_pulse(spinarray, pulse, Mtgt_, *, loc_=None, df_=None,
                  b1Map_=None, w_=None,
                  cfg: Optional[DesignConfig] = None,
-                 doRelax: bool = True, verbose: bool = False):
+                 doRelax: bool = True, verbose: bool = False,
+                 mesh=None):
     r"""Jointly design RF + gradients steering ``spinarray`` to ``Mtgt_``.
 
     Inputs:
@@ -155,6 +166,13 @@ def design_pulse(spinarray, pulse, Mtgt_, *, loc_=None, df_=None,
           single-dispatch path (the whole optimization is ONE jitted
           ``lax.scan`` over iterations — no host round-trip per step) to a
           per-iteration host loop.
+        - ``mesh``: a ``(batch, spins)`` :class:`jax.sharding.Mesh` (see
+          :func:`mrphy_tpu.parallel.make_mesh`) to run the design loop
+          multi-chip: spins shard across devices (``nM`` must divide by
+          the mesh's spin extent), the simulation runs shard-local (the
+          Pallas fast path included, via shard_map), and the waveform
+          gradients psum over the spin axis each iteration — the only
+          collective in the loop.
     Outputs:
         - ``(pulse, losses)``: designed Pulse and per-iteration loss array.
     """
@@ -179,18 +197,34 @@ def design_pulse(spinarray, pulse, Mtgt_, *, loc_=None, df_=None,
                  spinarray.gam_, df_, b1Map_,
                  None if w_ is None else jnp.asarray(w_))
 
+    if mesh is not None:
+        # pre-place spin-indexed arrays on the mesh (the shard_map inside
+        # the loss re-asserts these shardings; placing them up front
+        # avoids a resharding transfer on the first iteration)
+        from mrphy_tpu.parallel.mesh import shard_spins
+        nM = step_args[0].shape[1]
+
+        def put(x):
+            if (x is not None and hasattr(x, 'ndim') and x.ndim >= 2
+                    and x.shape[1] == nM):
+                return jax.device_put(x, shard_spins(mesh, x.ndim))
+            return x
+        step_args = tuple(put(x) for x in step_args)
+
     if verbose:
         losses = []
         for it in range(cfg.niter):
             params, opt_state, loss, _ = _design_step_jit(
-                params, opt_state, cfg, *step_args, doRelax=doRelax)
+                params, opt_state, cfg, *step_args, doRelax=doRelax,
+                mesh=mesh)
             losses.append(loss)
             if it % max(1, cfg.niter // 10) == 0:
                 print(f'iter {it:4d}  loss {float(loss):.6e}')
         losses = jnp.stack(losses)
     else:
         params, losses = _design_scan(params, opt_state, cfg,
-                                      *step_args, doRelax=doRelax)
+                                      *step_args, doRelax=doRelax,
+                                      mesh=mesh)
 
     rf, gr = _params2pulse_jit(params, cfg)
     out = Pulse(rf, gr, dt=cfg.dt, rfmax=cfg.rfmax, smax=cfg.smax,

@@ -32,7 +32,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mrphy_tpu.ops import sims
 
-__all__ = ['make_mesh', 'shard_spins', 'blochsim_sharded', 'psum_loss',
+__all__ = ['make_mesh', 'shard_spins', 'blochsim_sharded',
+           'blochsim_rfgr_sharded', 'shard_spin_obj', 'psum_loss',
            'pad_spins']
 
 BATCH_AXIS = 'batch'
@@ -120,6 +121,114 @@ def blochsim_sharded(mesh: Mesh, Mi, Beff, **kw):
     arr_keys = tuple(sorted(arrays))
     f = _sharded_blochsim_jit(arr_keys, static)
     return f(Mi, Beff, *[arrays[k] for k in arr_keys])
+
+
+# --------------------------------------------------------------------------
+# Fused rf/gr engine under shard_map
+#
+# Why shard_map and not plain GSPMD jit: the fused engine's fast path is a
+# Pallas kernel (a custom call XLA cannot auto-partition). shard_map runs
+# the per-shard engine — Pallas included — on each device's local block;
+# the hot loop stays communication-free, and the only collective is the
+# psum over the spin axis that shard_map's transpose inserts for the
+# replicated waveform inputs' gradients (rf/gr cotangents are reductions
+# over ALL spins). `check_vma=False` because the engines are custom_vjp
+# functions whose replication the vma checker cannot see through; gradient
+# parity vs the unsharded engine is asserted in tests/test_parallel.py.
+# --------------------------------------------------------------------------
+
+_RFGR_STATIC_KW = ('adjoint', 'backend', '_pallas_interpret')
+
+
+def rfgr_sharded_traceable(mesh: Mesh, Mi, rf, gr, loc, **kw):
+    r"""shard_map-wrapped :func:`mrphy_tpu.ops.sims.blochsim_rfgr` — the
+    traceable core of :func:`blochsim_rfgr_sharded`, usable inside an
+    outer ``jit`` (e.g. the design loop's scan).
+
+    ``Mi``/``loc`` must be compact `(N, nM, xyz)`; per-spin optionals
+    (``df``, ``b1Map``, ``vel``, per-spin ``T1``/``T2``/``gam``) shard on
+    ``(batch, spins)`` by shape; waveforms and broadcast params replicate
+    (batch-sharded when their leading axis is ``N``).
+    """
+    import jax.numpy as jnp
+
+    Mi, rf, gr, loc = (jnp.asarray(x) for x in (Mi, rf, gr, loc))
+    assert Mi.ndim == 3, 'compact (N, nM, xyz) layout required'
+    N, nM = Mi.shape[0], Mi.shape[1]
+    dp, sp = mesh.shape[BATCH_AXIS], mesh.shape[SPIN_AXIS]
+    assert N % dp == 0, f'N={N} not divisible by batch mesh extent {dp}'
+    assert nM % sp == 0, (f'nM={nM} not divisible by spin mesh extent '
+                          f'{sp}; see pad_spins')
+
+    static = {k: v for k, v in kw.items() if k in _RFGR_STATIC_KW}
+    arrs = {k: jnp.asarray(v) for k, v in kw.items()
+            if k not in _RFGR_STATIC_KW and kw[k] is not None}
+
+    def pspec(x):  # per-spin / broadcast params: shard by shape
+        if x.ndim == 0:
+            return P()
+        parts = [None] * x.ndim
+        if x.shape[0] == N:
+            parts[0] = BATCH_AXIS
+        if x.ndim >= 2 and x.shape[1] == nM:
+            parts[1] = SPIN_AXIS
+        return P(*parts)
+
+    def wfspec(x):  # waveforms: never spin-sharded
+        return P(BATCH_AXIS) if x.shape[0] == N else P()
+
+    names = tuple(sorted(arrs))
+
+    def body(Mi, rf, gr, loc, *vals):
+        kwd = dict(zip(names, vals))
+        kwd.update(static)
+        return sims.blochsim_rfgr(Mi, rf, gr, loc, **kwd)
+
+    in_specs = (pspec(Mi), wfspec(rf), wfspec(gr), pspec(loc)) + tuple(
+        pspec(arrs[k]) for k in names)
+    f = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                      out_specs=pspec(Mi), check_vma=False)
+    return f(Mi, rf, gr, loc, *(arrs[k] for k in names))
+
+
+@_functools.lru_cache(maxsize=None)
+def _rfgr_sharded_jit(mesh: Mesh, names: tuple, static_kw: tuple):
+    def f(Mi, rf, gr, loc, *vals):
+        kw = dict(zip(names, vals))
+        kw.update(dict(static_kw))
+        return rfgr_sharded_traceable(mesh, Mi, rf, gr, loc, **kw)
+    return jax.jit(f)
+
+
+def blochsim_rfgr_sharded(mesh: Mesh, Mi, rf, gr, loc, **kw):
+    r"""Fused waveform engine with ``(N, nM)`` sharded over the mesh.
+
+    The multi-chip form of :func:`mrphy_tpu.ops.sims.blochsim_rfgr` (same
+    signature after ``mesh``, compact layout only): each device simulates
+    its local spin block — Pallas fast path included — with zero
+    collectives in the hot loop; gradients w.r.t. the replicated ``rf``/
+    ``gr`` are psum-reduced over the spin axis automatically by the
+    shard_map transpose. ``nM`` must divide by the mesh's spin extent
+    (:func:`pad_spins` otherwise; pad ``T1_``/``T2_`` with 1, see its
+    warning).
+    """
+    import jax.numpy as jnp
+
+    Mi, rf, gr, loc = (jnp.asarray(x) for x in (Mi, rf, gr, loc))
+    N, nM = Mi.shape[0], Mi.shape[1]
+    # place inputs where the computation wants them (no-op if already so)
+    Mi = jax.device_put(Mi, shard_spins(mesh, Mi.ndim))
+    loc = jax.device_put(loc, shard_spins(mesh, loc.ndim))
+    static = tuple(sorted((k, v) for k, v in kw.items()
+                          if k in _RFGR_STATIC_KW))
+    arrs = {k: jnp.asarray(v) for k, v in kw.items()
+            if k not in dict(static) and kw[k] is not None}
+    for k, v in arrs.items():
+        if v.ndim >= 2 and v.shape[0] == N and v.shape[1] == nM:
+            arrs[k] = jax.device_put(v, shard_spins(mesh, v.ndim))
+    names = tuple(sorted(arrs))
+    f = _rfgr_sharded_jit(mesh, names, static)
+    return f(Mi, rf, gr, loc, *(arrs[k] for k in names))
 
 
 def psum_loss(fn):

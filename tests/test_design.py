@@ -95,6 +95,33 @@ class TestDesign:
         assert float(losses[-1]) < 0.1 * float(losses[0])
         assert float(jnp.abs(p2.rf).max()) <= 0.25 + 1e-5
 
+    def test_design_on_mesh_matches_single_device(self):
+        r"""design_pulse(mesh=...) — the multi-chip loop via shard_map —
+        produces the same loss trajectory and waveforms as the
+        single-device loop (f64, 8 virtual devices)."""
+        import numpy as np
+        from mrphy_tpu.models.mobjs import SpinArray, Pulse
+        from mrphy_tpu.parallel import make_mesh
+
+        rng = np.random.default_rng(7)
+        N, nT = 1, 32
+        arr = SpinArray((N, 8, 8),
+                        M_=jnp.asarray(np.tile([0., 0., 1.], (N, 64, 1))))
+        loc_ = jnp.asarray(rng.random((N, 64, 3)) - .5)
+        p = Pulse(jnp.asarray(rng.random((N, 2, nT)) * .05),
+                  jnp.asarray(rng.random((N, 3, nT)) * .1), dt=dt0)
+        Mtgt_ = jnp.tile(jnp.asarray([0., 1., 0.]), (N, 64, 1))
+        cfg = DesignConfig(niter=8, lr=0.02, rfmax=0.25, smax=12e3,
+                           dt=float(dt0))
+
+        p1, l1 = design_pulse(arr, p, Mtgt_, loc_=loc_, cfg=cfg)
+        mesh = make_mesh()  # N=1: all 8 devices on the spin axis
+        p2, l2 = design_pulse(arr, p, Mtgt_, loc_=loc_, cfg=cfg,
+                              mesh=mesh)
+        np.testing.assert_allclose(l2, l1, atol=1e-12)
+        np.testing.assert_allclose(p2.rf, p1.rf, atol=1e-10)
+        np.testing.assert_allclose(p2.gr, p1.gr, atol=1e-10)
+
     def test_weighted_loss_ignores_dont_care(self):
         r"""w_=0 spins must not influence the design: corrupting their
         targets changes nothing."""

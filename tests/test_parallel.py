@@ -100,6 +100,68 @@ class TestParallel:
         M2 = arr_sh.applypulse(Pulse(p_rf, p_gr), loc_=jnp.zeros((1, 16, 3)))
         np.testing.assert_allclose(M1, M2, atol=1e-12)
 
+    def test_blochsim_rfgr_sharded_matches(self):
+        r"""Fused waveform engine under shard_map == unsharded engine:
+        forward AND gradients (incl. the psum'd waveform grads), on both
+        a (2, 4) and a (1, 8) mesh, with relax + df + b1Map + vel."""
+        from mrphy_tpu import gamH, dt0
+        from mrphy_tpu.parallel import blochsim_rfgr_sharded
+
+        rng = np.random.default_rng(3)
+        N, nM, nT = 2, 64, 24
+        Mi = jnp.asarray(np.tile([0., 0., 1.], (N, nM, 1)))
+        loc = jnp.asarray(rng.random((N, nM, 3)) - .5)
+        df = jnp.asarray(rng.random((N, nM)) * 50)
+        b1 = jnp.asarray(np.stack([0.5 + rng.random((N, nM)),
+                                   rng.random((N, nM)) - .5], -1))
+        vel = jnp.asarray(rng.random((N, nM, 3)) - .5)
+        rf = jnp.asarray(rng.random((N, 2, nT)) * .1)
+        gr = jnp.asarray(rng.random((N, 3, nT)))
+        T1 = jnp.asarray([[1.47]])
+        T2 = jnp.asarray([[0.07]])
+        kw = dict(T1=T1, T2=T2, df=df, b1Map=b1, vel=vel, gam=gamH,
+                  dt=dt0)
+
+        Mo_ref = sims.blochsim_rfgr(Mi, rf, gr, loc, **kw)
+
+        def loss_ref(rf, gr, Mi, loc):
+            return jnp.sum(sims.blochsim_rfgr(Mi, rf, gr, loc, **kw) ** 2)
+        g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(rf, gr, Mi, loc)
+
+        for batch in (2, 1):
+            mesh = make_mesh(batch=batch)
+            Mo = blochsim_rfgr_sharded(mesh, Mi, rf, gr, loc, **kw)
+            np.testing.assert_allclose(Mo, Mo_ref, atol=1e-12)
+
+            def loss_sh(rf, gr, Mi, loc):
+                from mrphy_tpu.parallel import rfgr_sharded_traceable
+                Mo = rfgr_sharded_traceable(mesh, Mi, rf, gr, loc, **kw)
+                return jnp.sum(Mo ** 2)
+            g_sh = jax.jit(jax.grad(loss_sh, argnums=(0, 1, 2, 3)))(
+                rf, gr, Mi, loc)
+            for a, b in zip(g_sh, g_ref):
+                np.testing.assert_allclose(a, b, atol=1e-12)
+
+    def test_blochsim_rfgr_sharded_norelax_multicoil(self):
+        r"""No-relaxation + multi-coil (nC=3) branch under shard_map."""
+        from mrphy_tpu import gamH, dt0
+        from mrphy_tpu.parallel import blochsim_rfgr_sharded
+
+        rng = np.random.default_rng(4)
+        N, nM, nT, nC = 1, 32, 16, 3
+        Mi = jnp.asarray(np.tile([1., 0., 0.], (N, nM, 1)))
+        loc = jnp.asarray(rng.random((N, nM, 3)) - .5)
+        b1 = jnp.asarray(rng.random((N, nM, 2, nC)) - .3)
+        rf = jnp.asarray(rng.random((N, 2, nT, nC)) * .1)
+        gr = jnp.asarray(rng.random((N, 3, nT)))
+
+        mesh = make_mesh()  # 1 x 8
+        Mo_ref = sims.blochsim_rfgr(Mi, rf, gr, loc, b1Map=b1, gam=gamH,
+                                    dt=dt0)
+        Mo = blochsim_rfgr_sharded(mesh, Mi, rf, gr, loc, b1Map=b1,
+                                   gam=gamH, dt=dt0)
+        np.testing.assert_allclose(Mo, Mo_ref, atol=1e-12)
+
     def test_timing_utils(self):
         from mrphy_tpu.utils.timing import (host_sync, amortized_timeit,
                                             chained_timeit)
