@@ -23,7 +23,11 @@ adjoint of :mod:`mrphy_tpu.ops.sims`: it re-derives the trajectory
 backwards in VMEM (no O(nM·nT) residual), rotates the cotangent back, and
 reduces the per-step field gradients to waveform-shaped outputs
 ``(nT, ...)`` inside the kernel (sublane reduction in-kernel, lane/tile
-reduction outside).
+reduction outside). Its grid adds a time-chunk axis: the waveform-grad
+rows stream out per chunk (newest-first) while the reconstruction state
+persists in VMEM scratch, so the VMEM footprint is O(tc) and arbitrarily
+long pulses stay on the fast path (the gate is the 1 MB SMEM holding the
+waveforms, ~32k steps single-coil).
 
 Layout contract (shared with :mod:`mrphy_tpu.ops.sims`): planes
 ``(N, xyz, S1, 128)`` for the rf/gr engine (grid covers the batch), and
@@ -107,21 +111,20 @@ def rfgr_is_available(*, N: int, dtype, nspins: int = _MIN_AUTO_SPINS,
     r"""Whether the fused rf/gr Pallas kernels support this instance (any
     batch size; 'auto' prefers XLA for small spin counts, and falls back
     when the waveforms would overflow the 1 MB SMEM or the backward's
-    per-tile waveform-gradient buffers would blow past VMEM/HBM — the
-    XLA scan handles long pulses with O(nT) waveform grads instead)."""
+    HBM waveform-gradient partials would exceed a bounded budget — the
+    XLA scan handles those with O(nT) waveform grads instead). The
+    backward's VMEM never gates: its waveform-grad buffer is
+    time-chunked (grid over time chunks, carry in scratch)."""
     nT = max(nT, 1)
     row = -(-nT * 4 // 512) * 512                  # padded bytes per row
     smem_bytes = N * (2 * nC + 3) * row
-    # backward buffers: dwf VMEM block is (nT, K, LANE) f32 per tile;
-    # the HBM partial is that times (N, ntiles)
+    # backward HBM partial: (N, ntiles, nT, K, LANE) f32
     K = 3 + 2 * nC
-    dwf_block = nT * K * _LANE * 4
     ntiles = max(1, -(-nspins // (_DEF_TS * _LANE)))
-    dwf_hbm = N * ntiles * dwf_block
+    dwf_hbm = N * ntiles * nT * K * _LANE * 4
     return (jnp.dtype(dtype) == jnp.float32
             and nspins >= _MIN_AUTO_SPINS
             and smem_bytes <= _SMEM_BUDGET
-            and dwf_block <= 16 * 1024 * 1024      # fits VMEM comfortably
             and dwf_hbm <= 2 * 1024 ** 3           # bounded HBM partials
             and _on_tpu())
 
@@ -250,19 +253,25 @@ def _rfgr_fwd_kernel(nT: int, nC: int, relax: bool, has_dfg: bool,
     mo_ref[0, 0], mo_ref[0, 1], mo_ref[0, 2] = mx, my, mz
 
 
-def _rfgr_bwd_kernel(nT: int, nC: int, relax: bool, has_dfg: bool,
-                     has_b1: bool, has_vel: bool, rf_ref, gr_ref, *refs):
-    r"""Reverse time loop for one (batch, spin tile) cell: reconstruct m,
-    rotate the cotangent back, reduce per-step waveform gradients, and
-    accumulate per-spin field gradients (dloc/ddfg/db1/dvel) alongside.
+def _rfgr_bwd_kernel(tc: int, ntc: int, nC: int, relax: bool,
+                     has_dfg: bool, has_b1: bool, has_vel: bool,
+                     rf_ref, gr_ref, *refs):
+    r"""Reverse time loop for one (batch, spin tile, time chunk) cell:
+    reconstruct m, rotate the cotangent back, reduce per-step waveform
+    gradients, and accumulate per-spin field gradients (dloc/ddfg/db1/
+    dvel) alongside. Time chunks are visited newest-first (the dwf out
+    index map reverses the chunk axis); the loop state (m, h, per-spin
+    grad accumulators) persists across chunks in VMEM scratch, so the
+    per-chunk VMEM footprint is O(tc) and arbitrarily long pulses fit.
 
     Positional refs (after rf/gr): mo, g, loc, g2pd, [dfg], [b1],
-    [E, e1_1], dmi, dwf, dloc, [ddfg], [db1], [dvel]. ``dwf`` rows:
-    [dgx, dgy, dgz, drf_x coils..., drf_y coils...] as (LANE,)
-    sublane-partials."""
+    [E, e1_1], dmi, dwf, dloc, [ddfg], [db1], [dvel], m_scr, h_scr,
+    acc_scr. ``dwf`` rows: [dgx, dgy, dgz, drf_x coils..., drf_y
+    coils...] as (LANE,) sublane-partials."""
     ((mo_ref, g_ref, loc_ref, g2pd_ref), dfg_ref, b1_ref, E_ref, e1_ref,
-     vel_ref, tarr_ref, outs) = _unpack(refs, relax, has_dfg, has_b1,
+     vel_ref, tarr_ref, tail) = _unpack(refs, relax, has_dfg, has_b1,
                                         has_vel, 4)
+    outs, (m_scr, h_scr, acc_scr) = tail[:-3], tail[-3:]
     dmi_ref, dwf_ref, dloc_ref = outs[0], outs[1], outs[2]
     i = 3
     ddfg_ref = db1g_ref = dvel_ref = None
@@ -275,6 +284,8 @@ def _rfgr_bwd_kernel(nT: int, nC: int, relax: bool, has_dfg: bool,
     if has_vel:
         dvel_ref = outs[i]
     n = pl.program_id(0)
+    j = pl.program_id(2)              # time chunk, newest-first
+    t0 = (ntc - 1 - j) * tc           # first absolute step of this chunk
 
     locx, locy, locz = loc_ref[0, 0], loc_ref[0, 1], loc_ref[0, 2]
     g2pd = g2pd_ref[0]
@@ -287,7 +298,16 @@ def _rfgr_bwd_kernel(nT: int, nC: int, relax: bool, has_dfg: bool,
     n_acc = 3 + int(has_dfg) + (2 * nC if has_b1 else 0) \
         + (3 if has_vel else 0)
 
-    def step(t, carry):
+    @pl.when(j == 0)
+    def _():
+        m_scr[0], m_scr[1], m_scr[2] = (mo_ref[0, 0], mo_ref[0, 1],
+                                        mo_ref[0, 2])
+        h_scr[0], h_scr[1], h_scr[2] = g_ref[0, 0], g_ref[0, 1], g_ref[0, 2]
+        z = jnp.zeros_like(g2pd)
+        for a in range(n_acc):
+            acc_scr[a] = z
+
+    def step(t, tl, carry):
         mx, my, mz, hx, hy, hz = carry[:6]
         acc = list(carry[6:])
         lx, ly, lz = _loc_eff(t, n, locx, locy, locz, vel_ref, tarr_ref)
@@ -338,15 +358,15 @@ def _rfgr_bwd_kernel(nT: int, nC: int, relax: bool, has_dfg: bool,
         # waveform-grad reductions (operands pre-scaled by γ2πdt, so no
         # per-step rescale). Reduce over sublanes only (→ (LANE,) rows
         # stored to VMEM); the cross-lane reduction happens outside.
-        dwf_ref[0, 0, t, 0] = jnp.sum(dbz * lx, axis=0)
-        dwf_ref[0, 0, t, 1] = jnp.sum(dbz * ly, axis=0)
-        dwf_ref[0, 0, t, 2] = jnp.sum(dbz * lz, axis=0)
+        dwf_ref[0, 0, tl, 0] = jnp.sum(dbz * lx, axis=0)
+        dwf_ref[0, 0, tl, 1] = jnp.sum(dbz * ly, axis=0)
+        dwf_ref[0, 0, tl, 2] = jnp.sum(dbz * lz, axis=0)
         if has_b1:
             for cc in range(nC):
-                dwf_ref[0, 0, t, 3 + cc] = jnp.sum(
+                dwf_ref[0, 0, tl, 3 + cc] = jnp.sum(
                     b1_ref[0, cc] * dbx + b1_ref[0, nC + cc] * dby,
                     axis=0)
-                dwf_ref[0, 0, t, 3 + nC + cc] = jnp.sum(
+                dwf_ref[0, 0, tl, 3 + nC + cc] = jnp.sum(
                     b1_ref[0, cc] * dby - b1_ref[0, nC + cc] * dbx,
                     axis=0)
         else:
@@ -354,8 +374,8 @@ def _rfgr_bwd_kernel(nT: int, nC: int, relax: bool, has_dfg: bool,
             sx = jnp.sum(g2pd * dbx, axis=0)
             sy = jnp.sum(g2pd * dby, axis=0)
             for cc in range(nC):
-                dwf_ref[0, 0, t, 3 + cc] = sx
-                dwf_ref[0, 0, t, 3 + nC + cc] = sy
+                dwf_ref[0, 0, tl, 3 + cc] = sx
+                dwf_ref[0, 0, tl, 3 + nC + cc] = sy
 
         # per-spin field-gradient accumulation (dbx/dby/dbz are already
         # the unscaled-assembly cotangents): dloc += dbz·gr_t,
@@ -385,33 +405,41 @@ def _rfgr_bwd_kernel(nT: int, nC: int, relax: bool, has_dfg: bool,
 
         return (m0x, m0y, m0z, h0x, h0y, h0z) + tuple(acc)
 
-    u = math.gcd(nT, _UNROLL)
+    u = math.gcd(tc, _UNROLL)
 
     def body(k, carry):
-        for j in range(u):
-            carry = step(nT - 1 - (k * u + j), carry)
+        for jj in range(u):
+            tl = tc - 1 - (k * u + jj)
+            carry = step(t0 + tl, tl, carry)
         return carry
 
-    zacc = tuple(jnp.zeros_like(g2pd) for _ in range(n_acc))
     carry = jax.lax.fori_loop(
-        0, nT // u, body,
-        (mo_ref[0, 0], mo_ref[0, 1], mo_ref[0, 2],
-         g_ref[0, 0], g_ref[0, 1], g_ref[0, 2]) + zacc)
-    h0x, h0y, h0z = carry[3], carry[4], carry[5]
+        0, tc // u, body,
+        (m_scr[0], m_scr[1], m_scr[2], h_scr[0], h_scr[1], h_scr[2])
+        + tuple(acc_scr[a] for a in range(n_acc)))
+    mx, my, mz, hx, hy, hz = carry[:6]
     acc = carry[6:]
-    dmi_ref[0, 0], dmi_ref[0, 1], dmi_ref[0, 2] = h0x, h0y, h0z
-    dloc_ref[0, 0], dloc_ref[0, 1], dloc_ref[0, 2] = acc[0], acc[1], acc[2]
-    a = 3
-    if has_dfg:
-        ddfg_ref[0] = acc[a]
-        a += 1
-    if has_b1:
-        for cc in range(2 * nC):
-            db1g_ref[0, cc] = acc[a + cc]
-        a += 2 * nC
-    if has_vel:
-        dvel_ref[0, 0], dvel_ref[0, 1], dvel_ref[0, 2] = \
-            acc[a], acc[a + 1], acc[a + 2]
+    m_scr[0], m_scr[1], m_scr[2] = mx, my, mz
+    h_scr[0], h_scr[1], h_scr[2] = hx, hy, hz
+    for a in range(n_acc):
+        acc_scr[a] = acc[a]
+
+    @pl.when(j == ntc - 1)
+    def _():
+        dmi_ref[0, 0], dmi_ref[0, 1], dmi_ref[0, 2] = hx, hy, hz
+        dloc_ref[0, 0], dloc_ref[0, 1], dloc_ref[0, 2] = (acc[0], acc[1],
+                                                          acc[2])
+        a = 3
+        if has_dfg:
+            ddfg_ref[0] = acc[a]
+            a += 1
+        if has_b1:
+            for cc in range(2 * nC):
+                db1g_ref[0, cc] = acc[a + cc]
+            a += 2 * nC
+        if has_vel:
+            dvel_ref[0, 0], dvel_ref[0, 1], dvel_ref[0, 2] = \
+                acc[a], acc[a + 1], acc[a + 2]
 
 
 def _rfgr_specs(ts, nC):
@@ -475,23 +503,60 @@ def rfgr_fwd_planes(mi, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd,
     )(*args)
 
 
+def _largest_divisor_leq(n: int, bound: int) -> int:
+    r"""Largest divisor of ``n`` that is ≤ ``bound`` (≥ 1)."""
+    best, i = 1, 1
+    while i * i <= n:
+        if n % i == 0:
+            for d in (i, n // i):
+                if best < d <= bound:
+                    best = d
+        i += 1
+    return best
+
+
+def _pick_tc_wf(nT: int, K: int) -> int:
+    r"""Backward time-chunk length: bound the per-tile waveform-grad VMEM
+    block (tc, K, LANE) to ~4 MB while dividing nT. Short pulses get a
+    single chunk (identical codepath to the unchunked kernel)."""
+    bound = max(1, (4 << 20) // (K * _LANE * 4))
+    return _largest_divisor_leq(nT, bound)
+
+
 def rfgr_bwd_planes(mo, g, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd,
                     vel_p=None, tarr2=None, *,
-                    ts=None, interpret: bool = False):
+                    ts=None, tc=None, interpret: bool = False):
     r"""Pallas backward (reverse-reconstruction adjoint), batched planes.
     Returns ``(dmi, drf2 (N, 2C, nT), dgr2 (N, 3, nT), dloc, ddfg, db1g,
     dvel)`` — the last four per-spin plane-shaped (None where the
-    corresponding input is None)."""
+    corresponding input is None).
+
+    The grid extends over (batch, spin tiles, time chunks): per-step
+    waveform-grad rows stream out chunk by chunk (newest-first) while the
+    reconstruction state persists in VMEM scratch, so VMEM use is O(tc)
+    and arbitrarily long pulses fit (the old single-chunk kernel's
+    (nT, K, LANE) VMEM block forced an XLA fallback past nT ≈ 6.5k)."""
     N, _, S1, _ = mo.shape
     nT = gr2.shape[-1]
     nC = rf2.shape[1] // 2
+    K = 3 + 2 * nC
     ts = _pick_ts(S1) if ts is None else ts
+    tc = _pick_tc_wf(nT, K) if tc is None else tc
     assert S1 % ts == 0, (S1, ts)
+    assert nT % tc == 0, (nT, tc)
     ntiles = S1 // ts
-    grid = (N, ntiles)
+    ntc = nT // tc
+    grid = (N, ntiles, ntc)
     relax, has_dfg, has_b1 = E is not None, dfg is not None, b1_p is not None
     has_vel = vel_p is not None
-    tile3, tile1, smem, b1spec = _rfgr_specs(ts, nC)
+    tile3 = pl.BlockSpec((1, 3, ts, _LANE), lambda n, i, j: (n, 0, i, 0),
+                         memory_space=pltpu.VMEM)
+    tile1 = pl.BlockSpec((1, ts, _LANE), lambda n, i, j: (n, i, 0),
+                         memory_space=pltpu.VMEM)
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    b1spec = pl.BlockSpec((1, 2 * nC, ts, _LANE),
+                          lambda n, i, j: (n, 0, i, 0),
+                          memory_space=pltpu.VMEM)
 
     in_specs = [smem, smem, tile3, tile3, tile3, tile1]
     args = [rf2, gr2, mo, g, loc_p, g2pd]
@@ -508,15 +573,15 @@ def rfgr_bwd_planes(mo, g, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd,
         in_specs += [tile3, smem]
         args += [vel_p, tarr2]
 
-    K = 3 + 2 * nC
-    kernel = functools.partial(_rfgr_bwd_kernel, nT, nC, relax, has_dfg,
-                               has_b1, has_vel)
-    # per-tile lane-partial waveform grads; block dims equal to array dims
-    # are exempt from the (8, 128) divisibility rule
+    kernel = functools.partial(_rfgr_bwd_kernel, tc, ntc, nC, relax,
+                               has_dfg, has_b1, has_vel)
+    # per-tile lane-partial waveform grads, streamed per time chunk
+    # (chunks visited newest-first); block dims equal to array dims are
+    # exempt from the (8, 128) divisibility rule
     out_specs = [
         tile3,
-        pl.BlockSpec((1, 1, nT, K, _LANE),
-                     lambda n, i: (n, i, 0, 0, 0),
+        pl.BlockSpec((1, 1, tc, K, _LANE),
+                     lambda n, i, j: (n, i, ntc - 1 - j, 0, 0),
                      memory_space=pltpu.VMEM),
         tile3,                                           # dloc
     ]
@@ -530,7 +595,7 @@ def rfgr_bwd_planes(mo, g, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd,
         out_shape.append(jax.ShapeDtypeStruct(dfg.shape, mo.dtype))
     if has_b1:
         b1g_spec = pl.BlockSpec((1, 2 * nC, ts, _LANE),
-                                lambda n, i: (n, 0, i, 0),
+                                lambda n, i, j: (n, 0, i, 0),
                                 memory_space=pltpu.VMEM)
         out_specs.append(b1g_spec)
         out_shape.append(jax.ShapeDtypeStruct(b1_p.shape, mo.dtype))
@@ -538,12 +603,17 @@ def rfgr_bwd_planes(mo, g, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd,
         out_specs.append(tile3)
         out_shape.append(jax.ShapeDtypeStruct(vel_p.shape, mo.dtype))
 
+    n_acc = 3 + int(has_dfg) + (2 * nC if has_b1 else 0) \
+        + (3 if has_vel else 0)
     outs = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
+        scratch_shapes=[pltpu.VMEM((3, ts, _LANE), mo.dtype),
+                        pltpu.VMEM((3, ts, _LANE), mo.dtype),
+                        pltpu.VMEM((n_acc, ts, _LANE), mo.dtype)],
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,

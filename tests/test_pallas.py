@@ -85,6 +85,51 @@ class TestPallasInterpret:
         np.testing.assert_allclose(gp, gx, atol=2e-5)
 
 
+class TestChunkedBackward:
+    r"""The time-chunked backward grid (long-pulse path) must be
+    BIT-IDENTICAL to the single-chunk kernel: the chunking only changes
+    where the dwf rows stream out, never the arithmetic."""
+
+    def test_chunked_equals_single_chunk(self, monkeypatch):
+        from mrphy_tpu.ops import pallas_kernels as pk
+        rng = np.random.default_rng(5)
+        nM, nT = 700, 24
+        Mi, loc, df, b1, rf, gr, T1, T2 = _mk(nM, nT, seed=5)
+        vel = jnp.asarray(rng.random((1, nM, 3)) - .5, DT32)
+        kw = dict(T1=T1, T2=T2, df=df, b1Map=b1, vel=vel,
+                  _pallas_interpret=True)
+        W = jnp.asarray(rng.normal(size=(1, nM, 3)), DT32)
+
+        def all_grads():
+            return jax.grad(
+                lambda r, g_, m, lo, d, b_, v: jnp.sum(
+                    W * sims.blochsim_rfgr(m, r, g_, lo, T1=T1, T2=T2,
+                                           df=d, b1Map=b_, vel=v,
+                                           _pallas_interpret=True)),
+                argnums=(0, 1, 2, 3, 4, 5, 6))(rf, gr, Mi, loc, df, b1,
+                                               vel)
+
+        monkeypatch.setattr(pk, '_pick_tc_wf', lambda nT, K: nT)
+        g_single = all_grads()
+        jax.clear_caches()   # same shapes: force a retrace with tc=8
+        monkeypatch.setattr(pk, '_pick_tc_wf', lambda nT, K: 8)
+        g_chunked = all_grads()
+        for a, b in zip(g_chunked, g_single):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_tc_picker(self):
+        from mrphy_tpu.ops.pallas_kernels import (_pick_tc_wf,
+                                                  _largest_divisor_leq)
+        # short pulses: single chunk (identical to the unchunked kernel)
+        assert _pick_tc_wf(1000, 5) == 1000
+        # long pulses: chunk divides nT and bounds the VMEM block
+        K = 5
+        tc = _pick_tc_wf(16000, K)
+        assert 16000 % tc == 0 and tc * K * 128 * 4 <= 4 << 20
+        assert _largest_divisor_leq(15, 6) == 5
+        assert _largest_divisor_leq(17, 16) == 1
+
+
 class TestBeffStreamingInterpret:
     r"""Beff-streaming Pallas engine vs XLA scan (interpret mode)."""
 
