@@ -13,6 +13,8 @@ Configs:
   throughput  1M spins x 1000 steps fwd+adjoint, fused engine (config 5)
   deeptime    parallel-in-time tree-reduction propagator vs sequential
               scan, 128 spins x 65536 steps
+  longpulse   1M spins x 16k steps fwd+adjoint, time-chunked Pallas
+              backward
 """
 
 import json
@@ -163,9 +165,24 @@ def bench_deeptime():
             'speedup': round(ts / tp, 1), 'maxdiff': f'{d:.1e}'}
 
 
+def bench_longpulse():
+    r"""Long-pulse fwd+adjoint on the fused engine: the time-chunked
+    Pallas backward keeps 1M spins x 16k steps on the fast path (the
+    former XLA fallback ran this at ~2.1 G spin*steps/s)."""
+    sys.path.insert(0, '.')
+    import bench
+    nM, nT = 1_000_000, 16_000
+    secs = bench.bench_fwd_adjoint(nM, nT, repeats=1, passes=2)
+    return {'metric': f'longpulse: {nM} spins x {nT} steps fwd+adjoint '
+                      '(time-chunked pallas backward)',
+            'value': round(nM * nT / secs / 1e6, 1),
+            'unit': 'M spin*steps/s/chip',
+            'ms': round(secs * 1e3, 1)}
+
+
 ALL = {'tiny': bench_tiny, 'freeprec32': bench_freeprec32,
        'design64': bench_design64, 'throughput': bench_throughput,
-       'deeptime': bench_deeptime}
+       'deeptime': bench_deeptime, 'longpulse': bench_longpulse}
 
 
 def main():
