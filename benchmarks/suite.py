@@ -130,7 +130,6 @@ def bench_design64():
 
 
 def bench_throughput():
-    sys.path.insert(0, '.')
     import bench
     secs = bench.bench_fwd_adjoint(1_000_000, 1000)
     return {'metric': '1M spins x 1000 steps fwd+adjoint (fused pallas)',
@@ -169,7 +168,6 @@ def bench_longpulse():
     r"""Long-pulse fwd+adjoint on the fused engine: the time-chunked
     Pallas backward keeps 1M spins x 16k steps on the fast path (the
     former XLA fallback ran this at ~2.1 G spin*steps/s)."""
-    sys.path.insert(0, '.')
     import bench
     nM, nT = 1_000_000, 16_000
     secs = bench.bench_fwd_adjoint(nM, nT, repeats=1, passes=2)

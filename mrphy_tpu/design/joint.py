@@ -86,8 +86,11 @@ def _loss_fn(params, cfg, M0_, loc_, Mtgt_, T1_, T2_, gam_, df_, b1Map_,
     se = jnp.sum((M_ - Mtgt_) ** 2, axis=-1)
     if w_ is None:
         err = jnp.mean(se)
-    else:  # per-spin weights, e.g. don't-care transition bands at 0
-        err = jnp.sum(w_ * se) / jnp.sum(w_)
+    else:  # per-spin weights, e.g. don't-care transition bands at 0.
+        # Broadcast BEFORE normalizing: with w_ (1, nM) and N > 1, a
+        # bare sum(w_) would undercount by N and rescale the loss.
+        wb = jnp.broadcast_to(w_, se.shape)
+        err = jnp.sum(wb * se) / jnp.sum(wb)
     pow_pen = cfg.lam_pow * jnp.mean(jnp.sum(rf ** 2, axis=1))
     return err + pow_pen, M_
 
@@ -200,14 +203,21 @@ def design_pulse(spinarray, pulse, Mtgt_, *, loc_=None, df_=None,
     if mesh is not None:
         # pre-place spin-indexed arrays on the mesh (the shard_map inside
         # the loss re-asserts these shardings; placing them up front
-        # avoids a resharding transfer on the first iteration)
-        from mrphy_tpu.parallel.mesh import shard_spins
-        nM = step_args[0].shape[1]
+        # avoids a resharding transfer on the first iteration). Mirror
+        # rfgr_sharded_traceable's by-shape rule: broadcast-shaped args
+        # (leading 1 while N > 1) replicate on the batch axis.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from mrphy_tpu.parallel.mesh import BATCH_AXIS, SPIN_AXIS
+        N, nM = step_args[0].shape[0], step_args[0].shape[1]
 
         def put(x):
             if (x is not None and hasattr(x, 'ndim') and x.ndim >= 2
                     and x.shape[1] == nM):
-                return jax.device_put(x, shard_spins(mesh, x.ndim))
+                spec = [None] * x.ndim
+                if x.shape[0] == N:
+                    spec[0] = BATCH_AXIS
+                spec[1] = SPIN_AXIS
+                return jax.device_put(x, NamedSharding(mesh, P(*spec)))
             return x
         step_args = tuple(put(x) for x in step_args)
 

@@ -113,8 +113,9 @@ def rfgr_is_available(*, N: int, dtype, nspins: int = _MIN_AUTO_SPINS,
     when the waveforms would overflow the 1 MB SMEM or the backward's
     HBM waveform-gradient partials would exceed a bounded budget — the
     XLA scan handles those with O(nT) waveform grads instead). The
-    backward's VMEM never gates: its waveform-grad buffer is
-    time-chunked (grid over time chunks, carry in scratch)."""
+    backward's waveform-grad VMEM is time-chunked (grid over time
+    chunks, carry in scratch) so it only gates for divisor-poor nT,
+    where chunking degenerates to a single full-length block."""
     nT = max(nT, 1)
     row = -(-nT * 4 // 512) * 512                  # padded bytes per row
     smem_bytes = N * (2 * nC + 3) * row
@@ -122,9 +123,12 @@ def rfgr_is_available(*, N: int, dtype, nspins: int = _MIN_AUTO_SPINS,
     K = 3 + 2 * nC
     ntiles = max(1, -(-nspins // (_DEF_TS * _LANE)))
     dwf_hbm = N * ntiles * nT * K * _LANE * 4
+    # divisor-poor nT falls back to a single chunk; gate on its VMEM block
+    dwf_block = _pick_tc_wf(nT, K) * K * _LANE * 4
     return (jnp.dtype(dtype) == jnp.float32
             and nspins >= _MIN_AUTO_SPINS
             and smem_bytes <= _SMEM_BUDGET
+            and dwf_block <= 16 * 1024 * 1024      # fits VMEM comfortably
             and dwf_hbm <= 2 * 1024 ** 3           # bounded HBM partials
             and _on_tpu())
 
@@ -443,13 +447,16 @@ def _rfgr_bwd_kernel(tc: int, ntc: int, nC: int, relax: bool,
 
 
 def _rfgr_specs(ts, nC):
-    tile3 = pl.BlockSpec((1, 3, ts, _LANE), lambda n, i: (n, 0, i, 0),
+    r"""Shared block specs; index maps take ``*_`` so they serve both the
+    forward (batch, tiles) and backward (batch, tiles, chunks) grids —
+    per-spin blocks never depend on the time-chunk axis."""
+    tile3 = pl.BlockSpec((1, 3, ts, _LANE), lambda n, i, *_: (n, 0, i, 0),
                          memory_space=pltpu.VMEM)
-    tile1 = pl.BlockSpec((1, ts, _LANE), lambda n, i: (n, i, 0),
+    tile1 = pl.BlockSpec((1, ts, _LANE), lambda n, i, *_: (n, i, 0),
                          memory_space=pltpu.VMEM)
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     b1spec = pl.BlockSpec((1, 2 * nC, ts, _LANE),
-                          lambda n, i: (n, 0, i, 0),
+                          lambda n, i, *_: (n, 0, i, 0),
                           memory_space=pltpu.VMEM)
     return tile3, tile1, smem, b1spec
 
@@ -518,9 +525,17 @@ def _largest_divisor_leq(n: int, bound: int) -> int:
 def _pick_tc_wf(nT: int, K: int) -> int:
     r"""Backward time-chunk length: bound the per-tile waveform-grad VMEM
     block (tc, K, LANE) to ~4 MB while dividing nT. Short pulses get a
-    single chunk (identical codepath to the unchunked kernel)."""
+    single chunk (identical codepath to the unchunked kernel). When nT
+    is divisor-poor (e.g. prime) and has no usable chunk length ≥ 128,
+    fall back to a single chunk rather than a degenerate 1-step grid —
+    ``rfgr_is_available`` then gates on the single-chunk VMEM block, so
+    such instances take the XLA engine instead of a slow micro-chunked
+    kernel."""
     bound = max(1, (4 << 20) // (K * _LANE * 4))
-    return _largest_divisor_leq(nT, bound)
+    if nT <= bound:
+        return nT
+    tc = _largest_divisor_leq(nT, bound)
+    return tc if tc >= 128 else nT
 
 
 def rfgr_bwd_planes(mo, g, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd,
@@ -549,14 +564,7 @@ def rfgr_bwd_planes(mo, g, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd,
     grid = (N, ntiles, ntc)
     relax, has_dfg, has_b1 = E is not None, dfg is not None, b1_p is not None
     has_vel = vel_p is not None
-    tile3 = pl.BlockSpec((1, 3, ts, _LANE), lambda n, i, j: (n, 0, i, 0),
-                         memory_space=pltpu.VMEM)
-    tile1 = pl.BlockSpec((1, ts, _LANE), lambda n, i, j: (n, i, 0),
-                         memory_space=pltpu.VMEM)
-    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
-    b1spec = pl.BlockSpec((1, 2 * nC, ts, _LANE),
-                          lambda n, i, j: (n, 0, i, 0),
-                          memory_space=pltpu.VMEM)
+    tile3, tile1, smem, b1spec = _rfgr_specs(ts, nC)
 
     in_specs = [smem, smem, tile3, tile3, tile3, tile1]
     args = [rf2, gr2, mo, g, loc_p, g2pd]
@@ -594,10 +602,7 @@ def rfgr_bwd_planes(mo, g, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd,
         out_specs.append(tile1)
         out_shape.append(jax.ShapeDtypeStruct(dfg.shape, mo.dtype))
     if has_b1:
-        b1g_spec = pl.BlockSpec((1, 2 * nC, ts, _LANE),
-                                lambda n, i, j: (n, 0, i, 0),
-                                memory_space=pltpu.VMEM)
-        out_specs.append(b1g_spec)
+        out_specs.append(b1spec)
         out_shape.append(jax.ShapeDtypeStruct(b1_p.shape, mo.dtype))
     if has_vel:
         out_specs.append(tile3)

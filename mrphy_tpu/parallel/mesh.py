@@ -33,8 +33,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from mrphy_tpu.ops import sims
 
 __all__ = ['make_mesh', 'shard_spins', 'blochsim_sharded',
-           'blochsim_rfgr_sharded', 'shard_spin_obj', 'psum_loss',
-           'pad_spins']
+           'blochsim_rfgr_sharded', 'rfgr_sharded_traceable',
+           'shard_spin_obj', 'psum_loss', 'pad_spins']
 
 BATCH_AXIS = 'batch'
 SPIN_AXIS = 'spins'

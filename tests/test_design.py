@@ -122,6 +122,57 @@ class TestDesign:
         np.testing.assert_allclose(p2.rf, p1.rf, atol=1e-10)
         np.testing.assert_allclose(p2.gr, p1.gr, atol=1e-10)
 
+    def test_design_mesh_broadcast_args_batch2(self):
+        r"""Batch-sharded design (dp=2) with broadcast-shaped optionals —
+        w_/df_ of leading dim 1 while N=2 — must replicate on the batch
+        axis, not crash the pre-placement, and match single-device."""
+        import numpy as np
+        from mrphy_tpu.models.mobjs import SpinArray, Pulse
+        from mrphy_tpu.parallel import make_mesh
+
+        rng = np.random.default_rng(11)
+        N, nM, nT = 2, 32, 16
+        arr = SpinArray((N, 4, 8),
+                        M_=jnp.asarray(np.tile([0., 0., 1.], (N, nM, 1))))
+        loc_ = jnp.asarray(rng.random((N, nM, 3)) - .5)
+        df_ = jnp.asarray(rng.random((1, nM)) * 20)   # broadcast (1, nM)
+        w_ = jnp.asarray(rng.random((1, nM)) + .5)    # broadcast (1, nM)
+        p = Pulse(jnp.asarray(rng.random((N, 2, nT)) * .05),
+                  jnp.asarray(rng.random((N, 3, nT)) * .1), dt=dt0)
+        Mtgt_ = jnp.tile(jnp.asarray([0., 1., 0.]), (N, nM, 1))
+        cfg = DesignConfig(niter=4, lr=0.02, rfmax=0.25, smax=12e3,
+                           dt=float(dt0))
+
+        p1, l1 = design_pulse(arr, p, Mtgt_, loc_=loc_, df_=df_, w_=w_,
+                              cfg=cfg)
+        mesh = make_mesh(batch=2)   # (2, 4) mesh
+        p2, l2 = design_pulse(arr, p, Mtgt_, loc_=loc_, df_=df_, w_=w_,
+                              cfg=cfg, mesh=mesh)
+        np.testing.assert_allclose(l2, l1, atol=1e-12)
+        np.testing.assert_allclose(p2.rf, p1.rf, atol=1e-10)
+
+    def test_weighted_allones_matches_unweighted(self):
+        r"""All-ones broadcast weights (1, nM) with N>1 must reproduce the
+        unweighted loss exactly (a bare sum(w_) normalization would be
+        off by a factor of N)."""
+        import numpy as np
+        from mrphy_tpu.models.mobjs import SpinArray, Pulse
+
+        rng = np.random.default_rng(12)
+        N, nM, nT = 2, 16, 8
+        arr = SpinArray((N, 4, 4),
+                        M_=jnp.asarray(np.tile([0., 0., 1.], (N, nM, 1))))
+        loc_ = jnp.asarray(rng.random((N, nM, 3)) - .5)
+        p = Pulse(jnp.asarray(rng.random((N, 2, nT)) * .05),
+                  jnp.asarray(rng.random((N, 3, nT)) * .1), dt=dt0)
+        Mtgt_ = jnp.tile(jnp.asarray([0., 1., 0.]), (N, nM, 1))
+        cfg = DesignConfig(niter=3, lr=0.02, rfmax=0.25, smax=12e3,
+                           dt=float(dt0))
+        _, l_none = design_pulse(arr, p, Mtgt_, loc_=loc_, cfg=cfg)
+        _, l_ones = design_pulse(arr, p, Mtgt_, loc_=loc_,
+                                 w_=jnp.ones((1, nM)), cfg=cfg)
+        np.testing.assert_allclose(l_ones, l_none, atol=1e-12)
+
     def test_weighted_loss_ignores_dont_care(self):
         r"""w_=0 spins must not influence the design: corrupting their
         targets changes nothing."""

@@ -126,6 +126,10 @@ class TestChunkedBackward:
         K = 5
         tc = _pick_tc_wf(16000, K)
         assert 16000 % tc == 0 and tc * K * 128 * 4 <= 4 << 20
+        # divisor-poor nT (prime): fall back to ONE chunk, never a
+        # degenerate micro-chunk grid; rfgr_is_available then gates on
+        # the single-chunk VMEM block (XLA fallback on real hardware)
+        assert _pick_tc_wf(15991, K) == 15991
         assert _largest_divisor_leq(15, 6) == 5
         assert _largest_divisor_leq(17, 16) == 1
 
