@@ -375,3 +375,59 @@ class TestT2Star:
         Mo0 = np.asarray(sims.freeprec(Mi, _mk(0.), T1=T1a, T2=T2a,
                                        df=df))
         assert np.allclose(Mo0[0, :, 0], 1.0, atol=ATOL)
+
+
+class TestSteadyState:
+
+    def test_bssfp_fixed_point_via_ab_solve(self):
+        r"""Steady state from ONE linear solve: a 2-TR bSSFP period is an
+        affine map M → A·M + B (beff2ab), so its steady state is
+        M* = (I − A)⁻¹B — no hundreds of iterated TRs. Checks:
+        (1) simulating one full period from M* returns M* (the simulator
+        agrees it is a fixed point); (2) on resonance the post-pulse
+        transverse magnitude matches the instantaneous-RF analytic bSSFP
+        level sinα(1−E1)/(1−(E1−E2)cosα−E1E2) to ~1%."""
+        from mrphy_tpu.ops import beffective
+
+        dt, nTp, TR = 4e-6, 10, 5e-3
+        T1, T2, alpha = 1.0, 0.08, np.deg2rad(30.0)
+        ngap = int(round(TR / dt)) - nTp
+        b1 = alpha / (gamH * 2 * np.pi * nTp * dt)
+
+        nf = 32
+        df = _mk(np.linspace(-1 / TR, 1 / TR, nf))[None]      # (1, nf)
+        bz = (df / gamH)[..., None, None]                     # Bz = df/γ
+
+        def tr_beff(sign):
+            bx = np.zeros(nTp + ngap)
+            bx[:nTp] = sign * b1
+            bxy = _mk(np.stack([bx, np.zeros_like(bx)], -1))  # (nT, 2)
+            bxy = jnp.broadcast_to(bxy, (1, nf, nTp + ngap, 2))
+            return jnp.concatenate(
+                [bxy, jnp.broadcast_to(bz, (1, nf, nTp + ngap, 1))], -1)
+
+        beff2 = jnp.concatenate([tr_beff(+1), tr_beff(-1)], axis=2)
+        E1 = _mk(np.exp(-dt / T1))
+        E2 = _mk(np.exp(-dt / T2))
+        A, B = beffective.beff2ab(beff2, E1=E1, E2=E2, gam=_mk(gamH),
+                                  dt=_mk(dt))
+        I3 = jnp.eye(3, dtype=A.dtype)
+        Mss = jnp.linalg.solve(I3 - A, B[..., None])[..., 0]  # (1, nf, 3)
+
+        # (1) the simulator confirms the fixed point
+        Mo = sims.blochsim(Mss, beff2, T1=_mk([[T1]]), T2=_mk([[T2]]),
+                           gam=_mk(gamH), dt=_mk(dt))
+        assert np.allclose(np.asarray(Mo), np.asarray(Mss), atol=1e-9)
+
+        # (2) analytic on-resonance level, right after the +α pulse:
+        # propagate M* (period start = just before the +α pulse) through
+        # the pulse segment only
+        Ap, Bp = beffective.beff2ab(beff2[:, :, :nTp], E1=E1, E2=E2,
+                                    gam=_mk(gamH), dt=_mk(dt))
+        Mpost = np.asarray(slowsims.blochsim_ab(Mss, Ap, Bp))
+        i0 = int(np.argmin(np.abs(np.asarray(df)[0])))  # nearest df = 0
+        e1, e2 = np.exp(-TR / T1), np.exp(-TR / T2)
+        want = (np.sin(alpha) * (1 - e1)
+                / (1 - (e1 - e2) * np.cos(alpha) - e1 * e2))
+        got = np.hypot(Mpost[0, i0, 0], Mpost[0, i0, 1])
+        assert abs(got - want) / want < 0.01, (got, want)
