@@ -514,7 +514,7 @@ class SpinArray(_SlotStateMixin):
     # -- physics methods --
     def applypulse(self, pulse: Pulse, *, doEmbed: bool = False,
                    doRelax: bool = True, doUpdate: bool = False,
-                   doFuse: bool = True,
+                   doFuse: bool = True, mesh=None,
                    loc=None, loc_=None, b1Map=None, b1Map_=None, **kw):
         r"""Apply a pulse through the fast engine.
 
@@ -530,6 +530,9 @@ class SpinArray(_SlotStateMixin):
               materializes — same physics, same gradients. ``False``
               composes ``pulse2beff`` → ``sims.blochsim`` like the
               reference (``/root/reference/mrphy/mobjs.py:394-450``).
+            - ``mesh``: a ``(batch, spins)`` :class:`jax.sharding.Mesh`
+              to run multi-chip via shard_map (fused engine only; ``nM``
+              must divide by the mesh's spin extent).
             - ``df`` ⊻ ``df_`` (aliases ``Δf``/``Δf_``): `(N, *Nd ⊻ nM)`.
             - ``b1Map`` ⊻ ``b1Map_``: `(N, *Nd ⊻ nM, xy, (nCoils))`.
 
@@ -544,13 +547,21 @@ class SpinArray(_SlotStateMixin):
         df_ = df_ if df is None else self.extract(df)
         assert (b1Map_ is None) or (b1Map is None)
         b1Map_ = b1Map_ if b1Map is None else self.extract(b1Map)
+        assert mesh is None or doFuse, 'mesh requires the fused engine'
 
         T1, T2 = (self.T1_, self.T2_) if doRelax else (None, None)
         if doFuse:
             pulse = pulse.to(dtype=self.dtype)
-            M_ = sims.blochsim_rfgr(self.M_, pulse.rf, pulse.gr, loc_,
-                                    T1=T1, T2=T2, df=df_, b1Map=b1Map_,
-                                    gam=self.gam_, dt=pulse.dt)
+            if mesh is not None:
+                from mrphy_tpu.parallel.mesh import rfgr_sharded_traceable
+                M_ = rfgr_sharded_traceable(
+                    mesh, self.M_, pulse.rf, pulse.gr, loc_, T1=T1, T2=T2,
+                    df=df_, b1Map=b1Map_, gam=self.gam_, dt=pulse.dt)
+            else:
+                M_ = sims.blochsim_rfgr(self.M_, pulse.rf, pulse.gr, loc_,
+                                        T1=T1, T2=T2, df=df_,
+                                        b1Map=b1Map_, gam=self.gam_,
+                                        dt=pulse.dt)
         else:
             beff_ = self.pulse2beff(pulse, loc_=loc_, df_=df_,
                                     b1Map_=b1Map_, doEmbed=False)
@@ -774,13 +785,14 @@ class SpinCube(SpinArray):
     # -- physics methods (inject loc_, df_; parity: mobjs.py:841-944) --
     def applypulse(self, pulse: Pulse, *, doEmbed: bool = False,
                    doRelax: bool = True, doUpdate: bool = False,
-                   doFuse: bool = True, b1Map=None, b1Map_=None):
+                   doFuse: bool = True, mesh=None, b1Map=None,
+                   b1Map_=None):
         sp = self._spinarray
         assert (b1Map_ is None) or (b1Map is None)
         b1Map_ = b1Map_ if b1Map is None else sp.extract(b1Map)
         return sp.applypulse(pulse, doEmbed=doEmbed, doRelax=doRelax,
-                             doUpdate=doUpdate, doFuse=doFuse, df_=self.df_,
-                             loc_=self.loc_, b1Map_=b1Map_)
+                             doUpdate=doUpdate, doFuse=doFuse, mesh=mesh,
+                             df_=self.df_, loc_=self.loc_, b1Map_=b1Map_)
 
     def freeprec(self, dur, *, doEmbed: bool = False, doRelax: bool = True,
                  doUpdate: bool = False):
@@ -865,7 +877,7 @@ class SpinBolus(SpinArray):
 
     def applypulse(self, pulse: Pulse, *, doEmbed: bool = False,
                    doRelax: bool = True, doUpdate: bool = False,
-                   doFuse: bool = True,
+                   doFuse: bool = True, mesh=None,
                    loc=None, loc_=None, b1Map=None, b1Map_=None, **kw):
         r"""Apply a pulse to the flowing ensemble (``loc``/``loc_`` are
         the spins' positions at t=0). Same flags and ⊻-kwargs as
@@ -885,10 +897,19 @@ class SpinBolus(SpinArray):
 
         pulse = pulse.to(dtype=self.dtype)
         T1, T2 = (self.T1_, self.T2_) if doRelax else (None, None)
-        M_ = sims.blochsim_rfgr(self.M_, pulse.rf, pulse.gr, loc_,
-                                T1=T1, T2=T2, df=df_, b1Map=b1Map_,
-                                gam=self.gam_, dt=pulse.dt,
-                                vel=self.vel_)
+        vel_ = jnp.broadcast_to(jnp.asarray(self.vel_, self.dtype),
+                                self.M_.shape)
+        if mesh is not None:
+            from mrphy_tpu.parallel.mesh import rfgr_sharded_traceable
+            M_ = rfgr_sharded_traceable(
+                mesh, self.M_, pulse.rf, pulse.gr, loc_, T1=T1, T2=T2,
+                df=df_, b1Map=b1Map_, gam=self.gam_, dt=pulse.dt,
+                vel=vel_)
+        else:
+            M_ = sims.blochsim_rfgr(self.M_, pulse.rf, pulse.gr, loc_,
+                                    T1=T1, T2=T2, df=df_, b1Map=b1Map_,
+                                    gam=self.gam_, dt=pulse.dt,
+                                    vel=vel_)
         if doUpdate:
             self.M_ = M_
         return self.embed(M_) if doEmbed else M_

@@ -162,6 +162,31 @@ class TestParallel:
                                    gam=gamH, dt=dt0)
         np.testing.assert_allclose(Mo, Mo_ref, atol=1e-12)
 
+    def test_applypulse_mesh_matches(self):
+        r"""Object-level multi-chip: SpinArray/SpinCube/SpinBolus
+        ``applypulse(mesh=...)`` equals the single-device result."""
+        from mrphy_tpu.models.mobjs import SpinArray, SpinBolus, Pulse
+
+        rng = np.random.default_rng(6)
+        N, nM, nT = 1, 64, 12
+        mesh = make_mesh()
+        p = Pulse(jnp.asarray(rng.random((N, 2, nT)) * .1),
+                  jnp.asarray(rng.random((N, 3, nT))))
+        loc_ = jnp.asarray(rng.random((N, nM, 3)) - .5)
+
+        arr = SpinArray((N, 8, 8),
+                        M_=jnp.asarray(np.tile([0., 0., 1.], (N, nM, 1))))
+        M1 = arr.applypulse(p, loc_=loc_)
+        M2 = arr.applypulse(p, loc_=loc_, mesh=mesh)
+        np.testing.assert_allclose(M2, M1, atol=1e-12)
+
+        bol = SpinBolus((N, 8, 8),
+                        vel_=jnp.asarray(rng.random((N, nM, 3)) - .5),
+                        M_=jnp.asarray(np.tile([1., 0., 0.], (N, nM, 1))))
+        M1 = bol.applypulse(p, loc_=loc_)
+        M2 = bol.applypulse(p, loc_=loc_, mesh=mesh)
+        np.testing.assert_allclose(M2, M1, atol=1e-12)
+
     def test_timing_utils(self):
         from mrphy_tpu.utils.timing import (host_sync, amortized_timeit,
                                             chained_timeit)
