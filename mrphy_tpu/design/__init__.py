@@ -2,7 +2,8 @@ r"""Joint RF + gradient waveform design (the workload of the reference's
 cited papers), as jitted optax optimization loops."""
 
 from mrphy_tpu.design.joint import (DesignConfig, design_pulse,
-                                    design_step, init_params, params2pulse)
+                                    design_multiscale, design_step,
+                                    init_params, params2pulse)
 
-__all__ = ['DesignConfig', 'design_pulse', 'design_step', 'init_params',
-           'params2pulse']
+__all__ = ['DesignConfig', 'design_pulse', 'design_multiscale',
+           'design_step', 'init_params', 'params2pulse']

@@ -34,8 +34,8 @@ from mrphy_tpu.ops import sims
 from mrphy_tpu.utils import (rf2trho_theta, trho_theta2rf, s2ts, ts2s,
                              s2g, g2s, rfclamp, sclamp)
 
-__all__ = ['DesignConfig', 'design_pulse', 'design_step', 'init_params',
-           'params2pulse']
+__all__ = ['DesignConfig', 'design_pulse', 'design_multiscale',
+           'design_step', 'init_params', 'params2pulse']
 
 
 @dataclasses.dataclass(frozen=True)
@@ -241,3 +241,42 @@ def design_pulse(spinarray, pulse, Mtgt_, *, loc_=None, df_=None,
                 desc=f'{pulse.desc} + designed({cfg.niter} iters)',
                 dtype=pulse.dtype)
     return out, losses
+
+
+def design_multiscale(spinarray, pulse, Mtgt_, *, dts, niters,
+                      cfg: Optional[DesignConfig] = None, **kw):
+    r"""Coarse-to-fine joint design: the README's multi-scale strategy
+    (``/root/reference/README.md:27-36``) as one call.
+
+    Designs at dwell time ``dts[0]`` for ``niters[0]`` iterations,
+    resamples the result to ``dts[1]`` via on-device
+    :meth:`~mrphy_tpu.models.mobjs.Pulse.interpT`, continues, and so on.
+    Coarse stages cost ``dt_fine/dt_coarse``-times fewer simulation steps
+    per iteration, so most of the optimization happens cheaply before the
+    final-resolution polish. Stages reuse compiled executables across
+    calls (the design scan is keyed on the stage's ``DesignConfig``).
+
+    Inputs:
+        - ``spinarray``/``pulse``/``Mtgt_``: as :func:`design_pulse`.
+        - ``dts``: sequence of dwell times, "Sec", coarse → fine.
+        - ``niters``: iterations per stage (same length as ``dts``).
+    Optionals:
+        - ``cfg``: base :class:`DesignConfig`; each stage overrides its
+          ``dt``/``niter``. Remaining kwargs forward to
+          :func:`design_pulse` (``loc_``, ``df_``, ``b1Map_``, ``w_``,
+          ``mesh``, ``doRelax``, ``verbose``).
+    Outputs:
+        - ``(pulse, losses)``: final fine-dt Pulse and the per-stage list
+          of loss arrays.
+    """
+    assert len(dts) == len(niters) and len(dts) >= 1
+    cfg = DesignConfig() if cfg is None else cfg
+    p, losses = pulse, []
+    for dt_s, ni in zip(dts, niters):
+        dt_s = float(dt_s)
+        if abs(float(jnp.asarray(p.dt).reshape(-1)[0]) - dt_s) > 1e-12:
+            p = p.interpT(jnp.asarray(dt_s))
+        cfg_s = dataclasses.replace(cfg, dt=dt_s, niter=int(ni))
+        p, loss = design_pulse(spinarray, p, Mtgt_, cfg=cfg_s, **kw)
+        losses.append(loss)
+    return p, losses

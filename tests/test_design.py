@@ -67,6 +67,26 @@ class TestDesign:
         assert bool(jnp.all(jnp.isfinite(losses2)))
         assert p2.rf.shape[2] == p_fine.rf.shape[2]
 
+    def test_design_multiscale_api(self):
+        r"""design_multiscale = the manual coarse→fine loop in one call:
+        stages chain through interpT, nT refines, losses stay finite and
+        the final stage makes progress."""
+        from mrphy_tpu.design import design_multiscale
+        cube = Examples.spincube()
+        p = Examples.pulse()
+        Mtgt_ = jnp.tile(jnp.asarray([0., 0., -1.], jnp.float32),
+                         (1, cube.nM, 1))
+        cfg = DesignConfig(lr=0.01, rfmax=12.0, smax=5e6)
+        p2, losses = design_multiscale(
+            cube, p, Mtgt_, dts=[2 * float(dt0), float(dt0)],
+            niters=[5, 8], cfg=cfg)
+        assert len(losses) == 2
+        assert losses[0].shape == (5,) and losses[1].shape == (8,)
+        # coarse stage halves nT; refine doubles it back
+        assert p2.rf.shape[2] == p.rf.shape[2]
+        assert bool(jnp.all(jnp.isfinite(jnp.concatenate(losses))))
+        assert float(jnp.min(losses[1])) < float(losses[0][0])
+
     def test_ptx_multicoil_design(self):
         r"""Parallel-transmit design: per-coil RF (N, xy, nT, nCoils)
         optimized jointly with gradients under a multi-coil B1 map —
