@@ -37,7 +37,7 @@ def main():
     import jax.numpy as jnp
     from mrphy_tpu import dt0
     from mrphy_tpu.models import mobjs
-    from mrphy_tpu.design import DesignConfig, design_pulse
+    from mrphy_tpu.design import DesignConfig, design_multiscale
 
     shape = (1, args.n, args.n, args.n)
     cube = mobjs.SpinCube(shape, jnp.asarray([[24., 24., 24.]]),
@@ -57,25 +57,24 @@ def main():
     gr = jnp.asarray(rng.normal(size=(1, 3, args.nt)) * 0.2, jnp.float32)
     p = mobjs.Pulse(rf=rf, gr=gr, dt=dt0)
 
-    stages = []
-    if args.coarse:
-        stages.append((p.interpT(jnp.asarray(2 * float(dt0))),
-                       2 * float(dt0), args.iters // 2))
-    stages.append((p, float(dt0), args.iters))
+    if args.coarse:   # multi-scale: coarse dt first, then refine
+        dts = [2 * float(dt0), float(dt0)]
+        niters = [args.iters // 2, args.iters]
+    else:
+        dts, niters = [float(dt0)], [args.iters]
 
-    pulse = None
-    for stage_p, dt, niter in stages:
-        if pulse is not None:  # refine the previous stage's result
-            stage_p = pulse.interpT(jnp.asarray(dt))
-        cfg = DesignConfig(niter=niter, lr=args.lr, rfmax=0.25,
-                           smax=12e3, dt=dt)
-        t0 = time.perf_counter()
-        pulse, losses = design_pulse(cube, stage_p, Mtgt, cfg=cfg)
-        jax.block_until_ready(losses)
-        wall = time.perf_counter() - t0
-        print(f'dt={dt * 1e6:.0f}us  {niter} iters in {wall:.1f}s '
-              f'({niter / wall:.1f} it/s)  loss '
+    cfg = DesignConfig(lr=args.lr, rfmax=0.25, smax=12e3)
+    t0 = time.perf_counter()
+    pulse, stage_losses = design_multiscale(cube, p, Mtgt, dts=dts,
+                                            niters=niters, cfg=cfg)
+    jax.block_until_ready(stage_losses[-1])
+    wall = time.perf_counter() - t0
+    for dt, losses in zip(dts, stage_losses):
+        print(f'dt={dt * 1e6:.0f}us  {losses.shape[0]} iters  loss '
               f'{float(losses[0]):.4f} -> {float(losses[-1]):.4f}')
+    total = sum(n for n in niters)
+    print(f'{total} iterations total in {wall:.1f}s '
+          f'({total / wall:.1f} it/s incl. compile)')
 
     # evaluate the design
     M = cube.applypulse(pulse)
