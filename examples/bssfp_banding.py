@@ -74,10 +74,12 @@ def main():
     # brute force: compose the period map with itself by doubling —
     # 16 squarings = 2^16 periods (~11 min of scan time, enough for T1=1s
     # to converge), exploiting the same associativity the solve does
+    import jax
+    hi = jax.lax.Precision.HIGHEST   # TPU default einsum is bf16-input
     Ak, Bk = A, B
     for _ in range(16):
-        Bk = jnp.einsum('...ij,...j->...i', Ak, Bk) + Bk
-        Ak = jnp.einsum('...ij,...jk->...ik', Ak, Ak)
+        Bk = jnp.einsum('...ij,...j->...i', Ak, Bk, precision=hi) + Bk
+        Ak = jnp.einsum('...ij,...jk->...ik', Ak, Ak, precision=hi)
     M = jnp.broadcast_to(jnp.asarray([0., 0., 1.], dtype), (1, nf, 3))
     M = slowsims.blochsim_ab(M, Ak, Bk)
     drift = float(jnp.max(jnp.abs(M - Mss)))

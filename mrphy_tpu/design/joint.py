@@ -73,16 +73,8 @@ def _loss_fn(params, cfg, M0_, loc_, Mtgt_, T1_, T2_, gam_, df_, b1Map_,
     T1, T2 = (T1_, T2_) if doRelax else (None, None)
     # fused engine: B-effective is assembled inside the scan, so the
     # design loop never materializes the O(nM·nT) field tensor
-    if mesh is None:
-        M_ = sims.blochsim_rfgr(M0_, rf, gr, loc_, T1=T1, T2=T2, df=df_,
-                                b1Map=b1Map_, gam=gam_, dt=cfg.dt)
-    else:
-        # multi-chip: each device runs the engine (Pallas included) on
-        # its local spin block; waveform grads psum over the spin axis
-        from mrphy_tpu.parallel.mesh import rfgr_sharded_traceable
-        M_ = rfgr_sharded_traceable(mesh, M0_, rf, gr, loc_, T1=T1,
-                                    T2=T2, df=df_, b1Map=b1Map_,
-                                    gam=gam_, dt=cfg.dt)
+    M_ = sims.blochsim_rfgr(M0_, rf, gr, loc_, T1=T1, T2=T2, df=df_,
+                            b1Map=b1Map_, gam=gam_, dt=cfg.dt, mesh=mesh)
     se = jnp.sum((M_ - Mtgt_) ** 2, axis=-1)
     if w_ is None:
         err = jnp.mean(se)
@@ -203,21 +195,17 @@ def design_pulse(spinarray, pulse, Mtgt_, *, loc_=None, df_=None,
     if mesh is not None:
         # pre-place spin-indexed arrays on the mesh (the shard_map inside
         # the loss re-asserts these shardings; placing them up front
-        # avoids a resharding transfer on the first iteration). Mirror
-        # rfgr_sharded_traceable's by-shape rule: broadcast-shaped args
-        # (leading 1 while N > 1) replicate on the batch axis.
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        from mrphy_tpu.parallel.mesh import BATCH_AXIS, SPIN_AXIS
+        # avoids a resharding transfer on the first iteration), using the
+        # same by-shape rule as the engine (parallel.mesh.spin_pspec)
+        from jax.sharding import NamedSharding
+        from mrphy_tpu.parallel.mesh import spin_pspec
         N, nM = step_args[0].shape[0], step_args[0].shape[1]
 
         def put(x):
             if (x is not None and hasattr(x, 'ndim') and x.ndim >= 2
                     and x.shape[1] == nM):
-                spec = [None] * x.ndim
-                if x.shape[0] == N:
-                    spec[0] = BATCH_AXIS
-                spec[1] = SPIN_AXIS
-                return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+                return jax.device_put(
+                    x, NamedSharding(mesh, spin_pspec(x, N, nM)))
             return x
         step_args = tuple(put(x) for x in step_args)
 

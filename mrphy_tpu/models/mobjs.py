@@ -552,16 +552,9 @@ class SpinArray(_SlotStateMixin):
         T1, T2 = (self.T1_, self.T2_) if doRelax else (None, None)
         if doFuse:
             pulse = pulse.to(dtype=self.dtype)
-            if mesh is not None:
-                from mrphy_tpu.parallel.mesh import rfgr_sharded_traceable
-                M_ = rfgr_sharded_traceable(
-                    mesh, self.M_, pulse.rf, pulse.gr, loc_, T1=T1, T2=T2,
-                    df=df_, b1Map=b1Map_, gam=self.gam_, dt=pulse.dt)
-            else:
-                M_ = sims.blochsim_rfgr(self.M_, pulse.rf, pulse.gr, loc_,
-                                        T1=T1, T2=T2, df=df_,
-                                        b1Map=b1Map_, gam=self.gam_,
-                                        dt=pulse.dt)
+            M_ = sims.blochsim_rfgr(self.M_, pulse.rf, pulse.gr, loc_,
+                                    T1=T1, T2=T2, df=df_, b1Map=b1Map_,
+                                    gam=self.gam_, dt=pulse.dt, mesh=mesh)
         else:
             beff_ = self.pulse2beff(pulse, loc_=loc_, df_=df_,
                                     b1Map_=b1Map_, doEmbed=False)
@@ -897,19 +890,10 @@ class SpinBolus(SpinArray):
 
         pulse = pulse.to(dtype=self.dtype)
         T1, T2 = (self.T1_, self.T2_) if doRelax else (None, None)
-        vel_ = jnp.broadcast_to(jnp.asarray(self.vel_, self.dtype),
-                                self.M_.shape)
-        if mesh is not None:
-            from mrphy_tpu.parallel.mesh import rfgr_sharded_traceable
-            M_ = rfgr_sharded_traceable(
-                mesh, self.M_, pulse.rf, pulse.gr, loc_, T1=T1, T2=T2,
-                df=df_, b1Map=b1Map_, gam=self.gam_, dt=pulse.dt,
-                vel=vel_)
-        else:
-            M_ = sims.blochsim_rfgr(self.M_, pulse.rf, pulse.gr, loc_,
-                                    T1=T1, T2=T2, df=df_, b1Map=b1Map_,
-                                    gam=self.gam_, dt=pulse.dt,
-                                    vel=vel_)
+        M_ = sims.blochsim_rfgr(self.M_, pulse.rf, pulse.gr, loc_,
+                                T1=T1, T2=T2, df=df_, b1Map=b1Map_,
+                                gam=self.gam_, dt=pulse.dt,
+                                vel=self.vel_, mesh=mesh)
         if doUpdate:
             self.M_ = M_
         return self.embed(M_) if doEmbed else M_

@@ -25,9 +25,11 @@ reduces the per-step field gradients to waveform-shaped outputs
 ``(nT, ...)`` inside the kernel (sublane reduction in-kernel, lane/tile
 reduction outside). Its grid adds a time-chunk axis: the waveform-grad
 rows stream out per chunk (newest-first) while the reconstruction state
-persists in VMEM scratch, so the VMEM footprint is O(tc) and arbitrarily
-long pulses stay on the fast path (the gate is the 1 MB SMEM holding the
-waveforms, ~32k steps single-coil).
+persists in VMEM scratch, so the VMEM footprint is O(tc); long pulses
+stay on the fast path up to the remaining gates — the 1 MB SMEM holding
+the waveforms (~32k steps single-coil) and a 2 GB cap on the HBM
+waveform-grad partials (~27k steps at 1M spins; see
+``rfgr_is_available``).
 
 Layout contract (shared with :mod:`mrphy_tpu.ops.sims`): planes
 ``(N, xyz, S1, 128)`` for the rf/gr engine (grid covers the batch), and

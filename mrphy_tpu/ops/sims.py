@@ -523,7 +523,8 @@ def blochsim_rfgr(Mi, rf, gr, loc, *, T1: Optional[jax.Array] = None,
                   T2: Optional[jax.Array] = None, df=None, b1Map=None,
                   gam=gamH, dt=dt0, vel=None,
                   adjoint: str = 'reconstruct',
-                  backend: str = 'auto', _pallas_interpret: bool = False):
+                  backend: str = 'auto', mesh=None,
+                  _pallas_interpret: bool = False):
     r"""Fused Bloch simulator taking raw waveforms: grads w.r.t. rf/gr
     without materializing B-effective.
 
@@ -545,13 +546,29 @@ def blochsim_rfgr(Mi, rf, gr, loc, *, T1: Optional[jax.Array] = None,
         more than a few copies of the spin state regardless of nT); and
         ``vel``: `(N, *Nd, xyz)`, "cm/s" — per-spin velocities for flow
         simulation (SpinBolus): locations evolve as ``loc + vel·t``
-        inside the scan (differentiable, like the other fields).
+        inside the scan (differentiable, like the other fields); and
+        ``mesh``: a ``(batch, spins)`` :class:`jax.sharding.Mesh` to run
+        multi-chip via shard_map (compact layout only; each device runs
+        its local spin block, waveform grads psum over the spin axis).
     Outputs:
         - ``Mo``: `(N, *Nd, xyz)`.
 
     (Implements the reference's unresolved TODO at
     ``/root/reference/mrphy/sims.py:16``.)
     """
+    if mesh is not None:
+        # multi-chip: run the per-shard engine under shard_map (the ONE
+        # dispatch point for mesh execution — callers just pass mesh=).
+        # Compact (N, nM, xyz) layout only; spins shard by shape.
+        from mrphy_tpu.parallel.mesh import rfgr_sharded_traceable
+        Mi = jnp.asarray(Mi)
+        assert Mi.ndim == 3, 'mesh= requires compact (N, nM, xyz) layout'
+        if vel is not None:  # by-shape shard rule needs per-spin shape
+            vel = jnp.broadcast_to(jnp.asarray(vel, Mi.dtype), Mi.shape)
+        return rfgr_sharded_traceable(
+            mesh, Mi, rf, gr, loc, T1=T1, T2=T2, df=df, b1Map=b1Map,
+            gam=gam, dt=dt, vel=vel, adjoint=adjoint, backend=backend,
+            _pallas_interpret=_pallas_interpret)
     Mi, rf, gr, loc = (jnp.asarray(x) for x in (Mi, rf, gr, loc))
     assert Mi.shape[:-1] == loc.shape[:-1], 'Mi/loc (N, *Nd) mismatch'
     assert (T1 is None) == (T2 is None), 'pass both T1 and T2, or neither'

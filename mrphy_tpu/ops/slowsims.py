@@ -138,7 +138,9 @@ def blochsim_ab(M, A, B):
     Parity: ``/root/reference/mrphy/slowsims.py:117-131``.
     """
     M, A, B = jnp.asarray(M), jnp.asarray(A), jnp.asarray(B)
-    return jnp.einsum('...ij,...j->...i', A, M) + B
+    # HIGHEST: TPU's default bf16-input einsum drifts ~1e-3 (CLAUDE.md)
+    return jnp.einsum('...ij,...j->...i', A, M,
+                      precision=jax.lax.Precision.HIGHEST) + B
 
 
 @kwalias(**{'Δf': 'df'})

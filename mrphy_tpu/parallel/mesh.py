@@ -32,7 +32,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mrphy_tpu.ops import sims
 
-__all__ = ['make_mesh', 'shard_spins', 'blochsim_sharded',
+__all__ = ['make_mesh', 'shard_spins', 'spin_pspec', 'blochsim_sharded',
            'blochsim_rfgr_sharded', 'rfgr_sharded_traceable',
            'shard_spin_obj', 'psum_loss', 'pad_spins']
 
@@ -140,6 +140,22 @@ def blochsim_sharded(mesh: Mesh, Mi, Beff, **kw):
 _RFGR_STATIC_KW = ('adjoint', 'backend', '_pallas_interpret')
 
 
+def spin_pspec(x, N: int, nM: int) -> P:
+    r"""The by-shape sharding rule for ``(N ⊻ 1, nM ⊻ 1, ...)`` params,
+    shared by :func:`rfgr_sharded_traceable` and the design loop's
+    pre-placement: axis 0 goes on the batch mesh axis when its extent is
+    ``N`` (broadcast leading-1 replicates), axis 1 on the spin mesh axis
+    when its extent is ``nM``."""
+    if x.ndim == 0:
+        return P()
+    parts = [None] * x.ndim
+    if x.shape[0] == N:
+        parts[0] = BATCH_AXIS
+    if x.ndim >= 2 and x.shape[1] == nM:
+        parts[1] = SPIN_AXIS
+    return P(*parts)
+
+
 def rfgr_sharded_traceable(mesh: Mesh, Mi, rf, gr, loc, **kw):
     r"""shard_map-wrapped :func:`mrphy_tpu.ops.sims.blochsim_rfgr` — the
     traceable core of :func:`blochsim_rfgr_sharded`, usable inside an
@@ -164,15 +180,8 @@ def rfgr_sharded_traceable(mesh: Mesh, Mi, rf, gr, loc, **kw):
     arrs = {k: jnp.asarray(v) for k, v in kw.items()
             if k not in _RFGR_STATIC_KW and kw[k] is not None}
 
-    def pspec(x):  # per-spin / broadcast params: shard by shape
-        if x.ndim == 0:
-            return P()
-        parts = [None] * x.ndim
-        if x.shape[0] == N:
-            parts[0] = BATCH_AXIS
-        if x.ndim >= 2 and x.shape[1] == nM:
-            parts[1] = SPIN_AXIS
-        return P(*parts)
+    def pspec(x):  # per-spin / broadcast params: the shared shape rule
+        return spin_pspec(x, N, nM)
 
     def wfspec(x):  # waveforms: never spin-sharded
         return P(BATCH_AXIS) if x.shape[0] == N else P()
