@@ -59,7 +59,7 @@ from mrphy_tpu.utils._shapes import rshape
 
 __all__ = ['blochsim', 'blochsim_rfgr', 'freeprec']
 
-_PHI_EPS = 1e-12  # matches the reference clamp (/root/reference/mrphy/sims.py:101)
+_PHI_EPS = 1e-12  # reference clamp (/root/reference/mrphy/sims.py:101)
 _LANE = 128       # TPU lane count
 _TILE = 1024      # pad spins to a multiple of 8 sublanes x 128 lanes
 _BIG_TILE = 256 * _LANE  # large problems align to full Pallas spin tiles

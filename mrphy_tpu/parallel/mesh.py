@@ -23,7 +23,6 @@ blochsim_segmented`) and the associative A/B propagator
 (:func:`mrphy_tpu.ops.beffective.beff2ab_assoc`).
 """
 
-import math
 from typing import Optional, Sequence
 
 import numpy as np

@@ -9,7 +9,7 @@ r"""Integration tests for the BASELINE.json scenario configs:
 import numpy as np
 import jax.numpy as jnp
 
-from mrphy_tpu import dt0, gamH, pi
+from mrphy_tpu import dt0, pi
 from mrphy_tpu.models import mobjs
 from mrphy_tpu.ops import slowsims
 
