@@ -431,3 +431,41 @@ class TestSteadyState:
                 / (1 - (e1 - e2) * np.cos(alpha) - e1 * e2))
         got = np.hypot(Mpost[0, i0, 0], Mpost[0, i0, 1])
         assert abs(got - want) / want < 0.01, (got, want)
+
+    def test_spoiled_gre_ernst_steady_state(self):
+        r"""Spoiled GRE: perfect spoiling zeroes Mxy each TR — still an
+        affine per-TR map (diag(0,0,1) composed with the pulse+decay
+        propagator), so the same (I−A)⁻¹B fixed point applies. On
+        resonance the longitudinal steady state obeys the Ernst formula
+        Mz⁻ = (1−E1)/(1−E1·cosα), maximal signal at the Ernst angle."""
+        from mrphy_tpu.ops import beffective
+
+        dt, nTp, TR = 4e-6, 10, 10e-3
+        T1, T2 = 0.8, 0.05
+        ngap = int(round(TR / dt)) - nTp
+        e1 = np.exp(-TR / T1)
+
+        def steady_mz(alpha):
+            b1 = alpha / (gamH * 2 * np.pi * nTp * dt)
+            bx = np.zeros((1, 1, nTp + ngap, 3))
+            bx[0, 0, :nTp, 0] = b1
+            A, B = beffective.beff2ab(
+                _mk(bx), E1=_mk(np.exp(-dt / T1)),
+                E2=_mk(np.exp(-dt / T2)), gam=_mk(gamH), dt=_mk(dt))
+            S = jnp.asarray(np.diag([0., 0., 1.]))   # perfect spoiler
+            A2 = jnp.einsum('ij,...jk->...ik', S, A)
+            B2 = jnp.einsum('ij,...j->...i', S, B)
+            Mss = jnp.linalg.solve(jnp.eye(3) - A2, B2[..., None])[..., 0]
+            return float(Mss[0, 0, 2])   # Mz just before the next pulse
+
+        for alpha in np.deg2rad([10., 25., 50.]):
+            want = (1 - e1) / (1 - e1 * np.cos(alpha))
+            got = steady_mz(alpha)
+            # finite-width pulse (40 us) vs instantaneous-RF formula
+            assert abs(got - want) < 2e-3, (np.rad2deg(alpha), got, want)
+
+        # Ernst angle maximizes the acquired signal Mz⁻·sinα
+        a_ernst = np.arccos(e1)
+        sig = lambda a: steady_mz(a) * np.sin(a)  # noqa: E731
+        assert sig(a_ernst) > sig(a_ernst * 0.7)
+        assert sig(a_ernst) > sig(a_ernst * 1.3)
