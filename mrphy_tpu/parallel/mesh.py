@@ -93,13 +93,27 @@ import functools as _functools
 
 
 @_functools.lru_cache(maxsize=None)
-def _sharded_blochsim_jit(arr_keys: tuple, static_kw: tuple):
-    r"""One jitted callable per (array-kwarg names, static kwargs) combo —
-    a fresh jit per call would retrace/recompile every invocation."""
+def _sharded_blochsim_jit(mesh: Mesh, arr_keys: tuple, static_kw: tuple):
+    r"""One jitted callable per (mesh, array-kwarg names, static kwargs)
+    combo — a fresh jit per call would retrace/recompile every
+    invocation. shard_map (not GSPMD auto-partitioning) so the engine's
+    Pallas fast path runs per shard on real multi-chip hardware (a
+    pallas_call is a custom call XLA cannot partition); check_vma=False
+    because the engine is a custom_vjp function (parity asserted in
+    tests/test_parallel.py)."""
     def f(Mi, Beff, *vals):
-        kw = dict(zip(arr_keys, vals))
-        kw.update(dict(static_kw))
-        return sims.blochsim(Mi, Beff, **kw)
+        N, nM = Mi.shape[0], Mi.shape[1]
+
+        def body(Mi, Beff, *vals):
+            kw = dict(zip(arr_keys, vals))
+            kw.update(dict(static_kw))
+            return sims.blochsim(Mi, Beff, **kw)
+
+        in_specs = (spin_pspec(Mi, N, nM), spin_pspec(Beff, N, nM)) +             tuple(spin_pspec(v, N, nM) for v in vals)
+        sm = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                           out_specs=spin_pspec(Mi, N, nM),
+                           check_vma=False)
+        return sm(Mi, Beff, *vals)
     return jax.jit(f)
 
 
@@ -107,18 +121,25 @@ def blochsim_sharded(mesh: Mesh, Mi, Beff, **kw):
     r"""Fast-engine Bloch simulation with ``(N, nM)`` sharded over the mesh.
 
     ``Mi``: `(N, nM, xyz)`; ``Beff``: `(N, nM, nT, xyz)`. ``nM`` must be
-    divisible by the mesh's spin extent (see :func:`pad_spins`). The scan
-    body is elementwise over spins → XLA partitions with no collectives
-    (output sharding follows the inputs).
+    divisible by the mesh's spin extent (see :func:`pad_spins`). Each
+    device simulates its local spin block via shard_map (the scan body is
+    elementwise over spins → zero collectives in the hot loop; the Pallas
+    fast path runs per shard on real multi-chip hardware).
     """
+    import jax.numpy as jnp
+    Mi, Beff = jnp.asarray(Mi), jnp.asarray(Beff)
+    nM, sp = Mi.shape[1], mesh.shape[SPIN_AXIS]
+    assert nM % sp == 0, (f'nM={nM} not divisible by spin mesh extent '
+                          f'{sp}; see pad_spins')
     Mi = jax.device_put(Mi, shard_spins(mesh, 3))
     Beff = jax.device_put(Beff, shard_spins(mesh, 4))
     static = tuple(sorted((k, v) for k, v in kw.items()
                           if isinstance(v, (str, bool, int, float))
                           or v is None))
-    arrays = {k: v for k, v in kw.items() if k not in dict(static)}
+    arrays = {k: jnp.asarray(v) for k, v in kw.items()
+              if k not in dict(static)}
     arr_keys = tuple(sorted(arrays))
-    f = _sharded_blochsim_jit(arr_keys, static)
+    f = _sharded_blochsim_jit(mesh, arr_keys, static)
     return f(Mi, Beff, *[arrays[k] for k in arr_keys])
 
 

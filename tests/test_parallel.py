@@ -39,6 +39,13 @@ class TestParallel:
                                  backend='xla')
         np.testing.assert_allclose(Mo_sh, Mo_ref, atol=1e-12)
 
+        # gradients through the shard_map'd engine match too
+        g_sh = jax.grad(lambda b: jnp.sum(blochsim_sharded(
+            mesh, Mi, b, T1=T1, T2=T2, backend='xla') ** 2))(Beff)
+        g_ref = jax.grad(lambda b: jnp.sum(sims.blochsim(
+            Mi, b, T1=T1, T2=T2, backend='xla') ** 2))(Beff)
+        np.testing.assert_allclose(g_sh, g_ref, atol=1e-12)
+
     def test_grad_sharded_matches(self):
         mesh = make_mesh()
         rng = np.random.default_rng(1)
