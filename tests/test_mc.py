@@ -1,0 +1,142 @@
+r"""Bloch–McConnell two-pool exchange simulator tests.
+
+Validation oracle: the exact propagator of the full 6-dim linear BM
+system (augmented 7×7 matrix exponential) for piecewise-constant fields.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from mrphy_tpu import gamH
+from mrphy_tpu.ops import slowsims
+
+F64 = jnp.float64
+
+
+def _bm_exact(Ma, Mb, bvec, T, pars):
+    r"""Exact constant-field BM solution via augmented expm (scipy)."""
+    from scipy.linalg import expm
+    T1a, T2a, T1b, T2b, kab, kba, Ma0, Mb0, dfb = pars
+    w = 2 * np.pi * gamH * np.asarray(bvec)      # rad/s, pool a
+    wb = w + np.asarray([0., 0., 2 * np.pi * dfb])
+
+    def bloch_block(wv, R1, R2):
+        # dM/dt = M × γB − R·(M − Meq): cross-product matrix + relax
+        return np.array([[-R2, wv[2], -wv[1]],
+                         [-wv[2], -R2, wv[0]],
+                         [wv[1], -wv[0], -R1]])
+
+    G = np.zeros((7, 7))
+    G[:3, :3] = bloch_block(w, 1 / T1a, 1 / T2a) - kab * np.eye(3)
+    G[3:6, 3:6] = bloch_block(wb, 1 / T1b, 1 / T2b) - kba * np.eye(3)
+    G[:3, 3:6] = kba * np.eye(3)
+    G[3:6, :3] = kab * np.eye(3)
+    G[2, 6] = Ma0 / T1a
+    G[5, 6] = Mb0 / T1b
+    z = np.concatenate([np.asarray(Ma), np.asarray(Mb), [1.0]])
+    return expm(G * T) @ z
+
+
+class TestBlochMcConnell:
+    PARS = (1.0, 0.06, 0.25, 0.008, 3.0, 15.0, 1.0, 0.2, 150.0)
+    #        T1a  T2a  T1b   T2b   kab  kba  Ma0  Mb0   dfb
+
+    def _sim(self, Ma, Mb, bvec, T, nT, pars):
+        T1a, T2a, T1b, T2b, kab, kba, Ma0, Mb0, dfb = pars
+        beff = jnp.broadcast_to(jnp.asarray(bvec, F64), (1, 1, nT, 3))
+        return slowsims.blochsim_mc(
+            jnp.asarray(Ma, F64).reshape(1, 1, 3),
+            jnp.asarray(Mb, F64).reshape(1, 1, 3), beff,
+            T1a=T1a, T2a=T2a, T1b=T1b, T2b=T2b, kab=kab, kba=kba,
+            Ma0=Ma0, Mb0=Mb0, dfb=dfb, gam=gamH, dt=T / nT)
+
+    def test_zero_exchange_reduces_to_independent_pools(self):
+        rng = np.random.default_rng(0)
+        nT = 64
+        Ma = rng.random(3) - 0.5
+        Mb = rng.random(3) - 0.5
+        bvec = [0.02, -0.01, 0.5]
+        T = nT * 4e-6
+        pars = (1.0, 0.06, 0.25, 0.008, 0.0, 0.0, 1.0, 1.0, 0.0)
+        Mao, Mbo = self._sim(Ma, Mb, bvec, T, nT, pars)
+
+        beff = jnp.broadcast_to(jnp.asarray(bvec, F64), (1, 1, nT, 3))
+        ra = slowsims.blochsim(jnp.asarray(Ma, F64).reshape(1, 1, 3),
+                               beff, T1=jnp.asarray([[1.0]], F64),
+                               T2=jnp.asarray([[0.06]], F64),
+                               gam=jnp.asarray(gamH, F64),
+                               dt=jnp.asarray(T / nT, F64))
+        rb = slowsims.blochsim(jnp.asarray(Mb, F64).reshape(1, 1, 3),
+                               beff, T1=jnp.asarray([[0.25]], F64),
+                               T2=jnp.asarray([[0.008]], F64),
+                               gam=jnp.asarray(gamH, F64),
+                               dt=jnp.asarray(T / nT, F64))
+        np.testing.assert_allclose(Mao, ra, atol=1e-12)
+        np.testing.assert_allclose(Mbo, rb, atol=1e-12)
+
+    def test_equilibrium_is_fixed_point(self):
+        pars = self.PARS
+        # detailed-balance equilibrium requires kab*Ma0 == kba*Mb0;
+        # adjust kba accordingly so [0,0,Ma0],[0,0,Mb0] is stationary
+        pars = pars[:5] + (pars[4] * pars[6] / pars[7],) + pars[6:]
+        Ma = [0., 0., pars[6]]
+        Mb = [0., 0., pars[7]]
+        Mao, Mbo = self._sim(Ma, Mb, [0., 0., 0.], 0.05, 200, pars)
+        np.testing.assert_allclose(np.asarray(Mao)[0, 0], Ma, atol=1e-10)
+        np.testing.assert_allclose(np.asarray(Mbo)[0, 0], Mb, atol=1e-10)
+
+    def test_converges_to_exact_bm_solution(self):
+        r"""Constant field: splitting error vanishes as dt → 0 (first
+        order), converging on the exact augmented-expm solution."""
+        pars = self.PARS
+        Ma = [0.3, -0.2, 0.8]
+        Mb = [0.05, 0.02, 0.15]
+        bvec = [0.03, 0.0, 0.02]
+        T = 0.005
+        want = _bm_exact(Ma, Mb, bvec, T, pars)
+
+        def err(nT):
+            Mao, Mbo = self._sim(Ma, Mb, bvec, T, nT, pars)
+            got = np.concatenate([np.asarray(Mao)[0, 0],
+                                  np.asarray(Mbo)[0, 0]])
+            return np.abs(got - want[:6]).max()
+
+        e1, e2 = err(250), err(1000)
+        assert e1 < 2e-4, e1
+        assert e2 < e1 / 2.5, (e1, e2)   # ~first-order in dt
+
+    def test_mt_saturation_transfers_to_free_pool(self):
+        r"""Off-resonant RF at the bound pool's shift saturates pool b;
+        exchange drags pool a's Mz down — the MT effect. Without
+        exchange, pool a is barely touched."""
+        T = 0.2
+        nT = 2000
+        b1 = 0.02                      # strong off-resonant saturation
+        bvec = [b1, 0., -self.PARS[8] / gamH]  # on-resonance FOR POOL B
+        Ma = [0., 0., 1.0]
+        Mb = [0., 0., 0.2]
+        Mao, _ = self._sim(Ma, Mb, bvec, T, nT, self.PARS)
+        pars0 = self.PARS[:4] + (0.0, 0.0) + self.PARS[6:]
+        Mao0, _ = self._sim(Ma, Mb, bvec, T, nT, pars0)
+        mz_ex = float(np.asarray(Mao)[0, 0, 2])
+        mz_no = float(np.asarray(Mao0)[0, 0, 2])
+        assert mz_ex < 0.8 * mz_no, (mz_ex, mz_no)
+
+    def test_differentiable_wrt_exchange_rate(self):
+        import jax
+        pars = self.PARS
+
+        def mz_a(kab):
+            T1a, T2a, T1b, T2b, _, kba, Ma0, Mb0, dfb = pars
+            beff = jnp.broadcast_to(
+                jnp.asarray([0.01, 0., -dfb / gamH], F64), (1, 1, 64, 3))
+            Mao, _ = slowsims.blochsim_mc(
+                jnp.asarray([[[0., 0., 1.]]], F64),
+                jnp.asarray([[[0., 0., 0.2]]], F64), beff,
+                T1a=T1a, T2a=T2a, T1b=T1b, T2b=T2b, kab=kab, kba=kba,
+                Ma0=Ma0, Mb0=Mb0, dfb=dfb, gam=gamH, dt=1e-4)
+            return Mao[0, 0, 2]
+
+        g = jax.grad(mz_a)(jnp.asarray(3.0, F64))
+        assert np.isfinite(float(g)) and float(g) < 0  # more exchange,
+        #                                 more saturation transfer
