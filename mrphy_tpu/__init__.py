@@ -76,6 +76,7 @@ from mrphy_tpu import utils                  # noqa: E402
 from mrphy_tpu.ops import beffective         # noqa: E402
 from mrphy_tpu.ops import sims               # noqa: E402
 from mrphy_tpu.ops import slowsims           # noqa: E402
+from mrphy_tpu.ops import epg                # noqa: E402
 from mrphy_tpu.models import mobjs           # noqa: E402
 from mrphy_tpu import parallel               # noqa: E402
 from mrphy_tpu import design                 # noqa: E402
@@ -87,9 +88,10 @@ from mrphy_tpu.version import __version__    # noqa: F401,E402
 import sys as _sys                           # noqa: E402
 
 for _name, _mod in (('beffective', beffective), ('sims', sims),
-                    ('slowsims', slowsims), ('mobjs', mobjs)):
+                    ('slowsims', slowsims), ('epg', epg),
+                    ('mobjs', mobjs)):
     _sys.modules[f'{__name__}.{_name}'] = _mod
 
 __all__ = ['gamH', 'γH', 'T1G', 'T2G', 'dt0', 'gmax0', 'smax0', 'rfmax0',
-           'utils', 'beffective', 'sims', 'slowsims', 'mobjs',
+           'utils', 'beffective', 'sims', 'slowsims', 'epg', 'mobjs',
            'parallel', 'design', 'tpu_is_available']
