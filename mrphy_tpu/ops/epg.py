@@ -83,7 +83,7 @@ def epg_grad(FpFmZ):
     states crossing zero change hemisphere)."""
     Fp, Fm, Z = FpFmZ[..., 0, :, :], FpFmZ[..., 1, :, :], \
         FpFmZ[..., 2, :, :]
-    Fp1 = jnp.roll(Fp, 1, axis=-2).at[..., 0, :].set(0)
+    Fp1 = jnp.roll(Fp, 1, axis=-2)      # F+(0) fully overwritten below
     Fm1 = jnp.roll(Fm, -1, axis=-2).at[..., -1, :].set(0)
     Fp1 = Fp1.at[..., 0, 0].set(Fm1[..., 0, 0])
     Fp1 = Fp1.at[..., 0, 1].set(-Fm1[..., 0, 1])       # conj

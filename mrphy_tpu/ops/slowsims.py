@@ -219,10 +219,13 @@ def _expm2(a, b, c, d):
     mu = 0.5 * (a + d)
     dev = 0.5 * (a - d)
     q2 = dev * dev + b * c
-    q = jnp.sqrt(jnp.maximum(q2, 0.0))
-    ch = jnp.cosh(q)
-    shq = jnp.where(q > 1e-8, jnp.sinh(q) / jnp.where(q > 1e-8, q, 1.0),
-                    1.0 + q2 / 6.0)
+    # double-where so grads stay finite at q2 -> 0 (d sqrt/dq2 is inf at
+    # 0 and 0*inf = NaN otherwise — e.g. grad w.r.t. kab at zero
+    # exchange with T2a == T2b, a natural fitting init)
+    safe = q2 > 1e-16
+    q = jnp.sqrt(jnp.where(safe, q2, 1.0))
+    ch = jnp.where(safe, jnp.cosh(q), 1.0 + q2 / 2.0)
+    shq = jnp.where(safe, jnp.sinh(q) / q, 1.0 + q2 / 6.0)
     em = jnp.exp(mu)
     return (em * (ch + shq * dev), em * (shq * b),
             em * (shq * c), em * (ch - shq * dev))
@@ -264,6 +267,9 @@ def blochsim_mc(Ma, Mb, Beff, *, T1a, T2a, T1b, T2b, kab, kba,
     exchange parameters — like the other oracle-tier engines).
     """
     Ma, Mb, Beff = jnp.asarray(Ma), jnp.asarray(Mb), jnp.asarray(Beff)
+    assert Ma.shape == Mb.shape, (Ma.shape, Mb.shape)
+    assert Ma.shape[:-1] == Beff.shape[:-2], \
+        f'Ma {Ma.shape} and Beff {Beff.shape} (N, *Nd) mismatch'
     ndim = Ma.ndim - 1
     dtype = Ma.dtype
 

@@ -140,3 +140,24 @@ class TestBlochMcConnell:
         g = jax.grad(mz_a)(jnp.asarray(3.0, F64))
         assert np.isfinite(float(g)) and float(g) < 0  # more exchange,
         #                                 more saturation transfer
+
+
+def test_grads_finite_at_degenerate_params():
+    r"""Gradients must stay finite at q2 == 0 inside the 2×2 expm —
+    zero exchange with T2a == T2b is a natural fitting init and used to
+    NaN (the cosh(sqrt(·)) branch lacked the double-where guard)."""
+    import jax
+
+    def mz(kab, T2a):
+        beff = jnp.broadcast_to(jnp.asarray([0.01, 0., 0.], F64),
+                                (1, 1, 16, 3))
+        Mao, _ = slowsims.blochsim_mc(
+            jnp.asarray([[[0., 0., 1.]]], F64),
+            jnp.asarray([[[0., 0., 0.2]]], F64), beff,
+            T1a=1.0, T2a=T2a, T1b=1.0, T2b=0.05, kab=kab, kba=0.0,
+            Ma0=1.0, Mb0=0.2, dfb=0.0, gam=gamH, dt=1e-4)
+        return Mao[0, 0, 2]
+
+    g = jax.grad(mz, argnums=(0, 1))(jnp.asarray(0.0, F64),
+                                     jnp.asarray(0.05, F64))
+    assert all(np.isfinite(float(x)) for x in g), g
