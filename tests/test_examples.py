@@ -1,0 +1,38 @@
+r"""Example smoke tests: every ``examples/*.py`` runs end-to-end (tiny
+configs) on the CI platform. Each example carries its own physics
+assertions (analytic T2*, banding nulls, CEST asymmetry, profile error
+bounds, ...), so "it ran" means "its physics checks passed" too.
+"""
+
+import runpy
+import sys
+import pathlib
+
+import pytest
+
+EX = pathlib.Path(__file__).parent.parent / 'examples'
+
+CASES = [
+    ('design_3d.py', ['--n', '8', '--nt', '32', '--iters', '4']),
+    ('design_3d.py', ['--n', '8', '--nt', '32', '--iters', '4',
+                      '--coarse']),
+    ('slice_select.py', ['--nz', '64', '--dur', '0.002']),
+    ('qmri_fit.py', ['--nvox', '16', '--iters', '120']),
+    ('bolus_flow.py', ['--nspins', '16', '--nt', '64']),
+    ('robust_design.py', ['--nz', '32', '--iters', '150']),
+    ('t2star_fid.py', ['--K', '4096']),
+    ('bssfp_banding.py', ['--nf', '13']),
+    ('cest_zspectrum.py', ['--noffsets', '13', '--tsat', '0.5']),
+    ('epg_multiparam_fit.py', ['--iters', '300']),
+]
+
+
+@pytest.mark.parametrize('name,args', CASES,
+                         ids=[f'{n}{"-coarse" if "--coarse" in a else ""}'
+                              for n, a in CASES])
+def test_example_runs(name, args, monkeypatch):
+    monkeypatch.setattr(sys, 'argv', [name] + args)
+    try:
+        runpy.run_path(str(EX / name), run_name='__main__')
+    except SystemExit as e:  # some examples end with sys.exit(0)
+        assert e.code in (0, None), e.code
