@@ -20,7 +20,10 @@ Here:
 
 The backward kernel uses the same trick plus the reverse-reconstruction
 adjoint of :mod:`mrphy_tpu.ops.sims`: it re-derives the trajectory
-backwards in VMEM (no O(nM·nT) residual), rotates the cotangent back, and
+backwards in VMEM (no O(nM·nT) residual — only O(nM·nT/tc) chunk-end
+checkpoints, from which each time chunk's reconstruction restarts so
+inverse-relaxation rounding stays bounded at exp(tc·dt/T2) for any
+pulse length), rotates the cotangent back, and
 reduces the per-step field gradients to waveform-shaped outputs
 ``(nT, ...)`` inside the kernel (sublane reduction in-kernel, lane/tile
 reduction outside). Its grid adds a time-chunk axis: the waveform-grad
@@ -206,16 +209,25 @@ def _assemble_b_tile(n, t, nC, has_dfg, has_b1, rf_ref, gr_ref,
     return bx, by, bz
 
 
-def _rfgr_fwd_kernel(nT: int, nC: int, relax: bool, has_dfg: bool,
-                     has_b1: bool, has_vel: bool, rf_ref, gr_ref, *refs):
-    r"""One (batch, spin tile) grid cell, full time loop. Positional refs
-    (after rf/gr): mi, loc, g2pd, [dfg], [b1], [E, e1_1], [vel, tarr],
-    mo."""
+def _rfgr_fwd_kernel(tc: int, ntc: int, nC: int, relax: bool,
+                     has_dfg: bool, has_b1: bool, has_vel: bool,
+                     rf_ref, gr_ref, *refs):
+    r"""One (batch, spin tile, time chunk) grid cell. The magnetization
+    persists in VMEM scratch across chunks; each chunk's END state is
+    streamed to the ``chk`` output — the adjoint restarts its in-chunk
+    reconstruction from these checkpoints, bounding the exp(tc·dt/T2)
+    rounding amplification of inverse relaxation per chunk (instead of
+    compounding over the whole pulse). Short pulses pick a single chunk
+    (ntc=1: identical codepath + one (=final) checkpoint). Positional
+    refs (after rf/gr): mi, loc, g2pd, [dfg], [b1], [E, e1_1],
+    [vel, tarr], chk, m_scr."""
     ((mi_ref, loc_ref, g2pd_ref), dfg_ref, b1_ref, E_ref, e1_ref,
      vel_ref, tarr_ref, outs) = _unpack(refs, relax, has_dfg, has_b1,
                                         has_vel, 3)
-    mo_ref = outs[0]
+    chk_ref, m_scr = outs[0], outs[1]
     n = pl.program_id(0)
+    j = pl.program_id(2)              # time chunk, oldest-first
+    t0 = j * tc
 
     locx, locy, locz = loc_ref[0, 0], loc_ref[0, 1], loc_ref[0, 2]
     g2pd = g2pd_ref[0]
@@ -223,6 +235,11 @@ def _rfgr_fwd_kernel(nT: int, nC: int, relax: bool, has_dfg: bool,
     if relax:
         E2, E1 = E_ref[0, 0], E_ref[0, 2]
         e1_1 = e1_ref[0]
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[0], m_scr[1], m_scr[2] = (mi_ref[0, 0], mi_ref[0, 1],
+                                        mi_ref[0, 2])
 
     def step(t, m):
         mx, my, mz = m
@@ -247,16 +264,17 @@ def _rfgr_fwd_kernel(nT: int, nC: int, relax: bool, has_dfg: bool,
 
     # Mosaic fori_loop only supports unroll=1 or full; unroll manually to
     # amortize the per-iteration loop overhead
-    u = math.gcd(nT, _UNROLL)
+    u = math.gcd(tc, _UNROLL)
 
     def body(k, m):
-        for j in range(u):
-            m = step(k * u + j, m)
+        for jj in range(u):
+            m = step(t0 + k * u + jj, m)
         return m
 
     mx, my, mz = jax.lax.fori_loop(
-        0, nT // u, body, (mi_ref[0, 0], mi_ref[0, 1], mi_ref[0, 2]))
-    mo_ref[0, 0], mo_ref[0, 1], mo_ref[0, 2] = mx, my, mz
+        0, tc // u, body, (m_scr[0], m_scr[1], m_scr[2]))
+    m_scr[0], m_scr[1], m_scr[2] = mx, my, mz
+    chk_ref[0, 0, 0], chk_ref[0, 0, 1], chk_ref[0, 0, 2] = mx, my, mz
 
 
 def _rfgr_bwd_kernel(tc: int, ntc: int, nC: int, relax: bool,
@@ -270,14 +288,20 @@ def _rfgr_bwd_kernel(tc: int, ntc: int, nC: int, relax: bool,
     grad accumulators) persists across chunks in VMEM scratch, so the
     per-chunk VMEM footprint is O(tc) and arbitrarily long pulses fit.
 
-    Positional refs (after rf/gr): mo, g, loc, g2pd, [dfg], [b1],
-    [E, e1_1], dmi, dwf, dloc, [ddfg], [db1], [dvel], m_scr, h_scr,
+    The in-chunk trajectory reconstruction restarts from the forward's
+    chunk-end checkpoint (``chk``) at EVERY chunk, so inverse-relaxation
+    rounding amplification is bounded at exp(tc·dt/T2) regardless of
+    pulse length (the cotangent/accumulator carries are contractions —
+    they need no checkpointing and persist in scratch).
+
+    Positional refs (after rf/gr): chk, g, loc, g2pd, [dfg], [b1],
+    [E, e1_1], dmi, dwf, dloc, [ddfg], [db1], [dvel], h_scr,
     acc_scr. ``dwf`` rows: [dgx, dgy, dgz, drf_x coils..., drf_y
     coils...] as (LANE,) sublane-partials."""
-    ((mo_ref, g_ref, loc_ref, g2pd_ref), dfg_ref, b1_ref, E_ref, e1_ref,
+    ((chk_ref, g_ref, loc_ref, g2pd_ref), dfg_ref, b1_ref, E_ref, e1_ref,
      vel_ref, tarr_ref, tail) = _unpack(refs, relax, has_dfg, has_b1,
                                         has_vel, 4)
-    outs, (m_scr, h_scr, acc_scr) = tail[:-3], tail[-3:]
+    outs, (h_scr, acc_scr) = tail[:-2], tail[-2:]
     dmi_ref, dwf_ref, dloc_ref = outs[0], outs[1], outs[2]
     i = 3
     ddfg_ref = db1g_ref = dvel_ref = None
@@ -306,8 +330,6 @@ def _rfgr_bwd_kernel(tc: int, ntc: int, nC: int, relax: bool,
 
     @pl.when(j == 0)
     def _():
-        m_scr[0], m_scr[1], m_scr[2] = (mo_ref[0, 0], mo_ref[0, 1],
-                                        mo_ref[0, 2])
         h_scr[0], h_scr[1], h_scr[2] = g_ref[0, 0], g_ref[0, 1], g_ref[0, 2]
         z = jnp.zeros_like(g2pd)
         for a in range(n_acc):
@@ -419,13 +441,14 @@ def _rfgr_bwd_kernel(tc: int, ntc: int, nC: int, relax: bool,
             carry = step(t0 + tl, tl, carry)
         return carry
 
+    # m restarts from this chunk's saved end state; h/acc carry on
     carry = jax.lax.fori_loop(
         0, tc // u, body,
-        (m_scr[0], m_scr[1], m_scr[2], h_scr[0], h_scr[1], h_scr[2])
+        (chk_ref[0, 0, 0], chk_ref[0, 0, 1], chk_ref[0, 0, 2],
+         h_scr[0], h_scr[1], h_scr[2])
         + tuple(acc_scr[a] for a in range(n_acc)))
-    mx, my, mz, hx, hy, hz = carry[:6]
-    acc = carry[6:]
-    m_scr[0], m_scr[1], m_scr[2] = mx, my, mz
+    hx, hy, hz = carry[3:6]           # carry[:3] is the reconstructed
+    acc = carry[6:]                   # chunk-start m — superseded by chk
     h_scr[0], h_scr[1], h_scr[2] = hx, hy, hz
     for a in range(n_acc):
         acc_scr[a] = acc[a]
@@ -465,8 +488,11 @@ def _rfgr_specs(ts, nC):
 
 def rfgr_fwd_planes(mi, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd,
                     vel_p=None, tarr2=None, *,
-                    ts=None, interpret: bool = False):
-    r"""Pallas forward, batched planes layout.
+                    ts=None, tc=None, interpret: bool = False):
+    r"""Pallas forward, batched planes layout. Returns the chunk-end
+    checkpoints ``chk``: `(N, ntc, 3, S1, L)` — the final state is
+    ``chk[:, -1]``, the rest feed the adjoint's per-chunk reconstruction
+    restarts (time chunking matches ``rfgr_bwd_planes``).
 
     ``mi``/``loc_p``/``E``: `(N, 3, S1, L)`; ``dfg``/``e1_1``/``g2pd``:
     `(N, S1, L)`; ``b1_p``: `(N, 2C, S1, L)` or None; ``rf2``:
@@ -476,9 +502,13 @@ def rfgr_fwd_planes(mi, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd,
     N, _, S1, _ = mi.shape
     nT = gr2.shape[-1]
     nC = rf2.shape[1] // 2
+    K = 3 + 2 * nC
     ts = _pick_ts(S1) if ts is None else ts
+    tc = _pick_tc_wf(nT, K) if tc is None else tc
     assert S1 % ts == 0, (S1, ts)
-    grid = (N, S1 // ts)
+    assert nT % tc == 0, (nT, tc)
+    ntc = nT // tc
+    grid = (N, S1 // ts, ntc)
     relax, has_dfg, has_b1 = E is not None, dfg is not None, b1_p is not None
     has_vel = vel_p is not None
     tile3, tile1, smem, b1spec = _rfgr_specs(ts, nC)
@@ -498,30 +528,25 @@ def rfgr_fwd_planes(mi, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd,
         in_specs += [tile3, smem]
         args += [vel_p, tarr2]
 
-    kernel = functools.partial(_rfgr_fwd_kernel, nT, nC, relax, has_dfg,
-                               has_b1, has_vel)
+    kernel = functools.partial(_rfgr_fwd_kernel, tc, ntc, nC, relax,
+                               has_dfg, has_b1, has_vel)
     return pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=tile3,
-        out_shape=jax.ShapeDtypeStruct(mi.shape, mi.dtype),
+        out_specs=pl.BlockSpec((1, 1, 3, ts, _LANE),
+                               lambda n, i, j: (n, j, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, ntc) + mi.shape[1:], mi.dtype),
+        scratch_shapes=[pltpu.VMEM((3, ts, _LANE), mi.dtype)],
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(*args)
 
 
-def _largest_divisor_leq(n: int, bound: int) -> int:
-    r"""Largest divisor of ``n`` that is ≤ ``bound`` (≥ 1)."""
-    best, i = 1, 1
-    while i * i <= n:
-        if n % i == 0:
-            for d in (i, n // i):
-                if best < d <= bound:
-                    best = d
-        i += 1
-    return best
+from mrphy_tpu.utils._shapes import (     # noqa: E402  (shared helper)
+    largest_divisor_leq as _largest_divisor_leq)
 
 
 def _pick_tc_wf(nT: int, K: int) -> int:
@@ -540,20 +565,24 @@ def _pick_tc_wf(nT: int, K: int) -> int:
     return tc if tc >= 128 else nT
 
 
-def rfgr_bwd_planes(mo, g, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd,
+def rfgr_bwd_planes(chk, g, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd,
                     vel_p=None, tarr2=None, *,
                     ts=None, tc=None, interpret: bool = False):
-    r"""Pallas backward (reverse-reconstruction adjoint), batched planes.
-    Returns ``(dmi, drf2 (N, 2C, nT), dgr2 (N, 3, nT), dloc, ddfg, db1g,
-    dvel)`` — the last four per-spin plane-shaped (None where the
-    corresponding input is None).
+    r"""Pallas backward (checkpointed reverse-reconstruction adjoint),
+    batched planes. ``chk``: `(N, ntc, 3, S1, L)` chunk-end checkpoints
+    from :func:`rfgr_fwd_planes` (same ``tc``). Returns ``(dmi, drf2
+    (N, 2C, nT), dgr2 (N, 3, nT), dloc, ddfg, db1g, dvel)`` — the last
+    four per-spin plane-shaped (None where the corresponding input is
+    None).
 
     The grid extends over (batch, spin tiles, time chunks): per-step
-    waveform-grad rows stream out chunk by chunk (newest-first) while the
-    reconstruction state persists in VMEM scratch, so VMEM use is O(tc)
-    and arbitrarily long pulses fit (the old single-chunk kernel's
-    (nT, K, LANE) VMEM block forced an XLA fallback past nT ≈ 6.5k)."""
-    N, _, S1, _ = mo.shape
+    waveform-grad rows stream out chunk by chunk (newest-first), the
+    in-chunk reconstruction restarts from each chunk's checkpoint
+    (bounded rounding amplification), and the cotangent/accumulator
+    state persists in VMEM scratch, so VMEM use is O(tc) and arbitrarily
+    long pulses fit (the old single-chunk kernel's (nT, K, LANE) VMEM
+    block forced an XLA fallback past nT ≈ 6.5k)."""
+    N, ntc_chk, _, S1, _ = chk.shape
     nT = gr2.shape[-1]
     nC = rf2.shape[1] // 2
     K = 3 + 2 * nC
@@ -563,13 +592,18 @@ def rfgr_bwd_planes(mo, g, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd,
     assert nT % tc == 0, (nT, tc)
     ntiles = S1 // ts
     ntc = nT // tc
+    assert ntc == ntc_chk, (ntc, ntc_chk)
     grid = (N, ntiles, ntc)
     relax, has_dfg, has_b1 = E is not None, dfg is not None, b1_p is not None
     has_vel = vel_p is not None
     tile3, tile1, smem, b1spec = _rfgr_specs(ts, nC)
+    # chunk-end checkpoints, visited newest-first like dwf
+    chkspec = pl.BlockSpec((1, 1, 3, ts, _LANE),
+                           lambda n, i, j: (n, ntc - 1 - j, 0, i, 0),
+                           memory_space=pltpu.VMEM)
 
-    in_specs = [smem, smem, tile3, tile3, tile3, tile1]
-    args = [rf2, gr2, mo, g, loc_p, g2pd]
+    in_specs = [smem, smem, chkspec, tile3, tile3, tile1]
+    args = [rf2, gr2, chk, g, loc_p, g2pd]
     if has_dfg:
         in_specs.append(tile1)
         args.append(dfg)
@@ -595,20 +629,21 @@ def rfgr_bwd_planes(mo, g, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd,
                      memory_space=pltpu.VMEM),
         tile3,                                           # dloc
     ]
+    mshape = (N,) + chk.shape[2:]
     out_shape = [
-        jax.ShapeDtypeStruct(mo.shape, mo.dtype),
-        jax.ShapeDtypeStruct((N, ntiles, nT, K, _LANE), mo.dtype),
-        jax.ShapeDtypeStruct(loc_p.shape, mo.dtype),
+        jax.ShapeDtypeStruct(mshape, chk.dtype),
+        jax.ShapeDtypeStruct((N, ntiles, nT, K, _LANE), chk.dtype),
+        jax.ShapeDtypeStruct(loc_p.shape, chk.dtype),
     ]
     if has_dfg:
         out_specs.append(tile1)
-        out_shape.append(jax.ShapeDtypeStruct(dfg.shape, mo.dtype))
+        out_shape.append(jax.ShapeDtypeStruct(dfg.shape, chk.dtype))
     if has_b1:
         out_specs.append(b1spec)
-        out_shape.append(jax.ShapeDtypeStruct(b1_p.shape, mo.dtype))
+        out_shape.append(jax.ShapeDtypeStruct(b1_p.shape, chk.dtype))
     if has_vel:
         out_specs.append(tile3)
-        out_shape.append(jax.ShapeDtypeStruct(vel_p.shape, mo.dtype))
+        out_shape.append(jax.ShapeDtypeStruct(vel_p.shape, chk.dtype))
 
     n_acc = 3 + int(has_dfg) + (2 * nC if has_b1 else 0) \
         + (3 if has_vel else 0)
@@ -618,9 +653,8 @@ def rfgr_bwd_planes(mo, g, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd,
         in_specs=in_specs,
         out_specs=tuple(out_specs),
         out_shape=tuple(out_shape),
-        scratch_shapes=[pltpu.VMEM((3, ts, _LANE), mo.dtype),
-                        pltpu.VMEM((3, ts, _LANE), mo.dtype),
-                        pltpu.VMEM((n_acc, ts, _LANE), mo.dtype)],
+        scratch_shapes=[pltpu.VMEM((3, ts, _LANE), chk.dtype),
+                        pltpu.VMEM((n_acc, ts, _LANE), chk.dtype)],
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
@@ -651,16 +685,16 @@ def rfgr_core(mi, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd, vel_p,
 
 def _rfgr_core_fwd(mi, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd, vel_p,
                    tarr2, interpret):
-    mo = rfgr_fwd_planes(mi, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd,
-                         vel_p, tarr2, interpret=interpret)
-    return mo, (mo, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd, vel_p,
-                tarr2)
+    chk = rfgr_fwd_planes(mi, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd,
+                          vel_p, tarr2, interpret=interpret)
+    return chk[:, -1], (chk, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd,
+                        vel_p, tarr2)
 
 
 def _rfgr_core_bwd(interpret, res, g):
-    (mo, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd, vel_p, tarr2) = res
+    (chk, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd, vel_p, tarr2) = res
     dmi, drf2, dgr2, dloc, ddfg, db1g, dvel = rfgr_bwd_planes(
-        mo, g, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd, vel_p, tarr2,
+        chk, g, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd, vel_p, tarr2,
         interpret=interpret)
     zl = lambda x: None if x is None else jnp.zeros_like(x)  # noqa: E731
     return (dmi, drf2, dgr2, dloc, ddfg, db1g, zl(E),
@@ -693,8 +727,10 @@ def _rot_relax_planes(mx, my, mz, bx, by, bz, relax, E2, E1, e1_1):
 
 
 def _beff_fwd_kernel(tc: int, ntc: int, relax: bool, *refs):
-    r"""One (spin tile, time chunk) grid step. Positional refs:
-    mi, beff, g2pd, [E, e1_1], mo, m_scr."""
+    r"""One (spin tile, time chunk) grid step; each chunk's end state is
+    streamed to the ``chk`` output (the adjoint's reconstruction
+    restarts — the final state is ``chk[-1]``). Positional refs:
+    mi, beff, g2pd, [E, e1_1], chk, m_scr."""
     i = 0
     mi_ref, beff_ref, g2pd_ref = refs[i], refs[i + 1], refs[i + 2]
     i += 3
@@ -704,7 +740,7 @@ def _beff_fwd_kernel(tc: int, ntc: int, relax: bool, *refs):
         E2, E1, e1_1 = E_ref[0], E_ref[2], e1_ref[:]
     else:
         E2 = E1 = e1_1 = None
-    mo_ref, m_scr = refs[i], refs[i + 1]
+    chk_ref, m_scr = refs[i], refs[i + 1]
 
     j = pl.program_id(1)
 
@@ -725,19 +761,18 @@ def _beff_fwd_kernel(tc: int, ntc: int, relax: bool, *refs):
     mx, my, mz = jax.lax.fori_loop(
         0, tc, body, (m_scr[0], m_scr[1], m_scr[2]))
     m_scr[0], m_scr[1], m_scr[2] = mx, my, mz
-
-    @pl.when(j == ntc - 1)
-    def _():
-        mo_ref[0], mo_ref[1], mo_ref[2] = m_scr[0], m_scr[1], m_scr[2]
+    chk_ref[0, 0], chk_ref[0, 1], chk_ref[0, 2] = mx, my, mz
 
 
 def _beff_bwd_kernel(tc: int, ntc: int, relax: bool, *refs):
-    r"""Reverse-reconstruction adjoint, one (spin tile, time chunk) step;
-    time chunks are visited in reverse via the index maps. Positional
-    refs: mo, g, beff, g2pd, [E, e1_1], dmi, dbeff, m_scr, h_scr."""
+    r"""Checkpointed reverse-reconstruction adjoint, one (spin tile,
+    time chunk) step; time chunks are visited in reverse via the index
+    maps, and the in-chunk reconstruction restarts from the forward's
+    chunk-end checkpoint (bounded exp(tc·dt/T2) rounding). Positional
+    refs: chk, g, beff, g2pd, [E, e1_1], dmi, dbeff, h_scr."""
     i = 0
-    mo_ref, g_ref, beff_ref, g2pd_ref = (refs[i], refs[i + 1], refs[i + 2],
-                                         refs[i + 3])
+    chk_ref, g_ref, beff_ref, g2pd_ref = (refs[i], refs[i + 1],
+                                          refs[i + 2], refs[i + 3])
     i += 4
     if relax:
         E_ref, e1_ref = refs[i], refs[i + 1]
@@ -745,14 +780,12 @@ def _beff_bwd_kernel(tc: int, ntc: int, relax: bool, *refs):
         E2, E1, e1_1 = E_ref[0], E_ref[2], e1_ref[:]
         iE2 = 1.0 / E2
         iE1 = 1.0 / E1
-    dmi_ref, dbeff_ref, m_scr, h_scr = (refs[i], refs[i + 1], refs[i + 2],
-                                        refs[i + 3])
+    dmi_ref, dbeff_ref, h_scr = refs[i], refs[i + 1], refs[i + 2]
 
     j = pl.program_id(1)
 
     @pl.when(j == 0)
     def _():
-        m_scr[0], m_scr[1], m_scr[2] = mo_ref[0], mo_ref[1], mo_ref[2]
         h_scr[0], h_scr[1], h_scr[2] = g_ref[0], g_ref[1], g_ref[2]
 
     g2pd = g2pd_ref[:]
@@ -805,10 +838,10 @@ def _beff_bwd_kernel(tc: int, ntc: int, relax: bool, *refs):
                                   - c1p * (uth * m0z + utm * htz) + K * uz)
         return m0x, m0y, m0z, h0x, h0y, h0z
 
-    mx, my, mz, hx, hy, hz = jax.lax.fori_loop(
-        0, tc, body, (m_scr[0], m_scr[1], m_scr[2],
+    # m restarts from this chunk's saved end state; h carries on
+    _, _, _, hx, hy, hz = jax.lax.fori_loop(
+        0, tc, body, (chk_ref[0, 0], chk_ref[0, 1], chk_ref[0, 2],
                       h_scr[0], h_scr[1], h_scr[2]))
-    m_scr[0], m_scr[1], m_scr[2] = mx, my, mz
     h_scr[0], h_scr[1], h_scr[2] = hx, hy, hz
 
     @pl.when(j == ntc - 1)
@@ -826,7 +859,9 @@ def _pick_tc(nT: int, ts: int) -> int:
 def blochsim_fwd_planes(mi, beff, E, e1_1, g2pd, *, ts=None, tc=None,
                         interpret: bool = False):
     r"""Pallas Beff-streaming forward. ``mi``/``E``: `(3, S1, L)`;
-    ``beff``: `(nT, 3, S1, L)`; ``e1_1``/``g2pd``: `(S1, L)`."""
+    ``beff``: `(nT, 3, S1, L)`; ``e1_1``/``g2pd``: `(S1, L)`. Returns
+    the chunk-end checkpoints ``chk``: `(ntc, 3, S1, L)` (final state
+    = ``chk[-1]``; the rest feed the adjoint's per-chunk restarts)."""
     nT, S1 = beff.shape[0], mi.shape[1]
     ts = _pick_ts(S1) if ts is None else ts
     tc = _pick_tc(nT, ts) if tc is None else tc
@@ -853,8 +888,10 @@ def blochsim_fwd_planes(mi, beff, E, e1_1, g2pd, *, ts=None, tc=None,
         kernel,
         grid=grid,
         in_specs=in_specs,
-        out_specs=tile3,
-        out_shape=jax.ShapeDtypeStruct(mi.shape, mi.dtype),
+        out_specs=pl.BlockSpec((1, 3, ts, _LANE),
+                               lambda i, j: (j, 0, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((ntc,) + mi.shape, mi.dtype),
         scratch_shapes=[pltpu.VMEM((3, ts, _LANE), mi.dtype)],
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
@@ -862,15 +899,18 @@ def blochsim_fwd_planes(mi, beff, E, e1_1, g2pd, *, ts=None, tc=None,
     )(*args)
 
 
-def blochsim_bwd_planes(mo, g, beff, E, e1_1, g2pd, *, ts=None, tc=None,
+def blochsim_bwd_planes(chk, g, beff, E, e1_1, g2pd, *, ts=None, tc=None,
                         interpret: bool = False):
-    r"""Pallas Beff-streaming backward (reverse-reconstruction adjoint).
+    r"""Pallas Beff-streaming backward (checkpointed reverse-
+    reconstruction adjoint). ``chk``: `(ntc, 3, S1, L)` chunk-end
+    checkpoints from :func:`blochsim_fwd_planes` (same ``tc``).
     Returns ``(dmi, dbeff)``."""
-    nT, S1 = beff.shape[0], mo.shape[1]
+    nT, S1 = beff.shape[0], chk.shape[2]
     ts = _pick_ts(S1) if ts is None else ts
     tc = _pick_tc(nT, ts) if tc is None else tc
     assert S1 % ts == 0 and nT % tc == 0
     ntc = nT // tc
+    assert ntc == chk.shape[0], (ntc, chk.shape)
     grid = (S1 // ts, ntc)
     relax = E is not None
 
@@ -882,9 +922,12 @@ def blochsim_bwd_planes(mo, g, beff, E, e1_1, g2pd, *, ts=None, tc=None,
     beff_spec = pl.BlockSpec((tc, 3, ts, _LANE),
                              lambda i, j: (ntc - 1 - j, 0, i, 0),
                              memory_space=pltpu.VMEM)
+    chkspec = pl.BlockSpec((1, 3, ts, _LANE),
+                           lambda i, j: (ntc - 1 - j, 0, i, 0),
+                           memory_space=pltpu.VMEM)
 
-    in_specs = [tile3, tile3, beff_spec, tile1]
-    args = [mo, g, beff, g2pd]
+    in_specs = [chkspec, tile3, beff_spec, tile1]
+    args = [chk, g, beff, g2pd]
     if relax:
         in_specs += [tile3, tile1]
         args += [E, e1_1]
@@ -895,10 +938,9 @@ def blochsim_bwd_planes(mo, g, beff, E, e1_1, g2pd, *, ts=None, tc=None,
         grid=grid,
         in_specs=in_specs,
         out_specs=(tile3, beff_spec),
-        out_shape=(jax.ShapeDtypeStruct(mo.shape, mo.dtype),
+        out_shape=(jax.ShapeDtypeStruct(chk.shape[1:], chk.dtype),
                    jax.ShapeDtypeStruct(beff.shape, beff.dtype)),
-        scratch_shapes=[pltpu.VMEM((3, ts, _LANE), mo.dtype),
-                        pltpu.VMEM((3, ts, _LANE), mo.dtype)],
+        scratch_shapes=[pltpu.VMEM((3, ts, _LANE), chk.dtype)],
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
@@ -912,13 +954,14 @@ def blochsim_core(mi, beff, E, e1_1, g2pd, interpret=False):
 
 
 def _blochsim_core_fwd_p(mi, beff, E, e1_1, g2pd, interpret):
-    mo = blochsim_fwd_planes(mi, beff, E, e1_1, g2pd, interpret=interpret)
-    return mo, (mo, beff, E, e1_1, g2pd)
+    chk = blochsim_fwd_planes(mi, beff, E, e1_1, g2pd,
+                              interpret=interpret)
+    return chk[-1], (chk, beff, E, e1_1, g2pd)
 
 
 def _blochsim_core_bwd_p(interpret, res, g):
-    mo, beff, E, e1_1, g2pd = res
-    dmi, dbeff = blochsim_bwd_planes(mo, g, beff, E, e1_1, g2pd,
+    chk, beff, E, e1_1, g2pd = res
+    dmi, dbeff = blochsim_bwd_planes(chk, g, beff, E, e1_1, g2pd,
                                      interpret=interpret)
     zl = lambda x: None if x is None else jnp.zeros_like(x)  # noqa: E731
     return dmi, dbeff, zl(E), zl(e1_1), jnp.zeros_like(g2pd)

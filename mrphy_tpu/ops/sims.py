@@ -55,7 +55,7 @@ import jax.numpy as jnp
 
 from mrphy_tpu import gamH, dt0, pi
 from mrphy_tpu._kwalias import kwalias
-from mrphy_tpu.utils._shapes import rshape
+from mrphy_tpu.utils._shapes import rshape, largest_divisor_leq
 
 __all__ = ['blochsim', 'blochsim_rfgr', 'freeprec']
 
@@ -63,6 +63,22 @@ _PHI_EPS = 1e-12  # reference clamp (/root/reference/mrphy/sims.py:101)
 _LANE = 128       # TPU lane count
 _TILE = 1024      # pad spins to a multiple of 8 sublanes x 128 lanes
 _BIG_TILE = 256 * _LANE  # large problems align to full Pallas spin tiles
+
+# Reconstruction-adjoint conditioning: inverting relaxation compounds
+# rounding as exp(nT·dt/T2). The reverse scans therefore CHECKPOINT the
+# state every ≤_XLA_TC steps in the forward and restart the in-chunk
+# reconstruction from the saved state, bounding the amplification to
+# exp(tc·dt/T2) (≈ e^0.026 for 256 steps of 4 µs at T2=40 ms) for ANY
+# pulse length — no data-dependent routing, O(nT/tc) extra memory.
+# Characterized in tests/test_sims.py::TestAdjointConditioning.
+_XLA_TC = 256
+
+
+def _pick_tc_xla(nT: int) -> int:
+    r"""Checkpoint interval for the XLA reconstruction adjoint: the
+    largest divisor of ``nT`` ≤ ``_XLA_TC`` (divisor-poor nT just gets
+    more checkpoints — more memory, never less accuracy)."""
+    return largest_divisor_leq(nT, _XLA_TC)
 
 
 def _padded_spins(B: int) -> int:
@@ -192,10 +208,20 @@ def _mk_blochsim_core(adjoint: str):
             mo, m0hist = jax.lax.scan(scan_step, mi, beff)
             return mo, (m0hist, beff, E, e1_1, g2pd)
         else:
-            def scan_step(m, b_t):
-                return _step(m, b_t, E, e1_1, g2pd), None
-            mo, _ = jax.lax.scan(scan_step, mi, beff)
-            return mo, (mo, beff, E, e1_1, g2pd)
+            # chunk-checkpointed reconstruction: save the state at every
+            # chunk END so the reverse scan restarts reconstruction per
+            # chunk (bounded exp(tc·dt/T2) rounding amplification)
+            nT = beff.shape[0]
+            tc = _pick_tc_xla(nT)
+
+            def chunk_fwd(m, beff_c):
+                def scan_step(m, b_t):
+                    return _step(m, b_t, E, e1_1, g2pd), None
+                m1, _ = jax.lax.scan(scan_step, m, beff_c)
+                return m1, m1                    # ys: chunk-end state
+            beff_c = beff.reshape((nT // tc, tc) + beff.shape[1:])
+            mo, chk = jax.lax.scan(chunk_fwd, mi, beff_c)
+            return mo, (chk, beff, E, e1_1, g2pd)
 
     def bwd(res, g):
         m_res, beff, E, e1_1, g2pd = res
@@ -211,15 +237,26 @@ def _mk_blochsim_core(adjoint: str):
                                       reverse=True)
         else:
             e1z = (None if e1_1 is None else
-                   e1_1 * _ez(m_res.ndim, 0, m_res.dtype))
+                   e1_1 * _ez(g.ndim, 0, g.dtype))
+            chk = m_res                           # (ntc, ...) chunk ends
+            nT = beff.shape[0]
+            tc = nT // chk.shape[0]
 
             def scan_step(carry, b_t):
                 m1, h = carry
                 m0, h_prev, db = _fused_bwd_step(m1, h, g2pd * b_t, E,
                                                  e1z, axis=0)
                 return (m0, h_prev), g2pd * db  # chain b = g2pd·beff
-            (_, dmi), dbeff = jax.lax.scan(scan_step, (m_res, g), beff,
-                                           reverse=True)
+
+            def chunk_bwd(h, xs):
+                m_end, beff_c = xs                # m reset per chunk
+                (_, h_prev), dbeff_c = jax.lax.scan(
+                    scan_step, (m_end, h), beff_c, reverse=True)
+                return h_prev, dbeff_c
+            beff_c = beff.reshape((nT // tc, tc) + beff.shape[1:])
+            dmi, dbeff = jax.lax.scan(chunk_bwd, g, (chk, beff_c),
+                                      reverse=True)
+            dbeff = dbeff.reshape(beff.shape)
 
         zl = lambda x: None if x is None else jnp.zeros_like(x)  # noqa: E731
         return dmi, dbeff, zl(E), zl(e1_1), jnp.zeros_like(g2pd)
@@ -299,7 +336,12 @@ def blochsim(Mi, Beff, *, T1: Optional[jax.Array] = None,
                      _flat_param(T2, NNd, dtype))
         E = _pad_axis(jnp.stack([E2, E2, E1]), 1, Bp,
                       fill=1.0).reshape(3, B1, _LANE)
-        e1_1 = _pad_axis(E1 - 1, 0, Bp).reshape(B1, _LANE)
+        # expm1, not exp()-1: at µs dwell times E1 ≈ 1-4e-6 and the
+        # subtraction cancels catastrophically (≈3% relative error in
+        # f32, and jit-vs-eager fusion changes the rounding)
+        e1_1 = _pad_axis(jnp.expm1(-_flat_param(dt, NNd, dtype) /
+                                   _flat_param(T1, NNd, dtype)),
+                         0, Bp).reshape(B1, _LANE)
 
     if backend == 'auto':
         from mrphy_tpu.ops import pallas_kernels
@@ -449,12 +491,23 @@ def _mk_rfgr_core(adjoint: str):
             res = (m0hist, rf, gr, tarr, loc_p, dfg, b1_p, E, e1_1, g2pd,
                    vel_p)
         else:
-            def scan_step(m, xs):
-                rf_t, gr_t, tval = xs
-                return _step_rfgr(m, rf_t, gr_t, loc_p, dfg, b1_p, E,
-                                  e1_1, g2pd, vel_p, tval), None
-            mo, _ = jax.lax.scan(scan_step, mi, (rf, gr, tarr))
-            res = (mo, rf, gr, tarr, loc_p, dfg, b1_p, E, e1_1, g2pd,
+            # chunk-checkpointed reconstruction (see _pick_tc_xla)
+            nT = gr.shape[0]
+            tc = _pick_tc_xla(nT)
+
+            def chunk(a):
+                return a.reshape((nT // tc, tc) + a.shape[1:])
+
+            def chunk_fwd(m, xs):
+                def scan_step(m, x):
+                    rf_t, gr_t, tval = x
+                    return _step_rfgr(m, rf_t, gr_t, loc_p, dfg, b1_p,
+                                      E, e1_1, g2pd, vel_p, tval), None
+                m1, _ = jax.lax.scan(scan_step, m, xs)
+                return m1, m1                    # ys: chunk-end state
+            mo, chk = jax.lax.scan(chunk_fwd, mi,
+                                   (chunk(rf), chunk(gr), chunk(tarr)))
+            res = (chk, rf, gr, tarr, loc_p, dfg, b1_p, E, e1_1, g2pd,
                    vel_p)
         return mo, res
 
@@ -484,8 +537,14 @@ def _mk_rfgr_core(adjoint: str):
                 scan_step, (g, acc0), (m_res, rf, gr, tarr), reverse=True)
         else:
             e1z = (None if e1_1 is None else
-                   e1_1[:, None] * _ez(m_res.ndim, 1, m_res.dtype))
+                   e1_1[:, None] * _ez(g.ndim, 1, g.dtype))
             nC = rf.shape[-1]
+            chk = m_res                           # (ntc, ...) chunk ends
+            nT = gr.shape[0]
+            tc = nT // chk.shape[0]
+
+            def chunkv(a):
+                return a.reshape((nT // tc, tc) + a.shape[1:])
 
             def scan_step(carry, xs):
                 rf_t, gr_t, tval = xs
@@ -504,9 +563,21 @@ def _mk_rfgr_core(adjoint: str):
                     drf_t = jnp.broadcast_to(drf_t, drf_t.shape[:-1] +
                                              (nC,))
                 return (m0, h_prev, acc), (drf_t, dgr_t)
-            ((_, dmi, (dloc, ddfg, db1, dvel)),
-             (drf, dgr)) = jax.lax.scan(scan_step, (m_res, g, acc0),
-                                        (rf, gr, tarr), reverse=True)
+
+            def chunk_bwd(carry, xs):
+                h, acc = carry
+                m_end, rf_c, gr_c, tarr_c = xs    # m reset per chunk
+                ((_, h_prev, acc), ys) = jax.lax.scan(
+                    scan_step, (m_end, h, acc), (rf_c, gr_c, tarr_c),
+                    reverse=True)
+                return (h_prev, acc), ys
+            ((dmi, (dloc, ddfg, db1, dvel)),
+             (drf, dgr)) = jax.lax.scan(
+                chunk_bwd, (g, acc0),
+                (chk, chunkv(rf), chunkv(gr), chunkv(tarr)),
+                reverse=True)
+            drf = drf.reshape((nT,) + drf.shape[2:])
+            dgr = dgr.reshape((nT,) + dgr.shape[2:])
 
         return (dmi, drf, dgr, jnp.zeros_like(tarr), dloc, ddfg,
                 db1, zl(E), zl(e1_1), jnp.zeros_like(g2pd), dvel)
@@ -642,7 +713,8 @@ def blochsim_rfgr(Mi, rf, gr, loc, *, T1: Optional[jax.Array] = None,
         E2 = jnp.exp(-flat(dt) / flat(T2))
         E = _pad_axis(jnp.stack([E2, E2, E1], axis=1), 2, Sp,
                       fill=1.0).reshape(N, 3, S1, _LANE)
-        e1_1 = padf(E1 - 1)
+        e1_1 = padf(jnp.expm1(-flat(dt) / flat(T1)))  # not exp()-1:
+        # catastrophic cancellation at E1 ≈ 1 (µs dwell times)
 
     nC = rf_t.shape[-1]
     if backend == 'auto':

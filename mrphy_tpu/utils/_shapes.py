@@ -2,7 +2,19 @@ r"""Internal shape/broadcast helpers shared across the package."""
 
 import jax.numpy as jnp
 
-__all__ = ['rshape', 'asarr']
+__all__ = ['rshape', 'asarr', 'largest_divisor_leq']
+
+
+def largest_divisor_leq(n: int, bound: int) -> int:
+    r"""Largest divisor of ``n`` that is ≤ ``bound`` (≥ 1)."""
+    best, i = 1, 1
+    while i * i <= n:
+        if n % i == 0:
+            for d in (i, n // i):
+                if best < d <= bound:
+                    best = d
+        i += 1
+    return best
 
 
 def asarr(x, dtype=None):

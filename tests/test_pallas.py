@@ -86,9 +86,11 @@ class TestPallasInterpret:
 
 
 class TestChunkedBackward:
-    r"""The time-chunked backward grid (long-pulse path) must be
-    BIT-IDENTICAL to the single-chunk kernel: the chunking only changes
-    where the dwf rows stream out, never the arithmetic."""
+    r"""The time-chunked backward grid (long-pulse path) vs the
+    single-chunk kernel: identical arithmetic EXCEPT that each chunk's
+    reconstruction restarts from the forward's exact checkpoint, while
+    the single-chunk kernel reconstructs through — so results agree to
+    reconstruction rounding (tight f32), not bit-for-bit."""
 
     def test_chunked_equals_single_chunk(self, monkeypatch):
         from mrphy_tpu.ops import pallas_kernels as pk
@@ -115,7 +117,9 @@ class TestChunkedBackward:
         monkeypatch.setattr(pk, '_pick_tc_wf', lambda nT, K: 8)
         g_chunked = all_grads()
         for a, b in zip(g_chunked, g_single):
-            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+            a, b = np.asarray(a), np.asarray(b)
+            scale = np.max(np.abs(b)) + 1e-30
+            np.testing.assert_allclose(a / scale, b / scale, atol=1e-6)
 
     def test_tc_picker(self):
         from mrphy_tpu.ops.pallas_kernels import (_pick_tc_wf,

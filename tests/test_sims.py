@@ -240,3 +240,92 @@ class TestAdjointModes:
         np.testing.assert_allclose(g_r[0], g_h[0], atol=ATOL)
         np.testing.assert_allclose(g_r[1], g_h[1], atol=ATOL)
         assert bool(jnp.all(jnp.isfinite(g_r[0])))
+
+
+class TestAdjointConditioning:
+    r"""Reconstruction-adjoint conditioning envelope.
+
+    Inverting relaxation in the reverse scan amplifies rounding as
+    exp(nT·dt/T2); the chunk-checkpointed reconstruction (save the state
+    every ≤``_XLA_TC`` steps, restart reconstruction per chunk — see
+    ``sims._pick_tc_xla``) bounds this at exp(tc·dt/T2) per chunk for
+    ANY pulse length. These tests pin the envelope: f32 default-adjoint
+    gradients must match the f64 autodiff oracle deep into the regime
+    where an unchunked inversion would have lost most f32 digits
+    (nT·dt/T2 = 5 → e⁵ ≈ 150×; = 10 → e¹⁰ ≈ 22 000×), WITHOUT the user
+    choosing an adjoint. (Reference context: the memory/compute trade
+    discussion at ``/root/reference/mrphy/sims.py:298-301``.)
+    """
+
+    def _grads(self, ratio: float, nT: int = 4096, nM: int = 64):
+        dt = 4e-6
+        T2v = nT * dt / ratio
+        rng = np.random.default_rng(12)
+        M0 = rng.random((1, nM, 3)) - 0.2
+        beff = rng.normal(size=(1, nM, nT, 3)) * 0.05
+        T1, T2 = np.asarray([[1.5 * T2v]]), np.asarray([[T2v]])
+        W = rng.normal(size=(1, nM, 3))
+
+        def loss(engine, dtype):
+            c = lambda x: jnp.asarray(x, dtype)  # noqa: E731
+            def f(m0, b):
+                return jnp.sum(c(W) * engine(
+                    m0, b, T1=c(T1), T2=c(T2), dt=dt))
+            return f
+
+        # f32 fast engine, DEFAULT adjoint (no user choice)
+        g32 = jax.grad(loss(lambda *a, **k: sims.blochsim(
+            *a, backend='xla', **k), jnp.float32), argnums=(0, 1))(
+            jnp.asarray(M0, jnp.float32), jnp.asarray(beff, jnp.float32))
+        # f64 oracle
+        g64 = jax.grad(loss(slowsims.blochsim, jnp.float64),
+                       argnums=(0, 1))(jnp.asarray(M0), jnp.asarray(beff))
+        rels = []
+        for a, b in zip(g32, g64):
+            scale = float(jnp.max(jnp.abs(b))) + 1e-300
+            rels.append(float(jnp.max(jnp.abs(
+                jnp.asarray(a, jnp.float64) - b))) / scale)
+        return rels
+
+    def test_ratio_5(self):
+        r_mi, r_beff = self._grads(5.0)
+        assert r_mi < 2e-4 and r_beff < 2e-4, (r_mi, r_beff)
+
+    def test_ratio_10(self):
+        # unchunked reconstruction would amplify rounding ~e^10 ≈ 2e4
+        # (≳0.1 relative); checkpointing keeps the f32 noise floor
+        r_mi, r_beff = self._grads(10.0)
+        assert r_mi < 2e-4 and r_beff < 2e-4, (r_mi, r_beff)
+
+    def test_rfgr_ratio_5(self):
+        nM, nT, dt = 48, 2048, 4e-6
+        ratio = 5.0
+        T2v = nT * dt / ratio
+        rng = np.random.default_rng(13)
+        M0 = rng.random((1, nM, 3)) - 0.2
+        loc = rng.random((1, nM, 3)) * 2 - 1
+        rf = rng.random((1, 2, nT)) * 0.1
+        gr = rng.normal(size=(1, 3, nT))
+        T1, T2 = np.asarray([[1.5 * T2v]]), np.asarray([[T2v]])
+        W = rng.normal(size=(1, nM, 3))
+
+        def mk(dtype, engine):
+            c = lambda x: jnp.asarray(x, dtype)  # noqa: E731
+            def f(rf_, gr_):
+                return jnp.sum(c(W) * engine(
+                    c(M0), rf_, gr_, c(loc), T1=c(T1), T2=c(T2), dt=dt))
+            return jax.grad(f, argnums=(0, 1))
+
+        g32 = mk(jnp.float32, lambda *a, **k: sims.blochsim_rfgr(
+            *a, backend='xla', **k))(jnp.asarray(rf, jnp.float32),
+                                     jnp.asarray(gr, jnp.float32))
+
+        def oracle(M0_, rf_, gr_, loc_, T1, T2, dt):
+            beff = beffective.rfgr2beff(rf_, gr_, loc_)
+            return slowsims.blochsim(M0_, beff, T1=T1, T2=T2, dt=dt)
+        g64 = mk(jnp.float64, oracle)(jnp.asarray(rf), jnp.asarray(gr))
+        for a, b in zip(g32, g64):
+            scale = float(jnp.max(jnp.abs(b))) + 1e-300
+            rel = float(jnp.max(jnp.abs(
+                jnp.asarray(a, jnp.float64) - b))) / scale
+            assert rel < 2e-4, rel
