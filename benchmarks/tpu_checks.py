@@ -1,0 +1,306 @@
+r"""On-chip compiled-kernel regression tier.
+
+Runs ON the real TPU (the default platform of this runtime) and asserts
+the compiled Mosaic Pallas path — fast sincos, manual unroll, chunk
+streaming, SMEM waveform layout — against the XLA engine, turning the
+on-chip parity numbers of ``benchmarks/RESULTS.md`` (fwd 1.4e-5, grads
+≤2e-4 rel) into a repeatable artifact. ``tests/test_pallas.py`` covers
+the same kernels in ``interpret=True`` on CPU; one Mosaic regression
+(layout, unroll interaction, compiler update) would ship silently
+without this tier.
+
+Usage::
+
+    python benchmarks/tpu_checks.py              # on the real chip
+    python benchmarks/tpu_checks.py --interpret  # CPU smoke (dev only)
+
+Prints one ``PASS/FAIL`` line per check and writes one JSON summary to
+``benchmarks/TPU_CHECKS.json`` (also echoed as the final stdout line).
+Run via the verify skill each round; the JSON is checked into RESULTS.
+
+Checks (mirroring the role of ``/root/reference/tests/test_sims.py:
+24-143`` for the reference's fast engine):
+
+1. fused rf/gr engine fwd+grad parity vs XLA for every CONFIG of
+   ``tests/test_pallas.py`` (bare / relax / +df / +b1 / multi-coil);
+2. Beff-streaming engine fwd/dbeff/dmi parity;
+3. the time-chunked long-pulse backward (chunked grid engaged);
+4. a batched (N>1) grid;
+5. ``_fast_sincos`` max-error sweep over [0, 60] rad, compiled;
+6. a 1×1-mesh ``mesh=`` run (shard_map dispatch on the chip);
+7. the auto-gate actually routes the headline config to Pallas.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+import jax                                            # noqa: E402
+import jax.numpy as jnp                               # noqa: E402
+
+from mrphy_tpu.ops import sims, pallas_kernels        # noqa: E402
+
+DT32 = jnp.float32
+# f32 accumulation noise floor of two equally-rounded paths, with ~3x
+# headroom over the measured numbers (RESULTS.md: fwd 1.4e-5 abs,
+# grads 4e-5..1.7e-4 rel)
+FWD_ATOL = 5e-5
+GRAD_RTOL = 5e-4
+
+_RESULTS = []
+
+
+def _record(name: str, ok: bool, detail: str):
+    _RESULTS.append({'check': name, 'ok': bool(ok), 'detail': detail})
+    print(f'{"PASS" if ok else "FAIL"}  {name}: {detail}', flush=True)
+
+
+def _max_abs(a, b):
+    return float(jnp.max(jnp.abs(jnp.asarray(a) - jnp.asarray(b))))
+
+
+def _rel(a, b):
+    scale = float(jnp.max(jnp.abs(jnp.asarray(b)))) + 1e-30
+    return _max_abs(a, b) / scale
+
+
+def _mk(N, nM, nT, nC=1, seed=0):
+    rng = np.random.default_rng(seed)
+    Mi = jnp.asarray(rng.random((N, nM, 3)) - 0.5, DT32)
+    loc = jnp.asarray(rng.random((N, nM, 3)) * 2 - 1, DT32)
+    df = jnp.asarray(rng.random((N, nM)) * 50, DT32)
+    b1 = jnp.asarray(rng.random((N, nM, 2, nC)), DT32)
+    rf = jnp.asarray(rng.random((N, 2, nT, nC)), DT32)
+    gr = jnp.asarray(rng.normal(size=(N, 3, nT)), DT32)
+    T1 = jnp.asarray([[1.]], DT32)
+    T2 = jnp.asarray([[4e-2]], DT32)
+    return Mi, loc, df, b1, rf, gr, T1, T2
+
+
+CONFIGS = [
+    ('bare', dict()),
+    ('relax', dict(relax=True)),
+    ('relax_df', dict(relax=True, df=True)),
+    ('relax_df_b1', dict(relax=True, df=True, b1=True)),
+    ('multicoil3', dict(relax=True, df=True, b1=True, nC=3)),
+]
+
+
+def _rfgr_parity(name, cfg, *, nM, nT, interpret):
+    nC = cfg.get('nC', 1)
+    Mi, loc, df, b1, rf, gr, T1, T2 = _mk(1, nM, nT, nC=nC, seed=1)
+    kw = {}
+    if cfg.get('relax'):
+        kw.update(T1=T1, T2=T2)
+    if cfg.get('df'):
+        kw.update(df=df)
+    if cfg.get('b1'):
+        kw.update(b1Map=b1)
+    if nC == 1 and not cfg.get('b1'):
+        rf = rf[..., 0]           # exercise the missing-coil-dim path
+    pkw = (dict(_pallas_interpret=True) if interpret
+           else dict(backend='pallas'))
+
+    fx = jax.jit(lambda m, r, g_: sims.blochsim_rfgr(
+        m, r, g_, loc, backend='xla', **kw))
+    fp = jax.jit(lambda m, r, g_: sims.blochsim_rfgr(
+        m, r, g_, loc, **pkw, **kw))
+    a = np.asarray(fx(Mi, rf, gr))
+    b = np.asarray(fp(Mi, rf, gr))
+    fwd_err = float(np.max(np.abs(a - b)))
+
+    W = jnp.asarray(np.random.default_rng(9).normal(size=a.shape), DT32)
+    gx = jax.jit(jax.grad(lambda r, g_: jnp.sum(W * sims.blochsim_rfgr(
+        Mi, r, g_, loc, backend='xla', **kw)), argnums=(0, 1)))(rf, gr)
+    gp = jax.jit(jax.grad(lambda r, g_: jnp.sum(W * sims.blochsim_rfgr(
+        Mi, r, g_, loc, **pkw, **kw)), argnums=(0, 1)))(rf, gr)
+    rf_rel, gr_rel = _rel(gp[0], gx[0]), _rel(gp[1], gx[1])
+
+    ok = fwd_err < FWD_ATOL and rf_rel < GRAD_RTOL and gr_rel < GRAD_RTOL
+    _record(f'rfgr/{name}', ok,
+            f'fwd {fwd_err:.2e} (tol {FWD_ATOL:.0e}), drf rel '
+            f'{rf_rel:.2e}, dgr rel {gr_rel:.2e} (tol {GRAD_RTOL:.0e})')
+    return ok
+
+
+def _beff_streaming(*, nM, nT, interpret):
+    rng = np.random.default_rng(3)
+    Mi = jnp.asarray(rng.random((1, nM, 3)), DT32)
+    beff = jnp.asarray(rng.normal(size=(1, nM, nT, 3)), DT32)
+    kw = dict(T1=jnp.asarray([[1.]], DT32), T2=jnp.asarray([[4e-2]], DT32))
+    pkw = (dict(_pallas_interpret=True) if interpret
+           else dict(backend='pallas'))
+
+    a = np.asarray(jax.jit(lambda m, bb: sims.blochsim(
+        m, bb, backend='xla', **kw))(Mi, beff))
+    b = np.asarray(jax.jit(lambda m, bb: sims.blochsim(
+        m, bb, **pkw, **kw))(Mi, beff))
+    fwd_err = float(np.max(np.abs(a - b)))
+
+    W = jnp.asarray(rng.normal(size=a.shape), DT32)
+    gx = jax.jit(jax.grad(lambda m, bb: jnp.sum(W * sims.blochsim(
+        m, bb, backend='xla', **kw)), argnums=(0, 1)))(Mi, beff)
+    gp = jax.jit(jax.grad(lambda m, bb: jnp.sum(W * sims.blochsim(
+        m, bb, **pkw, **kw)), argnums=(0, 1)))(Mi, beff)
+    mi_rel, be_rel = _rel(gp[0], gx[0]), _rel(gp[1], gx[1])
+
+    ok = fwd_err < FWD_ATOL and mi_rel < GRAD_RTOL and be_rel < GRAD_RTOL
+    _record('beff_streaming', ok,
+            f'fwd {fwd_err:.2e}, dMi rel {mi_rel:.2e}, dBeff rel '
+            f'{be_rel:.2e}')
+    return ok
+
+
+def _longpulse_chunked(*, nM, nT, interpret):
+    r"""The chunked backward grid must engage (tc < nT) and match XLA."""
+    K = 5  # 3 + 2*nC at nC=1
+    tc = pallas_kernels._pick_tc_wf(nT, K)
+    engaged = tc < nT
+    Mi, loc, df, b1, rf, gr, T1, T2 = _mk(1, nM, nT, seed=2)
+    kw = dict(T1=T1, T2=T2, df=df)
+    pkw = (dict(_pallas_interpret=True) if interpret
+           else dict(backend='pallas'))
+
+    W_shape = (1, nM, 3)
+    W = jnp.asarray(np.random.default_rng(8).normal(size=W_shape), DT32)
+    gx = jax.jit(jax.grad(lambda r, g_: jnp.sum(W * sims.blochsim_rfgr(
+        Mi, r, g_, loc, backend='xla', **kw)), argnums=(0, 1)))(rf, gr)
+    gp = jax.jit(jax.grad(lambda r, g_: jnp.sum(W * sims.blochsim_rfgr(
+        Mi, r, g_, loc, **pkw, **kw)), argnums=(0, 1)))(rf, gr)
+    rf_rel, gr_rel = _rel(gp[0], gx[0]), _rel(gp[1], gx[1])
+
+    # long-pulse reverse reconstruction compounds exp(nT·dt/T2) more
+    # rounding than the short configs; widen accordingly (still ~1e-3)
+    tol = 10 * GRAD_RTOL
+    ok = engaged and rf_rel < tol and gr_rel < tol
+    _record('longpulse_chunked', ok,
+            f'tc={tc} (chunked={engaged}), drf rel {rf_rel:.2e}, '
+            f'dgr rel {gr_rel:.2e} (tol {tol:.0e})')
+    return ok
+
+
+def _batched(*, nM, nT, interpret):
+    N, nC = 2, 2
+    Mi, loc, df, b1, rf, gr, T1, T2 = _mk(N, nM, nT, nC=nC, seed=6)
+    kw = dict(T1=T1, T2=T2, df=df, b1Map=b1)
+    pkw = (dict(_pallas_interpret=True) if interpret
+           else dict(backend='pallas'))
+    batched = np.asarray(jax.jit(lambda m, r, g_: sims.blochsim_rfgr(
+        m, r, g_, loc, **pkw, **kw))(Mi, rf, gr))
+    # jit the single-slice reference too: eager-vs-jit wrapper
+    # preprocessing (exp/expm1 fusion) rounds E differently, which
+    # compounds over nT and is NOT a kernel defect (see RESULTS.md r2)
+    single_f = jax.jit(lambda m, r, g_, lo, d, b_: sims.blochsim_rfgr(
+        m, r, g_, lo, T1=T1, T2=T2, df=d, b1Map=b_, backend='xla'))
+    errs = []
+    for n in range(N):
+        single = np.asarray(single_f(
+            Mi[n:n + 1], rf[n:n + 1], gr[n:n + 1], loc[n:n + 1],
+            df[n:n + 1], b1[n:n + 1]))
+        errs.append(float(np.max(np.abs(batched[n:n + 1] - single))))
+    ok = max(errs) < FWD_ATOL
+    _record('batched_grid', ok, f'per-batch fwd err {max(errs):.2e}')
+    return ok
+
+
+def _sincos_sweep():
+    r"""Compiled _fast_sincos over [0, 60] rad vs numpy f64 (the range
+    covers ~560 Gauss at dt=4us — far beyond hardware)."""
+    phi = jnp.asarray(
+        np.concatenate([np.linspace(0, 60, 200001),
+                        [0.0, 1e-12, 1e-6, np.pi / 2, np.pi]]), DT32)
+    s, c = jax.jit(pallas_kernels._fast_sincos)(phi)
+    phi64 = np.asarray(phi, np.float64)
+    es = float(np.max(np.abs(np.asarray(s) - np.sin(phi64))))
+    ec = float(np.max(np.abs(np.asarray(c) - np.cos(phi64))))
+    ok = es < 2e-7 and ec < 2e-7
+    _record('fast_sincos_sweep', ok, f'sin {es:.2e}, cos {ec:.2e} '
+            f'(tol 2e-7) over [0, 60] rad')
+    return ok
+
+
+def _mesh_1x1(*, nM, nT):
+    r"""mesh= dispatch (shard_map) on the real device(s)."""
+    from mrphy_tpu.parallel import make_mesh
+    mesh = make_mesh(jax.devices()[:1])
+    Mi, loc, df, b1, rf, gr, T1, T2 = _mk(1, nM, nT, seed=7)
+    kw = dict(T1=T1, T2=T2, df=df)
+    a = np.asarray(sims.blochsim_rfgr(Mi, rf, gr, loc, **kw))
+    b = np.asarray(sims.blochsim_rfgr(Mi, rf, gr, loc, mesh=mesh, **kw))
+    err = float(np.max(np.abs(a - b)))
+    ok = err < FWD_ATOL
+    _record('mesh_1x1', ok, f'sharded-vs-unsharded fwd err {err:.2e}')
+    return ok
+
+
+def _auto_gate():
+    r"""The auto gate must route the headline config (1M x 1000) and the
+    longpulse config (1M x 16k) to Pallas, and tiny configs to XLA."""
+    on = pallas_kernels.rfgr_is_available(
+        N=1, dtype=jnp.float32, nspins=2 ** 20, nT=1000, nC=1)
+    on_long = pallas_kernels.rfgr_is_available(
+        N=1, dtype=jnp.float32, nspins=2 ** 20, nT=16000, nC=1)
+    off_small = not pallas_kernels.rfgr_is_available(
+        N=1, dtype=jnp.float32, nspins=512, nT=1000, nC=1)
+    ok = on and on_long and off_small
+    _record('auto_gate', ok,
+            f'headline={on}, longpulse={on_long}, small->xla={off_small}')
+    return ok
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--interpret', action='store_true',
+                    help='CPU interpret-mode smoke run (dev only)')
+    ap.add_argument('--out', default=os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), 'TPU_CHECKS.json'))
+    args = ap.parse_args()
+
+    if args.interpret:
+        jax.config.update('jax_platforms', 'cpu')
+        nM, nT, nT_long = 1024, 16, 4096
+    else:
+        from mrphy_tpu.utils.timing import enable_persistent_cache
+        enable_persistent_cache()     # ~25 jits; reuse across rounds
+        plat = jax.devices()[0].platform
+        assert plat.startswith(('tpu', 'axon')), (
+            f'tpu_checks must run on the real chip (got {plat}); '
+            f'use --interpret for a CPU smoke run')
+        # one full Pallas spin tile; nT_long big enough to chunk
+        nM, nT, nT_long = 32768, 500, 8192
+
+    for name, cfg in CONFIGS:
+        _rfgr_parity(name, cfg, nM=nM, nT=nT, interpret=args.interpret)
+    _beff_streaming(nM=nM, nT=nT, interpret=args.interpret)
+    _longpulse_chunked(nM=nM, nT=nT_long, interpret=args.interpret)
+    _batched(nM=nM, nT=nT, interpret=args.interpret)
+    _sincos_sweep()
+    if not args.interpret:
+        _mesh_1x1(nM=nM, nT=nT)
+        _auto_gate()          # gate predicates include the on-TPU probe
+
+    n_ok = sum(r['ok'] for r in _RESULTS)
+    summary = {
+        'suite': 'tpu_checks',
+        'mode': 'interpret' if args.interpret else 'compiled',
+        'platform': jax.devices()[0].platform,
+        'passed': n_ok, 'total': len(_RESULTS),
+        'ok': n_ok == len(_RESULTS),
+        'checks': _RESULTS,
+    }
+    with open(args.out, 'w') as f:
+        json.dump(summary, f, indent=1)
+    print(json.dumps({k: summary[k] for k in
+                      ('suite', 'mode', 'platform', 'passed', 'total',
+                       'ok')}))
+    sys.exit(0 if summary['ok'] else 1)
+
+
+if __name__ == '__main__':
+    main()
