@@ -36,11 +36,22 @@ def main():
                     help='solute chemical shift, Hz (~3.5 ppm at 5 T)')
     ap.add_argument('--kab', type=float, default=1.0)
     ap.add_argument('--noffsets', type=int, default=41)
+    ap.add_argument('--mesh', action='store_true',
+                    help='shard the offset axis over all devices '
+                         '(shard_map; offsets pad to the device count)')
     args = ap.parse_args()
 
+    import jax
     import jax.numpy as jnp
     from mrphy_tpu import gamH
     from mrphy_tpu.ops import slowsims
+
+    mesh = None
+    if args.mesh:
+        from mrphy_tpu.parallel import make_mesh
+        mesh = make_mesh()
+        print(f'offset-sharded over {len(jax.devices())} devices '
+              f'({mesh.shape})')
 
     # pools: a = water, b = dilute exchanging solute (e.g. amide)
     T1a, T2a = 1.2, 0.06
@@ -50,8 +61,14 @@ def main():
     kba = kab * Ma0 / Mb0                # b→a = kab·Ma0/Mb0
     dfb = args.dfb
 
-    nF = args.noffsets
+    nF0 = nF = args.noffsets
     offsets = np.linspace(-1.6 * dfb, 1.6 * dfb, nF)
+    if mesh is not None:   # pad the sharded axis to the device count
+        from mrphy_tpu.parallel.mesh import SPIN_AXIS
+        sp = mesh.shape[SPIN_AXIS]
+        nF = -(-nF0 // sp) * sp
+        offsets = np.concatenate(
+            [offsets, np.full(nF - nF0, offsets[-1])])  # dummy tail
 
     # frame rotating at the RF: pool a sits at −Δ, pool b at δb − Δ
     # (the engine adds δb internally via dfb). One "spin" per offset.
@@ -67,8 +84,10 @@ def main():
                           (1, nF, 3))
     Mao, _ = slowsims.blochsim_mc(
         Ma, Mb, jnp.asarray(beff), T1a=T1a, T2a=T2a, T1b=T1b, T2b=T2b,
-        kab=kab, kba=kba, Ma0=Ma0, Mb0=Mb0, dfb=dfb, gam=gamH, dt=dt)
-    Z = np.asarray(Mao)[0, :, 2] / Ma0
+        kab=kab, kba=kba, Ma0=Ma0, Mb0=Mb0, dfb=dfb, gam=gamH, dt=dt,
+        mesh=mesh)
+    Z = np.asarray(Mao)[0, :nF0, 2] / Ma0
+    offsets, nF = offsets[:nF0], nF0
 
     print(f'CEST Z-spectrum (B1={args.b1*1e3:.1f} mG, '
           f'tsat={args.tsat:.1f} s, δb={dfb:.0f} Hz, kab={kab:.1f}/s):')

@@ -34,12 +34,22 @@ def main():
     ap.add_argument('--lr', type=float, default=0.05)
     ap.add_argument('--noise', type=float, default=0.0,
                     help='measurement noise stddev')
+    ap.add_argument('--mesh', action='store_true',
+                    help='shard the voxel axis over all devices '
+                         '(shard_map; nvox must divide the device count)')
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
     import optax
     from mrphy_tpu.ops import slowsims
+
+    mesh = None
+    if args.mesh:
+        from mrphy_tpu.parallel import make_mesh
+        mesh = make_mesh()
+        print(f'voxel-sharded over {len(jax.devices())} devices '
+              f'({mesh.shape})')
 
     nM = args.nvox
     rng = np.random.default_rng(7)
@@ -52,19 +62,28 @@ def main():
     minus_z = jnp.tile(jnp.asarray([0., 0., -1.], jnp.float32), (1, nM, 1))
     plus_y = jnp.tile(jnp.asarray([0., 1., 0.], jnp.float32), (1, nM, 1))
 
+    def sweep(one, xs):
+        # vmap-of-shard_map is unsupported; the sharded path unrolls the
+        # handful of TI/TE settings (still one jitted graph)
+        if mesh is None:
+            return jax.vmap(one)(xs)
+        return jnp.stack([one(x) for x in xs])
+
     def ir_signal(T1, T2):
         r"""Mz(TI) after ideal inversion: 1 - 2 exp(-TI/T1)."""
         def one(TI):
-            return slowsims.freeprec(minus_z, TI, T1=T1, T2=T2)[..., 2]
-        return jax.vmap(one)(TIs)                    # (nTI, 1, nM)
+            return slowsims.freeprec(minus_z, TI, T1=T1, T2=T2,
+                                     mesh=mesh)[..., 2]
+        return sweep(one, TIs)                       # (nTI, 1, nM)
 
     def se_signal(T1, T2):
         r"""My(TE=2*tau) after ideal 90x - tau - 180y - tau: exp(-TE/T2)."""
         def one(tau):
-            M = slowsims.freeprec(plus_y, tau, T1=T1, T2=T2)
+            M = slowsims.freeprec(plus_y, tau, T1=T1, T2=T2, mesh=mesh)
             M = M * jnp.asarray([-1., 1., -1.])      # exact 180y flip
-            return slowsims.freeprec(M, tau, T1=T1, T2=T2)[..., 1]
-        return jax.vmap(one)(taus)                   # (nTE, 1, nM)
+            return slowsims.freeprec(M, tau, T1=T1, T2=T2,
+                                     mesh=mesh)[..., 1]
+        return sweep(one, taus)                      # (nTE, 1, nM)
 
     key = jax.random.PRNGKey(0)
     ir_meas = ir_signal(T1_true, T2_true)

@@ -28,7 +28,8 @@ import jax.numpy as jnp
 
 from mrphy_tpu import pi
 
-__all__ = ['epg_state', 'epg_rf', 'epg_grad', 'epg_relax', 'epg_cpmg']
+__all__ = ['epg_state', 'epg_rf', 'epg_grad', 'epg_relax', 'epg_cpmg',
+           'epg_spgr', 'rf_spoil_phases']
 
 
 def epg_state(K: int, batch=(), M0=1.0, dtype=jnp.float32):
@@ -77,10 +78,8 @@ def epg_rf(FpFmZ, alpha, phi=0.0):
                       jnp.stack([Z1r, Z1i], -1)], axis=-3)
 
 
-def epg_grad(FpFmZ):
-    r"""Unit positive gradient dephasing: shift ``F+`` up one k-order,
-    ``F−`` down one; the new ``F+(0)`` is ``conj(F−(0))`` (transverse
-    states crossing zero change hemisphere)."""
+def _grad_pos1(FpFmZ):
+    r"""Unit positive dephasing (+1 k-quantum)."""
     Fp, Fm, Z = FpFmZ[..., 0, :, :], FpFmZ[..., 1, :, :], \
         FpFmZ[..., 2, :, :]
     Fp1 = jnp.roll(Fp, 1, axis=-2)      # F+(0) fully overwritten below
@@ -88,6 +87,37 @@ def epg_grad(FpFmZ):
     Fp1 = Fp1.at[..., 0, 0].set(Fm1[..., 0, 0])
     Fp1 = Fp1.at[..., 0, 1].set(-Fm1[..., 0, 1])       # conj
     return jnp.stack([Fp1, Fm1, Z], axis=-3)
+
+
+def _grad_neg1(FpFmZ):
+    r"""Unit negative dephasing (−1 k-quantum): the exact mirror —
+    ``F+`` shifts down, ``F−`` up, and the new ``F−(0)`` is
+    ``conj(F+(0))``."""
+    Fp, Fm, Z = FpFmZ[..., 0, :, :], FpFmZ[..., 1, :, :], \
+        FpFmZ[..., 2, :, :]
+    Fm1 = jnp.roll(Fm, 1, axis=-2)      # F−(0) fully overwritten below
+    Fp1 = jnp.roll(Fp, -1, axis=-2).at[..., -1, :].set(0)
+    Fm1 = Fm1.at[..., 0, 0].set(Fp1[..., 0, 0])
+    Fm1 = Fm1.at[..., 0, 1].set(-Fp1[..., 0, 1])       # conj
+    return jnp.stack([Fp1, Fm1, Z], axis=-3)
+
+
+def epg_grad(FpFmZ, k: int = 1):
+    r"""Gradient dephasing by ``k`` k-quanta (nonzero static int; ``k<0``
+    rewinds). ``k=+1``: ``F+(k)→F+(k+1)``, ``F−(k)→F−(k−1)``, new
+    ``F+(0) = conj(F−(0))`` (transverse states crossing zero change
+    hemisphere); ``k=−1`` is the exact mirror. Larger |k| compose unit
+    shifts (gradient-spoiled/SSFP sequences whose per-TR areas are
+    integer multiples of the smallest area; choose the k-quantum as the
+    gcd of the per-interval gradient areas — the standard EPG treatment
+    of non-unit spoilers). States shifted beyond the highest modeled
+    order ``K-1`` are dropped (size the state accordingly)."""
+    k = int(k)
+    assert k != 0, 'k must be a nonzero integer (use no-op for k=0)'
+    op = _grad_pos1 if k > 0 else _grad_neg1
+    for _ in range(abs(k)):
+        FpFmZ = op(FpFmZ)
+    return FpFmZ
 
 
 def epg_relax(FpFmZ, tau, T1, T2, M0=1.0):
@@ -103,7 +133,7 @@ def epg_relax(FpFmZ, tau, T1, T2, M0=1.0):
     return jnp.stack([Fp, Fm, Z], axis=-3)
 
 
-def epg_cpmg(flips, *, T1, T2, esp, M0=1.0, phi_ex=pi / 2):
+def epg_cpmg(flips, *, T1, T2, esp, M0=1.0, phi_ex=pi / 2, mesh=None):
     r"""Echo amplitudes of a CPMG spin-echo train.
 
     Sequence: 90° excitation about ``phi_ex`` (default +y, so the
@@ -122,9 +152,21 @@ def epg_cpmg(flips, *, T1, T2, esp, M0=1.0, phi_ex=pi / 2):
           ``exp(-(n+1)·esp/T2)·M0`` exactly).
 
     Differentiable w.r.t. ``flips``/``T1``/``T2`` — echo-train T2
-    fitting and refocusing-train design run by gradient descent.
+    fitting and refocusing-train design run by gradient descent. Pass
+    ``mesh`` (a ``(batch, spins)`` :class:`jax.sharding.Mesh`) to shard
+    a 1-D voxel batch across chips via shard_map (``flips``
+    `(nV, nEcho)` and/or per-voxel ``T1``/``T2`` `(nV,)`; voxel-wise T2
+    mapping is embarrassingly parallel).
     """
+    if mesh is not None:
+        from mrphy_tpu.parallel.mesh import epg_cpmg_sharded_traceable
+        return epg_cpmg_sharded_traceable(
+            mesh, flips, T1=T1, T2=T2, esp=esp, M0=M0, phi_ex=phi_ex)
     flips = jnp.asarray(flips)
+    return _epg_cpmg_body(flips, T1, T2, esp, M0, phi_ex)
+
+
+def _epg_cpmg_body(flips, T1, T2, esp, M0, phi_ex):
     nE = flips.shape[-1]
     T1b, T2b = jnp.asarray(T1), jnp.asarray(T2)
     batch = jnp.broadcast_shapes(flips.shape[:-1], T1b.shape, T2b.shape,
@@ -143,3 +185,69 @@ def epg_cpmg(flips, *, T1, T2, esp, M0=1.0, phi_ex=pi / 2):
 
     _, echoes = jax.lax.scan(step, s, flips_t)
     return jnp.moveaxis(echoes, 0, -2)          # (*batch, nE, 2)
+
+
+def rf_spoil_phases(n: int, phi0=117.0):
+    r"""Quadratic RF-spoiling phase schedule ``φ_j = φ0·j(j+1)/2`` (the
+    classic 117°/50° schedules), "Rad"; ``phi0`` in degrees."""
+    j = jnp.arange(n)
+    return jnp.deg2rad(jnp.asarray(phi0)) * (j * (j + 1) / 2)
+
+
+def epg_spgr(flips, phis=None, *, T1, T2, tr, te=0.0, M0=1.0,
+             kshift: int = 1):
+    r"""Gradient-spoiled GRE (SPGR / FISP) signal train — the MRF-style
+    dictionary workhorse.
+
+    Per TR ``n``: RF pulse (flip ``flips[n]`` about phase ``phis[n]``),
+    signal read at TE (``F+(0)`` demodulated by the transmit phase —
+    receiver tracks the RF-spoiling schedule — with ``exp(-te/T2)``
+    decay), relaxation over TR, then the unbalanced spoiler gradient
+    shifts ``kshift`` k-quanta. With quadratic ``phis``
+    (:func:`rf_spoil_phases`) this is RF-spoiled SPGR approaching the
+    Ernst steady state; with ``phis=None`` (zero phases) it is FISP.
+    Variable ``flips`` trains (MRF) broadcast per voxel like
+    :func:`epg_cpmg`.
+
+    Inputs:
+        - ``flips``: `(nTR,)` or `(*batch, nTR)`, "Rad".
+        - ``phis``: `(nTR,)` or `(*batch, nTR)`, "Rad" (None → 0).
+        - ``T1``/``T2``: `()` ⊻ `(*batch,)`, "Sec"; ``tr``/``te``: "Sec".
+    Outputs:
+        - ``signals``: `(*batch, nTR, 2)` real ([re, im] of the
+          demodulated echo).
+
+    Differentiable w.r.t. ``flips``/``phis``/``T1``/``T2`` — MRF
+    dictionary generation and sequence optimization run by gradient
+    descent. Validated against a uniformly dephased isochromat ensemble
+    (``tests/test_epg.py``).
+    """
+    flips = jnp.asarray(flips)
+    nTR = flips.shape[-1]
+    if phis is None:
+        phis = jnp.zeros(nTR, flips.dtype)
+    phis = jnp.asarray(phis)
+    T1b, T2b = jnp.asarray(T1), jnp.asarray(T2)
+    batch = jnp.broadcast_shapes(flips.shape[:-1], phis.shape[:-1],
+                                 T1b.shape, T2b.shape, jnp.shape(M0))
+    K = nTR * abs(int(kshift)) + 1
+    s = epg_state(K, batch, M0=M0, dtype=flips.dtype)
+    flips_t = jnp.moveaxis(jnp.broadcast_to(flips, batch + (nTR,)),
+                           -1, 0)
+    phis_t = jnp.moveaxis(jnp.broadcast_to(phis, batch + (nTR,)), -1, 0)
+    E2te = jnp.broadcast_to(jnp.exp(-jnp.asarray(te) / T2b), batch)
+
+    def step(s, x):
+        a, phi = x
+        s = epg_rf(s, a, phi)
+        # demodulate by the transmit phase: s·e^{−iφ}, with TE decay
+        fr, fi = s[..., 0, 0, 0], s[..., 0, 0, 1]
+        c, si = jnp.cos(phi), jnp.sin(phi)
+        sig = E2te[..., None] * jnp.stack(
+            [c * fr + si * fi, c * fi - si * fr], -1)
+        s = epg_relax(s, tr, T1b, T2b, M0)
+        s = epg_grad(s, kshift)
+        return s, sig
+
+    _, sigs = jax.lax.scan(step, s, (flips_t, phis_t))
+    return jnp.moveaxis(sigs, 0, -2)            # (*batch, nTR, 2)

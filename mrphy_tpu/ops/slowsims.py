@@ -59,7 +59,8 @@ def blochsim_1step(M, M1, b, E1, E1_1, E2, gam2pidt):
 
 @kwalias(**{'γ': 'gam'})
 def blochsim(M, Beff, *, T1: Optional[jax.Array] = None,
-             T2: Optional[jax.Array] = None, gam=gamH, dt=dt0):
+             T2: Optional[jax.Array] = None, gam=gamH, dt=dt0,
+             mesh=None):
     r"""Bloch simulator with implicit (autodiff) Jacobians.
 
     Inputs:
@@ -70,12 +71,19 @@ def blochsim(M, Beff, *, T1: Optional[jax.Array] = None,
           ``None`` to ignore relaxation.
         - ``gam`` (alias ``γ``): `()` ⊻ `(N ⊻ 1, *Nd ⊻ 1,)`, "Hz/Gauss".
         - ``dt``: `()` ⊻ `(N ⊻ 1,)`, "Sec".
+        - ``mesh``: a ``(batch, spins)`` :class:`jax.sharding.Mesh` to
+          run multi-chip via shard_map (compact `(N, nM, xyz)` layout
+          only; spins shard by shape, scalars replicate).
     Outputs:
         - ``M``: `(N, *Nd, xyz)`, spins after the pulse.
 
     Parity: ``/root/reference/mrphy/slowsims.py:57-114``; the hot loop is
     ``lax.scan`` over the time axis.
     """
+    if mesh is not None:
+        from mrphy_tpu.parallel.mesh import oracle_sharded_traceable
+        return oracle_sharded_traceable(mesh, M, Beff, T1=T1, T2=T2,
+                                        gam=gam, dt=dt)
     M, Beff = jnp.asarray(M), jnp.asarray(Beff)
     assert M.shape[:-1] == Beff.shape[:-2]
     ndim = M.ndim - 1
@@ -85,7 +93,10 @@ def blochsim(M, Beff, *, T1: Optional[jax.Array] = None,
     dt_r = rshape(dt, ndim)
     E1 = one if T1 is None else jnp.exp(-dt_r / rshape(T1, ndim))
     E2 = one if T2 is None else jnp.exp(-dt_r / rshape(T2, ndim))
-    E1_1 = E1 - 1
+    # expm1, not exp()-1: E1 ≈ 1-4e-6 at µs dwell times and the
+    # subtraction cancels catastrophically in f32
+    E1_1 = (jnp.zeros_like(one) if T1 is None
+            else jnp.expm1(-dt_r / rshape(T1, ndim)))
     gam2pidt = 2 * pi * rshape(gam, ndim) * dt_r
 
     beff_t = jnp.moveaxis(Beff, -2, 0)  # (nT, N, *Nd, xyz)
@@ -145,7 +156,7 @@ def blochsim_ab(M, A, B):
 
 
 @kwalias(**{'Δf': 'df'})
-def freeprec(M, dur, *, T1=None, T2=None, df=None):
+def freeprec(M, dur, *, T1=None, T2=None, df=None, mesh=None):
     r"""Free precession with relaxation and off-resonance (closed form).
 
     Inputs:
@@ -155,11 +166,18 @@ def freeprec(M, dur, *, T1=None, T2=None, df=None):
         - ``T1``/``T2``: `()` ⊻ `(N ⊻ 1, *Nd ⊻ 1,)`, "Sec" (both or neither).
         - ``df`` (alias ``Δf``): `(N ⊻ 1, *Nd ⊻ 1,)`, "Hz"; positive ``df``
           dephases clockwise (negative φ).
+        - ``mesh``: a ``(batch, spins)`` :class:`jax.sharding.Mesh` to
+          run voxel-sharded via shard_map (compact `(N, nM, xyz)` only;
+          the qMRI fitting workloads are embarrassingly voxel-parallel).
     Outputs:
         - ``M``: `(N, *Nd, xyz)`.
 
     Parity: ``/root/reference/mrphy/slowsims.py:134-174``.
     """
+    if mesh is not None:
+        from mrphy_tpu.parallel.mesh import oracle_freeprec_traceable
+        return oracle_freeprec_traceable(mesh, M, dur, T1=T1, T2=T2,
+                                         df=df)
     M = jnp.asarray(M)
     ndim = M.ndim
     dur = rshape(dur, ndim)
@@ -233,7 +251,7 @@ def _expm2(a, b, c, d):
 
 @kwalias(**{'γ': 'gam'})
 def blochsim_mc(Ma, Mb, Beff, *, T1a, T2a, T1b, T2b, kab, kba,
-                Ma0=1.0, Mb0=0.1, dfb=0.0, gam=gamH, dt=dt0):
+                Ma0=1.0, Mb0=0.1, dfb=0.0, gam=gamH, dt=dt0, mesh=None):
     r"""Two-pool Bloch–McConnell simulator (magnetization transfer /
     CEST) — a model family beyond the reference, built from the same
     rotate-then-relax machinery.
@@ -264,8 +282,17 @@ def blochsim_mc(Ma, Mb, Beff, *, T1a, T2a, T1b, T2b, kab, kba,
         - ``(Ma, Mb)``: `(N, *Nd, xyz)` each, after all ``nT`` steps.
 
     Fully differentiable by autodiff (including w.r.t. the tissue and
-    exchange parameters — like the other oracle-tier engines).
+    exchange parameters — like the other oracle-tier engines). Pass
+    ``mesh`` (a ``(batch, spins)`` :class:`jax.sharding.Mesh`) to shard
+    the voxel axis across chips via shard_map — Z-spectrum sweeps and
+    CEST fitting are embarrassingly voxel-parallel (compact
+    `(N, nM, xyz)` layout only).
     """
+    if mesh is not None:
+        from mrphy_tpu.parallel.mesh import mc_sharded_traceable
+        return mc_sharded_traceable(
+            mesh, Ma, Mb, Beff, T1a=T1a, T2a=T2a, T1b=T1b, T2b=T2b,
+            kab=kab, kba=kba, Ma0=Ma0, Mb0=Mb0, dfb=dfb, gam=gam, dt=dt)
     Ma, Mb, Beff = jnp.asarray(Ma), jnp.asarray(Mb), jnp.asarray(Beff)
     assert Ma.shape == Mb.shape, (Ma.shape, Mb.shape)
     assert Ma.shape[:-1] == Beff.shape[:-2], \

@@ -33,6 +33,8 @@ from mrphy_tpu.ops import sims
 
 __all__ = ['make_mesh', 'shard_spins', 'spin_pspec', 'blochsim_sharded',
            'blochsim_rfgr_sharded', 'rfgr_sharded_traceable',
+           'oracle_sharded_traceable', 'oracle_freeprec_traceable',
+           'mc_sharded_traceable', 'epg_cpmg_sharded_traceable',
            'shard_spin_obj', 'psum_loss', 'pad_spins']
 
 BATCH_AXIS = 'batch'
@@ -258,6 +260,146 @@ def blochsim_rfgr_sharded(mesh: Mesh, Mi, rf, gr, loc, **kw):
     names = tuple(sorted(arrs))
     f = _rfgr_sharded_jit(mesh, names, static)
     return f(Mi, rf, gr, loc, *(arrs[k] for k in names))
+
+
+# --------------------------------------------------------------------------
+# Oracle / extended families under shard_map.
+#
+# slowsims.blochsim (autodiff oracle), slowsims.blochsim_mc (two-pool
+# Bloch–McConnell: CEST Z-spectra over millions of voxels) and
+# ops.epg.epg_cpmg (voxel-wise echo trains for T2 mapping) are exactly as
+# embarrassingly spin/voxel-parallel as the fast engine — every per-step
+# op is elementwise over the spin axis. The same by-shape rule
+# (spin_pspec) shards them; the only collectives are in user losses.
+# These are the `mesh=` kwargs' dispatch targets (traceable: usable
+# inside an outer jit, e.g. a fitting loop's scan).
+# --------------------------------------------------------------------------
+
+def _sharded_elementwise(mesh: Mesh, fn, pos: tuple, kw: dict, N: int,
+                         nM: int, out_specs):
+    r"""shard_map ``fn(*pos, **kw)`` with every array argument sharded by
+    the ``(N, nM)`` by-shape rule (:func:`spin_pspec`); non-array kwargs
+    pass through statically."""
+    import jax.numpy as jnp
+
+    pos = tuple(jnp.asarray(x) for x in pos)
+    static = {k: v for k, v in kw.items()
+              if not hasattr(v, 'ndim') and isinstance(
+                  v, (str, bool, int, float, type(None)))}
+    arrs = {k: jnp.asarray(v) for k, v in kw.items() if k not in static}
+    names = tuple(sorted(arrs))
+
+    def body(*vals):
+        p, rest = vals[:len(pos)], vals[len(pos):]
+        kwd = dict(zip(names, rest))
+        kwd.update(static)
+        return fn(*p, **kwd)
+
+    in_specs = tuple(spin_pspec(x, N, nM) for x in pos) + tuple(
+        spin_pspec(arrs[k], N, nM) for k in names)
+    f = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                      out_specs=out_specs, check_vma=False)
+    return f(*pos, *(arrs[k] for k in names))
+
+
+def _check_divisible(mesh: Mesh, N: int, nM: int):
+    dp, sp = mesh.shape[BATCH_AXIS], mesh.shape[SPIN_AXIS]
+    assert N % dp == 0, f'N={N} not divisible by batch mesh extent {dp}'
+    assert nM % sp == 0, (f'nM={nM} not divisible by spin mesh extent '
+                          f'{sp}; see pad_spins')
+
+
+def oracle_sharded_traceable(mesh: Mesh, M, Beff, **kw):
+    r"""shard_map-wrapped :func:`mrphy_tpu.ops.slowsims.blochsim` (the
+    autodiff oracle — differentiable w.r.t. T1/T2/γ/dt too, unlike the
+    fast engine). Compact `(N, nM, xyz)` layout; per-spin params shard
+    by shape, scalars replicate."""
+    import jax.numpy as jnp
+    from mrphy_tpu.ops import slowsims
+
+    M = jnp.asarray(M)
+    assert M.ndim == 3, 'mesh= requires compact (N, nM, xyz) layout'
+    N, nM = M.shape[0], M.shape[1]
+    _check_divisible(mesh, N, nM)
+    return _sharded_elementwise(mesh, slowsims.blochsim, (M, Beff), kw,
+                                N, nM, spin_pspec(M, N, nM))
+
+
+def oracle_freeprec_traceable(mesh: Mesh, M, dur, **kw):
+    r"""shard_map-wrapped :func:`mrphy_tpu.ops.slowsims.freeprec`
+    (closed-form precession+relaxation — the qMRI-fit signal model).
+    Compact `(N, nM, xyz)` layout."""
+    import jax.numpy as jnp
+    from mrphy_tpu.ops import slowsims
+
+    M = jnp.asarray(M)
+    assert M.ndim == 3, 'mesh= requires compact (N, nM, xyz) layout'
+    N, nM = M.shape[0], M.shape[1]
+    _check_divisible(mesh, N, nM)
+
+    def body(M, dur, **kwd):
+        return slowsims.freeprec(M, dur, **kwd)
+
+    return _sharded_elementwise(mesh, body, (M, jnp.asarray(dur)), kw,
+                                N, nM, spin_pspec(M, N, nM))
+
+
+def mc_sharded_traceable(mesh: Mesh, Ma, Mb, Beff, **kw):
+    r"""shard_map-wrapped :func:`mrphy_tpu.ops.slowsims.blochsim_mc`
+    (two-pool Bloch–McConnell). Compact `(N, nM, xyz)` layout; returns
+    ``(Ma, Mb)``."""
+    import jax.numpy as jnp
+    from mrphy_tpu.ops import slowsims
+
+    Ma = jnp.asarray(Ma)
+    assert Ma.ndim == 3, 'mesh= requires compact (N, nM, xyz) layout'
+    N, nM = Ma.shape[0], Ma.shape[1]
+    _check_divisible(mesh, N, nM)
+    spec = spin_pspec(Ma, N, nM)
+    return _sharded_elementwise(mesh, slowsims.blochsim_mc,
+                                (Ma, Mb, Beff), kw, N, nM, (spec, spec))
+
+
+def epg_cpmg_sharded_traceable(mesh: Mesh, flips, **kw):
+    r"""shard_map-wrapped :func:`mrphy_tpu.ops.epg.epg_cpmg` for 1-D
+    voxel batches: ``flips`` `(nV, nEcho)` (or `(nEcho,)` replicated
+    with per-voxel ``T1``/``T2`` `(nV,)`). The voxel axis shards on the
+    mesh's spin axis; returns ``(nV, nEcho, 2)``."""
+    import jax.numpy as jnp
+    from mrphy_tpu.ops import epg
+
+    sp = mesh.shape[SPIN_AXIS]
+
+    def vox_spec(x):
+        x = jnp.asarray(x)
+        if x.ndim >= 1 and x.shape[0] == nV:
+            return P(SPIN_AXIS, *([None] * (x.ndim - 1)))
+        return P()
+
+    arrs = {k: jnp.asarray(v) for k, v in kw.items() if hasattr(
+        jnp.asarray(v), 'ndim') and jnp.asarray(v).ndim >= 1}
+    static = {k: v for k, v in kw.items() if k not in arrs}
+    flips = jnp.asarray(flips)
+    # voxel count: leading axis of any (nV, ...) operand
+    cands = [flips.shape[0]] if flips.ndim == 2 else []
+    cands += [v.shape[0] for v in arrs.values() if v.ndim >= 1]
+    assert cands, 'no per-voxel operand; nothing to shard'
+    nV = max(cands)
+    assert nV % sp == 0, (f'nV={nV} not divisible by spin mesh extent '
+                          f'{sp}')
+    names = tuple(sorted(arrs))
+
+    def body(flips, *vals):
+        kwd = dict(zip(names, vals))
+        kwd.update(static)
+        return epg.epg_cpmg(flips, **kwd)
+
+    in_specs = (vox_spec(flips),) + tuple(vox_spec(arrs[k])
+                                          for k in names)
+    f = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                      out_specs=P(SPIN_AXIS, None, None),
+                      check_vma=False)
+    return f(flips, *(arrs[k] for k in names))
 
 
 def psum_loss(fn):

@@ -43,6 +43,114 @@ def _iso_cpmg(flips, T1, T2, esp, nIso=64):
     return np.asarray(echoes)
 
 
+def _iso_spgr(flips, T1, T2, tr, nIso=64, kshift=1):
+    r"""Brute-force isochromat FISP/SPGR (zero RF phases): RF about +x,
+    read, relax TR, spoiler dephasing of ``kshift`` cycles."""
+    def rx(a):
+        return np.array([[1, 0, 0], [0, np.cos(a), -np.sin(a)],
+                         [0, np.sin(a), np.cos(a)]])
+
+    thetas = kshift * 2 * np.pi * np.arange(nIso) / nIso
+    Rz_th = np.stack([np.array(
+        [[np.cos(t), -np.sin(t), 0], [np.sin(t), np.cos(t), 0],
+         [0, 0, 1.]]) for t in thetas])
+    E1, E2 = np.exp(-tr / T1), np.exp(-tr / T2)
+
+    M = np.tile([0., 0., 1.], (nIso, 1))
+    sigs = []
+    for a in flips:
+        M = M @ rx(a).T
+        sigs.append(np.mean(M[:, 0] + 1j * M[:, 1]))
+        M = M * [E2, E2, E1] + [0, 0, 1 - E1]
+        M = np.einsum('nij,nj->ni', Rz_th, M)
+    return np.asarray(sigs)
+
+
+class TestEPGDepth:
+    r"""Generalized shift operator + gradient-spoiled (SPGR/FISP)
+    trains — the MRF-dictionary machinery."""
+
+    def test_grad_composition_and_inverse(self):
+        rng = np.random.default_rng(2)
+        s = jnp.asarray(rng.normal(size=(3, 8, 2)))
+        # k=2 equals two unit shifts
+        np.testing.assert_allclose(epg.epg_grad(s, 2),
+                                   epg.epg_grad(epg.epg_grad(s)),
+                                   atol=1e-15)
+        # +1 then -1 is identity for PHYSICAL states (where the
+        # invariant F−(0) = conj(F+(0)) holds — both hemispheres view
+        # the same k=0 coherence) that are not truncated at k=K-1
+        s_low = jnp.asarray(s).at[..., -2:, :].set(0.)
+        s_low = s_low.at[1, 0, 0].set(s_low[0, 0, 0])
+        s_low = s_low.at[1, 0, 1].set(-s_low[0, 0, 1])
+        rt = epg.epg_grad(epg.epg_grad(s_low, 1), -1)
+        np.testing.assert_allclose(rt, s_low, atol=1e-15)
+        rt2 = epg.epg_grad(epg.epg_grad(s_low, -1), 1)
+        np.testing.assert_allclose(rt2, s_low, atol=1e-15)
+
+    def test_spgr_matches_isochromat_ensemble(self):
+        r"""FISP with variable (MRF-style) flips: EPG equals the exact
+        uniformly-dephased ensemble average."""
+        T1, T2, tr, nTR = 0.8, 0.06, 0.008, 12
+        rng = np.random.default_rng(3)
+        flips = np.deg2rad(rng.uniform(5, 70, nTR))
+        e = np.asarray(epg.epg_spgr(jnp.asarray(flips), T1=T1, T2=T2,
+                                    tr=tr))
+        e_epg = np.hypot(e[..., 0], e[..., 1])
+        e_iso = np.abs(_iso_spgr(flips, T1, T2, tr, nIso=64))
+        np.testing.assert_allclose(e_epg, e_iso, atol=1e-9)
+
+    def test_spgr_kshift2_matches_isochromat(self):
+        r"""Double-area spoiler (kshift=2) against an ensemble dephased
+        by two cycles per TR."""
+        T1, T2, tr, nTR = 0.8, 0.06, 0.008, 8
+        flips = np.deg2rad(np.full(nTR, 35.0))
+        e = np.asarray(epg.epg_spgr(jnp.asarray(flips), T1=T1, T2=T2,
+                                    tr=tr, kshift=2))
+        e_epg = np.hypot(e[..., 0], e[..., 1])
+        e_iso = np.abs(_iso_spgr(flips, T1, T2, tr, nIso=64, kshift=2))
+        np.testing.assert_allclose(e_epg, e_iso, atol=1e-9)
+
+    def test_rf_spoiled_reaches_ernst(self):
+        r"""Quadratic 117° RF spoiling: the steady-state SPGR signal
+        approaches the ideally-spoiled Ernst value (the textbook
+        validation of RF spoiling)."""
+        T1, T2, tr, nTR = 1.0, 0.08, 0.01, 600
+        a = np.deg2rad(20.0)
+        phis = epg.rf_spoil_phases(nTR)
+        e = np.asarray(epg.epg_spgr(
+            jnp.full((nTR,), a), phis, T1=T1, T2=T2, tr=tr))
+        sig = np.hypot(e[..., 0], e[..., 1])
+        E1 = np.exp(-tr / T1)
+        ernst = np.sin(a) * (1 - E1) / (1 - np.cos(a) * E1)
+        ss = np.mean(sig[-50:])
+        # 117° quadratic spoiling is a good but not exact approximation
+        # of ideal spoiling (classic Zur/Wood/Neuringer result): a few
+        # percent off Ernst is physical, not a bug
+        assert abs(ss - ernst) / ernst < 0.06, (ss, ernst)
+        # and WITHOUT RF spoiling the FISP steady state is FARTHER from
+        # Ernst (coherence pathways survive) — the schedule matters
+        e0 = np.asarray(epg.epg_spgr(
+            jnp.full((nTR,), a), None, T1=T1, T2=T2, tr=tr))
+        s0 = np.mean(np.hypot(e0[..., 0], e0[..., 1])[-50:])
+        assert abs(s0 - ernst) > abs(ss - ernst)
+        assert abs(s0 - ernst) / ernst > 0.05
+
+    def test_spgr_differentiable_and_batched(self):
+        nV, nTR = 4, 10
+        T2 = jnp.asarray(np.linspace(0.04, 0.1, nV))
+        flips = jnp.full((nTR,), np.deg2rad(30.0))
+        e = epg.epg_spgr(flips, T1=1.0, T2=T2, tr=0.01, te=0.004)
+        assert e.shape == (nV, nTR, 2)
+
+        def loss(T2):
+            e = epg.epg_spgr(flips, T1=1.0, T2=T2, tr=0.01, te=0.004)
+            return jnp.sum(e ** 2)
+        g = jax.grad(loss)(T2)
+        assert g.shape == (nV,) and bool(jnp.all(jnp.isfinite(g)))
+        assert float(jnp.max(jnp.abs(g))) > 0
+
+
 class TestEPG:
 
     def test_perfect_cpmg_is_pure_t2_decay(self):
