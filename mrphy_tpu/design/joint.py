@@ -40,28 +40,45 @@ __all__ = ['DesignConfig', 'design_pulse', 'design_multiscale',
 
 @dataclasses.dataclass(frozen=True)
 class DesignConfig:
-    r"""Hyper-parameters of the joint design loop."""
+    r"""Hyper-parameters of the joint design loop.
+
+    ``rfmax`` is a scalar shared RF peak limit, or a ``(nCoils,)``
+    TUPLE of per-coil limits for pTx arrays with heterogeneous channel
+    constraints (tuple, not array, so the config stays hashable as a
+    jit static key); it feeds the ``(N ⊻ 1, (nCoils))`` rfmax contract
+    of the reparametrizations (ref ``/root/reference/mrphy/utils.py:
+    196-214``), so each coil's |rf| bound holds by construction.
+    """
     niter: int = 100
     lr: float = 1e-1
-    rfmax: float = rfmax0     # Gauss
+    rfmax: object = rfmax0    # Gauss; float ⊻ (nCoils,) tuple
     smax: float = smax0       # Gauss/cm/Sec
     dt: float = dt0           # Sec
     lam_pow: float = 0.0      # RF power penalty weight
     gam: float = gamH
 
 
+def _rfmax_arr(cfg: DesignConfig):
+    r"""``cfg.rfmax`` → the `()` ⊻ `(1, nCoils)` array the rf utils
+    expect (tuple = per-coil limits, broadcast over the batch)."""
+    if isinstance(cfg.rfmax, (tuple, list)):
+        return jnp.asarray(cfg.rfmax)[None, :]
+    return jnp.asarray(cfg.rfmax)
+
+
 def init_params(rf, gr, cfg: DesignConfig) -> dict:
     r"""Map initial (clamped) waveforms to unbounded design variables."""
-    rf = rfclamp(rf, cfg.rfmax)
+    rfmax = _rfmax_arr(cfg)
+    rf = rfclamp(rf, rfmax)
     s = sclamp(g2s(gr, cfg.dt), cfg.smax * (1 - 1e-6))
-    trho, theta = rf2trho_theta(rf, cfg.rfmax)
+    trho, theta = rf2trho_theta(rf, rfmax)
     return {'trho': trho, 'theta': theta, 'ts': s2ts(s, jnp.asarray(cfg.smax))}
 
 
 def params2pulse(params: dict,
                  cfg: DesignConfig) -> Tuple[jax.Array, jax.Array]:
     r"""Unbounded design variables → (rf, gr) respecting rfmax/smax."""
-    rf = trho_theta2rf(params['trho'], params['theta'], cfg.rfmax)
+    rf = trho_theta2rf(params['trho'], params['theta'], _rfmax_arr(cfg))
     s = ts2s(params['ts'], jnp.asarray(cfg.smax))
     gr = s2g(s, cfg.dt)
     return rf, gr
@@ -198,8 +215,14 @@ def design_pulse(spinarray, pulse, Mtgt_, *, loc_=None, df_=None,
         # avoids a resharding transfer on the first iteration), using the
         # same by-shape rule as the engine (parallel.mesh.spin_pspec)
         from jax.sharding import NamedSharding
-        from mrphy_tpu.parallel.mesh import spin_pspec
+        from mrphy_tpu.parallel.mesh import SPIN_AXIS, spin_pspec
         N, nM = step_args[0].shape[0], step_args[0].shape[1]
+        sp = mesh.shape[SPIN_AXIS]
+        # check divisibility BEFORE device_put: otherwise an indivisible
+        # nM surfaces as an opaque sharding error instead of this hint
+        assert nM % sp == 0, (
+            f'nM={nM} not divisible by the mesh spin extent {sp}; pad '
+            f'the compact attrs first (see mrphy_tpu.parallel.pad_spins)')
 
         def put(x):
             if (x is not None and hasattr(x, 'ndim') and x.ndim >= 2
@@ -225,7 +248,7 @@ def design_pulse(spinarray, pulse, Mtgt_, *, loc_=None, df_=None,
                                       mesh=mesh)
 
     rf, gr = _params2pulse_jit(params, cfg)
-    out = Pulse(rf, gr, dt=cfg.dt, rfmax=cfg.rfmax, smax=cfg.smax,
+    out = Pulse(rf, gr, dt=cfg.dt, rfmax=_rfmax_arr(cfg), smax=cfg.smax,
                 desc=f'{pulse.desc} + designed({cfg.niter} iters)',
                 dtype=pulse.dtype)
     return out, losses
@@ -262,7 +285,13 @@ def design_multiscale(spinarray, pulse, Mtgt_, *, dts, niters,
     p, losses = pulse, []
     for dt_s, ni in zip(dts, niters):
         dt_s = float(dt_s)
-        if abs(float(jnp.asarray(p.dt).reshape(-1)[0]) - dt_s) > 1e-12:
+        dt_all = jnp.asarray(p.dt).reshape(-1)
+        # the resample decision is global; a per-batch dt array with
+        # differing values would be silently mishandled
+        assert float(jnp.ptp(dt_all)) == 0.0, (
+            'design_multiscale requires a scalar/uniform pulse dt, got '
+            f'{dt_all}')
+        if abs(float(dt_all[0]) - dt_s) > 1e-12:
             p = p.interpT(jnp.asarray(dt_s))
         cfg_s = dataclasses.replace(cfg, dt=dt_s, niter=int(ni))
         p, loss = design_pulse(spinarray, p, Mtgt_, cfg=cfg_s, **kw)

@@ -11,12 +11,24 @@ unconstrained optimization over peak-limited RF:
   (ref ``rf2lρθ``/``lρθ2rf``)
 
 No numpy/cupy split is needed (the reference dispatches on array type at
-``utils.py:147-152``): jnp handles host and device arrays uniformly, and the
-converters work on complex dtypes natively.
+``utils.py:147-152``): jnp handles host and device arrays uniformly.
+
+Complex-dtype boundary: some TPU runtimes (e.g. the remote-attached
+"axon" backend) do not implement complex dtypes AT ALL — eager
+``jnp.zeros(..., complex64)`` throws ``UNIMPLEMENTED``. These two
+converters are data-prep utilities, not compute-path ops, so they stay
+graceful there: :func:`rf_c2r` splits re/im **on the host** (numpy) and
+only then moves the real-valued result to the device, and
+:func:`rf_r2c` returns a host numpy complex array when the default
+backend lacks complex support (a device-resident complex array cannot
+exist there). On backends with complex support both return jax arrays.
 
 Unicode aliases (``rf2tρθ`` …) are exported from :mod:`mrphy_tpu.utils`.
 """
 
+import functools
+
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -24,6 +36,17 @@ from mrphy_tpu import pi
 
 __all__ = ['rf_c2r', 'rf_r2c', 'rf2trho_theta', 'trho_theta2rf',
            'rf2lrho_theta', 'lrho_theta2rf', 'rfclamp']
+
+
+@functools.lru_cache(maxsize=1)
+def _complex_ok() -> bool:
+    r"""Whether the default backend supports complex dtypes (the axon TPU
+    runtime does not — CLAUDE.md; probed once, cached)."""
+    try:
+        jnp.zeros((), jnp.complex64).block_until_ready()
+        return True
+    except Exception:
+        return False
 
 
 def rf_c2r(rf):
@@ -34,10 +57,14 @@ def rf_c2r(rf):
     Outputs:
         - ``rf``: `(N, xy, nT, (nCoils))`, x: real, y: imag.
 
+    The re/im split happens on the host (numpy): complex inputs cannot
+    be device-resident on runtimes without complex support, and the
+    real-valued RESULT is what belongs on the device (see module note).
+
     Parity: ``/root/reference/mrphy/utils.py:134-152``.
     """
-    rf = jnp.asarray(rf)
-    return jnp.concatenate((rf.real, rf.imag), axis=1)
+    rf = np.asarray(rf)
+    return jnp.asarray(np.concatenate((rf.real, rf.imag), axis=1))
 
 
 def rf_r2c(rf):
@@ -46,12 +73,17 @@ def rf_r2c(rf):
     Inputs:
         - ``rf``: `(N, xy, nT, (nCoils))`, x: real, y: imag.
     Outputs:
-        - ``rf``: `(N, 1, nT, (nCoils))`, complex RF pulse.
+        - ``rf``: `(N, 1, nT, (nCoils))`, complex RF pulse — a jax array
+          when the backend supports complex dtypes, otherwise a host
+          numpy array (see module note on the complex-dtype boundary).
 
     Parity: ``/root/reference/mrphy/utils.py:155-168``.
     """
-    rf = jnp.asarray(rf)
-    return rf[:, 0:1, ...] + 1j*rf[:, 1:2, ...]
+    if _complex_ok():
+        rf = jnp.asarray(rf)
+        return rf[:, 0:1, ...] + 1j * rf[:, 1:2, ...]
+    rf = np.asarray(rf)
+    return rf[:, 0:1, ...] + 1j * rf[:, 1:2, ...]
 
 
 def _rfmax_bcast(rfmax):

@@ -25,3 +25,9 @@ import jax  # noqa: E402
 # (which wins over the env var) so tests are hermetic.
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', True)
+
+# Persistent compile cache: most of the suite's wall time is jit compiles
+# of the big parametrized engines; repeated runs reuse the executables.
+jax.config.update('jax_compilation_cache_dir',
+                  os.path.expanduser('~/.cache/mrphy_tpu_test_jax'))
+jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)

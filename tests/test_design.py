@@ -115,6 +115,50 @@ class TestDesign:
         assert float(losses[-1]) < 0.1 * float(losses[0])
         assert float(jnp.abs(p2.rf).max()) <= 0.25 + 1e-5
 
+    def test_ptx_percoil_rfmax(self):
+        r"""Heterogeneous per-coil RF limits (the realistic pTx
+        constraint): cfg.rfmax as a (nCoils,) tuple; each coil's
+        |rf| bound must hold by construction, and the design must
+        actually drive both coils against their (different) limits."""
+        import numpy as np
+        from mrphy_tpu import dt0
+        from mrphy_tpu.models import mobjs
+        from mrphy_tpu.design import design_pulse, DesignConfig
+
+        nC, nT = 2, 64
+        limits = (0.02, 0.25)              # coil 0 much tighter
+        cube = mobjs.Examples.spincube()
+        rng = np.random.default_rng(1)
+        rf = jnp.asarray(0.005 * rng.normal(size=(1, 2, nT, nC)),
+                         jnp.float32)
+        gr = jnp.asarray(0.1 * rng.normal(size=(1, 3, nT)), jnp.float32)
+        p = mobjs.Pulse(rf=rf, gr=gr, dt=dt0)
+        b1_ = jnp.asarray(0.5 + 0.5 * rng.random((1, cube.nM, 2, nC)),
+                          jnp.float32)
+        Mtgt_ = jnp.tile(jnp.asarray([0., 1., 0.], jnp.float32),
+                         (1, cube.nM, 1))
+        p2, losses = design_pulse(
+            cube, p, Mtgt_, b1Map_=b1_,
+            cfg=DesignConfig(niter=40, lr=0.1, rfmax=limits, smax=12e3,
+                             dt=float(dt0)))
+        assert float(losses[-1]) < float(losses[0])
+        amp = jnp.linalg.norm(p2.rf, axis=1)      # (1, nT, nC)
+        for c, lim in enumerate(limits):
+            mx = float(amp[..., c].max())
+            assert mx <= lim + 1e-6, (c, mx, lim)
+        # the tight coil must be BOUND by its own limit (i.e. the limit
+        # is active, not vacuous): it gets close to 0.02 yet far under
+        # the loose coil's 0.25
+        assert float(amp[..., 0].max()) > 0.5 * limits[0]
+        # round-trip: the designed pulse re-parametrizes consistently
+        from mrphy_tpu.design.joint import (init_params, params2pulse,
+                                            _rfmax_arr)
+        cfg = DesignConfig(rfmax=limits, dt=float(dt0))
+        rf_rt, _ = params2pulse(init_params(p2.rf, p2.gr, cfg), cfg)
+        np.testing.assert_allclose(np.asarray(rf_rt),
+                                   np.asarray(p2.rf), atol=1e-5)
+        assert _rfmax_arr(cfg).shape == (1, nC)
+
     def test_design_on_mesh_matches_single_device(self):
         r"""design_pulse(mesh=...) — the multi-chip loop via shard_map —
         produces the same loss trajectory and waveforms as the

@@ -60,6 +60,20 @@ class TestUtils:
         rf1 = utils.rf_c2r(utils.rf_r2c(rf0))
         np.testing.assert_allclose(rf0, rf1, atol=ATOL32)
 
+    def test_rf_converters_without_backend_complex(self, monkeypatch):
+        r"""On runtimes without complex dtypes (axon TPU) the converters
+        stay usable: rf_r2c returns a host numpy complex array, rf_c2r
+        accepts it and returns a real device array."""
+        from mrphy_tpu.utils import rf as rfmod
+        monkeypatch.setattr(rfmod, '_complex_ok', lambda: False)
+        rng = np.random.default_rng(2)
+        rf0 = rng.random((1, 2, 7))
+        rfc = rfmod.rf_r2c(rf0)
+        assert isinstance(rfc, np.ndarray) and np.iscomplexobj(rfc)
+        rf1 = rfmod.rf_c2r(rfc)
+        assert isinstance(rf1, jax.Array)
+        np.testing.assert_allclose(rf0, np.asarray(rf1), atol=ATOL32)
+
     def test_rfclamp_tan_roundtrip(self):
         rng = np.random.default_rng(1)
         rfmax = jnp.asarray(rfmax0, self.dtype)
