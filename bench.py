@@ -55,6 +55,8 @@ def bench_fwd_adjoint(nM, nT, dtype_name='float32', repeats=3, passes=4):
     dtype = jnp.dtype(dtype_name)
     a = _build(nM, nT, dtype)
 
+    # NB: max_phi= (reduction-free sincos) measured ±0 on this config —
+    # the kernel is not sincos-flop-bound; see RESULTS.md round 2.
     def loss(rf, gr):
         Mo = sims.blochsim_rfgr(a['Mi'], rf, gr, a['loc'], T1=a['T1'],
                                 T2=a['T2'], df=a['df'], b1Map=a['b1Map'],

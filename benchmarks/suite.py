@@ -178,9 +178,49 @@ def bench_longpulse():
             'ms': round(secs * 1e3, 1)}
 
 
+def bench_beffstream():
+    r"""Beff-streaming engine (materialized field tensor) fwd+adjoint:
+    f32 vs bfloat16 Beff storage. The path is HBM-bound on the (nT, nM)
+    field stream, so bf16 storage (upcast in-register, bf16 cotangent)
+    targets ~2x; reports both and the bf16-vs-f32 gradient deviation."""
+    import jax
+    import jax.numpy as jnp
+    from mrphy_tpu.ops import sims
+
+    nM, nT = 250_000, 512
+    rng = np.random.default_rng(0)
+    Mi = jnp.asarray(rng.random((1, nM, 3)), jnp.float32)
+    beff32 = jnp.asarray(rng.normal(size=(1, nM, nT, 3)) * 0.1,
+                         jnp.float32)
+    beff16 = beff32.astype(jnp.bfloat16)
+    T1 = jnp.asarray([[1.47]], jnp.float32)
+    T2 = jnp.asarray([[0.07]], jnp.float32)
+    W = jnp.asarray(rng.normal(size=Mi.shape), jnp.float32)
+
+    def mk(bb):
+        return jax.jit(jax.grad(lambda b: jnp.sum(W * sims.blochsim(
+            Mi, b, T1=T1, T2=T2, backend='pallas'))))
+
+    g32f = mk(beff32)
+    g16f = mk(beff16)
+    t32 = _timeit(g32f, beff32, repeats=4)
+    t16 = _timeit(g16f, beff16, repeats=4)
+    g32 = g32f(beff32)
+    g16 = g16f(beff16).astype(jnp.float32)
+    scale = float(jnp.max(jnp.abs(g32)))
+    rel = float(jnp.max(jnp.abs(g16 - g32))) / scale
+    return {'metric': f'beffstream: {nM} spins x {nT} steps fwd+adjoint,'
+                      ' bf16 Beff storage vs f32',
+            'value': round(t16 * 1e3, 1), 'unit': 'ms',
+            'f32_ms': round(t32 * 1e3, 1),
+            'speedup': round(t32 / t16, 2),
+            'bf16_grad_rel_dev': f'{rel:.1e}'}
+
+
 ALL = {'tiny': bench_tiny, 'freeprec32': bench_freeprec32,
        'design64': bench_design64, 'throughput': bench_throughput,
-       'deeptime': bench_deeptime, 'longpulse': bench_longpulse}
+       'deeptime': bench_deeptime, 'longpulse': bench_longpulse,
+       'beffstream': bench_beffstream}
 
 
 def main():

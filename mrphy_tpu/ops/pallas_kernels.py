@@ -72,10 +72,24 @@ _COS_C = (-4.9999999647e-01, 4.1666645172e-02, -1.3888464769e-03,
           2.4765154176e-05, -2.6136419324e-07)
 
 
-def _fast_sincos(phi):
+def _fast_sincos(phi, small: bool = False):
     r"""(sin(phi), cos(phi)) for phi >= 0 via range reduction + minimax
     polynomials; f32-exact (~1e-7) and far cheaper than two Mosaic
-    transcendentals."""
+    transcendentals.
+
+    ``small=True`` (static) skips the Cody–Waite reduction entirely:
+    valid — and BIT-IDENTICAL to the reduced path, since phi < π/2 means
+    k=0, r=phi, sgn=1 — whenever the caller guarantees phi ≤ π/2 (at
+    physical dwell times phi = γ2πdt·|B| ≈ 0.107·|B| rad/Gauss, so |B|
+    would have to exceed ~14.7 G; see ``sims.rfgr_phi_bound``). Saves
+    the round/2-FMA/floor/sign tail, ~10 of the ~25 mul-adds."""
+    if small:
+        x = phi * phi
+        s1, s2, s3, s4 = _SIN_C
+        s = phi * (1.0 + x * (s1 + x * (s2 + x * (s3 + x * s4))))
+        c1_, c2_, c3_, c4_, c5_ = _COS_C
+        c = 1.0 + x * (c1_ + x * (c2_ + x * (c3_ + x * (c4_ + x * c5_))))
+        return s, c
     k = jnp.round(phi * (1.0 / 3.1415926535897931))
     r = (phi - k * _PI_HI) - k * _PI_LO          # r in [-pi/2, pi/2]
     x = r * r
@@ -211,7 +225,7 @@ def _assemble_b_tile(n, t, nC, has_dfg, has_b1, rf_ref, gr_ref,
 
 def _rfgr_fwd_kernel(tc: int, ntc: int, nC: int, relax: bool,
                      has_dfg: bool, has_b1: bool, has_vel: bool,
-                     rf_ref, gr_ref, *refs):
+                     small: bool, rf_ref, gr_ref, *refs):
     r"""One (batch, spin tile, time chunk) grid cell. The magnetization
     persists in VMEM scratch across chunks; each chunk's END state is
     streamed to the ``chk`` output — the adjoint restarts its in-chunk
@@ -251,7 +265,7 @@ def _rfgr_fwd_kernel(tc: int, ntc: int, nC: int, relax: bool,
         inv = jax.lax.rsqrt(n2)
         phi = n2 * inv
         ux, uy, uz = bx * inv, by * inv, bz * inv
-        s, c = _fast_sincos(phi)
+        s, c = _fast_sincos(phi, small)
         c1 = c - 1.0
         utm = ux * mx + uy * my + uz * mz
         # m₁ = m − s·(u×m) + (c−1)·(m − (uᵀm)·u)
@@ -279,7 +293,7 @@ def _rfgr_fwd_kernel(tc: int, ntc: int, nC: int, relax: bool,
 
 def _rfgr_bwd_kernel(tc: int, ntc: int, nC: int, relax: bool,
                      has_dfg: bool, has_b1: bool, has_vel: bool,
-                     rf_ref, gr_ref, *refs):
+                     small: bool, rf_ref, gr_ref, *refs):
     r"""Reverse time loop for one (batch, spin tile, time chunk) cell:
     reconstruct m, rotate the cotangent back, reduce per-step waveform
     gradients, and accumulate per-spin field gradients (dloc/ddfg/db1/
@@ -347,7 +361,7 @@ def _rfgr_bwd_kernel(tc: int, ntc: int, nC: int, relax: bool,
         inv = jax.lax.rsqrt(n2)
         phi = n2 * inv
         ux, uy, uz = bx * inv, by * inv, bz * inv
-        s, c = _fast_sincos(phi)
+        s, c = _fast_sincos(phi, small)
         c1 = c - 1.0
 
         # undo relaxation: m̃ = (m₁ + e1z)/E, h̃ = E∘h₁
@@ -487,8 +501,8 @@ def _rfgr_specs(ts, nC):
 
 
 def rfgr_fwd_planes(mi, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd,
-                    vel_p=None, tarr2=None, *,
-                    ts=None, tc=None, interpret: bool = False):
+                    vel_p=None, tarr2=None, *, ts=None, tc=None,
+                    small_phi: bool = False, interpret: bool = False):
     r"""Pallas forward, batched planes layout. Returns the chunk-end
     checkpoints ``chk``: `(N, ntc, 3, S1, L)` — the final state is
     ``chk[:, -1]``, the rest feed the adjoint's per-chunk reconstruction
@@ -529,7 +543,7 @@ def rfgr_fwd_planes(mi, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd,
         args += [vel_p, tarr2]
 
     kernel = functools.partial(_rfgr_fwd_kernel, tc, ntc, nC, relax,
-                               has_dfg, has_b1, has_vel)
+                               has_dfg, has_b1, has_vel, small_phi)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -566,8 +580,8 @@ def _pick_tc_wf(nT: int, K: int) -> int:
 
 
 def rfgr_bwd_planes(chk, g, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd,
-                    vel_p=None, tarr2=None, *,
-                    ts=None, tc=None, interpret: bool = False):
+                    vel_p=None, tarr2=None, *, ts=None, tc=None,
+                    small_phi: bool = False, interpret: bool = False):
     r"""Pallas backward (checkpointed reverse-reconstruction adjoint),
     batched planes. ``chk``: `(N, ntc, 3, S1, L)` chunk-end checkpoints
     from :func:`rfgr_fwd_planes` (same ``tc``). Returns ``(dmi, drf2
@@ -618,7 +632,7 @@ def rfgr_bwd_planes(chk, g, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd,
         args += [vel_p, tarr2]
 
     kernel = functools.partial(_rfgr_bwd_kernel, tc, ntc, nC, relax,
-                               has_dfg, has_b1, has_vel)
+                               has_dfg, has_b1, has_vel, small_phi)
     # per-tile lane-partial waveform grads, streamed per time chunk
     # (chunks visited newest-first); block dims equal to array dims are
     # exempt from the (8, 128) divisibility rule
@@ -676,26 +690,27 @@ def rfgr_bwd_planes(chk, g, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd,
     return dmi, drf2, dgr2, dloc, ddfg, db1g, dvel
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(11,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 12))
 def rfgr_core(mi, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd, vel_p,
-              tarr2, interpret=False):
+              tarr2, interpret=False, small_phi=False):
     return _rfgr_core_fwd(mi, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd,
-                          vel_p, tarr2, interpret)[0]
+                          vel_p, tarr2, interpret, small_phi)[0]
 
 
 def _rfgr_core_fwd(mi, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd, vel_p,
-                   tarr2, interpret):
+                   tarr2, interpret, small_phi):
     chk = rfgr_fwd_planes(mi, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd,
-                          vel_p, tarr2, interpret=interpret)
+                          vel_p, tarr2, small_phi=small_phi,
+                          interpret=interpret)
     return chk[:, -1], (chk, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd,
                         vel_p, tarr2)
 
 
-def _rfgr_core_bwd(interpret, res, g):
+def _rfgr_core_bwd(interpret, small_phi, res, g):
     (chk, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd, vel_p, tarr2) = res
     dmi, drf2, dgr2, dloc, ddfg, db1g, dvel = rfgr_bwd_planes(
         chk, g, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd, vel_p, tarr2,
-        interpret=interpret)
+        small_phi=small_phi, interpret=interpret)
     zl = lambda x: None if x is None else jnp.zeros_like(x)  # noqa: E731
     return (dmi, drf2, dgr2, dloc, ddfg, db1g, zl(E),
             zl(e1_1), jnp.zeros_like(g2pd), dvel, zl(tarr2))
@@ -710,12 +725,13 @@ rfgr_core.defvjp(_rfgr_core_fwd, _rfgr_core_bwd)
 # (Batch is folded into the spin axis by the caller.)
 # ==========================================================================
 
-def _rot_relax_planes(mx, my, mz, bx, by, bz, relax, E2, E1, e1_1):
+def _rot_relax_planes(mx, my, mz, bx, by, bz, relax, E2, E1, e1_1,
+                      small=False):
     n2 = jnp.maximum(bx * bx + by * by + bz * bz, _PHI_EPS ** 2)
     inv = jax.lax.rsqrt(n2)
     phi = n2 * inv
     ux, uy, uz = bx * inv, by * inv, bz * inv
-    s, c = _fast_sincos(phi)
+    s, c = _fast_sincos(phi, small)
     c1 = c - 1.0
     utm = ux * mx + uy * my + uz * mz
     m1x = mx - s * (uy * mz - uz * my) + c1 * (mx - utm * ux)
@@ -726,7 +742,8 @@ def _rot_relax_planes(mx, my, mz, bx, by, bz, relax, E2, E1, e1_1):
     return m1x, m1y, m1z
 
 
-def _beff_fwd_kernel(tc: int, ntc: int, relax: bool, *refs):
+def _beff_fwd_kernel(tc: int, ntc: int, relax: bool, small: bool,
+                     *refs):
     r"""One (spin tile, time chunk) grid step; each chunk's end state is
     streamed to the ``chk`` output (the adjoint's reconstruction
     restarts — the final state is ``chk[-1]``). Positional refs:
@@ -752,11 +769,12 @@ def _beff_fwd_kernel(tc: int, ntc: int, relax: bool, *refs):
 
     def body(k, m):
         mx, my, mz = m
-        bx = g2pd * beff_ref[k, 0]
-        by = g2pd * beff_ref[k, 1]
-        bz = g2pd * beff_ref[k, 2]
+        # beff may be bf16 storage: upcast at load, compute in f32
+        bx = g2pd * beff_ref[k, 0].astype(g2pd.dtype)
+        by = g2pd * beff_ref[k, 1].astype(g2pd.dtype)
+        bz = g2pd * beff_ref[k, 2].astype(g2pd.dtype)
         return _rot_relax_planes(mx, my, mz, bx, by, bz, relax, E2, E1,
-                                 e1_1)
+                                 e1_1, small)
 
     mx, my, mz = jax.lax.fori_loop(
         0, tc, body, (m_scr[0], m_scr[1], m_scr[2]))
@@ -764,7 +782,8 @@ def _beff_fwd_kernel(tc: int, ntc: int, relax: bool, *refs):
     chk_ref[0, 0], chk_ref[0, 1], chk_ref[0, 2] = mx, my, mz
 
 
-def _beff_bwd_kernel(tc: int, ntc: int, relax: bool, *refs):
+def _beff_bwd_kernel(tc: int, ntc: int, relax: bool, small: bool,
+                     *refs):
     r"""Checkpointed reverse-reconstruction adjoint, one (spin tile,
     time chunk) step; time chunks are visited in reverse via the index
     maps, and the in-chunk reconstruction restarts from the forward's
@@ -793,15 +812,16 @@ def _beff_bwd_kernel(tc: int, ntc: int, relax: bool, *refs):
     def body(k, carry):
         t = tc - 1 - k
         mx, my, mz, hx, hy, hz = carry
-        bx = g2pd * beff_ref[t, 0]
-        by = g2pd * beff_ref[t, 1]
-        bz = g2pd * beff_ref[t, 2]
+        # beff may be bf16 storage: upcast at load, compute in f32
+        bx = g2pd * beff_ref[t, 0].astype(g2pd.dtype)
+        by = g2pd * beff_ref[t, 1].astype(g2pd.dtype)
+        bz = g2pd * beff_ref[t, 2].astype(g2pd.dtype)
 
         n2 = jnp.maximum(bx * bx + by * by + bz * bz, _PHI_EPS ** 2)
         inv = jax.lax.rsqrt(n2)
         phi = n2 * inv
         ux, uy, uz = bx * inv, by * inv, bz * inv
-        s, c = _fast_sincos(phi)
+        s, c = _fast_sincos(phi, small)
         c1 = c - 1.0
 
         if relax:
@@ -829,13 +849,18 @@ def _beff_bwd_kernel(tc: int, ntc: int, relax: bool, *refs):
         T = ux * mxhx + uy * mxhy + uz * mxhz
         hm = htx * m0x + hty * m0y + htz * m0z
         K = (sp - c) * T + (2 * c1p + s) * utm * uth - s * hm
-        # chain b = g2pd·beff
-        dbeff_ref[t, 0] = g2pd * (-sp * mxhx
-                                  - c1p * (uth * m0x + utm * htx) + K * ux)
-        dbeff_ref[t, 1] = g2pd * (-sp * mxhy
-                                  - c1p * (uth * m0y + utm * hty) + K * uy)
-        dbeff_ref[t, 2] = g2pd * (-sp * mxhz
-                                  - c1p * (uth * m0z + utm * htz) + K * uz)
+        # chain b = g2pd·beff; store in the beff storage dtype (the
+        # cotangent mirrors the primal — bf16 streams at half bandwidth)
+        odt = dbeff_ref.dtype
+        dbeff_ref[t, 0] = (g2pd * (
+            -sp * mxhx - c1p * (uth * m0x + utm * htx)
+            + K * ux)).astype(odt)
+        dbeff_ref[t, 1] = (g2pd * (
+            -sp * mxhy - c1p * (uth * m0y + utm * hty)
+            + K * uy)).astype(odt)
+        dbeff_ref[t, 2] = (g2pd * (
+            -sp * mxhz - c1p * (uth * m0z + utm * htz)
+            + K * uz)).astype(odt)
         return m0x, m0y, m0z, h0x, h0y, h0z
 
     # m restarts from this chunk's saved end state; h carries on
@@ -857,6 +882,7 @@ def _pick_tc(nT: int, ts: int) -> int:
 
 
 def blochsim_fwd_planes(mi, beff, E, e1_1, g2pd, *, ts=None, tc=None,
+                        small_phi: bool = False,
                         interpret: bool = False):
     r"""Pallas Beff-streaming forward. ``mi``/``E``: `(3, S1, L)`;
     ``beff``: `(nT, 3, S1, L)`; ``e1_1``/``g2pd``: `(S1, L)`. Returns
@@ -883,7 +909,8 @@ def blochsim_fwd_planes(mi, beff, E, e1_1, g2pd, *, ts=None, tc=None,
         in_specs += [tile3, tile1]
         args += [E, e1_1]
 
-    kernel = functools.partial(_beff_fwd_kernel, tc, ntc, relax)
+    kernel = functools.partial(_beff_fwd_kernel, tc, ntc, relax,
+                               small_phi)
     return pl.pallas_call(
         kernel,
         grid=grid,
@@ -900,6 +927,7 @@ def blochsim_fwd_planes(mi, beff, E, e1_1, g2pd, *, ts=None, tc=None,
 
 
 def blochsim_bwd_planes(chk, g, beff, E, e1_1, g2pd, *, ts=None, tc=None,
+                        small_phi: bool = False,
                         interpret: bool = False):
     r"""Pallas Beff-streaming backward (checkpointed reverse-
     reconstruction adjoint). ``chk``: `(ntc, 3, S1, L)` chunk-end
@@ -932,7 +960,8 @@ def blochsim_bwd_planes(chk, g, beff, E, e1_1, g2pd, *, ts=None, tc=None,
         in_specs += [tile3, tile1]
         args += [E, e1_1]
 
-    kernel = functools.partial(_beff_bwd_kernel, tc, ntc, relax)
+    kernel = functools.partial(_beff_bwd_kernel, tc, ntc, relax,
+                               small_phi)
     dmi, dbeff = pl.pallas_call(
         kernel,
         grid=grid,
@@ -948,20 +977,23 @@ def blochsim_bwd_planes(chk, g, beff, E, e1_1, g2pd, *, ts=None, tc=None,
     return dmi, dbeff
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
-def blochsim_core(mi, beff, E, e1_1, g2pd, interpret=False):
-    return _blochsim_core_fwd_p(mi, beff, E, e1_1, g2pd, interpret)[0]
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def blochsim_core(mi, beff, E, e1_1, g2pd, interpret=False,
+                  small_phi=False):
+    return _blochsim_core_fwd_p(mi, beff, E, e1_1, g2pd, interpret,
+                                small_phi)[0]
 
 
-def _blochsim_core_fwd_p(mi, beff, E, e1_1, g2pd, interpret):
+def _blochsim_core_fwd_p(mi, beff, E, e1_1, g2pd, interpret, small_phi):
     chk = blochsim_fwd_planes(mi, beff, E, e1_1, g2pd,
-                              interpret=interpret)
+                              small_phi=small_phi, interpret=interpret)
     return chk[-1], (chk, beff, E, e1_1, g2pd)
 
 
-def _blochsim_core_bwd_p(interpret, res, g):
+def _blochsim_core_bwd_p(interpret, small_phi, res, g):
     chk, beff, E, e1_1, g2pd = res
     dmi, dbeff = blochsim_bwd_planes(chk, g, beff, E, e1_1, g2pd,
+                                     small_phi=small_phi,
                                      interpret=interpret)
     zl = lambda x: None if x is None else jnp.zeros_like(x)  # noqa: E731
     return dmi, dbeff, zl(E), zl(e1_1), jnp.zeros_like(g2pd)

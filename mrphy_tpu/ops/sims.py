@@ -57,7 +57,7 @@ from mrphy_tpu import gamH, dt0, pi
 from mrphy_tpu._kwalias import kwalias
 from mrphy_tpu.utils._shapes import rshape, largest_divisor_leq
 
-__all__ = ['blochsim', 'blochsim_rfgr', 'freeprec']
+__all__ = ['blochsim', 'blochsim_rfgr', 'rfgr_phi_bound', 'freeprec']
 
 _PHI_EPS = 1e-12  # reference clamp (/root/reference/mrphy/sims.py:101)
 _LANE = 128       # TPU lane count
@@ -256,7 +256,8 @@ def _mk_blochsim_core(adjoint: str):
             beff_c = beff.reshape((nT // tc, tc) + beff.shape[1:])
             dmi, dbeff = jax.lax.scan(chunk_bwd, g, (chk, beff_c),
                                       reverse=True)
-            dbeff = dbeff.reshape(beff.shape)
+            # cotangent dtype mirrors the primal (bf16 Beff storage)
+            dbeff = dbeff.reshape(beff.shape).astype(beff.dtype)
 
         zl = lambda x: None if x is None else jnp.zeros_like(x)  # noqa: E731
         return dmi, dbeff, zl(E), zl(e1_1), jnp.zeros_like(g2pd)
@@ -279,6 +280,7 @@ def _flat_param(x, NNd, dtype):
 def blochsim(Mi, Beff, *, T1: Optional[jax.Array] = None,
              T2: Optional[jax.Array] = None, gam=gamH, dt=dt0,
              backend: str = 'auto', adjoint: str = 'reconstruct',
+             max_phi: Optional[float] = None,
              _pallas_interpret: bool = False):
     r"""Bloch simulator with explicit Jacobian (custom VJP).
 
@@ -289,14 +291,25 @@ def blochsim(Mi, Beff, *, T1: Optional[jax.Array] = None,
 
     Inputs:
         - ``Mi``: `(N, *Nd, xyz)`, spins (equilibrium ``[0, 0, 1]``).
-        - ``Beff``: `(N, *Nd, nT, xyz)`, "Gauss".
+        - ``Beff``: `(N, *Nd, nT, xyz)`, "Gauss". A **bfloat16** Beff is
+          honored as a storage format: the Pallas engine streams it at
+          half the HBM bandwidth and upcasts to f32 in-register (the
+          cotangent mirrors the bf16 storage); accuracy is then set by
+          bf16's ~3 significant digits on the field — appropriate when
+          Beff is the dominant memory/bandwidth cost.
     Optionals:
         - ``T1``/``T2``: `()` ⊻ `(N ⊻ 1, *Nd ⊻ 1,)`, "Sec" (both or neither).
         - ``gam`` (alias ``γ``): `()` ⊻ `(N ⊻ 1, *Nd ⊻ 1,)`, "Hz/Gauss".
         - ``dt``: `()` ⊻ `(N ⊻ 1,)`, "Sec".
         - ``backend``: ``'auto'`` | ``'xla'`` | ``'pallas'``.
-        - ``adjoint``: ``'reconstruct'`` (O(nM) memory, default) |
-          ``'history'`` (O(nM·nT) residual, reference strategy).
+        - ``adjoint``: ``'reconstruct'`` (chunk-checkpointed, O(nM)
+          memory, default) | ``'history'`` (O(nM·nT) residual, reference
+          strategy).
+        - ``max_phi``: caller-guaranteed upper bound on the per-step
+          rotation angle ``γ2πdt·|Beff|`` (radians). When ≤ π/2 the
+          Pallas kernels skip the sincos range reduction — identical
+          values (ULP-scale under recompilation), fewer flops (see
+          :func:`rfgr_phi_bound`).
     Outputs:
         - ``Mo``: `(N, *Nd, xyz)`.
 
@@ -308,13 +321,17 @@ def blochsim(Mi, Beff, *, T1: Optional[jax.Array] = None,
         f'Mi {Mi.shape} and Beff {Beff.shape} disagree on (N, *Nd)')
     assert (T1 is None) == (T2 is None), 'pass both T1 and T2, or neither'
     assert adjoint in ('reconstruct', 'history'), adjoint
+    small_phi = max_phi is not None and float(max_phi) <= pi / 2
 
     NNd, nT = Beff.shape[:-2], Beff.shape[-2]
     B = math.prod(NNd)
     Bp = _padded_spins(B)
     B1 = Bp // _LANE
     dtype = jnp.result_type(Mi.dtype, Beff.dtype)
-    Mi, Beff = Mi.astype(dtype), Beff.astype(dtype)
+    if dtype == jnp.bfloat16:
+        dtype = jnp.float32                  # compute dtype
+    store_dt = (jnp.bfloat16 if Beff.dtype == jnp.bfloat16 else dtype)
+    Mi, Beff = Mi.astype(dtype), Beff.astype(store_dt)
 
     # → tile-aligned structure-of-arrays planes (outside the custom_vjp:
     #   the pad/transpose adjoints are handled by plain autodiff)
@@ -358,7 +375,7 @@ def blochsim(Mi, Beff, *, T1: Optional[jax.Array] = None,
         assert adjoint == 'reconstruct', \
             "the pallas backend implements adjoint='reconstruct' only"
         mo = pallas_kernels.blochsim_core(mi, beff, E, e1_1, g2pd,
-                                          _pallas_interpret)
+                                          _pallas_interpret, small_phi)
     elif backend == 'xla':
         mo = _BLOCHSIM_CORES[adjoint](mi, beff, E, e1_1, g2pd)
     else:
@@ -595,6 +612,7 @@ def blochsim_rfgr(Mi, rf, gr, loc, *, T1: Optional[jax.Array] = None,
                   gam=gamH, dt=dt0, vel=None,
                   adjoint: str = 'reconstruct',
                   backend: str = 'auto', mesh=None,
+                  max_phi: Optional[float] = None,
                   _pallas_interpret: bool = False):
     r"""Fused Bloch simulator taking raw waveforms: grads w.r.t. rf/gr
     without materializing B-effective.
@@ -620,7 +638,11 @@ def blochsim_rfgr(Mi, rf, gr, loc, *, T1: Optional[jax.Array] = None,
         inside the scan (differentiable, like the other fields); and
         ``mesh``: a ``(batch, spins)`` :class:`jax.sharding.Mesh` to run
         multi-chip via shard_map (compact layout only; each device runs
-        its local spin block, waveform grads psum over the spin axis).
+        its local spin block, waveform grads psum over the spin axis);
+        and ``max_phi``: caller-guaranteed upper bound on the per-step
+        rotation angle (radians) — when ≤ π/2, the Pallas kernels skip
+        the sincos range reduction (identical values, fewer flops;
+        compute a sound bound with :func:`rfgr_phi_bound`).
     Outputs:
         - ``Mo``: `(N, *Nd, xyz)`.
 
@@ -639,11 +661,12 @@ def blochsim_rfgr(Mi, rf, gr, loc, *, T1: Optional[jax.Array] = None,
         return rfgr_sharded_traceable(
             mesh, Mi, rf, gr, loc, T1=T1, T2=T2, df=df, b1Map=b1Map,
             gam=gam, dt=dt, vel=vel, adjoint=adjoint, backend=backend,
-            _pallas_interpret=_pallas_interpret)
+            max_phi=max_phi, _pallas_interpret=_pallas_interpret)
     Mi, rf, gr, loc = (jnp.asarray(x) for x in (Mi, rf, gr, loc))
     assert Mi.shape[:-1] == loc.shape[:-1], 'Mi/loc (N, *Nd) mismatch'
     assert (T1 is None) == (T2 is None), 'pass both T1 and T2, or neither'
     assert adjoint in ('reconstruct', 'history'), adjoint
+    small_phi = max_phi is not None and float(max_phi) <= pi / 2
 
     NNd = Mi.shape[:-1]
     N, Nd = NNd[0], NNd[1:]
@@ -742,7 +765,7 @@ def blochsim_rfgr(Mi, rf, gr, loc, *, T1: Optional[jax.Array] = None,
         tarr2 = None if vel_p is None else tarr[:, :, 0, 0, 0].T  # (N, nT)
         mo = pallas_kernels.rfgr_core(mi, rf2, gr2, loc_p, dfg, b1_4,
                                       E, e1_1, g2pd, vel_p, tarr2,
-                                      _pallas_interpret)
+                                      _pallas_interpret, small_phi)
     elif backend == 'xla':
         mo = _RFGR_CORES[adjoint](mi, rf_t, gr_t, tarr, loc_p, dfg, b1_p,
                                   E, e1_1, g2pd, vel_p)
@@ -751,6 +774,48 @@ def blochsim_rfgr(Mi, rf, gr, loc, *, T1: Optional[jax.Array] = None,
 
     mo = mo.reshape(N, 3, Sp).transpose(0, 2, 1)[:, :nS]
     return mo.reshape(NNd + (3,))
+
+
+@kwalias(**{'γ': 'gam', 'Δf': 'df'})
+def rfgr_phi_bound(rf, gr, loc, *, df=None, b1Map=None, gam=gamH,
+                   dt=dt0, vel=None, dur=None):
+    r"""Conservative upper bound on the per-step rotation angle
+    ``ϕ = γ2πdt·|B_eff|`` (radians) for :func:`blochsim_rfgr` inputs —
+    O(nM + nT) reductions, no field materialization. Pass the result as
+    ``max_phi=float(rfgr_phi_bound(...))``: when it is ≤ π/2 (true for
+    physical pulse amplitudes at µs dwell times) the Pallas kernels drop
+    their sincos range reduction with value-identical results.
+
+    ``|B_z| ≤ max_t Σ_k |gr_k(t)|·max|loc_k (+|vel_k|·T)| + max|df|/γ``,
+    ``|B_xy| ≤ max_t Σ_c |rf_c(t)|·max|b1_c|`` (or ``Σ_c|rf_c|`` bare);
+    ``|B| ≤ sqrt(B_z² + B_xy²)``.
+    """
+    rf, gr, loc = (jnp.asarray(x) for x in (rf, gr, loc))
+    if rf.ndim == 3:
+        rf = rf[..., None]
+    gam_max = jnp.max(jnp.asarray(gam, jnp.float32))
+    dt_max = jnp.max(jnp.asarray(dt, jnp.float32))
+    locm = jnp.abs(loc)
+    if vel is not None:
+        T = (dt_max * gr.shape[-1]) if dur is None else dur
+        locm = locm + T * jnp.abs(jnp.asarray(vel, jnp.float32))
+    loc_max = jnp.max(locm.reshape(-1, 3), axis=0)            # (3,)
+    bz = jnp.max(jnp.sum(jnp.abs(gr) * loc_max[None, :, None], axis=1))
+    if df is not None:
+        # γ cancels: the Bz contribution is df/γ, the angle is γ2πdt·Bz
+        bz = bz + jnp.max(jnp.abs(jnp.asarray(df, jnp.float32))) / gam_max
+    rho = jnp.hypot(rf[:, 0], rf[:, 1])                       # (N, nT, C)
+    if b1Map is None:
+        bxy = jnp.max(jnp.sum(rho, axis=-1))
+    else:
+        b1 = jnp.asarray(b1Map, jnp.float32)
+        if b1.ndim == loc.ndim:              # missing coil dim
+            b1 = b1[..., None]
+        b1m = jnp.hypot(b1[..., 0, :], b1[..., 1, :])         # (N,...,C)
+        nC = b1m.shape[-1]
+        b1_max = jnp.max(b1m.reshape(-1, nC), axis=0)         # (C,)
+        bxy = jnp.max(jnp.sum(rho * b1_max, axis=-1))
+    return 2 * pi * gam_max * dt_max * jnp.hypot(bz, bxy)
 
 
 # ==========================================================================

@@ -111,7 +111,8 @@ def _sharded_blochsim_jit(mesh: Mesh, arr_keys: tuple, static_kw: tuple):
             kw.update(dict(static_kw))
             return sims.blochsim(Mi, Beff, **kw)
 
-        in_specs = (spin_pspec(Mi, N, nM), spin_pspec(Beff, N, nM)) +             tuple(spin_pspec(v, N, nM) for v in vals)
+        in_specs = (spin_pspec(Mi, N, nM), spin_pspec(Beff, N, nM)
+                    ) + tuple(spin_pspec(v, N, nM) for v in vals)
         sm = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
                            out_specs=spin_pspec(Mi, N, nM),
                            check_vma=False)
@@ -159,7 +160,7 @@ def blochsim_sharded(mesh: Mesh, Mi, Beff, **kw):
 # parity vs the unsharded engine is asserted in tests/test_parallel.py.
 # --------------------------------------------------------------------------
 
-_RFGR_STATIC_KW = ('adjoint', 'backend', '_pallas_interpret')
+_RFGR_STATIC_KW = ('adjoint', 'backend', 'max_phi', '_pallas_interpret')
 
 
 def spin_pspec(x, N: int, nM: int) -> P:

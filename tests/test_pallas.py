@@ -253,6 +253,110 @@ class TestFlowPallas:
             np.testing.assert_allclose(a_ / scale, b_ / scale, atol=2e-3)
 
 
+class TestSmallPhi:
+    r"""max_phi ≤ π/2 drops the sincos range reduction: BIT-IDENTICAL
+    results (k=0 ⇒ r=phi, sgn=1), fewer flops."""
+
+    def test_small_phi_bit_identical(self):
+        from mrphy_tpu.ops.pallas_kernels import _fast_sincos
+        phi = jnp.asarray(np.linspace(0, np.pi / 2, 10001), DT32)
+        s0, c0 = _fast_sincos(phi, False)
+        s1, c1 = _fast_sincos(phi, True)
+        np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))
+        np.testing.assert_array_equal(np.asarray(c0), np.asarray(c1))
+
+    def test_engine_small_phi_matches(self):
+        from mrphy_tpu.ops.sims import rfgr_phi_bound
+        Mi, loc, df, b1, rf, gr, T1, T2 = _mk(1024, 16, seed=10)
+        rf, gr = rf * 0.02, gr * 0.02          # physical magnitudes
+        kw = dict(T1=T1, T2=T2, df=df, _pallas_interpret=True)
+        bound = float(rfgr_phi_bound(rf, gr, loc, df=df))
+        assert 0 < bound <= np.pi / 2, bound
+        a = sims.blochsim_rfgr(Mi, rf, gr, loc, **kw)
+        b = sims.blochsim_rfgr(Mi, rf, gr, loc, max_phi=bound, **kw)
+        # the sincos VALUES are bit-identical (asserted above); through
+        # the compiled engine XLA may fuse the dropped ops' neighbors
+        # differently, so allow ULP-scale wiggle
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6)
+        # W-weighted linear loss (sum(Mo²) waveform grads nearly cancel
+        # — noise-over-noise, like the other grad tests note)
+        W = jnp.asarray(np.random.default_rng(3).normal(size=a.shape),
+                        DT32)
+        ga = jax.grad(lambda r: jnp.sum(W * sims.blochsim_rfgr(
+            Mi, r, gr, loc, **kw)))(rf)
+        gb = jax.grad(lambda r: jnp.sum(W * sims.blochsim_rfgr(
+            Mi, r, gr, loc, max_phi=bound, **kw)))(rf)
+        # recompilation of a different (if mathematically equal) graph
+        # shifts rounding a few ULP per step; accumulation over the
+        # reverse reconstruction lands ~1e-5 — formula errors would be
+        # O(1)
+        scale = float(jnp.max(jnp.abs(ga))) + 1e-30
+        np.testing.assert_allclose(np.asarray(gb) / scale,
+                                   np.asarray(ga) / scale, atol=2e-4)
+
+    def test_phi_bound_is_sound(self):
+        r"""The analytic bound dominates the actual per-step angle."""
+        from mrphy_tpu import gamH, dt0, pi as PI
+        from mrphy_tpu.ops import beffective
+        from mrphy_tpu.ops.sims import rfgr_phi_bound
+        rng = np.random.default_rng(11)
+        N, nM, nT, nC = 2, 64, 24, 2
+        rf = jnp.asarray(rng.normal(size=(N, 2, nT, nC)), DT32)
+        gr = jnp.asarray(rng.normal(size=(N, 3, nT)), DT32)
+        loc = jnp.asarray(rng.random((N, nM, 3)) * 2 - 1, DT32)
+        df = jnp.asarray(rng.normal(size=(N, nM)) * 100, DT32)
+        b1 = jnp.asarray(rng.normal(size=(N, nM, 2, nC)), DT32)
+        beff = beffective.rfgr2beff(rf, gr, loc, df=df, b1Map=b1,
+                                    gam=gamH)
+        phi_true = float(jnp.max(jnp.linalg.norm(beff, axis=-1))
+                         * 2 * PI * gamH * dt0)
+        bound = float(rfgr_phi_bound(rf, gr, loc, df=df, b1Map=b1))
+        assert bound >= phi_true * (1 - 1e-6), (bound, phi_true)
+
+
+class TestBf16Beff:
+    r"""bfloat16 Beff storage: the streaming engine upcasts in-register;
+    results match f32 at bf16 field resolution; cotangents mirror the
+    storage dtype."""
+
+    def test_bf16_storage_close_to_f32(self):
+        rng = np.random.default_rng(12)
+        nM, nT = 1024, 24
+        Mi = jnp.asarray(rng.random((1, nM, 3)), DT32)
+        beff32 = jnp.asarray(rng.normal(size=(1, nM, nT, 3)), DT32)
+        beff16 = beff32.astype(jnp.bfloat16)
+        kw = dict(T1=jnp.asarray([[1.]], DT32),
+                  T2=jnp.asarray([[4e-2]], DT32))
+        a = sims.blochsim(Mi, beff32, _pallas_interpret=True, **kw)
+        b = sims.blochsim(Mi, beff16, _pallas_interpret=True, **kw)
+        assert b.dtype == jnp.float32
+        # bf16 rounds the field to ~0.4% per step; error compounds ~√nT
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=0.05)
+        g = jax.grad(lambda bb: jnp.sum(sims.blochsim(
+            Mi, bb, _pallas_interpret=True, **kw) ** 2))(beff16)
+        assert g.dtype == jnp.bfloat16
+        g32 = jax.grad(lambda bb: jnp.sum(sims.blochsim(
+            Mi, bb, **kw) ** 2))(beff32)
+        scale = float(jnp.max(jnp.abs(g32)))
+        np.testing.assert_allclose(
+            np.asarray(g, np.float32) / scale,
+            np.asarray(g32) / scale, atol=0.08)
+
+    def test_bf16_xla_path_works(self):
+        rng = np.random.default_rng(13)
+        Mi = jnp.asarray(rng.random((1, 64, 3)), DT32)
+        beff16 = jnp.asarray(rng.normal(size=(1, 64, 8, 3)),
+                             jnp.bfloat16)
+        mo = sims.blochsim(Mi, beff16, backend='xla')
+        assert mo.dtype == jnp.float32
+        g = jax.grad(lambda bb: jnp.sum(sims.blochsim(
+            Mi, bb, backend='xla') ** 2))(beff16)
+        assert g.dtype == jnp.bfloat16
+        assert bool(jnp.all(jnp.isfinite(g.astype(jnp.float32))))
+
+
 class TestFastSincos:
 
     def test_matches_reference_over_range(self):
