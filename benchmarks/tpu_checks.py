@@ -264,7 +264,8 @@ def main():
 
     if args.interpret:
         jax.config.update('jax_platforms', 'cpu')
-        nM, nT, nT_long = 1024, 16, 4096
+        # nT_long=2048 still chunks (tc=1024) at half the interpret cost
+        nM, nT, nT_long = 1024, 16, 2048
     else:
         from mrphy_tpu.utils.timing import enable_persistent_cache
         enable_persistent_cache()     # ~25 jits; reuse across rounds

@@ -1,0 +1,131 @@
+r"""MR fingerprinting: dictionary generation + matching + fit refinement.
+
+MRF quantifies tissue by driving the spins with a deliberately
+non-repeating (variable-flip) gradient-spoiled train and matching the
+measured signal evolution against a precomputed dictionary of simulated
+evolutions. This demo exercises the TPU-shaped EPG machinery end to end:
+
+1. **Dictionary**: one :func:`mrphy_tpu.ops.epg.epg_spgr` call simulates
+   ALL (T1, T2) atoms at once — the atom grid rides the voxel batch
+   axis, so generation vectorizes over lanes and the echo train is one
+   ``lax.scan``.
+2. **Matching**: normalized inner products of the probe signal against
+   every atom = one matmul (MXU work), argmax picks the atom.
+3. **Refinement**: the dictionary quantizes (T1, T2) to its grid;
+   gradient descent THROUGH the simulator (Adam on log-params, started
+   from the matched atom) recovers continuous values below grid
+   resolution — the capability a lookup table alone cannot provide.
+
+Usage::
+
+    python examples/mrf_dictionary.py [--ntr 150] [--nt1 24] [--nt2 24]
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--ntr', type=int, default=150)
+    ap.add_argument('--nt1', type=int, default=24)
+    ap.add_argument('--nt2', type=int, default=24)
+    ap.add_argument('--tr', type=float, default=0.012)
+    ap.add_argument('--iters', type=int, default=250)
+    ap.add_argument('--noise', type=float, default=0.0)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from mrphy_tpu.ops import epg
+
+    nTR, tr = args.ntr, args.tr
+    # classic MRF flip schedule: smooth sinusoidal lobes, 10–70 deg
+    t = np.arange(nTR)
+    flips_deg = 10 + 60 * np.abs(np.sin(np.pi * t / 75)) * \
+        (0.6 + 0.4 * np.cos(np.pi * t / nTR))
+    flips = jnp.asarray(np.deg2rad(flips_deg), jnp.float32)
+    phis = epg.rf_spoil_phases(nTR).astype(jnp.float32)
+
+    # dictionary grid (log-spaced, physiological range)
+    T1s = np.geomspace(0.2, 3.0, args.nt1)
+    T2s = np.geomspace(0.02, 0.4, args.nt2)
+    T1g, T2g = np.meshgrid(T1s, T2s, indexing='ij')
+    keep = T2g < T1g                      # physical constraint T2 < T1
+    atoms_T1 = jnp.asarray(T1g[keep], jnp.float32)   # (nAtoms,)
+    atoms_T2 = jnp.asarray(T2g[keep], jnp.float32)
+    nA = atoms_T1.shape[0]
+
+    def signals(T1, T2):
+        r"""(..., nTR, 2) signal evolutions for (broadcast) T1/T2."""
+        return epg.epg_spgr(flips, phis, T1=T1, T2=T2, tr=tr,
+                            te=tr / 2)
+
+    gen = jax.jit(signals)
+    D = gen(atoms_T1, atoms_T2)                      # (nA, nTR, 2)
+    Dn = D.reshape(nA, -1)
+    Dn = Dn / jnp.linalg.norm(Dn, axis=1, keepdims=True)
+
+    # probe voxel: ground truth intentionally OFF-grid
+    T1_true, T2_true = 0.83, 0.067
+    probe = gen(jnp.asarray(T1_true), jnp.asarray(T2_true)).reshape(-1)
+    if args.noise > 0:
+        probe = probe + args.noise * jax.random.normal(
+            jax.random.PRNGKey(0), probe.shape)
+    pn = probe / jnp.linalg.norm(probe)
+
+    # matching: one matmul over the dictionary (MXU), argmax
+    scores = Dn @ pn                                  # (nA,)
+    best = int(jnp.argmax(scores))
+    T1_m, T2_m = float(atoms_T1[best]), float(atoms_T2[best])
+    print(f'{nA} atoms x {nTR} TRs; truth T1={T1_true*1e3:.0f} ms '
+          f'T2={T2_true*1e3:.1f} ms')
+    print(f'match: T1={T1_m*1e3:.0f} ms, T2={T2_m*1e3:.1f} ms '
+          f'(score {float(scores[best]):.5f})')
+    # the match lands on the nearest grid atoms (log-spacing ratios)
+    rat1 = float(T1s[1] / T1s[0])
+    rat2 = float(T2s[1] / T2s[0])
+    assert abs(np.log(T1_m / T1_true)) < np.log(rat1), (T1_m, T1_true)
+    assert abs(np.log(T2_m / T2_true)) < np.log(rat2), (T2_m, T2_true)
+
+    # refinement: continuous fit through the simulator from the match
+    def loss(p):
+        s = signals(jnp.exp(p[0]), jnp.exp(p[1])).reshape(-1)
+        s = s / jnp.linalg.norm(s)
+        return -jnp.dot(s, pn)
+
+    p = jnp.log(jnp.asarray([T1_m, T2_m]))
+    opt = optax.adam(0.02)
+
+    @jax.jit
+    def fit(p, st):
+        def body(carry, _):
+            p, st = carry
+            up, st = opt.update(jax.grad(loss)(p), st)
+            return (optax.apply_updates(p, up), st), None
+        (p, st), _ = jax.lax.scan(body, (p, st), None,
+                                  length=args.iters)
+        return p
+
+    p = fit(p, opt.init(p))
+    T1_f, T2_f = float(jnp.exp(p[0])), float(jnp.exp(p[1]))
+    e1 = abs(T1_f - T1_true) / T1_true
+    e2 = abs(T2_f - T2_true) / T2_true
+    print(f'fit:   T1={T1_f*1e3:.0f} ms ({e1:.2%}), '
+          f'T2={T2_f*1e3:.1f} ms ({e2:.2%})')
+    if args.noise == 0:
+        assert e1 < 0.02 and e2 < 0.02, (T1_f, T2_f)
+        # and the refinement beats the grid quantization
+        assert e1 <= abs(T1_m - T1_true) / T1_true + 1e-9
+    print('OK')
+
+
+if __name__ == '__main__':
+    main()

@@ -219,48 +219,46 @@ class TestParallel:
         np.testing.assert_allclose(g_sh[1], g[1], atol=1e-12)
 
     def test_mc_sharded_matches(self):
+        r"""Fwd parity + per-voxel exchange-rate gradient parity (CEST
+        fitting) in ONE value_and_grad per variant — the 8-device
+        shard_map VJP compile dominates this test's cost."""
         from mrphy_tpu.ops import slowsims
         mesh = make_mesh()
         rng = np.random.default_rng(4)
-        N, nM, nT = 1, 32, 16
+        N, nM, nT = 1, 16, 8
         Ma = jnp.asarray(np.tile([0., 0., 1.], (N, nM, 1)))
         Mb = 0.05 * Ma
         Beff = jnp.asarray(rng.normal(size=(N, nM, nT, 3)) * 0.01)
-        kw = dict(T1a=1.2, T2a=0.06, T1b=1.0, T2b=0.01, kab=1.0,
+        kw = dict(T1a=1.2, T2a=0.06, T1b=1.0, T2b=0.01,
                   kba=50.0, Ma0=1.0, Mb0=0.02, dfb=750.0, dt=2e-4)
-        a1, b1 = slowsims.blochsim_mc(Ma, Mb, Beff, **kw)
-        a2, b2 = slowsims.blochsim_mc(Ma, Mb, Beff, mesh=mesh, **kw)
-        np.testing.assert_allclose(a2, a1, atol=1e-12)
-        np.testing.assert_allclose(b2, b1, atol=1e-12)
-
-        # per-voxel exchange-rate gradient (CEST fitting) matches too
         kab_v = jnp.asarray(rng.uniform(0.5, 2.0, (N, nM)))
+        W = jnp.asarray(rng.normal(size=(2, N, nM, 3)))
 
         def loss(kab, mesh):
-            kw2 = dict(kw, kab=kab)
-            a, _ = slowsims.blochsim_mc(Ma, Mb, Beff, mesh=mesh, **kw2)
-            return jnp.sum(a[..., 2] ** 2)
-        g_sh = jax.grad(loss)(kab_v, mesh)
-        g = jax.grad(loss)(kab_v, None)
+            a, b = slowsims.blochsim_mc(Ma, Mb, Beff, kab=kab,
+                                        mesh=mesh, **kw)
+            return jnp.sum(W[0] * a + W[1] * b)
+        v_sh, g_sh = jax.value_and_grad(loss)(kab_v, mesh)
+        v, g = jax.value_and_grad(loss)(kab_v, None)
+        np.testing.assert_allclose(v_sh, v, atol=1e-12)
         np.testing.assert_allclose(g_sh, g, atol=1e-12)
 
     def test_epg_cpmg_sharded_matches(self):
         from mrphy_tpu.ops import epg
         mesh = make_mesh()
         rng = np.random.default_rng(5)
-        nV, nE = 16, 8
+        nV, nE = 8, 6
         flips = jnp.asarray(np.tile(np.pi * 0.9, (nV, nE)))
         T1 = jnp.asarray(rng.uniform(0.5, 2.0, (nV,)))
         T2 = jnp.asarray(rng.uniform(0.02, 0.2, (nV,)))
-        e1 = epg.epg_cpmg(flips, T1=T1, T2=T2, esp=0.01)
-        e2 = epg.epg_cpmg(flips, T1=T1, T2=T2, esp=0.01, mesh=mesh)
-        np.testing.assert_allclose(e2, e1, atol=1e-12)
+        W = jnp.asarray(rng.normal(size=(nV, nE, 2)))
 
         def loss(T2, mesh):
             e = epg.epg_cpmg(flips, T1=T1, T2=T2, esp=0.01, mesh=mesh)
-            return jnp.sum(e ** 2)
-        g_sh = jax.grad(loss)(T2, mesh)
-        g = jax.grad(loss)(T2, None)
+            return jnp.sum(W * e)
+        v_sh, g_sh = jax.value_and_grad(loss)(T2, mesh)
+        v, g = jax.value_and_grad(loss)(T2, None)
+        np.testing.assert_allclose(v_sh, v, atol=1e-12)
         np.testing.assert_allclose(g_sh, g, atol=1e-12)
 
     def test_timing_utils(self):
