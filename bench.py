@@ -88,6 +88,11 @@ def bench_fwd_adjoint(nM, nT, dtype_name='float32', repeats=3, passes=4):
 
 
 def main():
+    try:  # reuse compiled kernels across rounds (remote compile is slow)
+        from mrphy_tpu.utils.timing import enable_persistent_cache
+        enable_persistent_cache()
+    except Exception:
+        pass
     # Prefer the north-star size; fall back if HBM is insufficient.
     for nM in (1_000_000, 500_000, 250_000):
         try:

@@ -29,10 +29,13 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def _read(out):
     r"""Force completion via a host read (block_until_ready does not
-    dependably block on remote-attached runtimes)."""
+    dependably block on remote-attached runtimes). Read ONE element —
+    transferring a whole multi-GB output over the tunneled attachment
+    would dominate the timing (measured: a 1.5 GB gradient read took
+    ~90 s vs ~60 ms of compute)."""
     import jax
     leaf = jax.tree_util.tree_leaves(out)[0]
-    np.asarray(leaf).ravel()[0]
+    np.asarray(leaf.reshape(-1)[0])
 
 
 def _timeit(f, *args, repeats=8):
@@ -224,6 +227,8 @@ ALL = {'tiny': bench_tiny, 'freeprec32': bench_freeprec32,
 
 
 def main():
+    from mrphy_tpu.utils.timing import enable_persistent_cache
+    enable_persistent_cache()    # remote compiles are minutes each
     names = sys.argv[1:] or list(ALL)
     for name in names:
         try:

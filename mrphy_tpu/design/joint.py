@@ -29,7 +29,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from mrphy_tpu import gamH, dt0, rfmax0, smax0
+from mrphy_tpu import gamH, dt0, gmax0, rfmax0, smax0
 from mrphy_tpu.ops import sims
 from mrphy_tpu.utils import (rf2trho_theta, trho_theta2rf, s2ts, ts2s,
                              s2g, g2s, rfclamp, sclamp)
@@ -53,8 +53,10 @@ class DesignConfig:
     lr: float = 1e-1
     rfmax: object = rfmax0    # Gauss; float ⊻ (nCoils,) tuple
     smax: float = smax0       # Gauss/cm/Sec
+    gmax: float = gmax0       # Gauss/cm (soft, via lam_gmax)
     dt: float = dt0           # Sec
     lam_pow: float = 0.0      # RF power penalty weight
+    lam_gmax: float = 0.0     # peak-gradient excess penalty weight
     gam: float = gamH
 
 
@@ -100,8 +102,16 @@ def _loss_fn(params, cfg, M0_, loc_, Mtgt_, T1_, T2_, gam_, df_, b1Map_,
         # bare sum(w_) would undercount by N and rescale the loss.
         wb = jnp.broadcast_to(w_, se.shape)
         err = jnp.sum(wb * se) / jnp.sum(wb)
-    pow_pen = cfg.lam_pow * jnp.mean(jnp.sum(rf ** 2, axis=1))
-    return err + pow_pen, M_
+    pen = cfg.lam_pow * jnp.mean(jnp.sum(rf ** 2, axis=1))
+    if cfg.lam_gmax:
+        # soft peak-gradient constraint: the slew (ts) parametrization
+        # bounds |dg/dt| by construction but leaves |g| free; penalize
+        # per-axis excess over gmax (hinge², zero inside the limit) —
+        # the reference's Pulse carries gmax (ref mobjs.py:57-64) but
+        # its design recipe leaves amplitude to user code
+        excess = jax.nn.relu(jnp.abs(gr) - cfg.gmax)
+        pen = pen + cfg.lam_gmax * jnp.mean(jnp.sum(excess ** 2, axis=1))
+    return err + pen, M_
 
 
 def design_step(params, opt_state, optimizer, cfg, *args, **kw):
@@ -249,6 +259,7 @@ def design_pulse(spinarray, pulse, Mtgt_, *, loc_=None, df_=None,
 
     rf, gr = _params2pulse_jit(params, cfg)
     out = Pulse(rf, gr, dt=cfg.dt, rfmax=_rfmax_arr(cfg), smax=cfg.smax,
+                gmax=cfg.gmax,
                 desc=f'{pulse.desc} + designed({cfg.niter} iters)',
                 dtype=pulse.dtype)
     return out, losses

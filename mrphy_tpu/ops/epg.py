@@ -169,6 +169,13 @@ def epg_cpmg(flips, *, T1, T2, esp, M0=1.0, phi_ex=pi / 2, mesh=None):
 def _epg_cpmg_body(flips, T1, T2, esp, M0, phi_ex):
     nE = flips.shape[-1]
     T1b, T2b = jnp.asarray(T1), jnp.asarray(T2)
+    # one common dtype: python-float esp/M0 would otherwise promote the
+    # scan carry to f64 under x64 while the state stays f32
+    dtype = jnp.result_type(flips.dtype, T1b.dtype, T2b.dtype)
+    flips = flips.astype(dtype)
+    T1b, T2b = T1b.astype(dtype), T2b.astype(dtype)
+    esp = jnp.asarray(esp, dtype)
+    M0 = jnp.asarray(M0, dtype)
     batch = jnp.broadcast_shapes(flips.shape[:-1], T1b.shape, T2b.shape,
                                  jnp.shape(M0))
     K = nE + 1
@@ -228,10 +235,19 @@ def epg_spgr(flips, phis=None, *, T1, T2, tr, te=0.0, M0=1.0,
         phis = jnp.zeros(nTR, flips.dtype)
     phis = jnp.asarray(phis)
     T1b, T2b = jnp.asarray(T1), jnp.asarray(T2)
+    # one common dtype: python-float tr/te/M0 would otherwise promote
+    # the scan carry to f64 under x64 while the state stays f32
+    dtype = jnp.result_type(flips.dtype, phis.dtype, T1b.dtype,
+                            T2b.dtype)
+    flips, phis = flips.astype(dtype), phis.astype(dtype)
+    T1b, T2b = T1b.astype(dtype), T2b.astype(dtype)
+    tr = jnp.asarray(tr, dtype)
+    te = jnp.asarray(te, dtype)
+    M0 = jnp.asarray(M0, dtype)
     batch = jnp.broadcast_shapes(flips.shape[:-1], phis.shape[:-1],
                                  T1b.shape, T2b.shape, jnp.shape(M0))
     K = nTR * abs(int(kshift)) + 1
-    s = epg_state(K, batch, M0=M0, dtype=flips.dtype)
+    s = epg_state(K, batch, M0=M0, dtype=dtype)
     flips_t = jnp.moveaxis(jnp.broadcast_to(flips, batch + (nTR,)),
                            -1, 0)
     phis_t = jnp.moveaxis(jnp.broadcast_to(phis, batch + (nTR,)), -1, 0)

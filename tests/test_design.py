@@ -159,6 +159,38 @@ class TestDesign:
                                    np.asarray(p2.rf), atol=1e-5)
         assert _rfmax_arr(cfg).shape == (1, nC)
 
+    def test_gmax_penalty_limits_gradient_amplitude(self):
+        r"""lam_gmax: the slew parametrization leaves |g| free; the
+        hinge penalty must pull the designed gradient inside gmax
+        (compare against the same design without the penalty)."""
+        import numpy as np
+        from mrphy_tpu import dt0
+        from mrphy_tpu.models import mobjs
+        from mrphy_tpu.design import design_pulse, DesignConfig
+
+        nT = 64
+        cube = mobjs.Examples.spincube()
+        rng = np.random.default_rng(2)
+        rf = jnp.asarray(0.01 * rng.normal(size=(1, 2, nT)), jnp.float32)
+        # start from a gradient ALREADY above the limit
+        gr = jnp.asarray(3.0 + rng.random((1, 3, nT)), jnp.float32)
+        p = mobjs.Pulse(rf=rf, gr=gr, dt=dt0)
+        Mtgt_ = jnp.tile(jnp.asarray([0., 1., 0.], jnp.float32),
+                         (1, cube.nM, 1))
+        gmax = 1.0        # tight: must actually bind
+        base = dict(niter=40, lr=0.1, rfmax=0.25, smax=12e4,
+                    dt=float(dt0), gmax=gmax)
+        p_free, _ = design_pulse(cube, p, Mtgt_,
+                                 cfg=DesignConfig(**base))
+        p_pen, _ = design_pulse(cube, p, Mtgt_,
+                                cfg=DesignConfig(lam_gmax=100.0, **base))
+        over_free = float(jnp.max(jnp.abs(p_free.gr)))
+        over_pen = float(jnp.max(jnp.abs(p_pen.gr)))
+        assert over_free > gmax * 1.2, over_free  # limit binds the test
+        assert over_pen < over_free
+        assert over_pen < gmax * 1.1, over_pen
+        assert float(jnp.asarray(p_pen.gmax).reshape(-1)[0]) == gmax
+
     def test_design_on_mesh_matches_single_device(self):
         r"""design_pulse(mesh=...) — the multi-chip loop via shard_map —
         produces the same loss trajectory and waveforms as the
