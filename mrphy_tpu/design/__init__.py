@@ -4,6 +4,8 @@ cited papers), as jitted optax optimization loops."""
 from mrphy_tpu.design.joint import (DesignConfig, design_pulse,
                                     design_multiscale, design_step,
                                     init_params, params2pulse)
+from mrphy_tpu.design.checkpoint import DesignCheckpoint
 
-__all__ = ['DesignConfig', 'design_pulse', 'design_multiscale',
-           'design_step', 'init_params', 'params2pulse']
+__all__ = ['DesignConfig', 'DesignCheckpoint', 'design_pulse',
+           'design_multiscale', 'design_step', 'init_params',
+           'params2pulse']

@@ -153,7 +153,7 @@ def _design_scan(params, opt_state, cfg, M0_, loc_, Mtgt_, T1_,
 
     (params, opt_state), losses = jax.lax.scan(
         body, (params, opt_state), None, length=cfg.niter)
-    return params, losses
+    return params, opt_state, losses
 
 
 @functools.partial(jax.jit, static_argnames=('cfg', 'doRelax', 'mesh'))
@@ -169,7 +169,7 @@ def design_pulse(spinarray, pulse, Mtgt_, *, loc_=None, df_=None,
                  b1Map_=None, w_=None,
                  cfg: Optional[DesignConfig] = None,
                  doRelax: bool = True, verbose: bool = False,
-                 mesh=None):
+                 mesh=None, checkpoint=None):
     r"""Jointly design RF + gradients steering ``spinarray`` to ``Mtgt_``.
 
     Inputs:
@@ -188,6 +188,14 @@ def design_pulse(spinarray, pulse, Mtgt_, *, loc_=None, df_=None,
           single-dispatch path (the whole optimization is ONE jitted
           ``lax.scan`` over iterations — no host round-trip per step) to a
           per-iteration host loop.
+        - ``checkpoint``: a
+          :class:`~mrphy_tpu.design.checkpoint.DesignCheckpoint` to
+          persist/resume the optimization: the scan runs in
+          ``checkpoint.every``-iteration segments, ``(params,
+          opt_state, losses)`` are saved (orbax, atomic) after each,
+          and a rerun pointing at the same directory resumes from the
+          newest segment — bit-identical to an uninterrupted run.
+          Ignored under ``verbose`` (which is already per-iteration).
         - ``mesh``: a ``(batch, spins)`` :class:`jax.sharding.Mesh` (see
           :func:`mrphy_tpu.parallel.make_mesh`) to run the design loop
           multi-chip: spins shard across devices (``nM`` must divide by
@@ -252,10 +260,15 @@ def design_pulse(spinarray, pulse, Mtgt_, *, loc_=None, df_=None,
             if it % max(1, cfg.niter // 10) == 0:
                 print(f'iter {it:4d}  loss {float(loss):.6e}')
         losses = jnp.stack(losses)
+    elif checkpoint is not None:
+        from mrphy_tpu.design.checkpoint import run_checkpointed
+        params, losses = run_checkpointed(
+            _design_scan, params, opt_state, cfg, step_args, doRelax,
+            mesh, checkpoint)
     else:
-        params, losses = _design_scan(params, opt_state, cfg,
-                                      *step_args, doRelax=doRelax,
-                                      mesh=mesh)
+        params, _, losses = _design_scan(params, opt_state, cfg,
+                                         *step_args, doRelax=doRelax,
+                                         mesh=mesh)
 
     rf, gr = _params2pulse_jit(params, cfg)
     out = Pulse(rf, gr, dt=cfg.dt, rfmax=_rfmax_arr(cfg), smax=cfg.smax,

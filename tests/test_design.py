@@ -294,3 +294,69 @@ class TestDesign:
                               w_=w_, cfg=cfg)
         assert jnp.allclose(l1, l2, atol=1e-7)
         assert jnp.allclose(p1.rf, p2.rf, atol=1e-7)
+
+
+class TestDesignCheckpoint:
+    r"""Checkpoint/resume of the design loop (design/checkpoint.py):
+    segmentation must be exact, resume must equal an uninterrupted run,
+    and a config mismatch must refuse to resume."""
+
+    def _setup(self):
+        from mrphy_tpu.models import mobjs
+        cube = mobjs.Examples.spincube()
+        p = mobjs.Examples.pulse()
+        Mtgt_ = jnp.tile(jnp.asarray([0., 0., -1.], jnp.float32),
+                         (1, cube.nM, 1))
+        cfg = DesignConfig(niter=12, lr=0.01, rfmax=12.0, smax=5e6,
+                           dt=float(dt0))
+        return cube, p, Mtgt_, cfg
+
+    def test_segmented_matches_single_scan(self, tmp_path):
+        from mrphy_tpu.design import DesignCheckpoint
+        cube, p, Mtgt_, cfg = self._setup()
+        p_ref, l_ref = design_pulse(cube, p, Mtgt_, cfg=cfg)
+        spec = DesignCheckpoint(dir=str(tmp_path / 'ckpt'), every=5)
+        p_ck, l_ck = design_pulse(cube, p, Mtgt_, cfg=cfg,
+                                  checkpoint=spec)
+        # 12 iters as 5+5+2 segments: identical op order, bit-identical
+        np.testing.assert_array_equal(np.asarray(l_ref),
+                                      np.asarray(l_ck))
+        np.testing.assert_array_equal(np.asarray(p_ref.rf),
+                                      np.asarray(p_ck.rf))
+
+    def test_resume_continues_from_saved_segment(self, tmp_path):
+        import dataclasses
+        from mrphy_tpu.design import DesignCheckpoint
+        cube, p, Mtgt_, cfg = self._setup()
+        spec = DesignCheckpoint(dir=str(tmp_path / 'ckpt'), every=4)
+        # "interrupted" run: only 8 of the 12 iterations complete
+        cfg8 = dataclasses.replace(cfg, niter=8)
+        design_pulse(cube, p, Mtgt_, cfg=cfg8, checkpoint=spec)
+        # resuming with niter=8 must be a no-op restore (0 new segments)
+        p_again, l_again = design_pulse(cube, p, Mtgt_, cfg=cfg8,
+                                        checkpoint=spec)
+        assert l_again.shape == (8,)
+        # resume to the FULL count: continues from iteration 8 and
+        # equals the uninterrupted 12-iteration run bit-for-bit
+        p_res, l_res = design_pulse(cube, p, Mtgt_, cfg=cfg,
+                                    checkpoint=spec)
+        p_ref, l_ref = design_pulse(cube, p, Mtgt_, cfg=cfg)
+        np.testing.assert_array_equal(np.asarray(l_ref),
+                                      np.asarray(l_res))
+        np.testing.assert_array_equal(np.asarray(p_ref.rf),
+                                      np.asarray(p_res.rf))
+        np.testing.assert_array_equal(np.asarray(l_ref[:8]),
+                                      np.asarray(l_again))
+
+    def test_config_mismatch_refuses(self, tmp_path):
+        import dataclasses
+        from mrphy_tpu.design import DesignCheckpoint
+        cube, p, Mtgt_, cfg = self._setup()
+        spec = DesignCheckpoint(dir=str(tmp_path / 'ckpt'), every=6)
+        design_pulse(cube, p, Mtgt_, cfg=cfg, checkpoint=spec)
+        cfg2 = dataclasses.replace(cfg, lr=0.05)
+        try:
+            design_pulse(cube, p, Mtgt_, cfg=cfg2, checkpoint=spec)
+            raise RuntimeError('expected a config-mismatch refusal')
+        except AssertionError as e:
+            assert 'refusing to resume' in str(e)

@@ -213,8 +213,9 @@ class TestParallel:
         def loss(T1, T2, mesh):
             return jnp.sum(slowsims.blochsim(M, Beff, T1=T1, T2=T2,
                                              mesh=mesh) ** 2)
-        g_sh = jax.grad(loss, argnums=(0, 1))(T1, T2, mesh)
-        g = jax.grad(loss, argnums=(0, 1))(T1, T2, None)
+        f = jax.jit(jax.grad(loss, argnums=(0, 1)), static_argnums=2)
+        g_sh = f(T1, T2, mesh)
+        g = f(T1, T2, None)
         np.testing.assert_allclose(g_sh[0], g[0], atol=1e-12)
         np.testing.assert_allclose(g_sh[1], g[1], atol=1e-12)
 
@@ -238,8 +239,11 @@ class TestParallel:
             a, b = slowsims.blochsim_mc(Ma, Mb, Beff, kab=kab,
                                         mesh=mesh, **kw)
             return jnp.sum(W[0] * a + W[1] * b)
-        v_sh, g_sh = jax.value_and_grad(loss)(kab_v, mesh)
-        v, g = jax.value_and_grad(loss)(kab_v, None)
+        # jit with the mesh static: EAGER shard_map dispatch compiles
+        # every primitive separately (~100 s); jitted this is ~10 s
+        f = jax.jit(jax.value_and_grad(loss), static_argnums=1)
+        v_sh, g_sh = f(kab_v, mesh)
+        v, g = f(kab_v, None)
         np.testing.assert_allclose(v_sh, v, atol=1e-12)
         np.testing.assert_allclose(g_sh, g, atol=1e-12)
 
@@ -256,8 +260,9 @@ class TestParallel:
         def loss(T2, mesh):
             e = epg.epg_cpmg(flips, T1=T1, T2=T2, esp=0.01, mesh=mesh)
             return jnp.sum(W * e)
-        v_sh, g_sh = jax.value_and_grad(loss)(T2, mesh)
-        v, g = jax.value_and_grad(loss)(T2, None)
+        f = jax.jit(jax.value_and_grad(loss), static_argnums=1)
+        v_sh, g_sh = f(T2, mesh)
+        v, g = f(T2, None)
         np.testing.assert_allclose(v_sh, v, atol=1e-12)
         np.testing.assert_allclose(g_sh, g, atol=1e-12)
 
