@@ -152,9 +152,13 @@ def main():
     both = jax.jit(jax.grad(loss))
     t = _timeit(both, Mi)
     rate = nM * nT / t
+    # careful static count of _rfgr_bwd_kernel.step (nC=1, dfg+b1+relax):
+    # assemble 12 + norm/axis 10 + poly-sincos 25 + undo-relax 7 +
+    # Rt m 32 + Rt h 32 + dL/db 54 + waveform reduces ~14 + per-spin
+    # accumulators 15 ~= 200; fwd pass adds its own 84 -> ~284/step.
     print(f'fwd+adjoint: {t*1e3:8.2f} ms  -> {rate/1e9:6.2f} G spin*steps/s'
-          f'  (~{rate*175/1e12:.2f} Tflop/s at ~175 flops/step'
-          f' + {rate*6/1e9:.1f} G transcendentals/s)')
+          f'  (~{rate*284/1e12:.2f} Tflop/s-equivalent at ~284 '
+          f'flops/step fwd+bwd + {rate*2/1e9:.1f} G rsqrt/s)')
 
 
 if __name__ == '__main__':

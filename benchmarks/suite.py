@@ -227,8 +227,9 @@ ALL = {'tiny': bench_tiny, 'freeprec32': bench_freeprec32,
 
 
 def main():
-    from mrphy_tpu.utils.timing import enable_persistent_cache
-    enable_persistent_cache()    # remote compiles are minutes each
+    if not os.environ.get('MRPHY_NO_CACHE'):
+        from mrphy_tpu.utils.timing import enable_persistent_cache
+        enable_persistent_cache()    # remote compiles are minutes each
     names = sys.argv[1:] or list(ALL)
     for name in names:
         try:

@@ -31,6 +31,8 @@ def main():
                     help='multi-scale: design at 2x dt, refine, continue')
     ap.add_argument('--save', type=str, default='',
                     help='save designed waveforms to this .npz')
+    ap.add_argument('--seq', type=str, default='',
+                    help='export the designed pulse to this Pulseq .seq')
     args = ap.parse_args()
 
     import jax
@@ -89,6 +91,11 @@ def main():
         np.savez(args.save, rf=np.asarray(pulse.rf),
                  gr=np.asarray(pulse.gr), dt=float(dt0))
         print(f'saved waveforms to {args.save}')
+
+    if args.seq:
+        from mrphy_tpu.utils import pulse_to_seq
+        pulse_to_seq(pulse, args.seq)
+        print(f'exported Pulseq file to {args.seq}')
 
 
 if __name__ == '__main__':

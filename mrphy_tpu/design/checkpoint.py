@@ -48,7 +48,7 @@ class DesignCheckpoint:
     max_to_keep: Optional[int] = 3
 
 
-def _fingerprint(cfg, doRelax: bool) -> dict:
+def _fingerprint(cfg, doRelax: bool, step_args=()) -> dict:
     d = dataclasses.asdict(cfg)
     # niter is NOT part of the identity: resuming an interrupted run
     # with a larger/equal target iteration count is the use case
@@ -56,6 +56,11 @@ def _fingerprint(cfg, doRelax: bool) -> dict:
     d = {k: (list(v) if isinstance(v, (tuple, list)) else v)
          for k, v in d.items()}
     d['doRelax'] = bool(doRelax)
+    if step_args:
+        import hashlib
+        girf_ = step_args[-1]       # trailing step arg by construction
+        d['girf'] = (None if girf_ is None else hashlib.md5(
+            np.asarray(girf_, np.float64).tobytes()).hexdigest())
     return d
 
 
@@ -79,7 +84,7 @@ def run_checkpointed(design_scan, params, opt_state, cfg, step_args,
 
     os.makedirs(spec.dir, exist_ok=True)
     fp_path = os.path.join(spec.dir, 'design_config.json')
-    fp = _fingerprint(cfg, doRelax)
+    fp = _fingerprint(cfg, doRelax, step_args)
     mgr = _manager(spec)
 
     done = 0

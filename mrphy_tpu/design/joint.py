@@ -87,8 +87,13 @@ def params2pulse(params: dict,
 
 
 def _loss_fn(params, cfg, M0_, loc_, Mtgt_, T1_, T2_, gam_, df_, b1Map_,
-             w_, doRelax: bool, mesh=None):
+             w_, girf_, doRelax: bool, mesh=None):
     rf, gr = params2pulse(params, cfg)
+    if girf_ is not None:
+        # design THROUGH the gradient-chain response: simulate what
+        # the hardware plays, so the optimizer pre-compensates it
+        from mrphy_tpu.utils.girf import apply_girf
+        gr = apply_girf(gr, girf_)
     T1, T2 = (T1_, T2_) if doRelax else (None, None)
     # fused engine: B-effective is assembled inside the scan, so the
     # design loop never materializes the O(nM·nT) field tensor
@@ -136,7 +141,8 @@ def _params2pulse_jit(params, cfg):
 
 @functools.partial(jax.jit, static_argnames=('cfg', 'doRelax', 'mesh'))
 def _design_scan(params, opt_state, cfg, M0_, loc_, Mtgt_, T1_,
-                 T2_, gam_, df_, b1Map_, w_, doRelax, mesh=None):
+                 T2_, gam_, df_, b1Map_, w_, girf_, doRelax,
+                 mesh=None):
     r"""The whole optimization as ONE jitted ``lax.scan``. Module-level
     (not a per-call closure) so repeated ``design_pulse`` calls — e.g.
     multi-scale stages — reuse the compiled executable; ``cfg`` is a
@@ -148,7 +154,7 @@ def _design_scan(params, opt_state, cfg, M0_, loc_, Mtgt_, T1_,
         params, opt_state = carry
         params, opt_state, loss, _ = design_step(
             params, opt_state, optimizer, cfg, M0_, loc_, Mtgt_, T1_,
-            T2_, gam_, df_, b1Map_, w_, doRelax, mesh=mesh)
+            T2_, gam_, df_, b1Map_, w_, girf_, doRelax, mesh=mesh)
         return (params, opt_state), loss
 
     (params, opt_state), losses = jax.lax.scan(
@@ -158,15 +164,15 @@ def _design_scan(params, opt_state, cfg, M0_, loc_, Mtgt_, T1_,
 
 @functools.partial(jax.jit, static_argnames=('cfg', 'doRelax', 'mesh'))
 def _design_step_jit(params, opt_state, cfg, M0_, loc_, Mtgt_, T1_, T2_,
-                     gam_, df_, b1Map_, w_, doRelax, mesh=None):
+                     gam_, df_, b1Map_, w_, girf_, doRelax, mesh=None):
     optimizer = optax.adam(cfg.lr)
     return design_step(params, opt_state, optimizer, cfg, M0_, loc_,
-                       Mtgt_, T1_, T2_, gam_, df_, b1Map_, w_, doRelax,
-                       mesh=mesh)
+                       Mtgt_, T1_, T2_, gam_, df_, b1Map_, w_, girf_,
+                       doRelax, mesh=mesh)
 
 
 def design_pulse(spinarray, pulse, Mtgt_, *, loc_=None, df_=None,
-                 b1Map_=None, w_=None,
+                 b1Map_=None, w_=None, girf_=None,
                  cfg: Optional[DesignConfig] = None,
                  doRelax: bool = True, verbose: bool = False,
                  mesh=None, checkpoint=None):
@@ -188,6 +194,11 @@ def design_pulse(spinarray, pulse, Mtgt_, *, loc_=None, df_=None,
           single-dispatch path (the whole optimization is ONE jitted
           ``lax.scan`` over iterations — no host round-trip per step) to a
           per-iteration host loop.
+        - ``girf_``: `(3, nH)` ⊻ `(nH,)` gradient-system impulse
+          response (:mod:`mrphy_tpu.utils.girf`). The loss simulates
+          ``apply_girf(gr, girf_)`` — what the hardware plays — so the
+          optimizer PRE-COMPENSATES the gradient chain; the returned
+          Pulse holds the waveform to command.
         - ``checkpoint``: a
           :class:`~mrphy_tpu.design.checkpoint.DesignCheckpoint` to
           persist/resume the optimization: the scan runs in
@@ -225,7 +236,8 @@ def design_pulse(spinarray, pulse, Mtgt_, *, loc_=None, df_=None,
 
     step_args = (spinarray.M_, loc_, Mtgt_, spinarray.T1_, spinarray.T2_,
                  spinarray.gam_, df_, b1Map_,
-                 None if w_ is None else jnp.asarray(w_))
+                 None if w_ is None else jnp.asarray(w_),
+                 None if girf_ is None else jnp.asarray(girf_))
 
     if mesh is not None:
         # pre-place spin-indexed arrays on the mesh (the shard_map inside
@@ -248,7 +260,10 @@ def design_pulse(spinarray, pulse, Mtgt_, *, loc_=None, df_=None,
                 return jax.device_put(
                     x, NamedSharding(mesh, spin_pspec(x, N, nM)))
             return x
-        step_args = tuple(put(x) for x in step_args)
+        # girf_ (the trailing entry) is (3, nH) — never spin-indexed;
+        # keep it out of the by-shape placement rule
+        step_args = tuple(put(x) for x in step_args[:-1]) \
+            + step_args[-1:]
 
     if verbose:
         losses = []

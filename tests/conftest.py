@@ -28,6 +28,24 @@ jax.config.update('jax_enable_x64', True)
 
 # Persistent compile cache: most of the suite's wall time is jit compiles
 # of the big parametrized engines; repeated runs reuse the executables.
-jax.config.update('jax_compilation_cache_dir',
-                  os.path.expanduser('~/.cache/mrphy_tpu_test_jax'))
+# The dir is keyed by a CPU-feature fingerprint: XLA:CPU AOT artifacts
+# are machine-specific, and loading another host's entries fails loudly
+# (and slowly) for every cached executable.
+
+
+def _cpu_fingerprint():
+    import hashlib
+    try:
+        with open('/proc/cpuinfo') as f:
+            for line in f:
+                if line.startswith('flags'):
+                    return hashlib.md5(line.encode()).hexdigest()[:10]
+    except OSError:
+        pass
+    import platform
+    return platform.machine()
+
+
+jax.config.update('jax_compilation_cache_dir', os.path.expanduser(
+    f'~/.cache/mrphy_tpu_test_jax_{_cpu_fingerprint()}'))
 jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)

@@ -13,7 +13,8 @@ import pytest
 EX = pathlib.Path(__file__).parent.parent / 'examples'
 
 CASES = [
-    ('design_3d.py', ['--n', '8', '--nt', '32', '--iters', '4']),
+    ('design_3d.py', ['--n', '8', '--nt', '32', '--iters', '4',
+                      '--seq', '/tmp/design3d_smoke.seq']),
     ('design_3d.py', ['--n', '8', '--nt', '32', '--iters', '4',
                       '--coarse']),
     ('slice_select.py', ['--nz', '64', '--dur', '0.002']),
