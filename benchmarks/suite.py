@@ -190,7 +190,10 @@ def bench_beffstream():
     import jax.numpy as jnp
     from mrphy_tpu.ops import sims
 
-    nM, nT = 250_000, 512
+    # overridable: the remote compile helper intermittently 500s on the
+    # full-size grad compile (see RESULTS.md round 2)
+    nM = int(os.environ.get('MRPHY_BEFF_NM', 250_000))
+    nT = int(os.environ.get('MRPHY_BEFF_NT', 512))
     rng = np.random.default_rng(0)
     Mi = jnp.asarray(rng.random((1, nM, 3)), jnp.float32)
     beff32 = jnp.asarray(rng.normal(size=(1, nM, nT, 3)) * 0.1,

@@ -27,6 +27,7 @@ CASES = [
     ('epg_multiparam_fit.py', ['--iters', '300']),
     ('mrf_dictionary.py', ['--ntr', '80', '--nt1', '12', '--nt2', '12',
                            '--iters', '200']),
+    ('girf_preemphasis.py', ['--nt', '128', '--iters', '250']),
     # voxel-sharded variants on the 8-virtual-device CPU mesh
     ('qmri_fit.py', ['--nvox', '16', '--iters', '120', '--mesh']),
     ('cest_zspectrum.py', ['--noffsets', '13', '--tsat', '0.5',

@@ -183,16 +183,18 @@ class TestParallel:
 
         arr = SpinArray((N, 8, 8),
                         M_=jnp.asarray(np.tile([0., 0., 1.], (N, nM, 1))))
-        M1 = arr.applypulse(p, loc_=loc_)
-        M2 = arr.applypulse(p, loc_=loc_, mesh=mesh)
-        np.testing.assert_allclose(M2, M1, atol=1e-12)
+        # jit the eager object-level calls (same dispatch-cost story as
+        # the sharded-loss tests above)
+        f1 = jax.jit(lambda o: o.applypulse(p, loc_=loc_))
+        f2 = jax.jit(lambda o: o.applypulse(p, loc_=loc_, mesh=mesh))
+        np.testing.assert_allclose(f2(arr), f1(arr), atol=1e-12)
 
         bol = SpinBolus((N, 8, 8),
                         vel_=jnp.asarray(rng.random((N, nM, 3)) - .5),
                         M_=jnp.asarray(np.tile([1., 0., 0.], (N, nM, 1))))
-        M1 = bol.applypulse(p, loc_=loc_)
-        M2 = bol.applypulse(p, loc_=loc_, mesh=mesh)
-        np.testing.assert_allclose(M2, M1, atol=1e-12)
+        g1 = jax.jit(lambda o: o.applypulse(p, loc_=loc_))
+        g2 = jax.jit(lambda o: o.applypulse(p, loc_=loc_, mesh=mesh))
+        np.testing.assert_allclose(g2(bol), g1(bol), atol=1e-12)
 
     def test_oracle_sharded_matches(self):
         r"""slowsims.blochsim(mesh=) — incl. T1/T2 gradients, which only
