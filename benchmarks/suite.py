@@ -15,6 +15,8 @@ Configs:
               scan, 128 spins x 65536 steps
   longpulse   1M spins x 16k steps fwd+adjoint, time-chunked Pallas
               backward
+  beffstream  materialized-Beff streaming engine, bf16 vs f32 field
+              storage (HBM-bandwidth scenario)
 """
 
 import json
@@ -185,15 +187,22 @@ def bench_beffstream():
     r"""Beff-streaming engine (materialized field tensor) fwd+adjoint:
     f32 vs bfloat16 Beff storage. The path is HBM-bound on the (nT, nM)
     field stream, so bf16 storage (upcast in-register, bf16 cotangent)
-    targets ~2x; reports both and the bf16-vs-f32 gradient deviation."""
+    targets ~2x; reports both and the bf16-vs-f32 gradient deviation.
+
+    Sizing: ONE spin tile (32768 = 256x128) with a long time axis, so
+    the stream is GBs while the backward compiles single-tile (the
+    remote compile helper 500s on multi-tile streaming-backward grad
+    compiles — RESULTS.md round 2); timing is chained through a data
+    dependency (grad has Beff's shape/dtype) so repeats serialize with
+    ONE host read instead of one ~20 ms round-trip per repeat.
+    Overridable via MRPHY_BEFF_NM / MRPHY_BEFF_NT."""
     import jax
     import jax.numpy as jnp
     from mrphy_tpu.ops import sims
+    from mrphy_tpu.utils.timing import chained_timeit
 
-    # overridable: the remote compile helper intermittently 500s on the
-    # full-size grad compile (see RESULTS.md round 2)
-    nM = int(os.environ.get('MRPHY_BEFF_NM', 250_000))
-    nT = int(os.environ.get('MRPHY_BEFF_NT', 512))
+    nM = int(os.environ.get('MRPHY_BEFF_NM', 32768))
+    nT = int(os.environ.get('MRPHY_BEFF_NT', 4096))
     rng = np.random.default_rng(0)
     Mi = jnp.asarray(rng.random((1, nM, 3)), jnp.float32)
     beff32 = jnp.asarray(rng.normal(size=(1, nM, nT, 3)) * 0.1,
@@ -209,17 +218,19 @@ def bench_beffstream():
 
     g32f = mk(beff32)
     g16f = mk(beff16)
-    t32 = _timeit(g32f, beff32, repeats=4)
-    t16 = _timeit(g16f, beff16, repeats=4)
+    t32 = chained_timeit(g32f, beff32, repeats=6)
+    t16 = chained_timeit(g16f, beff16, repeats=6)
     g32 = g32f(beff32)
     g16 = g16f(beff16).astype(jnp.float32)
     scale = float(jnp.max(jnp.abs(g32)))
     rel = float(jnp.max(jnp.abs(g16 - g32))) / scale
+    gb32 = nM * nT * 3 * 4 / 1e9   # one pass over the f32 field stream
     return {'metric': f'beffstream: {nM} spins x {nT} steps fwd+adjoint,'
                       ' bf16 Beff storage vs f32',
             'value': round(t16 * 1e3, 1), 'unit': 'ms',
             'f32_ms': round(t32 * 1e3, 1),
             'speedup': round(t32 / t16, 2),
+            'stream_gb_f32': round(gb32, 2),
             'bf16_grad_rel_dev': f'{rel:.1e}'}
 
 

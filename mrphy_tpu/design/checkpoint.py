@@ -58,9 +58,15 @@ def _fingerprint(cfg, doRelax: bool, step_args=()) -> dict:
     d['doRelax'] = bool(doRelax)
     if step_args:
         import hashlib
-        girf_ = step_args[-1]       # trailing step arg by construction
-        d['girf'] = (None if girf_ is None else hashlib.md5(
-            np.asarray(girf_, np.float64).tobytes()).hexdigest())
+
+        def _h(x):
+            return None if x is None else hashlib.md5(
+                np.asarray(x, np.float64).tobytes()).hexdigest()
+        # trailing step args by construction (design_pulse): the
+        # non-spin design inputs that must match across a resume
+        girf_, sarQr_, sarQi_ = step_args[-3:]
+        d['girf'] = _h(girf_)
+        d['sarQr'], d['sarQi'] = _h(sarQr_), _h(sarQi_)
     return d
 
 

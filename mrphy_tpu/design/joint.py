@@ -57,6 +57,8 @@ class DesignConfig:
     dt: float = dt0           # Sec
     lam_pow: float = 0.0      # RF power penalty weight
     lam_gmax: float = 0.0     # peak-gradient excess penalty weight
+    lam_sar: float = 0.0      # local-SAR (VOP) excess penalty weight
+    sar_limit: float = 0.0    # per-VOP time-averaged SAR limit
     gam: float = gamH
 
 
@@ -87,7 +89,7 @@ def params2pulse(params: dict,
 
 
 def _loss_fn(params, cfg, M0_, loc_, Mtgt_, T1_, T2_, gam_, df_, b1Map_,
-             w_, girf_, doRelax: bool, mesh=None):
+             w_, girf_, sarQr_, sarQi_, doRelax: bool, mesh=None):
     rf, gr = params2pulse(params, cfg)
     if girf_ is not None:
         # design THROUGH the gradient-chain response: simulate what
@@ -116,6 +118,15 @@ def _loss_fn(params, cfg, M0_, loc_, Mtgt_, T1_, T2_, gam_, df_, b1Map_,
         # its design recipe leaves amplitude to user code
         excess = jax.nn.relu(jnp.abs(gr) - cfg.gmax)
         pen = pen + cfg.lam_gmax * jnp.mean(jnp.sum(excess ** 2, axis=1))
+    if sarQr_ is not None:
+        # soft local-SAR constraint over virtual observation points:
+        # hinge² on each VOP's time-averaged quadratic form over the
+        # per-coil complex drive (utils.sar) — the realistic pTx limit
+        # beyond per-coil |rf| peaks
+        from mrphy_tpu.utils.sar import sar_vops
+        sar = sar_vops(rf, sarQr_, sarQi_)          # (N, nVOP)
+        sar_ex = jax.nn.relu(sar - cfg.sar_limit)
+        pen = pen + cfg.lam_sar * jnp.mean(jnp.sum(sar_ex ** 2, axis=-1))
     return err + pen, M_
 
 
@@ -141,8 +152,8 @@ def _params2pulse_jit(params, cfg):
 
 @functools.partial(jax.jit, static_argnames=('cfg', 'doRelax', 'mesh'))
 def _design_scan(params, opt_state, cfg, M0_, loc_, Mtgt_, T1_,
-                 T2_, gam_, df_, b1Map_, w_, girf_, doRelax,
-                 mesh=None):
+                 T2_, gam_, df_, b1Map_, w_, girf_, sarQr_, sarQi_,
+                 doRelax, mesh=None):
     r"""The whole optimization as ONE jitted ``lax.scan``. Module-level
     (not a per-call closure) so repeated ``design_pulse`` calls — e.g.
     multi-scale stages — reuse the compiled executable; ``cfg`` is a
@@ -154,7 +165,8 @@ def _design_scan(params, opt_state, cfg, M0_, loc_, Mtgt_, T1_,
         params, opt_state = carry
         params, opt_state, loss, _ = design_step(
             params, opt_state, optimizer, cfg, M0_, loc_, Mtgt_, T1_,
-            T2_, gam_, df_, b1Map_, w_, girf_, doRelax, mesh=mesh)
+            T2_, gam_, df_, b1Map_, w_, girf_, sarQr_, sarQi_, doRelax,
+            mesh=mesh)
         return (params, opt_state), loss
 
     (params, opt_state), losses = jax.lax.scan(
@@ -164,15 +176,16 @@ def _design_scan(params, opt_state, cfg, M0_, loc_, Mtgt_, T1_,
 
 @functools.partial(jax.jit, static_argnames=('cfg', 'doRelax', 'mesh'))
 def _design_step_jit(params, opt_state, cfg, M0_, loc_, Mtgt_, T1_, T2_,
-                     gam_, df_, b1Map_, w_, girf_, doRelax, mesh=None):
+                     gam_, df_, b1Map_, w_, girf_, sarQr_, sarQi_,
+                     doRelax, mesh=None):
     optimizer = optax.adam(cfg.lr)
     return design_step(params, opt_state, optimizer, cfg, M0_, loc_,
                        Mtgt_, T1_, T2_, gam_, df_, b1Map_, w_, girf_,
-                       doRelax, mesh=mesh)
+                       sarQr_, sarQi_, doRelax, mesh=mesh)
 
 
 def design_pulse(spinarray, pulse, Mtgt_, *, loc_=None, df_=None,
-                 b1Map_=None, w_=None, girf_=None,
+                 b1Map_=None, w_=None, girf_=None, sarQ_=None,
                  cfg: Optional[DesignConfig] = None,
                  doRelax: bool = True, verbose: bool = False,
                  mesh=None, checkpoint=None):
@@ -199,6 +212,14 @@ def design_pulse(spinarray, pulse, Mtgt_, *, loc_=None, df_=None,
           ``apply_girf(gr, girf_)`` — what the hardware plays — so the
           optimizer PRE-COMPENSATES the gradient chain; the returned
           Pulse holds the waveform to command.
+        - ``sarQ_``: local-SAR virtual observation points — ``Qr`` of
+          shape `(nVOP, nCoils, nCoils)` ⊻ a ``(Qr, Qi)`` pair (see
+          :func:`mrphy_tpu.utils.sar.sar_vops`, and
+          :func:`~mrphy_tpu.utils.sar.vop_compress` to build them from
+          field-simulation Q-matrices). With ``cfg.lam_sar`` set, each
+          VOP's time-averaged SAR is hinge²-penalized above
+          ``cfg.sar_limit`` — the realistic pTx constraint beyond the
+          per-coil |rf| limits that ``rfmax`` enforces by construction.
         - ``checkpoint``: a
           :class:`~mrphy_tpu.design.checkpoint.DesignCheckpoint` to
           persist/resume the optimization: the scan runs in
@@ -234,10 +255,20 @@ def design_pulse(spinarray, pulse, Mtgt_, *, loc_=None, df_=None,
     optimizer = optax.adam(cfg.lr)
     opt_state = optimizer.init(params)
 
+    if sarQ_ is None:
+        sarQr_ = sarQi_ = None
+    elif isinstance(sarQ_, (tuple, list)):
+        sarQr_, sarQi_ = (jnp.asarray(sarQ_[0]),
+                          None if sarQ_[1] is None else
+                          jnp.asarray(sarQ_[1]))
+    else:
+        sarQr_, sarQi_ = jnp.asarray(sarQ_), None
+
     step_args = (spinarray.M_, loc_, Mtgt_, spinarray.T1_, spinarray.T2_,
                  spinarray.gam_, df_, b1Map_,
                  None if w_ is None else jnp.asarray(w_),
-                 None if girf_ is None else jnp.asarray(girf_))
+                 None if girf_ is None else jnp.asarray(girf_),
+                 sarQr_, sarQi_)
 
     if mesh is not None:
         # pre-place spin-indexed arrays on the mesh (the shard_map inside
@@ -260,10 +291,11 @@ def design_pulse(spinarray, pulse, Mtgt_, *, loc_=None, df_=None,
                 return jax.device_put(
                     x, NamedSharding(mesh, spin_pspec(x, N, nM)))
             return x
-        # girf_ (the trailing entry) is (3, nH) — never spin-indexed;
-        # keep it out of the by-shape placement rule
-        step_args = tuple(put(x) for x in step_args[:-1]) \
-            + step_args[-1:]
+        # the trailing entries — girf_ (3, nH) and the SAR VOP matrices
+        # (nVOP, nCoils, nCoils) — are never spin-indexed; keep them out
+        # of the by-shape placement rule (only M0_..w_ may carry nM)
+        step_args = tuple(put(x) for x in step_args[:9]) \
+            + step_args[9:]
 
     if verbose:
         losses = []

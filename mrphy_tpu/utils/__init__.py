@@ -15,6 +15,7 @@ from mrphy_tpu.utils.rotation import uphirot
 from mrphy_tpu.utils import timing  # noqa: F401  (timing/profiling harness)
 from mrphy_tpu.utils.pulseq import pulse_to_seq, seq_to_pulse
 from mrphy_tpu.utils.girf import apply_girf, exp_decay_girf
+from mrphy_tpu.utils.sar import sar_vops, vop_compress
 
 # -- Unicode aliases (reference spellings) --
 # Python NFKC-normalizes identifiers: source written as `uϕrot` (U+03D5,
@@ -32,6 +33,6 @@ __all__ = ['ctrsub', 'g2k', 'g2s', 'k2g', 'rf_c2r', 'rf_r2c',
            'rf2trho_theta', 'trho_theta2rf', 'rf2lrho_theta',
            'lrho_theta2rf', 'rfclamp', 's2g', 's2ts', 'sclamp', 'ts2s',
            'uphirot', 'pulse_to_seq', 'seq_to_pulse',
-           'apply_girf', 'exp_decay_girf',
+           'apply_girf', 'exp_decay_girf', 'sar_vops', 'vop_compress',
            # Unicode aliases (NFKC-normalized spellings)
            'uφrot', 'rf2tρθ', 'tρθ2rf', 'rf2lρθ', 'lρθ2rf']

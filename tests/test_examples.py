@@ -28,6 +28,7 @@ CASES = [
     ('mrf_dictionary.py', ['--ntr', '80', '--nt1', '12', '--nt2', '12',
                            '--iters', '200']),
     ('girf_preemphasis.py', ['--nt', '128', '--iters', '250']),
+    ('ptx_sar_design.py', ['--n', '6', '--nt', '64', '--iters', '120']),
     # voxel-sharded variants on the 8-virtual-device CPU mesh
     ('qmri_fit.py', ['--nvox', '16', '--iters', '120', '--mesh']),
     ('cest_zspectrum.py', ['--noffsets', '13', '--tsat', '0.5',
