@@ -37,7 +37,10 @@ def _read(out):
     ~90 s vs ~60 ms of compute)."""
     import jax
     leaf = jax.tree_util.tree_leaves(out)[0]
-    np.asarray(leaf.reshape(-1)[0])
+    # plain indexing, not reshape(-1)[0]: the remote compile helper
+    # 500s on flatten kernels over multi-GB arrays
+    np.asarray(leaf[(0,) * leaf.ndim] if getattr(leaf, 'ndim', 0)
+               else leaf)
 
 
 def _timeit(f, *args, repeats=8):

@@ -38,9 +38,20 @@ def enable_persistent_cache(path: str = '~/.cache/mrphy_tpu_jax') -> None:
 
 
 def host_sync(out):
-    r"""Force completion of ``out`` (any pytree) via a host read."""
+    r"""Force completion of ``out`` (any pytree) via a host read.
+
+    Reads ONE element per leaf, sliced ON DEVICE first: ``np.asarray``
+    on the whole leaf would transfer it entirely over the (tunneled)
+    attachment — measured ~20 s for a 0.4 GB gradient, dwarfing the
+    compute being timed. The slice is plain indexing, NOT
+    ``reshape(-1)[0]``: the remote compile helper rejects the
+    flatten-of-GBs kernel (HTTP 500) while a multi-axis index lowers
+    fine."""
     for leaf in jax.tree_util.tree_leaves(out):
-        np.asarray(leaf).ravel()[:1]
+        if hasattr(leaf, 'ndim') and getattr(leaf, 'size', 1) > 1:
+            np.asarray(leaf[(0,) * leaf.ndim])
+        else:
+            np.asarray(leaf)
     return out
 
 
