@@ -5,7 +5,8 @@ from mrphy_tpu.design.joint import (DesignConfig, design_pulse,
                                     design_multiscale, design_step,
                                     init_params, params2pulse)
 from mrphy_tpu.design.checkpoint import DesignCheckpoint
+from mrphy_tpu.design.sta import sta_design, sta_forward
 
 __all__ = ['DesignConfig', 'DesignCheckpoint', 'design_pulse',
            'design_multiscale', 'design_step', 'init_params',
-           'params2pulse']
+           'params2pulse', 'sta_design', 'sta_forward']
