@@ -29,6 +29,9 @@ def main():
     ap.add_argument('--lr', type=float, default=0.02)
     ap.add_argument('--coarse', action='store_true',
                     help='multi-scale: design at 2x dt, refine, continue')
+    ap.add_argument('--init', choices=['cos', 'sta'], default='cos',
+                    help='RF init: fixed cos/sin, or small-tip-angle '
+                         'linear design through the random gradients')
     ap.add_argument('--save', type=str, default='',
                     help='save designed waveforms to this .npz')
     ap.add_argument('--seq', type=str, default='',
@@ -55,8 +58,23 @@ def main():
 
     rng = np.random.default_rng(0)
     t = jnp.arange(args.nt, dtype=jnp.float32).reshape(1, 1, args.nt)
-    rf = 0.05 * jnp.concatenate([jnp.cos(t / 40), jnp.sin(t / 40)], 1)
     gr = jnp.asarray(rng.normal(size=(1, 3, args.nt)) * 0.2, jnp.float32)
+    if args.init == 'sta':
+        # warm start: linear small-tip design through the (random)
+        # gradient trajectory — convex, seconds — then let the joint
+        # loop refine nonlinearly (the 90° target is far beyond small
+        # tip, but the STA solution still seeds the right geometry)
+        from mrphy_tpu.design import sta_design
+        rf0, _ = sta_design(cube.loc_, gr, Mtgt[..., :2], niter=60)
+        # rescale into the hardware limit (a uniform scale keeps the
+        # excitation GEOMETRY — the thing the warm start contributes;
+        # clipping would distort it)
+        peak = float(jnp.abs(rf0).max())
+        rf = jnp.asarray(rf0 * min(1.0, 0.24 / peak), jnp.float32)
+        print(f'STA init: max|rf| {peak:.3f} G'
+              + (' (rescaled to rfmax)' if peak > 0.24 else ''))
+    else:
+        rf = 0.05 * jnp.concatenate([jnp.cos(t / 40), jnp.sin(t / 40)], 1)
     p = mobjs.Pulse(rf=rf, gr=gr, dt=dt0)
 
     if args.coarse:   # multi-scale: coarse dt first, then refine

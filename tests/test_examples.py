@@ -17,6 +17,8 @@ CASES = [
                       '--seq', '/tmp/design3d_smoke.seq']),
     ('design_3d.py', ['--n', '8', '--nt', '32', '--iters', '4',
                       '--coarse']),
+    ('design_3d.py', ['--n', '8', '--nt', '32', '--iters', '4',
+                      '--init', 'sta']),
     ('slice_select.py', ['--nz', '64', '--dur', '0.002']),
     ('qmri_fit.py', ['--nvox', '16', '--iters', '120']),
     ('bolus_flow.py', ['--nspins', '16', '--nt', '64']),
