@@ -3,10 +3,11 @@ cited papers), as jitted optax optimization loops."""
 
 from mrphy_tpu.design.joint import (DesignConfig, design_pulse,
                                     design_multiscale, design_step,
-                                    init_params, params2pulse)
+                                    init_params, make_optimizer,
+                                    params2pulse)
 from mrphy_tpu.design.checkpoint import DesignCheckpoint
 from mrphy_tpu.design.sta import sta_design, sta_forward
 
 __all__ = ['DesignConfig', 'DesignCheckpoint', 'design_pulse',
            'design_multiscale', 'design_step', 'init_params',
-           'params2pulse', 'sta_design', 'sta_forward']
+           'make_optimizer', 'params2pulse', 'sta_design', 'sta_forward']

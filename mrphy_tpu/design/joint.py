@@ -35,7 +35,8 @@ from mrphy_tpu.utils import (rf2trho_theta, trho_theta2rf, s2ts, ts2s,
                              s2g, g2s, rfclamp, sclamp)
 
 __all__ = ['DesignConfig', 'design_pulse', 'design_multiscale',
-           'design_step', 'init_params', 'params2pulse']
+           'design_step', 'init_params', 'params2pulse',
+           'make_optimizer']
 
 
 @dataclasses.dataclass(frozen=True)
@@ -48,9 +49,18 @@ class DesignConfig:
     jit static key); it feeds the ``(N ⊻ 1, (nCoils))`` rfmax contract
     of the reparametrizations (ref ``/root/reference/mrphy/utils.py:
     196-214``), so each coil's |rf| bound holds by construction.
+
+    ``optimizer`` selects the update rule: ``'adam'`` (default),
+    ``'adamw'``, ``'sgd'``, ``'momentum'`` (Nesterov 0.9), or
+    ``'lbfgs'`` — optax L-BFGS with zoom linesearch (``lr`` ignored;
+    the linesearch picks the step). Each linesearch trial re-evaluates
+    the loss THROUGH the Bloch simulation, so an L-BFGS iteration costs
+    a few forward sims plus one gradient — typically repaid by far
+    fewer iterations on smooth (small-``lam_*``) problems.
     """
     niter: int = 100
     lr: float = 1e-1
+    optimizer: str = 'adam'
     rfmax: object = rfmax0    # Gauss; float ⊻ (nCoils,) tuple
     smax: float = smax0       # Gauss/cm/Sec
     gmax: float = gmax0       # Gauss/cm (soft, via lam_gmax)
@@ -60,6 +70,25 @@ class DesignConfig:
     lam_sar: float = 0.0      # local-SAR (VOP) excess penalty weight
     sar_limit: float = 0.0    # per-VOP time-averaged SAR limit
     gam: float = gamH
+
+
+def make_optimizer(cfg: DesignConfig) -> optax.GradientTransformation:
+    r"""The optax transform named by ``cfg.optimizer`` (see
+    :class:`DesignConfig`)."""
+    name = cfg.optimizer
+    if name == 'adam':
+        return optax.adam(cfg.lr)
+    if name == 'adamw':
+        return optax.adamw(cfg.lr)
+    if name == 'sgd':
+        return optax.sgd(cfg.lr)
+    if name == 'momentum':
+        return optax.sgd(cfg.lr, momentum=0.9, nesterov=True)
+    if name == 'lbfgs':
+        return optax.lbfgs()
+    raise ValueError(
+        f"cfg.optimizer={name!r}; expected one of "
+        "'adam', 'adamw', 'sgd', 'momentum', 'lbfgs'")
 
 
 def _rfmax_arr(cfg: DesignConfig):
@@ -135,7 +164,14 @@ def design_step(params, opt_state, optimizer, cfg, *args, **kw):
     then an optax update. Returns ``(params, opt_state, loss, M_)``."""
     (loss, M_), grads = jax.value_and_grad(_loss_fn, has_aux=True)(
         params, cfg, *args, **kw)
-    updates, opt_state = optimizer.update(grads, opt_state, params)
+    if cfg.optimizer == 'lbfgs':
+        # the zoom linesearch probes trial steps, each re-running the
+        # full differentiable simulation via value_fn (scalar loss only)
+        updates, opt_state = optimizer.update(
+            grads, opt_state, params, value=loss, grad=grads,
+            value_fn=lambda p: _loss_fn(p, cfg, *args, **kw)[0])
+    else:
+        updates, opt_state = optimizer.update(grads, opt_state, params)
     params = optax.apply_updates(params, updates)
     return params, opt_state, loss, M_
 
@@ -159,7 +195,7 @@ def _design_scan(params, opt_state, cfg, M0_, loc_, Mtgt_, T1_,
     multi-scale stages — reuse the compiled executable; ``cfg`` is a
     frozen (hashable) dataclass and serves as the static key (``mesh``,
     also hashable, keys the multi-chip variant)."""
-    optimizer = optax.adam(cfg.lr)
+    optimizer = make_optimizer(cfg)
 
     def body(carry, _):
         params, opt_state = carry
@@ -178,7 +214,7 @@ def _design_scan(params, opt_state, cfg, M0_, loc_, Mtgt_, T1_,
 def _design_step_jit(params, opt_state, cfg, M0_, loc_, Mtgt_, T1_, T2_,
                      gam_, df_, b1Map_, w_, girf_, sarQr_, sarQi_,
                      doRelax, mesh=None):
-    optimizer = optax.adam(cfg.lr)
+    optimizer = make_optimizer(cfg)
     return design_step(params, opt_state, optimizer, cfg, M0_, loc_,
                        Mtgt_, T1_, T2_, gam_, df_, b1Map_, w_, girf_,
                        sarQr_, sarQi_, doRelax, mesh=mesh)
@@ -252,7 +288,7 @@ def design_pulse(spinarray, pulse, Mtgt_, *, loc_=None, df_=None,
     # cost ~1 s each (70+ s measured); module-level jits so repeated
     # calls reuse the compiled executables
     params = _init_params_jit(pulse.rf, pulse.gr, cfg)
-    optimizer = optax.adam(cfg.lr)
+    optimizer = make_optimizer(cfg)
     opt_state = optimizer.init(params)
 
     if sarQ_ is None:

@@ -41,6 +41,32 @@ class TestDesign:
         s = g2s(p2.gr, cfg.dt)
         assert float(jnp.max(jnp.abs(s))) <= cfg.smax * (1 + 1e-4)
 
+    def test_optimizer_lbfgs_converges(self):
+        r"""cfg.optimizer='lbfgs' (zoom linesearch through the Bloch sim)
+        reduces the loss; in this smooth small problem it should match or
+        beat Adam at the same iteration count."""
+        cube = Examples.spincube()
+        p = Examples.pulse()
+        Mtgt_ = jnp.tile(jnp.asarray([0., 0., -1.], jnp.float32),
+                         (1, cube.nM, 1))
+        base = dict(niter=15, rfmax=12.0, smax=5e6, dt=float(dt0))
+        pa, la = design_pulse(cube, p, Mtgt_,
+                              cfg=DesignConfig(lr=0.01, **base))
+        pl, ll = design_pulse(
+            cube, p, Mtgt_, cfg=DesignConfig(optimizer='lbfgs', **base))
+        assert float(ll[-1]) < float(ll[0])
+        assert float(ll[-1]) <= float(la[-1]) * 1.5
+        # constraints still hold by construction under the new update rule
+        assert float(jnp.max(jnp.linalg.norm(pl.rf, axis=1))) <= 12.0 + 1e-4
+
+    def test_optimizer_variants_and_bad_name(self):
+        from mrphy_tpu.design import make_optimizer
+        import pytest
+        for name in ('adam', 'adamw', 'sgd', 'momentum', 'lbfgs'):
+            make_optimizer(DesignConfig(optimizer=name))
+        with pytest.raises(ValueError, match='nadam'):
+            make_optimizer(DesignConfig(optimizer='nadam'))
+
     def test_multiscale_interpT_refine(self):
         r"""Design at coarse dt, refine via interpT, continue: the README's
         multi-scale strategy (/root/reference/README.md:27-36)."""
