@@ -1,0 +1,75 @@
+r"""Adiabatic hyperbolic-secant pulse: the defining B1-insensitivity
+signature, validated by Bloch simulation — inversion holds across a
+2.5× amplitude range and the sweep bandwidth, and collapses below the
+adiabatic threshold."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from mrphy_tpu import gamH, dt0, pi
+from mrphy_tpu.design.adiabatic import (adiabatic_hypsec, hypsec_bw,
+                                        hypsec_threshold)
+from mrphy_tpu.ops import slowsims
+
+NT, BETA, MU = 2048, 5.3, 4.9
+DUR = NT * float(dt0)
+THR = hypsec_threshold(BETA, MU, DUR)
+
+
+def _simulate_mz(rf, df_hz):
+    nF = df_hz.shape[0]
+    M0 = jnp.tile(jnp.asarray([0., 0., 1.]), (1, nF, 1))
+    beff = jnp.zeros((1, nF, NT, 3))
+    beff = beff.at[..., 0].set(rf[0, 0])
+    beff = beff.at[..., 1].set(rf[0, 1])
+    beff = beff.at[..., 2].set((df_hz / gamH)[:, None])
+    M = slowsims.blochsim(M0, beff, T1=None, T2=None,
+                          gam=jnp.asarray(gamH), dt=jnp.asarray(dt0))
+    return np.asarray(M[0, :, 2])
+
+
+class TestHypsec:
+
+    def test_waveform_shapes_and_modulation(self):
+        rf, bw = adiabatic_hypsec(NT, beta=BETA, mu=MU, b1max=0.2)
+        assert rf.shape == (1, 2, NT)
+        amp = np.hypot(np.asarray(rf[0, 0]), np.asarray(rf[0, 1]))
+        assert np.isclose(amp.max(), 0.2)
+        assert np.isclose(amp[0] / amp.max(), 1 / np.cosh(BETA),
+                          rtol=1e-3)
+        assert np.isclose(bw, hypsec_bw(BETA, MU, DUR))
+        # instantaneous frequency (phase derivative) sweeps ±μβ·(2/dur)
+        ph = np.unwrap(np.arctan2(np.asarray(rf[0, 1]),
+                                  np.asarray(rf[0, 0])))
+        f_inst = np.diff(ph) / (2 * pi * float(dt0))     # Hz
+        f_lim = MU * BETA / (2 * pi) * (2 / DUR)
+        assert np.isclose(f_inst[0], f_lim * np.tanh(BETA), rtol=2e-2)
+        assert np.isclose(f_inst[-1], -f_lim * np.tanh(BETA), rtol=2e-2)
+
+    def test_inversion_is_b1_insensitive_above_threshold(self):
+        bw = hypsec_bw(BETA, MU, DUR)
+        df = jnp.linspace(-0.35 * bw, 0.35 * bw, 9)
+        for scale in (1.9, 2.8, 4.7):                 # × threshold
+            rf, _ = adiabatic_hypsec(NT, beta=BETA, mu=MU,
+                                     b1max=scale * THR)
+            mz = _simulate_mz(rf, df)
+            assert mz.max() < -0.95, (scale, mz)
+
+    def test_no_inversion_below_threshold(self):
+        rf, _ = adiabatic_hypsec(NT, beta=BETA, mu=MU, b1max=0.3 * THR)
+        mz = _simulate_mz(rf, jnp.asarray([0.]))
+        assert mz[0] > 0.0                             # stays up
+
+    def test_slr_contrast_scaled_inversion_fails_at_2x_b1(self):
+        r"""The complementary fact that motivates adiabatic pulses: a
+        conventional (SLR) inversion over/under-flips when B1 errs."""
+        from mrphy_tpu.design import slr_design
+        rf, _ = slr_design(512, 6.0, ptype='inv', flip=pi)
+        mz_nom = _simulate_mz(
+            jnp.pad(rf, ((0, 0), (0, 0), (0, NT - 512))),
+            jnp.asarray([0.]))
+        mz_2x = _simulate_mz(
+            jnp.pad(2.0 * rf, ((0, 0), (0, 0), (0, NT - 512))),
+            jnp.asarray([0.]))
+        assert mz_nom[0] < -0.98
+        assert mz_2x[0] > -0.5                         # badly over-flipped

@@ -1,0 +1,87 @@
+r"""Trajectory generators: hardware limits hold sample-by-sample, the
+spiral covers k-space to the requested extent, and the Tx convention
+(k ends at origin) holds for excitation use."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from mrphy_tpu import gamH, dt0
+from mrphy_tpu.utils.traj import spiral2d, rewinder, traj_check
+from mrphy_tpu.utils.conversions import g2k
+
+FOV, N = 24.0, 32          # 24 cm FOV, 32 matrix -> kmax 0.667 cyc/cm
+GMAX, SMAX = 4.0, 15e3
+
+
+class TestSpiral:
+
+    def test_limits_and_coverage_out(self):
+        gr, k = spiral2d(FOV, N, gmax=GMAX, smax=SMAX, direction='out')
+        traj_check(gr, gmax=GMAX, smax=SMAX)
+        kr = np.hypot(k[0, 0], k[0, 1])
+        assert kr.max() >= N / (2 * FOV) * 0.99
+        # outward spiral + Tx convention: |k| max sits at the END ramp
+        assert np.argmax(kr) > 0.8 * kr.size
+
+    def test_spiral_in_ends_at_origin(self):
+        gr, k = spiral2d(FOV, N, gmax=GMAX, smax=SMAX, direction='in')
+        traj_check(gr, gmax=GMAX, smax=SMAX)
+        kr = np.hypot(k[0, 0], k[0, 1])
+        assert kr[-1] < 1e-6                      # Tx endpoint
+        assert kr.max() >= N / (2 * FOV) * 0.99
+        assert np.argmax(kr) < 0.2 * kr.size      # large-k early
+        # starts and ends at (near-)zero gradient: playable as-is
+        assert np.abs(gr[0, :2, 0]).max() <= SMAX * float(dt0) * 1.001
+        assert np.abs(gr[0, :2, -1]).max() <= SMAX * float(dt0) * 1.001
+
+    def test_pitch_matches_nshots(self):
+        r"""Radial spacing between turns = nshots/fov (Nyquist for the
+        interleaved set)."""
+        for nshots in (1, 4):
+            gr, k = spiral2d(FOV, N, nshots=nshots, gmax=GMAX,
+                             smax=SMAX, direction='out')
+            kx, ky = k[0, 0], k[0, 1]
+            th = np.unwrap(np.arctan2(ky, kx))
+            kr = np.hypot(kx, ky)
+            # fit |k| = lam*theta over the spiral body
+            body = (kr > 0.1 * kr.max()) & (kr < 0.9 * kr.max())
+            lam = (kr[body] / (th[body] - th[0])).mean()
+            np.testing.assert_allclose(2 * np.pi * lam, nshots / FOV,
+                                       rtol=0.05)
+
+    def test_k_matches_g2k(self):
+        gr, k = spiral2d(FOV, N, gmax=GMAX, smax=SMAX)
+        k2 = np.asarray(g2k(jnp.asarray(gr), True, float(dt0), gam=gamH))
+        np.testing.assert_allclose(k, k2, atol=1e-6)
+
+    def test_rewinder_slew_and_endpoint(self):
+        tail = rewinder(3.7, smax=SMAX, dt=float(dt0))
+        assert tail.size > 0 and abs(tail[-1]) < 1e-12
+        steps = np.diff(np.concatenate([[3.7], tail]))
+        assert np.abs(steps).max() <= SMAX * float(dt0) * (1 + 1e-9)
+        assert rewinder(0.0).size == 0
+
+    def test_sta_design_through_generated_spiral(self):
+        r"""Integration: a generated spiral-in feeds sta_design and
+        excites a 2D target (the production use of the generator)."""
+        from mrphy_tpu.design import sta_design
+        from mrphy_tpu.design.sta import sta_forward
+        gr, _ = spiral2d(12.0, 16, gmax=GMAX, smax=SMAX, direction='in')
+        gr = jnp.asarray(gr)
+        nM = 15 * 15
+        xy = np.stack(np.meshgrid(np.linspace(-3, 3, 15),
+                                  np.linspace(-3, 3, 15)), -1)
+        loc = np.zeros((1, nM, 3))
+        loc[0, :, :2] = xy.reshape(-1, 2)
+        r = np.sqrt((xy ** 2).sum(-1).reshape(-1))
+        # disc of radius 2 with a raised-cosine edge one resolution
+        # element wide (kmax = 0.667 cyc/cm -> 0.75 cm): a hard edge
+        # would force Gibbs ringing at ANY rf (band-limited excitation)
+        prof = np.clip((2.0 + 0.375 - r) / 0.75, 0., 1.)
+        tgt = np.zeros((1, nM, 2))
+        tgt[0, :, 1] = 0.1 * (0.5 - 0.5 * np.cos(np.pi * prof))  # My
+        rf, res = sta_design(jnp.asarray(loc), gr, jnp.asarray(tgt),
+                             lam=1e-5, niter=40)
+        pred = np.asarray(sta_forward(rf, jnp.asarray(loc), gr))
+        err = np.abs(pred - tgt)[0].max() / 0.1
+        assert err < 0.2, err                         # sidelobes only
