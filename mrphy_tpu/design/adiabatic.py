@@ -29,7 +29,8 @@ import jax.numpy as jnp
 
 from mrphy_tpu import gamH, dt0, pi
 
-__all__ = ['adiabatic_hypsec', 'hypsec_bw', 'hypsec_threshold']
+__all__ = ['adiabatic_hypsec', 'adiabatic_bir4', 'hypsec_bw',
+           'hypsec_threshold']
 
 
 def hypsec_bw(beta: float, mu: float, dur: float) -> float:
@@ -76,3 +77,54 @@ def adiabatic_hypsec(nT: int, *, beta: float = 5.3, mu: float = 4.9,
     phase = -mu * jnp.log(jnp.cosh(beta * tau))
     rf = jnp.stack([amp * jnp.cos(phase), amp * jnp.sin(phase)])[None]
     return rf, hypsec_bw(beta, mu, dur)
+
+
+def adiabatic_bir4(nT: int, theta: float, *, beta: float = 10.,
+                   kappa: float = 1.5208, fmax: float = 1e4,
+                   b1max: float = 0.15, dt=dt0,
+                   gam=gamH) -> jax.Array:
+    r"""BIR-4 (B1-insensitive rotation): adiabatic PLANE ROTATION by an
+    ARBITRARY flip angle ``theta`` — where :func:`adiabatic_hypsec` only
+    inverts, BIR-4 rotates by any angle regardless of RF amplitude
+    (above threshold), the adiabatic answer for B1-robust excitation /
+    saturation at chosen flips (Staewen et al. 1990, tanh/tan
+    modulation).
+
+    Four tanh-amplitude / tan-frequency quarter-segments; the flip is
+    set purely by phase jumps ``±(π + θ/2)`` at the ¼ and ¾ boundaries.
+    The frequency sweep is integrated ANALYTICALLY into the RF phase
+    (``∫tan(κu)du = −ln cos(κu)/κ``), so the returned waveform is exact
+    at any sampling.
+
+    Inputs:
+        - ``nT``: number of samples (multiple of 4 recommended).
+        - ``theta``: rotation angle, rad (any value; 0 gives identity —
+          the standard B1/B0-robustness self-test).
+    Optionals:
+        - ``beta``: tanh amplitude-ramp rate.
+        - ``kappa``: tan frequency-sweep shape, rad (< π/2;
+          default ``atan(20)``).
+        - ``fmax``: peak frequency-sweep excursion, "Hz".
+        - ``b1max``: peak RF, "Gauss" — rotation is B1-insensitive for
+          amplitudes above the adiabatic threshold (validated ≳0.08 G
+          at the defaults with ``nT·dt = 4.1 ms``).
+        - ``dt``/``gam``: "Sec" / "Hz/Gauss".
+    Outputs:
+        - ``rf``: `(1, 2, nT)` RF, "Gauss".
+    """
+    dur = nT * float(dt)
+    tau = (jnp.arange(nT) + 0.5) / nT                # (0, 1)
+    # quarter-local argument x: amplitude tanh(β(1−|x|…)) and sweep
+    # tan(κx)/tan(κ), with x running 0→1, −1→1, and −1→0 over Q1,
+    # Q2+Q3, Q4 — both are even/odd in x so the waveform is continuous
+    x = jnp.where(tau < 0.25, 4 * tau,
+                  jnp.where(tau < 0.75, 4 * tau - 2, 4 * tau - 4))
+    amp = b1max * jnp.tanh(beta * (1 - jnp.abs(x)))
+    # φ = ∫2π·fmax·tan(κx(τ'))/tanκ · dur·dτ'; antiderivative in x is
+    # −ln cos(κx)/κ (even in x → continuous across quarter boundaries)
+    scale = 2 * pi * fmax * dur / (4 * jnp.tan(kappa))
+    phase = scale * (-jnp.log(jnp.cos(kappa * x)) / kappa)
+    dphi = pi + theta / 2
+    phase = phase + dphi * ((tau >= 0.25) & (tau < 0.75))
+    rf = jnp.stack([amp * jnp.cos(phase), amp * jnp.sin(phase)])[None]
+    return rf

@@ -18,7 +18,7 @@ from typing import Tuple
 
 import numpy as np
 
-__all__ = ['spiral2d', 'rewinder', 'traj_check']
+__all__ = ['spiral2d', 'epi', 'trapezoid', 'rewinder', 'traj_check']
 
 from mrphy_tpu import gamH, dt0, gmax0, smax0
 
@@ -100,6 +100,89 @@ def spiral2d(fov: float, N: int, *, nshots: int = 1,
     # matching k convention: Tx (ends at origin) for excitation
     # spiral-in, Rx (starts at origin) for spiral-out
     k = np.asarray(g2k(jnp.asarray(gr), direction == 'in', dt, gam=gam))
+    return gr, k
+
+
+def trapezoid(area: float, *, gmax: float = gmax0, smax: float = smax0,
+              dt: float = dt0) -> np.ndarray:
+    r"""Minimum-time trapezoid (or triangle) gradient lobe of the given
+    ``area`` (∫g·dt, "Gauss/cm·Sec", signed): `(n,)` samples ramping at
+    ``±smax`` to at most ``±gmax``, with the flat-top amplitude trimmed
+    so the DISCRETE sum ``g.sum()·dt`` equals ``area`` exactly."""
+    a = abs(area)
+    if a < 1e-15:
+        return np.zeros(0)
+    sgn = 1.0 if area > 0 else -1.0
+    # continuous minimum-time solution: triangle peak √(a·s), else trap
+    gpk = min(gmax, np.sqrt(a * smax))
+    nramp = int(np.ceil(gpk / (smax * dt)))
+    ramp = np.arange(1, nramp + 1) * smax * dt
+    ramp = np.minimum(ramp, gpk)
+    nflat = max(0, int(np.ceil((a - 2 * ramp.sum() * dt)
+                               / (gpk * dt))))
+    g = np.concatenate([ramp, np.full(nflat, gpk), ramp[::-1]])
+    g *= a / (g.sum() * dt)                        # exact discrete area
+    assert np.abs(g).max() <= gmax * (1 + 1e-9)
+    return sgn * g
+
+
+def epi(fov: float, N: int, *, nshots: int = 1, flyback: bool = False,
+        gmax: float = gmax0, smax: float = smax0, dt: float = dt0,
+        gam: float = gamH) -> Tuple[np.ndarray, np.ndarray]:
+    r"""Echo-planar (EPI) readout trajectory: ``N//nshots`` readout
+    lines covering ``|kx| ≤ N/(2·fov)`` with phase-encode blips of
+    ``nshots/fov`` between lines, preceded by simultaneous x/y
+    pre-phasers to the k-space corner.
+
+    Inputs:
+        - ``fov``: field of view, "cm"; ``N``: matrix size.
+    Optionals:
+        - ``nshots``: interleaved shots (returns ONE shot: every
+          ``nshots``-th line; blip area scales by ``nshots``).
+        - ``flyback``: same-polarity readouts with fast return lobes
+          (monotone per-line kx; costs dead time) instead of
+          alternating polarity.
+        - ``gmax``/``smax``/``dt``/``gam``: hardware limits and dwell.
+    Outputs:
+        - ``(gr, k)``: `(1, 3, nT)` gradients "Gauss/cm" (x = readout,
+          y = phase encode, z = 0) and Rx k-space ("cycle/cm", starts
+          at the origin; :func:`mrphy_tpu.utils.g2k` with
+          ``isTx=False``). Hardware limits hold sample-by-sample
+          (:func:`traj_check`).
+    """
+    kmax = N / (2 * fov)
+    nlines = int(np.ceil(N / nshots))
+    read = trapezoid(2 * kmax / gam, gmax=gmax, smax=smax, dt=dt)
+    back = trapezoid(-2 * kmax / gam, gmax=gmax, smax=smax, dt=dt)
+    blip = trapezoid(nshots / fov / gam, gmax=gmax, smax=smax, dt=dt)
+    pre_x = trapezoid(-kmax / gam, gmax=gmax, smax=smax, dt=dt)
+    pre_y = trapezoid(-kmax / gam, gmax=gmax, smax=smax, dt=dt)
+    # aligned (gx, gy) segments; a ≥1-sample zero gap separates every
+    # pair of opposite-polarity x lobes (back-to-back ±smax·dt samples
+    # would double the discrete slew at the junction)
+    npre = max(pre_x.size, pre_y.size)
+    segs = [(np.pad(pre_x, (npre - pre_x.size, 0)),
+             np.pad(pre_y, (npre - pre_y.size, 0))),
+            (np.zeros(1), np.zeros(1))]
+    turn = (np.zeros(blip.size), blip)         # x idles, y blips
+    for i in range(nlines):
+        line = read if (flyback or i % 2 == 0) else -read
+        segs.append((line, np.zeros(read.size)))
+        if i < nlines - 1:
+            if flyback:
+                segs.append((np.zeros(1), np.zeros(1)))
+                segs.append((back, np.pad(blip, (0, back.size
+                                                 - blip.size))))
+                segs.append((np.zeros(1), np.zeros(1)))
+            else:
+                segs.append(turn)
+    gx = np.concatenate([s[0] for s in segs])
+    gy = np.concatenate([s[1] for s in segs])
+    gr = np.zeros((1, 3, gx.size))
+    gr[0, 0], gr[0, 1] = gx, gy
+    from mrphy_tpu.utils.conversions import g2k
+    import jax.numpy as jnp
+    k = np.asarray(g2k(jnp.asarray(gr), False, dt, gam=gam))
     return gr, k
 
 

@@ -7,8 +7,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from mrphy_tpu import gamH, dt0, pi
-from mrphy_tpu.design.adiabatic import (adiabatic_hypsec, hypsec_bw,
-                                        hypsec_threshold)
+from mrphy_tpu.design.adiabatic import (adiabatic_bir4, adiabatic_hypsec,
+                                        hypsec_bw, hypsec_threshold)
 from mrphy_tpu.ops import slowsims
 
 NT, BETA, MU = 2048, 5.3, 4.9
@@ -16,16 +16,20 @@ DUR = NT * float(dt0)
 THR = hypsec_threshold(BETA, MU, DUR)
 
 
-def _simulate_mz(rf, df_hz):
+def _simulate_mz(rf, df_hz, nT=NT):
     nF = df_hz.shape[0]
     M0 = jnp.tile(jnp.asarray([0., 0., 1.]), (1, nF, 1))
-    beff = jnp.zeros((1, nF, NT, 3))
+    beff = jnp.zeros((1, nF, nT, 3))
     beff = beff.at[..., 0].set(rf[0, 0])
     beff = beff.at[..., 1].set(rf[0, 1])
     beff = beff.at[..., 2].set((df_hz / gamH)[:, None])
     M = slowsims.blochsim(M0, beff, T1=None, T2=None,
                           gam=jnp.asarray(gamH), dt=jnp.asarray(dt0))
     return np.asarray(M[0, :, 2])
+
+
+def _simulate_mz_n(rf, nT):
+    return float(_simulate_mz(rf, jnp.asarray([0.]), nT)[0])
 
 
 class TestHypsec:
@@ -59,6 +63,37 @@ class TestHypsec:
         rf, _ = adiabatic_hypsec(NT, beta=BETA, mu=MU, b1max=0.3 * THR)
         mz = _simulate_mz(rf, jnp.asarray([0.]))
         assert mz[0] > 0.0                             # stays up
+
+    def test_bir4_waveform_structure(self):
+        rf = adiabatic_bir4(1024, pi / 2, b1max=0.2)
+        assert rf.shape == (1, 2, 1024)
+        amp = np.hypot(np.asarray(rf[0, 0]), np.asarray(rf[0, 1]))
+        assert np.isclose(amp.max(), 0.2, rtol=1e-3)
+        # tanh amplitude vanishes at the quarter boundaries (the BIR-1
+        # segment joints) and is full-scale at the ends and middle
+        for i in (255, 256, 767, 768):
+            assert amp[i] < 0.2 * np.tanh(10 / 128), (i, amp[i])
+        for i in (0, 511, 512, 1023):
+            assert amp[i] > 0.2 * 0.999, (i, amp[i])
+        # phase jumps by pi + theta/2 at the 1/4 boundary
+        ph = np.arctan2(np.asarray(rf[0, 1]), np.asarray(rf[0, 0]))
+        jump = (ph[256] - ph[255]) % (2 * np.pi)
+        assert np.isclose(jump, np.pi + pi / 4, atol=0.05), jump
+
+    def test_bir4_rotation_is_b1_insensitive(self):
+        r"""The defining property: plane rotation by theta (Mz ->
+        cos(theta) from +z) for ANY amplitude above threshold — where
+        a conventional pulse's flip scales linearly with B1."""
+        nT = 2048
+        for theta in (pi / 4, pi / 2, pi):
+            for scale in (0.6, 1.0, 2.4):
+                rf = adiabatic_bir4(nT, theta, b1max=0.15 * scale)
+                mz = _simulate_mz_n(rf, nT)
+                assert abs(mz - np.cos(theta)) < 0.02, (theta, scale, mz)
+
+    def test_bir4_zero_theta_is_identity(self):
+        rf = adiabatic_bir4(2048, 0.0, b1max=0.25)
+        assert _simulate_mz_n(rf, 2048) > 0.999
 
     def test_slr_contrast_scaled_inversion_fails_at_2x_b1(self):
         r"""The complementary fact that motivates adiabatic pulses: a

@@ -6,7 +6,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from mrphy_tpu import gamH, dt0
-from mrphy_tpu.utils.traj import spiral2d, rewinder, traj_check
+from mrphy_tpu.utils.traj import (epi, rewinder, spiral2d, traj_check,
+                                  trapezoid)
 from mrphy_tpu.utils.conversions import g2k
 
 FOV, N = 24.0, 32          # 24 cm FOV, 32 matrix -> kmax 0.667 cyc/cm
@@ -53,6 +54,42 @@ class TestSpiral:
         gr, k = spiral2d(FOV, N, gmax=GMAX, smax=SMAX)
         k2 = np.asarray(g2k(jnp.asarray(gr), True, float(dt0), gam=gamH))
         np.testing.assert_allclose(k, k2, atol=1e-6)
+
+    def test_trapezoid_exact_area_and_limits(self):
+        for area in (1e-4, 3.2e-3, 1e-6, -5e-4):
+            g = trapezoid(area, gmax=GMAX, smax=SMAX)
+            np.testing.assert_allclose(g.sum() * float(dt0), area,
+                                       rtol=1e-12)
+            traj_check(g[None, None], gmax=GMAX, smax=SMAX)
+        assert trapezoid(0.0).size == 0
+
+    def test_epi_coverage_blips_and_limits(self):
+        for flyback in (False, True):
+            for nshots in (1, 4):
+                gr, k = epi(FOV, N, nshots=nshots, flyback=flyback,
+                            gmax=GMAX, smax=SMAX)
+                traj_check(gr, gmax=GMAX, smax=SMAX)
+                kx, ky = k[0, 0], k[0, 1]
+                kmax = N / (2 * FOV)
+                np.testing.assert_allclose(
+                    [kx.min(), kx.max()], [-kmax, kmax], atol=1e-6)
+                # phase encodes step by nshots/fov from -kmax
+                np.testing.assert_allclose(ky.min(), -kmax, atol=1e-6)
+                np.testing.assert_allclose(
+                    ky.max(), -kmax + (N // nshots - 1) * nshots / FOV,
+                    atol=1e-6)
+                # Rx convention: starts at the origin (k[0] already
+                # holds the first sample's accumulation)
+                step = gamH * GMAX * float(dt0)
+                assert abs(kx[0]) <= step and abs(ky[0]) <= step
+
+    def test_epi_flyback_readouts_monotone(self):
+        gr, k = epi(FOV, N, nshots=4, flyback=True, gmax=GMAX,
+                    smax=SMAX)
+        # during positive-gradient spans, kx only increases
+        on = gr[0, 0] > 0.5 * GMAX
+        dkx = np.diff(k[0, 0])
+        assert np.all(dkx[on[1:]] > 0)
 
     def test_rewinder_slew_and_endpoint(self):
         tail = rewinder(3.7, smax=SMAX, dt=float(dt0))
