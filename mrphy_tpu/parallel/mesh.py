@@ -35,6 +35,7 @@ __all__ = ['make_mesh', 'shard_spins', 'spin_pspec', 'blochsim_sharded',
            'blochsim_rfgr_sharded', 'rfgr_sharded_traceable',
            'oracle_sharded_traceable', 'oracle_freeprec_traceable',
            'mc_sharded_traceable', 'epg_cpmg_sharded_traceable',
+           'signal_sharded_traceable', 'signal_adjoint_sharded_traceable',
            'shard_spin_obj', 'psum_loss', 'pad_spins']
 
 BATCH_AXIS = 'batch'
@@ -401,6 +402,97 @@ def epg_cpmg_sharded_traceable(mesh: Mesh, flips, **kw):
                       out_specs=P(SPIN_AXIS, None, None),
                       check_vma=False)
     return f(flips, *(arrs[k] for k in names))
+
+
+def signal_sharded_traceable(mesh: Mesh, M, loc_, ktraj, *, sens=None,
+                             df=None, T2s=None, dt=None, chunk=None):
+    r"""shard_map-wrapped :func:`mrphy_tpu.ops.signal.signal`: each chip
+    encodes its spin shard's contribution to the k-space signal, then ONE
+    ``psum`` over the spin mesh axis combines the per-coil signals (the
+    only collective — it rides ICI). Per-spin operands (``M``, ``loc_``,
+    ``sens``, ``df``, ``T2s``) shard by the ``(N, nM)`` shape rule;
+    ``ktraj`` is a waveform (never spin-sharded)."""
+    import jax.numpy as jnp
+    from mrphy_tpu import dt0
+    from mrphy_tpu.ops import signal as _sig
+    from mrphy_tpu.utils._shapes import rshape
+
+    M, loc_, ktraj = (jnp.asarray(x) for x in (M, loc_, ktraj))
+    assert M.ndim == 3, 'mesh= requires compact (N, nM, xyz) layout'
+    N, nM = M.shape[0], M.shape[1]
+    _check_divisible(mesh, N, nM)
+    dt = dt0 if dt is None else dt
+
+    arrs = {'sens': None if sens is None else jnp.broadcast_to(
+                jnp.asarray(sens), (N,) + jnp.asarray(sens).shape[1:]),
+            'df': None if df is None else jnp.broadcast_to(
+                rshape(df, 2), (N, nM)),
+            'T2s': None if T2s is None else jnp.broadcast_to(
+                rshape(T2s, 2), (N, nM))}
+    arrs = {k: v for k, v in arrs.items() if v is not None}
+    names = tuple(sorted(arrs))
+
+    def wfspec(x):  # ktraj: time axis trailing, never spin-sharded
+        return P(BATCH_AXIS if x.shape[0] == N else None,
+                 *([None] * (x.ndim - 1)))
+
+    def body(M, loc_, ktraj, *vals):
+        kwd = dict(zip(names, vals))
+        s = _sig.signal(M, loc_, ktraj, dt=dt, chunk=chunk, **kwd)
+        return jax.lax.psum(s, SPIN_AXIS)
+
+    in_specs = (spin_pspec(M, N, nM), spin_pspec(loc_, N, nM),
+                wfspec(ktraj)) + tuple(spin_pspec(arrs[k], N, nM)
+                                       for k in names)
+    f = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                      out_specs=P(BATCH_AXIS, None, None, None),
+                      check_vma=False)
+    return f(M, loc_, ktraj, *(arrs[k] for k in names))
+
+
+def signal_adjoint_sharded_traceable(mesh: Mesh, s, loc_, ktraj, *,
+                                     sens=None, df=None, T2s=None,
+                                     dt=None, chunk=None):
+    r"""shard_map-wrapped :func:`mrphy_tpu.ops.signal.signal_adjoint`:
+    the signal replicates over the spin mesh axis, each chip
+    back-projects onto its own spin shard — zero collectives."""
+    import jax.numpy as jnp
+    from mrphy_tpu import dt0
+    from mrphy_tpu.ops import signal as _sig
+    from mrphy_tpu.utils._shapes import rshape
+
+    s, loc_, ktraj = (jnp.asarray(x) for x in (s, loc_, ktraj))
+    assert loc_.ndim == 3, 'mesh= requires compact (N|1, nM, xyz) loc_'
+    N, nM = s.shape[0], loc_.shape[1]
+    _check_divisible(mesh, N, nM)
+    dt = dt0 if dt is None else dt
+    loc_ = jnp.broadcast_to(loc_, (N,) + loc_.shape[1:])
+
+    arrs = {'sens': None if sens is None else jnp.broadcast_to(
+                jnp.asarray(sens), (N,) + jnp.asarray(sens).shape[1:]),
+            'df': None if df is None else jnp.broadcast_to(
+                rshape(df, 2), (N, nM)),
+            'T2s': None if T2s is None else jnp.broadcast_to(
+                rshape(T2s, 2), (N, nM))}
+    arrs = {k: v for k, v in arrs.items() if v is not None}
+    names = tuple(sorted(arrs))
+
+    def wfspec(x):
+        return P(BATCH_AXIS if x.shape[0] == N else None,
+                 *([None] * (x.ndim - 1)))
+
+    def body(s, loc_, ktraj, *vals):
+        kwd = dict(zip(names, vals))
+        return _sig.signal_adjoint(s, loc_, ktraj, dt=dt, chunk=chunk,
+                                   **kwd)
+
+    in_specs = (P(BATCH_AXIS, None, None, None),
+                spin_pspec(loc_, N, nM), wfspec(ktraj)) + tuple(
+        spin_pspec(arrs[k], N, nM) for k in names)
+    f = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                      out_specs=P(BATCH_AXIS, SPIN_AXIS, None),
+                      check_vma=False)
+    return f(s, loc_, ktraj, *(arrs[k] for k in names))
 
 
 def psum_loss(fn):
