@@ -1,0 +1,170 @@
+r"""CG-SENSE image reconstruction through the acquisition operator.
+
+The framework's :func:`mrphy_tpu.ops.signal.signal` is the exact
+(non-uniform, off-resonance- and decay-aware) encoding operator ``A``,
+and :func:`signal_adjoint` its exact linear adjoint ``A^H`` — so
+iterative SENSE reconstruction is just conjugate gradients on the
+normal equations ``(A^H A + λI) x = A^H s``, no gridding/NUFFT kernels
+or density compensation needed: every product is the same pair of MXU
+matmul chains the simulator uses, and the whole solve jits into one
+XLA program (CG via ``lax.fori_loop``).
+
+This demo:
+
+1. builds an ellipse phantom with a smooth phase on an ``n×n`` grid and
+   smooth synthetic coil sensitivities (``nC`` coils);
+2. acquires single-shot spiral-out k-space with
+   :func:`mrphy_tpu.utils.spiral2d` through ``signal`` — optionally with
+   a linear off-resonance map, which the reconstruction then corrects
+   *exactly* because the model includes it (conjugate-phase/model-based
+   recon for free);
+3. reconstructs by CG-SENSE and asserts the relative L2 error.
+
+``--mesh`` runs both operators spin-sharded over all devices
+(:func:`mrphy_tpu.parallel.mesh.signal_sharded_traceable`): the forward
+psum rides ICI, the adjoint is collective-free.
+
+Usage::
+
+    python examples/recon_sense.py [--n 32] [--nc 4] [--iters 40]
+                                   [--df 40] [--mesh]
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+
+def phantom(n: int):
+    r"""Ellipse phantom with a smooth phase; returns (n*n, 2) re/im."""
+    y, x = np.mgrid[-1:1:n * 1j, -1:1:n * 1j]
+    mag = np.zeros((n, n))
+    mag[(x / 0.82) ** 2 + (y / 0.92) ** 2 < 1] = 1.0
+    mag[((x - 0.22) / 0.31) ** 2 + ((y + 0.1) / 0.41) ** 2 < 1] = 0.35
+    mag[((x + 0.22) / 0.27) ** 2 + ((y + 0.1) / 0.41) ** 2 < 1] = 0.65
+    mag[(x / 0.08) ** 2 + ((y - 0.55) / 0.11) ** 2 < 1] = 1.4
+    ph = 0.8 * x + 0.5 * y * y
+    return np.stack([mag * np.cos(ph), mag * np.sin(ph)],
+                    -1).reshape(-1, 2)
+
+
+def coil_maps(n: int, nc: int):
+    r"""Smooth complex birdcage-ish sensitivities, (n*n, 2, nc)."""
+    y, x = np.mgrid[-1:1:n * 1j, -1:1:n * 1j]
+    maps = []
+    for c in range(nc):
+        a = 2 * np.pi * c / nc
+        cx, cy = 1.3 * np.cos(a), 1.3 * np.sin(a)
+        r2 = (x - cx) ** 2 + (y - cy) ** 2
+        m = np.exp(-r2 / 2.4)
+        p = 0.5 * (x * np.sin(a) - y * np.cos(a))
+        maps.append(np.stack([m * np.cos(p), m * np.sin(p)], -1))
+    return np.stack(maps, -1).reshape(n * n, 2, nc)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--n', type=int, default=32, help='matrix size')
+    ap.add_argument('--nc', type=int, default=4, help='coils')
+    ap.add_argument('--fov', type=float, default=24.0, help='cm')
+    ap.add_argument('--iters', type=int, default=40, help='CG iterations')
+    ap.add_argument('--df', type=float, default=0.0,
+                    help='peak linear off-resonance, Hz (modeled exactly)')
+    ap.add_argument('--lam', type=float, default=1e-6)
+    ap.add_argument('--mesh', action='store_true',
+                    help='spin-shard both operators over all devices')
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from mrphy_tpu import dt0
+    from mrphy_tpu.ops import signal as sig
+    from mrphy_tpu.utils import spiral2d, g2k
+
+    n, nc, fov = args.n, args.nc, args.fov
+    nM = n * n
+
+    # grid locations (cm), phantom, coils
+    ax = np.linspace(-fov / 2, fov / 2, n, endpoint=False) + fov / (2 * n)
+    yy, xx = np.meshgrid(ax, ax, indexing='ij')
+    loc_ = jnp.asarray(np.stack([xx, yy, np.zeros_like(xx)],
+                                -1).reshape(1, nM, 3), jnp.float32)
+    x_true = jnp.asarray(phantom(n), jnp.float32)            # (nM, 2)
+    sens = jnp.asarray(coil_maps(n, nc)[None], jnp.float32)  # (1,nM,2,nc)
+    df = None if args.df == 0 else jnp.asarray(
+        args.df * (xx / fov * 2).reshape(1, nM), jnp.float32)
+
+    # single-shot spiral-out readout; Rx k-space from the gradient.
+    # The spiral covers a k-space DISC — a discrete n x n image needs
+    # the Nyquist SQUARE, so extend kmax to the corner radius (sqrt(2));
+    # with the corners sampled, CG-SENSE recovers the grid exactly.
+    gr, _ = spiral2d(fov, int(np.ceil(1.42 * n)), direction='out')
+    k = jnp.asarray(g2k(np.asarray(gr), False, dt=dt0), jnp.float32)
+    nT = k.shape[-1]
+    print(f'{n}x{n} phantom, {nc} coils, spiral-out nT={nT}, '
+          f'df_peak={args.df} Hz, mesh={args.mesh}')
+
+    mesh = None
+    if args.mesh:
+        from mrphy_tpu.parallel import make_mesh
+        mesh = make_mesh()
+        assert nM % mesh.shape['spins'] == 0
+
+    def A(x):                                   # (nM,2) -> (1,nc,nT,2)
+        M = jnp.concatenate([x, jnp.zeros((nM, 1), x.dtype)], -1)[None]
+        return sig.signal(M, loc_, k, sens=sens, df=df, dt=dt0,
+                          mesh=mesh)
+
+    def AH(s):                                  # (1,nc,nT,2) -> (nM,2)
+        return sig.signal_adjoint(s, loc_, k, sens=sens, df=df,
+                                  dt=dt0, mesh=mesh)[0]
+
+    s_acq = A(x_true)
+    print(f'acquired |s| in [{float(jnp.abs(s_acq).min()):.3g}, '
+          f'{float(jnp.abs(s_acq).max()):.3g}]')
+
+    @jax.jit
+    def cg_sense(s):
+        def normal(x):
+            return AH(A(x)) + args.lam * x
+
+        b = AH(s)
+        x0 = jnp.zeros_like(b)
+        r0 = b
+        p0 = r0
+        rs0 = jnp.vdot(r0, r0)
+
+        def body(_, st):
+            x, r, p, rs = st
+            # freeze once converged: CG past machine-precision residual
+            # divides ~0/~0 and NaNs the iterate (seen at f32)
+            live = rs > 1e-12 * rs0
+            Ap = normal(p)
+            alpha = jnp.where(live, rs / jnp.vdot(p, Ap), 0.0)
+            x = x + alpha * p
+            r = r - alpha * Ap
+            rs_new = jnp.vdot(r, r)
+            p = jnp.where(live, r + (rs_new / jnp.maximum(
+                rs, 1e-30)) * p, p)
+            return x, r, p, rs_new
+
+        x, r, _, _ = jax.lax.fori_loop(0, args.iters, body,
+                                       (x0, r0, p0, rs0))
+        return x, jnp.sqrt(jnp.vdot(r, r))
+
+    x_rec, rnorm = cg_sense(s_acq)
+    err = float(jnp.linalg.norm(x_rec - x_true)
+                / jnp.linalg.norm(x_true))
+    print(f'CG-SENSE {args.iters} iters: residual {float(rnorm):.3e}, '
+          f'relative image error {100 * err:.3f}%')
+    assert err < 0.01, f'recon error {err} too large'
+    print('recon OK (exact-model recovery)')
+
+
+if __name__ == '__main__':
+    main()

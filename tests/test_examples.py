@@ -31,7 +31,10 @@ CASES = [
                            '--iters', '200']),
     ('girf_preemphasis.py', ['--nt', '128', '--iters', '250']),
     ('ptx_sar_design.py', ['--n', '6', '--nt', '64', '--iters', '120']),
+    ('recon_sense.py', ['--n', '16', '--iters', '30']),
     # voxel-sharded variants on the 8-virtual-device CPU mesh
+    ('recon_sense.py', ['--n', '16', '--iters', '30', '--df', '40',
+                        '--mesh']),
     ('qmri_fit.py', ['--nvox', '16', '--iters', '120', '--mesh']),
     ('cest_zspectrum.py', ['--noffsets', '13', '--tsat', '0.5',
                            '--mesh']),
