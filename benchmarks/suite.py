@@ -237,10 +237,43 @@ def bench_beffstream():
             'bf16_grad_rel_dev': f'{rel:.1e}'}
 
 
+def bench_signal():
+    r"""k-space encoding operator (`ops/signal.py`): 64^3 spins, 16 384
+    readout samples, 8 coils, off-resonance + T2* — one readout of a
+    3-D volume as phase + spin-reduction matmuls on the MXU."""
+    import jax
+    import jax.numpy as jnp
+    from mrphy_tpu import dt0, gamH
+    from mrphy_tpu.ops import signal as sig
+    from mrphy_tpu.utils import g2k
+    rng = np.random.default_rng(0)
+    nM, nT, nC = 64 ** 3, 16_384, 8
+    loc_ = jnp.asarray(rng.uniform(-12, 12, (1, nM, 3)), jnp.float32)
+    M = jnp.asarray(rng.standard_normal((1, nM, 3)), jnp.float32)
+    gr = jnp.asarray(rng.uniform(-2, 2, (1, 3, nT)), jnp.float32)
+    k = jnp.asarray(g2k(gr, False, dt=dt0, gam=gamH), jnp.float32)
+    df = jnp.asarray(rng.uniform(-100, 100, (1, nM)), jnp.float32)
+    T2s = jnp.asarray(rng.uniform(5e-3, 5e-2, (1, nM)), jnp.float32)
+    sens = jnp.asarray(rng.standard_normal((1, nM, 2, nC)), jnp.float32)
+
+    fwd = jax.jit(lambda M: sig.signal(M, loc_, k, sens=sens, df=df,
+                                       T2s=T2s, dt=dt0))
+    s = fwd(M)
+    adj = jax.jit(lambda s: sig.signal_adjoint(s, loc_, k, sens=sens,
+                                               df=df, T2s=T2s, dt=dt0))
+    tf = _timeit(fwd, M, repeats=4)
+    ta = _timeit(adj, s, repeats=4)
+    return {'metric': f'signal: {nM} spins x {nT} samples x {nC} coils '
+                      'encode (fwd / adjoint)',
+            'value': round(nM * nT / tf / 1e9, 2),
+            'unit': 'G spin*samples/s/chip',
+            'fwd_ms': round(tf * 1e3, 1), 'adj_ms': round(ta * 1e3, 1)}
+
+
 ALL = {'tiny': bench_tiny, 'freeprec32': bench_freeprec32,
        'design64': bench_design64, 'throughput': bench_throughput,
        'deeptime': bench_deeptime, 'longpulse': bench_longpulse,
-       'beffstream': bench_beffstream}
+       'beffstream': bench_beffstream, 'signal': bench_signal}
 
 
 def main():

@@ -76,6 +76,10 @@ def main():
     ap.add_argument('--df', type=float, default=0.0,
                     help='peak linear off-resonance, Hz (modeled exactly)')
     ap.add_argument('--lam', type=float, default=1e-6)
+    ap.add_argument('--traj', choices=['spiral', 'radial'],
+                    default='spiral',
+                    help='spiral-out (single shot) or golden-angle '
+                         'radial (spokes ride the batch axis)')
     ap.add_argument('--mesh', action='store_true',
                     help='spin-shard both operators over all devices')
     args = ap.parse_args()
@@ -84,7 +88,7 @@ def main():
     import jax.numpy as jnp
     from mrphy_tpu import dt0
     from mrphy_tpu.ops import signal as sig
-    from mrphy_tpu.utils import spiral2d, g2k
+    from mrphy_tpu.utils import spiral2d, radial, g2k
 
     n, nc, fov = args.n, args.nc, args.fov
     nM = n * n
@@ -99,15 +103,20 @@ def main():
     df = None if args.df == 0 else jnp.asarray(
         args.df * (xx / fov * 2).reshape(1, nM), jnp.float32)
 
-    # single-shot spiral-out readout; Rx k-space from the gradient.
-    # The spiral covers a k-space DISC — a discrete n x n image needs
-    # the Nyquist SQUARE, so extend kmax to the corner radius (sqrt(2));
-    # with the corners sampled, CG-SENSE recovers the grid exactly.
-    gr, _ = spiral2d(fov, int(np.ceil(1.42 * n)), direction='out')
+    # Readout k-space from the gradient. Trajectories cover a k-space
+    # DISC — a discrete n x n image needs the Nyquist SQUARE, so extend
+    # kmax to the corner radius (sqrt(2)); with the corners sampled,
+    # CG-SENSE recovers the grid exactly.
+    if args.traj == 'spiral':
+        gr, _ = spiral2d(fov, int(np.ceil(1.42 * n)), direction='out')
+    else:  # golden-angle radial: each spoke is its own readout, so the
+        #    spokes ride the signal operator's BATCH axis (time — and
+        #    hence off-resonance phase — restarts per spoke for free)
+        gr, _ = radial(fov, int(np.ceil(1.42 * n)))
     k = jnp.asarray(g2k(np.asarray(gr), False, dt=dt0), jnp.float32)
-    nT = k.shape[-1]
-    print(f'{n}x{n} phantom, {nc} coils, spiral-out nT={nT}, '
-          f'df_peak={args.df} Hz, mesh={args.mesh}')
+    nsh, nT = k.shape[0], k.shape[-1]
+    print(f'{n}x{n} phantom, {nc} coils, {args.traj} nshots={nsh} '
+          f'nT={nT}, df_peak={args.df} Hz, mesh={args.mesh}')
 
     mesh = None
     if args.mesh:
@@ -115,14 +124,15 @@ def main():
         mesh = make_mesh()
         assert nM % mesh.shape['spins'] == 0
 
-    def A(x):                                   # (nM,2) -> (1,nc,nT,2)
-        M = jnp.concatenate([x, jnp.zeros((nM, 1), x.dtype)], -1)[None]
+    def A(x):                                 # (nM,2) -> (nsh,nc,nT,2)
+        M = jnp.broadcast_to(jnp.concatenate(
+            [x, jnp.zeros((nM, 1), x.dtype)], -1)[None], (nsh, nM, 3))
         return sig.signal(M, loc_, k, sens=sens, df=df, dt=dt0,
                           mesh=mesh)
 
-    def AH(s):                                  # (1,nc,nT,2) -> (nM,2)
+    def AH(s):                                # (nsh,nc,nT,2) -> (nM,2)
         return sig.signal_adjoint(s, loc_, k, sens=sens, df=df,
-                                  dt=dt0, mesh=mesh)[0]
+                                  dt=dt0, mesh=mesh).sum(0)
 
     s_acq = A(x_true)
     print(f'acquired |s| in [{float(jnp.abs(s_acq).min()):.3g}, '

@@ -16,8 +16,8 @@ from mrphy_tpu.utils import timing  # noqa: F401  (timing/profiling harness)
 from mrphy_tpu.utils.pulseq import pulse_to_seq, seq_to_pulse
 from mrphy_tpu.utils.girf import apply_girf, exp_decay_girf
 from mrphy_tpu.utils.sar import sar_vops, vop_compress
-from mrphy_tpu.utils.traj import (spiral2d, epi, trapezoid, rewinder,
-                                  traj_check)
+from mrphy_tpu.utils.traj import (spiral2d, epi, radial, rosette,
+                                  trapezoid, rewinder, traj_check)
 
 # -- Unicode aliases (reference spellings) --
 # Python NFKC-normalizes identifiers: source written as `uϕrot` (U+03D5,
@@ -36,6 +36,7 @@ __all__ = ['ctrsub', 'g2k', 'g2s', 'k2g', 'rf_c2r', 'rf_r2c',
            'lrho_theta2rf', 'rfclamp', 's2g', 's2ts', 'sclamp', 'ts2s',
            'uphirot', 'pulse_to_seq', 'seq_to_pulse',
            'apply_girf', 'exp_decay_girf', 'sar_vops', 'vop_compress',
-           'spiral2d', 'epi', 'trapezoid', 'rewinder', 'traj_check',
+           'spiral2d', 'epi', 'radial', 'rosette', 'trapezoid',
+           'rewinder', 'traj_check',
            # Unicode aliases (NFKC-normalized spellings)
            'uφrot', 'rf2tρθ', 'tρθ2rf', 'rf2lρθ', 'lρθ2rf']

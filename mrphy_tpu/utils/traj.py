@@ -18,7 +18,8 @@ from typing import Tuple
 
 import numpy as np
 
-__all__ = ['spiral2d', 'epi', 'trapezoid', 'rewinder', 'traj_check']
+__all__ = ['spiral2d', 'epi', 'radial', 'rosette', 'trapezoid',
+           'rewinder', 'traj_check']
 
 from mrphy_tpu import gamH, dt0, gmax0, smax0
 
@@ -180,6 +181,103 @@ def epi(fov: float, N: int, *, nshots: int = 1, flyback: bool = False,
     gy = np.concatenate([s[1] for s in segs])
     gr = np.zeros((1, 3, gx.size))
     gr[0, 0], gr[0, 1] = gx, gy
+    from mrphy_tpu.utils.conversions import g2k
+    import jax.numpy as jnp
+    k = np.asarray(g2k(jnp.asarray(gr), False, dt, gam=gam))
+    return gr, k
+
+
+def radial(fov: float, N: int, *, nspokes: int = 0, golden: bool = True,
+           gmax: float = gmax0, smax: float = smax0, dt: float = dt0,
+           gam: float = gamH) -> Tuple[np.ndarray, np.ndarray]:
+    r"""2-D radial (projection) readout: full spokes (diameters) through
+    the k-space center, ``|k| ≤ N/(2·fov)`` along each.
+
+    Inputs:
+        - ``fov``: field of view, "cm"; ``N``: matrix size.
+    Optionals:
+        - ``nspokes``: number of spokes (default ``ceil(π/2·N)``, the
+          radial Nyquist count).
+        - ``golden``: tiny-golden-angle ordering (``π·(√5−1)/2`` ≈
+          111.246° increments — any contiguous subset is near-uniform,
+          the standard for dynamic/self-gated imaging); ``False`` ⇒
+          uniform ``π/nspokes`` increments.
+        - ``gmax``/``smax``/``dt``/``gam``: hardware limits and dwell.
+    Outputs:
+        - ``(gr, k)``: `(nspokes, 3, nT)` gradients "Gauss/cm" and Rx
+          k-space ("cycle/cm") — spokes on the BATCH axis, ready for
+          :func:`mrphy_tpu.ops.signal.signal`. Each spoke pre-phases to
+          ``−kmax·u`` then reads through center to ``+kmax·u``; hardware
+          limits hold sample-by-sample (:func:`traj_check`).
+    """
+    kmax = N / (2 * fov)
+    if nspokes <= 0:
+        nspokes = int(np.ceil(np.pi / 2 * N))
+    pre = trapezoid(-kmax / gam, gmax=gmax, smax=smax, dt=dt)
+    read = trapezoid(2 * kmax / gam, gmax=gmax, smax=smax, dt=dt)
+    # 1-sample zero gap: the opposite-polarity junction would otherwise
+    # see 2·smax·dt of discrete slew
+    base = np.concatenate([pre, np.zeros(1), read])
+    dphi = np.pi * (np.sqrt(5) - 1) / 2 if golden else np.pi / nspokes
+    phi = dphi * np.arange(nspokes)
+    gr = np.zeros((nspokes, 3, base.size))
+    gr[:, 0] = np.cos(phi)[:, None] * base
+    gr[:, 1] = np.sin(phi)[:, None] * base
+    from mrphy_tpu.utils.conversions import g2k
+    import jax.numpy as jnp
+    k = np.asarray(g2k(jnp.asarray(gr), False, dt, gam=gam))
+    return gr, k
+
+
+def rosette(fov: float, N: int, *, npetals: int = 16, q: float = 0.7,
+            gmax: float = gmax0, smax: float = smax0, dt: float = dt0,
+            gam: float = gamH) -> Tuple[np.ndarray, np.ndarray]:
+    r"""Rosette readout ``k(t) = kmax·sin(ω₁t)·e^{iω₂t}`` — repeatedly
+    re-crossing the k-space center (self-navigation, spectroscopic /
+    off-resonance encoding).
+
+    The fastest hardware-feasible rates are picked analytically:
+    ``|k′| ≤ kmax·max(ω₁, ω₂)`` and ``|k″| ≤ kmax·(ω₁² + ω₂²)`` are the
+    exact envelope maxima, so ``ω₁ = min(γ·gmax/(kmax·max(1,q)),
+    √(γ·smax/(kmax·(1+q²))))`` with ``ω₂ = q·ω₁`` saturates whichever
+    limit binds.
+
+    Optionals:
+        - ``npetals``: center-crossings (duration ``npetals·π/ω₁``).
+        - ``q``: ``ω₂/ω₁`` rotation-to-oscillation ratio (irrational-ish
+          values spread the petals; default 0.7).
+    Outputs:
+        - ``(gr, k)``: `(1, 3, nT)` gradients and Rx k-space. A
+          compensating blip + slew-limited ramp-in precede the analytic
+          waveform (net k of the preamble is zero), so the k-space of
+          the analytic section IS the ideal rosette.
+    """
+    kmax = N / (2 * fov)
+    w1 = min(gam * gmax / (kmax * max(1.0, q)) * 0.995,
+             np.sqrt(gam * smax / (kmax * (1 + q * q))) * 0.995)
+    w2 = q * w1
+    nT = int(np.ceil(npetals * np.pi / w1 / dt))
+    t = (np.arange(nT) + 1) * dt
+    # g from the DISCRETE difference of the analytic k: the cumsum in
+    # g2k then telescopes to the exact rosette samples (|k| ≤ kmax
+    # exactly; the analytic-derivative form overshoots ~max|k'|·dt/2 ≈
+    # 1.3% under Riemann integration), and the rate limits still hold:
+    # |Δk|/dt ≤ max|k'| and |Δ²k|/dt² ≤ max|k''| by the MVT.
+    kx = kmax * np.sin(w1 * t) * np.cos(w2 * t)
+    ky = kmax * np.sin(w1 * t) * np.sin(w2 * t)
+    gx = np.diff(kx, prepend=0.0) / (gam * dt)
+    gy = np.diff(ky, prepend=0.0) / (gam * dt)
+    def preamble(g0):
+        ramp = rewinder(g0, smax=smax, dt=dt)[::-1]
+        blip = trapezoid(-ramp.sum() * dt, gmax=gmax, smax=smax, dt=dt)
+        return np.concatenate([blip, np.zeros(1), ramp])
+
+    pre_x, pre_y = preamble(gx[0]), preamble(gy[0])
+    npad = max(pre_x.size, pre_y.size)
+    gr = np.zeros((1, 3, npad + nT))
+    gr[0, 0, npad - pre_x.size:npad] = pre_x
+    gr[0, 1, npad - pre_y.size:npad] = pre_y
+    gr[0, 0, npad:], gr[0, 1, npad:] = gx, gy
     from mrphy_tpu.utils.conversions import g2k
     import jax.numpy as jnp
     k = np.asarray(g2k(jnp.asarray(gr), False, dt, gam=gam))

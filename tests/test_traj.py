@@ -6,8 +6,8 @@ import numpy as np
 import jax.numpy as jnp
 
 from mrphy_tpu import gamH, dt0
-from mrphy_tpu.utils.traj import (epi, rewinder, spiral2d, traj_check,
-                                  trapezoid)
+from mrphy_tpu.utils.traj import (epi, radial, rewinder, rosette,
+                                  spiral2d, traj_check, trapezoid)
 from mrphy_tpu.utils.conversions import g2k
 
 FOV, N = 24.0, 32          # 24 cm FOV, 32 matrix -> kmax 0.667 cyc/cm
@@ -90,6 +90,50 @@ class TestSpiral:
         on = gr[0, 0] > 0.5 * GMAX
         dkx = np.diff(k[0, 0])
         assert np.all(dkx[on[1:]] > 0)
+
+    def test_radial_limits_and_spokes(self):
+        kmax = N / (2 * FOV)
+        gr, k = radial(FOV, N, nspokes=13, gmax=GMAX, smax=SMAX)
+        assert gr.shape[0] == 13 and gr.shape[1] == 3
+        traj_check(gr, gmax=GMAX, smax=SMAX, dt=float(dt0))
+        for j in range(13):
+            kr = np.linalg.norm(k[j, :2], axis=0)
+            # through center (after pre-phase) out to +kmax
+            assert kr.min() < 1e-9 or np.any(kr < 2e-3)
+            assert abs(kr.max() - kmax) / kmax < 1e-6
+            # every sample lies ON the spoke line (perp component 0)
+            phi = np.arctan2(k[j, 1, -1], k[j, 0, -1])
+            perp = -np.sin(phi) * k[j, 0] + np.cos(phi) * k[j, 1]
+            assert np.abs(perp).max() < 1e-9 * kmax + 1e-12
+
+    def test_radial_golden_vs_uniform_angles(self):
+        _, kg = radial(FOV, N, nspokes=8, golden=True, gmax=GMAX,
+                       smax=SMAX)
+        ang = np.arctan2(kg[:, 1, -1], kg[:, 0, -1])
+        d = np.diff(np.unwrap(ang))
+        ga = np.pi * (np.sqrt(5) - 1) / 2
+        np.testing.assert_allclose(np.abs(d) % (2 * np.pi), ga,
+                                   atol=1e-9)
+        _, ku = radial(FOV, N, nspokes=8, golden=False, gmax=GMAX,
+                       smax=SMAX)
+        angu = np.arctan2(ku[:, 1, -1], ku[:, 0, -1])
+        du = np.diff(np.unwrap(angu))
+        np.testing.assert_allclose(du, np.pi / 8, atol=1e-9)
+
+    def test_radial_default_nyquist_count(self):
+        gr, _ = radial(FOV, 16, gmax=GMAX, smax=SMAX)
+        assert gr.shape[0] == int(np.ceil(np.pi / 2 * 16))
+
+    def test_rosette_limits_and_center_crossings(self):
+        kmax = N / (2 * FOV)
+        gr, k = rosette(FOV, N, npetals=6, gmax=GMAX, smax=SMAX)
+        traj_check(gr, gmax=GMAX, smax=SMAX, dt=float(dt0))
+        kr = np.linalg.norm(k[0, :2], axis=0)
+        assert kr.max() <= kmax * 1.001     # exact petal radius
+        assert kr.max() > 0.95 * kmax       # ... and reaches it
+        # re-crosses the center ~npetals times (ramp-in offset is small)
+        crossings = int(np.sum(np.diff(kr < 0.08 * kmax).astype(int) == 1))
+        assert crossings >= 5, crossings
 
     def test_rewinder_slew_and_endpoint(self):
         tail = rewinder(3.7, smax=SMAX, dt=float(dt0))
