@@ -28,8 +28,8 @@ import jax.numpy as jnp
 
 from mrphy_tpu import pi
 
-__all__ = ['epg_state', 'epg_rf', 'epg_grad', 'epg_relax', 'epg_cpmg',
-           'epg_spgr', 'rf_spoil_phases']
+__all__ = ['epg_state', 'epg_rf', 'epg_grad', 'epg_relax',
+           'epg_diffusion', 'epg_cpmg', 'epg_spgr', 'rf_spoil_phases']
 
 
 def epg_state(K: int, batch=(), M0=1.0, dtype=jnp.float32):
@@ -133,7 +133,50 @@ def epg_relax(FpFmZ, tau, T1, T2, M0=1.0):
     return jnp.stack([Fp, Fm, Z], axis=-3)
 
 
-def epg_cpmg(flips, *, T1, T2, esp, M0=1.0, phi_ex=pi / 2, mesh=None):
+def epg_diffusion(FpFmZ, D, dk, tau, delta: int = 0):
+    r"""Diffusion attenuation over an interval of ``tau`` seconds during
+    which the applied gradient shifts the configuration orders by
+    ``delta`` k-quanta (apply BEFORE the matching :func:`epg_grad`).
+
+    A state of order ``k`` is a spatial modulation at wavenumber
+    ``k·dk``; over the interval it sweeps linearly to ``(k+δ)·dk``, so
+    its exact diffusion b-factor is the textbook quadratic integral
+
+    .. math::
+       b_T(k) = \tau\,dk^2\,(k^2 + k\delta + \delta^2/3), \qquad
+       b_L(k) = \tau\,dk^2\,k^2
+
+    (``F−(k)`` carries ``−k``: its b uses ``k^2 − kδ + δ²/3``), and the
+    attenuation is ``exp(−b·D)`` — the standard EPG-diffusion treatment
+    (Weigel's tutorial formalism), exact for piecewise-constant
+    gradients. ``δ=0`` covers gradient-free intervals (stored states
+    still diffuse: ``b = τ(k·dk)²``).
+
+    Inputs:
+        - ``FpFmZ``: `(*batch, 3, K, 2)` state.
+        - ``D``: `()` ⊻ `(*batch,)`, "cm²/Sec", diffusivity (per-voxel
+          ADC maps broadcast).
+        - ``dk``: `()`, "Rad/cm", dephasing of ONE k-quantum (γ·G·τ_G of
+          the unit spoiler).
+        - ``tau``: `()`, "Sec"; ``delta``: static int k-quanta shifted
+          during THIS interval.
+    """
+    K = FpFmZ.shape[-2]
+    dtype = FpFmZ.dtype
+    k = jnp.arange(K, dtype=dtype)
+    q2t = jnp.asarray(tau, dtype) * jnp.asarray(dk, dtype) ** 2
+    d = float(delta)
+    bTp = q2t * (k * k + k * d + d * d / 3)
+    bTm = q2t * (k * k - k * d + d * d / 3)
+    bL = q2t * (k * k)
+    Db = jnp.asarray(D, dtype)[..., None]
+    att = jnp.stack([jnp.exp(-Db * bTp), jnp.exp(-Db * bTm),
+                     jnp.exp(-Db * bL)], axis=-2)       # (*batch, 3, K)
+    return FpFmZ * att[..., None]
+
+
+def epg_cpmg(flips, *, T1, T2, esp, M0=1.0, phi_ex=pi / 2, mesh=None,
+             D=None, dk=0.0):
     r"""Echo amplitudes of a CPMG spin-echo train.
 
     Sequence: 90° excitation about ``phi_ex`` (default +y, so the
@@ -146,6 +189,12 @@ def epg_cpmg(flips, *, T1, T2, esp, M0=1.0, phi_ex=pi / 2, mesh=None):
           flip angles (B1-scaled trains broadcast per voxel).
         - ``T1``/``T2``: `()` ⊻ `(*batch,)`, "Sec"; ``esp``: echo
           spacing, "Sec".
+        - ``D``/``dk``: enable diffusion weighting
+          (:func:`epg_diffusion`): diffusivity `()` ⊻ `(*batch,)`,
+          "cm²/Sec", and the per-half-esp crusher dephasing, "Rad/cm".
+          For 180° refocusing in a constant gradient this reproduces
+          the Carr–Purcell ``exp(−γ²G²D·esp³·n/12)`` attenuation
+          exactly (asserted in ``tests/test_epg.py``).
     Outputs:
         - ``echoes``: `(*batch, nEcho, 2)` real ([re, im] of ``F+(0)``
           at each echo; for perfect 180° refocusing the magnitude is
@@ -160,13 +209,15 @@ def epg_cpmg(flips, *, T1, T2, esp, M0=1.0, phi_ex=pi / 2, mesh=None):
     """
     if mesh is not None:
         from mrphy_tpu.parallel.mesh import epg_cpmg_sharded_traceable
+        dkw = {} if D is None else {'D': D, 'dk': dk}
         return epg_cpmg_sharded_traceable(
-            mesh, flips, T1=T1, T2=T2, esp=esp, M0=M0, phi_ex=phi_ex)
+            mesh, flips, T1=T1, T2=T2, esp=esp, M0=M0, phi_ex=phi_ex,
+            **dkw)
     flips = jnp.asarray(flips)
-    return _epg_cpmg_body(flips, T1, T2, esp, M0, phi_ex)
+    return _epg_cpmg_body(flips, T1, T2, esp, M0, phi_ex, D, dk)
 
 
-def _epg_cpmg_body(flips, T1, T2, esp, M0, phi_ex):
+def _epg_cpmg_body(flips, T1, T2, esp, M0, phi_ex, D=None, dk=0.0):
     nE = flips.shape[-1]
     T1b, T2b = jnp.asarray(T1), jnp.asarray(T2)
     # one common dtype: python-float esp/M0 would otherwise promote the
@@ -184,10 +235,18 @@ def _epg_cpmg_body(flips, T1, T2, esp, M0, phi_ex):
     flips_b = jnp.broadcast_to(flips, batch + (nE,))
     flips_t = jnp.moveaxis(flips_b, -1, 0)      # (nE, *batch)
 
+    Db = None if D is None else jnp.asarray(D, dtype)
+
+    def half(s):
+        s = epg_relax(s, esp / 2, T1b, T2b, M0)
+        if Db is not None:
+            s = epg_diffusion(s, Db, dk, esp / 2, delta=1)
+        return epg_grad(s)
+
     def step(s, a):
-        s = epg_grad(epg_relax(s, esp / 2, T1b, T2b, M0))
+        s = half(s)
         s = epg_rf(s, a, 0.0)
-        s = epg_grad(epg_relax(s, esp / 2, T1b, T2b, M0))
+        s = half(s)
         return s, s[..., 0, 0, :]
 
     _, echoes = jax.lax.scan(step, s, flips_t)
@@ -202,7 +261,7 @@ def rf_spoil_phases(n: int, phi0=117.0):
 
 
 def epg_spgr(flips, phis=None, *, T1, T2, tr, te=0.0, M0=1.0,
-             kshift: int = 1):
+             kshift: int = 1, D=None, dk=0.0):
     r"""Gradient-spoiled GRE (SPGR / FISP) signal train — the MRF-style
     dictionary workhorse.
 
@@ -220,6 +279,9 @@ def epg_spgr(flips, phis=None, *, T1, T2, tr, te=0.0, M0=1.0,
         - ``flips``: `(nTR,)` or `(*batch, nTR)`, "Rad".
         - ``phis``: `(nTR,)` or `(*batch, nTR)`, "Rad" (None → 0).
         - ``T1``/``T2``: `()` ⊻ `(*batch,)`, "Sec"; ``tr``/``te``: "Sec".
+        - ``D``/``dk``: diffusion weighting by the spoiler
+          (:func:`epg_diffusion` with ``δ=kshift`` per TR) —
+          diffusion-weighted SSFP; "cm²/Sec" and "Rad/cm" per k-quantum.
     Outputs:
         - ``signals``: `(*batch, nTR, 2)` real ([re, im] of the
           demodulated echo).
@@ -262,6 +324,9 @@ def epg_spgr(flips, phis=None, *, T1, T2, tr, te=0.0, M0=1.0,
         sig = E2te[..., None] * jnp.stack(
             [c * fr + si * fi, c * fi - si * fr], -1)
         s = epg_relax(s, tr, T1b, T2b, M0)
+        if D is not None:
+            s = epg_diffusion(s, jnp.asarray(D, dtype), dk, tr,
+                              delta=kshift)
         s = epg_grad(s, kshift)
         return s, sig
 

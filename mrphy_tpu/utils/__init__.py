@@ -18,6 +18,8 @@ from mrphy_tpu.utils.girf import apply_girf, exp_decay_girf
 from mrphy_tpu.utils.sar import sar_vops, vop_compress
 from mrphy_tpu.utils.traj import (spiral2d, epi, radial, rosette,
                                   trapezoid, rewinder, traj_check)
+from mrphy_tpu.utils.coils import (coil_compress, apply_ccmat,
+                                   noise_whiten_mat, add_noise)
 
 # -- Unicode aliases (reference spellings) --
 # Python NFKC-normalizes identifiers: source written as `uϕrot` (U+03D5,
@@ -38,5 +40,7 @@ __all__ = ['ctrsub', 'g2k', 'g2s', 'k2g', 'rf_c2r', 'rf_r2c',
            'apply_girf', 'exp_decay_girf', 'sar_vops', 'vop_compress',
            'spiral2d', 'epi', 'radial', 'rosette', 'trapezoid',
            'rewinder', 'traj_check',
+           'coil_compress', 'apply_ccmat', 'noise_whiten_mat',
+           'add_noise',
            # Unicode aliases (NFKC-normalized spellings)
            'uφrot', 'rf2tρθ', 'tρθ2rf', 'rf2lρθ', 'lρθ2rf']

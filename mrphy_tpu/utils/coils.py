@@ -1,0 +1,140 @@
+r"""Receive-array utilities: SVD coil compression and noise handling.
+
+Calibration-time helpers around the acquisition operator
+(:mod:`mrphy_tpu.ops.signal`). Everything here keeps the framework's
+real re/im-pair convention — the ``(..., xy, nC)`` shape rule of
+``b1Map_``/``sens`` — because complex dtypes are unsupported on some
+TPU runtimes; the two *matrix factorizations* (SVD, Cholesky) run on
+the host in numpy (one-off calibration work, like the trajectory
+generators), while the *applications* (:func:`apply_ccmat`,
+:func:`add_noise`) are jittable jnp ops usable inside reconstruction /
+design graphs.
+
+The reference framework has no acquisition stage (SURVEY §2), so no
+parity target exists; conventions follow the standard SENSE/SCC
+literature (geometric/SVD coil compression; noise pre-whitening by the
+inverse Cholesky factor of the noise covariance).
+"""
+
+from typing import Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+__all__ = ['coil_compress', 'apply_ccmat', 'noise_whiten_mat',
+           'add_noise']
+
+
+def _to_complex(x):
+    x = np.asarray(x)
+    assert x.shape[-2] == 2, f're/im axis expected at -2, got {x.shape}'
+    return x[..., 0, :] + 1j * x[..., 1, :]
+
+
+def _to_pairs(z):
+    return np.stack([z.real, z.imag], axis=-2)
+
+
+def coil_compress(calib, ncc: int) -> Tuple[np.ndarray, np.ndarray]:
+    r"""SVD (SCC) coil compression from calibration data.
+
+    Inputs:
+        - ``calib``: `(..., xy, nC)` re/im calibration samples — e.g.
+          the sensitivity maps themselves (``sens.reshape(-1, 2, nC)``
+          semantics; leading axes are flattened) or ACS k-space lines.
+        - ``ncc``: number of virtual coils to keep.
+    Outputs:
+        - ``W``: `(xy, nC, ncc)` re/im compression matrix (columns =
+          dominant right-singular vectors of the calibration matrix).
+        - ``energy``: `(nC,)` normalized singular-value energy
+          (``energy[:ncc].sum()`` = fraction captured).
+
+    Host-side numpy (complex SVD); apply with :func:`apply_ccmat` to
+    ``sens`` AND to acquired signals `(N, nC, nT, 2)` — compression
+    commutes with the (linear-in-``sens``) acquisition operator, so
+    compressed-then-acquired equals acquired-then-compressed exactly
+    (asserted in ``tests/test_coils.py``).
+    """
+    X = _to_complex(calib).reshape(-1, np.asarray(calib).shape[-1])
+    nC = X.shape[-1]
+    assert 1 <= ncc <= nC, (ncc, nC)
+    _, s, Vh = np.linalg.svd(X, full_matrices=False)
+    W = Vh.conj().T[:, :ncc]                     # (nC, ncc)
+    energy = (s ** 2) / max((s ** 2).sum(), 1e-30)
+    energy = np.pad(energy, (0, nC - energy.size))
+    return np.stack([W.real, W.imag], 0), energy
+
+
+def apply_ccmat(x, W, *, axis: int = -1):
+    r"""Apply a compression/whitening matrix along the coil axis.
+
+    Inputs:
+        - ``x``: array with a coil axis at ``axis`` and an re/im pair
+          axis somewhere — supported layouts: ``sens`` `(..., xy, nC)`
+          (``axis=-1``, pairs at -2) and signals `(N, nC, nT, xy)`
+          (``axis=1``, pairs at -1).
+        - ``W``: `(xy, nC, k)` re/im matrix from :func:`coil_compress`
+          / :func:`noise_whiten_mat`.
+    Outputs:
+        - ``x``: same layout with the coil axis of size ``k``.
+
+    Jittable (real arithmetic): ``y = x @ W`` in the complex sense.
+    """
+    x = jnp.asarray(x)
+    W = jnp.asarray(W, x.dtype)
+    wr, wi = W[0], W[1]
+    mm = lambda a, b: jnp.matmul(a, b, precision='highest')  # noqa: E731
+    ax = axis % x.ndim
+    if ax == x.ndim - 1:                     # (..., xy, nC), pairs at -2
+        xr, xi = x[..., 0, :], x[..., 1, :]
+        return jnp.stack([mm(xr, wr) - mm(xi, wi),
+                          mm(xr, wi) + mm(xi, wr)], axis=-2)
+    # coil axis elsewhere (e.g. signals (N, nC, nT, xy), pairs at -1)
+    xm = jnp.moveaxis(x, ax, -1)
+    xr, xi = xm[..., 0, :], xm[..., 1, :]    # pairs now at -2 after move
+    y = jnp.stack([mm(xr, wr) - mm(xi, wi),
+                   mm(xr, wi) + mm(xi, wr)], axis=-2)
+    return jnp.moveaxis(y, -1, ax)
+
+
+def noise_whiten_mat(Psi) -> np.ndarray:
+    r"""Noise pre-whitening matrix from a coil noise covariance.
+
+    Inputs:
+        - ``Psi``: `(xy, nC, nC)` re/im Hermitian noise covariance
+          (estimate as ``E[n nᴴ]`` from noise-only samples).
+    Outputs:
+        - ``W``: `(xy, nC, nC)` re/im with ``W = L⁻ᵀ`` for
+          ``Psi = L Lᴴ`` — under :func:`apply_ccmat`'s row convention
+          ``y = x·W`` this is ``y = L⁻¹·x``, making the effective noise
+          identity-covariance (the SENSE-optimal metric), asserted
+          statistically in tests. Apply the SAME ``W`` to signals and
+          sensitivities.
+    """
+    P = np.asarray(Psi)[0] + 1j * np.asarray(Psi)[1]
+    L = np.linalg.cholesky(P)
+    W = np.linalg.inv(L).T                      # row conv: y = L^-1 x
+    return np.stack([W.real, W.imag], 0)
+
+
+def add_noise(key, s, sigma, Psi=None):
+    r"""Synthesize complex receiver noise on a signal.
+
+    Inputs:
+        - ``key``: ``jax.random`` key; ``s``: `(N, nC, nT, 2)` signal.
+        - ``sigma``: per-channel std of the re/im components.
+        - ``Psi``: optional `(xy, nC, nC)` coil covariance — noise is
+          colored as ``L n`` with ``Psi = L Lᴴ`` (host Cholesky).
+    Outputs:
+        - noisy signal, same shape. Jittable for ``Psi=None``.
+    """
+    s = jnp.asarray(s)
+    n = sigma * jax.random.normal(key, s.shape, s.dtype)
+    if Psi is not None:
+        P = np.asarray(Psi)[0] + 1j * np.asarray(Psi)[1]
+        L = np.linalg.cholesky(P)
+        # row convention y = x·W colors as L·n when W = Lᵀ
+        Lt = np.stack([L.T.real, L.T.imag], 0)
+        n = apply_ccmat(n, jnp.asarray(Lt, s.dtype), axis=1)
+    return s + n

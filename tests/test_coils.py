@@ -1,0 +1,100 @@
+r"""Receive-array utility tests: SVD coil compression (commutes with
+the acquisition operator exactly), noise whitening (covariance → I,
+statistically), and colored-noise synthesis (covariance → Psi)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mrphy_tpu.utils.coils import (add_noise, apply_ccmat,
+                                   coil_compress, noise_whiten_mat)
+from mrphy_tpu.ops import signal as sig
+from mrphy_tpu.utils import g2k
+
+DT = 4e-5
+
+
+def _cplx(x, pair_axis=-2):
+    x = np.moveaxis(np.asarray(x), pair_axis, 0)
+    return x[0] + 1j * x[1]
+
+
+class TestCoilCompress:
+
+    def _lowrank_sens(self, rng, nM, nC, rank):
+        base = rng.standard_normal((nM, rank)) \
+            + 1j * rng.standard_normal((nM, rank))
+        mix = rng.standard_normal((rank, nC)) \
+            + 1j * rng.standard_normal((rank, nC))
+        z = base @ mix                               # (nM, nC), rank-r
+        return np.stack([z.real, z.imag], -2)[None]  # (1, nM, 2, nC)
+
+    def test_lowrank_sens_compress_exactly(self):
+        rng = np.random.default_rng(0)
+        nM, nC, rank = 64, 8, 3
+        sens = self._lowrank_sens(rng, nM, nC, rank)
+        W, energy = coil_compress(sens, rank)
+        assert energy[:rank].sum() > 1 - 1e-12       # rank-3 exactly
+        sens_cc = apply_ccmat(sens, W)               # (1, nM, 2, rank)
+        # the compressed maps retain ALL the energy of the originals
+        assert np.isclose((np.abs(_cplx(sens_cc)) ** 2).sum(),
+                          (np.abs(_cplx(sens)) ** 2).sum())
+
+    def test_compression_commutes_with_acquisition(self):
+        rng = np.random.default_rng(1)
+        nM, nT, nC, ncc = 48, 40, 6, 4
+        sens = jnp.asarray(rng.standard_normal((1, nM, 2, nC)))
+        M = jnp.asarray(rng.standard_normal((1, nM, 3)))
+        loc_ = jnp.asarray(rng.uniform(-2, 2, (1, nM, 3)))
+        gr = jnp.asarray(rng.uniform(-2, 2, (1, 3, nT)))
+        k = g2k(gr, False, dt=DT)
+        W, _ = coil_compress(np.asarray(sens), ncc)
+        kw = dict(df=jnp.asarray(rng.uniform(-50, 50, (1, nM))), dt=DT)
+        s_then_cc = apply_ccmat(sig.signal(M, loc_, k, sens=sens, **kw),
+                                W, axis=1)
+        cc_then_s = sig.signal(M, loc_, k, sens=apply_ccmat(sens, W),
+                               **kw)
+        np.testing.assert_allclose(s_then_cc, cc_then_s, atol=1e-12)
+
+    def test_apply_ccmat_is_complex_matmul(self):
+        rng = np.random.default_rng(2)
+        x = rng.standard_normal((5, 2, 4))
+        W = rng.standard_normal((2, 4, 3))
+        y = apply_ccmat(x, W)
+        yc = _cplx(x) @ _cplx(W, pair_axis=0)
+        np.testing.assert_allclose(_cplx(y), yc, atol=1e-12)
+
+
+class TestNoise:
+
+    def _psi(self, rng, nC):
+        A = rng.standard_normal((nC, nC)) + 1j * rng.standard_normal(
+            (nC, nC))
+        P = A @ A.conj().T + nC * np.eye(nC)
+        return np.stack([P.real, P.imag], 0)
+
+    def test_whitening_makes_identity_covariance(self):
+        rng = np.random.default_rng(3)
+        nC, nS = 4, 200_000
+        Psi = self._psi(rng, nC)
+        W = noise_whiten_mat(Psi)
+        # colored noise via add_noise on a zero "signal"
+        z = jnp.zeros((1, nC, nS, 2))
+        n = np.asarray(add_noise(jax.random.key(0), z, 1.0, Psi=Psi))
+        nc = _cplx(n[0], pair_axis=-1).T             # (nS, nC) complex
+        emp = (nc.T @ nc.conj()) / nS
+        Pc = Psi[0] + 1j * Psi[1]
+        # colored: empirical covariance ~ 2*Psi (unit re+im variance)
+        np.testing.assert_allclose(emp, 2 * Pc, atol=0.15 * np.abs(
+            Pc).max())
+        # whitened: covariance ~ 2*I
+        nw = _cplx(np.asarray(apply_ccmat(jnp.asarray(n), W, axis=1))[0],
+                   pair_axis=-1).T
+        empw = (nw.T @ nw.conj()) / nS
+        np.testing.assert_allclose(empw, 2 * np.eye(nC), atol=0.05)
+
+    def test_add_noise_white_and_jittable(self):
+        s = jnp.zeros((2, 3, 100, 2))
+        out = jax.jit(lambda k: add_noise(k, s, 0.5))(jax.random.key(1))
+        assert out.shape == s.shape
+        assert np.isclose(np.asarray(out).std(), 0.5, rtol=0.1)

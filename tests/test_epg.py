@@ -151,6 +151,98 @@ class TestEPGDepth:
         assert float(jnp.max(jnp.abs(g))) > 0
 
 
+class TestEPGDiffusion:
+    r"""Diffusion weighting: the EPG b-factor attenuation must
+    reproduce the Carr–Purcell–Meiboom–Gill closed form
+    ``exp(−γ²G²D·esp³·n/12)`` for perfect refocusing in a constant
+    gradient (with ``dk = γ·G·esp/2``, that is ``exp(−n·esp·dk²·D/3)``
+    per echo)."""
+
+    def test_cpmg_matches_carr_purcell_closed_form(self):
+        nE, esp, T1, T2 = 16, 0.01, 1.0, 0.08
+        D, dk = 2e-5, 668.0                  # cm^2/s; rad/cm per half-esp
+        flips = pi * jnp.ones(nE)
+        e = epg.epg_cpmg(flips, T1=T1, T2=T2, esp=esp, D=D, dk=dk)
+        mag = np.hypot(*np.moveaxis(np.asarray(e), -1, 0))
+        n = np.arange(1, nE + 1)
+        expect = np.exp(-n * esp / T2) * np.exp(-n * esp * dk ** 2
+                                                * D / 3)
+        np.testing.assert_allclose(mag, expect, rtol=1e-5)
+        # and the attenuation is material (not testing 1 == 1)
+        assert expect[-1] < 0.7 * np.exp(-nE * esp / T2)
+
+    def test_d_zero_is_exact_noop(self):
+        nE = 8
+        flips = jnp.asarray(np.random.default_rng(0).uniform(
+            2.0, pi, nE))
+        e0 = epg.epg_cpmg(flips, T1=1.0, T2=0.08, esp=0.01)
+        e = epg.epg_cpmg(flips, T1=1.0, T2=0.08, esp=0.01, D=0.0,
+                         dk=400.0)
+        np.testing.assert_allclose(e, e0, atol=1e-12)
+
+    def test_stored_states_diffuse_without_gradient(self):
+        # a pure F+(k=2) state under delta=0: exp(-D*tau*(2*dk)^2)
+        K, D, dk, tau = 6, 1e-5, 300.0, 0.02
+        s = epg.epg_state(K).at[2, 0, 0].set(0.0)
+        s = s.at[0, 2, 0].set(1.0)
+        out = epg.epg_diffusion(s, D, dk, tau, delta=0)
+        np.testing.assert_allclose(
+            out[0, 2, 0], np.exp(-D * tau * (2 * dk) ** 2), rtol=1e-6)
+        # Z(k) attenuates with the same k^2 law, Z(0) not at all
+        s2 = epg.epg_state(K).at[2, 3, 0].set(0.5)
+        out2 = epg.epg_diffusion(s2, D, dk, tau, delta=0)
+        np.testing.assert_allclose(
+            out2[2, 3, 0], 0.5 * np.exp(-D * tau * (3 * dk) ** 2),
+            rtol=1e-6)
+        np.testing.assert_allclose(out2[2, 0, 0], 1.0, atol=1e-12)
+
+    def test_spgr_diffusion_attenuates_and_d0_noop(self):
+        nTR = 40
+        flips = jnp.deg2rad(30.0) * jnp.ones(nTR)
+        kw = dict(T1=1.0, T2=0.08, tr=0.01, te=0.004)
+        s0 = epg.epg_spgr(flips, **kw)
+        s_d0 = epg.epg_spgr(flips, D=0.0, dk=500.0, **kw)
+        np.testing.assert_allclose(s_d0, s0, atol=1e-12)
+        sD = epg.epg_spgr(flips, D=2e-5, dk=500.0, **kw)
+        m0 = np.hypot(*np.moveaxis(np.asarray(s0), -1, 0))
+        mD = np.hypot(*np.moveaxis(np.asarray(sD), -1, 0))
+        # spoiler diffusion kills stored coherences: the late (steady
+        # state) signal attenuates; the early transient can RISE (less
+        # destructive interference) — both are the expected physics
+        assert mD[-1] < 0.80 * m0[-1]
+        assert mD[5] > m0[5]
+
+    def test_cpmg_mesh_per_voxel_adc(self):
+        from mrphy_tpu.parallel import make_mesh
+        mesh = make_mesh()
+        nV, nE = 16, 8
+        rng = np.random.default_rng(5)
+        flips = jnp.asarray(np.tile(np.pi * np.ones(nE), (nV, 1)))
+        D = jnp.asarray(rng.uniform(1e-5, 3e-5, nV))
+        e0 = epg.epg_cpmg(flips, T1=1.0, T2=0.08, esp=0.01, D=D,
+                          dk=500.0)
+        e = epg.epg_cpmg(flips, T1=1.0, T2=0.08, esp=0.01, D=D,
+                         dk=500.0, mesh=mesh)
+        np.testing.assert_allclose(e, e0, atol=1e-12)
+
+    def test_adc_fit_gradient_flows(self):
+        nE, esp, dk = 12, 0.01, 500.0
+        flips = pi * jnp.ones(nE)
+        truth = 2.3e-5
+        target = epg.epg_cpmg(flips, T1=1.0, T2=0.08, esp=esp,
+                              D=truth, dk=dk)
+
+        def loss(D):
+            e = epg.epg_cpmg(flips, T1=1.0, T2=0.08, esp=esp, D=D,
+                             dk=dk)
+            return jnp.sum((e - target) ** 2)
+
+        g = jax.grad(loss)(jnp.asarray(1e-5))
+        assert np.isfinite(g) and g != 0
+        # one Newton-from-secant step moves toward the truth
+        assert loss(1e-5) > loss(jnp.asarray(truth)) + 0
+
+
 class TestEPG:
 
     def test_perfect_cpmg_is_pure_t2_decay(self):

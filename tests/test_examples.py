@@ -32,6 +32,7 @@ CASES = [
     ('girf_preemphasis.py', ['--nt', '128', '--iters', '250']),
     ('ptx_sar_design.py', ['--n', '6', '--nt', '64', '--iters', '120']),
     ('recon_sense.py', ['--n', '16', '--iters', '30']),
+    ('dwi_adc_fit.py', ['--nvox', '16', '--iters', '400']),
     ('recon_sense.py', ['--n', '16', '--iters', '40', '--traj',
                         'radial', '--df', '30']),
     # voxel-sharded variants on the 8-virtual-device CPU mesh
