@@ -202,7 +202,8 @@ def beff2ab_assoc(beff, *, E1=0.0, E2=0.0, gam=gamH, dt=dt0):
 
 @kwalias(**{'γ': 'gam', 'Δf': 'df'})
 def rfgr2beff(rf, gr, loc, *, df: Optional[jax.Array] = None,
-              b1Map: Optional[jax.Array] = None, gam=gamH):
+              b1Map: Optional[jax.Array] = None, gam=gamH,
+              b0: Optional[float] = None):
     r"""Assemble B-effective from RF and gradients.
 
     Inputs:
@@ -214,6 +215,17 @@ def rfgr2beff(rf, gr, loc, *, df: Optional[jax.Array] = None,
         - ``b1Map``: `(N, *Nd, xy, (nCoils))`, a.u., transmit sensitivity
           (complex as real/imag pairs along ``xy``).
         - ``gam`` (alias ``γ``): `()` ⊻ `(N ⊻ 1, *Nd ⊻ 1,)`, "Hz/Gauss".
+        - ``b0``: `()`, "Gauss", main field strength — when given, the
+          lowest-order concomitant (Maxwell) field is ADDED to ``Bz``:
+
+          .. math::
+             B_c = \frac{(g_x z - g_z x/2)^2 + (g_y z - g_z y/2)^2}
+                        {2 B_0}
+
+          (the exact quadratic term for a symmetric gradient coil;
+          scales as 1/B₀ — the low-field / strong-gradient artifact
+          source: slice shifts, spiral blurring. Differentiable w.r.t.
+          ``gr``/``loc``, so designs can penalize or pre-compensate it.)
     Outputs:
         - ``beff``: `(N, *Nd, nT, xyz)`, "Gauss".
 
@@ -235,6 +247,15 @@ def rfgr2beff(rf, gr, loc, *, df: Optional[jax.Array] = None,
     _PH = jax.lax.Precision.HIGHEST
     loc2 = loc.reshape(N, -1, 3)                       # (N, nS, xyz)
     Bz = jnp.einsum('nsx,nxt->nst', loc2, gr, precision=_PH)  # (N, nS, nT)
+
+    if b0 is not None:
+        x, y, z = loc2[..., 0], loc2[..., 1], loc2[..., 2]  # (N, nS)
+        gx, gy, gz = gr[:, 0], gr[:, 1], gr[:, 2]           # (N, nT)
+        cx = (z[:, :, None] * gx[:, None, :]
+              - 0.5 * x[:, :, None] * gz[:, None, :])
+        cy = (z[:, :, None] * gy[:, None, :]
+              - 0.5 * y[:, :, None] * gz[:, None, :])
+        Bz = Bz + (cx * cx + cy * cy) / (2.0 * b0)
 
     if df is not None:
         df = jnp.asarray(df).reshape(N, -1)            # (N, nS)
