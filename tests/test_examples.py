@@ -33,6 +33,7 @@ CASES = [
     ('ptx_sar_design.py', ['--n', '6', '--nt', '64', '--iters', '120']),
     ('recon_sense.py', ['--n', '16', '--iters', '30']),
     ('dwi_adc_fit.py', ['--nvox', '16', '--iters', '400']),
+    ('spectral_spatial.py', ['--nz', '24', '--ndf', '9']),
     ('recon_sense.py', ['--n', '16', '--iters', '40', '--noise',
                         '0.3']),
     ('recon_sense.py', ['--n', '16', '--iters', '40', '--traj',
