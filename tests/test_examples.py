@@ -34,6 +34,7 @@ CASES = [
     ('recon_sense.py', ['--n', '16', '--iters', '30']),
     ('dwi_adc_fit.py', ['--nvox', '16', '--iters', '400']),
     ('spectral_spatial.py', ['--nz', '24', '--ndf', '9']),
+    ('bloch_siegert_b1map.py', ['--nb1', '24']),
     ('recon_sense.py', ['--n', '16', '--iters', '40', '--noise',
                         '0.3']),
     ('recon_sense.py', ['--n', '16', '--iters', '40', '--traj',
