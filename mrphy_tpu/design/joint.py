@@ -50,6 +50,14 @@ class DesignConfig:
     of the reparametrizations (ref ``/root/reference/mrphy/utils.py:
     196-214``), so each coil's |rf| bound holds by construction.
 
+    ``loss`` selects the fidelity term: ``'sse'`` (default — squared
+    error on the magnetization VECTOR, the reference recipe) or
+    ``'mls'`` — magnitude least squares, ``(|Mxy| − |Mxy^tgt|)² +
+    (Mz − Mz^tgt)²``: the excitation PHASE is left free, the standard
+    relaxation for pTx shimming/excitation where only |Mxy| is imaged
+    (phase-free targets are much easier to realize; smooth
+    ``sqrt(·+ε)`` keeps gradients finite at zeros).
+
     ``optimizer`` selects the update rule: ``'adam'`` (default),
     ``'adamw'``, ``'sgd'``, ``'momentum'`` (Nesterov 0.9), or
     ``'lbfgs'`` — optax L-BFGS with zoom linesearch (``lr`` ignored;
@@ -61,6 +69,7 @@ class DesignConfig:
     niter: int = 100
     lr: float = 1e-1
     optimizer: str = 'adam'
+    loss: str = 'sse'         # 'sse' ⊻ 'mls' (magnitude least squares)
     rfmax: object = rfmax0    # Gauss; float ⊻ (nCoils,) tuple
     smax: float = smax0       # Gauss/cm/Sec
     gmax: float = gmax0       # Gauss/cm (soft, via lam_gmax)
@@ -130,7 +139,16 @@ def _loss_fn(params, cfg, M0_, loc_, Mtgt_, T1_, T2_, gam_, df_, b1Map_,
     # design loop never materializes the O(nM·nT) field tensor
     M_ = sims.blochsim_rfgr(M0_, rf, gr, loc_, T1=T1, T2=T2, df=df_,
                             b1Map=b1Map_, gam=gam_, dt=cfg.dt, mesh=mesh)
-    se = jnp.sum((M_ - Mtgt_) ** 2, axis=-1)
+    if cfg.loss == 'mls':
+        # magnitude least squares: phase-free |Mxy| target (+ Mz term);
+        # smooth sqrt keeps the gradient finite where |Mxy| -> 0
+        eps = 1e-12
+        mag = jnp.sqrt(M_[..., 0] ** 2 + M_[..., 1] ** 2 + eps)
+        mtg = jnp.sqrt(Mtgt_[..., 0] ** 2 + Mtgt_[..., 1] ** 2 + eps)
+        se = (mag - mtg) ** 2 + (M_[..., 2] - Mtgt_[..., 2]) ** 2
+    else:
+        assert cfg.loss == 'sse', cfg.loss
+        se = jnp.sum((M_ - Mtgt_) ** 2, axis=-1)
     if w_ is None:
         err = jnp.mean(se)
     else:  # per-spin weights, e.g. don't-care transition bands at 0.

@@ -273,6 +273,46 @@ class TestDesign:
         np.testing.assert_allclose(l2, l1, atol=1e-12)
         np.testing.assert_allclose(p2.rf, p1.rf, atol=1e-10)
 
+    def test_mls_loss_frees_the_phase(self):
+        r"""Magnitude least squares (cfg.loss='mls'): a target whose
+        phase pattern is deliberately unrealizable (random per-spin
+        phases) is easy in magnitude — MLS must reach a much lower
+        |Mxy| error than vector SSE at the same budget, and 'mls' with
+        a phase-matched target must still converge."""
+        import numpy as np
+        from mrphy_tpu.models.mobjs import SpinArray, Pulse
+
+        rng = np.random.default_rng(7)
+        nM, nT = 24, 64
+        arr = SpinArray((1, nM), M_=jnp.asarray(
+            np.tile([0., 0., 1.], (1, nM, 1)), jnp.float32))
+        loc_ = jnp.asarray(rng.uniform(-1, 1, (1, nM, 3)), jnp.float32)
+        p = Pulse(jnp.asarray(rng.random((1, 2, nT)) * .02, jnp.float32),
+                  jnp.asarray(rng.random((1, 3, nT)) * .1, jnp.float32),
+                  dt=dt0)
+        flip = np.deg2rad(20.)
+        ph = rng.uniform(0, 2 * np.pi, nM)       # unrealizable phases
+        Mtgt = np.stack([np.sin(flip) * np.cos(ph),
+                         np.sin(flip) * np.sin(ph),
+                         np.cos(flip) * np.ones(nM)], -1)[None]
+        Mtgt_ = jnp.asarray(Mtgt, jnp.float32)
+
+        def mag_err(p2):
+            M = np.asarray(arr.applypulse(p2, loc_=loc_, doRelax=False))
+            mag = np.hypot(M[0, :, 0], M[0, :, 1])
+            return float(np.abs(mag - np.sin(flip)).max())
+
+        kw = dict(niter=60, lr=0.02, rfmax=0.25, smax=12e3,
+                  dt=float(dt0))
+        p_sse, _ = design_pulse(arr, p, Mtgt_,
+                                loc_=loc_, cfg=DesignConfig(**kw))
+        p_mls, l_mls = design_pulse(arr, p, Mtgt_, loc_=loc_,
+                                    cfg=DesignConfig(loss='mls', **kw))
+        assert float(l_mls[-1]) < float(l_mls[0])
+        e_sse, e_mls = mag_err(p_sse), mag_err(p_mls)
+        assert e_mls < 0.5 * e_sse, (e_mls, e_sse)
+        assert e_mls < 0.05, e_mls
+
     def test_weighted_allones_matches_unweighted(self):
         r"""All-ones broadcast weights (1, nM) with N>1 must reproduce the
         unweighted loss exactly (a bare sum(w_) normalization would be
