@@ -583,6 +583,59 @@ class SpinArray(_SlotStateMixin):
             self.M_ = M_
         return self.embed(M_) if doEmbed else M_
 
+    def acquire(self, gr, *, loc=None, loc_=None, sens=None, sens_=None,
+                T2s=None, T2s_=None, dt=None, mesh=None,
+                backend: str = 'xla', **kw):
+        r"""k-space signal of this array's CURRENT magnetization over a
+        readout gradient (no reference counterpart — the acquisition
+        stage, :mod:`mrphy_tpu.ops.signal`).
+
+        Chains naturally with the simulators::
+
+            cube.applypulse(p, doUpdate=True)   # excite
+            s = cube.acquire(gr_readout, sens=maps)
+
+        Inputs:
+            - ``gr``: `(N ⊻ 1, xyz, nT)`, "Gauss/cm", readout gradient;
+              the Rx k-space is its γ·dt cumsum (:func:`mrphy_tpu.utils
+              .g2k` with ``isTx=False``).
+        Optionals:
+            - ``loc``/``loc_``: spin positions (default: a SpinCube's
+              own grid).
+            - ``sens``/``sens_``: `(N ⊻ 1, *Nd ⊻ nM, xy, nC)` receive
+              maps; ``df``/``df_`` off-resonance during the readout
+              (aliases ``Δf``/``Δf_``; SpinCube defaults to its own
+              ``Δf_``); ``T2s``/``T2s_`` effective T2* decay (NOT
+              defaulted to ``T2_`` — intra-voxel dephasing usually
+              dominates); ``dt`` dwell (default: the array default);
+              ``mesh``/``backend`` as in :func:`mrphy_tpu.ops.signal
+              .signal`.
+        Outputs:
+            - ``s``: `(N, nC, nT, 2)` signal, re/im pairs.
+        """
+        from mrphy_tpu import dt0 as _dt0
+        from mrphy_tpu.ops import signal as _sig
+        from mrphy_tpu.utils import g2k
+
+        df = kw.pop('df', kw.pop('Δf', None))
+        df_ = kw.pop('df_', kw.pop('Δf_', None))
+        assert not kw, f'unknown kwargs: {sorted(kw)}'
+        loc_ = loc_ if loc is None else self.extract(loc)
+        assert loc_ is not None, 'need loc xor loc_'
+        assert (df_ is None) or (df is None)
+        df_ = df_ if df is None else self.extract(df)
+        assert (sens_ is None) or (sens is None)
+        sens_ = sens_ if sens is None else self.extract(sens)
+        assert (T2s_ is None) or (T2s is None)
+        T2s_ = T2s_ if T2s is None else self.extract(T2s)
+        dt = _dt0 if dt is None else dt
+        # one species per batch for the g->k conversion (per-spin gam
+        # would need per-spin k-space; the signal model has one k)
+        gam_b = jnp.asarray(self.gam_)[:, :1, None]       # (N, 1, 1)
+        k = g2k(jnp.asarray(gr, self.dtype), False, dt, gam=gam_b)
+        return _sig.signal(self.M_, loc_, k, sens=sens_, df=df_,
+                           T2s=T2s_, dt=dt, mesh=mesh, backend=backend)
+
     def pulse2beff(self, pulse: Pulse, *, doEmbed: bool = False,
                    loc=None, loc_=None, b1Map=None, b1Map_=None, **kw):
         r"""B-effective of ``pulse`` under this array's γ
@@ -791,6 +844,19 @@ class SpinCube(SpinArray):
                  doUpdate: bool = False):
         return self._spinarray.freeprec(dur, df_=self.df_, doEmbed=doEmbed,
                                         doRelax=doRelax, doUpdate=doUpdate)
+
+    def acquire(self, gr, *, sens=None, sens_=None, T2s=None, T2s_=None,
+                dt=None, mesh=None, backend: str = 'xla'):
+        r"""Readout of the cube's current magnetization — its own grid
+        ``loc_`` and off-resonance ``Δf_`` are injected (see
+        :meth:`SpinArray.acquire`)."""
+        sp = self._spinarray
+        assert (sens_ is None) or (sens is None)
+        sens_ = sens_ if sens is None else sp.extract(sens)
+        assert (T2s_ is None) or (T2s is None)
+        T2s_ = T2s_ if T2s is None else sp.extract(T2s)
+        return sp.acquire(gr, loc_=self.loc_, df_=self.df_, sens_=sens_,
+                          T2s_=T2s_, dt=dt, mesh=mesh, backend=backend)
 
     def pulse2beff(self, pulse: Pulse, *, doEmbed: bool = False,
                    b1Map=None, b1Map_=None):

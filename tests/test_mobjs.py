@@ -286,3 +286,55 @@ class TestApplypulseFused:
         gb = jax.grad(lambda rf: loss(rf, False))(p.rf)
         assert jnp.max(jnp.abs(ga - gb)) < gtol, float(jnp.max(
             jnp.abs(ga - gb)))
+
+
+class TestAcquire:
+    r"""SpinArray/SpinCube.acquire: the object-model entry to the
+    acquisition operator — equals ops.signal on the extracted state,
+    and chains with applypulse."""
+
+    def test_spinarray_acquire_matches_ops_signal(self):
+        from mrphy_tpu.ops import signal as sig
+        from mrphy_tpu.utils import g2k
+
+        rng = np.random.default_rng(0)
+        N, nM, nT, nC = 1, 12, 20, 2
+        arr = mobjs.SpinArray((N, 3, 4), M_=jnp.asarray(
+            rng.standard_normal((N, nM, 3)), jnp.float32))
+        loc_ = jnp.asarray(rng.uniform(-2, 2, (N, nM, 3)), jnp.float32)
+        gr = jnp.asarray(rng.uniform(-2, 2, (N, 3, nT)), jnp.float32)
+        sens_ = jnp.asarray(rng.standard_normal((N, nM, 2, nC)),
+                            jnp.float32)
+        T2s_ = jnp.asarray(rng.uniform(1e-3, 1e-2, (N, nM)), jnp.float32)
+        df_ = jnp.asarray(rng.uniform(-50, 50, (N, nM)), jnp.float32)
+
+        s = arr.acquire(gr, loc_=loc_, sens_=sens_, T2s_=T2s_, df_=df_)
+        k = g2k(gr, False, float(dt0), gam=jnp.asarray(gamH,
+                                                       jnp.float32))
+        s_ref = sig.signal(arr.M_, loc_, k, sens=sens_, df=df_,
+                           T2s=T2s_, dt=float(dt0))
+        np.testing.assert_allclose(s, s_ref, atol=1e-6)
+        assert s.shape == (N, nC, nT, 2)
+
+    def test_spincube_excite_then_acquire(self):
+        cube, p = mobjs.Examples.spincube(), mobjs.Examples.pulse()
+        cube.df = 10.0 * jnp.ones(cube.shape)     # cube injects its df_
+        cube.applypulse(p, doUpdate=True)
+        gr_ro = jnp.zeros((1, 3, 16)).at[0, 0].set(0.2)
+        s = cube.acquire(gr_ro)
+        assert s.shape == (1, 1, 16, 2)
+        assert np.isfinite(np.asarray(s)).all()
+        # off-resonance must matter: zero df gives a different signal
+        cube.df_ = jnp.zeros((1, cube.nM))
+        s0 = cube.acquire(gr_ro)
+        assert float(jnp.max(jnp.abs(s - s0))) > 1e-6
+
+    def test_acquire_unicode_alias_and_unknown_kwarg(self):
+        arr = mobjs.SpinArray((1, 2, 2))
+        gr = jnp.zeros((1, 3, 4))
+        loc_ = jnp.zeros((1, 4, 3))
+        s1 = arr.acquire(gr, loc_=loc_, **{'Δf_': jnp.zeros((1, 4))})
+        s2 = arr.acquire(gr, loc_=loc_, df_=jnp.zeros((1, 4)))
+        np.testing.assert_allclose(s1, s2, atol=0)
+        with pytest.raises(AssertionError):
+            arr.acquire(gr, loc_=loc_, bogus=1)
