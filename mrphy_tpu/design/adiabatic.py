@@ -29,8 +29,8 @@ import jax.numpy as jnp
 
 from mrphy_tpu import gamH, dt0, pi
 
-__all__ = ['adiabatic_hypsec', 'adiabatic_bir4', 'hypsec_bw',
-           'hypsec_threshold']
+__all__ = ['adiabatic_hypsec', 'adiabatic_bir4', 'adiabatic_wurst',
+           'hypsec_bw', 'hypsec_threshold']
 
 
 def hypsec_bw(beta: float, mu: float, dur: float) -> float:
@@ -77,6 +77,43 @@ def adiabatic_hypsec(nT: int, *, beta: float = 5.3, mu: float = 4.9,
     phase = -mu * jnp.log(jnp.cosh(beta * tau))
     rf = jnp.stack([amp * jnp.cos(phase), amp * jnp.sin(phase)])[None]
     return rf, hypsec_bw(beta, mu, dur)
+
+
+def adiabatic_wurst(nT: int, *, n: float = 20., bw: float = 4e3,
+                    b1max: float = 0.15, dt=dt0,
+                    gam=gamH) -> Tuple[jax.Array, float]:
+    r"""WURST adiabatic inversion (wideband, uniform rate, smooth
+    truncation — Kupče & Freeman): amplitude ``B1(τ) = b1max·(1 −
+    |sin(πτ/2)|ⁿ)`` with a LINEAR frequency sweep over ``±bw/2``.
+
+    The linear sweep makes the bandwidth an explicit parameter (vs the
+    hypsec's μβ coupling) — the standard choice for broadband
+    inversion/decoupling where the band edge must land exactly.
+
+    Inputs:
+        - ``nT``: number of samples.
+    Optionals:
+        - ``n``: truncation power (higher = flatter amplitude, sharper
+          smooth edges; the classic "WURST-20" is ``n=20``).
+        - ``bw``: full sweep width, "Hz" ≈ inversion bandwidth.
+        - ``b1max``: peak RF, "Gauss"; adiabaticity at center is
+          ``Q = (γ2π·b1max)²/(2π·bw/dur)`` — keep ≳ 3.
+        - ``dt``/``gam``: "Sec" / "Hz/Gauss".
+    Outputs:
+        - ``(rf, Q)``: `(1, 2, nT)` RF ("Gauss") and the center-sweep
+          adiabaticity factor (dimensionless).
+
+    Phase is the exact integral of the linear sweep:
+    ``φ(τ) = π·bw·dur·(τ²−τ)`` with ``τ ∈ [0, 1]`` (sweep
+    ``f = bw·(τ − ½)``).
+    """
+    dur = nT * float(dt)
+    tau = (jnp.arange(nT) + 0.5) / nT                 # (0, 1)
+    amp = b1max * (1 - jnp.abs(jnp.sin(pi * (tau - 0.5))) ** n)
+    phase = pi * bw * dur * (tau * tau - tau)
+    rf = jnp.stack([amp * jnp.cos(phase), amp * jnp.sin(phase)])[None]
+    Q = float((2 * pi * gam * b1max) ** 2 / (2 * pi * bw / dur))
+    return rf, Q
 
 
 def adiabatic_bir4(nT: int, theta: float, *, beta: float = 10.,

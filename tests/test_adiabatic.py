@@ -108,3 +108,41 @@ class TestHypsec:
             jnp.asarray([0.]))
         assert mz_nom[0] < -0.98
         assert mz_2x[0] > -0.5                         # badly over-flipped
+
+
+class TestWurst:
+    # inversion degrades when gamma*B1 approaches the remaining sweep
+    # after a spin's resonance crossing, so the usable band is inside
+    # the sweep width by a ~gamma*B1 margin: test at |df| <= 0.25*bw
+    # with gamma*B1 <= 0.17*bw (b1max 0.12 G, 2x range, bw 6 kHz)
+    NTW, BW = 4096, 6e3
+
+    def test_b1_insensitive_inversion_across_the_band(self):
+        from mrphy_tpu.design.adiabatic import adiabatic_wurst
+        rf, Q = adiabatic_wurst(self.NTW, n=20., bw=self.BW, b1max=0.12)
+        assert Q > 3, Q
+        df = jnp.asarray([-0.25 * self.BW, 0.0, 0.25 * self.BW])
+        for scale in (1.0, 1.5, 2.0):
+            mz = _simulate_mz(scale * rf, df, nT=self.NTW)
+            assert np.all(mz < -0.99), (scale, mz)
+        # collapses below the adiabatic threshold
+        mz_low = _simulate_mz(0.25 * rf, jnp.asarray([0.0]),
+                              nT=self.NTW)
+        assert mz_low[0] > -0.5, mz_low
+
+    def test_band_edge_is_where_promised(self):
+        from mrphy_tpu.design.adiabatic import adiabatic_wurst
+        rf, _ = adiabatic_wurst(self.NTW, bw=self.BW, b1max=0.12)
+        inside = _simulate_mz(rf, jnp.asarray([0.25 * self.BW]),
+                              nT=self.NTW)
+        outside = _simulate_mz(rf, jnp.asarray([0.8 * self.BW]),
+                               nT=self.NTW)
+        assert inside[0] < -0.98 and outside[0] > 0.5, (inside, outside)
+
+    def test_amplitude_envelope_flat_top(self):
+        from mrphy_tpu.design.adiabatic import adiabatic_wurst
+        rf, _ = adiabatic_wurst(1024, n=20., b1max=0.2)
+        amp = np.hypot(np.asarray(rf[0, 0]), np.asarray(rf[0, 1]))
+        assert np.isclose(amp.max(), 0.2, rtol=1e-6)
+        assert (amp > 0.19).mean() > 0.6      # WURST-20: wide flat top
+        assert amp[0] < 0.01 and amp[-1] < 0.01
