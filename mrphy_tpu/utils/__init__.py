@@ -16,8 +16,9 @@ from mrphy_tpu.utils import timing  # noqa: F401  (timing/profiling harness)
 from mrphy_tpu.utils.pulseq import pulse_to_seq, seq_to_pulse
 from mrphy_tpu.utils.girf import apply_girf, exp_decay_girf
 from mrphy_tpu.utils.sar import sar_vops, vop_compress
-from mrphy_tpu.utils.traj import (spiral2d, epi, radial, rosette,
-                                  trapezoid, rewinder, traj_check)
+from mrphy_tpu.utils.traj import (spiral2d, epi, radial, radial3d,
+                                  rosette, trapezoid, rewinder,
+                                  traj_check)
 from mrphy_tpu.utils.coils import (coil_compress, apply_ccmat,
                                    noise_whiten_mat, add_noise)
 
@@ -38,8 +39,8 @@ __all__ = ['ctrsub', 'g2k', 'g2s', 'k2g', 'rf_c2r', 'rf_r2c',
            'lrho_theta2rf', 'rfclamp', 's2g', 's2ts', 'sclamp', 'ts2s',
            'uphirot', 'pulse_to_seq', 'seq_to_pulse',
            'apply_girf', 'exp_decay_girf', 'sar_vops', 'vop_compress',
-           'spiral2d', 'epi', 'radial', 'rosette', 'trapezoid',
-           'rewinder', 'traj_check',
+           'spiral2d', 'epi', 'radial', 'radial3d', 'rosette',
+           'trapezoid', 'rewinder', 'traj_check',
            'coil_compress', 'apply_ccmat', 'noise_whiten_mat',
            'add_noise',
            # Unicode aliases (NFKC-normalized spellings)

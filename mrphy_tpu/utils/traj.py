@@ -18,8 +18,8 @@ from typing import Tuple
 
 import numpy as np
 
-__all__ = ['spiral2d', 'epi', 'radial', 'rosette', 'trapezoid',
-           'rewinder', 'traj_check']
+__all__ = ['spiral2d', 'epi', 'radial', 'radial3d', 'rosette',
+           'trapezoid', 'rewinder', 'traj_check']
 
 from mrphy_tpu import gamH, dt0, gmax0, smax0
 
@@ -223,6 +223,45 @@ def radial(fov: float, N: int, *, nspokes: int = 0, golden: bool = True,
     gr = np.zeros((nspokes, 3, base.size))
     gr[:, 0] = np.cos(phi)[:, None] * base
     gr[:, 1] = np.sin(phi)[:, None] * base
+    from mrphy_tpu.utils.conversions import g2k
+    import jax.numpy as jnp
+    k = np.asarray(g2k(jnp.asarray(gr), False, dt, gam=gam))
+    return gr, k
+
+
+def radial3d(fov: float, N: int, *, nspokes: int = 0,
+             gmax: float = gmax0, smax: float = smax0, dt: float = dt0,
+             gam: float = gamH) -> Tuple[np.ndarray, np.ndarray]:
+    r"""3-D radial ("kooshball") readout: full spokes through the
+    k-space center along near-uniform sphere directions.
+
+    Directions follow the spherical Fibonacci (3-D golden-angle)
+    lattice — ``z`` uniform in (−1, 1), azimuth in golden-angle
+    increments — so any contiguous subset covers the sphere
+    near-uniformly (the 3-D analogue of :func:`radial`'s ordering; the
+    standard free-breathing/self-gated 3-D scheme).
+
+    Optionals:
+        - ``nspokes``: number of spokes (default ``ceil(π/2·N²)``, the
+          3-D radial Nyquist count — undersample deliberately for
+          golden-angle dynamic protocols).
+    Outputs:
+        - ``(gr, k)``: `(nspokes, 3, nT)` gradients and Rx k-space,
+          spokes on the BATCH axis; per-axis hardware limits hold
+          sample-by-sample (each axis carries ≤ the base waveform).
+    """
+    kmax = N / (2 * fov)
+    if nspokes <= 0:
+        nspokes = int(np.ceil(np.pi / 2 * N * N))
+    pre = trapezoid(-kmax / gam, gmax=gmax, smax=smax, dt=dt)
+    read = trapezoid(2 * kmax / gam, gmax=gmax, smax=smax, dt=dt)
+    base = np.concatenate([pre, np.zeros(1), read])
+    j = np.arange(nspokes)
+    z = -1 + 2 * (j + 0.5) / nspokes
+    phi = np.pi * (np.sqrt(5) - 1) * j          # 3-D golden angle
+    st = np.sqrt(1 - z * z)
+    dirs = np.stack([st * np.cos(phi), st * np.sin(phi), z], -1)
+    gr = dirs[:, :, None] * base[None, None, :]
     from mrphy_tpu.utils.conversions import g2k
     import jax.numpy as jnp
     k = np.asarray(g2k(jnp.asarray(gr), False, dt, gam=gam))

@@ -124,6 +124,25 @@ class TestSpiral:
         gr, _ = radial(FOV, 16, gmax=GMAX, smax=SMAX)
         assert gr.shape[0] == int(np.ceil(np.pi / 2 * 16))
 
+    def test_radial3d_limits_and_sphere_coverage(self):
+        from mrphy_tpu.utils.traj import radial3d
+        kmax = N / (2 * FOV)
+        gr, k = radial3d(FOV, N, nspokes=64, gmax=GMAX, smax=SMAX)
+        assert gr.shape[0] == 64
+        traj_check(gr, gmax=GMAX, smax=SMAX, dt=float(dt0))
+        ends = k[:, :, -1]                       # (nspokes, 3)
+        r = np.linalg.norm(ends, axis=1)
+        np.testing.assert_allclose(r, kmax, rtol=1e-6)
+        dirs = ends / r[:, None]
+        # near-uniform sphere coverage: mean direction ~ 0 and every
+        # octant is hit
+        assert np.linalg.norm(dirs.mean(0)) < 0.1
+        octants = set(map(tuple, (dirs > 0).astype(int)))
+        assert len(octants) == 8
+        # spokes are straight lines through the center
+        perp = k[5] - np.outer(dirs[5], dirs[5] @ k[5])
+        assert np.abs(perp).max() < 1e-9 * kmax + 1e-12
+
     def test_rosette_limits_and_center_crossings(self):
         kmax = N / (2 * FOV)
         gr, k = rosette(FOV, N, npetals=6, gmax=GMAX, smax=SMAX)
