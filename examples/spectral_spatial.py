@@ -68,7 +68,6 @@ def main():
     tb = 2.0
     for j in range(nsub):
         seg = slice(j * nTau, (j + 1) * nTau)
-        ts = (np.arange(nTau) - nTau / 2 + 0.5) * dt
         kz = gamH * np.cumsum(gz[seg]) * dt    # intra-subpulse k
         kz -= kz[-1]
         env = np.sinc(tb / (tau * g0 * gamH * 2 / np.pi) * kz) \
