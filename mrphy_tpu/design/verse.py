@@ -45,8 +45,16 @@ def verse_b1cap(rf, gr, b1max: float, *, dt: float = None,
         - ``b1max``: "Gauss", the peak cap.
     Optionals:
         - ``dt``/``smax``: when both given, assert the VERSE'd gradient
-          still meets the slew limit (rate changes can steepen g; fails
-          loudly rather than silently shipping an unplayable waveform).
+          still meets the slew limit (fails loudly rather than silently
+          shipping an unplayable waveform).
+
+    .. warning::
+        Rate changes step the gradient by ``g·Δ(1/α)`` in ONE sample —
+        exactness and slew trade off. This form suits low-gradient
+        stretches (e.g. RF peaks on a spiral's slow segments) or
+        simulation studies; hardware-tight cases need continuous
+        time-optimal VERSE (slew-constrained reparametrization), which
+        sacrifices the exact-rotation property this function keeps.
     Outputs:
         - ``(rf_v, gr_v)``: same leading shapes, length ``Σα_k``.
     """
