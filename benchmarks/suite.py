@@ -261,19 +261,99 @@ def bench_signal():
     s = fwd(M)
     adj = jax.jit(lambda s: sig.signal_adjoint(s, loc_, k, sens=sens,
                                                df=df, T2s=T2s, dt=dt0))
+    fwd_p = jax.jit(lambda M: sig.signal(M, loc_, k, sens=sens, df=df,
+                                         T2s=T2s, dt=dt0,
+                                         backend='pallas'))
+    adj_p = jax.jit(lambda s: sig.signal_adjoint(
+        s, loc_, k, sens=sens, df=df, T2s=T2s, dt=dt0,
+        backend='pallas'))
+    sp = fwd_p(M)
+    dev = float(jnp.abs(sp - s).max() / jnp.abs(s).max())
     tf = _timeit(fwd, M, repeats=4)
     ta = _timeit(adj, s, repeats=4)
+    tfp = _timeit(fwd_p, M, repeats=4)
+    tap = _timeit(adj_p, s, repeats=4)
     return {'metric': f'signal: {nM} spins x {nT} samples x {nC} coils '
-                      'encode (fwd / adjoint)',
-            'value': round(nM * nT / tf / 1e9, 2),
+                      'encode (fused pallas fwd / adjoint)',
+            'value': round(nM * nT / tfp / 1e9, 2),
             'unit': 'G spin*samples/s/chip',
-            'fwd_ms': round(tf * 1e3, 1), 'adj_ms': round(ta * 1e3, 1)}
+            'fwd_ms': round(tfp * 1e3, 1), 'adj_ms': round(tap * 1e3, 1),
+            'xla_fwd_ms': round(tf * 1e3, 1),
+            'xla_adj_ms': round(ta * 1e3, 1),
+            'pallas_rel_dev': f'{dev:.1e}'}
+
+
+def bench_recon():
+    r"""CG-SENSE iteration rate through the fused signal kernels:
+    128x128 grid (16 384 spins), corner-covering spiral (~29k samples),
+    8 coils; one CG iteration = fwd + adjoint on the normal equations."""
+    import jax
+    import jax.numpy as jnp
+    from mrphy_tpu import dt0
+    from mrphy_tpu.ops import signal as sig
+    from mrphy_tpu.utils import spiral2d, g2k
+    n, nc, fov, iters = 128, 8, 24.0, 10
+    nM = n * n
+    rng = np.random.default_rng(0)
+    ax = np.linspace(-fov / 2, fov / 2, n, endpoint=False) + fov / (2 * n)
+    yy, xx = np.meshgrid(ax, ax, indexing='ij')
+    loc_ = jnp.asarray(np.stack([xx, yy, np.zeros_like(xx)],
+                                -1).reshape(1, nM, 3), jnp.float32)
+    sens = jnp.asarray(rng.standard_normal((1, nM, 2, nc)), jnp.float32)
+    x_true = jnp.asarray(rng.standard_normal((nM, 2)), jnp.float32)
+    gr, _ = spiral2d(fov, int(np.ceil(1.42 * n)), direction='out')
+    k = jnp.asarray(g2k(np.asarray(gr), False, dt=dt0), jnp.float32)
+    nT = k.shape[-1]
+
+    def A(x, backend):
+        M = jnp.concatenate([x, jnp.zeros((nM, 1), x.dtype)], -1)[None]
+        return sig.signal(M, loc_, k, sens=sens, dt=dt0, backend=backend)
+
+    def AH(s, backend):
+        return sig.signal_adjoint(s, loc_, k, sens=sens, dt=dt0,
+                                  backend=backend)[0]
+
+    def mk(backend):
+        @jax.jit
+        def cg(s):
+            b = AH(s, backend)
+            x, r = jnp.zeros_like(b), b
+            p, rs = r, jnp.vdot(r, r)
+
+            def body(_, st):
+                x, r, p, rs = st
+                Ap = AH(A(p, backend), backend)
+                al = rs / jnp.vdot(p, Ap)
+                x, r = x + al * p, r - al * Ap
+                rs2 = jnp.vdot(r, r)
+                return x, r, r + (rs2 / rs) * p, rs2
+
+            x, *_ = jax.lax.fori_loop(0, iters, body, (x, r, p, rs))
+            return x
+        return cg
+
+    s_acq = A(x_true, 'pallas')
+    out = {}
+    for backend in ('pallas', 'xla'):
+        cg = mk(backend)
+        err = float(jnp.linalg.norm(cg(s_acq) - x_true)
+                    / jnp.linalg.norm(x_true))
+        t = _timeit(cg, s_acq, repeats=2)
+        out[backend] = (t, err)
+    tp, ep = out['pallas']
+    tx, _ = out['xla']
+    return {'metric': f'recon: {n}x{n} CG-SENSE, {nc} coils, '
+                      f'nT={nT}, {iters} CG iters (fused pallas ops)',
+            'value': round(iters / tp, 2), 'unit': 'CG iters/s/chip',
+            'ms': round(tp * 1e3, 1), 'xla_ms': round(tx * 1e3, 1),
+            'rel_err': f'{ep:.1e}'}
 
 
 ALL = {'tiny': bench_tiny, 'freeprec32': bench_freeprec32,
        'design64': bench_design64, 'throughput': bench_throughput,
        'deeptime': bench_deeptime, 'longpulse': bench_longpulse,
-       'beffstream': bench_beffstream, 'signal': bench_signal}
+       'beffstream': bench_beffstream, 'signal': bench_signal,
+       'recon': bench_recon}
 
 
 def main():

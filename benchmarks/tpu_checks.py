@@ -209,6 +209,46 @@ def _batched(*, nM, nT, interpret):
     return ok
 
 
+def _signal_parity(*, nM, nT, interpret):
+    r"""Fused signal kernel (ops/signal_pallas.py) vs the XLA path:
+    compiled fwd, adjoint, and M-gradient (the custom-VJP adjoint
+    kernel). Catches Mosaic dot-precision regressions — the first run
+    caught the bf16-default MXU dot (4–18% deviation)."""
+    from mrphy_tpu.ops import signal as sig_mod
+    from mrphy_tpu.utils import g2k
+    from mrphy_tpu import gamH, dt0
+    rng = np.random.default_rng(3)
+    nC = 4
+    loc = jnp.asarray(rng.uniform(-12, 12, (1, nM, 3)), DT32)
+    M = jnp.asarray(rng.standard_normal((1, nM, 3)), DT32)
+    gr = jnp.asarray(rng.uniform(-2, 2, (1, 3, nT)), DT32)
+    k = jnp.asarray(g2k(gr, False, dt=dt0, gam=gamH), DT32)
+    df = jnp.asarray(rng.uniform(-100, 100, (1, nM)), DT32)
+    T2s = jnp.asarray(rng.uniform(5e-3, 5e-2, (1, nM)), DT32)
+    sens = jnp.asarray(rng.standard_normal((1, nM, 2, nC)), DT32)
+    kw = dict(sens=sens, df=df, T2s=T2s, dt=dt0)
+    pkw = dict(backend='pallas', _pallas_interpret=interpret, **kw)
+
+    s0 = jax.jit(lambda M: sig_mod.signal(M, loc, k, **kw))(M)
+    s1 = jax.jit(lambda M: sig_mod.signal(M, loc, k, **pkw))(M)
+    rel_f = _rel(s1, s0)
+    m0 = jax.jit(lambda s: sig_mod.signal_adjoint(s, loc, k, **kw))(s0)
+    m1 = jax.jit(lambda s: sig_mod.signal_adjoint(s, loc, k,
+                                                  **pkw))(s0)
+    rel_a = _rel(m1, m0)
+    g0 = jax.jit(jax.grad(lambda M: jnp.sum(
+        sig_mod.signal(M, loc, k, **kw) ** 2)))(M)
+    g1 = jax.jit(jax.grad(lambda M: jnp.sum(
+        sig_mod.signal(M, loc, k, **pkw) ** 2)))(M)
+    rel_g = _rel(g1, g0)
+    tol = 5e-4        # f32 phase roundoff at |psi| ~ 1e2 rad
+    ok = rel_f < tol and rel_a < tol and rel_g < tol
+    _record('signal_kernel', ok,
+            f'fwd rel {rel_f:.1e}, adj rel {rel_a:.1e}, '
+            f'Mgrad rel {rel_g:.1e}')
+    return ok
+
+
 def _sincos_sweep():
     r"""Compiled _fast_sincos over [0, 60] rad vs numpy f64 (the range
     covers ~560 Gauss at dt=4us — far beyond hardware)."""
@@ -281,6 +321,7 @@ def main():
     _beff_streaming(nM=nM, nT=nT, interpret=args.interpret)
     _longpulse_chunked(nM=nM, nT=nT_long, interpret=args.interpret)
     _batched(nM=nM, nT=nT, interpret=args.interpret)
+    _signal_parity(nM=nM, nT=nT, interpret=args.interpret)
     _sincos_sweep()
     if not args.interpret:
         _mesh_1x1(nM=nM, nT=nT)

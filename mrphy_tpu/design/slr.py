@@ -96,8 +96,8 @@ def dzls(n: int, tb: float, d1: float, d2: float,
         k = jnp.arange(n // 2) + 0.5
         basis = 2.0 * jnp.cos(om[:, None] * k[None, :])
     Bw = basis * wt[:, None]
-    G = Bw.T @ basis
-    rhs = Bw.T @ (D * wt)
+    G = jnp.matmul(Bw.T, basis, precision='highest')
+    rhs = jnp.matmul(Bw.T, (D * wt), precision='highest')
     c = jnp.linalg.solve(G + 1e-9 * jnp.eye(G.shape[0]), rhs)
     if n % 2:                                        # h[M±k] = c_k
         hr = jnp.concatenate([c[1:][::-1], c[:1], c[1:]])
@@ -272,10 +272,11 @@ def ab_profile(a, b, omega) -> Tuple[jax.Array, jax.Array]:
     k = jnp.arange(a.shape[0], dtype=a.dtype)
     ph = -omega[:, None] * k[None, :]
     ck, sk = jnp.cos(ph), jnp.sin(ph)                # e^{+iωk}
-    Ar = ck @ a[:, 0] - sk @ a[:, 1]
-    Ai = ck @ a[:, 1] + sk @ a[:, 0]
-    Br = ck @ b[:, 0] - sk @ b[:, 1]
-    Bi = ck @ b[:, 1] + sk @ b[:, 0]
+    mm = lambda x, y: jnp.matmul(x, y, precision='highest')  # noqa: E731
+    Ar = mm(ck, a[:, 0]) - mm(sk, a[:, 1])
+    Ai = mm(ck, a[:, 1]) + mm(sk, a[:, 0])
+    Br = mm(ck, b[:, 0]) - mm(sk, b[:, 1])
+    Bi = mm(ck, b[:, 1]) + mm(sk, b[:, 0])
     # restore B = z · (B/z), z = e^{−iω}
     co, si = jnp.cos(omega), jnp.sin(-omega)
     return (jnp.stack([Ar, Ai], -1),

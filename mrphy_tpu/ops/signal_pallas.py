@@ -1,0 +1,218 @@
+r"""Fused Pallas TPU kernel for the k-space signal operator.
+
+The XLA path (:mod:`mrphy_tpu.ops.signal`) materializes the `(chunk,
+nT)` cos/sin factor matrices in HBM so the MXU can consume them —
+measured HBM-bound at 515 ms for 262k spins × 16k samples × 8 coils
+(~67 GB of factor traffic; `benchmarks/RESULTS.md`). This kernel fuses
+the whole pipeline in VMEM:
+
+- tiles are ``(S spins on sublanes) × (128 samples on lanes)``;
+- the encoding phase ``ψ = −2π(k_t·x + Δf·t)`` is four broadcast FMAs
+  (per-spin columns × per-sample rows) — no phase matmul needed;
+- ``sin/cos`` and the ``exp(−t/T2*)`` decay happen in registers;
+- the spin reduction is one MXU ``dot_general`` per tile,
+  ``(2nC, S) @ (S, 128)``, accumulated across spin tiles in the output
+  block (forward) — or ``(S, 128) @ (128, 2nC)`` accumulated across
+  time tiles (adjoint).
+
+Per-element HBM traffic is O(1/128) reads of the per-spin params — the
+factor matrices never exist in memory.
+
+Differentiability contract (mirrors the fused Bloch engine's
+zero-gradient params, ``ops/sims.py``): the Pallas backend is
+differentiable w.r.t. ``M`` (its VJP is the fused adjoint kernel —
+exact, since the operator is linear in M); ``loc_``/``ktraj``/``sens``/
+``df``/``T2s`` receive ZERO gradients on this backend. Use
+``backend='xla'`` to differentiate w.r.t. those.
+
+Scope: TPU backend, f32 (CPU tests via ``interpret=True``), ``N = 1``
+per kernel call (the wrapper loops the small static batch).
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ['is_available', 'signal_fwd_planes', 'signal_adj_planes']
+
+_LANE = 128
+_DEF_SP = 512          # spins per tile (sublane extent)
+_2PI = 2 * math.pi
+
+
+def is_available(*, dtype, nC: int) -> bool:
+    r"""Pallas signal path gate: TPU platform, f32, coil rows fit the
+    MXU result tile."""
+    try:
+        on_tpu = jax.devices()[0].platform.startswith(('tpu', 'axon'))
+    except RuntimeError:
+        on_tpu = False
+    return on_tpu and dtype == jnp.float32 and 2 * nC <= _LANE
+
+
+def _pick_sp(nSp: int) -> int:
+    if nSp >= _DEF_SP:
+        return _DEF_SP
+    return max(8, -(-nSp // 8) * 8)
+
+
+def _sig_fwd_kernel(has_df: bool, relax: bool, dt: float,
+                    locx, locy, locz, dfr, it2, w, k, u_ref, v_ref):
+    j = pl.program_id(1)                       # spin tile (accumulate)
+    i = pl.program_id(0)                       # time tile
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE),
+                                   1).astype(jnp.float32)
+    tt = (i.astype(jnp.float32) * _LANE + lane + 1.0) * dt   # (1, 128)
+    phi = (locx[...] * k[0:1, :] + locy[...] * k[1:2, :]
+           + locz[...] * k[2:3, :])                          # (S, 128)
+    if has_df:
+        phi = phi + dfr[...] * tt
+    psi = -_2PI * phi
+    C, S = jnp.cos(psi), jnp.sin(psi)
+    if relax:
+        E = jnp.exp(-tt * it2[...])                          # (S, 128)
+        C, S = C * E, S * E
+    dims = (((1,), (0,)), ((), ()))
+    # HIGHEST: Mosaic's default f32 dot multiplies in bf16 (the einsum
+    # trap of CLAUDE.md) — measured 4-18% signal deviation without it
+    U = jax.lax.dot_general(w[...], C, dims,
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+    V = jax.lax.dot_general(w[...], S, dims,
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=jnp.float32)
+
+    @pl.when(j == 0)
+    def _():
+        u_ref[...] = jnp.zeros_like(u_ref)
+        v_ref[...] = jnp.zeros_like(v_ref)
+
+    u_ref[...] += U
+    v_ref[...] += V
+
+
+def _sig_adj_kernel(has_df: bool, relax: bool, dt: float,
+                    locx, locy, locz, dfr, it2, s2, k, xr_ref, xs_ref):
+    i = pl.program_id(1)                       # time tile (accumulate)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE),
+                                   1).astype(jnp.float32)
+    tt = (i.astype(jnp.float32) * _LANE + lane + 1.0) * dt
+    phi = (locx[...] * k[0:1, :] + locy[...] * k[1:2, :]
+           + locz[...] * k[2:3, :])
+    if has_df:
+        phi = phi + dfr[...] * tt
+    psi = -_2PI * phi
+    C, S = jnp.cos(psi), jnp.sin(psi)
+    if relax:
+        E = jnp.exp(-tt * it2[...])
+        C, S = C * E, S * E
+    dims = (((1,), (1,)), ((), ()))            # contract the lane axis
+    XR = jax.lax.dot_general(C, s2[...], dims,
+                             precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=jnp.float32)
+    XS = jax.lax.dot_general(S, s2[...], dims,
+                             precision=jax.lax.Precision.HIGHEST,
+                             preferred_element_type=jnp.float32)
+
+    @pl.when(i == 0)
+    def _():
+        xr_ref[...] = jnp.zeros_like(xr_ref)
+        xs_ref[...] = jnp.zeros_like(xs_ref)
+
+    xr_ref[...] += XR
+    xs_ref[...] += XS
+
+
+def _pad_spin_inputs(loc1, df1, T2s1, nSp, sp):
+    pad = (-nSp) % sp
+    f32 = jnp.float32
+    locx = jnp.pad(loc1[:, 0], (0, pad)).astype(f32)[:, None]
+    locy = jnp.pad(loc1[:, 1], (0, pad)).astype(f32)[:, None]
+    locz = jnp.pad(loc1[:, 2], (0, pad)).astype(f32)[:, None]
+    dfr = (jnp.zeros((nSp + pad, 1), f32) if df1 is None
+           else jnp.pad(jnp.broadcast_to(df1, (nSp,)),
+                        (0, pad)).astype(f32)[:, None])
+    it2 = (jnp.zeros((nSp + pad, 1), f32) if T2s1 is None
+           else jnp.pad(1.0 / jnp.broadcast_to(T2s1, (nSp,)),
+                        (0, pad)).astype(f32)[:, None])
+    return locx, locy, locz, dfr, it2, pad
+
+
+def _pad_time(k1, nT):
+    padt = (-nT) % _LANE
+    return (jnp.pad(k1, ((0, 0), (0, padt))).astype(jnp.float32),
+            nT + padt)
+
+
+def signal_fwd_planes(w2, loc1, k1, df1, T2s1, dt: float, *,
+                      interpret: bool = False):
+    r"""One-batch fused forward: coil-weighted spins ``w2`` `(2nC, nM)`
+    (rows ``[w_re; w_im]``), ``loc1`` `(nM, 3)`, ``k1`` `(3, nT)` →
+    ``(U, V)`` `(nC·2, nT)` with ``s_re = U[:nC] − V[nC:]``,
+    ``s_im = V[:nC] + U[nC:]`` (the XLA path's identity)."""
+    nC2, nSp = w2.shape
+    nT = k1.shape[-1]
+    sp = _pick_sp(nSp)
+    locx, locy, locz, dfr, it2, pad = _pad_spin_inputs(
+        loc1, df1, T2s1, nSp, sp)
+    w2 = jnp.pad(w2, ((0, 0), (0, pad))).astype(jnp.float32)
+    k1, nTp = _pad_time(k1, nT)
+    nst, ntt = (nSp + pad) // sp, nTp // _LANE
+
+    spin = pl.BlockSpec((sp, 1), lambda i, j: (j, 0))
+    kern = functools.partial(_sig_fwd_kernel, df1 is not None,
+                             T2s1 is not None, float(dt))
+    u, v = pl.pallas_call(
+        kern,
+        grid=(ntt, nst),
+        in_specs=[spin, spin, spin, spin, spin,
+                  pl.BlockSpec((nC2, sp), lambda i, j: (0, j)),
+                  pl.BlockSpec((3, _LANE), lambda i, j: (0, i))],
+        out_specs=[pl.BlockSpec((nC2, _LANE), lambda i, j: (0, i)),
+                   pl.BlockSpec((nC2, _LANE), lambda i, j: (0, i))],
+        out_shape=[jax.ShapeDtypeStruct((nC2, nTp), jnp.float32)] * 2,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=('arbitrary', 'arbitrary')),
+    )(locx, locy, locz, dfr, it2, w2, k1)
+    return u[:, :nT], v[:, :nT]
+
+
+def signal_adj_planes(s2, loc1, k1, df1, T2s1, dt: float, *,
+                      interpret: bool = False):
+    r"""One-batch fused adjoint: ``s2`` `(2nC, nT)` (rows ``[s_re;
+    s_im]``) → ``(XR, XS)`` `(nM, 2nC)` with ``XR = Σ_t C·E·s2``,
+    ``XS = Σ_t S·E·s2`` — the XLA adjoint's pre-sensitivity factors
+    (``x_re = XR[:, :nC] + XS[:, nC:]``, ``x_im = XR[:, nC:] −
+    XS[:, :nC]``)."""
+    nC2, nT = s2.shape
+    nSp = loc1.shape[0]
+    sp = _pick_sp(nSp)
+    locx, locy, locz, dfr, it2, pad = _pad_spin_inputs(
+        loc1, df1, T2s1, nSp, sp)
+    k1, nTp = _pad_time(k1, nT)
+    s2 = jnp.pad(s2, ((0, 0), (0, nTp - nT))).astype(jnp.float32)
+    nst, ntt = (nSp + pad) // sp, nTp // _LANE
+
+    spin = pl.BlockSpec((sp, 1), lambda j, i: (j, 0))
+    kern = functools.partial(_sig_adj_kernel, df1 is not None,
+                             T2s1 is not None, float(dt))
+    xr, xs = pl.pallas_call(
+        kern,
+        grid=(nst, ntt),
+        in_specs=[spin, spin, spin, spin, spin,
+                  pl.BlockSpec((nC2, _LANE), lambda j, i: (0, i)),
+                  pl.BlockSpec((3, _LANE), lambda j, i: (0, i))],
+        out_specs=[pl.BlockSpec((sp, nC2), lambda j, i: (j, 0)),
+                   pl.BlockSpec((sp, nC2), lambda j, i: (j, 0))],
+        out_shape=[jax.ShapeDtypeStruct((nSp + pad, nC2),
+                                        jnp.float32)] * 2,
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=('arbitrary', 'arbitrary')),
+    )(locx, locy, locz, dfr, it2, s2, k1)
+    return xr[:nSp], xs[:nSp]

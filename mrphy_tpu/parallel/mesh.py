@@ -405,7 +405,9 @@ def epg_cpmg_sharded_traceable(mesh: Mesh, flips, **kw):
 
 
 def signal_sharded_traceable(mesh: Mesh, M, loc_, ktraj, *, sens=None,
-                             df=None, T2s=None, dt=None, chunk=None):
+                             df=None, T2s=None, dt=None, chunk=None,
+                             backend: str = 'xla',
+                             _pallas_interpret: bool = False):
     r"""shard_map-wrapped :func:`mrphy_tpu.ops.signal.signal`: each chip
     encodes its spin shard's contribution to the k-space signal, then ONE
     ``psum`` over the spin mesh axis combines the per-coil signals (the
@@ -438,7 +440,9 @@ def signal_sharded_traceable(mesh: Mesh, M, loc_, ktraj, *, sens=None,
 
     def body(M, loc_, ktraj, *vals):
         kwd = dict(zip(names, vals))
-        s = _sig.signal(M, loc_, ktraj, dt=dt, chunk=chunk, **kwd)
+        s = _sig.signal(M, loc_, ktraj, dt=dt, chunk=chunk,
+                        backend=backend,
+                        _pallas_interpret=_pallas_interpret, **kwd)
         return jax.lax.psum(s, SPIN_AXIS)
 
     in_specs = (spin_pspec(M, N, nM), spin_pspec(loc_, N, nM),
@@ -452,7 +456,9 @@ def signal_sharded_traceable(mesh: Mesh, M, loc_, ktraj, *, sens=None,
 
 def signal_adjoint_sharded_traceable(mesh: Mesh, s, loc_, ktraj, *,
                                      sens=None, df=None, T2s=None,
-                                     dt=None, chunk=None):
+                                     dt=None, chunk=None,
+                                     backend: str = 'xla',
+                                     _pallas_interpret: bool = False):
     r"""shard_map-wrapped :func:`mrphy_tpu.ops.signal.signal_adjoint`:
     the signal replicates over the spin mesh axis, each chip
     back-projects onto its own spin shard — zero collectives."""
@@ -484,6 +490,8 @@ def signal_adjoint_sharded_traceable(mesh: Mesh, s, loc_, ktraj, *,
     def body(s, loc_, ktraj, *vals):
         kwd = dict(zip(names, vals))
         return _sig.signal_adjoint(s, loc_, ktraj, dt=dt, chunk=chunk,
+                                   backend=backend,
+                                   _pallas_interpret=_pallas_interpret,
                                    **kwd)
 
     in_specs = (P(BATCH_AXIS, None, None, None),

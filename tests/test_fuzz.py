@@ -84,3 +84,68 @@ def test_engines_agree_on_random_configs(seed):
     for a, b, d in zip(g_fused, g_fast, g_oracle):
         np.testing.assert_allclose(a, d, atol=1e-8, err_msg=c)
         np.testing.assert_allclose(b, d, atol=1e-8, err_msg=c)
+
+
+@pytest.mark.parametrize('seed', range(6))
+def test_signal_backends_agree_on_random_configs(seed):
+    r"""Acquisition operator: XLA path, fused-Pallas path (interpret),
+    and the dense closed form agree for random shapes and optional
+    combinations; the adjoint satisfies the dot-product identity."""
+    from mrphy_tpu.ops import signal as sig
+
+    rng = np.random.default_rng(300 + seed)
+    N = int(rng.integers(1, 3))
+    nM = int(rng.integers(1, 40))
+    nT = int(rng.integers(1, 50))
+    nC = int(rng.choice([1, 2, 4]))
+    has_df = bool(rng.random() < 0.6)
+    has_t2 = bool(rng.random() < 0.6)
+    has_se = bool(rng.random() < 0.7)
+    dt = float(rng.uniform(1e-5, 1e-4))
+
+    f32 = jnp.float32
+    M = jnp.asarray(rng.standard_normal((N, nM, 3)), f32)
+    loc_ = jnp.asarray(rng.uniform(-5, 5, (N, nM, 3)), f32)
+    k = jnp.asarray(rng.uniform(-1, 1, (N, 3, nT)), f32)
+    kw = dict(dt=dt)
+    if has_df:
+        kw['df'] = jnp.asarray(rng.uniform(-100, 100, (N, nM)), f32)
+    if has_t2:
+        kw['T2s'] = jnp.asarray(rng.uniform(1e-3, 1e-1, (N, nM)), f32)
+    if has_se:
+        kw['sens'] = jnp.asarray(rng.standard_normal((N, nM, 2, nC)),
+                                 f32)
+
+    s_x = sig.signal(M, loc_, k, **kw)
+    s_p = sig.signal(M, loc_, k, backend='pallas',
+                     _pallas_interpret=True, **kw)
+    tol = 3e-5 * float(np.abs(np.asarray(s_x)).max()) + 1e-6
+    np.testing.assert_allclose(s_p, s_x, atol=tol)
+
+    # dense closed form (f64)
+    t = (np.arange(nT) + 1) * dt
+    psi = -2 * np.pi * (np.einsum('nmx,nxt->nmt', np.asarray(
+        loc_, np.float64), np.asarray(k, np.float64))
+        + (np.asarray(kw['df'], np.float64)[..., None] * t
+           if has_df else 0))
+    fac = np.exp(1j * psi)
+    if has_t2:
+        fac = fac * np.exp(-t / np.asarray(kw['T2s'],
+                                           np.float64)[..., None])
+    mxy = np.asarray(M[..., 0], np.float64) \
+        + 1j * np.asarray(M[..., 1], np.float64)
+    if has_se:
+        se = np.asarray(kw['sens'], np.float64)
+        wc = (se[..., 0, :] + 1j * se[..., 1, :]) * mxy[..., None]
+        s_ref = np.einsum('nmc,nmt->nct', wc, fac)
+    else:
+        s_ref = np.einsum('nm,nmt->nt', mxy, fac)[:, None]
+    np.testing.assert_allclose(s_x[..., 0] + 1j * np.asarray(
+        s_x[..., 1]), s_ref, atol=tol)
+
+    # adjoint identity on the same random config
+    s_ct = jnp.asarray(rng.standard_normal(s_x.shape), f32)
+    m_hat = sig.signal_adjoint(s_ct, loc_, k, **kw)
+    lhs = float(jnp.sum(s_x * s_ct))
+    rhs = float(jnp.sum(M[..., :2] * m_hat))
+    assert abs(lhs - rhs) <= 3e-6 * abs(lhs) + 1e-4, (lhs, rhs)

@@ -40,7 +40,6 @@ def _bloch_signal(M, loc_, gr, df, T2s, sens):
     (z-gradient + off-resonance as Bz, T2* as T2) and coil-combine the
     transverse magnetization after every step."""
     N, nM, _ = M.shape
-    nT = gr.shape[-1]
     E2 = jnp.exp(-DT / T2s)
     gam2pidt = jnp.asarray(2 * pi * gamH * DT)
 
@@ -165,6 +164,78 @@ class TestSignalAdjoint:
             np.testing.assert_allclose(mc, m0, atol=1e-13)
 
 
+class TestSignalPallas:
+    r"""Fused-kernel path (`ops/signal_pallas.py`) vs the XLA path, in
+    interpret mode on CPU; the compiled path is exercised on-chip by
+    `benchmarks/tpu_checks.py`."""
+
+    def _tol(self, s):
+        # both paths are f32; phase roundoff scales with signal size
+        return 2e-5 * float(np.abs(np.asarray(s)).max()) + 1e-6
+
+    def test_fwd_matches_xla(self):
+        rng = np.random.default_rng(20)
+        M, loc_, gr, k, df, T2s, sens = _problem(rng, nM=137, nT=97,
+                                                 nC=3,
+                                                 dtype=jnp.float32)
+        s0 = sig.signal(M, loc_, k, sens=sens, df=df, T2s=T2s, dt=DT)
+        s = sig.signal(M, loc_, k, sens=sens, df=df, T2s=T2s, dt=DT,
+                       backend='pallas', _pallas_interpret=True)
+        np.testing.assert_allclose(s, s0, atol=self._tol(s0))
+
+    def test_fwd_defaults_and_batched(self):
+        rng = np.random.default_rng(21)
+        M, loc_, gr, k, df, T2s, sens = _problem(rng, N=2, nM=64,
+                                                 nT=130,
+                                                 dtype=jnp.float32)
+        for kw in ({}, {'df': df}, {'T2s': T2s}, {'sens': sens},
+                   {'sens': sens, 'df': df, 'T2s': T2s}):
+            s0 = sig.signal(M, loc_, k, dt=DT, **kw)
+            s = sig.signal(M, loc_, k, dt=DT, backend='pallas',
+                           _pallas_interpret=True, **kw)
+            np.testing.assert_allclose(s, s0, atol=self._tol(s0),
+                                       err_msg=str(kw.keys()))
+
+    def test_adjoint_matches_xla(self):
+        rng = np.random.default_rng(22)
+        M, loc_, gr, k, df, T2s, sens = _problem(rng, nM=137, nT=97,
+                                                 nC=3,
+                                                 dtype=jnp.float32)
+        s_ct = jnp.asarray(rng.standard_normal((1, 3, 97, 2)),
+                           jnp.float32)
+        m0 = sig.signal_adjoint(s_ct, loc_, k, sens=sens, df=df,
+                                T2s=T2s, dt=DT)
+        m = sig.signal_adjoint(s_ct, loc_, k, sens=sens, df=df,
+                               T2s=T2s, dt=DT, backend='pallas',
+                               _pallas_interpret=True)
+        np.testing.assert_allclose(m, m0, atol=self._tol(m0))
+
+    def test_mgrad_matches_xla(self):
+        rng = np.random.default_rng(23)
+        M, loc_, gr, k, df, T2s, sens = _problem(rng, nM=72, nT=64,
+                                                 dtype=jnp.float32)
+
+        def loss(backend):
+            return lambda M: jnp.sum(sig.signal(
+                M, loc_, k, sens=sens, df=df, T2s=T2s, dt=DT,
+                backend=backend,
+                _pallas_interpret=(backend == 'pallas')) ** 2)
+
+        g0 = jax.grad(loss('xla'))(M)
+        g = jax.jit(jax.grad(loss('pallas')))(M)
+        np.testing.assert_allclose(g, g0, atol=self._tol(g0))
+        np.testing.assert_allclose(g[..., 2], 0, atol=0)
+
+    def test_zero_grad_contract_for_fields(self):
+        rng = np.random.default_rng(24)
+        M, loc_, gr, k, df, T2s, sens = _problem(rng, nM=16, nT=32,
+                                                 dtype=jnp.float32)
+        g = jax.grad(lambda lo: jnp.sum(sig.signal(
+            M, lo, k, sens=sens, df=df, T2s=T2s, dt=DT,
+            backend='pallas', _pallas_interpret=True) ** 2))(loc_)
+        np.testing.assert_allclose(g, 0, atol=0)  # documented contract
+
+
 class TestSignalSharded:
 
     def test_signal_mesh_parity(self):
@@ -193,6 +264,28 @@ class TestSignalSharded:
         m_j = jax.jit(lambda s: signal_adjoint_sharded_traceable(
             mesh, s, loc_, k, sens=sens, df=df, T2s=T2s, dt=DT))(s)
         np.testing.assert_allclose(m_j, m0, atol=1e-12)
+
+    def test_mesh_plus_pallas_interpret_parity(self):
+        r"""The shard_map + fused-kernel composition (the real multi-chip
+        fast path) against the plain XLA result, on the CPU mesh in
+        interpret mode."""
+        mesh = make_mesh()  # 1 x 8
+        rng = np.random.default_rng(12)
+        M, loc_, gr, k, df, T2s, sens = _problem(rng, nM=64,
+                                                 dtype=jnp.float32)
+        s0 = sig.signal(M, loc_, k, sens=sens, df=df, T2s=T2s, dt=DT)
+        s = sig.signal(M, loc_, k, sens=sens, df=df, T2s=T2s, dt=DT,
+                       mesh=mesh, backend='pallas',
+                       _pallas_interpret=True)
+        tol = 2e-5 * float(np.abs(np.asarray(s0)).max()) + 1e-6
+        np.testing.assert_allclose(s, s0, atol=tol)
+        m0 = sig.signal_adjoint(s0, loc_, k, sens=sens, df=df, T2s=T2s,
+                                dt=DT)
+        m = sig.signal_adjoint(s0, loc_, k, sens=sens, df=df, T2s=T2s,
+                               dt=DT, mesh=mesh, backend='pallas',
+                               _pallas_interpret=True)
+        tolm = 2e-5 * float(np.abs(np.asarray(m0)).max()) + 1e-6
+        np.testing.assert_allclose(m, m0, atol=tolm)
 
     def test_grad_through_sharded_signal(self):
         mesh = make_mesh()
