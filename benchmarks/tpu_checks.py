@@ -213,12 +213,21 @@ def _signal_parity(*, nM, nT, interpret):
     r"""Fused signal kernel (ops/signal_pallas.py) vs the XLA path:
     compiled fwd, adjoint, and M-gradient (the custom-VJP adjoint
     kernel). Catches Mosaic dot-precision regressions — the first run
-    caught the bf16-default MXU dot (4–18% deviation)."""
+    caught the bf16-default MXU dot (4–18% deviation). Runs twice:
+    nC=4 (2nC = 8 sublane-aligned) and nC=3 (2nC = 6, Mosaic must mask
+    the padded sublanes of the dot result)."""
+    ok = True
+    for nC in (4, 3):
+        ok = _signal_parity_one(nM=nM, nT=nT, nC=nC,
+                                interpret=interpret) and ok
+    return ok
+
+
+def _signal_parity_one(*, nM, nT, nC, interpret):
     from mrphy_tpu.ops import signal as sig_mod
     from mrphy_tpu.utils import g2k
     from mrphy_tpu import gamH, dt0
     rng = np.random.default_rng(3)
-    nC = 4
     loc = jnp.asarray(rng.uniform(-12, 12, (1, nM, 3)), DT32)
     M = jnp.asarray(rng.standard_normal((1, nM, 3)), DT32)
     gr = jnp.asarray(rng.uniform(-2, 2, (1, 3, nT)), DT32)
@@ -243,7 +252,7 @@ def _signal_parity(*, nM, nT, interpret):
     rel_g = _rel(g1, g0)
     tol = 5e-4        # f32 phase roundoff at |psi| ~ 1e2 rad
     ok = rel_f < tol and rel_a < tol and rel_g < tol
-    _record('signal_kernel', ok,
+    _record(f'signal_kernel_nc{nC}', ok,
             f'fwd rel {rel_f:.1e}, adj rel {rel_a:.1e}, '
             f'Mgrad rel {rel_g:.1e}')
     return ok

@@ -36,6 +36,7 @@ CASES = [
     ('spectral_spatial.py', ['--nz', '24', '--ndf', '9']),
     ('bloch_siegert_b1map.py', ['--nb1', '24']),
     ('crlb_protocol.py', ['--ntr', '32', '--iters', '200']),
+    ('scanner_pipeline.py', ['--n', '16']),
     ('recon_sense.py', ['--n', '16', '--iters', '40', '--noise',
                         '0.3']),
     ('recon_sense.py', ['--n', '16', '--iters', '40', '--traj',
