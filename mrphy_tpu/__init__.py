@@ -78,6 +78,7 @@ from mrphy_tpu.ops import sims               # noqa: E402
 from mrphy_tpu.ops import slowsims           # noqa: E402
 from mrphy_tpu.ops import epg                # noqa: E402
 from mrphy_tpu.ops import signal             # noqa: E402
+from mrphy_tpu.ops import nufft              # noqa: E402
 from mrphy_tpu.models import mobjs           # noqa: E402
 from mrphy_tpu import parallel               # noqa: E402
 from mrphy_tpu import design                 # noqa: E402
@@ -90,9 +91,10 @@ import sys as _sys                           # noqa: E402
 
 for _name, _mod in (('beffective', beffective), ('sims', sims),
                     ('slowsims', slowsims), ('epg', epg),
-                    ('signal', signal), ('mobjs', mobjs)):
+                    ('signal', signal), ('nufft', nufft),
+                    ('mobjs', mobjs)):
     _sys.modules[f'{__name__}.{_name}'] = _mod
 
 __all__ = ['gamH', 'γH', 'T1G', 'T2G', 'dt0', 'gmax0', 'smax0', 'rfmax0',
            'utils', 'beffective', 'sims', 'slowsims', 'epg', 'signal',
-           'mobjs', 'parallel', 'design', 'tpu_is_available']
+           'nufft', 'mobjs', 'parallel', 'design', 'tpu_is_available']

@@ -1,0 +1,476 @@
+r"""Gridding NUFFT (types 1/2) and Toeplitz normal operator — on the MXU.
+
+:mod:`mrphy_tpu.ops.signal` is the *exact* encoding operator: O(nM·nT)
+per application, the right tool for per-spin off-resonance/decay and for
+oracle-grade recon at moderate sizes. This module is its fast companion
+for **grid-resident** magnetization (a :class:`~mrphy_tpu.models.mobjs.
+SpinCube`): the classic Kaiser–Bessel gridding NUFFT [Beatty et al.,
+IEEE TMI 24(6):799, 2005; Fessler & Sutton, IEEE TSP 51(2):560, 2003],
+O(G^d log-free + nT·W^d), plus the Toeplitz embedding of the normal
+operator ``AᴴA`` [Fessler et al., IEEE TSP 53(9):3393, 2005] that makes
+CG-SENSE iterations trajectory-independent.
+
+TPU-native design decisions:
+
+- **No complex dtypes, no FFT.** Complex is UNIMPLEMENTED on this TPU
+  runtime, and at MRI grid sizes (n ≤ 512 per axis) the uniform-grid
+  DFT stage is cast as per-axis ``(G, n)`` **real-pair matmuls on the
+  MXU** (4 real matmuls per complex one, ``precision=HIGHEST``): a
+  dense separable DFT is a handful of large matmuls — exactly the
+  shape the systolic array wants — and is exact (no twiddle-factor
+  rounding cascade). The d-dim transform is ``d`` einsums.
+- **Gather/scatter interpolation** with *wrapped* (mod-G) indices —
+  exact, because the DFT grid is periodic — and separable per-axis
+  Kaiser–Bessel weights evaluated in-graph (I₀ via the Abramowitz &
+  Stegun 9.8.1/9.8.2 polynomials), so the sample stage is
+  differentiable w.r.t. the image, the samples, AND the trajectory.
+- **Adjoint = exact transpose.** :func:`nufft_adjoint` scatters with
+  the same weights the forward gathers with, so ``⟨Ax, y⟩ = ⟨x, Aᴴy⟩``
+  holds to float roundoff (asserted in ``tests/test_nufft.py``), and
+  the pair composes into exact normal equations for CG.
+- **Toeplitz kernel computed exactly** (not by gridding): the PSF
+  ``h(r) = Σ_t w_t e^{+i2π Σ_a u_{a,t} r_a / n_a}`` on the doubled grid
+  is one ``(2n, nT) @ (nT, 2n)``-shaped chunked contraction — again
+  MXU matmuls — so :func:`toeplitz_apply` carries *zero* gridding
+  error of its own.
+
+Conventions match :func:`mrphy_tpu.ops.signal.signal` exactly
+(validated side-by-side in the tests): spin locations are the SpinCube
+grid ``x_j = fov·(j − n//2)/n + ofst`` (reference ``mobjs.py:815-839``
+grid rule), ``ktraj`` is in "cycle/cm" (:func:`mrphy_tpu.utils.g2k`
+with ``isTx=False``), and the encoded sample is
+``s(t) = Σ_j w_j e^{−i2π k(t)·x_j}``.
+
+The reference framework has no acquisition/recon stage at all
+(`SURVEY.md` §2); this module is part of the beyond-reference
+acquisition stack (see also :mod:`mrphy_tpu.ops.signal`,
+``examples/recon_sense.py``).
+"""
+
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from mrphy_tpu import pi
+
+__all__ = ['NufftPlan', 'nufft_plan', 'nufft', 'nufft_adjoint',
+           'toeplitz_kernel', 'toeplitz_apply']
+
+_PH = jax.lax.Precision.HIGHEST
+
+
+# ------------------------------------------------------------------
+# Kaiser–Bessel kernel (in-graph, differentiable)
+# ------------------------------------------------------------------
+
+def _i0(x):
+    r"""Modified Bessel I₀ — Abramowitz & Stegun 9.8.1/9.8.2 polynomial
+    minimax fits (|err| < 2e-7 relative), branch-free via ``where``."""
+    ax = jnp.abs(x)
+    t = (ax / 3.75) ** 2
+    small = 1.0 + t * (3.5156229 + t * (3.0899424 + t * (
+        1.2067492 + t * (0.2659732 + t * (0.0360768 + t * 0.0045813)))))
+    # large branch: guard ax>=3.75 so 1/ax and exp stay tame
+    axl = jnp.maximum(ax, 3.75)
+    u = 3.75 / axl
+    large = (jnp.exp(axl) / jnp.sqrt(axl)) * (
+        0.39894228 + u * (0.01328592 + u * (0.00225319 + u * (
+            -0.00157565 + u * (0.00916281 + u * (-0.02057706 + u * (
+                0.02635537 + u * (-0.01647633 + u * 0.00392377))))))))
+    return jnp.where(ax < 3.75, small, large)
+
+
+def _kb(delta, width: int, beta: float):
+    r"""Kaiser–Bessel interpolation weight φ(δ) = I₀(β√(1−(2δ/W)²))/I₀(β)
+    for |δ| ≤ W/2, else 0 (δ in grid units)."""
+    arg = 1.0 - (2.0 * delta / width) ** 2
+    inside = arg > 0
+    val = _i0(beta * jnp.sqrt(jnp.where(inside, arg, 0.0)))
+    return jnp.where(inside, val, 0.0) / float(np.i0(beta))
+
+
+def _kb_ft(xi, width: int, beta: float):
+    r"""Continuous Fourier transform of the (I₀(β)-normalized) KB kernel
+    at reduced frequency ``xi = (p − ctr)/G`` (host numpy, plan build):
+    ``Φ(ξ) = W·sinh(√(β²−(πWξ)²)) / (I₀(β)·√(β²−(πWξ)²))`` — the sinh
+    turns into sin past the kernel's mainlobe edge."""
+    xi = np.asarray(xi, np.float64)
+    a2 = beta ** 2 - (np.pi * width * xi) ** 2
+    r = np.sqrt(np.abs(a2))
+    r = np.where(r < 1e-12, 1e-12, r)
+    val = np.where(a2 >= 0, np.sinh(r) / r, np.sin(r) / r)
+    return width * val / np.i0(beta)
+
+
+# ------------------------------------------------------------------
+# Plan
+# ------------------------------------------------------------------
+
+class NufftPlan:
+    r"""Static gridding plan: per-axis DFT matrices (real pairs, built
+    in f64 on the host), the d-dim deapodization array, and the scalar
+    geometry. Registered as a pytree (arrays are leaves), so plans can
+    be closed over or passed through ``jit`` freely.
+
+    Attrs:
+        - ``im_size``: `(n_1, …, n_d)` image grid (static ints).
+        - ``grid_size``: `(G_1, …, G_d)`, ``G = ceil(osf·n)`` rounded
+          up to even.
+        - ``fov``: `(d,)` floats, "cm" — scales "cycle/cm" ``ktraj``
+          into cycles-across-FOV.
+        - ``width``, ``beta``: kernel taps per axis and KB shape
+          (default: Beatty's ``β = π√(W²/σ²·(σ−½)² − 0.8)``).
+        - ``dft_re/dft_im``: per-axis `(G_a, n_a)` forward-DFT factors
+          ``e^{−i2π m (p − n_a//2) / G_a}``.
+        - ``deapod``: `(n_1, …, n_d)` real separable 1/Φ image weights.
+    """
+
+    def __init__(self, im_size, grid_size, fov, width, beta,
+                 dft_re, dft_im, deapod):
+        self.im_size = tuple(im_size)
+        self.grid_size = tuple(grid_size)
+        self.fov = tuple(fov)
+        self.width = int(width)
+        self.beta = float(beta)
+        self.dft_re = tuple(dft_re)
+        self.dft_im = tuple(dft_im)
+        self.deapod = deapod
+
+    @property
+    def ndim(self) -> int:
+        return len(self.im_size)
+
+    def __repr__(self):
+        return (f'NufftPlan(im_size={self.im_size}, '
+                f'grid_size={self.grid_size}, fov={self.fov}, '
+                f'width={self.width}, beta={self.beta:.3f})')
+
+
+def _plan_flatten(p):
+    return ((p.dft_re, p.dft_im, p.deapod),
+            (p.im_size, p.grid_size, p.fov, p.width, p.beta))
+
+
+def _plan_unflatten(aux, leaves):
+    dft_re, dft_im, deapod = leaves
+    return NufftPlan(*aux[:3], aux[3], aux[4], dft_re, dft_im, deapod)
+
+
+jax.tree_util.register_pytree_node(NufftPlan, _plan_flatten,
+                                   _plan_unflatten)
+
+
+def nufft_plan(im_size: Sequence[int], fov, *, osf: float = 2.0,
+               width: int = 4, beta: Optional[float] = None,
+               dtype=jnp.float32) -> NufftPlan:
+    r"""Build a gridding plan for a ``len(im_size)``-dim image grid.
+
+    Inputs:
+        - ``im_size``: `(n_1, …, n_d)` grid shape (the SpinCube shape,
+          singleton axes dropped).
+        - ``fov``: `(d,)`, "cm" — the SpinCube FOV per axis.
+    Optionals:
+        - ``osf``: grid oversampling σ (default 2.0).
+        - ``width``: kernel taps W per axis (4 → ~1e-3 relative
+          accuracy, 6 → ~1e-5; measured against the exact operator in
+          ``tests/test_nufft.py``).
+        - ``beta``: KB shape (default: Beatty's formula for (σ, W)).
+        - ``dtype``: on-device dtype of the plan constants.
+    """
+    im_size = tuple(int(n) for n in im_size)
+    fov = tuple(float(f) for f in np.asarray(fov).reshape(-1))
+    d = len(im_size)
+    assert len(fov) == d, (im_size, fov)
+    assert all(n >= 2 for n in im_size), im_size
+    grid = tuple(int(-2 * (-osf * n // 2)) for n in im_size)  # even ≥ σn
+    if beta is None:
+        s = osf
+        beta = float(np.pi * np.sqrt(
+            (width ** 2 / s ** 2) * (s - 0.5) ** 2 - 0.8))
+    dft_re, dft_im, deap1 = [], [], []
+    for n, G in zip(im_size, grid):
+        assert G >= n + width, (
+            f'grid {G} too small for image {n} + kernel {width}; '
+            f'raise osf')
+        m = np.arange(G, dtype=np.float64)[:, None]
+        p = np.arange(n, dtype=np.float64)[None, :] - n // 2
+        ang = -2.0 * np.pi * m * p / G
+        dft_re.append(jnp.asarray(np.cos(ang), dtype))
+        dft_im.append(jnp.asarray(np.sin(ang), dtype))
+        xi = (np.arange(n, dtype=np.float64) - n // 2) / G
+        deap1.append(1.0 / _kb_ft(xi, width, beta))
+    full = deap1[0]
+    for w in deap1[1:]:
+        full = full[..., None] * w
+    return NufftPlan(im_size, grid, fov, width, beta,
+                     dft_re, dft_im, jnp.asarray(full, dtype))
+
+
+# ------------------------------------------------------------------
+# Real-pair complex helpers
+# ------------------------------------------------------------------
+
+def _cmul(ar, ai, br, bi):
+    return ar * br - ai * bi, ar * bi + ai * br
+
+
+def _dft_axis(xr, xi, mr, mi, axis: int):
+    r"""Apply the `(G, n)` DFT factor along ``axis`` of a real-pair
+    d-dim array: 4 real tensordots on the MXU."""
+    def td(a, b):
+        out = jnp.tensordot(b, a, axes=([1], [axis]),
+                            precision=_PH)            # (G, ...rest)
+        return jnp.moveaxis(out, 0, axis)
+    return (td(xr, mr) - td(xi, mi)), (td(xr, mi) + td(xi, mr))
+
+
+# ------------------------------------------------------------------
+# Interpolation coordinates
+# ------------------------------------------------------------------
+
+def _coords(plan: NufftPlan, ktraj):
+    r"""Per-axis wrapped tap indices `(d × (nT, W))` int32 and KB
+    weights `(d × (nT, W))` for ``ktraj`` `(d, nT)` in cycle/cm."""
+    W = plan.width
+    offs = jnp.arange(W, dtype=ktraj.dtype)
+    idxs, wts = [], []
+    for a, (G, f) in enumerate(zip(plan.grid_size, plan.fov)):
+        scale = G / plan.im_size[a]                   # σ_a
+        v = ktraj[a] * f * scale                      # (nT,) grid units
+        base = jnp.floor(v - W / 2.0) + 1.0
+        taps = base[:, None] + offs[None]             # (nT, W)
+        wts.append(_kb(v[:, None] - taps, W, plan.beta))
+        idxs.append(jnp.mod(taps, G).astype(jnp.int32))
+    return idxs, wts
+
+
+def _taps(plan, idxs, wts):
+    r"""Combine per-axis taps into flat indices `(nT, W^d)` and product
+    weights `(nT, W^d)` (d ≤ 3 unrolled for clarity)."""
+    d = plan.ndim
+    G = plan.grid_size
+    if d == 1:
+        return idxs[0], wts[0]
+    if d == 2:
+        fi = (idxs[0][:, :, None] * G[1] + idxs[1][:, None, :])
+        fw = wts[0][:, :, None] * wts[1][:, None, :]
+    elif d == 3:
+        fi = ((idxs[0][:, :, None, None] * G[1]
+               + idxs[1][:, None, :, None]) * G[2]
+              + idxs[2][:, None, None, :])
+        fw = (wts[0][:, :, None, None] * wts[1][:, None, :, None]
+              * wts[2][:, None, None, :])
+    else:
+        raise NotImplementedError(f'{d}-dim NUFFT (supported: 1..3)')
+    nT = fi.shape[0]
+    return fi.reshape(nT, -1), fw.reshape(nT, -1)
+
+
+def _chunked(fn, n: int, chunk: Optional[int], *arrays):
+    r"""Run ``fn`` over length-``chunk`` slices of axis 0 (zero-padded;
+    callers discard or rely on zero contributions) via ``lax.map``."""
+    if chunk is None or chunk >= n:
+        return fn(*arrays), n
+    pad = (-n) % chunk
+    arrays = [jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+              for a in arrays]
+    splits = (n + pad) // chunk
+    arrays = [a.reshape((splits, chunk) + a.shape[1:]) for a in arrays]
+    out = lax.map(lambda xs: fn(*xs), tuple(arrays))
+    return out, n
+
+
+# ------------------------------------------------------------------
+# Type 2: image grid → nonuniform samples
+# ------------------------------------------------------------------
+
+def nufft(plan: NufftPlan, img, ktraj, *, chunk: Optional[int] = None):
+    r"""Sample the image's spectrum at a nonuniform trajectory
+    (type-2 NUFFT): ``s(t) ≈ Σ_j img_j · e^{−i2π k(t)·x_j}`` with
+    ``x_j`` the centered FOV grid.
+
+    Inputs:
+        - ``img``: `(n_1, …, n_d, 2)` re/im image on the plan's grid
+          (e.g. ``Mx/My`` of a SpinCube, coil-weighted).
+        - ``ktraj``: `(d, nT)`, "cycle/cm".
+    Optionals:
+        - ``chunk``: samples per interpolation block (bounds the
+          `(chunk, W^d)` gather; default: all of ``nT``).
+    Outputs:
+        - ``s``: `(nT, 2)` re/im samples.
+    """
+    img = jnp.asarray(img)
+    assert img.shape == plan.im_size + (2,), (img.shape, plan.im_size)
+    xr = img[..., 0] * plan.deapod
+    xi = img[..., 1] * plan.deapod
+    for a in range(plan.ndim):
+        xr, xi = _dft_axis(xr, xi, plan.dft_re[a], plan.dft_im[a], a)
+    br, bi = xr.reshape(-1), xi.reshape(-1)           # (ΠG,)
+
+    def gather(k_c):
+        fi, fw = _taps(plan, *_coords(plan, k_c.T))
+        sr = (br[fi] * fw).sum(-1)
+        si = (bi[fi] * fw).sum(-1)
+        return jnp.stack([sr, si], -1)                # (chunk, 2)
+
+    nT = ktraj.shape[-1]
+    out, _ = _chunked(gather, nT, chunk, ktraj.T)
+    return out.reshape(-1, 2)[:nT]
+
+
+# ------------------------------------------------------------------
+# Type 1: nonuniform samples → image grid (exact transpose)
+# ------------------------------------------------------------------
+
+def nufft_adjoint(plan: NufftPlan, s, ktraj, *,
+                  chunk: Optional[int] = None):
+    r"""Exact transpose of :func:`nufft`: scatter samples onto the
+    oversampled grid with the same KB weights, inverse-DFT factors,
+    deapodize. ``⟨nufft(x), y⟩ = ⟨x, nufft_adjoint(y)⟩`` to float
+    roundoff.
+
+    Inputs:
+        - ``s``: `(nT, 2)` re/im samples (zero-pad convention: padded
+          samples contribute nothing).
+        - ``ktraj``: `(d, nT)`, "cycle/cm".
+    Outputs:
+        - ``img``: `(n_1, …, n_d, 2)`.
+    """
+    s = jnp.asarray(s)
+    nT = ktraj.shape[-1]
+    assert s.shape == (nT, 2), (s.shape, nT)
+    nG = int(np.prod(plan.grid_size))
+
+    def scatter(k_c, s_c):
+        fi, fw = _taps(plan, *_coords(plan, k_c.T))
+        z = jnp.zeros((nG,), s.dtype)
+        br = z.at[fi.reshape(-1)].add((fw * s_c[:, :1]).reshape(-1))
+        bi = z.at[fi.reshape(-1)].add((fw * s_c[:, 1:]).reshape(-1))
+        return jnp.stack([br, bi])
+
+    out, _ = _chunked(scatter, nT, chunk, ktraj.T, s)
+    if out.ndim == 3:                                 # chunked: sum maps
+        out = out.sum(0)
+    br, bi = (o.reshape(plan.grid_size) for o in (out[0], out[1]))
+    # adjoint of the forward DFT factor: conj transpose, per axis
+    for a in range(plan.ndim):
+        br, bi = _dft_axis(br, bi, plan.dft_re[a].T, -plan.dft_im[a].T,
+                           a)
+    return jnp.stack([br * plan.deapod, bi * plan.deapod], -1)
+
+
+# ------------------------------------------------------------------
+# Toeplitz normal operator
+# ------------------------------------------------------------------
+
+def toeplitz_kernel(plan: NufftPlan, ktraj, *, weights=None,
+                    chunk: int = 4096):
+    r"""Spectrum of the normal operator's Toeplitz embedding, computed
+    EXACTLY (chunked MXU contractions, no gridding): returns
+    ``T̂ = DFT_{2n}(h)`` with PSF
+    ``h(r) = Σ_t w_t e^{+i2π Σ_a u_{a,t} r_a/n_a}``, so that
+    :func:`toeplitz_apply` realizes ``AᴴWA`` with zero approximation
+    error beyond float roundoff (A = the *exact* encoding operator;
+    asserted against :func:`mrphy_tpu.ops.signal.signal_adjoint` ∘
+    :func:`~mrphy_tpu.ops.signal.signal` in the tests).
+
+    Optionals:
+        - ``weights``: `(nT,)` real sample weights ``w_t`` (density
+          compensation / masking; default 1).
+        - ``chunk``: samples per contraction block.
+    Outputs:
+        - ``that``: `(2n_1, …, 2n_d, 2)` re/im multipliers.
+    """
+    ktraj = jnp.asarray(ktraj)
+    nT = ktraj.shape[-1]
+    dtype = ktraj.dtype
+    w = (jnp.ones((nT,), dtype) if weights is None
+         else jnp.broadcast_to(jnp.asarray(weights, dtype), (nT,)))
+    d = plan.ndim
+
+    # per-axis complex factors E_a[t, q] = e^{+i2π u_a,t (q−n)/n}
+    def factors(k_c, w_c):
+        es = []
+        for a, (n, f) in enumerate(zip(plan.im_size, plan.fov)):
+            q = jnp.arange(2 * n, dtype=dtype) - n    # (2n,) displ.
+            ang = 2.0 * pi * (k_c[:, a] * f)[:, None] * q[None] / n
+            es.append((jnp.cos(ang), jnp.sin(ang)))
+        # weight folded into axis 0
+        er, ei = es[0]
+        es[0] = (er * w_c[:, None], ei * w_c[:, None])
+        if d == 1:
+            hr = es[0][0].sum(0)
+            hi = es[0][1].sum(0)
+        elif d == 2:
+            hr = (jnp.einsum('ty,tx->yx', es[0][0], es[1][0],
+                             precision=_PH)
+                  - jnp.einsum('ty,tx->yx', es[0][1], es[1][1],
+                               precision=_PH))
+            hi = (jnp.einsum('ty,tx->yx', es[0][0], es[1][1],
+                             precision=_PH)
+                  + jnp.einsum('ty,tx->yx', es[0][1], es[1][0],
+                               precision=_PH))
+        else:
+            def e3(i, j, k):
+                return jnp.einsum('tz,ty,tx->zyx', es[0][i], es[1][j],
+                                  es[2][k], precision=_PH)
+            hr = e3(0, 0, 0) - e3(0, 1, 1) - e3(1, 0, 1) - e3(1, 1, 0)
+            hi = e3(0, 0, 1) + e3(0, 1, 0) + e3(1, 0, 0) - e3(1, 1, 1)
+        return jnp.stack([hr, hi], -1)
+
+    out, _ = _chunked(factors, nT, min(chunk, nT), ktraj.T, w)
+    h = out.sum(0) if out.ndim == d + 2 else out      # (2n…, 2)
+    # circulant layout: hc[r mod 2n] = h(r), r ∈ [−n, n)
+    for a, n in enumerate(plan.im_size):
+        h = jnp.roll(h, -n, axis=a)
+    # spectrum via plain (unshifted) DFT on the 2n grid
+    hr, hi = h[..., 0], h[..., 1]
+    for a, n in enumerate(plan.im_size):
+        mr, mi = _dft2n(2 * n, dtype)
+        hr, hi = _dft_axis(hr, hi, mr, mi, a)
+    return jnp.stack([hr, hi], -1)
+
+
+def _dft2n(G: int, dtype):
+    r"""Unshifted `(G, G)` DFT factor ``e^{−i2π m p / G}`` (in-graph;
+    tiny per-axis matrices, folded to constants under jit). The angle
+    is reduced EXACTLY via integer ``(m·p) mod G`` before the float
+    divide, so the factors carry no argument-reduction roundoff in
+    either f32 or f64."""
+    m = jnp.arange(G, dtype=jnp.int32)[:, None]
+    p = jnp.arange(G, dtype=jnp.int32)[None]
+    ang = (-2.0 * pi / G) * ((m * p) % G).astype(dtype)
+    return jnp.cos(ang), jnp.sin(ang)
+
+
+def toeplitz_apply(plan: NufftPlan, that, img):
+    r"""Apply the normal operator: zero-pad ``img`` to the `(2n)^d`
+    grid, multiply the spectrum by ``that``, inverse-DFT, crop — one
+    circular convolution realizing exact ``AᴴWA`` for the planned
+    trajectory.
+
+    Inputs:
+        - ``that``: from :func:`toeplitz_kernel`.
+        - ``img``: `(n_1, …, n_d, 2)`.
+    Outputs: same shape as ``img``.
+    """
+    img = jnp.asarray(img)
+    assert img.shape == plan.im_size + (2,), (img.shape, plan.im_size)
+    dtype = img.dtype
+    xr, xi = img[..., 0], img[..., 1]
+    pads = [(0, n) for n in plan.im_size]
+    xr, xi = jnp.pad(xr, pads), jnp.pad(xi, pads)
+    for a, n in enumerate(plan.im_size):
+        mr, mi = _dft2n(2 * n, dtype)
+        xr, xi = _dft_axis(xr, xi, mr, mi, a)
+    xr, xi = _cmul(xr, xi, that[..., 0], that[..., 1])
+    scale = 1.0
+    for a, n in enumerate(plan.im_size):
+        mr, mi = _dft2n(2 * n, dtype)
+        xr, xi = _dft_axis(xr, xi, mr.T, -mi.T, a)    # conj transpose
+        scale /= 2 * n
+    sl = tuple(slice(0, n) for n in plan.im_size)
+    return jnp.stack([xr[sl] * scale, xi[sl] * scale], -1)
