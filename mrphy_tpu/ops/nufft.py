@@ -287,23 +287,7 @@ def _chunked(fn, n: int, chunk: Optional[int], *arrays):
 # Type 2: image grid → nonuniform samples
 # ------------------------------------------------------------------
 
-def nufft(plan: NufftPlan, img, ktraj, *, chunk: Optional[int] = None):
-    r"""Sample the image's spectrum at a nonuniform trajectory
-    (type-2 NUFFT): ``s(t) ≈ Σ_j img_j · e^{−i2π k(t)·x_j}`` with
-    ``x_j`` the centered FOV grid.
-
-    Inputs:
-        - ``img``: `(n_1, …, n_d, 2)` re/im image on the plan's grid
-          (e.g. ``Mx/My`` of a SpinCube, coil-weighted).
-        - ``ktraj``: `(d, nT)`, "cycle/cm".
-    Optionals:
-        - ``chunk``: samples per interpolation block (bounds the
-          `(chunk, W^d)` gather; default: all of ``nT``).
-    Outputs:
-        - ``s``: `(nT, 2)` re/im samples.
-    """
-    img = jnp.asarray(img)
-    assert img.shape == plan.im_size + (2,), (img.shape, plan.im_size)
+def _fwd_core(plan: NufftPlan, img, ktraj, chunk):
     xr = img[..., 0] * plan.deapod
     xi = img[..., 1] * plan.deapod
     for a in range(plan.ndim):
@@ -321,24 +305,115 @@ def nufft(plan: NufftPlan, img, ktraj, *, chunk: Optional[int] = None):
     return out.reshape(-1, 2)[:nT]
 
 
+def _segments(plan, df, T2s, dt, nseg: int, nT: int, dtype):
+    r"""Hat-function time segmentation [Sutton, Fessler & Noll, IEEE
+    TMI 22(2):178, 2003]: ``e^{−t/T2* − i2π Δf t} ≈ Σ_l b_l(t)·w_l``
+    with ``τ_l`` equispaced over the readout, ``b_l`` the linear-interp
+    hats (a partition of unity), ``w_l = e^{−τ_l/T2*}e^{−i2πΔf τ_l}``
+    per voxel. Returns `(nseg, nT)` coefficients and `(nseg, n…, 2)`
+    voxel weights."""
+    t = (jnp.arange(nT, dtype=dtype) + 1) * dt        # signal()'s t_t
+    t0, t1 = dt, nT * dt
+    if nseg == 1:
+        taus = jnp.asarray([(t0 + t1) / 2], dtype)
+        b = jnp.ones((1, nT), dtype)
+    else:
+        taus = t0 + (t1 - t0) * jnp.arange(nseg, dtype=dtype) / (
+            nseg - 1)
+        dtau = (t1 - t0) / (nseg - 1)
+        b = jnp.maximum(0.0, 1.0 - jnp.abs(t[None] - taus[:, None])
+                        / dtau)                       # (nseg, nT)
+    zero = jnp.zeros(plan.im_size, dtype)
+    dfg = zero if df is None else jnp.broadcast_to(
+        jnp.asarray(df, dtype), plan.im_size)
+    phase = -2.0 * pi * dfg[None] * taus.reshape(
+        (nseg,) + (1,) * plan.ndim)                   # (nseg, n…)
+    if T2s is None:
+        env = jnp.ones_like(phase)
+    else:
+        t2g = jnp.broadcast_to(jnp.asarray(T2s, dtype), plan.im_size)
+        env = jnp.exp(-taus.reshape((nseg,) + (1,) * plan.ndim)
+                      / t2g[None])
+    w = jnp.stack([env * jnp.cos(phase), env * jnp.sin(phase)], -1)
+    return b, w
+
+
+def nufft(plan: NufftPlan, img, ktraj, *, df=None, T2s=None, dt=None,
+          nseg: int = 8, chunk: Optional[int] = None):
+    r"""Sample the image's spectrum at a nonuniform trajectory
+    (type-2 NUFFT): ``s(t) ≈ Σ_j img_j · e^{−i2π k(t)·x_j}`` with
+    ``x_j`` the centered FOV grid.
+
+    Inputs:
+        - ``img``: `(n_1, …, n_d, 2)` re/im image on the plan's grid
+          (e.g. ``Mx/My`` of a SpinCube, coil-weighted).
+        - ``ktraj``: `(d, nT)`, "cycle/cm".
+    Optionals:
+        - ``df``/``T2s``: `()` ⊻ `(n_1, …, n_d)`, "Hz"/"Sec" —
+          off-resonance and T2* **maps on the grid**, modeled by
+          ``nseg``-segment hat time segmentation (Sutton–Fessler–Noll;
+          requires ``dt``). Semantics match
+          :func:`mrphy_tpu.ops.signal.signal` (sample times
+          ``(t+1)·dt``) to the segmentation error — measured ≲1e-3
+          relative at nseg=16 over a 5 ms/±50 Hz readout in the tests.
+        - ``dt``: `()`, "Sec", dwell (required with ``df``/``T2s``).
+        - ``nseg``: time segments (error ∝ (2πΔf·T/nseg)²).
+        - ``chunk``: samples per interpolation block (bounds the
+          `(chunk, W^d)` gather; default: all of ``nT``).
+    Outputs:
+        - ``s``: `(nT, 2)` re/im samples.
+    """
+    img = jnp.asarray(img)
+    assert img.shape == plan.im_size + (2,), (img.shape, plan.im_size)
+    if df is None and T2s is None:
+        return _fwd_core(plan, img, ktraj, chunk)
+    assert dt is not None, 'df/T2s time segmentation needs dt'
+    nT = ktraj.shape[-1]
+    b, w = _segments(plan, df, T2s, dt, nseg, nT, img.dtype)
+    s = jnp.zeros((nT, 2), img.dtype)
+    for el in range(nseg):                            # static, small
+        wr, wi = _cmul(img[..., 0], img[..., 1],
+                       w[el, ..., 0], w[el, ..., 1])
+        s = s + b[el][:, None] * _fwd_core(
+            plan, jnp.stack([wr, wi], -1), ktraj, chunk)
+    return s
+
+
 # ------------------------------------------------------------------
 # Type 1: nonuniform samples → image grid (exact transpose)
 # ------------------------------------------------------------------
 
-def nufft_adjoint(plan: NufftPlan, s, ktraj, *,
+def nufft_adjoint(plan: NufftPlan, s, ktraj, *, df=None, T2s=None,
+                  dt=None, nseg: int = 8,
                   chunk: Optional[int] = None):
-    r"""Exact transpose of :func:`nufft`: scatter samples onto the
-    oversampled grid with the same KB weights, inverse-DFT factors,
-    deapodize. ``⟨nufft(x), y⟩ = ⟨x, nufft_adjoint(y)⟩`` to float
-    roundoff.
+    r"""Exact (complex-conjugate) adjoint of :func:`nufft` — including
+    under ``df``/``T2s`` time segmentation, where each segment's
+    scatter is weighted by ``b_l`` and re-phased by ``conj(w_l)``, so
+    ``⟨nufft(x), y⟩ = ⟨x, nufft_adjoint(y)⟩`` holds for the SAME
+    arguments (CG normal equations stay consistent).
 
     Inputs:
         - ``s``: `(nT, 2)` re/im samples (zero-pad convention: padded
           samples contribute nothing).
         - ``ktraj``: `(d, nT)`, "cycle/cm".
+    Optionals: as :func:`nufft`.
     Outputs:
         - ``img``: `(n_1, …, n_d, 2)`.
     """
+    if df is not None or T2s is not None:
+        assert dt is not None, 'df/T2s time segmentation needs dt'
+        s = jnp.asarray(s)
+        nT = ktraj.shape[-1]
+        b, w = _segments(plan, df, T2s, dt, nseg, nT, s.dtype)
+        out = jnp.zeros(plan.im_size + (2,), s.dtype)
+        for el in range(nseg):                        # static, small
+            x = nufft_adjoint(plan, b[el][:, None] * s, ktraj,
+                              chunk=chunk)
+            # conj(w_l) ⊙ x
+            xr, xi = _cmul(x[..., 0], x[..., 1],
+                           w[el, ..., 0], -w[el, ..., 1])
+            out = out + jnp.stack([xr, xi], -1)
+        return out
     s = jnp.asarray(s)
     nT = ktraj.shape[-1]
     assert s.shape == (nT, 2), (s.shape, nT)
