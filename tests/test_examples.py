@@ -41,6 +41,10 @@ CASES = [
                         '0.3']),
     ('recon_sense.py', ['--n', '16', '--iters', '40', '--traj',
                         'radial', '--df', '30']),
+    ('recon_sense.py', ['--n', '16', '--iters', '40', '--op', 'nufft',
+                        '--df', '40']),
+    ('recon_sense.py', ['--n', '16', '--iters', '40', '--op', 'nufft',
+                        '--traj', 'radial', '--noise', '0.3']),
     # voxel-sharded variants on the 8-virtual-device CPU mesh
     ('recon_sense.py', ['--n', '16', '--iters', '30', '--df', '40',
                         '--mesh']),
