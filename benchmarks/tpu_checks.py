@@ -274,6 +274,53 @@ def _sincos_sweep():
     return ok
 
 
+def _nufft_parity():
+    r"""Gridding NUFFT (ops/nufft.py) vs the exact signal operator, f32
+    on the real chip: the DFT-stage tensordots and the Toeplitz
+    contractions run on the MXU, so this pins their HIGHEST-precision
+    dots (the same bf16-default trap signal_kernel caught) plus
+    compiled scatter/gather interpolation."""
+    from mrphy_tpu.ops import nufft as nf
+    from mrphy_tpu.ops import signal as sig_mod
+    rng = np.random.default_rng(5)
+    im_size, fov = (24, 16), (24.0, 16.0)
+    nM = im_size[0] * im_size[1]
+    axes = [(np.arange(n) - n // 2) / n * f
+            for n, f in zip(im_size, fov)]
+    yy, xx = np.meshgrid(*axes, indexing='ij')
+    loc = np.stack([yy, xx, np.zeros_like(xx)], -1).reshape(nM, 3)
+    loc_ = jnp.asarray(loc, DT32)[None]
+    img = jnp.asarray(rng.standard_normal(im_size + (2,)), DT32)
+    nT = 333
+    k = np.zeros((3, nT))
+    for a in range(2):
+        kmax = 0.95 * im_size[a] / (2 * fov[a])
+        k[a] = rng.uniform(-kmax, kmax, nT)
+    k3 = jnp.asarray(k, DT32)
+    plan = nf.nufft_plan(im_size, fov, width=6, dtype=DT32)
+
+    s = np.asarray(jax.jit(lambda i: nf.nufft(plan, i, k3[:2]))(img))
+    M = jnp.concatenate([img.reshape(nM, 2),
+                         jnp.zeros((nM, 1), DT32)], -1)[None]
+    s0 = np.asarray(sig_mod.signal(M, loc_, k3[None])[0, 0])
+    rel_f = _rel(s, s0)
+
+    that = nf.toeplitz_kernel(plan, k3[:2], chunk=128)
+    out = np.asarray(jax.jit(
+        lambda i: nf.toeplitz_apply(plan, that, i))(img))
+    x0 = np.asarray(sig_mod.signal_adjoint(
+        jnp.asarray(s0)[None, None], loc_, k3[None])[0]).reshape(
+            im_size + (2,))
+    rel_t = _rel(out, x0)
+
+    # W=6 gridding floor is 2e-5; allow f32 phase/dot roundoff on top
+    ok = rel_f < 2e-4 and rel_t < 2e-4
+    _record('nufft_parity', ok,
+            f'fwd rel {rel_f:.1e}, toeplitz-AHA rel {rel_t:.1e} '
+            f'(tol 2e-4)')
+    return ok
+
+
 def _mesh_1x1(*, nM, nT):
     r"""mesh= dispatch (shard_map) on the real device(s)."""
     from mrphy_tpu.parallel import make_mesh
@@ -332,6 +379,7 @@ def main():
     _batched(nM=nM, nT=nT, interpret=args.interpret)
     _signal_parity(nM=nM, nT=nT, interpret=args.interpret)
     _sincos_sweep()
+    _nufft_parity()
     if not args.interpret:
         _mesh_1x1(nM=nM, nT=nT)
         _auto_gate()          # gate predicates include the on-TPU probe

@@ -57,7 +57,7 @@ from jax import lax
 from mrphy_tpu import pi
 
 __all__ = ['NufftPlan', 'nufft_plan', 'nufft', 'nufft_adjoint',
-           'toeplitz_kernel', 'toeplitz_apply']
+           'dcf_pipe_menon', 'toeplitz_kernel', 'toeplitz_apply']
 
 _PH = jax.lax.Precision.HIGHEST
 
@@ -435,6 +435,69 @@ def nufft_adjoint(plan: NufftPlan, s, ktraj, *, df=None, T2s=None,
         br, bi = _dft_axis(br, bi, plan.dft_re[a].T, -plan.dft_im[a].T,
                            a)
     return jnp.stack([br * plan.deapod, bi * plan.deapod], -1)
+
+
+# ------------------------------------------------------------------
+# Density compensation (Pipe–Menon)
+# ------------------------------------------------------------------
+
+def dcf_pipe_menon(plan: NufftPlan, ktraj, *, iters: int = 30,
+                   normalize: bool = True):
+    r"""Iterative sampling-density compensation [Pipe & Menon, MRM
+    41(1):179, 1999]: fixed-point iteration ``w ← w / (C Cᴴ w)`` where
+    ``C`` is the KB interpolation (sample → grid) convolution — the
+    gridding kernel *without* the DFT stage. At convergence
+    ``C Cᴴ w ≈ 1`` at every sample, i.e. the kernel-smoothed sampling
+    density is flat, which is what makes single-pass conjugate-phase /
+    gridding reconstruction ``nufft_adjoint(w ⊙ s)`` quantitatively
+    usable (validated in ``tests/test_nufft.py``: PM weights reproduce
+    the analytic ramp |k| on a radial trajectory, and a smooth phantom
+    reconstructs to ~0.4% vs ~60% uncompensated).
+
+    CP quality is trajectory-dependent: on golden-angle radial it is
+    sub-percent, while on this package's slew-limited spiral (rapid
+    density transitions) it plateaus around 10% — for such
+    trajectories use iterative CG through :func:`nufft`/
+    :func:`nufft_adjoint` (``examples/recon_sense.py --op nufft``),
+    which needs no density compensation at all.
+
+    Optionals:
+        - ``iters``: fixed-point iterations (30 ≈ converged for
+          spiral/radial).
+        - ``normalize``: calibrate the global scale to unit DC gain —
+          ``nufft_adjoint(w ⊙ nufft(𝟙))`` returns ≈𝟙 — so
+          conjugate-phase recon is unbiased. (PSF-*peak* calibration
+          would average the spectral response over the whole Nyquist
+          square, overshooting the in-band gain by up to ~4/π when the
+          trajectory covers only the inscribed disk.)
+    Outputs:
+        - ``w``: `(nT,)` sample weights.
+
+    Memory: holds the `(nT, W^d)` tap table; for 3-D at large ``nT``
+    prefer iterating per-shot and concatenating.
+    """
+    ktraj = jnp.asarray(ktraj)
+    nT = ktraj.shape[-1]
+    fi, fw = _taps(plan, *_coords(plan, ktraj))
+    nG = int(np.prod(plan.grid_size))
+
+    def cch(w):
+        g = jnp.zeros((nG,), w.dtype).at[fi.reshape(-1)].add(
+            (fw * w[:, None]).reshape(-1))
+        return (fw * g[fi]).sum(-1)
+
+    def body(_, w):
+        d = cch(w)
+        return w / jnp.maximum(d, 1e-30)
+
+    w = lax.fori_loop(0, iters, body, jnp.ones((nT,), ktraj.dtype))
+    if normalize:
+        ones = jnp.stack([jnp.ones(plan.im_size, ktraj.dtype),
+                          jnp.zeros(plan.im_size, ktraj.dtype)], -1)
+        y = nufft_adjoint(plan, w[:, None] * _fwd_core(
+            plan, ones, ktraj, None), ktraj)
+        w = w / jnp.mean(y[..., 0])
+    return w
 
 
 # ------------------------------------------------------------------

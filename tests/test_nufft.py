@@ -221,6 +221,70 @@ def test_chunking_invariance():
     assert float(jnp.abs(a_full - a_chunk).max()) < 1e-12
 
 
+def test_dcf_pipe_menon_radial_ramp():
+    r"""On a uniformly-spaced radial trajectory the converged
+    Pipe–Menon weights must reproduce the analytic ramp |k| away from
+    the center crossing and the k-space edge (the two places PM
+    *improves* on the ramp). Uniform spokes and grid-matched kmax on
+    purpose: golden-angle with few spokes has genuinely nonuniform
+    azimuthal density (PM then correctly deviates from the ramp), and
+    beyond-Nyquist samples wrap consistently for recon but mix local
+    densities."""
+    im_size, fov = (16, 16), 24.0
+    kmax = im_size[0] / (2 * fov)
+    nsp, nro = 48, 65
+    th = np.pi * np.arange(nsp) / nsp
+    r = kmax * np.linspace(-1, 1, nro)
+    kx = (np.cos(th)[:, None] * r[None]).reshape(-1)
+    ky = (np.sin(th)[:, None] * r[None]).reshape(-1)
+    k = jnp.asarray(np.stack([kx, ky]), F64)
+    plan = nf.nufft_plan(im_size, (fov, fov), width=4, dtype=F64)
+    w = np.asarray(nf.dcf_pipe_menon(plan, k, iters=40,
+                                     normalize=False))
+    # PM fixed point: kernel-smoothed density ~ flat at the samples
+    fi, fw = nf._taps(plan, *nf._coords(plan, k))
+    g = np.zeros(int(np.prod(plan.grid_size)))
+    np.add.at(g, np.asarray(fi).reshape(-1),
+              np.asarray(fw * w[:, None]).reshape(-1))
+    d = (np.asarray(fw) * g[np.asarray(fi)]).sum(-1)
+    assert np.percentile(np.abs(d - 1.0), 95) < 0.05, \
+        np.percentile(np.abs(d - 1.0), 95)
+    # ramp shape on the interior annulus
+    kr = np.linalg.norm(np.asarray(k).T, axis=-1)
+    kmax = kr.max()
+    ann = (kr > 0.15 * kmax) & (kr < 0.8 * kmax)
+    corr = np.corrcoef(w[ann], kr[ann])[0, 1]
+    assert corr > 0.995, corr
+
+
+def test_dcf_conjugate_phase_recon():
+    r"""Single-pass gridding recon ``nufft_adjoint(w ⊙ s)`` of a smooth
+    object through corner-covering golden-angle radial: PM-compensated
+    recon lands at a few tenths of a percent, vs ~60% for the (even
+    optimally scaled) uncompensated adjoint."""
+    from mrphy_tpu import dt0
+    from mrphy_tpu.utils import radial, g2k
+    n, fov = 24, 24.0
+    im_size = (n, n)
+    gr, _ = radial(fov, int(np.ceil(1.42 * n)))
+    k3 = np.asarray(g2k(np.asarray(gr), False, dt=dt0))
+    k = jnp.asarray(k3[:, :2].transpose(1, 0, 2).reshape(2, -1), F64)
+    ax = (np.arange(n) - n // 2) / n * fov
+    yy, xx = np.meshgrid(ax, ax, indexing='ij')
+    mag = np.exp(-(xx ** 2 + yy ** 2) / (fov / 4) ** 2)
+    img = jnp.asarray(np.stack([mag, 0.3 * mag], -1), F64)
+    plan = nf.nufft_plan(im_size, (fov, fov), width=5, dtype=F64)
+    s = nf.nufft(plan, img, k)
+    w = nf.dcf_pipe_menon(plan, k, iters=40)
+    x_cp = nf.nufft_adjoint(plan, w[:, None] * s, k)
+    rel = float(jnp.linalg.norm(x_cp - img) / jnp.linalg.norm(img))
+    x_raw = nf.nufft_adjoint(plan, s, k)
+    x_raw = x_raw * (jnp.vdot(x_raw, img) / jnp.vdot(x_raw, x_raw))
+    rel_raw = float(jnp.linalg.norm(x_raw - img) / jnp.linalg.norm(img))
+    assert rel < 0.02, rel
+    assert rel < rel_raw / 20, (rel, rel_raw)
+
+
 def test_gradients_flow_img_samples_trajectory():
     rng = np.random.default_rng(31)
     im_size, fov = (8, 8), (16.0, 16.0)
