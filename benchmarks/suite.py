@@ -17,6 +17,11 @@ Configs:
               backward
   beffstream  materialized-Beff streaming engine, bf16 vs f32 field
               storage (HBM-bandwidth scenario)
+  signal      k-space encoding operator, 64^3 spins x 16k samples x 8
+              coils (fused pallas vs XLA)
+  recon       CG-SENSE iteration rate, 128x128, 8 coils
+  nufft       gridding NUFFT vs the exact operator, 128x128 x 32k
+              samples with df/T2s time segmentation; Toeplitz apply
 """
 
 import json
@@ -349,11 +354,72 @@ def bench_recon():
             'rel_err': f'{ep:.1e}'}
 
 
+def bench_nufft():
+    r"""Gridding NUFFT vs the exact encoding operator on a grid-resident
+    problem: 128x128 image, 32 768 samples, off-resonance + T2* (nseg=8
+    time segmentation), single coil. Reports fwd/adjoint times for
+    both, the Toeplitz normal-operator apply, and the honest model
+    deviation of the gridding path. Overridable via MRPHY_NUFFT_N /
+    MRPHY_NUFFT_NT (CPU smoke)."""
+    import jax
+    import jax.numpy as jnp
+    from mrphy_tpu import dt0
+    from mrphy_tpu.ops import nufft as nf
+    from mrphy_tpu.ops import signal as sig
+    rng = np.random.default_rng(0)
+    n = int(os.environ.get('MRPHY_NUFFT_N', 128))
+    nT = int(os.environ.get('MRPHY_NUFFT_NT', 32_768))
+    fov = n * 0.2
+    nM = n * n
+    ax = (np.arange(n) - n // 2) / n * fov
+    yy, xx = np.meshgrid(ax, ax, indexing='ij')
+    loc_ = jnp.asarray(np.stack([yy, xx, 0 * xx], -1).reshape(
+        1, nM, 3), jnp.float32)
+    img = jnp.asarray(rng.standard_normal((n, n, 2)), jnp.float32)
+    kmax = 0.95 * n / (2 * fov)
+    k2 = jnp.asarray(rng.uniform(-kmax, kmax, (2, nT)), jnp.float32)
+    k3 = jnp.concatenate([k2, jnp.zeros((1, nT), jnp.float32)])
+    dfg = jnp.asarray(rng.uniform(-60, 60, (n, n)), jnp.float32)
+    t2g = jnp.asarray(rng.uniform(0.02, 0.08, (n, n)), jnp.float32)
+    plan = nf.nufft_plan((n, n), (fov, fov), width=5)
+    nkw = dict(df=dfg, T2s=t2g, dt=dt0, nseg=8)
+
+    fwd = jax.jit(lambda i: nf.nufft(plan, i, k2, **nkw))
+    s = fwd(img)
+    adj = jax.jit(lambda y: nf.nufft_adjoint(plan, y, k2, **nkw))
+    M = jnp.concatenate([img.reshape(nM, 2),
+                         jnp.zeros((nM, 1), jnp.float32)], -1)[None]
+    fwd_x = jax.jit(lambda m: sig.signal(
+        m, loc_, k3[None], df=dfg.reshape(1, nM),
+        T2s=t2g.reshape(1, nM), dt=dt0))
+    s0 = fwd_x(M)
+    adj_x = jax.jit(lambda y: sig.signal_adjoint(
+        y, loc_, k3[None], df=dfg.reshape(1, nM),
+        T2s=t2g.reshape(1, nM), dt=dt0))
+    that = nf.toeplitz_kernel(plan, k2, chunk=8192)
+    toe = jax.jit(lambda i: nf.toeplitz_apply(plan, that, i))
+    dev = float(jnp.linalg.norm(s - s0[0, 0])
+                / jnp.linalg.norm(s0[0, 0]))
+    tf = _timeit(fwd, img, repeats=4)
+    ta = _timeit(adj, s, repeats=4)
+    tt = _timeit(toe, img, repeats=4)
+    tfx = _timeit(fwd_x, M, repeats=4)
+    tax = _timeit(adj_x, s0, repeats=4)
+    return {'metric': f'nufft: {n}x{n} grid x {nT} samples, df+T2s '
+                      '(nseg=8) gridding fwd',
+            'value': round(tfx / tf, 2), 'unit': 'x vs exact operator',
+            'fwd_ms': round(tf * 1e3, 1), 'adj_ms': round(ta * 1e3, 1),
+            'toeplitz_ms': round(tt * 1e3, 2),
+            'exact_fwd_ms': round(tfx * 1e3, 1),
+            'exact_adj_ms': round(tax * 1e3, 1),
+            'model_rel_dev': f'{dev:.1e}'}
+
+
 ALL = {'tiny': bench_tiny, 'freeprec32': bench_freeprec32,
        'design64': bench_design64, 'throughput': bench_throughput,
        'deeptime': bench_deeptime, 'longpulse': bench_longpulse,
        'beffstream': bench_beffstream, 'signal': bench_signal,
-       'recon': bench_recon}
+       'recon': bench_recon, 'nufft': bench_nufft}
 
 
 def main():

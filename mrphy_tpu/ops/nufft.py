@@ -339,7 +339,7 @@ def _segments(plan, df, T2s, dt, nseg: int, nT: int, dtype):
 
 
 def nufft(plan: NufftPlan, img, ktraj, *, df=None, T2s=None, dt=None,
-          nseg: int = 8, chunk: Optional[int] = None):
+          nseg: int = 8, chunk: Optional[int] = None, mesh=None):
     r"""Sample the image's spectrum at a nonuniform trajectory
     (type-2 NUFFT): ``s(t) ≈ Σ_j img_j · e^{−i2π k(t)·x_j}`` with
     ``x_j`` the centered FOV grid.
@@ -360,11 +360,19 @@ def nufft(plan: NufftPlan, img, ktraj, *, df=None, T2s=None, dt=None,
         - ``nseg``: time segments (error ∝ (2πΔf·T/nseg)²).
         - ``chunk``: samples per interpolation block (bounds the
           `(chunk, W^d)` gather; default: all of ``nT``).
+        - ``mesh``: a ``(batch, spins)`` :class:`jax.sharding.Mesh` —
+          samples (and the tap table) shard over the spin axis, the
+          grid stage replicates; collective-free forward.
     Outputs:
         - ``s``: `(nT, 2)` re/im samples.
     """
     img = jnp.asarray(img)
     assert img.shape == plan.im_size + (2,), (img.shape, plan.im_size)
+    if mesh is not None:
+        from mrphy_tpu.parallel.mesh import nufft_sharded_traceable
+        return nufft_sharded_traceable(mesh, plan, img, ktraj, df=df,
+                                       T2s=T2s, dt=dt, nseg=nseg,
+                                       chunk=chunk)
     if df is None and T2s is None:
         return _fwd_core(plan, img, ktraj, chunk)
     assert dt is not None, 'df/T2s time segmentation needs dt'
@@ -385,7 +393,7 @@ def nufft(plan: NufftPlan, img, ktraj, *, df=None, T2s=None, dt=None,
 
 def nufft_adjoint(plan: NufftPlan, s, ktraj, *, df=None, T2s=None,
                   dt=None, nseg: int = 8,
-                  chunk: Optional[int] = None):
+                  chunk: Optional[int] = None, mesh=None):
     r"""Exact (complex-conjugate) adjoint of :func:`nufft` — including
     under ``df``/``T2s`` time segmentation, where each segment's
     scatter is weighted by ``b_l`` and re-phased by ``conj(w_l)``, so
@@ -396,10 +404,17 @@ def nufft_adjoint(plan: NufftPlan, s, ktraj, *, df=None, T2s=None,
         - ``s``: `(nT, 2)` re/im samples (zero-pad convention: padded
           samples contribute nothing).
         - ``ktraj``: `(d, nT)`, "cycle/cm".
-    Optionals: as :func:`nufft`.
+    Optionals: as :func:`nufft` (under ``mesh=`` each chip scatters
+    its sample shard; ONE ``psum`` combines the grids).
     Outputs:
         - ``img``: `(n_1, …, n_d, 2)`.
     """
+    if mesh is not None:
+        from mrphy_tpu.parallel.mesh import (
+            nufft_adjoint_sharded_traceable)
+        return nufft_adjoint_sharded_traceable(mesh, plan, s, ktraj,
+                                               df=df, T2s=T2s, dt=dt,
+                                               nseg=nseg, chunk=chunk)
     if df is not None or T2s is not None:
         assert dt is not None, 'df/T2s time segmentation needs dt'
         s = jnp.asarray(s)
@@ -417,6 +432,14 @@ def nufft_adjoint(plan: NufftPlan, s, ktraj, *, df=None, T2s=None,
     s = jnp.asarray(s)
     nT = ktraj.shape[-1]
     assert s.shape == (nT, 2), (s.shape, nT)
+    return _adj_finish(plan, _adj_scatter(plan, s, ktraj, chunk))
+
+
+def _adj_scatter(plan: NufftPlan, s, ktraj, chunk):
+    r"""Sample → oversampled-grid KB scatter, `(2, ΠG)` — the only
+    sample-dependent stage of the adjoint (the sharded dispatch psums
+    exactly this)."""
+    nT = ktraj.shape[-1]
     nG = int(np.prod(plan.grid_size))
 
     def scatter(k_c, s_c):
@@ -429,8 +452,13 @@ def nufft_adjoint(plan: NufftPlan, s, ktraj, *, df=None, T2s=None,
     out, _ = _chunked(scatter, nT, chunk, ktraj.T, s)
     if out.ndim == 3:                                 # chunked: sum maps
         out = out.sum(0)
-    br, bi = (o.reshape(plan.grid_size) for o in (out[0], out[1]))
-    # adjoint of the forward DFT factor: conj transpose, per axis
+    return out
+
+
+def _adj_finish(plan: NufftPlan, grid2):
+    r"""Grid → image: adjoint (conj-transpose) DFT factors per axis,
+    then deapodize."""
+    br, bi = (g.reshape(plan.grid_size) for g in (grid2[0], grid2[1]))
     for a in range(plan.ndim):
         br, bi = _dft_axis(br, bi, plan.dft_re[a].T, -plan.dft_im[a].T,
                            a)

@@ -36,6 +36,7 @@ __all__ = ['make_mesh', 'shard_spins', 'spin_pspec', 'blochsim_sharded',
            'oracle_sharded_traceable', 'oracle_freeprec_traceable',
            'mc_sharded_traceable', 'epg_cpmg_sharded_traceable',
            'signal_sharded_traceable', 'signal_adjoint_sharded_traceable',
+           'nufft_sharded_traceable', 'nufft_adjoint_sharded_traceable',
            'shard_spin_obj', 'psum_loss', 'pad_spins']
 
 BATCH_AXIS = 'batch'
@@ -501,6 +502,103 @@ def signal_adjoint_sharded_traceable(mesh: Mesh, s, loc_, ktraj, *,
                       out_specs=P(BATCH_AXIS, SPIN_AXIS, None),
                       check_vma=False)
     return f(s, loc_, ktraj, *(arrs[k] for k in names))
+
+
+def nufft_sharded_traceable(mesh: Mesh, plan, img, ktraj, *, df=None,
+                            T2s=None, dt=None, nseg: int = 8,
+                            chunk=None):
+    r"""shard_map-wrapped :func:`mrphy_tpu.ops.nufft.nufft`: the image
+    (and its uniform-DFT grid stage) replicates over the mesh; the
+    samples — and hence the `(nT, W^d)` interpolation tap table, the
+    adjoint's memory bound — shard over the spin axis. Zero
+    collectives in the forward. ``nT`` is zero-padded to the mesh
+    extent (exact: padded outputs are sliced off). With ``df``/``T2s``
+    the segmentation coefficients ``b_l(t)`` are built on the GLOBAL
+    time axis and sharded alongside the samples."""
+    import jax.numpy as jnp
+    from mrphy_tpu.ops import nufft as _nf
+
+    img, ktraj = jnp.asarray(img), jnp.asarray(ktraj)
+    nT = ktraj.shape[-1]
+    sp = mesh.shape[SPIN_AXIS]
+    pad = (-nT) % sp
+    kp = jnp.pad(ktraj, ((0, 0), (0, pad)))
+    segmented = df is not None or T2s is not None
+    if segmented:
+        assert dt is not None, 'df/T2s time segmentation needs dt'
+        b, w = _nf._segments(plan, df, T2s, dt, nseg, nT, img.dtype)
+        b = jnp.pad(b, ((0, 0), (0, pad)))
+
+    def body(k_sh, *b_sh):
+        if not segmented:
+            return _nf._fwd_core(plan, img, k_sh, chunk)
+        s = jnp.zeros((k_sh.shape[-1], 2), img.dtype)
+        for el in range(nseg):
+            wr, wi = (img[..., 0] * w[el, ..., 0]
+                      - img[..., 1] * w[el, ..., 1],
+                      img[..., 0] * w[el, ..., 1]
+                      + img[..., 1] * w[el, ..., 0])
+            s = s + b_sh[0][el][:, None] * _nf._fwd_core(
+                plan, jnp.stack([wr, wi], -1), k_sh, chunk)
+        return s
+
+    in_specs = ((P(None, SPIN_AXIS), P(None, SPIN_AXIS))
+                if segmented else (P(None, SPIN_AXIS),))
+    f = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                      out_specs=P(SPIN_AXIS, None), check_vma=False)
+    out = f(kp, b) if segmented else f(kp)
+    return out[:nT]
+
+
+def nufft_adjoint_sharded_traceable(mesh: Mesh, plan, s, ktraj, *,
+                                    df=None, T2s=None, dt=None,
+                                    nseg: int = 8, chunk=None):
+    r"""shard_map-wrapped :func:`mrphy_tpu.ops.nufft.nufft_adjoint`:
+    each chip KB-scatters its sample shard onto a local oversampled
+    grid, ONE ``psum`` (over all segments at once) combines them, and
+    the replicated inverse-DFT/deapodize stage finishes. Padded
+    samples carry ``s = 0`` and scatter nothing (exact)."""
+    import jax.numpy as jnp
+    from mrphy_tpu.ops import nufft as _nf
+
+    s, ktraj = jnp.asarray(s), jnp.asarray(ktraj)
+    nT = ktraj.shape[-1]
+    sp = mesh.shape[SPIN_AXIS]
+    pad = (-nT) % sp
+    kp = jnp.pad(ktraj, ((0, 0), (0, pad)))
+    sP = jnp.pad(s, ((0, pad), (0, 0)))
+    segmented = df is not None or T2s is not None
+    if segmented:
+        assert dt is not None, 'df/T2s time segmentation needs dt'
+        b, w = _nf._segments(plan, df, T2s, dt, nseg, nT, s.dtype)
+        b = jnp.pad(b, ((0, 0), (0, pad)))
+
+    def body(k_sh, s_sh, *b_sh):
+        if not segmented:
+            g = _nf._adj_scatter(plan, s_sh, k_sh, chunk)
+            g = jax.lax.psum(g, SPIN_AXIS)
+            return _nf._adj_finish(plan, g)
+        gs = jnp.stack([_nf._adj_scatter(
+            plan, b_sh[0][el][:, None] * s_sh, k_sh, chunk)
+            for el in range(nseg)])
+        gs = jax.lax.psum(gs, SPIN_AXIS)      # one collective
+        out = jnp.zeros(plan.im_size + (2,), s.dtype)
+        for el in range(nseg):
+            x = _nf._adj_finish(plan, gs[el])
+            xr = (x[..., 0] * w[el, ..., 0]
+                  + x[..., 1] * w[el, ..., 1])
+            xi = (x[..., 1] * w[el, ..., 0]
+                  - x[..., 0] * w[el, ..., 1])
+            out = out + jnp.stack([xr, xi], -1)
+        return out
+
+    in_specs = ((P(None, SPIN_AXIS), P(SPIN_AXIS, None),
+                 P(None, SPIN_AXIS)) if segmented
+                else (P(None, SPIN_AXIS), P(SPIN_AXIS, None)))
+    out_specs = P(*([None] * (len(plan.im_size) + 1)))
+    f = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                      out_specs=out_specs, check_vma=False)
+    return f(kp, sP, b) if segmented else f(kp, sP)
 
 
 def psum_loss(fn):
