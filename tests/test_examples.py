@@ -37,6 +37,7 @@ CASES = [
     ('bloch_siegert_b1map.py', ['--nb1', '24']),
     ('crlb_protocol.py', ['--ntr', '32', '--iters', '200']),
     ('scanner_pipeline.py', ['--n', '16']),
+    ('fieldmap_recon.py', ['--n', '16', '--iters', '250']),
     ('recon_sense.py', ['--n', '16', '--iters', '40', '--noise',
                         '0.3']),
     ('recon_sense.py', ['--n', '16', '--iters', '40', '--traj',
@@ -45,6 +46,8 @@ CASES = [
                         '--df', '40']),
     ('recon_sense.py', ['--n', '16', '--iters', '40', '--op', 'nufft',
                         '--traj', 'radial', '--noise', '0.3']),
+    ('recon_sense.py', ['--n', '16', '--iters', '40', '--op', 'nufft',
+                        '--toeplitz']),
     # voxel-sharded variants on the 8-virtual-device CPU mesh
     ('recon_sense.py', ['--n', '16', '--iters', '30', '--df', '40',
                         '--mesh']),
