@@ -1,0 +1,167 @@
+r"""EPG-X (two-pool exchange EPG) tests.
+
+Oracle tiers:
+- the complex 2x2 expm (`_expm2c`) vs ``scipy.linalg.expm`` on random
+  exchange systems (independent machinery, 1e-12);
+- the DECOUPLED limit (kab=kba=0, M0b=0) reproduces single-pool
+  :func:`epg_cpmg`/:func:`epg_spgr` exactly;
+- the IDENTICAL-POOLS invariance: exchange between indistinguishable
+  pools is invisible — total signal equals one pool of the summed M0
+  for ANY exchange rate;
+- a full two-pool CPMG vs an independent isochromat ensemble stepped
+  with scipy-expm propagators and numpy rotations (the EPG states are
+  the Fourier coefficients of a uniformly dephased ensemble — exact
+  for nIso > 2K);
+- physics: exchange with a short-T2 partner accelerates the apparent
+  echo decay; everything differentiable w.r.t. exchange rates.
+"""
+
+import numpy as np
+import scipy.linalg
+import jax
+import jax.numpy as jnp
+
+from mrphy_tpu import pi
+from mrphy_tpu.ops import epg
+
+F64 = jnp.float64
+
+
+def test_expm2c_vs_scipy():
+    rng = np.random.default_rng(3)
+    for _ in range(20):
+        r2a, r2b = rng.uniform(1, 80, 2)
+        ka, kb = rng.uniform(0, 40, 2)
+        w = rng.uniform(-300, 300) * 2 * np.pi
+        tau = rng.uniform(1e-3, 0.05)
+        A = np.array([[-r2a - ka, kb],
+                      [ka, -r2b - kb - 1j * w]]) * tau
+        E = scipy.linalg.expm(A)
+        (E00, E01, E10, E11) = epg._expm2c(
+            jnp.asarray(A[0, 0].real, F64), jnp.asarray(0.0, F64),
+            jnp.asarray(A[0, 1].real, F64), jnp.asarray(A[1, 0].real,
+                                                        F64),
+            jnp.asarray(A[1, 1].real, F64), jnp.asarray(A[1, 1].imag,
+                                                        F64))
+        got = np.array([[E00[0] + 1j * E00[1], E01[0] + 1j * E01[1]],
+                        [E10[0] + 1j * E10[1], E11[0] + 1j * E11[1]]])
+        assert np.abs(got - E).max() < 1e-12, (got, E)
+
+
+def test_decoupled_limit_matches_single_pool():
+    flips = jnp.asarray(np.deg2rad([160, 150, 140, 130, 120]), F64)
+    kw = dict(T1a=1.0, T2a=0.08, T1b=0.5, T2b=0.01, kab=0.0, kba=0.0,
+              esp=0.01, M0a=1.0, M0b=0.0)
+    ex = epg.epgx_cpmg(flips, **kw)
+    ref = epg.epg_cpmg(flips, T1=1.0, T2=0.08, esp=0.01, M0=1.0)
+    assert float(jnp.abs(ex - ref).max()) < 1e-13
+
+    phis = epg.rf_spoil_phases(8)
+    fl = jnp.full(8, np.deg2rad(15.0), F64)
+    exs = epg.epgx_spgr(fl, phis, T1a=1.0, T2a=0.08, T1b=0.5,
+                        T2b=0.01, kab=0.0, kba=0.0, tr=0.01, M0a=1.0,
+                        M0b=0.0)
+    refs = epg.epg_spgr(fl, phis, T1=1.0, T2=0.08, tr=0.01, M0=1.0)
+    assert float(jnp.abs(exs - refs).max()) < 1e-13
+
+
+def test_identical_pools_invariance():
+    r"""Exchange between identical pools is unobservable: total echoes
+    equal a single pool carrying M0a+M0b, for any kab."""
+    flips = jnp.asarray(np.deg2rad([170, 160, 150, 140]), F64)
+    for kab in (0.0, 3.0, 50.0):
+        kba = kab * 0.7 / 0.3                 # detailed balance
+        ex = epg.epgx_cpmg(flips, T1a=0.9, T2a=0.07, T1b=0.9,
+                           T2b=0.07, kab=kab, kba=kba, esp=0.012,
+                           M0a=0.7, M0b=0.3)
+        ref = epg.epg_cpmg(flips, T1=0.9, T2=0.07, esp=0.012, M0=1.0)
+        assert float(jnp.abs(ex - ref).max()) < 1e-12, kab
+
+
+def _iso_cpmg(flips, *, T1a, T2a, T1b, T2b, kab, kba, esp, M0a, M0b,
+              dfb, nIso=64):
+    r"""Independent two-pool CPMG oracle: uniformly dephased isochromat
+    ensemble. RF via 3-vector rotation matrices (the SAME convention
+    that validates the single-pool EPG in ``tests/test_epg.py``);
+    relaxation-exchange(-shift) via scipy-expm 2x2 propagators on the
+    complex transverse pair and the real longitudinal pair."""
+    th = 2 * np.pi * np.arange(nIso) / nIso   # per-half-esp dephasing
+    AT = np.array([[-1 / T2a - kab, kba],
+                   [kab, -1 / T2b - kba - 2j * np.pi * dfb]])
+    AL = np.array([[-1 / T1a - kab, kba], [kab, -1 / T1b - kba]])
+    ET = scipy.linalg.expm(AT * esp / 2)
+    EL = scipy.linalg.expm(AL * esp / 2)
+    rec = (np.eye(2) - EL) @ np.array([M0a, M0b])
+
+    def rot_axis(phi, a):  # rotation by a about in-plane axis at phi
+        Rz = np.array([[np.cos(phi), -np.sin(phi), 0],
+                       [np.sin(phi), np.cos(phi), 0], [0, 0, 1.]])
+        Rx = np.array([[1, 0, 0], [0, np.cos(a), -np.sin(a)],
+                       [0, np.sin(a), np.cos(a)]])
+        return Rz @ Rx @ Rz.T
+
+    # (nIso, pools, 3) cartesian state
+    M = np.zeros((nIso, 2, 3))
+    M[:, 0, 2], M[:, 1, 2] = M0a, M0b
+
+    def apply_rf(alpha, phi):
+        nonlocal M
+        M = np.einsum('ij,npj->npi', rot_axis(phi, alpha), M)
+
+    def half():
+        nonlocal M
+        mxy = (M[..., 0] + 1j * M[..., 1]) @ ET.T     # (nIso, pools)
+        mz = M[..., 2] @ EL.T + rec
+        mxy = mxy * np.exp(1j * th)[:, None]          # dephasing
+        M = np.stack([mxy.real, mxy.imag, mz], -1)
+
+    apply_rf(np.pi / 2, np.pi / 2)
+    echoes = []
+    for a in np.asarray(flips):
+        half()
+        apply_rf(a, 0.0)
+        half()
+        mxy = M[..., 0] + 1j * M[..., 1]
+        echoes.append(mxy.sum(-1).mean())             # total transverse
+    return np.asarray(echoes)
+
+
+def test_cpmg_vs_isochromat_ensemble():
+    flips = np.deg2rad([160, 145, 130, 115, 100])
+    kw = dict(T1a=0.9, T2a=0.08, T1b=0.3, T2b=0.015, kab=8.0,
+              kba=8.0 * 0.8 / 0.2, esp=0.012, M0a=0.8, M0b=0.2,
+              dfb=120.0)
+    ech = np.asarray(epg.epgx_cpmg(jnp.asarray(flips, F64), **kw))
+    ech_c = ech[..., 0] + 1j * ech[..., 1]
+    ref = _iso_cpmg(flips, **kw)
+    assert np.abs(ech_c - ref).max() < 1e-10, (ech_c, ref)
+
+
+def test_exchange_accelerates_decay_and_differentiable():
+    flips = jnp.full(8, jnp.pi, F64)          # perfect refocusing
+    kw = dict(T1a=1.0, T2a=0.1, T1b=1.0, T2b=0.005, esp=0.01,
+              M0a=0.8, M0b=0.2)
+
+    def last_echo(kab):
+        kba = kab * 0.8 / 0.2
+        e = epg.epgx_cpmg(flips, kab=kab, kba=kba, **kw)
+        return jnp.hypot(e[-1, 0], e[-1, 1])
+
+    free = float(last_echo(0.0))
+    coupled = float(last_echo(10.0))
+    assert coupled < 0.9 * free, (coupled, free)
+    g = float(jax.grad(last_echo)(5.0))
+    assert np.isfinite(g) and g < 0            # more exchange, more loss
+
+
+def test_epgx_batched_maps():
+    r"""Per-voxel parameter maps broadcast like the single-pool train."""
+    flips = jnp.asarray(np.deg2rad([150, 140, 130]), F64)
+    kab = jnp.asarray([0.0, 5.0, 20.0], F64)
+    ech = epg.epgx_cpmg(flips, T1a=1.0, T2a=0.08, T1b=0.4, T2b=0.01,
+                        kab=kab, kba=kab * 4.0, esp=0.01,
+                        M0a=0.8, M0b=0.2)
+    assert ech.shape == (3, 3, 2)
+    one = epg.epgx_cpmg(flips, T1a=1.0, T2a=0.08, T1b=0.4, T2b=0.01,
+                        kab=5.0, kba=20.0, esp=0.01, M0a=0.8, M0b=0.2)
+    assert float(jnp.abs(ech[1] - one).max()) < 1e-13
