@@ -38,6 +38,7 @@ CASES = [
     ('crlb_protocol.py', ['--ntr', '32', '--iters', '200']),
     ('scanner_pipeline.py', ['--n', '16']),
     ('fieldmap_recon.py', ['--n', '16', '--iters', '250']),
+    ('mwf_fit.py', ['--nvox', '12', '--iters', '600']),
     ('recon_sense.py', ['--n', '16', '--iters', '40', '--noise',
                         '0.3']),
     ('recon_sense.py', ['--n', '16', '--iters', '40', '--traj',
