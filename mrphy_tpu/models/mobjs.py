@@ -846,17 +846,90 @@ class SpinCube(SpinArray):
                                         doRelax=doRelax, doUpdate=doUpdate)
 
     def acquire(self, gr, *, sens=None, sens_=None, T2s=None, T2s_=None,
-                dt=None, mesh=None, backend: str = 'xla'):
+                dt=None, mesh=None, backend: str = 'xla',
+                nseg: int = 8, width: int = 5):
         r"""Readout of the cube's current magnetization — its own grid
         ``loc_`` and off-resonance ``Δf_`` are injected (see
-        :meth:`SpinArray.acquire`)."""
+        :meth:`SpinArray.acquire`).
+
+        ``backend='nufft'`` routes through the gridding NUFFT
+        (:mod:`mrphy_tpu.ops.nufft`) instead of the exact operator —
+        O(G^d + nT·W^d) per readout instead of O(nM·nT). Requires a
+        FULL mask (the cube IS the NUFFT grid); singleton axes drop
+        out of the plan and ``ofst`` enters as the exact sample phase
+        ``e^{−i2π k·ofst}``; ``Δf_``/``T2s`` go through ``nseg``-hat
+        time segmentation (accuracy ∝ (2πΔf·T/nseg)²; the exact
+        backend stays the oracle). ``width``: KB taps (accuracy knob).
+        Under ``mesh=`` the samples shard (see :func:`mrphy_tpu.ops
+        .nufft.nufft`).
+        """
         sp = self._spinarray
         assert (sens_ is None) or (sens is None)
         sens_ = sens_ if sens is None else sp.extract(sens)
         assert (T2s_ is None) or (T2s is None)
         T2s_ = T2s_ if T2s is None else sp.extract(T2s)
-        return sp.acquire(gr, loc_=self.loc_, df_=self.df_, sens_=sens_,
-                          T2s_=T2s_, dt=dt, mesh=mesh, backend=backend)
+        if backend != 'nufft':
+            return sp.acquire(gr, loc_=self.loc_, df_=self.df_,
+                              sens_=sens_, T2s_=T2s_, dt=dt, mesh=mesh,
+                              backend=backend)
+        from mrphy_tpu import dt0 as _dt0
+        from mrphy_tpu.ops import nufft as _nf
+        from mrphy_tpu.utils import g2k
+        assert bool(np.all(sp.mask)), \
+            "backend='nufft' needs a full-grid cube (mask all True)"
+        dt = _dt0 if dt is None else dt
+        N, grid_full = sp.shape[0], sp.shape[1:]
+        dims = tuple(i for i, n in enumerate(grid_full) if n > 1)
+        im_size = tuple(grid_full[i] for i in dims)
+        fov_np = np.asarray(self.fov)
+        assert np.ptp(fov_np, axis=0).max() == 0 or N == 1, \
+            'per-batch FOVs need per-batch plans; split the batch'
+        plan = _nf.nufft_plan(im_size, fov_np[0, list(dims)],
+                              width=width, dtype=self.dtype)
+        gam_b = jnp.asarray(self.gam_)[:, :1, None]
+        k = jnp.broadcast_to(
+            g2k(jnp.asarray(gr, self.dtype), False, dt, gam=gam_b),
+            (N, 3, gr.shape[-1]))
+        df_b = (None if self.df_ is None else
+                jnp.broadcast_to(self.df_, (N, sp.nM)))
+        t2_b = (None if T2s_ is None else jnp.broadcast_to(
+            jnp.asarray(T2s_, self.dtype), (N, sp.nM)))
+        sens_b = (None if sens_ is None else jnp.broadcast_to(
+            jnp.asarray(sens_, self.dtype),
+            (N,) + jnp.asarray(sens_).shape[1:]))
+        ofst = jnp.asarray(self.ofst)                   # (N, 3)
+        outs = []
+        for n in range(N):                              # static batch
+            kd = k[n][list(dims), :]
+            kw = {}
+            if df_b is not None or t2_b is not None:
+                kw = dict(
+                    df=None if df_b is None else
+                    df_b[n].reshape(im_size),
+                    T2s=None if t2_b is None else
+                    t2_b[n].reshape(im_size),
+                    dt=dt, nseg=nseg)
+            mxy = sp.M_[n, :, :2].reshape(im_size + (2,))
+            nC = 1 if sens_b is None else sens_b.shape[-1]
+            coils = []
+            for c in range(nC):                         # static coils
+                if sens_b is None:
+                    img = mxy
+                else:
+                    sr = sens_b[n, :, 0, c].reshape(im_size)
+                    si = sens_b[n, :, 1, c].reshape(im_size)
+                    img = jnp.stack(
+                        [sr * mxy[..., 0] - si * mxy[..., 1],
+                         sr * mxy[..., 1] + si * mxy[..., 0]], -1)
+                coils.append(_nf.nufft(plan, img, kd, mesh=mesh, **kw))
+            s = jnp.stack(coils)                        # (nC, nT, 2)
+            # exact offset phase over ALL axes (incl. dropped ones)
+            ph = -2 * pi * jnp.einsum('xt,x->t', k[n], ofst[n])
+            c_, s_ = jnp.cos(ph), jnp.sin(ph)
+            s = jnp.stack([s[..., 0] * c_ - s[..., 1] * s_,
+                           s[..., 0] * s_ + s[..., 1] * c_], -1)
+            outs.append(s)
+        return jnp.stack(outs)                          # (N, nC, nT, 2)
 
     def pulse2beff(self, pulse: Pulse, *, doEmbed: bool = False,
                    b1Map=None, b1Map_=None):

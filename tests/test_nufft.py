@@ -334,6 +334,48 @@ def test_mesh_sharded_parity():
         assert float(jnp.abs(x0 - x1).max()) < 1e-12, kw.keys()
 
 
+def test_spincube_acquire_nufft_backend():
+    r"""``SpinCube.acquire(backend='nufft')`` vs the exact backend:
+    full chain through the object model — multi-coil, off-resonance +
+    T2* segmentation, a singleton z axis dropped from the plan, and a
+    nonzero ofst (including on the dropped axis) carried as the exact
+    sample phase."""
+    from mrphy_tpu import dt0
+    from mrphy_tpu.models.mobjs import SpinCube
+    rng = np.random.default_rng(53)
+    n, fov = 12, 24.0
+    cube = SpinCube((1, n, n, 1),
+                    jnp.asarray([[fov, fov, 1.0]], F64),
+                    ofst=jnp.asarray([[1.5, -2.0, 3.0]], F64),
+                    T1=jnp.asarray(1.0, F64), T2=jnp.asarray(0.08, F64))
+    nM = n * n
+    M = jnp.asarray(rng.standard_normal((1, nM, 3)), F64)
+    object.__setattr__(cube._spinarray, 'M_', M)
+    cube.df_ = jnp.asarray(rng.uniform(-40, 40, (1, nM)), F64)
+    T2s_ = jnp.asarray(rng.uniform(0.02, 0.06, (1, nM)), F64)
+    sens_ = jnp.asarray(rng.standard_normal((1, nM, 2, 3)), F64)
+    gr = jnp.asarray(rng.uniform(-0.4, 0.4, (1, 3, 300)), F64)
+    gr = gr.at[:, 2].set(0.0)                     # in-plane readout
+    s0 = cube.acquire(gr, sens_=sens_, T2s_=T2s_, dt=dt0)
+    s1 = cube.acquire(gr, sens_=sens_, T2s_=T2s_, dt=dt0,
+                      backend='nufft', width=6, nseg=16)
+    rel = float(jnp.linalg.norm(s1 - s0) / jnp.linalg.norm(s0))
+    assert rel < 1e-3, rel                        # segmentation-limited
+
+    # no-df/no-T2s path (pure gridding, no segmentation): tighter
+    cube2 = SpinCube((1, n, n, 1),
+                     jnp.asarray([[fov, fov, 1.0]], F64),
+                     ofst=jnp.asarray([[1.5, -2.0, 3.0]], F64),
+                     T1=jnp.asarray(1.0, F64),
+                     T2=jnp.asarray(0.08, F64))
+    object.__setattr__(cube2._spinarray, 'M_', M)
+    s0 = cube2.acquire(gr, sens_=sens_, dt=dt0)
+    s1 = cube2.acquire(gr, sens_=sens_, dt=dt0, backend='nufft',
+                       width=6)
+    rel = float(jnp.linalg.norm(s1 - s0) / jnp.linalg.norm(s0))
+    assert rel < 5e-5, rel
+
+
 def test_plan_is_jittable_pytree():
     rng = np.random.default_rng(37)
     im_size, fov = (8, 8), (16.0, 16.0)
