@@ -165,3 +165,85 @@ def test_epgx_batched_maps():
     one = epg.epgx_cpmg(flips, T1a=1.0, T2a=0.08, T1b=0.4, T2b=0.01,
                         kab=5.0, kba=20.0, esp=0.01, M0a=0.8, M0b=0.2)
     assert float(jnp.abs(ech[1] - one).max()) < 1e-13
+
+
+# ------------------------------------------------------------------
+# EPG-X(MT): bound pool with RF saturation
+# ------------------------------------------------------------------
+
+def test_mt_lineshapes_common_normalization():
+    r"""All three absorption lineshapes integrate to 1/(2π) over Δ —
+    they are the same normalization family (each super-Lorentzian
+    angle component is a Gaussian of that family)."""
+    T2b = 11e-6
+    X = 3e5
+    d = np.linspace(-X, X, 60001)
+    # the Lorentzian's 1/Δ² tails put ~3% beyond ±X: compare against
+    # the truncated analytic mass (2/π)·arctan(2πXT2b) of 1/(2π)
+    expect = {'lorentzian': (2 / np.pi) * np.arctan(2 * np.pi * X
+                                                    * T2b),
+              'gaussian': 1.0, 'superlorentzian': 1.0}
+    for kind in ('lorentzian', 'gaussian', 'superlorentzian'):
+        G = np.asarray(epg.mt_lineshape(jnp.asarray(d, F64), T2b,
+                                        kind=kind))
+        integral = np.trapezoid(G, d) * 2 * np.pi
+        assert abs(integral - expect[kind]) < 2e-3, (kind, integral)
+    # exact on-center values of the closed forms
+    g0 = float(epg.mt_lineshape(jnp.asarray(0.0, F64), T2b,
+                                kind='lorentzian'))
+    assert abs(g0 - T2b / np.pi) < 1e-18
+    g0 = float(epg.mt_lineshape(jnp.asarray(0.0, F64), T2b,
+                                kind='gaussian'))
+    assert abs(g0 - T2b / np.sqrt(2 * np.pi)) < 1e-18
+
+
+def test_mt_no_saturation_decoupled_matches_single_pool():
+    phis = epg.rf_spoil_phases(10)
+    fl = jnp.full(10, np.deg2rad(12.0), F64)
+    mt = epg.epgx_mt_spgr(fl, phis, T1a=1.0, T2a=0.08, T1b=1.0,
+                          kab=0.0, kba=0.0, tr=0.03, M0a=1.0, M0b=0.0)
+    ref = epg.epg_spgr(fl, phis, T1=1.0, T2=0.08, tr=0.03, M0=1.0)
+    assert float(jnp.abs(mt - ref).max()) < 1e-13
+
+
+def test_mt_spgr_analytic_steady_state():
+    r"""RF-spoiled MT-SPGR approaches the ideal-spoiling two-pool
+    steady state: ``z = E_L diag(cos a, e^{-wt}) z + rec`` solved
+    directly (numpy); the signal is ``sin(a) Za_ss``."""
+    import scipy.linalg
+    a, wt, tr = np.deg2rad(10.0), 0.35, 0.03
+    T1a, T1b, kab, kba = 1.2, 0.9, 2.0, 8.0
+    M0a, M0b = 0.8, 0.2
+    n = 600
+    sig = epg.epgx_mt_spgr(
+        jnp.full(n, a, F64), epg.rf_spoil_phases(n),
+        T1a=T1a, T2a=0.06, T1b=T1b, kab=kab, kba=kba, tr=tr, wt=wt,
+        M0a=M0a, M0b=M0b)
+    mag = float(jnp.hypot(sig[-1, 0], sig[-1, 1]))
+    AL = np.array([[-1 / T1a - kab, kba], [kab, -1 / T1b - kba]])
+    EL = scipy.linalg.expm(AL * tr)
+    rec = (np.eye(2) - EL) @ np.array([M0a, M0b])
+    S = np.diag([np.cos(a), np.exp(-wt)])
+    z_ss = np.linalg.solve(np.eye(2) - EL @ S, rec)
+    ana = np.sin(a) * z_ss[0]
+    assert abs(mag - ana) / ana < 0.01, (mag, ana)
+    # MT contrast: saturation suppresses the free-pool signal
+    sig0 = epg.epgx_mt_spgr(
+        jnp.full(n, a, F64), epg.rf_spoil_phases(n),
+        T1a=T1a, T2a=0.06, T1b=T1b, kab=kab, kba=kba, tr=tr, wt=0.0,
+        M0a=M0a, M0b=M0b)
+    mag0 = float(jnp.hypot(sig0[-1, 0], sig0[-1, 1]))
+    assert mag < 0.97 * mag0, (mag, mag0)
+
+
+def test_mt_differentiable_in_exchange_and_saturation():
+    def last(kab, wt):
+        s = epg.epgx_mt_spgr(
+            jnp.full(40, np.deg2rad(12.0), F64),
+            epg.rf_spoil_phases(40), T1a=1.0, T2a=0.07, T1b=1.0,
+            kab=kab, kba=4.0 * kab, tr=0.03, wt=wt, M0a=0.8, M0b=0.2)
+        return jnp.hypot(s[-1, 0], s[-1, 1])
+
+    gk, gw = jax.grad(last, argnums=(0, 1))(2.0, 0.3)
+    assert np.isfinite(float(gk)) and np.isfinite(float(gw))
+    assert float(gw) < 0           # more saturation, less signal
