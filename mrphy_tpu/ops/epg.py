@@ -264,7 +264,7 @@ def rf_spoil_phases(n: int, phi0=117.0):
 
 
 def epg_spgr(flips, phis=None, *, T1, T2, tr, te=0.0, M0=1.0,
-             kshift: int = 1, D=None, dk=0.0):
+             kshift: int = 1, D=None, dk=0.0, K=None):
     r"""Gradient-spoiled GRE (SPGR / FISP) signal train — the MRF-style
     dictionary workhorse.
 
@@ -285,6 +285,10 @@ def epg_spgr(flips, phis=None, *, T1, T2, tr, te=0.0, M0=1.0,
         - ``D``/``dk``: diffusion weighting by the spoiler
           (:func:`epg_diffusion` with ``δ=kshift`` per TR) —
           diffusion-weighted SSFP; "cm²/Sec" and "Rad/cm" per k-quantum.
+        - ``K``: modeled configuration orders (default: the exact
+          ``nTR·|kshift| + 1``; RF-spoiled steady-state work is
+          standard at K ≈ 32–64 — truncation error decays as
+          ``E2^K``, pinned by a test).
     Outputs:
         - ``signals``: `(*batch, nTR, 2)` real ([re, im] of the
           demodulated echo).
@@ -311,7 +315,7 @@ def epg_spgr(flips, phis=None, *, T1, T2, tr, te=0.0, M0=1.0,
     M0 = jnp.asarray(M0, dtype)
     batch = jnp.broadcast_shapes(flips.shape[:-1], phis.shape[:-1],
                                  T1b.shape, T2b.shape, jnp.shape(M0))
-    K = nTR * abs(int(kshift)) + 1
+    K = nTR * abs(int(kshift)) + 1 if K is None else int(K)
     s = epg_state(K, batch, M0=M0, dtype=dtype)
     flips_t = jnp.moveaxis(jnp.broadcast_to(flips, batch + (nTR,)),
                            -1, 0)
@@ -548,7 +552,7 @@ def epgx_cpmg(flips, *, T1a, T2a, T1b, T2b, kab, kba, esp, M0a=1.0,
 
 
 def epgx_spgr(flips, phis=None, *, T1a, T2a, T1b, T2b, kab, kba, tr,
-              M0a=1.0, M0b=0.1, dfb=0.0, kshift: int = 1):
+              M0a=1.0, M0b=0.1, dfb=0.0, kshift: int = 1, K=None):
     r"""Gradient-spoiled GRE train of a two-pool exchanging system —
     EPG-X dictionaries for exchange-sensitive MRF. Per TR: RF on both
     pools, demodulated total ``F+(0)`` readout, exact
@@ -571,7 +575,7 @@ def epgx_spgr(flips, phis=None, *, T1a, T2a, T1b, T2b, kab, kba, tr,
         flips.shape[:-1], phis.shape[:-1],
         *(jnp.shape(jnp.asarray(v)) for v in kw.values()
           if v is not None))
-    K = nTR * abs(int(kshift)) + 1
+    K = nTR * abs(int(kshift)) + 1 if K is None else int(K)
     s = epgx_state(K, batch, M0a=M0a, M0b=M0b, dtype=dtype)
     flips_t = jnp.moveaxis(jnp.broadcast_to(flips, batch + (nTR,)),
                            -1, 0)
@@ -618,8 +622,9 @@ def mt_lineshape(delta, T2b, kind: str = 'superlorentzian', nq: int = 256):
           divergence is the physical one, evaluate at |Δ| ≳ 1 kHz) ⊻
           ``'gaussian'`` ⊻ ``'lorentzian'``.
     """
-    delta = jnp.asarray(delta)
-    T2b = jnp.asarray(T2b, delta.dtype)
+    delta = jnp.asarray(delta, jnp.result_type(float))
+    delta, T2b = jnp.broadcast_arrays(
+        delta, jnp.asarray(T2b, delta.dtype))    # per-voxel T2b maps
     if kind == 'lorentzian':
         return (T2b / pi) / (1 + (2 * pi * delta * T2b) ** 2)
     if kind == 'gaussian':
@@ -631,8 +636,9 @@ def mt_lineshape(delta, T2b, kind: str = 'superlorentzian', nq: int = 256):
     du = 1.0 / nq
     denom = jnp.abs(3 * u ** 2 - 1)
     denom = jnp.maximum(denom, 1e-8)
-    arg = (2 * pi * delta[..., None] * T2b / denom) ** 2
-    integ = jnp.sqrt(2 / pi) * (T2b / denom) * jnp.exp(-2 * arg)
+    arg = (2 * pi * (delta * T2b)[..., None] / denom) ** 2
+    integ = jnp.sqrt(2 / pi) * (T2b[..., None] / denom) \
+        * jnp.exp(-2 * arg)
     return (integ * du).sum(-1)
 
 
@@ -680,7 +686,8 @@ def epgx_mt_rf(s, alpha, phi=0.0, wt=0.0):
 
 
 def epgx_mt_spgr(flips, phis=None, *, T1a, T2a, T1b, kab, kba, tr,
-                 wt=0.0, M0a=1.0, M0b=0.1, kshift: int = 1):
+                 wt=0.0, M0a=1.0, M0b=0.1, kshift: int = 1,
+                 K=None):
     r"""MT-weighted gradient-spoiled GRE train (the qMT-SPGR
     workhorse): per TR an on-resonance excitation of the free pool
     (flip ``flips[n]`` about ``phis[n]``) plus bound-pool saturation
@@ -690,6 +697,10 @@ def epgx_mt_spgr(flips, phis=None, *, T1a, T2a, T1b, kab, kba, tr,
 
     Inputs: as :func:`epg_spgr` plus ``T1b``/``kab``/``kba``/``M0b``
     and ``wt`` `()` ⊻ `(nTR,)` ⊻ `(*batch, nTR)`.
+        - ``K``: modeled configuration orders (default: the exact
+          ``nTR·|kshift| + 1``; RF-spoiled steady-state work is
+          standard at K ≈ 32–64 — truncation error decays as
+          ``E2^K``, pinned by a test).
     Outputs: ``signals`` `(*batch, nTR, 2)`.
 
     Differentiable w.r.t. everything (qMT parameter fitting by
@@ -712,7 +723,7 @@ def epgx_mt_spgr(flips, phis=None, *, T1a, T2a, T1b, kab, kba, tr,
     batch = jnp.broadcast_shapes(
         flips.shape[:-1], phis.shape[:-1], wt_b.shape[:-1],
         *(jnp.shape(jnp.asarray(v)) for v in kw.values()))
-    K = nTR * abs(int(kshift)) + 1
+    K = nTR * abs(int(kshift)) + 1 if K is None else int(K)
     s = epgx_state(K, batch, M0a=M0a, M0b=M0b, dtype=dtype)
     flips_t = jnp.moveaxis(jnp.broadcast_to(flips, batch + (nTR,)),
                            -1, 0)

@@ -247,3 +247,25 @@ def test_mt_differentiable_in_exchange_and_saturation():
     gk, gw = jax.grad(last, argnums=(0, 1))(2.0, 0.3)
     assert np.isfinite(float(gk)) and np.isfinite(float(gw))
     assert float(gw) < 0           # more saturation, less signal
+
+
+def test_spgr_truncated_orders():
+    r"""``K=`` truncation: an RF-spoiled 200-TR train at K=48 matches
+    the full-order (K=201) train to ~E2^K — the standard EPG
+    steady-state shortcut, ~4x cheaper."""
+    n = 200
+    fl = jnp.full(n, np.deg2rad(12.0), F64)
+    ph = epg.rf_spoil_phases(n)
+    kw = dict(T1=1.0, T2=0.07, tr=0.03)
+    full = epg.epg_spgr(fl, ph, **kw)
+    trunc = epg.epg_spgr(fl, ph, K=48, **kw)
+    rel = float(jnp.abs(full - trunc).max()
+                / jnp.abs(full).max())
+    assert rel < 1e-9, rel
+    kwx = dict(T1a=1.0, T2a=0.07, T1b=1.0, kab=2.0, kba=8.0, tr=0.03,
+               wt=0.3, M0a=0.8, M0b=0.2)
+    fullx = epg.epgx_mt_spgr(fl, ph, **kwx)
+    truncx = epg.epgx_mt_spgr(fl, ph, K=48, **kwx)
+    relx = float(jnp.abs(fullx - truncx).max()
+                 / jnp.abs(fullx).max())
+    assert relx < 1e-9, relx

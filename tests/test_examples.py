@@ -39,6 +39,7 @@ CASES = [
     ('scanner_pipeline.py', ['--n', '16']),
     ('fieldmap_recon.py', ['--n', '16', '--iters', '250']),
     ('mwf_fit.py', ['--nvox', '12', '--iters', '600']),
+    ('qmt_fit.py', ['--nvox', '6', '--iters', '300', '--ntr', '150']),
     ('recon_sense.py', ['--n', '16', '--iters', '40', '--noise',
                         '0.3']),
     ('recon_sense.py', ['--n', '16', '--iters', '40', '--traj',
