@@ -18,7 +18,7 @@ from mrphy_tpu.utils.girf import apply_girf, exp_decay_girf
 from mrphy_tpu.utils.sar import sar_vops, vop_compress
 from mrphy_tpu.utils.traj import (spiral2d, epi, radial, radial3d,
                                   rosette, trapezoid, rewinder,
-                                  traj_check)
+                                  mintime_gradient, traj_check)
 from mrphy_tpu.utils.coils import (coil_compress, apply_ccmat,
                                    noise_whiten_mat, add_noise)
 
@@ -40,7 +40,7 @@ __all__ = ['ctrsub', 'g2k', 'g2s', 'k2g', 'rf_c2r', 'rf_r2c',
            'uphirot', 'pulse_to_seq', 'seq_to_pulse',
            'apply_girf', 'exp_decay_girf', 'sar_vops', 'vop_compress',
            'spiral2d', 'epi', 'radial', 'radial3d', 'rosette',
-           'trapezoid', 'rewinder', 'traj_check',
+           'trapezoid', 'rewinder', 'mintime_gradient', 'traj_check',
            'coil_compress', 'apply_ccmat', 'noise_whiten_mat',
            'add_noise',
            # Unicode aliases (NFKC-normalized spellings)

@@ -19,7 +19,7 @@ from typing import Tuple
 import numpy as np
 
 __all__ = ['spiral2d', 'epi', 'radial', 'radial3d', 'rosette',
-           'trapezoid', 'rewinder', 'traj_check']
+           'trapezoid', 'rewinder', 'mintime_gradient', 'traj_check']
 
 from mrphy_tpu import gamH, dt0, gmax0, smax0
 
@@ -345,3 +345,107 @@ def traj_check(gr: np.ndarray, *, gmax: float = gmax0,
     pre = g[..., :1] / dt                          # ramp from zero
     s = np.concatenate([pre, s], -1)
     assert np.all(np.abs(s) <= smax * (1 + margin)), np.abs(s).max()
+
+
+def mintime_gradient(path, *, gmax: float = gmax0, smax: float = smax0,
+                     dt: float = dt0, gam: float = gamH,
+                     v0: float = 0.0, v1: float = 0.0,
+                     margin: float = 0.995) -> np.ndarray:
+    r"""Time-optimal gradient waveform tracing an ARBITRARY k-space
+    path — the Lustig–Kim–Pauly method [IEEE TMI 27(6):866, 2008],
+    rotationally-invariant constraints: reparametrize the curve by arc
+    length, bound the traversal speed by amplitude (``v ≤ γ·gmax``)
+    and curvature (``κv² ≤ γ·smax``), and propagate the tangential-
+    acceleration limit ``(v·dv/ds)² ≤ (γ·smax)² − (κv²)²`` through one
+    forward and one backward pass — the pointwise minimum is the
+    optimal speed profile; resampling the curve at uniform ``dt``
+    along it yields the gradients.
+
+    Inputs:
+        - ``path``: `(d ≤ 3, nP)`, "cycle/cm", the k-space curve in
+          traversal order, densely and smoothly sampled (curvature is
+          estimated by finite differences — kinks read as infinite
+          curvature and the design slows to a crawl there, which is
+          the physical answer). The produced Rx k-space starts at the
+          path start; begin at the origin or prepend a prephaser
+          (:func:`trapezoid`).
+    Optionals:
+        - ``gmax``/``smax``/``dt``/``gam``: hardware limits and dwell.
+          The VECTOR-NORM limits are enforced (per-axis follows a
+          fortiori — :func:`traj_check` passes by construction).
+        - ``v0``/``v1``: entry/exit speeds, "cycle/cm/s" (default: at
+          rest; pass ``γ·|g_end|`` to splice waveforms).
+        - ``margin``: design at this fraction of the limits (absorbs
+          resampling discretization).
+    Outputs:
+        - ``gr``: `(1, 3, nT)`, "Gauss/cm" (z row zero for 2-D paths).
+
+    The framework's analytic generators (spiral/EPI/rosette) integrate
+    their own rate equations; this is the general tool for every other
+    curve (measured trajectories, optimized paths, splines).
+    """
+    p = np.atleast_2d(np.asarray(path, np.float64))
+    d, nP = p.shape
+    assert d <= 3 and nP >= 3, p.shape
+    gm, sm = margin * gmax, margin * smax
+
+    # --- arc-length resampling on a dense grid ---
+    seg = np.linalg.norm(np.diff(p, axis=1), axis=0)
+    s_nodes = np.concatenate([[0.0], np.cumsum(seg)])
+    L = s_nodes[-1]
+    assert L > 0, 'degenerate path'
+    ds = min(gam * gm * dt / 4, L / (2 * nP))
+    ns = int(np.ceil(L / ds)) + 1
+    s = np.linspace(0.0, L, ns)
+    ds = s[1] - s[0]
+    c = np.stack([np.interp(s, s_nodes, p[a]) for a in range(d)])
+
+    # --- curvature via central differences of the unit tangent ---
+    t_vec = np.gradient(c, ds, axis=1)
+    t_norm = np.maximum(np.linalg.norm(t_vec, axis=0), 1e-12)
+    t_hat = t_vec / t_norm
+    kappa = np.linalg.norm(np.gradient(t_hat, ds, axis=1), axis=0)
+    kappa = np.maximum(kappa, 1e-12)
+
+    # --- speed limits and the two passes ---
+    a_max = gam * sm                              # cycle/cm/s^2
+    vmax = np.minimum(gam * gm, np.sqrt(a_max / kappa))
+
+    def sweep(v_init, vmax_dir, kappa_dir):
+        v = np.empty(ns)
+        v[0] = min(v_init, vmax_dir[0])
+        for i in range(ns - 1):
+            at2 = a_max ** 2 - (kappa_dir[i] * v[i] ** 2) ** 2
+            at = np.sqrt(max(at2, 0.0))
+            v[i + 1] = min(vmax_dir[i + 1],
+                           np.sqrt(v[i] ** 2 + 2 * at * ds))
+        return v
+
+    v_f = sweep(v0, vmax, kappa)
+    v_b = sweep(v1, vmax[::-1], kappa[::-1])[::-1]
+    v = np.minimum(v_f, v_b)
+
+    # --- time along the curve; resample at the dwell ---
+    vsum = np.maximum(v[:-1] + v[1:], 1e-12)
+    t = np.concatenate([[0.0], np.cumsum(2 * ds / vsum)])
+    # invert via the SPEED, not the position: near the endpoints v→0
+    # makes t(s) locally sqrt-like and adjacent s-nodes many dwells
+    # apart — linear interp of s(t) there linearizes the braking
+    # parabola and the finite-difference slew overshoots. v(t) is
+    # piecewise-LINEAR in t under constant acceleration, so
+    # trapezoid-integrating the interpolated v on the dwell grid is
+    # exact through the ramps.
+    nT = int(np.ceil(t[-1] / dt))
+    tk_all = dt * np.arange(nT + 1)
+    vk = np.interp(tk_all, t, v)
+    sk = np.cumsum((vk[:-1] + vk[1:]) / 2 * dt)
+    # the trapezoid under-integrates by O(ds²) at speed-profile
+    # corners; rescale so the path completes exactly (relative speed
+    # distortion = the drift, far below `margin`)
+    sk = sk * (L / sk[-1])
+    kpts = np.stack([np.interp(sk, s, c[a]) for a in range(d)])
+    k0 = c[:, :1]
+    g = np.diff(np.concatenate([k0, kpts], 1), axis=1) / (gam * dt)
+    gr = np.zeros((1, 3, nT))
+    gr[0, :d] = g
+    return gr

@@ -185,3 +185,66 @@ class TestSpiral:
         pred = np.asarray(sta_forward(rf, jnp.asarray(loc), gr))
         err = np.abs(pred - tgt)[0].max() / 0.1
         assert err < 0.2, err                         # sidelobes only
+
+
+class TestMintimeGradient:
+    r"""Lustig–Kim–Pauly time-optimal reparametrization: hardware
+    limits by construction, path fidelity to one k-sample step, the
+    curvature speed limit actually attained on a circle, and the
+    straight-line limit reducing to the min-time trapezoid."""
+
+    def test_circle_reaches_curvature_limit(self):
+        from mrphy_tpu import gamH, dt0, gmax0, smax0
+        from mrphy_tpu.utils.traj import mintime_gradient, traj_check
+        r = 0.4                                    # cycle/cm
+        th = np.linspace(0, 2 * np.pi, 8001)
+        path = np.stack([r - r * np.cos(th), r * np.sin(th)])
+        gr = mintime_gradient(path)
+        traj_check(gr)
+        vss = min(gamH * gmax0, np.sqrt(gamH * smax0 * r))
+        speed = gamH * np.linalg.norm(gr[0, :2], axis=0)
+        assert speed.max() <= vss * 1.001
+        assert speed.max() >= 0.97 * vss           # limit attained
+        # fidelity: every sample on the circle to ~1 k-step
+        import jax.numpy as jnp
+        from mrphy_tpu.utils import g2k
+        k = np.asarray(g2k(jnp.asarray(gr), False, dt=dt0))[0, :2]
+        dev = np.abs(np.hypot(k[0] - r, k[1]) - r)
+        assert dev.max() < 1.5 * gamH * gmax0 * dt0, dev.max()
+
+    def test_line_matches_trapezoid(self):
+        from mrphy_tpu import gamH
+        from mrphy_tpu.utils.traj import (mintime_gradient, trapezoid,
+                                          traj_check)
+        A = 0.6                                    # cycle/cm
+        path = np.stack([np.linspace(0, A, 4001),
+                         np.zeros(4001)])
+        gr = mintime_gradient(path)
+        traj_check(gr)
+        n_trap = trapezoid(A / gamH).size
+        nT = gr.shape[-1]
+        assert nT <= n_trap * 1.05 + 4, (nT, n_trap)
+        assert nT >= n_trap - 1, (nT, n_trap)      # can't beat optimal
+        # end position exact
+        import jax.numpy as jnp
+        from mrphy_tpu.utils import g2k
+        from mrphy_tpu import dt0
+        k = np.asarray(g2k(jnp.asarray(gr), False, dt=dt0))[0]
+        assert abs(k[0, -1] - A) < 1e-6 and abs(k[1, -1]) < 1e-9
+
+    def test_arbitrary_smooth_curve_fidelity(self):
+        from mrphy_tpu import gamH, dt0, gmax0
+        from mrphy_tpu.utils.traj import mintime_gradient, traj_check
+        t = np.linspace(0, 1, 6001)
+        path = 0.5 * np.stack([t * np.sin(4 * np.pi * t),
+                               t * (1 - np.cos(4 * np.pi * t)),
+                               0.8 * t * t])
+        gr = mintime_gradient(path)
+        traj_check(gr)
+        import jax.numpy as jnp
+        from mrphy_tpu.utils import g2k
+        k = np.asarray(g2k(jnp.asarray(gr), False, dt=dt0))[0]
+        # distance from every output sample to the dense input curve
+        d2 = ((k[:, None, :] - path[:, :, None]) ** 2).sum(0)
+        dev = np.sqrt(d2.min(0))
+        assert dev.max() < 1.5 * gamH * gmax0 * dt0, dev.max()
