@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ['coil_compress', 'apply_ccmat', 'noise_whiten_mat',
-           'add_noise']
+           'add_noise', 'adaptive_maps']
 
 
 def _to_complex(x):
@@ -138,3 +138,88 @@ def add_noise(key, s, sigma, Psi=None):
         Lt = np.stack([L.T.real, L.T.imag], 0)
         n = apply_ccmat(n, jnp.asarray(Lt, s.dtype), axis=1)
     return s + n
+
+
+def adaptive_maps(imgs, *, block: int = 5, iters: int = 40,
+                  eps: float = 1e-12):
+    r"""Receive-sensitivity maps from coil images — Walsh's adaptive
+    method [Walsh, Gmitro & Marcellin, MRM 43(5):682, 2000]: per voxel,
+    the principal eigenvector of the locally averaged coil covariance
+    ``R(x) = Σ_{x'∈block} s(x') s(x')ᴴ`` IS the relative sensitivity
+    vector (the object magnitude is rank-one locally). Phase is
+    anchored to the strongest coil, so the maps are usable directly in
+    SENSE (:mod:`mrphy_tpu.ops.signal` / CG recon) — estimated, not
+    assumed.
+
+    Fully jittable: the block average is a separable box filter
+    (cumsum differences) over the ``nC²`` correlation images, and the
+    eigenvector comes from fixed-count power iteration — no complex
+    dtypes, no host eigendecompositions.
+
+    Inputs:
+        - ``imgs``: `(nC, n_1, …, n_d, 2)` coil images (re/im), e.g.
+          low-resolution gridded calibration reconstructions.
+    Optionals:
+        - ``block``: box side (odd), voxels.
+        - ``iters``: power iterations (the spectral gap is large where
+          there is signal; 40 is far past convergence).
+    Outputs:
+        - ``maps``: `(n_1, …, n_d, 2, nC)` unit-norm sensitivity
+          vectors (the ``sens_``-style trailing layout, batch-free).
+    """
+    imgs = jnp.asarray(imgs)
+    nC = imgs.shape[0]
+    d = imgs.ndim - 2
+    xr, xi = imgs[..., 0], imgs[..., 1]                # (nC, n…)
+
+    def box_filter(a, axis):
+        n = a.shape[axis]
+        h = block // 2
+        c = jnp.cumsum(a, axis=axis)
+        pad_lo = [(0, 0)] * a.ndim
+        pad_lo[axis] = (h + 1, 0)
+        pad_hi = [(0, 0)] * a.ndim
+        pad_hi[axis] = (0, h)
+        chi = jnp.pad(c, pad_hi, mode='edge')
+        clo = jnp.pad(c, pad_lo)[tuple(
+            slice(0, n) if ax == axis else slice(None)
+            for ax in range(a.ndim))]
+        hi = chi[tuple(slice(h, h + n) if ax == axis else slice(None)
+                       for ax in range(a.ndim))]
+        return hi - clo
+
+    # nC x nC correlation images, box-averaged (upper triangle +
+    # Hermitian fill)
+    Rr = jnp.einsum('i...,j...->ij...', xr, xr) + jnp.einsum(
+        'i...,j...->ij...', xi, xi)                    # Re(s_i s_j^*)
+    Ri = jnp.einsum('i...,j...->ij...', xi, xr) - jnp.einsum(
+        'i...,j...->ij...', xr, xi)                    # Im(s_i s_j^*)
+    for ax in range(2, 2 + d):
+        Rr = box_filter(Rr, ax)
+        Ri = box_filter(Ri, ax)
+
+    # power iteration on the Hermitian (Rr + iRi) per voxel
+    vr = jnp.ones((nC,) + imgs.shape[1:-1], imgs.dtype)
+    vi = jnp.zeros_like(vr)
+
+    def step(_, vv):
+        vr, vi = vv
+        wr = jnp.einsum('ij...,j...->i...', Rr, vr) \
+            - jnp.einsum('ij...,j...->i...', Ri, vi)
+        wi = jnp.einsum('ij...,j...->i...', Rr, vi) \
+            + jnp.einsum('ij...,j...->i...', Ri, vr)
+        nrm = jnp.sqrt((wr ** 2 + wi ** 2).sum(0, keepdims=True))
+        nrm = jnp.maximum(nrm, eps)
+        return wr / nrm, wi / nrm
+
+    vr, vi = jax.lax.fori_loop(0, iters, step, (vr, vi))
+    # anchor the per-voxel phase to the strongest coil (its map is
+    # made real-positive), so maps vary smoothly like physical coils
+    power = vr ** 2 + vi ** 2
+    ref = jnp.argmax(power.sum(tuple(range(1, 1 + d))))   # global ref
+    rr, ri = vr[ref], vi[ref]
+    mag = jnp.sqrt(jnp.maximum(rr ** 2 + ri ** 2, eps))
+    cr, ci = rr / mag, -ri / mag                       # conj(phase)
+    mr = vr * cr - vi * ci
+    mi = vr * ci + vi * cr
+    return jnp.moveaxis(jnp.stack([mr, mi], -1), 0, -1)  # (n…, 2, nC)
