@@ -20,7 +20,9 @@ from mrphy_tpu.utils.traj import (spiral2d, epi, radial, radial3d,
                                   rosette, trapezoid, rewinder,
                                   mintime_gradient, traj_check)
 from mrphy_tpu.utils.coils import (coil_compress, apply_ccmat,
-                                   noise_whiten_mat, add_noise)
+                                   noise_whiten_mat, add_noise,
+                                   adaptive_maps)
+from mrphy_tpu.utils.shim import sh_basis, shim_fit, shim_apply
 
 # -- Unicode aliases (reference spellings) --
 # Python NFKC-normalizes identifiers: source written as `uϕrot` (U+03D5,
@@ -42,6 +44,6 @@ __all__ = ['ctrsub', 'g2k', 'g2s', 'k2g', 'rf_c2r', 'rf_r2c',
            'spiral2d', 'epi', 'radial', 'radial3d', 'rosette',
            'trapezoid', 'rewinder', 'mintime_gradient', 'traj_check',
            'coil_compress', 'apply_ccmat', 'noise_whiten_mat',
-           'add_noise',
+           'add_noise', 'adaptive_maps', 'sh_basis', 'shim_fit', 'shim_apply',
            # Unicode aliases (NFKC-normalized spellings)
            'uφrot', 'rf2tρθ', 'tρθ2rf', 'rf2lρθ', 'lρθ2rf']

@@ -144,3 +144,60 @@ class TestUtils:
             utils.k2g(k, False, self.dt, gam=self.gam),
             False, self.dt, gam=self.gam))
         np.testing.assert_allclose(f(k), k, atol=ATOL32)
+
+
+class TestShim:
+    r"""Spherical-harmonic B0 shimming: exact recovery of in-basis
+    fields, weighted/masked fits, residual reduction on out-of-basis
+    maps, and batch broadcasting."""
+
+    def test_exact_recovery_in_basis(self):
+        import jax.numpy as jnp
+        from mrphy_tpu.utils.shim import sh_basis, shim_fit, shim_apply
+        rng = np.random.default_rng(3)
+        loc = jnp.asarray(rng.uniform(-8, 8, (200, 3)), jnp.float64)
+        c_true = jnp.asarray(rng.standard_normal(9), jnp.float64)
+        df = (sh_basis(loc) @ c_true[:, None])[:, 0]
+        c, res = shim_fit(df, loc)
+        assert float(jnp.abs(c - c_true).max()) < 1e-9
+        assert float(jnp.abs(res).max()) < 1e-9
+        assert float(jnp.abs(shim_apply(df, loc, c)).max()) < 1e-9
+
+    def test_out_of_basis_residual_shrinks_with_order(self):
+        import jax.numpy as jnp
+        from mrphy_tpu.utils.shim import shim_fit
+        rng = np.random.default_rng(5)
+        loc = jnp.asarray(rng.uniform(-8, 8, (400, 3)), jnp.float64)
+        x, y, z = loc[:, 0], loc[:, 1], loc[:, 2]
+        df = 10 + 3 * x - 2 * z + 0.4 * x * y + 0.05 * x ** 3  # cubic
+        r0 = float(jnp.linalg.norm(shim_fit(df, loc, order=0)[1]))
+        r1 = float(jnp.linalg.norm(shim_fit(df, loc, order=1)[1]))
+        r2 = float(jnp.linalg.norm(shim_fit(df, loc, order=2)[1]))
+        assert r2 < r1 < r0
+        assert r2 < 0.35 * float(jnp.linalg.norm(df))
+
+    def test_weighted_fit_ignores_masked_voxels(self):
+        import jax.numpy as jnp
+        from mrphy_tpu.utils.shim import sh_basis, shim_fit
+        rng = np.random.default_rng(7)
+        loc = jnp.asarray(rng.uniform(-8, 8, (300, 3)), jnp.float64)
+        c_true = jnp.asarray(rng.standard_normal(9), jnp.float64)
+        df = (sh_basis(loc) @ c_true[:, None])[:, 0]
+        # corrupt voxels outside the "support"; weights exclude them
+        w = jnp.asarray(rng.uniform(0, 1, 300) > 0.3, jnp.float64)
+        df_bad = jnp.where(w > 0, df, 1e3)
+        c, _ = shim_fit(df_bad, loc, w_=w)
+        assert float(jnp.abs(c - c_true).max()) < 1e-9
+
+    def test_batched(self):
+        import jax.numpy as jnp
+        from mrphy_tpu.utils.shim import sh_basis, shim_fit
+        rng = np.random.default_rng(9)
+        loc = jnp.asarray(rng.uniform(-8, 8, (1, 120, 3)), jnp.float64)
+        c_true = jnp.asarray(rng.standard_normal((2, 9)), jnp.float64)
+        B = sh_basis(loc)[0]
+        df = jnp.einsum('mb,nb->nm', B, c_true)
+        c, res = shim_fit(df, loc)
+        assert c.shape == (2, 9)
+        assert float(jnp.abs(c - c_true).max()) < 1e-9
+        assert float(jnp.abs(res).max()) < 1e-8
