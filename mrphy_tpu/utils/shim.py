@@ -78,11 +78,12 @@ def shim_fit(df_, loc_, *, order: int = 2, w_=None
         yw = df_ * sw
     else:
         Bw, yw = B, df_
-    # batched normal equations (lstsq is not batched); the basis is a
-    # tiny well-conditioned polynomial design matrix
+    # batched normal equations (lstsq is not batched) via pinv: the
+    # minimum-norm solution survives degenerate channels (e.g. the z
+    # columns vanish identically on a single-slice cube)
     G = jnp.einsum('...mi,...mj->...ij', Bw, Bw)
     b = jnp.einsum('...mi,...m->...i', Bw, yw)
-    coeffs = jnp.linalg.solve(G, b[..., None])[..., 0]
+    coeffs = jnp.einsum('...ij,...j->...i', jnp.linalg.pinv(G), b)
     return coeffs, df_ - (B @ coeffs[..., None])[..., 0]
 
 

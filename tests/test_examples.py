@@ -37,7 +37,7 @@ CASES = [
     ('bloch_siegert_b1map.py', ['--nb1', '24']),
     ('crlb_protocol.py', ['--ntr', '32', '--iters', '200']),
     ('scanner_pipeline.py', ['--n', '16']),
-    ('fieldmap_recon.py', ['--n', '16', '--iters', '250']),
+    ('fieldmap_recon.py', ['--n', '16', '--iters', '250', '--shim']),
     ('mwf_fit.py', ['--nvox', '12', '--iters', '600']),
     ('qmt_fit.py', ['--nvox', '6', '--iters', '300', '--ntr', '150']),
     ('recon_sense.py', ['--n', '16', '--iters', '40', '--noise',
