@@ -40,6 +40,7 @@ CASES = [
     ('fieldmap_recon.py', ['--n', '16', '--iters', '250', '--shim']),
     ('mwf_fit.py', ['--nvox', '12', '--iters', '600']),
     ('qmt_fit.py', ['--nvox', '6', '--iters', '300', '--ntr', '150']),
+    ('pc_venc.py', ['--nspins', '16']),
     ('recon_sense.py', ['--n', '16', '--iters', '40', '--noise',
                         '0.3']),
     ('recon_sense.py', ['--n', '16', '--iters', '40', '--traj',
