@@ -77,9 +77,11 @@ def main():
     # ---- object: disk phantom, off-resonance bowl, T2* map ----
     ax = (np.arange(n) - n // 2) / n * fov
     yy, xx = np.meshgrid(ax, ax, indexing='ij')
-    r2n = (xx ** 2 + yy ** 2) / (fov / 2) ** 2          # 0..~2
+    # deliberately ANISOTROPIC phantom + field: a symmetric scene
+    # masked a k-axis transposition bug once — never again
+    r2n = (1.3 * xx ** 2 + 0.8 * yy ** 2) / (fov / 2) ** 2
     rho = np.where(r2n < 0.64, 1.0 - 0.4 * r2n, 0.0)    # support mask
-    df_true = 90.0 * (r2n / 0.32 - 1.0)                 # ±90 Hz in-disk
+    df_true = 90.0 * (r2n / 0.32 - 1.0) + 15.0 * xx / (fov / 2)
     t2s_true = 0.025 + 0.02 * (1 - np.minimum(r2n, 1))  # 25..45 ms
     sup = rho.reshape(-1) > 0
     dfs = df_true.reshape(-1)[sup]
@@ -179,7 +181,8 @@ def main():
 
     # ---- 4. CG recon via NUFFT: fitted maps vs no correction ----
     plan = nf.nufft_plan((n, n), (fov, fov), width=5)
-    k2 = k3[0, (1, 0), :]                               # (ky, kx)
+    # loc_ stacks [yy, xx]: k row 0 already pairs with grid axis 0
+    k2 = k3[0, :2, :]
     truth = np.asarray(M0[0, :, :2]).reshape(n, n, 2)
 
     def recon(dfg, t2g, nseg):

@@ -102,6 +102,11 @@ def main():
                          "inverse crime.")
     ap.add_argument('--nseg', type=int, default=12,
                     help='time segments for --op nufft with --df')
+    ap.add_argument('--toeplitz', action='store_true',
+                    help='with --op nufft (df-free): apply A^H A via '
+                         'the exact Toeplitz embedding — each CG '
+                         'iteration is two dense grid DFTs, zero '
+                         'gridding error, trajectory-independent cost')
     args = ap.parse_args()
 
     import jax
@@ -217,9 +222,37 @@ def main():
         s_acq = apply_ccmat(s_acq, Wwh, axis=1)
         print(f'noise std {args.noise} (correlated), pre-whitened')
 
+    normal_op = None
+    if args.toeplitz:
+        assert args.op == 'nufft' and df is None, \
+            '--toeplitz needs --op nufft and no --df (AHA is only ' \
+            'Toeplitz without off-resonance)'
+        # reuse the nufft branch's plan/k2/_sg (the assert guarantees
+        # they exist and stay consistent with AH's RHS); the kernel is
+        # a plain sum over samples, so one call on the concatenated
+        # shots replaces per-shot contractions
+        that = nf.toeplitz_kernel(
+            plan, jnp.concatenate(list(k2), axis=-1))
+
+        def normal_op(x):                     # Σ_c Sᴴ T S  (exact AᴴA)
+            xg = x.reshape(n, n, 2)
+
+            def coil(sc):
+                wr = sc[..., 0] * xg[..., 0] - sc[..., 1] * xg[..., 1]
+                wi = sc[..., 0] * xg[..., 1] + sc[..., 1] * xg[..., 0]
+                y = nf.toeplitz_apply(plan, that,
+                                      jnp.stack([wr, wi], -1))
+                yr = sc[..., 0] * y[..., 0] + sc[..., 1] * y[..., 1]
+                yi = sc[..., 0] * y[..., 1] - sc[..., 1] * y[..., 0]
+                return jnp.stack([yr, yi], -1)
+
+            return jax.vmap(coil)(_sg()).sum(0).reshape(nM, 2)
+
     @jax.jit
     def cg_sense(s):
         def normal(x):
+            if normal_op is not None:
+                return normal_op(x) + args.lam * x
             return AH(A(x)) + args.lam * x
 
         b = AH(s)

@@ -924,7 +924,8 @@ class SpinCube(SpinArray):
                 coils.append(_nf.nufft(plan, img, kd, mesh=mesh, **kw))
             s = jnp.stack(coils)                        # (nC, nT, 2)
             # exact offset phase over ALL axes (incl. dropped ones)
-            ph = -2 * pi * jnp.einsum('xt,x->t', k[n], ofst[n])
+            ph = -2 * pi * jnp.einsum('xt,x->t', k[n], ofst[n],
+                                      precision='highest')
             c_, s_ = jnp.cos(ph), jnp.sin(ph)
             s = jnp.stack([s[..., 0] * c_ - s[..., 1] * s_,
                            s[..., 0] * s_ + s[..., 1] * c_], -1)

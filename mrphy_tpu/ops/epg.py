@@ -414,6 +414,26 @@ def _expm2c(ar, ai, b, c, dr, di):
     return E00, E01, E10, E11
 
 
+def _z_recovery(Z00, Z01, Z10, Z11, T1a, T1b, kab, kba, M0a, M0b):
+    r"""Exact affine recovery of the coupled longitudinal system over
+    one interval: ``rec = A⁻¹(E − I)·b`` with ``A`` the (1/s) rate
+    matrix and ``b = [M0a/T1a, M0b/T1b]`` the recovery source — the
+    same closed form :func:`mrphy_tpu.ops.slowsims.blochsim_mc` uses.
+    Equals ``(I − E)[M0a, M0b]`` ONLY under detailed balance
+    (``kab·M0a == kba·M0b``); arbitrary rates drive the steady state
+    away from equilibrium and the shortcut is silently wrong."""
+    a00, a01 = -1 / T1a - kab, kba
+    a10, a11 = kab, -1 / T1b - kba
+    det = a00 * a11 - a01 * a10
+    ba, bb = M0a / T1a, M0b / T1b
+    e00, e01, e10, e11 = Z00 - 1.0, Z01, Z10, Z11 - 1.0
+    ra = (a11 * (e00 * ba + e01 * bb)
+          - a01 * (e10 * ba + e11 * bb)) / det
+    rb = (-a10 * (e00 * ba + e01 * bb)
+          + a00 * (e10 * ba + e11 * bb)) / det
+    return ra, rb
+
+
 def epgx_state(K: int, batch=(), M0a=1.0, M0b=0.1,
                dtype=jnp.float32):
     r"""Equilibrium two-pool EPG-X state: `(*batch, 2, 3, K, 2)` real
@@ -498,8 +518,10 @@ def epgx_relax(s, tau, *, T1a, T2a, T1b, T2b, kab, kba, M0a=1.0,
     Za, Zb = Fa[..., 2, :, :], Fb[..., 2, :, :]      # (*b, K, 2)
     Za1 = Z00[..., None, None] * Za + Z01[..., None, None] * Zb
     Zb1 = Z10[..., None, None] * Za + Z11[..., None, None] * Zb
-    Za1 = Za1.at[..., 0, 0].add((1 - Z00) * M0a - Z01 * M0b)
-    Zb1 = Zb1.at[..., 0, 0].add((1 - Z11) * M0b - Z10 * M0a)
+    ra, rb = _z_recovery(Z00, Z01, Z10, Z11, T1a, T1b, kab, kba,
+                         M0a, M0b)
+    Za1 = Za1.at[..., 0, 0].add(ra)
+    Zb1 = Zb1.at[..., 0, 0].add(rb)
 
     pool_a = jnp.stack([jnp.stack([pa_r, pa_i], -1),
                         jnp.stack([ma_r, ma_i], -1), Za1], axis=-3)
@@ -662,8 +684,10 @@ def epgx_mt_relax(s, tau, *, T1a, T2a, T1b, kab, kba, M0a=1.0,
     Za, Zb = s[..., 0, 2, :, :], s[..., 1, 2, :, :]  # (..., K, 2)
     Za1 = Z00[..., None, None] * Za + Z01[..., None, None] * Zb
     Zb1 = Z10[..., None, None] * Za + Z11[..., None, None] * Zb
-    Za1 = Za1.at[..., 0, 0].add((1 - Z00) * M0a - Z01 * M0b)
-    Zb1 = Zb1.at[..., 0, 0].add((1 - Z11) * M0b - Z10 * M0a)
+    ra, rb = _z_recovery(Z00, Z01, Z10, Z11, T1a, T1b, kab, kba,
+                         M0a, M0b)
+    Za1 = Za1.at[..., 0, 0].add(ra)
+    Zb1 = Zb1.at[..., 0, 0].add(rb)
     pool_a = jnp.concatenate([Fa, Za1[..., None, :, :]], axis=-3)
     pool_b = jnp.concatenate([jnp.zeros_like(Fa),
                               Zb1[..., None, :, :]], axis=-3)

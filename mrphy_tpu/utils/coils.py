@@ -190,10 +190,11 @@ def adaptive_maps(imgs, *, block: int = 5, iters: int = 40,
 
     # nC x nC correlation images, box-averaged (upper triangle +
     # Hermitian fill)
-    Rr = jnp.einsum('i...,j...->ij...', xr, xr) + jnp.einsum(
-        'i...,j...->ij...', xi, xi)                    # Re(s_i s_j^*)
-    Ri = jnp.einsum('i...,j...->ij...', xi, xr) - jnp.einsum(
-        'i...,j...->ij...', xr, xi)                    # Im(s_i s_j^*)
+    Rr = jnp.einsum('i...,j...->ij...', xr, xr, precision='highest') + jnp.einsum(
+        'i...,j...->ij...', xi, xi, precision='highest')                    # Re(s_i s_j^*)
+    Ri = jnp.einsum('i...,j...->ij...', xi, xr,
+                    precision='highest') - jnp.einsum(
+        'i...,j...->ij...', xr, xi, precision='highest')                    # Im(s_i s_j^*)
     for ax in range(2, 2 + d):
         Rr = box_filter(Rr, ax)
         Ri = box_filter(Ri, ax)
@@ -204,10 +205,14 @@ def adaptive_maps(imgs, *, block: int = 5, iters: int = 40,
 
     def step(_, vv):
         vr, vi = vv
-        wr = jnp.einsum('ij...,j...->i...', Rr, vr) \
-            - jnp.einsum('ij...,j...->i...', Ri, vi)
-        wi = jnp.einsum('ij...,j...->i...', Rr, vi) \
-            + jnp.einsum('ij...,j...->i...', Ri, vr)
+        wr = jnp.einsum('ij...,j...->i...', Rr, vr,
+                       precision='highest') \
+            - jnp.einsum('ij...,j...->i...', Ri, vi,
+                         precision='highest')
+        wi = jnp.einsum('ij...,j...->i...', Rr, vi,
+                       precision='highest') \
+            + jnp.einsum('ij...,j...->i...', Ri, vr,
+                         precision='highest')
         nrm = jnp.sqrt((wr ** 2 + wi ** 2).sum(0, keepdims=True))
         nrm = jnp.maximum(nrm, eps)
         return wr / nrm, wi / nrm

@@ -81,10 +81,14 @@ def shim_fit(df_, loc_, *, order: int = 2, w_=None
     # batched normal equations (lstsq is not batched) via pinv: the
     # minimum-norm solution survives degenerate channels (e.g. the z
     # columns vanish identically on a single-slice cube)
-    G = jnp.einsum('...mi,...mj->...ij', Bw, Bw)
-    b = jnp.einsum('...mi,...m->...i', Bw, yw)
-    coeffs = jnp.einsum('...ij,...j->...i', jnp.linalg.pinv(G), b)
-    return coeffs, df_ - (B @ coeffs[..., None])[..., 0]
+    G = jnp.einsum('...mi,...mj->...ij', Bw, Bw,
+                   precision='highest')
+    b = jnp.einsum('...mi,...m->...i', Bw, yw,
+                   precision='highest')
+    coeffs = jnp.einsum('...ij,...j->...i', jnp.linalg.pinv(G), b,
+                        precision='highest')
+    return coeffs, df_ - jnp.matmul(B, coeffs[..., None],
+                      precision='highest')[..., 0]
 
 
 def shim_apply(df_, loc_, coeffs, *, order: Optional[int] = None):
@@ -94,4 +98,5 @@ def shim_apply(df_, loc_, coeffs, *, order: Optional[int] = None):
     nB = coeffs.shape[-1]
     order = {1: 0, 4: 1, 9: 2}[nB] if order is None else order
     B = sh_basis(loc_, order)
-    return jnp.asarray(df_) - (B @ coeffs[..., None])[..., 0]
+    return jnp.asarray(df_) - jnp.matmul(B, coeffs[..., None],
+                      precision='highest')[..., 0]

@@ -91,7 +91,10 @@ def _iso_cpmg(flips, *, T1a, T2a, T1b, T2b, kab, kba, esp, M0a, M0b,
     AL = np.array([[-1 / T1a - kab, kba], [kab, -1 / T1b - kba]])
     ET = scipy.linalg.expm(AT * esp / 2)
     EL = scipy.linalg.expm(AL * esp / 2)
-    rec = (np.eye(2) - EL) @ np.array([M0a, M0b])
+    # exact affine recovery A^-1 (E - I) b (NOT (I-E)[M0a, M0b],
+    # which is right only under detailed balance)
+    b = np.array([M0a / T1a, M0b / T1b])
+    rec = np.linalg.solve(AL, (EL - np.eye(2)) @ b)
 
     def rot_axis(phi, a):  # rotation by a about in-plane axis at phi
         Rz = np.array([[np.cos(phi), -np.sin(phi), 0],
@@ -222,7 +225,8 @@ def test_mt_spgr_analytic_steady_state():
     mag = float(jnp.hypot(sig[-1, 0], sig[-1, 1]))
     AL = np.array([[-1 / T1a - kab, kba], [kab, -1 / T1b - kba]])
     EL = scipy.linalg.expm(AL * tr)
-    rec = (np.eye(2) - EL) @ np.array([M0a, M0b])
+    rec = np.linalg.solve(AL, (EL - np.eye(2))
+                          @ np.array([M0a / T1a, M0b / T1b]))
     S = np.diag([np.cos(a), np.exp(-wt)])
     z_ss = np.linalg.solve(np.eye(2) - EL @ S, rec)
     ana = np.sin(a) * z_ss[0]
@@ -269,3 +273,27 @@ def test_spgr_truncated_orders():
     relx = float(jnp.abs(fullx - truncx).max()
                  / jnp.abs(fullx).max())
     assert relx < 1e-9, relx
+
+
+def test_epgx_relax_non_detailed_balance_steady_state():
+    r"""Arbitrary (non-detailed-balance) rates: long free evolution
+    must reach the TRUE Bloch-McConnell steady state ``-A^-1 b``, not
+    the equilibrium [M0a, M0b] (the shortcut recovery formula is wrong
+    there - regression for a confirmed bug)."""
+    T1a, T1b, kab, kba = 1.0, 0.5, 5.0, 2.0   # kab*M0a != kba*M0b
+    M0a, M0b = 0.8, 0.2
+    s = epg.epgx_state(3, M0a=M0a, M0b=M0b, dtype=F64)
+    s = s.at[...].set(0.0)                    # start from zero
+    s = epg.epgx_relax(s, 50.0, T1a=T1a, T2a=0.1, T1b=T1b, T2b=0.01,
+                       kab=kab, kba=kba, M0a=M0a, M0b=M0b)
+    AL = np.array([[-1 / T1a - kab, kba], [kab, -1 / T1b - kba]])
+    z_ss = np.linalg.solve(-AL, [M0a / T1a, M0b / T1b])
+    got = np.array([float(s[0, 2, 0, 0]), float(s[1, 2, 0, 0])])
+    assert np.abs(got - z_ss).max() < 1e-12, (got, z_ss)
+    # MT variant shares the recovery path
+    s2 = epg.epgx_state(3, M0a=M0a, M0b=M0b, dtype=F64)
+    s2 = s2.at[...].set(0.0)
+    s2 = epg.epgx_mt_relax(s2, 50.0, T1a=T1a, T2a=0.1, T1b=T1b,
+                           kab=kab, kba=kba, M0a=M0a, M0b=M0b)
+    got2 = np.array([float(s2[0, 2, 0, 0]), float(s2[1, 2, 0, 0])])
+    assert np.abs(got2 - z_ss).max() < 1e-12, (got2, z_ss)
