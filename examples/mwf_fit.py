@@ -45,6 +45,9 @@ def main():
     ap.add_argument('--lr', type=float, default=0.03)
     ap.add_argument('--noise', type=float, default=0.2,
                     help='noise std, percent of the first echo')
+    ap.add_argument('--mesh', action='store_true',
+                    help='voxel-shard the EPG-X trains over all '
+                         'devices (nvox must divide the device count)')
     args = ap.parse_args()
 
     import jax
@@ -70,11 +73,17 @@ def main():
     flips = jnp.asarray(np.pi * b1[:, None]
                         * np.ones((nv, ne)), f32)       # B1-scaled 180s
 
+    mesh = None
+    if args.mesh:
+        from mrphy_tpu.parallel import make_mesh
+        mesh = make_mesh()
+        assert nv % mesh.shape['spins'] == 0
+
     def train(p):
         return epg.epgx_cpmg(
             flips, T1a=T1a, T2a=p['T2a'], T1b=T1b, T2b=p['T2b'],
             kab=kba * p['M0b'] / p['M0a'], kba=kba, esp=args.esp,
-            M0a=p['M0a'], M0b=p['M0b'])
+            M0a=p['M0a'], M0b=p['M0b'], mesh=mesh)
 
     truth = dict(M0a=jnp.asarray(M0a, f32), M0b=jnp.asarray(M0b, f32),
                  T2a=jnp.asarray(T2a, f32), T2b=jnp.asarray(T2b, f32))

@@ -531,7 +531,7 @@ def epgx_relax(s, tau, *, T1a, T2a, T1b, T2b, kab, kba, M0a=1.0,
 
 
 def epgx_cpmg(flips, *, T1a, T2a, T1b, T2b, kab, kba, esp, M0a=1.0,
-              M0b=0.1, dfb=0.0, phi_ex=pi / 2):
+              M0b=0.1, dfb=0.0, phi_ex=pi / 2, mesh=None):
     r"""CPMG echo train of a two-pool exchanging system (myelin-water /
     MT-coupled T2 relaxometry). Same sequence as :func:`epg_cpmg`;
     every half-interval is one exact :func:`epgx_relax`. The receiver
@@ -543,6 +543,13 @@ def epgx_cpmg(flips, *, T1a, T2a, T1b, T2b, kab, kba, esp, M0a=1.0,
     Differentiable w.r.t. every tissue/exchange parameter — multi-pool
     T2 fitting (``examples``-grade) runs by gradient descent.
     """
+    if mesh is not None:
+        from mrphy_tpu.parallel.mesh import (
+            epgx_train_sharded_traceable)
+        return epgx_train_sharded_traceable(
+            mesh, 'cpmg', flips, T1a=T1a, T2a=T2a, T1b=T1b,
+            T2b=T2b, kab=kab, kba=kba, esp=esp, M0a=M0a,
+            M0b=M0b, dfb=dfb, phi_ex=phi_ex)
     flips = jnp.asarray(flips)
     nE = flips.shape[-1]
     dtype = jnp.result_type(flips.dtype, jnp.asarray(T2a).dtype)
@@ -711,7 +718,7 @@ def epgx_mt_rf(s, alpha, phi=0.0, wt=0.0):
 
 def epgx_mt_spgr(flips, phis=None, *, T1a, T2a, T1b, kab, kba, tr,
                  wt=0.0, M0a=1.0, M0b=0.1, kshift: int = 1,
-                 K=None):
+                 K=None, mesh=None):
     r"""MT-weighted gradient-spoiled GRE train (the qMT-SPGR
     workhorse): per TR an on-resonance excitation of the free pool
     (flip ``flips[n]`` about ``phis[n]``) plus bound-pool saturation
@@ -731,6 +738,13 @@ def epgx_mt_spgr(flips, phis=None, *, T1a, T2a, T1b, kab, kba, tr,
     gradient descent); validated against the analytic coupled
     steady state in ``tests/test_epgx.py``.
     """
+    if mesh is not None:
+        from mrphy_tpu.parallel.mesh import (
+            epgx_train_sharded_traceable)
+        return epgx_train_sharded_traceable(
+            mesh, 'mt_spgr', flips, phis, T1a=T1a, T2a=T2a,
+            T1b=T1b, kab=kab, kba=kba, tr=tr, wt=wt, M0a=M0a,
+            M0b=M0b, kshift=kshift, K=K)
     flips = jnp.asarray(flips)
     nTR = flips.shape[-1]
     if phis is None:

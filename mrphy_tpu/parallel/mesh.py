@@ -37,6 +37,7 @@ __all__ = ['make_mesh', 'shard_spins', 'spin_pspec', 'blochsim_sharded',
            'mc_sharded_traceable', 'epg_cpmg_sharded_traceable',
            'signal_sharded_traceable', 'signal_adjoint_sharded_traceable',
            'nufft_sharded_traceable', 'nufft_adjoint_sharded_traceable',
+           'epgx_train_sharded_traceable',
            'shard_spin_obj', 'psum_loss', 'pad_spins']
 
 BATCH_AXIS = 'batch'
@@ -502,6 +503,48 @@ def signal_adjoint_sharded_traceable(mesh: Mesh, s, loc_, ktraj, *,
                       out_specs=P(BATCH_AXIS, SPIN_AXIS, None),
                       check_vma=False)
     return f(s, loc_, ktraj, *(arrs[k] for k in names))
+
+
+def epgx_train_sharded_traceable(mesh: Mesh, train: str, flips,
+                                 phis=None, **kw):
+    r"""shard_map-wrapped EPG-X trains (``'cpmg'`` ⊻ ``'spgr'`` ⊻
+    ``'mt_spgr'``) for 1-D voxel batches: ``flips`` must be batched
+    `(nV, nT)` (tile a shared train); kwargs whose LEADING axis is
+    ``nV`` shard with the voxels, everything else replicates (pass a
+    time-shaped ``wt`` as `(1, nTR)` if ``nTR == nV`` would be
+    ambiguous). Returns `(nV, nT, 2)`."""
+    import jax.numpy as jnp
+    from mrphy_tpu.ops import epg
+
+    fn = {'cpmg': epg.epgx_cpmg, 'spgr': epg.epgx_spgr,
+          'mt_spgr': epg.epgx_mt_spgr}[train]
+    sp = mesh.shape[SPIN_AXIS]
+    flips = jnp.asarray(flips)
+    assert flips.ndim == 2, 'mesh= needs batched (nV, nT) flips'
+    nV = flips.shape[0]
+    assert nV % sp == 0, (f'nV={nV} not divisible by spin mesh extent '
+                          f'{sp}')
+    arrs = {k: jnp.asarray(v) for k, v in kw.items()
+            if hasattr(v, 'ndim') or isinstance(v, (list, tuple))}
+    arrs = {k: v for k, v in arrs.items()
+            if v.ndim >= 1 and v.shape[0] == nV}
+    static = {k: v for k, v in kw.items() if k not in arrs}
+    names = tuple(sorted(arrs))
+    phis_c = None if phis is None else jnp.asarray(phis)
+
+    def body(flips, *vals):
+        kwd = dict(zip(names, vals))
+        kwd.update(static)
+        if train == 'cpmg':
+            return fn(flips, **kwd)
+        return fn(flips, phis_c, **kwd)
+
+    in_specs = (P(SPIN_AXIS, None),) + tuple(
+        P(SPIN_AXIS, *([None] * (arrs[k].ndim - 1))) for k in names)
+    f = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                      out_specs=P(SPIN_AXIS, None, None),
+                      check_vma=False)
+    return f(flips, *(arrs[k] for k in names))
 
 
 def nufft_sharded_traceable(mesh: Mesh, plan, img, ktraj, *, df=None,

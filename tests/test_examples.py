@@ -55,6 +55,7 @@ CASES = [
     ('recon_sense.py', ['--n', '16', '--iters', '30', '--df', '40',
                         '--mesh']),
     ('qmri_fit.py', ['--nvox', '16', '--iters', '120', '--mesh']),
+    ('mwf_fit.py', ['--nvox', '16', '--iters', '500', '--mesh']),
     ('cest_zspectrum.py', ['--noffsets', '13', '--tsat', '0.5',
                            '--mesh']),
 ]
