@@ -36,10 +36,12 @@ TPU-native design decisions:
 
 Conventions match :func:`mrphy_tpu.ops.signal.signal` exactly
 (validated side-by-side in the tests): spin locations are the SpinCube
-grid ``x_j = fov·(j − n//2)/n + ofst`` (reference ``mobjs.py:815-839``
-grid rule), ``ktraj`` is in "cycle/cm" (:func:`mrphy_tpu.utils.g2k`
-with ``isTx=False``), and the encoded sample is
-``s(t) = Σ_j w_j e^{−i2π k(t)·x_j}``.
+grid ``x_j = fov·(j − n//2)/n`` (reference ``mobjs.py:815-839`` grid
+rule), ``ktraj`` is in "cycle/cm" (:func:`mrphy_tpu.utils.g2k` with
+``isTx=False``), and the encoded sample is
+``s(t) = Σ_j w_j e^{−i2π k(t)·x_j}``. A SpinCube with nonzero ``ofst``
+is handled by pre/post-phasing the samples with
+``e^{∓i2π k(t)·ofst}`` (the grid itself is always centered).
 
 The reference framework has no acquisition/recon stage at all
 (`SURVEY.md` §2); this module is part of the beyond-reference
