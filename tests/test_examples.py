@@ -41,6 +41,7 @@ CASES = [
     ('mwf_fit.py', ['--nvox', '12', '--iters', '600']),
     ('qmt_fit.py', ['--nvox', '6', '--iters', '300', '--ntr', '150']),
     ('pc_venc.py', ['--nspins', '16']),
+    ('traj_optim.py', ['--iters', '100']),
     ('recon_sense.py', ['--n', '16', '--iters', '40', '--noise',
                         '0.3']),
     ('recon_sense.py', ['--n', '16', '--iters', '40', '--traj',
