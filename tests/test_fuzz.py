@@ -149,3 +149,56 @@ def test_signal_backends_agree_on_random_configs(seed):
     lhs = float(jnp.sum(s_x * s_ct))
     rhs = float(jnp.sum(M[..., :2] * m_hat))
     assert abs(lhs - rhs) <= 3e-6 * abs(lhs) + 1e-4, (lhs, rhs)
+
+
+@pytest.mark.parametrize('seed', range(6))
+def test_nufft_agrees_with_exact_on_random_configs(seed):
+    r"""Random grid shapes/dims/widths/anisotropies: the gridding NUFFT
+    and its adjoint must match the exact operator within the
+    width-dependent gridding tolerance, and the pair must stay an
+    exact transpose."""
+    from mrphy_tpu.ops import nufft as nf
+    from mrphy_tpu.ops import signal as sig
+    rng = np.random.default_rng(500 + seed)
+    d = int(rng.integers(1, 4))
+    im_size = tuple(int(rng.integers(4, 15)) for _ in range(d))
+    fov = tuple(float(rng.uniform(8, 30)) for _ in range(d))
+    width = int(rng.choice([4, 5, 6]))
+    osf = float(rng.choice([1.75, 2.0, 2.5]))
+    nT = int(rng.integers(5, 120))
+    tol = {4: 3e-3, 5: 5e-4, 6: 5e-5}[width] * (3.0 if osf < 2 else 1.0)
+    f64 = jnp.float64
+
+    axes = [(np.arange(n) - n // 2) / n * f
+            for n, f in zip(im_size, fov)]
+    mesh = np.meshgrid(*axes, indexing='ij')
+    loc = np.zeros(tuple(im_size) + (3,))
+    for a in range(d):
+        loc[..., a] = mesh[a]
+    nM = int(np.prod(im_size))
+    loc_ = jnp.asarray(loc.reshape(nM, 3), f64)[None]
+    img = jnp.asarray(rng.standard_normal(im_size + (2,)), f64)
+    k = np.zeros((3, nT))
+    for a in range(d):
+        kmax = 0.95 * im_size[a] / (2 * fov[a])
+        k[a] = rng.uniform(-kmax, kmax, nT)
+    k3 = jnp.asarray(k, f64)
+
+    plan = nf.nufft_plan(im_size, fov, width=width, osf=osf,
+                         dtype=f64)
+    s = nf.nufft(plan, img, k3[:d])
+    M = jnp.concatenate([img.reshape(nM, 2),
+                         jnp.zeros((nM, 1), f64)], -1)[None]
+    s0 = sig.signal(M, loc_, k3[None])[0, 0]
+    rel = float(jnp.linalg.norm(s - s0) / jnp.linalg.norm(s0))
+    assert rel < tol, (rel, tol, im_size, width, osf, nT)
+
+    y = jnp.asarray(rng.standard_normal((nT, 2)), f64)
+    xh = np.asarray(nf.nufft_adjoint(plan, y, k3[:d]))
+
+    def c(a):
+        return np.asarray(a[..., 0] + 1j * a[..., 1]).reshape(-1)
+
+    lhs = np.vdot(c(np.asarray(y)), c(np.asarray(s)))
+    rhs = np.vdot(c(xh), c(np.asarray(img)))
+    assert abs(lhs - rhs) / max(abs(lhs), 1e-30) < 1e-12
