@@ -190,11 +190,12 @@ def adaptive_maps(imgs, *, block: int = 5, iters: int = 40,
 
     # nC x nC correlation images, box-averaged (upper triangle +
     # Hermitian fill)
-    Rr = jnp.einsum('i...,j...->ij...', xr, xr, precision='highest') + jnp.einsum(
-        'i...,j...->ij...', xi, xi, precision='highest')                    # Re(s_i s_j^*)
-    Ri = jnp.einsum('i...,j...->ij...', xi, xr,
-                    precision='highest') - jnp.einsum(
-        'i...,j...->ij...', xr, xi, precision='highest')                    # Im(s_i s_j^*)
+    def corr(a, b):                        # Σ-ready a_i·b_j images
+        return jnp.einsum('i...,j...->ij...', a, b,
+                          precision='highest')
+
+    Rr = corr(xr, xr) + corr(xi, xi)       # Re(s_i s_j^*)
+    Ri = corr(xi, xr) - corr(xr, xi)       # Im(s_i s_j^*)
     for ax in range(2, 2 + d):
         Rr = box_filter(Rr, ax)
         Ri = box_filter(Ri, ax)
