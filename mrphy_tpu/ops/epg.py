@@ -581,7 +581,8 @@ def epgx_cpmg(flips, *, T1a, T2a, T1b, T2b, kab, kba, esp, M0a=1.0,
 
 
 def epgx_spgr(flips, phis=None, *, T1a, T2a, T1b, T2b, kab, kba, tr,
-              M0a=1.0, M0b=0.1, dfb=0.0, kshift: int = 1, K=None):
+              M0a=1.0, M0b=0.1, dfb=0.0, kshift: int = 1, K=None,
+              mesh=None):
     r"""Gradient-spoiled GRE train of a two-pool exchanging system —
     EPG-X dictionaries for exchange-sensitive MRF. Per TR: RF on both
     pools, demodulated total ``F+(0)`` readout, exact
@@ -590,6 +591,13 @@ def epgx_spgr(flips, phis=None, *, T1a, T2a, T1b, T2b, kab, kba, tr,
 
     Outputs: ``signals`` `(*batch, nTR, 2)`.
     """
+    if mesh is not None:
+        from mrphy_tpu.parallel.mesh import (
+            epgx_train_sharded_traceable)
+        return epgx_train_sharded_traceable(
+            mesh, 'spgr', flips, phis, T1a=T1a, T2a=T2a,
+            T1b=T1b, T2b=T2b, kab=kab, kba=kba, tr=tr,
+            M0a=M0a, M0b=M0b, dfb=dfb, kshift=kshift, K=K)
     flips = jnp.asarray(flips)
     nTR = flips.shape[-1]
     if phis is None:
