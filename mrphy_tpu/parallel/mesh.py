@@ -509,10 +509,11 @@ def epgx_train_sharded_traceable(mesh: Mesh, train: str, flips,
                                  phis=None, **kw):
     r"""shard_map-wrapped EPG-X trains (``'cpmg'`` ⊻ ``'spgr'`` ⊻
     ``'mt_spgr'``) for 1-D voxel batches: ``flips`` must be batched
-    `(nV, nT)` (tile a shared train); kwargs whose LEADING axis is
-    ``nV`` shard with the voxels, everything else replicates (pass a
-    time-shaped ``wt`` as `(1, nTR)` if ``nTR == nV`` would be
-    ambiguous). Returns `(nV, nT, 2)`."""
+    `(nV, nT)` (tile a shared train). ``phis`` and kwargs shard with
+    the voxels when their leading axis is ``nV``, else replicate —
+    EXCEPT the time-shaped ``wt``: a 1-D ``wt`` with ``nTR == nV`` is
+    ambiguous and rejected (pass `(1, nTR)` for a shared train or
+    `(nV, 1)` for per-voxel rates). Returns `(nV, nT, 2)`."""
     import jax.numpy as jnp
     from mrphy_tpu.ops import epg
 
@@ -521,30 +522,48 @@ def epgx_train_sharded_traceable(mesh: Mesh, train: str, flips,
     sp = mesh.shape[SPIN_AXIS]
     flips = jnp.asarray(flips)
     assert flips.ndim == 2, 'mesh= needs batched (nV, nT) flips'
-    nV = flips.shape[0]
+    nV, nT = flips.shape
     assert nV % sp == 0, (f'nV={nV} not divisible by spin mesh extent '
                           f'{sp}')
+
+    def per_voxel(k, v):
+        if v.ndim < 1 or v.shape[0] != nV:
+            return False
+        if k == 'wt' and v.ndim == 1 and nV == nT:
+            raise ValueError(
+                "mesh=: 1-D wt with nTR == nV is ambiguous; pass "
+                "(1, nTR) for a shared saturation train or (nV, 1) "
+                "for per-voxel rates")
+        return True
+
     arrs = {k: jnp.asarray(v) for k, v in kw.items()
             if hasattr(v, 'ndim') or isinstance(v, (list, tuple))}
-    arrs = {k: v for k, v in arrs.items()
-            if v.ndim >= 1 and v.shape[0] == nV}
+    arrs = {k: v for k, v in arrs.items() if per_voxel(k, v)}
     static = {k: v for k, v in kw.items() if k not in arrs}
     names = tuple(sorted(arrs))
-    phis_c = None if phis is None else jnp.asarray(phis)
+    # phis is per-voxel when batched (nV, nT); else replicate
+    phis_a = None if phis is None else jnp.asarray(phis)
+    phis_sharded = phis_a is not None and phis_a.ndim == 2 \
+        and phis_a.shape[0] == nV
 
     def body(flips, *vals):
+        if phis_sharded:
+            ph, vals = vals[0], vals[1:]
+        else:
+            ph = phis_a
         kwd = dict(zip(names, vals))
         kwd.update(static)
         if train == 'cpmg':
             return fn(flips, **kwd)
-        return fn(flips, phis_c, **kwd)
+        return fn(flips, ph, **kwd)
 
-    in_specs = (P(SPIN_AXIS, None),) + tuple(
+    pos = (flips,) + ((phis_a,) if phis_sharded else ())
+    in_specs = tuple(P(SPIN_AXIS, None) for _ in pos) + tuple(
         P(SPIN_AXIS, *([None] * (arrs[k].ndim - 1))) for k in names)
     f = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
                       out_specs=P(SPIN_AXIS, None, None),
                       check_vma=False)
-    return f(flips, *(arrs[k] for k in names))
+    return f(*pos, *(arrs[k] for k in names))
 
 
 def nufft_sharded_traceable(mesh: Mesh, plan, img, ktraj, *, df=None,

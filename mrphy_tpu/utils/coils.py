@@ -168,6 +168,7 @@ def adaptive_maps(imgs, *, block: int = 5, iters: int = 40,
           vectors (the ``sens_``-style trailing layout, batch-free).
     """
     imgs = jnp.asarray(imgs)
+    assert block % 2 == 1, f'block must be odd, got {block}'
     nC = imgs.shape[0]
     d = imgs.ndim - 2
     xr, xi = imgs[..., 0], imgs[..., 1]                # (nC, n…)

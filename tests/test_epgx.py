@@ -17,6 +17,7 @@ Oracle tiers:
 """
 
 import numpy as np
+import pytest
 import scipy.linalg
 import jax
 import jax.numpy as jnp
@@ -325,4 +326,35 @@ def test_epgx_mesh_sharded_parity():
                wt=wt, M0a=0.8, M0b=0.2)
     a = epg.epgx_mt_spgr(fl, ph, **kwm)
     b = epg.epgx_mt_spgr(fl, ph, mesh=mesh, **kwm)
+    assert float(jnp.abs(a - b).max()) < 1e-12
+
+
+def test_epgx_mesh_pervoxel_phis_and_wt_ambiguity():
+    r"""Regressions for confirmed sharded-dispatch bugs: batched
+    per-voxel phis must shard (it used to raise for nV != mesh extent
+    and SILENTLY return a wrong-shaped result for nV == extent), and a
+    1-D wt with nTR == nV must be rejected as ambiguous rather than
+    mis-sharded."""
+    from mrphy_tpu.parallel import make_mesh
+    mesh = make_mesh()
+    rng = np.random.default_rng(13)
+    for nv in (16, 8):                        # 8 == the mesh extent
+        fl = jnp.full((nv, 6), np.deg2rad(14.0), F64)
+        ph = jnp.asarray(rng.uniform(0, 2 * np.pi, (nv, 6)), F64)
+        kw = dict(T1a=1.0, T2a=0.07, T1b=0.5, T2b=0.01, kab=2.0,
+                  kba=8.0, tr=0.02, M0a=0.8, M0b=0.2)
+        a = epg.epgx_spgr(fl, ph, **kw)
+        b = epg.epgx_spgr(fl, ph, mesh=mesh, **kw)
+        assert b.shape == (nv, 6, 2), b.shape
+        assert float(jnp.abs(a - b).max()) < 1e-12
+
+    fl = jnp.full((8, 8), 0.2, F64)
+    kwm = dict(T1a=1.0, T2a=0.07, T1b=0.5, kab=2.0, kba=8.0, tr=0.02,
+               M0a=0.8, M0b=0.2)
+    with pytest.raises(ValueError, match='ambiguous'):
+        epg.epgx_mt_spgr(fl, None, wt=jnp.ones(8), mesh=mesh, **kwm)
+    wt = 0.3 * jnp.ones((1, 8))
+    a = epg.epgx_mt_spgr(fl, None, wt=jnp.broadcast_to(wt, (8, 8)),
+                         **kwm)
+    b = epg.epgx_mt_spgr(fl, None, wt=wt, mesh=mesh, **kwm)
     assert float(jnp.abs(a - b).max()) < 1e-12
