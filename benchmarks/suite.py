@@ -381,12 +381,16 @@ def bench_nufft():
     k3 = jnp.concatenate([k2, jnp.zeros((1, nT), jnp.float32)])
     dfg = jnp.asarray(rng.uniform(-60, 60, (n, n)), jnp.float32)
     t2g = jnp.asarray(rng.uniform(0.02, 0.08, (n, n)), jnp.float32)
-    plan = nf.nufft_plan((n, n), (fov, fov), width=5)
+    plan = nf.nufft_plan((n, n), (fov, fov), width=5)   # auto: matmul
+    plan_g = nf.nufft_plan((n, n), (fov, fov), width=5,
+                           interp='gather')
     nkw = dict(df=dfg, T2s=t2g, dt=dt0, nseg=8)
 
     fwd = jax.jit(lambda i: nf.nufft(plan, i, k2, **nkw))
     s = fwd(img)
     adj = jax.jit(lambda y: nf.nufft_adjoint(plan, y, k2, **nkw))
+    fwd_g = jax.jit(lambda i: nf.nufft(plan_g, i, k2, **nkw))
+    adj_g = jax.jit(lambda y: nf.nufft_adjoint(plan_g, y, k2, **nkw))
     M = jnp.concatenate([img.reshape(nM, 2),
                          jnp.zeros((nM, 1), jnp.float32)], -1)[None]
     fwd_x = jax.jit(lambda m: sig.signal(
@@ -402,13 +406,17 @@ def bench_nufft():
                 / jnp.linalg.norm(s0[0, 0]))
     tf = _timeit(fwd, img, repeats=4)
     ta = _timeit(adj, s, repeats=4)
+    tfg = _timeit(fwd_g, img, repeats=4)
+    tag = _timeit(adj_g, s, repeats=4)
     tt = _timeit(toe, img, repeats=4)
     tfx = _timeit(fwd_x, M, repeats=4)
     tax = _timeit(adj_x, s0, repeats=4)
     return {'metric': f'nufft: {n}x{n} grid x {nT} samples, df+T2s '
-                      '(nseg=8) gridding fwd',
+                      '(nseg=8) gridding fwd (interp=matmul)',
             'value': round(tfx / tf, 2), 'unit': 'x vs exact operator',
             'fwd_ms': round(tf * 1e3, 1), 'adj_ms': round(ta * 1e3, 1),
+            'gather_fwd_ms': round(tfg * 1e3, 1),
+            'gather_adj_ms': round(tag * 1e3, 1),
             'toeplitz_ms': round(tt * 1e3, 2),
             'exact_fwd_ms': round(tfx * 1e3, 1),
             'exact_adj_ms': round(tax * 1e3, 1),

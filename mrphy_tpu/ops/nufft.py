@@ -24,6 +24,18 @@ TPU-native design decisions:
   Kaiser–Bessel weights evaluated in-graph (I₀ via the Abramowitz &
   Stegun 9.8.1/9.8.2 polynomials), so the sample stage is
   differentiable w.r.t. the image, the samples, AND the trajectory.
+- **MXU interpolation for d ≤ 2** (``interp='matmul'``, the default
+  there): XLA's TPU gather/scatter serializes per element, so the
+  sample stage is instead cast as *dense one-hot per-axis matmuls* —
+  the W-sparse per-axis KB rows are expanded to dense ``(chunk, G_a)``
+  factors (W fused compare-selects, no scatter) and the separable
+  interpolation becomes ``s = rowsum((W_y @ grid) ⊙ W_x)``, one MXU
+  matmul per chunk; the adjoint is ``grid = W_yᵀ @ (s ⊙ W_x)`` — a
+  matmul instead of a serialized `.at[].add` scatter. Value-identical
+  to the gather path up to float sum order (asserted in the tests);
+  the O(nT·G_y·G_x) flops ride the MXU, which is exactly the trade
+  the systolic array wants at MRI grid sizes. 3-D keeps gather
+  (the dense-factor trick would cost nT·G³).
 - **Adjoint = exact transpose.** :func:`nufft_adjoint` scatters with
   the same weights the forward gathers with, so ``⟨Ax, y⟩ = ⟨x, Aᴴy⟩``
   holds to float roundoff (asserted in ``tests/test_nufft.py``), and
@@ -128,10 +140,12 @@ class NufftPlan:
         - ``dft_re/dft_im``: per-axis `(G_a, n_a)` forward-DFT factors
           ``e^{−i2π m (p − n_a//2) / G_a}``.
         - ``deapod``: `(n_1, …, n_d)` real separable 1/Φ image weights.
+        - ``interp``: ``'gather'`` ⊻ ``'matmul'`` sample-stage strategy
+          (static; see the module docstring).
     """
 
     def __init__(self, im_size, grid_size, fov, width, beta,
-                 dft_re, dft_im, deapod):
+                 dft_re, dft_im, deapod, interp='gather'):
         self.im_size = tuple(im_size)
         self.grid_size = tuple(grid_size)
         self.fov = tuple(fov)
@@ -140,6 +154,7 @@ class NufftPlan:
         self.dft_re = tuple(dft_re)
         self.dft_im = tuple(dft_im)
         self.deapod = deapod
+        self.interp = str(interp)
 
     @property
     def ndim(self) -> int:
@@ -148,17 +163,19 @@ class NufftPlan:
     def __repr__(self):
         return (f'NufftPlan(im_size={self.im_size}, '
                 f'grid_size={self.grid_size}, fov={self.fov}, '
-                f'width={self.width}, beta={self.beta:.3f})')
+                f'width={self.width}, beta={self.beta:.3f}, '
+                f'interp={self.interp!r})')
 
 
 def _plan_flatten(p):
     return ((p.dft_re, p.dft_im, p.deapod),
-            (p.im_size, p.grid_size, p.fov, p.width, p.beta))
+            (p.im_size, p.grid_size, p.fov, p.width, p.beta, p.interp))
 
 
 def _plan_unflatten(aux, leaves):
     dft_re, dft_im, deapod = leaves
-    return NufftPlan(*aux[:3], aux[3], aux[4], dft_re, dft_im, deapod)
+    return NufftPlan(*aux[:3], aux[3], aux[4], dft_re, dft_im, deapod,
+                     interp=aux[5])
 
 
 jax.tree_util.register_pytree_node(NufftPlan, _plan_flatten,
@@ -167,7 +184,7 @@ jax.tree_util.register_pytree_node(NufftPlan, _plan_flatten,
 
 def nufft_plan(im_size: Sequence[int], fov, *, osf: float = 2.0,
                width: int = 4, beta: Optional[float] = None,
-               dtype=jnp.float32) -> NufftPlan:
+               dtype=jnp.float32, interp: str = 'auto') -> NufftPlan:
     r"""Build a gridding plan for a ``len(im_size)``-dim image grid.
 
     Inputs:
@@ -181,12 +198,21 @@ def nufft_plan(im_size: Sequence[int], fov, *, osf: float = 2.0,
           ``tests/test_nufft.py``).
         - ``beta``: KB shape (default: Beatty's formula for (σ, W)).
         - ``dtype``: on-device dtype of the plan constants.
+        - ``interp``: sample-stage strategy — ``'gather'`` (wrapped
+          gather/scatter), ``'matmul'`` (dense one-hot MXU factors,
+          d ≤ 2 only), or ``'auto'`` (matmul where allowed). The two
+          are value-identical up to float sum order.
     """
     im_size = tuple(int(n) for n in im_size)
     fov = tuple(float(f) for f in np.asarray(fov).reshape(-1))
     d = len(im_size)
     assert len(fov) == d, (im_size, fov)
     assert all(n >= 2 for n in im_size), im_size
+    assert interp in ('auto', 'gather', 'matmul'), interp
+    if interp == 'auto':
+        interp = 'matmul' if d <= 2 else 'gather'
+    assert not (interp == 'matmul' and d > 2), \
+        f'interp=matmul supports d<=2 (got {d}-dim; use gather)'
     grid = tuple(int(-2 * (-osf * n // 2)) for n in im_size)  # even ≥ σn
     if beta is None:
         s = osf
@@ -208,7 +234,8 @@ def nufft_plan(im_size: Sequence[int], fov, *, osf: float = 2.0,
     for w in deap1[1:]:
         full = full[..., None] * w
     return NufftPlan(im_size, grid, fov, width, beta,
-                     dft_re, dft_im, jnp.asarray(full, dtype))
+                     dft_re, dft_im, jnp.asarray(full, dtype),
+                     interp=interp)
 
 
 # ------------------------------------------------------------------
@@ -247,6 +274,29 @@ def _coords(plan: NufftPlan, ktraj):
         wts.append(_kb(v[:, None] - taps, W, plan.beta))
         idxs.append(jnp.mod(taps, G).astype(jnp.int32))
     return idxs, wts
+
+
+def _dense_factor(idx, wt, G: int):
+    r"""W-sparse per-axis KB row → dense `(c, G)` one-hot-weighted
+    factor, built as ``W`` fused compare-selects (never a `(c, W, G)`
+    intermediate, and no scatter — the serialized op this mode exists
+    to avoid). Wrapped taps that collide (W > G never happens, but
+    anyway) sum correctly. Differentiable in ``wt`` (the trajectory
+    gradient path); the integer taps carry none, matching the gather
+    path's semantics."""
+    iota = lax.broadcasted_iota(jnp.int32, (1, G), 1)
+    oh = jnp.zeros((idx.shape[0], G), wt.dtype)
+    for w in range(idx.shape[1]):                     # static, W ≤ ~6
+        oh = oh + jnp.where(idx[:, w:w + 1] == iota,
+                            wt[:, w:w + 1], 0.0)
+    return oh
+
+
+def _dense_factors(plan, k_c):
+    r"""`(c, d)` sample chunk → per-axis dense factors `d × (c, G_a)`."""
+    idxs, wts = _coords(plan, k_c.T)
+    return [_dense_factor(i, w, G) for i, w, G
+            in zip(idxs, wts, plan.grid_size)]
 
 
 def _taps(plan, idxs, wts):
@@ -294,16 +344,30 @@ def _fwd_core(plan: NufftPlan, img, ktraj, chunk):
     xi = img[..., 1] * plan.deapod
     for a in range(plan.ndim):
         xr, xi = _dft_axis(xr, xi, plan.dft_re[a], plan.dft_im[a], a)
-    br, bi = xr.reshape(-1), xi.reshape(-1)           # (ΠG,)
 
-    def gather(k_c):
-        fi, fw = _taps(plan, *_coords(plan, k_c.T))
-        sr = (br[fi] * fw).sum(-1)
-        si = (bi[fi] * fw).sum(-1)
-        return jnp.stack([sr, si], -1)                # (chunk, 2)
+    if plan.interp == 'matmul':                       # d ≤ 2, MXU
+        def sample(k_c):
+            ohs = _dense_factors(plan, k_c)
+            if plan.ndim == 1:
+                sr = jnp.einsum('cg,g->c', ohs[0], xr, precision=_PH)
+                si = jnp.einsum('cg,g->c', ohs[0], xi, precision=_PH)
+            else:
+                sr = (jnp.einsum('cg,gh->ch', ohs[0], xr,
+                                 precision=_PH) * ohs[1]).sum(-1)
+                si = (jnp.einsum('cg,gh->ch', ohs[0], xi,
+                                 precision=_PH) * ohs[1]).sum(-1)
+            return jnp.stack([sr, si], -1)            # (chunk, 2)
+    else:
+        br, bi = xr.reshape(-1), xi.reshape(-1)       # (ΠG,)
+
+        def sample(k_c):
+            fi, fw = _taps(plan, *_coords(plan, k_c.T))
+            sr = (br[fi] * fw).sum(-1)
+            si = (bi[fi] * fw).sum(-1)
+            return jnp.stack([sr, si], -1)            # (chunk, 2)
 
     nT = ktraj.shape[-1]
-    out, _ = _chunked(gather, nT, chunk, ktraj.T)
+    out, _ = _chunked(sample, nT, chunk, ktraj.T)
     return out.reshape(-1, 2)[:nT]
 
 
@@ -444,12 +508,27 @@ def _adj_scatter(plan: NufftPlan, s, ktraj, chunk):
     nT = ktraj.shape[-1]
     nG = int(np.prod(plan.grid_size))
 
-    def scatter(k_c, s_c):
-        fi, fw = _taps(plan, *_coords(plan, k_c.T))
-        z = jnp.zeros((nG,), s.dtype)
-        br = z.at[fi.reshape(-1)].add((fw * s_c[:, :1]).reshape(-1))
-        bi = z.at[fi.reshape(-1)].add((fw * s_c[:, 1:]).reshape(-1))
-        return jnp.stack([br, bi])
+    if plan.interp == 'matmul':                       # d ≤ 2, MXU
+        def scatter(k_c, s_c):
+            ohs = _dense_factors(plan, k_c)
+            if plan.ndim == 1:
+                br = jnp.einsum('cg,c->g', ohs[0], s_c[:, 0],
+                                precision=_PH)
+                bi = jnp.einsum('cg,c->g', ohs[0], s_c[:, 1],
+                                precision=_PH)
+            else:
+                br = jnp.einsum('cg,ch->gh', ohs[0],
+                                s_c[:, :1] * ohs[1], precision=_PH)
+                bi = jnp.einsum('cg,ch->gh', ohs[0],
+                                s_c[:, 1:] * ohs[1], precision=_PH)
+            return jnp.stack([br.reshape(-1), bi.reshape(-1)])
+    else:
+        def scatter(k_c, s_c):
+            fi, fw = _taps(plan, *_coords(plan, k_c.T))
+            z = jnp.zeros((nG,), s.dtype)
+            br = z.at[fi.reshape(-1)].add((fw * s_c[:, :1]).reshape(-1))
+            bi = z.at[fi.reshape(-1)].add((fw * s_c[:, 1:]).reshape(-1))
+            return jnp.stack([br, bi])
 
     out, _ = _chunked(scatter, nT, chunk, ktraj.T, s)
     if out.ndim == 3:                                 # chunked: sum maps
@@ -503,18 +582,31 @@ def dcf_pipe_menon(plan: NufftPlan, ktraj, *, iters: int = 30,
     Outputs:
         - ``w``: `(nT,)` sample weights.
 
-    Memory: holds the `(nT, W^d)` tap table; for 3-D at large ``nT``
-    prefer iterating per-shot and concatenating.
+    Memory: holds the `(nT, W^d)` tap table (gather mode) or the
+    `d × (nT, G_a)` dense factors (matmul mode); for 3-D at large
+    ``nT`` prefer iterating per-shot and concatenating.
     """
     ktraj = jnp.asarray(ktraj)
     nT = ktraj.shape[-1]
-    fi, fw = _taps(plan, *_coords(plan, ktraj))
-    nG = int(np.prod(plan.grid_size))
+    if plan.interp == 'matmul':                       # d ≤ 2, MXU
+        ohs = _dense_factors(plan, ktraj.T)
 
-    def cch(w):
-        g = jnp.zeros((nG,), w.dtype).at[fi.reshape(-1)].add(
-            (fw * w[:, None]).reshape(-1))
-        return (fw * g[fi]).sum(-1)
+        def cch(w):
+            if plan.ndim == 1:
+                g = jnp.einsum('cg,c->g', ohs[0], w, precision=_PH)
+                return jnp.einsum('cg,g->c', ohs[0], g, precision=_PH)
+            g = jnp.einsum('cg,ch->gh', ohs[0], w[:, None] * ohs[1],
+                           precision=_PH)
+            return (jnp.einsum('cg,gh->ch', ohs[0], g,
+                               precision=_PH) * ohs[1]).sum(-1)
+    else:
+        fi, fw = _taps(plan, *_coords(plan, ktraj))
+        nG = int(np.prod(plan.grid_size))
+
+        def cch(w):
+            g = jnp.zeros((nG,), w.dtype).at[fi.reshape(-1)].add(
+                (fw * w[:, None]).reshape(-1))
+            return (fw * g[fi]).sum(-1)
 
     def body(_, w):
         d = cch(w)

@@ -308,6 +308,58 @@ def test_gradients_flow_img_samples_trajectory():
     assert abs(float(fd - gk[0, 3])) < 1e-4 * max(1.0, abs(float(fd)))
 
 
+@pytest.mark.parametrize('im_size,fov', [((32,), (24.0,)),
+                                         ((16, 12), (24.0, 18.0))],
+                         ids=['1d', '2d'])
+def test_matmul_interp_matches_gather(im_size, fov):
+    r"""``interp='matmul'`` (dense one-hot MXU factors) must be
+    value-identical to the gather/scatter path up to f64 sum order —
+    forward, adjoint, Pipe–Menon DCF, chunked variants, and the
+    trajectory gradient (the subtlest path: d/dk flows through the KB
+    weights inside the compare-selects)."""
+    rng = np.random.default_rng(59)
+    d = len(im_size)
+    _, img = _grid_problem(rng, im_size, fov)
+    k = _ktraj(rng, d, im_size, fov, nT=257)[:d]
+    y = jnp.asarray(rng.standard_normal((257, 2)), F64)
+    pg = nf.nufft_plan(im_size, fov, width=4, dtype=F64,
+                       interp='gather')
+    pm = nf.nufft_plan(im_size, fov, width=4, dtype=F64,
+                       interp='matmul')
+    assert nf.nufft_plan(im_size, fov, dtype=F64).interp == 'matmul'
+
+    assert float(jnp.abs(nf.nufft(pg, img, k)
+                         - nf.nufft(pm, img, k)).max()) < 1e-12
+    assert float(jnp.abs(nf.nufft(pm, img, k)
+                         - nf.nufft(pm, img, k, chunk=100)).max()) < 1e-12
+    assert float(jnp.abs(nf.nufft_adjoint(pg, y, k)
+                         - nf.nufft_adjoint(pm, y, k)).max()) < 1e-12
+    assert float(jnp.abs(nf.nufft_adjoint(pm, y, k)
+                         - nf.nufft_adjoint(pm, y, k, chunk=100)
+                         ).max()) < 1e-12
+    assert float(jnp.abs(nf.dcf_pipe_menon(pg, k, iters=10)
+                         - nf.dcf_pipe_menon(pm, k, iters=10)
+                         ).max()) < 1e-12
+
+    def loss(plan, kk):
+        return jnp.sum(nf.nufft(plan, img, kk) ** 2)
+
+    gk_g = jax.grad(lambda kk: loss(pg, kk))(k)
+    gk_m = jax.grad(lambda kk: loss(pm, kk))(k)
+    rel = float(jnp.abs(gk_g - gk_m).max() / jnp.abs(gk_g).max())
+    assert rel < 1e-13, rel
+
+
+def test_matmul_interp_3d_rejected():
+    r"""3-D plans stay on gather (the dense factors would cost
+    nT·G³): 'auto' resolves to gather, an explicit 'matmul' asserts."""
+    p = nf.nufft_plan((8, 8, 8), (16.0, 16.0, 16.0), dtype=F64)
+    assert p.interp == 'gather'
+    with pytest.raises(AssertionError):
+        nf.nufft_plan((8, 8, 8), (16.0,) * 3, dtype=F64,
+                      interp='matmul')
+
+
 def test_mesh_sharded_parity():
     r"""Sample-sharded NUFFT on the 8-virtual-device mesh must match
     the unsharded operators bit-for-bit-ish (1e-12): df-free and
