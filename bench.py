@@ -15,12 +15,32 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
 import json
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 BASELINE_SPIN_STEPS_PER_SEC = 512 * 512 / (0.224 + 0.130)  # reference CPU
+
+
+def _device_attaches(timeout=300):
+    r"""Probe device discovery in a SUBPROCESS with a hard timeout: a
+    dead remote attachment makes ``jax.devices()`` hang inside a C call
+    (no GIL release — signal-based timeouts never fire), which would
+    otherwise hang this whole script. Measured outages last hours."""
+    try:
+        subprocess.run([sys.executable, '-c',
+                        'import jax; jax.devices()'],
+                       timeout=timeout, check=True,
+                       stdout=subprocess.DEVNULL,
+                       stderr=subprocess.DEVNULL)
+        return True
+    except (subprocess.TimeoutExpired,
+            subprocess.CalledProcessError) as e:
+        print(f'# device attach probe failed: {type(e).__name__}',
+              file=sys.stderr)
+        return False
 
 
 def _build(nM, nT, dtype):
@@ -88,6 +108,12 @@ def bench_fwd_adjoint(nM, nT, dtype_name='float32', repeats=3, passes=4):
 
 
 def main():
+    if not _device_attaches():
+        print(json.dumps({'metric': 'blochsim fwd+adjoint spin*steps/s '
+                                    '(device attach timed out)',
+                          'value': 0, 'unit': 'spin*steps/s',
+                          'vs_baseline': 0}))
+        return
     try:  # reuse compiled kernels across rounds (remote compile is slow)
         from mrphy_tpu.utils.timing import enable_persistent_cache
         enable_persistent_cache()
