@@ -21,7 +21,7 @@ from mrphy_tpu.utils.traj import (spiral2d, epi, radial, radial3d,
                                   mintime_gradient, traj_check)
 from mrphy_tpu.utils.coils import (coil_compress, apply_ccmat,
                                    noise_whiten_mat, add_noise,
-                                   adaptive_maps)
+                                   adaptive_maps, espirit_maps)
 from mrphy_tpu.utils.shim import sh_basis, shim_fit, shim_apply
 
 # -- Unicode aliases (reference spellings) --
@@ -44,6 +44,7 @@ __all__ = ['ctrsub', 'g2k', 'g2s', 'k2g', 'rf_c2r', 'rf_r2c',
            'spiral2d', 'epi', 'radial', 'radial3d', 'rosette',
            'trapezoid', 'rewinder', 'mintime_gradient', 'traj_check',
            'coil_compress', 'apply_ccmat', 'noise_whiten_mat',
-           'add_noise', 'adaptive_maps', 'sh_basis', 'shim_fit', 'shim_apply',
+           'add_noise', 'adaptive_maps', 'espirit_maps',
+           'sh_basis', 'shim_fit', 'shim_apply',
            # Unicode aliases (NFKC-normalized spellings)
            'uφrot', 'rf2tρθ', 'tρθ2rf', 'rf2lρθ', 'lρθ2rf']

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ['coil_compress', 'apply_ccmat', 'noise_whiten_mat',
-           'add_noise', 'adaptive_maps']
+           'add_noise', 'adaptive_maps', 'espirit_maps']
 
 
 def _to_complex(x):
@@ -138,6 +138,95 @@ def add_noise(key, s, sigma, Psi=None):
         Lt = np.stack([L.T.real, L.T.imag], 0)
         n = apply_ccmat(n, jnp.asarray(Lt, s.dtype), axis=1)
     return s + n
+
+
+def espirit_maps(calib, im_size, *, kernel: int = 6,
+                 thresh_sv: float = 0.02, crop: float = 0.0):
+    r"""ESPIRiT coil-sensitivity maps from a Cartesian calibration
+    (ACS) block [Uecker et al., MRM 71(3):990, 2014] — the subspace
+    companion to :func:`adaptive_maps` (Walsh): instead of local
+    covariance averaging, the maps are the per-voxel dominant
+    eigenvectors of the calibration-matrix row-space operator, which
+    additionally yields an **eigenvalue map** ≈ 1 exactly where the
+    data is consistent with a single smooth sensitivity pattern (the
+    standard support/crop criterion).
+
+    Convention: ``calib`` is the centered ACS block of the Cartesian
+    spectrum under this package's encoding sign, ``s(k) = Σ_j w_j
+    e^{−i2π k·x_j}`` (:mod:`mrphy_tpu.ops.signal`) — i.e. the centered
+    DFT ``fftshift(fftn(ifftshift(img)))`` of the coil images, or a
+    gridded/Cartesian readout of them.
+
+    Algorithm (host numpy — one-off calibration work, per the module
+    policy; complex is fine on the host):
+    block-Hankel matrix A of all ``kernel^d`` sliding windows → SVD →
+    row-space kernels (σ ≥ ``thresh_sv``·σ₀) → zero-padded centered
+    inverse DFT (scale ``N/√K``) → per-voxel ``nC×nC`` Hermitian
+    ``GᴴG`` eigendecomposition; maps = conj of the top eigenvector
+    (convention pinned by the recovery test against known smooth
+    maps), phase-anchored to the strongest coil like
+    :func:`adaptive_maps`.
+
+    Inputs:
+        - ``calib``: `(nC, c_1, …, c_d, 2)` re/im centered ACS block.
+        - ``im_size``: `(n_1, …, n_d)` output grid.
+    Optionals:
+        - ``kernel``: window side W (6 is the literature default).
+        - ``thresh_sv``: row-space singular-value cutoff (relative).
+        - ``crop``: zero the maps where the eigenvalue < ``crop``
+          (0 = no crop; 0.9 is a common choice).
+    Outputs:
+        - ``maps``: `(n_1, …, n_d, 2, nC)` unit-norm maps (the
+          ``sens_``-style trailing layout, like :func:`adaptive_maps`).
+        - ``lam``: `(n_1, …, n_d)` top-eigenvalue map (∈ [0, 1]).
+    """
+    calib = np.asarray(calib)
+    assert calib.shape[-1] == 2, f'expected (nC, c…, 2), {calib.shape}'
+    C = calib[..., 0] + 1j * calib[..., 1]        # (nC, c…)
+    nC = C.shape[0]
+    cshape = C.shape[1:]
+    d = len(cshape)
+    im_size = tuple(int(n) for n in im_size)
+    assert len(im_size) == d, (im_size, cshape)
+    ks = (int(kernel),) * d
+    assert all(c >= k for c, k in zip(cshape, ks)), (cshape, ks)
+    assert all(n >= k for n, k in zip(im_size, ks)), (im_size, ks)
+
+    # block-Hankel of sliding windows → row-space kernels
+    win = np.lib.stride_tricks.sliding_window_view(
+        C, ks, axis=tuple(range(1, 1 + d)))
+    win = np.moveaxis(win, 0, -1)                 # (w…, k…, nC)
+    A = win.reshape(-1, int(np.prod(ks)) * nC)
+    _, s, Vh = np.linalg.svd(A, full_matrices=False)
+    nk = max(1, int((s >= thresh_sv * s[0]).sum()))
+    kerns = Vh[:nk].reshape((nk,) + ks + (nC,))   # (nk, k…, nC)
+
+    # zero-pad centered, inverse centered DFT, scale N/√K
+    N, K = int(np.prod(im_size)), int(np.prod(ks))
+    kpad = np.zeros((nk,) + im_size + (nC,), complex)
+    sl = (slice(None),) + tuple(
+        slice(n // 2 - k // 2, n // 2 - k // 2 + k)
+        for n, k in zip(im_size, ks)) + (slice(None),)
+    kpad[sl] = kerns
+    axes = tuple(range(1, 1 + d))
+    G = np.fft.fftshift(np.fft.ifftn(
+        np.fft.ifftshift(kpad, axes=axes), axes=axes),
+        axes=axes) * (N / np.sqrt(K))             # (nk, n…, nC)
+
+    # per-voxel GᴴG (nC×nC Hermitian), top eigenpair
+    Gq = np.moveaxis(G, 0, -2)                    # (n…, nk, nC)
+    M = np.einsum('...ic,...ie->...ce', Gq.conj(), Gq)
+    w, v = np.linalg.eigh(M)
+    lam = np.clip(w[..., -1].real, 0.0, None)
+    m = v[..., -1].conj()                         # (n…, nC)
+
+    # phase-anchor to the strongest coil (cf. adaptive_maps)
+    ref = int(np.argmax((np.abs(m) ** 2).reshape(-1, nC).sum(0)))
+    ph = m[..., ref] / np.maximum(np.abs(m[..., ref]), 1e-30)
+    m = m * ph.conj()[..., None]
+    if crop > 0:
+        m = m * (lam >= crop)[..., None]
+    return np.stack([m.real, m.imag], -2), lam
 
 
 def adaptive_maps(imgs, *, block: int = 5, iters: int = 40,
