@@ -52,6 +52,11 @@ CASES = [
                         '--traj', 'radial', '--noise', '0.3']),
     ('recon_sense.py', ['--n', '16', '--iters', '40', '--op', 'nufft',
                         '--toeplitz']),
+    # self-calibrated: ESPIRiT maps from a Cartesian ACS acquisition
+    ('recon_sense.py', ['--n', '16', '--iters', '40', '--maps',
+                        'espirit']),
+    ('recon_sense.py', ['--n', '16', '--iters', '40', '--maps',
+                        'espirit', '--noise', '0.02']),
     # voxel-sharded variants on the 8-virtual-device CPU mesh
     ('recon_sense.py', ['--n', '16', '--iters', '30', '--df', '40',
                         '--mesh']),
