@@ -57,6 +57,8 @@ CASES = [
                         'espirit']),
     ('recon_sense.py', ['--n', '16', '--iters', '40', '--maps',
                         'espirit', '--noise', '0.02']),
+    # k-space parallel imaging (GRAPPA) through the exact operator
+    ('grappa_recon.py', ['--n', '32', '--nc', '6', '--acs', '12']),
     # voxel-sharded variants on the 8-virtual-device CPU mesh
     ('recon_sense.py', ['--n', '16', '--iters', '30', '--df', '40',
                         '--mesh']),
