@@ -22,7 +22,8 @@ from mrphy_tpu.utils.traj import (spiral2d, epi, radial, radial3d,
 from mrphy_tpu.utils.coils import (coil_compress, apply_ccmat,
                                    noise_whiten_mat, add_noise,
                                    adaptive_maps, espirit_maps)
-from mrphy_tpu.utils.grappa import grappa_weights, grappa_apply
+from mrphy_tpu.utils.grappa import (grappa_weights, grappa_apply,
+                                    sg_weights, sg_apply)
 from mrphy_tpu.utils.shim import sh_basis, shim_fit, shim_apply
 
 # -- Unicode aliases (reference spellings) --
@@ -46,7 +47,7 @@ __all__ = ['ctrsub', 'g2k', 'g2s', 'k2g', 'rf_c2r', 'rf_r2c',
            'trapezoid', 'rewinder', 'mintime_gradient', 'traj_check',
            'coil_compress', 'apply_ccmat', 'noise_whiten_mat',
            'add_noise', 'adaptive_maps', 'espirit_maps',
-           'grappa_weights', 'grappa_apply',
+           'grappa_weights', 'grappa_apply', 'sg_weights', 'sg_apply',
            'sh_basis', 'shim_fit', 'shim_apply',
            # Unicode aliases (NFKC-normalized spellings)
            'uφrot', 'rf2tρθ', 'tρθ2rf', 'rf2lρθ', 'lρθ2rf']

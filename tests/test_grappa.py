@@ -91,3 +91,105 @@ def test_undersized_acs_rejected():
         grappa_weights(ksp[:, :6, :24], 2)        # rows < kernel span
     with pytest.raises(AssertionError):
         grappa_weights(ksp[:, :24, :3], 2)        # cols < nsx
+
+
+# ------------------------------------------------------------------
+# Split-slice GRAPPA (SMS)
+# ------------------------------------------------------------------
+
+def _sms_problem(n=48, nc=8, nsl=2, noise=1e-4):
+    r"""Per-slice phantoms with distinct structure; coils rotate with
+    slice so the collapsed problem is separable."""
+    rng = np.random.default_rng(11)
+    ksps, kcs = [], []
+    for s in range(nsl):
+        y, x = np.mgrid[-1:1:n * 1j, -1:1:n * 1j]
+        if s % 2 == 0:
+            mag = ((x / 0.7) ** 2 + (y / 0.9) ** 2 < 1).astype(float)
+            mag += 0.5 * ((x - 0.25) ** 2 + y ** 2 < 0.05)
+        else:
+            mag = (np.abs(x) < 0.6) * (np.abs(y) < 0.6) * 1.0
+            mag += 0.4 * ((x + 0.2) ** 2 + (y - 0.2) ** 2 < 0.07)
+        obj = mag * np.exp(1j * (0.6 * x - 0.3 * y + 0.2 * s))
+        S = []
+        for c in range(nc):
+            # slices at different z see rotated, wider, re-phased
+            # coil patterns — the physical basis of SMS separability
+            a = 2 * np.pi * (c + 0.5 * s) / nc
+            m = np.exp(-((x - 1.3 * np.cos(a)) ** 2
+                         + (y - 1.3 * np.sin(a)) ** 2) / (2.0 + 1.5 * s))
+            S.append(m * np.exp(1j * (0.4 + 0.25 * s)
+                                * (x * np.sin(a) - y * np.cos(a))))
+        kc = _cfft(np.stack(S) * obj[None])
+        kc = kc + noise * (rng.standard_normal(kc.shape)
+                           + 1j * rng.standard_normal(kc.shape))
+        kcs.append(kc)
+        ksps.append(np.stack([kc.real, kc.imag], -1))
+    return np.stack(ksps), np.stack(kcs)            # (nsl,nC,n,n,[2])
+
+
+def _sms_recon_err(ksps, kcs, shifts):
+    from mrphy_tpu.utils.grappa import sg_weights, sg_apply, \
+        _caipi_ramp
+    nsl, nC, n = ksps.shape[:3]
+    cs = 24
+    sl = (slice(None), slice(None),
+          slice(n // 2 - cs // 2, n // 2 + cs // 2),
+          slice(n // 2 - cs // 2, n // 2 + cs // 2))
+    W = sg_weights(ksps[sl], shifts=shifts)
+    # collapsed acquisition: sum of (blip-shifted) slice k-spaces
+    if shifts is None:
+        coll_c = kcs.sum(0)
+    else:
+        coll_c = sum(kcs[s] * _caipi_ramp(n, s / nsl)[None, :, None]
+                     for s in range(nsl))
+    coll = np.stack([coll_c.real, coll_c.imag], -1)
+    out = np.asarray(sg_apply(jnp.asarray(coll), jnp.asarray(W),
+                              shifts=shifts))
+    rels = []
+    for s in range(nsl):
+        rc = out[s, ..., 0] + 1j * out[s, ..., 1]
+        rels.append(np.linalg.norm(_rss(rc) - _rss(kcs[s]))
+                    / np.linalg.norm(_rss(kcs[s])))
+    return rels
+
+
+@pytest.mark.parametrize('shifts,tol', [(None, 0.12), ('auto', 0.05)],
+                         ids=['plain', 'caipi'])
+def test_sms_separation(shifts, tol):
+    r"""Plain (unshifted) SMS separation is intrinsically limited by
+    in-plane coil variation alone (~8% here — this is WHY CAIPIRINHA
+    exists); with FOV/nsl interslice shifts the same kernels separate
+    to a few %."""
+    ksps, kcs = _sms_problem()
+    for s, rel in enumerate(_sms_recon_err(ksps, kcs, shifts)):
+        assert rel < tol, (shifts, s, rel)
+
+
+def test_caipi_beats_plain():
+    ksps, kcs = _sms_problem()
+    plain = max(_sms_recon_err(ksps, kcs, None))
+    caipi = max(_sms_recon_err(ksps, kcs, 'auto'))
+    assert caipi < plain / 2, (caipi, plain)
+
+
+def test_sms_leakage_blocking():
+    r"""Feed sg_apply a 'collapsed' k-space containing ONLY slice 1:
+    the slice-0 output must be near-silent (the sp-sg fit maps other
+    slices' data to zero by construction)."""
+    from mrphy_tpu.utils.grappa import sg_weights, sg_apply
+    ksps, kcs = _sms_problem()
+    nsl, nC, n = ksps.shape[:3]
+    cs = 24
+    sl = (slice(None), slice(None),
+          slice(n // 2 - cs // 2, n // 2 + cs // 2),
+          slice(n // 2 - cs // 2, n // 2 + cs // 2))
+    W = sg_weights(ksps[sl])
+    out = np.asarray(sg_apply(jnp.asarray(ksps[1]), jnp.asarray(W)))
+    r0 = out[0, ..., 0] + 1j * out[0, ..., 1]
+    r1 = out[1, ..., 0] + 1j * out[1, ..., 1]
+    leak = np.linalg.norm(r0) / np.linalg.norm(kcs[1])
+    keep = np.linalg.norm(r1) / np.linalg.norm(kcs[1])
+    assert leak < 0.15, leak           # unshifted frame: best-effort
+    assert keep > 0.9, keep
+    assert leak < keep / 6, (leak, keep)
