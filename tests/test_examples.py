@@ -59,6 +59,8 @@ CASES = [
                         'espirit', '--noise', '0.02']),
     # k-space parallel imaging (GRAPPA) through the exact operator
     ('grappa_recon.py', ['--n', '32', '--nc', '6', '--acs', '12']),
+    # water-fat separation / PDFF mapping (IDEAL, 6-peak fat)
+    ('dixon_waterfat.py', ['--n', '24']),
     # voxel-sharded variants on the 8-virtual-device CPU mesh
     ('recon_sense.py', ['--n', '16', '--iters', '30', '--df', '40',
                         '--mesh']),
