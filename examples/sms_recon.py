@@ -1,0 +1,141 @@
+r"""Simultaneous-multislice acquisition and separation, end to end.
+
+The SMS chain with REAL physics at every stage (no FFT shortcut, no
+inverse crime):
+
+1. two slices at different z carry different phantoms and see
+   different coil sensitivities (z-dependent falloff);
+2. single-slice Cartesian ACS blocks are acquired through the exact
+   operator (:mod:`mrphy_tpu.ops.signal`) for calibration;
+3. the collapsed SMS acquisition is ONE signal() call over the spins
+   of BOTH slices — the CAIPIRINHA FOV/2 interslice shift is not a
+   synthetic phase but a physical ``kz(ky)`` blip pattern in the
+   trajectory (``kz = m/(2·z₀)`` gives slice 1 the alternating-sign
+   ramp, slice 0 none — exactly what gradient blips do);
+4. split-slice GRAPPA kernels (:func:`mrphy_tpu.utils.grappa.
+   sg_weights`) separate the collapsed k-space; per-slice RSS images
+   are compared against dedicated single-slice acquisitions.
+
+The RF side of SMS (multiband pulse design) is
+:func:`mrphy_tpu.design.sms_modulate` — see ``tests/test_sms.py``.
+
+Run:
+    python examples/sms_recon.py [--n 32] [--nc 8] [--acs 16]
+"""
+
+import argparse
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--n', type=int, default=32, help='matrix size')
+    ap.add_argument('--nc', type=int, default=8, help='coils')
+    ap.add_argument('--acs', type=int, default=16, help='ACS rows')
+    ap.add_argument('--fov', type=float, default=24.0, help='cm')
+    ap.add_argument('--z0', type=float, default=3.0,
+                    help='slice separation, cm')
+    ap.add_argument('--noise', type=float, default=1e-4)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from mrphy_tpu import dt0
+    from mrphy_tpu.ops import signal as sig
+    from mrphy_tpu.utils.grappa import sg_weights, sg_apply
+    from mrphy_tpu.utils.coils import add_noise
+
+    n, nc, fov, z0 = args.n, args.nc, args.fov, args.z0
+    nsl, nM = 2, n * n
+
+    ax = (np.arange(n) - n // 2) / n * fov
+    yy, xx = np.meshgrid(ax, ax, indexing='ij')
+    u, v = yy / (fov / 2), xx / (fov / 2)
+
+    # per-slice phantoms + z-dependent coil maps
+    objs, senss, locs = [], [], []
+    for s in range(nsl):
+        if s == 0:
+            mag = ((v / 0.7) ** 2 + (u / 0.9) ** 2 < 1).astype(float)
+            mag += 0.5 * ((v - 0.25) ** 2 + u ** 2 < 0.05)
+        else:
+            mag = (np.abs(v) < 0.6) * (np.abs(u) < 0.6) * 1.0
+            mag += 0.4 * ((v + 0.2) ** 2 + (u - 0.2) ** 2 < 0.07)
+        obj = mag * np.exp(1j * (0.6 * v - 0.3 * u + 0.2 * s))
+        S = []
+        for c in range(nc):
+            a = 2 * np.pi * (c + 0.5 * s) / nc
+            m = np.exp(-((v - 1.3 * np.cos(a)) ** 2
+                         + (u - 1.3 * np.sin(a)) ** 2) / (2.0 + 1.5 * s))
+            S.append(m * np.exp(1j * (0.4 + 0.25 * s)
+                                * (v * np.sin(a) - u * np.cos(a))))
+        objs.append(obj)
+        senss.append(np.stack(S))
+        z = s * z0                            # slice 0 at z=0, 1 at z0
+        locs.append(np.stack([xx, yy, np.full_like(xx, z)],
+                             -1).reshape(nM, 3))
+
+    key = jax.random.key(11)
+
+    def acquire(slices, rows, caipi):
+        r"""Acquire the given slices TOGETHER: one signal() call over
+        all their spins; ``caipi`` adds the physical kz blip ramp."""
+        loc_ = jnp.asarray(np.concatenate([locs[s] for s in slices]),
+                           jnp.float32)[None]
+        M = np.concatenate([np.stack(
+            [objs[s].real, objs[s].imag, 0 * objs[s].real],
+            -1).reshape(nM, 3) for s in slices])
+        sens = np.concatenate([np.stack(
+            [senss[s].real, senss[s].imag], -1).reshape(nc, nM, 2)
+            .transpose(1, 2, 0) for s in slices])
+        ms = np.arange(n) - n // 2
+        kyy = np.repeat(ms[rows] / fov, n)
+        kxx = np.tile(ms / fov, len(rows))
+        kzz = (np.repeat(ms[rows], n) / (2.0 * z0) if caipi
+               else 0.0 * kxx)                # kz = m/(2 z0): FOV/2
+        k3 = jnp.asarray(np.stack([kxx, kyy, kzz], 0), jnp.float32)
+        s = sig.signal(jnp.asarray(M, jnp.float32)[None], loc_,
+                       k3[None], sens=jnp.asarray(sens,
+                                                  jnp.float32)[None],
+                       dt=dt0)
+        if args.noise > 0:
+            s = add_noise(key, s, args.noise)
+        return np.asarray(s)[0].reshape(nc, len(rows), n, 2)
+
+    allrows = list(range(n))
+    acs = list(range(n // 2 - args.acs // 2, n // 2 + args.acs // 2))
+
+    # calibration: each slice alone (its ACS block), no blips
+    calibs = np.stack([acquire([s], acs, caipi=False)
+                       for s in range(nsl)])
+    # references: each slice alone, full grid
+    refs = [acquire([s], allrows, caipi=False) for s in range(nsl)]
+    # the SMS shot: both slices at once, physical CAIPI blips
+    coll = acquire([0, 1], allrows, caipi=True)
+    print(f'{n}x{n} x {nsl} slices, {nc} coils, ACS={args.acs}, '
+          f'z0={z0} cm, physical kz blips')
+
+    W = sg_weights(calibs, shifts='auto')
+    out = np.asarray(sg_apply(jnp.asarray(coll), jnp.asarray(W),
+                              shifts='auto'))
+
+    def rss(kr):
+        kc = kr[..., 0] + 1j * kr[..., 1]
+        img = np.fft.fftshift(np.fft.ifftn(np.fft.ifftshift(
+            kc, axes=(1, 2)), axes=(1, 2)), axes=(1, 2))
+        return np.sqrt((np.abs(img) ** 2).sum(0))
+
+    errs = []
+    for s in range(nsl):
+        ref = rss(refs[s])
+        e = np.linalg.norm(rss(out[s]) - ref) / np.linalg.norm(ref)
+        errs.append(e)
+        print(f'slice {s}: separation RSS error {100 * e:.2f}%')
+    assert max(errs) < 0.06, errs
+    print('SMS separation OK (physical CAIPI blips -> split-slice '
+          'GRAPPA)')
+
+
+if __name__ == '__main__':
+    main()

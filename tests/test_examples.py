@@ -61,6 +61,8 @@ CASES = [
     ('grappa_recon.py', ['--n', '32', '--nc', '6', '--acs', '12']),
     # water-fat separation / PDFF mapping (IDEAL, 6-peak fat)
     ('dixon_waterfat.py', ['--n', '24']),
+    # SMS: physical CAIPI kz blips -> split-slice GRAPPA separation
+    ('sms_recon.py', ['--n', '24', '--acs', '12']),
     # voxel-sharded variants on the 8-virtual-device CPU mesh
     ('recon_sense.py', ['--n', '16', '--iters', '30', '--df', '40',
                         '--mesh']),
