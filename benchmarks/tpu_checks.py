@@ -297,13 +297,18 @@ def _nufft_parity():
         kmax = 0.95 * im_size[a] / (2 * fov[a])
         k[a] = rng.uniform(-kmax, kmax, nT)
     k3 = jnp.asarray(k, DT32)
-    plan = nf.nufft_plan(im_size, fov, width=6, dtype=DT32)
+    plan = nf.nufft_plan(im_size, fov, width=6, dtype=DT32)  # matmul
+    plan_g = nf.nufft_plan(im_size, fov, width=6, dtype=DT32,
+                           interp='gather')
 
     s = np.asarray(jax.jit(lambda i: nf.nufft(plan, i, k3[:2]))(img))
+    s_g = np.asarray(jax.jit(
+        lambda i: nf.nufft(plan_g, i, k3[:2]))(img))
     M = jnp.concatenate([img.reshape(nM, 2),
                          jnp.zeros((nM, 1), DT32)], -1)[None]
     s0 = np.asarray(sig_mod.signal(M, loc_, k3[None])[0, 0])
     rel_f = _rel(s, s0)
+    rel_gm = _rel(s_g, s)       # compiled gather vs compiled matmul
 
     that = nf.toeplitz_kernel(plan, k3[:2], chunk=128)
     out = np.asarray(jax.jit(
@@ -313,11 +318,13 @@ def _nufft_parity():
             im_size + (2,))
     rel_t = _rel(out, x0)
 
-    # W=6 gridding floor is 2e-5; allow f32 phase/dot roundoff on top
-    ok = rel_f < 2e-4 and rel_t < 2e-4
+    # W=6 gridding floor is 2e-5; allow f32 phase/dot roundoff on top.
+    # matmul-vs-gather is the SAME math in different sum orders: 1e-5.
+    ok = rel_f < 2e-4 and rel_t < 2e-4 and rel_gm < 1e-5
     _record('nufft_parity', ok,
-            f'fwd rel {rel_f:.1e}, toeplitz-AHA rel {rel_t:.1e} '
-            f'(tol 2e-4)')
+            f'fwd(matmul) rel {rel_f:.1e}, toeplitz-AHA rel '
+            f'{rel_t:.1e} (tol 2e-4); gather-vs-matmul {rel_gm:.1e} '
+            f'(tol 1e-5)')
     return ok
 
 
