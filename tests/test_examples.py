@@ -63,6 +63,8 @@ CASES = [
     ('dixon_waterfat.py', ['--n', '24']),
     # SMS: physical CAIPI kz blips -> split-slice GRAPPA separation
     ('sms_recon.py', ['--n', '24', '--acs', '12']),
+    # compressed sensing: TV-CP through the NUFFT at 24% Nyquist
+    ('cs_recon.py', ['--n', '32', '--spokes', '12']),
     # voxel-sharded variants on the 8-virtual-device CPU mesh
     ('recon_sense.py', ['--n', '16', '--iters', '30', '--df', '40',
                         '--mesh']),
