@@ -27,7 +27,7 @@ def main():
     import jax
     import jax.numpy as jnp
     from mrphy_tpu.ops.dixon import (dixon_cl, dixon_ideal,
-                                     FAT_PPM_3T, FAT_AMPS)
+                                     FAT_HZ_3T, FAT_AMPS)
 
     rng = np.random.default_rng(0)
     n, L = args.n, args.ne
@@ -42,7 +42,7 @@ def main():
     W = rho * (1 - ff) * np.exp(1j * phase)
     F = rho * ff * np.exp(1j * (phase + 0.2))
 
-    c = np.asarray(dixon_cl(jnp.asarray(TE), FAT_PPM_3T, FAT_AMPS))
+    c = np.asarray(dixon_cl(jnp.asarray(TE), FAT_HZ_3T, FAT_AMPS))
     cc = c[:, 0] + 1j * c[:, 1]
     e = np.exp(-2j * np.pi * psi[..., None] * TE[None, None])
     s = (W[..., None] + F[..., None] * cc) * e        # (n, n, L)
@@ -50,7 +50,7 @@ def main():
     s += args.noise * rng.standard_normal(s.shape)
 
     fit = jax.jit(lambda s: dixon_ideal(
-        s, jnp.asarray(TE, jnp.float32), fat_df=FAT_PPM_3T,
+        s, jnp.asarray(TE, jnp.float32), fat_df=FAT_HZ_3T,
         fat_amp=FAT_AMPS))
     out = fit(jnp.asarray(s, jnp.float32))
 

@@ -76,7 +76,10 @@ def main():
         locs.append(np.stack([xx, yy, np.full_like(xx, z)],
                              -1).reshape(nM, 3))
 
-    key = jax.random.key(11)
+    # independent noise per acquisition (a shared key would correlate
+    # the SMS shot with the single-slice references, flattering the
+    # separation-error comparison)
+    keys = iter(jax.random.split(jax.random.key(11), 8))
 
     def acquire(slices, rows, caipi):
         r"""Acquire the given slices TOGETHER: one signal() call over
@@ -100,7 +103,7 @@ def main():
                                                   jnp.float32)[None],
                        dt=dt0)
         if args.noise > 0:
-            s = add_noise(key, s, args.noise)
+            s = add_noise(next(keys), s, args.noise)
         return np.asarray(s)[0].reshape(nc, len(rows), n, 2)
 
     allrows = list(range(n))

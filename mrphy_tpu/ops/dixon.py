@@ -33,16 +33,16 @@ import numpy as np
 import jax.numpy as jnp
 from jax import lax
 
-__all__ = ['dixon_cl', 'dixon_ideal', 'FAT_PPM_3T', 'FAT_AMPS']
+__all__ = ['dixon_cl', 'dixon_ideal', 'FAT_HZ_3T', 'FAT_AMPS']
 
 # 6-peak liver fat spectrum [Hamilton et al., NMR Biomed 24(7):784,
 # 2011], shifts in Hz AT 3 T (−ppm·γ·B0 with water at 0; the main
 # methylene peak is ≈ −434 Hz), relative amplitudes normalized to 1.
-FAT_PPM_3T = (-434.0, -332.0, -486.0, -63.0, 37.0, -243.0)
+FAT_HZ_3T = (-434.0, -332.0, -486.0, -63.0, 37.0, -243.0)
 FAT_AMPS = (0.693, 0.128, 0.087, 0.048, 0.039, 0.004)
 
 
-def dixon_cl(TE, fat_df: Sequence[float] = FAT_PPM_3T,
+def dixon_cl(TE, fat_df: Sequence[float] = FAT_HZ_3T,
              fat_amp: Sequence[float] = FAT_AMPS):
     r"""Complex fat dephasing coefficients ``c_l`` at the echo times.
 
@@ -68,7 +68,7 @@ def _cmul(ar, ai, br, bi):
     return ar * br - ai * bi, ar * bi + ai * br
 
 
-def dixon_ideal(s, TE, *, fat_df: Sequence[float] = FAT_PPM_3T,
+def dixon_ideal(s, TE, *, fat_df: Sequence[float] = FAT_HZ_3T,
                 fat_amp: Sequence[float] = FAT_AMPS, psi0=None,
                 iters: int = 12, damp: float = 1e-9):
     r"""IDEAL water–fat–fieldmap estimation (batched Gauss–Newton).

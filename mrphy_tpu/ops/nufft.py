@@ -321,6 +321,9 @@ def _taps(plan, idxs, wts):
     return fi.reshape(nT, -1), fw.reshape(nT, -1)
 
 
+_MM_CHUNK = 16384       # default matmul-mode sample chunk (see nufft)
+
+
 def _chunked(fn, n: int, chunk: Optional[int], *arrays):
     r"""Run ``fn`` over length-``chunk`` slices of axis 0 (zero-padded;
     callers discard or rely on zero contributions) via ``lax.map``."""
@@ -367,6 +370,8 @@ def _fwd_core(plan: NufftPlan, img, ktraj, chunk):
             return jnp.stack([sr, si], -1)            # (chunk, 2)
 
     nT = ktraj.shape[-1]
+    if chunk is None and plan.interp == 'matmul':
+        chunk = _MM_CHUNK
     out, _ = _chunked(sample, nT, chunk, ktraj.T)
     return out.reshape(-1, 2)[:nT]
 
@@ -424,8 +429,12 @@ def nufft(plan: NufftPlan, img, ktraj, *, df=None, T2s=None, dt=None,
           relative at nseg=16 over a 5 ms/±50 Hz readout in the tests.
         - ``dt``: `()`, "Sec", dwell (required with ``df``/``T2s``).
         - ``nseg``: time segments (error ∝ (2πΔf·T/nseg)²).
-        - ``chunk``: samples per interpolation block (bounds the
-          `(chunk, W^d)` gather; default: all of ``nT``).
+        - ``chunk``: samples per interpolation block — bounds the
+          `(chunk, W^d)` tap table (gather mode) or the
+          `d × (chunk, G_a)` dense factors (matmul mode). Default:
+          all of ``nT`` for gather; **16384 for matmul** (the dense
+          factors are the memory bound there — ~34 MB/axis at G=512 —
+          and chunking is value-identical, asserted in the tests).
         - ``mesh``: a ``(batch, spins)`` :class:`jax.sharding.Mesh` —
           samples (and the tap table) shard over the spin axis, the
           grid stage replicates; collective-free forward.
@@ -530,6 +539,8 @@ def _adj_scatter(plan: NufftPlan, s, ktraj, chunk):
             bi = z.at[fi.reshape(-1)].add((fw * s_c[:, 1:]).reshape(-1))
             return jnp.stack([br, bi])
 
+    if chunk is None and plan.interp == 'matmul':
+        chunk = _MM_CHUNK
     out, _ = _chunked(scatter, nT, chunk, ktraj.T, s)
     if out.ndim == 3:                                 # chunked: sum maps
         out = out.sum(0)
@@ -583,8 +594,10 @@ def dcf_pipe_menon(plan: NufftPlan, ktraj, *, iters: int = 30,
         - ``w``: `(nT,)` sample weights.
 
     Memory: holds the `(nT, W^d)` tap table (gather mode) or the
-    `d × (nT, G_a)` dense factors (matmul mode); for 3-D at large
-    ``nT`` prefer iterating per-shot and concatenating.
+    `d × (nT, G_a)` dense factors (matmul mode — UNchunked here, since
+    the factors are reused across all ``iters``); for very large
+    ``nT`` prefer iterating per-shot and concatenating, or a gather
+    plan.
     """
     ktraj = jnp.asarray(ktraj)
     nT = ktraj.shape[-1]

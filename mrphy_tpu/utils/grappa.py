@@ -132,7 +132,6 @@ def grappa_apply(ksp, W, R: int):
     acq = ksp[:, ::R]                                 # (nC, nacq, nx, 2)
     # zero-pad acquired rows and kx edges once; taps become static
     # slices (fused adds under jit)
-    pad_lo = nsy, hx
     acqp = jnp.pad(acq, ((0, 0), (nsy, nsy), (hx, hx), (0, 0)))
 
     out = ksp
@@ -144,7 +143,7 @@ def grappa_apply(ksp, W, R: int):
         acc_r = jnp.zeros((nt, nx, nC), ksp.dtype)
         acc_i = jnp.zeros((nt, nx, nC), ksp.dtype)
         for i, dy in enumerate(offs):
-            krow = pad_lo[0] + (int(dy) + r) // R     # + k
+            krow = nsy + (int(dy) + r) // R           # + k (row pad)
             rows = acqp[:, krow:krow + nt]            # (nC, nt, nx+2hx, 2)
             for j in range(nsx):
                 blk = rows[:, :, j:j + nx]            # (nC, nt, nx, 2)
@@ -167,13 +166,16 @@ def grappa_apply(ksp, W, R: int):
 # ------------------------------------------------------------------
 
 def _caipi_ramp(ny: int, f: float) -> np.ndarray:
-    r"""Complex ky phase ramp realizing a CAIPIRINHA FOV-fraction
-    shift ``f``: a shift ``y → y + f·FOV`` is ``e^{+i2π m f}`` on the
-    centered line index ``m`` (``f = s/nbands`` is the standard
-    interslice pattern; ``f = 1/2`` is the classic alternating-sign
-    FOV/2 shift)."""
+    r"""Complex ky phase ramp a slice acquires from CAIPIRINHA blips
+    realizing a ``+f·FOV`` shift: under this package's encoding sign
+    (``s = Σ w e^{−i2π k·x}``, :mod:`mrphy_tpu.ops.signal`) a blip
+    pattern ``kz_m = m·f/z_s`` imprints ``e^{−i2π m f}`` on the slice
+    at ``z_s`` — the NEGATIVE ramp on the centered line index ``m``
+    (verified numerically against a rolled image's centered spectrum;
+    ``f = s/nbands`` is the standard interslice pattern, ``f = 1/2``
+    the self-conjugate alternating-sign FOV/2 shift)."""
     m = np.arange(ny) - ny // 2
-    return np.exp(2j * np.pi * m * float(f))
+    return np.exp(-2j * np.pi * m * float(f))
 
 
 def sg_weights(calibs, *, kernel: Tuple[int, int] = (5, 5),

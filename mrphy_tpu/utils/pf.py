@@ -27,12 +27,16 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+from mrphy_tpu.ops.nufft import _dft_axis
+
 __all__ = ['pocs_pf']
 
 
 def _dftmat(n: int, dtype, sign: float):
     r"""Centered DFT factor ``e^{sign·i2π (m−c)(p−c)/n}`` as re/im —
-    angle reduced exactly via integer ``((m−c)(p−c)) mod n``."""
+    angle reduced exactly via integer ``((m−c)(p−c)) mod n`` (the same
+    trick as :func:`mrphy_tpu.ops.nufft._dft2n`, but centered on both
+    index and frequency; application reuses nufft's ``_dft_axis``)."""
     c = n // 2
     m = np.arange(n, dtype=np.int64) - c
     ang = (sign * 2.0 * np.pi / n) * ((m[:, None] * m[None]) % n)
@@ -41,13 +45,9 @@ def _dftmat(n: int, dtype, sign: float):
 
 
 def _apply2(xr, xi, mats):
-    r"""Apply per-axis complex factors to a real-pair 2-D array."""
+    r"""Apply per-axis complex DFT factors to a real-pair 2-D array."""
     for a, (mr, mi) in enumerate(mats):
-        def td(z, m):
-            out = jnp.tensordot(m, z, axes=([1], [a]),
-                                precision='highest')
-            return jnp.moveaxis(out, 0, a)
-        xr, xi = td(xr, mr) - td(xi, mi), td(xr, mi) + td(xi, mr)
+        xr, xi = _dft_axis(xr, xi, mr, mi, a)
     return xr, xi
 
 

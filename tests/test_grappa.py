@@ -129,19 +129,25 @@ def _sms_problem(n=48, nc=8, nsl=2, noise=1e-4):
 
 
 def _sms_recon_err(ksps, kcs, shifts):
-    from mrphy_tpu.utils.grappa import sg_weights, sg_apply, \
-        _caipi_ramp
+    from mrphy_tpu.utils.grappa import sg_weights, sg_apply
     nsl, nC, n = ksps.shape[:3]
     cs = 24
     sl = (slice(None), slice(None),
           slice(n // 2 - cs // 2, n // 2 + cs // 2),
           slice(n // 2 - cs // 2, n // 2 + cs // 2))
     W = sg_weights(ksps[sl], shifts=shifts)
-    # collapsed acquisition: sum of (blip-shifted) slice k-spaces
+    # collapsed acquisition: sum of blip-shifted slice k-spaces. The
+    # ramp is written out EXPLICITLY in the physical convention — a
+    # kz_m = m·f/z_s blip imprints e^{−i2π m f} under the package's
+    # e^{−i2π k·x} encoding sign — independent of the library helper,
+    # so a sign regression there fails here (it did once, invisible
+    # at nsl=2 where (−1)^m is self-conjugate).
     if shifts is None:
         coll_c = kcs.sum(0)
     else:
-        coll_c = sum(kcs[s] * _caipi_ramp(n, s / nsl)[None, :, None]
+        m = np.arange(n) - n // 2
+        coll_c = sum(kcs[s] * np.exp(-2j * np.pi * m * (s / nsl)
+                                     )[None, :, None]
                      for s in range(nsl))
     coll = np.stack([coll_c.real, coll_c.imag], -1)
     out = np.asarray(sg_apply(jnp.asarray(coll), jnp.asarray(W),
@@ -154,14 +160,17 @@ def _sms_recon_err(ksps, kcs, shifts):
     return rels
 
 
-@pytest.mark.parametrize('shifts,tol', [(None, 0.12), ('auto', 0.05)],
-                         ids=['plain', 'caipi'])
-def test_sms_separation(shifts, tol):
+@pytest.mark.parametrize('nsl,shifts,tol',
+                         [(2, None, 0.12), (2, 'auto', 0.05),
+                          (3, 'auto', 0.09)],
+                         ids=['plain', 'caipi', 'caipi3'])
+def test_sms_separation(nsl, shifts, tol):
     r"""Plain (unshifted) SMS separation is intrinsically limited by
     in-plane coil variation alone (~8% here — this is WHY CAIPIRINHA
     exists); with FOV/nsl interslice shifts the same kernels separate
-    to a few %."""
-    ksps, kcs = _sms_problem()
+    to a few %. nsl=3 exercises non-self-conjugate ramps (the case
+    that pins the blip sign)."""
+    ksps, kcs = _sms_problem(nsl=nsl)
     for s, rel in enumerate(_sms_recon_err(ksps, kcs, shifts)):
         assert rel < tol, (shifts, s, rel)
 
