@@ -78,6 +78,10 @@ class DesignConfig:
     lam_gmax: float = 0.0     # peak-gradient excess penalty weight
     lam_sar: float = 0.0      # local-SAR (VOP) excess penalty weight
     sar_limit: float = 0.0    # per-VOP time-averaged SAR limit
+    lam_pns: float = 0.0      # PNS excess penalty weight
+    pns_limit: float = 80.0   # %, normal operating mode
+    pns_smin: tuple = (6000.0, 6000.0, 6000.0)  # Gauss/cm/s rheobase
+    pns_chronaxie: float = 334e-6               # Sec
     gam: float = gamH
 
 
@@ -174,6 +178,17 @@ def _loss_fn(params, cfg, M0_, loc_, Mtgt_, T1_, T2_, gam_, df_, b1Map_,
         sar = sar_vops(rf, sarQr_, sarQi_)          # (N, nVOP)
         sar_ex = jax.nn.relu(sar - cfg.sar_limit)
         pen = pen + cfg.lam_sar * jnp.mean(jnp.sum(sar_ex ** 2, axis=-1))
+    if cfg.lam_pns:
+        # soft peripheral-nerve-stimulation constraint: hinge² on the
+        # chronaxie-filtered combined slew over the limit (utils.pns).
+        # The ts parametrization caps instantaneous |slew| per axis,
+        # but PNS binds the FILTERED √Σ-axes response — a different,
+        # often tighter, constraint on fast trapezoid trains.
+        from mrphy_tpu.utils.pns import pns_predict
+        pns = pns_predict(gr, cfg.dt, smin=cfg.pns_smin,
+                          chronaxie=cfg.pns_chronaxie)  # (N, nT), %
+        pns_ex = jax.nn.relu(pns - cfg.pns_limit)
+        pen = pen + cfg.lam_pns * jnp.mean(jnp.sum(pns_ex ** 2, -1))
     return err + pen, M_
 
 

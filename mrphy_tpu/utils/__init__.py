@@ -25,6 +25,7 @@ from mrphy_tpu.utils.coils import (coil_compress, apply_ccmat,
 from mrphy_tpu.utils.grappa import (grappa_weights, grappa_apply,
                                     sg_weights, sg_apply)
 from mrphy_tpu.utils.pf import pocs_pf
+from mrphy_tpu.utils.pns import pns_kernel, pns_predict, pns_max
 from mrphy_tpu.utils.shim import sh_basis, shim_fit, shim_apply
 
 # -- Unicode aliases (reference spellings) --
@@ -49,7 +50,7 @@ __all__ = ['ctrsub', 'g2k', 'g2s', 'k2g', 'rf_c2r', 'rf_r2c',
            'coil_compress', 'apply_ccmat', 'noise_whiten_mat',
            'add_noise', 'adaptive_maps', 'espirit_maps',
            'grappa_weights', 'grappa_apply', 'sg_weights', 'sg_apply',
-           'pocs_pf',
+           'pocs_pf', 'pns_kernel', 'pns_predict', 'pns_max',
            'sh_basis', 'shim_fit', 'shim_apply',
            # Unicode aliases (NFKC-normalized spellings)
            'uφrot', 'rf2tρθ', 'tρθ2rf', 'rf2lρθ', 'lρθ2rf']
