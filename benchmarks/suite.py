@@ -22,6 +22,9 @@ Configs:
   recon       CG-SENSE iteration rate, 128x128, 8 coils
   nufft       gridding NUFFT vs the exact operator, 128x128 x 32k
               samples with df/T2s time segmentation; Toeplitz apply
+  kspace      jitted k-space recon stages on-device: GRAPPA R=2 line
+              synthesis, split-slice-GRAPPA SMS separation, POCS
+              partial-Fourier (256x256, 16 coils)
 """
 
 import json
@@ -423,11 +426,55 @@ def bench_nufft():
             'model_rel_dev': f'{dev:.1e}'}
 
 
+def bench_kspace():
+    r"""On-device throughput of the jitted k-space recon stages on a
+    256x256, 16-coil problem: GRAPPA R=2 missing-line synthesis,
+    2-slice split-slice-GRAPPA separation, and 10-iteration POCS
+    partial-Fourier (pf=9/16). Weights are fitted once on the host
+    (calibration); the timed parts are the MXU-matmul applies."""
+    import jax
+    import jax.numpy as jnp
+    from mrphy_tpu.utils.grappa import (grappa_weights, grappa_apply,
+                                        sg_weights, sg_apply)
+    from mrphy_tpu.utils.pf import pocs_pf
+    rng = np.random.default_rng(0)
+    n = int(os.environ.get('MRPHY_KSPACE_N', 256))
+    nc = int(os.environ.get('MRPHY_KSPACE_NC', 16))
+    ksp = rng.standard_normal((nc, n, n, 2)).astype(np.float32)
+    cs = 32
+    calib = ksp[:, n // 2 - cs // 2:n // 2 + cs // 2,
+                n // 2 - cs // 2:n // 2 + cs // 2]
+    Wg = jnp.asarray(grappa_weights(calib, 2))
+    und = ksp.copy()
+    und[:, 1::2] = 0
+    und_j = jnp.asarray(und)
+    gra = jax.jit(grappa_apply, static_argnums=2)
+    tg = _timeit(lambda: gra(und_j, Wg, 2))
+
+    calibs = np.stack([calib, np.roll(calib, 3, axis=2)])
+    Ws = jnp.asarray(sg_weights(calibs, shifts='auto'))
+    coll = jnp.asarray(ksp)
+    sga = jax.jit(lambda k: sg_apply(k, Ws, shifts='auto'))
+    ts = _timeit(sga, coll)
+
+    nacq = int(0.5625 * n)
+    undp = ksp.copy()
+    undp[:, nacq:] = 0
+    tp = _timeit(lambda: pocs_pf(jnp.asarray(undp), nacq, 10))
+
+    return {'metric': f'kspace recon stages ({n}x{n}, {nc} coils): '
+                      'GRAPPA R=2 apply',
+            'value': round(tg * 1e3, 2), 'unit': 'ms',
+            'sg_sms2_ms': round(ts * 1e3, 2),
+            'pocs10_ms': round(tp * 1e3, 2)}
+
+
 ALL = {'tiny': bench_tiny, 'freeprec32': bench_freeprec32,
        'design64': bench_design64, 'throughput': bench_throughput,
        'deeptime': bench_deeptime, 'longpulse': bench_longpulse,
        'beffstream': bench_beffstream, 'signal': bench_signal,
-       'recon': bench_recon, 'nufft': bench_nufft}
+       'recon': bench_recon, 'nufft': bench_nufft,
+       'kspace': bench_kspace}
 
 
 def main():
