@@ -21,7 +21,9 @@ from mrphy_tpu.utils.traj import (spiral2d, epi, radial, radial3d,
                                   mintime_gradient, traj_check)
 from mrphy_tpu.utils.coils import (coil_compress, apply_ccmat,
                                    noise_whiten_mat, add_noise,
-                                   adaptive_maps, espirit_maps)
+                                   adaptive_maps, espirit_maps,
+                                   gfactor_sense, gfactor_replica,
+                                   replica_std)
 from mrphy_tpu.utils.grappa import (grappa_weights, grappa_apply,
                                     sg_weights, sg_apply)
 from mrphy_tpu.utils.pf import pocs_pf
@@ -49,6 +51,7 @@ __all__ = ['ctrsub', 'g2k', 'g2s', 'k2g', 'rf_c2r', 'rf_r2c',
            'trapezoid', 'rewinder', 'mintime_gradient', 'traj_check',
            'coil_compress', 'apply_ccmat', 'noise_whiten_mat',
            'add_noise', 'adaptive_maps', 'espirit_maps',
+           'gfactor_sense', 'gfactor_replica', 'replica_std',
            'grappa_weights', 'grappa_apply', 'sg_weights', 'sg_apply',
            'pocs_pf', 'pns_kernel', 'pns_predict', 'pns_max',
            'sh_basis', 'shim_fit', 'shim_apply',

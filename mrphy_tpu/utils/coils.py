@@ -16,6 +16,7 @@ literature (geometric/SVD coil compression; noise pre-whitening by the
 inverse Cholesky factor of the noise covariance).
 """
 
+import functools
 from typing import Tuple
 
 import numpy as np
@@ -23,7 +24,8 @@ import jax
 import jax.numpy as jnp
 
 __all__ = ['coil_compress', 'apply_ccmat', 'noise_whiten_mat',
-           'add_noise', 'adaptive_maps', 'espirit_maps']
+           'add_noise', 'adaptive_maps', 'espirit_maps',
+           'gfactor_sense', 'gfactor_replica', 'replica_std']
 
 
 def _to_complex(x):
@@ -319,3 +321,158 @@ def adaptive_maps(imgs, *, block: int = 5, iters: int = 40,
     mr = vr * cr - vi * ci
     mi = vr * ci + vi * cr
     return jnp.moveaxis(jnp.stack([mr, mi], -1), 0, -1)  # (n…, 2, nC)
+
+
+def gfactor_sense(maps, R: int, *, axis: int = 0, Psi=None,
+                  ridge: float = 1e-12):
+    r"""Analytic SENSE geometry (g-) factor map for uniform Cartesian
+    undersampling [Pruessmann et al., MRM 42(5):952, 1999, eq. 23]:
+
+    .. math:: g_\rho = \sqrt{[(S^H \Psi^{-1} S)^{-1}]_{\rho\rho}
+                             \,[S^H \Psi^{-1} S]_{\rho\rho}}
+
+    where ``S`` stacks the coil sensitivities of the ``R`` pixels that
+    alias onto each other (separation ``n/R`` along the accelerated
+    axis). ``g ≥ 1`` is the *noise amplification of the unaliasing
+    solve beyond the unavoidable* ``√R`` — the standard figure of merit
+    for a coil array + acceleration choice (SNR_acc = SNR_full /
+    (g·√R)), and the quantity :func:`gfactor_replica` estimates by
+    Monte-Carlo for reconstructions with no analytic form (GRAPPA).
+
+    The reference framework has no acquisition stage (SURVEY §2), so no
+    parity target exists; validated against a direct complex-numpy
+    evaluation of the formula and against :func:`gfactor_replica` on an
+    explicit least-squares SENSE solve (``tests/test_coils.py``).
+
+    Inputs:
+        - ``maps``: `(n_1, …, n_d, xy, nC)` re/im sensitivity maps
+          (the layout of :func:`espirit_maps` / :func:`adaptive_maps`).
+        - ``R``: integer acceleration; ``n_axis % R == 0``.
+    Optionals:
+        - ``axis``: which spatial axis is undersampled (default 0).
+        - ``Psi``: `(xy, nC, nC)` re/im coil noise covariance — maps
+          are pre-whitened on the host (:func:`noise_whiten_mat`);
+          omit if the data is already whitened. ``Psi=None`` keeps the
+          whole computation jittable.
+        - ``ridge``: relative Tikhonov floor making all-zero aliasing
+          sets invertible (does not perturb active sets: a zero pixel
+          contributes a zero row/column, decoupled from the rest).
+    Outputs:
+        - ``g``: `(n_1, …, n_d)` map; 1 where only one pixel of the
+          set has support, 0 where ``maps`` has no support at all.
+
+    The complex ``R×R`` set inversion runs in real arithmetic (complex
+    dtypes are unsupported on some TPU runtimes) via the standard
+    ``[[Re, −Im], [Im, Re]]`` embedding, whose inverse is the
+    embedding of the complex inverse.
+    """
+    m = jnp.asarray(maps)
+    assert m.ndim >= 3 and m.shape[-2] == 2, \
+        f'expected (n…, xy, nC), got {m.shape}'
+    if Psi is not None:
+        m = apply_ccmat(m, jnp.asarray(noise_whiten_mat(Psi), m.dtype))
+    d = m.ndim - 2
+    ax = axis % d
+    R = int(R)
+    n = m.shape[ax]
+    assert R >= 1 and n % R == 0, (R, n)
+    m = jnp.moveaxis(m, ax, 0)                    # (n, rest…, xy, nC)
+    rest = m.shape[1:-2]
+    nC = m.shape[-1]
+    m = m.reshape(R, n // R, *rest, 2, nC)        # pixels n/R apart alias
+    Sr = jnp.moveaxis(m[..., 0, :], 0, -2)        # (n/R, rest…, R, nC)
+    Si = jnp.moveaxis(m[..., 1, :], 0, -2)
+    ein = functools.partial(jnp.einsum, precision='highest')
+    # H = S* Sᵀ (Hermitian, (…, R, R)): H[a,b] = Σ_c conj(S[a,c]) S[b,c]
+    Hr = ein('...ac,...bc->...ab', Sr, Sr) + ein('...ac,...bc->...ab',
+                                                 Si, Si)
+    Hi = ein('...ac,...bc->...ab', Sr, Si) - ein('...ac,...bc->...ab',
+                                                 Si, Sr)
+    diag = jnp.diagonal(Hr, axis1=-2, axis2=-1)   # (…, R) |s_ρ|²
+    eye = jnp.eye(R, dtype=m.dtype)
+    eps = ridge * jnp.mean(diag, -1, keepdims=True)[..., None] * eye \
+        + jnp.asarray(1e-30, m.dtype) * eye
+    # real embedding [[Hr, -Hi], [Hi, Hr]]; inv's top-left = Re(H⁻¹)
+    M = jnp.concatenate([
+        jnp.concatenate([Hr + eps, -Hi], -1),
+        jnp.concatenate([Hi, Hr + eps], -1)], -2)
+    Minv = jnp.linalg.inv(M)
+    dinv = jnp.diagonal(Minv, axis1=-2, axis2=-1)[..., :R]  # Re diag
+    g = jnp.sqrt(jnp.maximum(dinv * diag, 0.0))
+    g = jnp.where(diag > 0, g, 0.0)               # no support → 0
+    g = jnp.moveaxis(g, -1, 0).reshape(n, *rest)  # undo set grouping
+    return jnp.moveaxis(g, 0, ax)
+
+
+def replica_std(recon, shape, *, n: int = 300, key=None, sigma: float = 1.0,
+                Psi=None, dtype=jnp.float32):
+    r"""Pixelwise noise std of a linear reconstruction by pseudo
+    multiple replicas [Robson et al., MRM 60(4):895, 2008]: feed ``n``
+    iid noise-only inputs through ``recon`` and return the per-output-
+    element standard deviation (Welford accumulation, host numpy — the
+    recon itself may be host-side, e.g. GRAPPA weight solves).
+
+    Inputs:
+        - ``recon``: callable, noise array of ``shape`` → image-domain
+          array (any shape); must be LINEAR (zero maps to zero) for the
+          returned std to be the recon's noise propagation.
+        - ``shape``: input noise shape — include the re/im pair axis
+          if the recon expects pairs; each element gets iid
+          ``N(0, sigma²)``.
+    Optionals:
+        - ``n``: replica count (std-of-std ≈ ``1/√(2n)`` relative).
+        - ``key``: ``jax.random`` key (default ``PRNGKey(0)``).
+        - ``Psi``: optional `(xy, nC, nC)` covariance; the noise is
+          colored as in :func:`add_noise` — ``shape`` must then be the
+          signal layout `(N, nC, nT, xy)`.
+    Outputs:
+        - ``std``: numpy array, the recon's output shape.
+    """
+    key = jax.random.PRNGKey(0) if key is None else key
+    mean = m2 = None
+    for i in range(int(n)):
+        key, sub = jax.random.split(key)
+        noise = sigma * jax.random.normal(sub, tuple(shape), dtype)
+        if Psi is not None:
+            noise = add_noise(sub, jnp.zeros(tuple(shape), dtype),
+                              sigma, Psi=Psi)
+        x = np.asarray(recon(noise))
+        if mean is None:
+            mean, m2 = np.zeros_like(x), np.zeros_like(x)
+        delta = x - mean
+        mean += delta / (i + 1)
+        m2 += delta * (x - mean)
+    return np.sqrt(m2 / max(int(n) - 1, 1))
+
+
+def gfactor_replica(recon_accel, recon_full, shape, R: int, *,
+                    n: int = 300, key=None, Psi=None,
+                    dtype=jnp.float32, eps: float = 1e-30):
+    r"""Monte-Carlo g-factor map for an arbitrary linear recon pair
+    (e.g. GRAPPA, CG-SENSE, compressed coils) by the pseudo-replica
+    identity ``SNR_acc = SNR_full / (g·√R)``:
+
+    .. math:: g = \frac{\sigma_{acc}}{\sigma_{full}\,\sqrt{R}}
+
+    Both recons receive noise-only inputs of the SAME ``shape`` (the
+    fully-sampled signal layout) — the accelerated recon is expected to
+    use only its sampled subset internally (undersampling a white
+    input stays white, so generating the full array for both keeps the
+    contract simple). Matches :func:`gfactor_sense` on an explicit
+    least-squares SENSE solve (``tests/test_coils.py``).
+
+    Inputs/optionals: as :func:`replica_std`, with ``recon_accel`` /
+    ``recon_full`` the R-fold-undersampled and fully-sampled recons
+    (both must combine coils the same way) and ``R`` the acceleration.
+    Outputs:
+        - ``g``: numpy array, the recons' output shape; 0 where the
+          full recon has no noise response (outside support).
+    """
+    key = jax.random.PRNGKey(1) if key is None else key
+    ka, kf = jax.random.split(key)
+    sd_a = replica_std(recon_accel, shape, n=n, key=ka, Psi=Psi,
+                       dtype=dtype)
+    sd_f = replica_std(recon_full, shape, n=n, key=kf, Psi=Psi,
+                       dtype=dtype)
+    g = sd_a / (np.sqrt(float(R)) * np.maximum(sd_f, eps))
+    return np.where(sd_f > eps, g, 0.0)

@@ -239,3 +239,120 @@ class TestAdaptiveMaps:
         expect = np.abs(obj) * np.linalg.norm(tc, axis=-1)
         rel = np.abs(np.abs(comb) - expect)[lit] / expect[lit]
         assert np.median(rel) < 0.01, np.median(rel)
+
+
+class TestGfactor:
+    r"""SENSE g-factor: complex-numpy oracle of Pruessmann eq. 23,
+    whitening equivalence, and pseudo-replica cross-validation on an
+    explicit least-squares SENSE solve."""
+
+    @staticmethod
+    def _g_oracle(maps_c, R, axis=0):
+        m = np.moveaxis(maps_c, axis, 0)
+        n = m.shape[0]
+        rest = m.shape[1:-1]
+        sets = m.reshape(R, n // R, *m.shape[1:])
+        g = np.zeros((R, n // R) + rest)
+        for j in range(n // R):
+            for idx in np.ndindex(*rest):
+                S = sets[(slice(None), j) + idx]          # (R, nC)
+                H = S.conj() @ S.T
+                Hinv = np.linalg.inv(H)
+                g[(slice(None), j) + idx] = np.sqrt(
+                    np.real(np.diag(Hinv) * np.diag(H)))
+        return np.moveaxis(g.reshape((n,) + rest), 0, axis)
+
+    @staticmethod
+    def _rand_maps(rng, shape, nC):
+        z = rng.standard_normal(shape + (nC,)) \
+            + 1j * rng.standard_normal(shape + (nC,))
+        return z
+
+    def test_r1_is_unity_and_support_mask(self):
+        from mrphy_tpu.utils.coils import gfactor_sense
+        rng = np.random.default_rng(0)
+        z = self._rand_maps(rng, (8, 6), 4)
+        z[2, 3] = 0                                  # no support
+        maps = np.stack([z.real, z.imag], -2)
+        g = np.asarray(gfactor_sense(maps, 1))
+        assert g.shape == (8, 6)
+        assert np.allclose(np.delete(g.ravel(), 2 * 6 + 3), 1, atol=1e-6)
+        assert g[2, 3] == 0
+
+    def test_matches_complex_oracle(self):
+        from mrphy_tpu.utils.coils import gfactor_sense
+        rng = np.random.default_rng(1)
+        for R, axis in [(2, 0), (3, 0), (2, 1)]:
+            z = self._rand_maps(rng, (12, 6), 4)
+            maps = np.stack([z.real, z.imag], -2)
+            g = np.asarray(gfactor_sense(maps, R, axis=axis))
+            ref = self._g_oracle(z, R, axis=axis)
+            assert np.allclose(g, ref, rtol=1e-6), (R, axis)
+
+    def test_partial_support_set(self):
+        # a zeroed pixel decouples: the rest of its aliasing set must
+        # match the oracle computed on the reduced set
+        from mrphy_tpu.utils.coils import gfactor_sense
+        rng = np.random.default_rng(2)
+        z = self._rand_maps(rng, (8,), 4)
+        z[2] = 0                                      # set {2, 6}, R=2
+        maps = np.stack([z.real, z.imag], -2)
+        g = np.asarray(gfactor_sense(maps, 2))
+        assert g[2] == 0
+        assert np.isclose(g[6], 1, atol=1e-6)        # alone in its set
+        # untouched sets match the oracle (patch the singular set so
+        # the oracle's inv doesn't raise; patched pixels are excluded)
+        z2 = z.copy()
+        z2[2] = z2[6]
+        ref = self._g_oracle(z2, 2)
+        keep = [0, 1, 3, 4, 5, 7]
+        assert np.allclose(g[keep], ref[keep], rtol=1e-6)
+
+    def test_psi_whitening_equivalence(self):
+        from mrphy_tpu.utils.coils import (gfactor_sense, apply_ccmat,
+                                           noise_whiten_mat)
+        rng = np.random.default_rng(3)
+        nC = 4
+        z = self._rand_maps(rng, (6, 4), nC)
+        maps = np.stack([z.real, z.imag], -2)
+        A = rng.standard_normal((nC, nC)) + 1j * rng.standard_normal(
+            (nC, nC))
+        P = A @ A.conj().T + nC * np.eye(nC)
+        Psi = np.stack([P.real, P.imag], 0)
+        g1 = np.asarray(gfactor_sense(maps, 2, Psi=Psi))
+        W = noise_whiten_mat(Psi)
+        g2 = np.asarray(gfactor_sense(
+            np.asarray(apply_ccmat(maps, W)), 2))
+        assert np.allclose(g1, g2, rtol=1e-6)
+
+    def test_replica_matches_analytic(self):
+        from mrphy_tpu.utils.coils import gfactor_sense, gfactor_replica
+        rng = np.random.default_rng(4)
+        L, nC, R = 8, 3, 2
+        z = self._rand_maps(rng, (L,), nC)
+        maps = np.stack([z.real, z.imag], -2)
+        F = np.exp(-2j * np.pi * np.outer(np.arange(L), np.arange(L))
+                   / L)
+        A_full = np.concatenate([F * z[:, c][None, :]
+                                 for c in range(nC)], 0)
+        keep = np.concatenate([c * L + np.arange(0, L, R)
+                               for c in range(nC)])
+        P_full = np.linalg.pinv(A_full)
+        P_acc = np.linalg.pinv(A_full[keep])
+
+        def mk(P, rows=None):
+            def recon(noise):
+                zn = np.asarray(noise)
+                zc = zn[..., 0] + 1j * zn[..., 1]
+                if rows is not None:
+                    zc = zc[rows]
+                x = P @ zc
+                return np.stack([x.real, x.imag], -1)
+            return recon
+
+        g_mc = gfactor_replica(mk(P_acc, keep), mk(P_full),
+                               (nC * L, 2), R, n=800,
+                               key=jax.random.PRNGKey(7))
+        g_mc = g_mc.mean(-1)                          # re/im agree
+        g_an = np.asarray(gfactor_sense(maps, R))
+        assert np.allclose(g_mc, g_an, rtol=0.15), (g_mc, g_an)
