@@ -65,6 +65,8 @@ CASES = [
     ('sms_recon.py', ['--n', '24', '--acs', '12']),
     # compressed sensing: TV-CP through the NUFFT at 24% Nyquist
     ('cs_recon.py', ['--n', '32', '--spokes', '12']),
+    # QSM: dipole forward -> TKD + TV-regularized inversion
+    ('qsm.py', ['--n', '24', '--iters', '150']),
     # voxel-sharded variants on the 8-virtual-device CPU mesh
     ('recon_sense.py', ['--n', '16', '--iters', '30', '--df', '40',
                         '--mesh']),
