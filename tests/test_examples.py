@@ -67,6 +67,8 @@ CASES = [
     ('cs_recon.py', ['--n', '32', '--spokes', '12']),
     # QSM: dipole forward -> TKD + TV-regularized inversion
     ('qsm.py', ['--n', '24', '--iters', '150']),
+    # T1rho dispersion: spin-lock exchange quantification (k_ex fit)
+    ('t1rho_dispersion.py', ['--dt', '4e-5', '--iters', '800']),
     # voxel-sharded variants on the 8-virtual-device CPU mesh
     ('recon_sense.py', ['--n', '16', '--iters', '30', '--df', '40',
                         '--mesh']),
