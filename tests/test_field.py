@@ -205,3 +205,167 @@ def test_tkd_thresh_monotone(thresh):
     x = np.linalg.norm(np.asarray(field2chi_tkd(f, thresh=thresh)))
     x2 = np.linalg.norm(np.asarray(field2chi_tkd(f, thresh=thresh + 0.2)))
     assert x2 <= x + 1e-12
+
+
+# ------------------------------------------------------------------
+# Laplacian phase unwrapping
+# ------------------------------------------------------------------
+
+from mrphy_tpu.ops.field import (unwrap_phase, smv_kernel,  # noqa: E402
+                                 sharp_background, field2chi_tv)
+
+
+def _bowl(n, amp, tilt=3.0):
+    ax = (np.arange(n) - n // 2) / (n / 2)
+    x, y, z = np.meshgrid(ax, ax, ax, indexing='ij')
+    return amp * np.exp(-(x ** 2 + y ** 2 + z ** 2) / 0.6) + tilt * x
+
+
+@pytest.mark.parametrize('amp', [12.0, 25.0])
+def test_unwrap_exact_congruent(amp):
+    # smooth phase wrapping many times: congruent unwrap is exact up
+    # to ONE global 2*pi*k offset
+    phi = _bowl(32, amp)
+    psi = np.angle(np.exp(1j * phi))
+    u = np.asarray(unwrap_phase(jnp.asarray(psi, jnp.float64)))
+    d = u - phi
+    k = np.round(d.mean() / (2 * np.pi))
+    np.testing.assert_allclose(d, 2 * np.pi * k, rtol=0, atol=1e-9)
+
+
+def test_unwrap_steep_needs_picard():
+    # 40 rad of range on a 32^3 grid: one-shot estimate errs > pi
+    # (congruence alone cannot fix it); Picard iterations converge
+    # to exact recovery
+    phi = _bowl(32, 40.0)
+    psi = np.angle(np.exp(1j * phi))
+    u = np.asarray(unwrap_phase(jnp.asarray(psi, jnp.float64), niter=4))
+    d = u - phi
+    k = np.round(d.mean() / (2 * np.pi))
+    np.testing.assert_allclose(d, 2 * np.pi * k, rtol=0, atol=1e-9)
+
+
+def test_unwrap_smooth_estimate():
+    # congruent=False returns the smooth Poisson estimate (no 2pi
+    # re-bias): close to truth but not congruent
+    phi = _bowl(32, 12.0)
+    psi = np.angle(np.exp(1j * phi))
+    u = np.asarray(unwrap_phase(jnp.asarray(psi, jnp.float64),
+                                congruent=False))
+    d = u - phi
+    d -= d.mean()
+    assert np.abs(d).max() < 0.5, np.abs(d).max()
+
+
+def test_unwrap_batched_f32():
+    phi = np.stack([_bowl(16, 8.0), _bowl(16, 15.0)])
+    psi = np.angle(np.exp(1j * phi)).astype(np.float32)
+    u = np.asarray(unwrap_phase(jnp.asarray(psi)))
+    assert u.shape == psi.shape and u.dtype == np.float32
+    for i in range(2):
+        ui = np.asarray(unwrap_phase(jnp.asarray(psi[i])))
+        np.testing.assert_allclose(u[i], ui, atol=1e-5)
+        d = u[i] - phi[i]
+        k = np.round(d.mean() / (2 * np.pi))
+        np.testing.assert_allclose(d, 2 * np.pi * k, rtol=0, atol=1e-2)
+
+
+def test_unwrap_already_unwrapped_is_identity():
+    # |phase| < pi everywhere: congruent unwrap returns psi exactly
+    phi = _bowl(16, 0.8, tilt=0.3)
+    phi -= phi.mean()
+    assert np.abs(phi).max() < np.pi
+    u = np.asarray(unwrap_phase(jnp.asarray(phi, jnp.float64)))
+    np.testing.assert_allclose(u, phi, atol=1e-12)
+
+
+# ------------------------------------------------------------------
+# SMV kernel / SHARP
+# ------------------------------------------------------------------
+
+def test_smv_kernel_is_exact_convolution():
+    rng = _rng(8)
+    n = 12
+    x = rng.standard_normal((n, n, n))
+    khat = smv_kernel((n, n, n), 2.5, dtype=jnp.float64)
+    got = np.asarray(__import__('mrphy_tpu.ops.field', fromlist=['x'])
+                     ._apply_diag(jnp.asarray(x), khat, 0))
+    ax = np.arange(n) - n // 2
+    X, Y, Z = np.meshgrid(ax, ax, ax, indexing='ij')
+    k = ((X ** 2 + Y ** 2 + Z ** 2) <= 2.5 ** 2).astype(float)
+    k /= k.sum()
+    want = np.fft.ifftn(np.fft.fftn(x)
+                        * np.fft.fftn(np.fft.ifftshift(k))).real
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_sharp_removes_external_field():
+    n = 48
+    ax = np.arange(n) - n // 2
+    X, Y, Z = np.meshgrid(ax, ax, ax, indexing='ij')
+    mask = X ** 2 + Y ** 2 + Z ** 2 <= 16 ** 2
+    chi_in = np.where((X - 4) ** 2 + (Y - 3) ** 2 + Z ** 2 <= 3 ** 2,
+                      0.3, 0.0)
+    # strong source just outside the mask (2-voxel gap): its field
+    # inside the mask is harmonic -> SHARP-removable
+    chi_out = np.where((X - 21) ** 2 + Y ** 2 + (Z - 6) ** 2 <= 3.5 ** 2,
+                       5.0, 0.0)
+    f_tot = chi2field(jnp.asarray(chi_in + chi_out, jnp.float64))
+    f_true = np.asarray(chi2field(jnp.asarray(chi_in, jnp.float64)))
+    f_loc, m_er = sharp_background(f_tot, mask, radius=4.0)
+    f_loc = np.asarray(f_loc)
+    assert m_er.sum() > 0 and (mask | ~m_er).all()     # eroded subset
+    a = f_loc[m_er] - f_loc[m_er].mean()
+    b = f_true[m_er] - f_true[m_er].mean()
+    rel = np.linalg.norm(a - b) / np.linalg.norm(b)
+    # and the background was a same-order contaminant in the input
+    bg = np.asarray(f_tot) - f_true
+    bg_frac = np.linalg.norm(bg[m_er] - bg[m_er].mean()) / np.linalg.norm(b)
+    assert bg_frac > 0.5, bg_frac
+    assert rel < 0.05, rel
+
+
+def test_sharp_differentiable_in_field():
+    n = 16
+    ax = np.arange(n) - n // 2
+    X, Y, Z = np.meshgrid(ax, ax, ax, indexing='ij')
+    mask = X ** 2 + Y ** 2 + Z ** 2 <= 6 ** 2
+
+    def loss(f):
+        fl, _ = sharp_background(f, mask, radius=2.0)
+        return jnp.sum(fl ** 2)
+
+    f = jnp.asarray(_rng(9).standard_normal((n, n, n)))
+    g = jax.grad(loss)(f)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+# ------------------------------------------------------------------
+# TV dipole inversion
+# ------------------------------------------------------------------
+
+def test_tv_beats_tkd():
+    n = 24
+    ax = np.arange(n) - n // 2
+    x, y, z = np.meshgrid(ax, ax, ax, indexing='ij')
+    chi = np.zeros((n, n, n))
+    chi[(x + 4) ** 2 + (y + 4) ** 2 + z ** 2 <= 9] = 0.4
+    chi[(x - 5) ** 2 + (y - 5) ** 2 <= 4] = 0.3
+    f = chi2field(jnp.asarray(chi, jnp.float64))
+    chi_tkd = np.asarray(field2chi_tkd(f, thresh=0.1))
+    chi_tv = np.asarray(field2chi_tv(f, iters=200))
+    r_tkd = np.sqrt(np.mean((chi_tkd - chi) ** 2))
+    r_tv = np.sqrt(np.mean((chi_tv - chi) ** 2))
+    assert r_tv < 0.7 * r_tkd, (r_tv, r_tkd)
+
+
+def test_tv_mask_zeroes_outside():
+    n = 16
+    ax = np.arange(n) - n // 2
+    x, y, z = np.meshgrid(ax, ax, ax, indexing='ij')
+    mask = x ** 2 + y ** 2 + z ** 2 <= 6 ** 2
+    chi = np.where(x ** 2 + y ** 2 + z ** 2 <= 9, 0.3, 0.0)
+    f = chi2field(jnp.asarray(chi, jnp.float64))
+    ch = np.asarray(field2chi_tv(f, iters=50, mask=mask))
+    assert (ch[~mask] == 0).all()
+    assert np.abs(ch[mask]).max() > 0
