@@ -25,6 +25,8 @@ Configs:
   kspace      jitted k-space recon stages on-device: GRAPPA R=2 line
               synthesis, split-slice-GRAPPA SMS separation, POCS
               partial-Fourier (256x256, 16 coils)
+  field       QSM/field stages on a 128^3 volume: dipole forward,
+              Laplacian unwrapping, TV dipole-inversion per-iter cost
 """
 
 import json
@@ -469,12 +471,44 @@ def bench_kspace():
             'pocs10_ms': round(tp * 1e3, 2)}
 
 
+def bench_field():
+    r"""On-device throughput of the QSM/field stages on a 128^3 f32
+    volume (2.1M voxels): the dipole forward (three axis-pair MXU-DFT
+    sweeps), Laplacian unwrapping (niter=3: 4 DCT Poisson solves),
+    and the TV dipole-inversion per-iteration cost (forward + adjoint
+    + TV grad under one scan)."""
+    import jax
+    import jax.numpy as jnp
+    from mrphy_tpu.ops.field import (dipole_kernel, chi2field,
+                                     unwrap_phase, field2chi_tv)
+    rng = np.random.default_rng(0)
+    n = int(os.environ.get('MRPHY_FIELD_N', 128))
+    chi = jnp.asarray(rng.standard_normal((n, n, n)), jnp.float32)
+    D = dipole_kernel((n, n, n), dtype=jnp.float32)
+    fwd = jax.jit(lambda c: chi2field(c, D=D))
+    tf = _timeit(fwd, chi)
+
+    f = fwd(chi)
+    psi = jnp.asarray(np.angle(np.exp(
+        1j * 30.0 * np.asarray(f))), jnp.float32)
+    tu = _timeit(jax.jit(unwrap_phase), psi)
+
+    it = 10
+    tv = jax.jit(lambda x: field2chi_tv(x, iters=it, D=D))
+    ttv = _timeit(tv, f, repeats=4)
+
+    return {'metric': f'field/QSM stages ({n}^3 f32): dipole forward',
+            'value': round(tf * 1e3, 2), 'unit': 'ms',
+            'unwrap3_ms': round(tu * 1e3, 2),
+            'tv_ms_per_iter': round(ttv * 1e3 / it, 2)}
+
+
 ALL = {'tiny': bench_tiny, 'freeprec32': bench_freeprec32,
        'design64': bench_design64, 'throughput': bench_throughput,
        'deeptime': bench_deeptime, 'longpulse': bench_longpulse,
        'beffstream': bench_beffstream, 'signal': bench_signal,
        'recon': bench_recon, 'nufft': bench_nufft,
-       'kspace': bench_kspace}
+       'kspace': bench_kspace, 'field': bench_field}
 
 
 def main():
