@@ -369,3 +369,34 @@ def test_tv_mask_zeroes_outside():
     ch = np.asarray(field2chi_tv(f, iters=50, mask=mask))
     assert (ch[~mask] == 0).all()
     assert np.abs(ch[mask]).max() > 0
+
+
+# ------------------------------------------------------------------
+# cross-subsystem: the field module feeds the simulator's df contract
+# ------------------------------------------------------------------
+
+def test_chi2field_feeds_freeprec():
+    # chi (ppm) -> delta -> df (Hz) -> Bloch free precession: the
+    # accumulated transverse phase must be -2*pi*df*t per the
+    # simulator's documented sign convention (slowsims.freeprec) --
+    # pins the unit/sign contract between the QSM family and the
+    # engines (SpinArray.df consumers).
+    from mrphy_tpu.ops.slowsims import freeprec
+
+    n = 16
+    f0 = 127.74e6 * 1e-6            # Hz/ppm at 3 T
+    ax = np.arange(n) - n // 2
+    x, y, z = np.meshgrid(ax, ax, ax, indexing='ij')
+    chi = np.where(x ** 2 + y ** 2 + z ** 2 <= 16, 0.5, 0.0)  # ppm
+    delta = chi2field(jnp.asarray(chi, jnp.float64))          # ppm
+    df = f0 * delta.reshape(1, -1)                            # (1, nS) Hz
+
+    M = jnp.tile(jnp.asarray([1.0, 0.0, 0.0], jnp.float64),
+                 (1, n ** 3, 1))
+    t = 5e-3
+    Mt = freeprec(M, t, df=df)
+    got = np.arctan2(np.asarray(Mt[..., 1]), np.asarray(Mt[..., 0]))
+    want = -2 * np.pi * np.asarray(df) * t
+    # |phase| < pi here (max |df| ~ 43 Hz * 5 ms) -> no wrap ambiguity
+    assert np.abs(want).max() < np.pi
+    np.testing.assert_allclose(got, want, atol=1e-12)
