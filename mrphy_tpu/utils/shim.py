@@ -22,7 +22,8 @@ import jax.numpy as jnp
 
 __all__ = ['sh_basis', 'shim_fit', 'shim_apply']
 
-_NAMES = ('dc', 'x', 'y', 'z', 'xy', 'zy', 'z2', 'zx', 'x2y2')
+_NAMES = ('dc', 'x', 'y', 'z', 'xy', 'zy', 'z2', 'zx', 'x2y2',
+          'z3', 'xz2', 'yz2', 'zx2y2', 'xyz', 'x3', 'y3')
 
 
 def sh_basis(loc_, order: int = 2):
@@ -30,9 +31,10 @@ def sh_basis(loc_, order: int = 2):
 
     Inputs:
         - ``loc_``: `(..., nM, xyz)`, "cm".
-        - ``order``: 0, 1, or 2 (→ 1, 4, or 9 terms:
+        - ``order``: 0–3 (→ 1, 4, 9, or 16 terms:
           ``1; x, y, z; xy, zy, 3z²−r², zx, x²−y²`` — the standard
-          first/second-order shim channels).
+          first/second-order shim channels — plus the seven l=3
+          harmonics used by :mod:`mrphy_tpu.utils.gnl`).
     Outputs:
         - ``B``: `(..., nM, nB)`, unit-normalized columns are NOT
           applied — values are the raw harmonics ("cmⁿ"), so fitted
@@ -46,7 +48,15 @@ def sh_basis(loc_, order: int = 2):
     if order >= 2:
         cols += [x * y, z * y, 3 * z ** 2 - (x ** 2 + y ** 2 + z ** 2),
                  z * x, x ** 2 - y ** 2]
-    assert order <= 2, 'shim basis implemented to 2nd order'
+    if order >= 3:
+        # l=3 real solid harmonics (raw scale, like the rest): the
+        # leading gradient-coil nonlinearity terms (utils.gnl)
+        r2t = x ** 2 + y ** 2
+        cols += [z * (2 * z ** 2 - 3 * r2t),
+                 x * (4 * z ** 2 - r2t), y * (4 * z ** 2 - r2t),
+                 z * (x ** 2 - y ** 2), x * y * z,
+                 x * (x ** 2 - 3 * y ** 2), y * (3 * x ** 2 - y ** 2)]
+    assert order <= 3, 'shim basis implemented to 3rd order'
     return jnp.stack(cols, -1)
 
 
@@ -96,7 +106,7 @@ def shim_apply(df_, loc_, coeffs, *, order: Optional[int] = None):
     ``df_ − sh_basis(loc_)·coeffs`` (broadcasts like :func:`shim_fit`)."""
     coeffs = jnp.asarray(coeffs)
     nB = coeffs.shape[-1]
-    order = {1: 0, 4: 1, 9: 2}[nB] if order is None else order
+    order = {1: 0, 4: 1, 9: 2, 16: 3}[nB] if order is None else order
     B = sh_basis(loc_, order)
     return jnp.asarray(df_) - jnp.matmul(B, coeffs[..., None],
                       precision='highest')[..., 0]
