@@ -98,8 +98,10 @@ def gnl_invert(loc_eff, coeffs, *, order: Optional[int] = None,
 
 def gnl_jacdet(loc, coeffs, *, order: Optional[int] = None):
     r"""``det ∂f/∂r`` at each location — the Jacobian intensity
-    correction of gradwarp (a voxel of true size dV images to
-    ``dV·det J``, so divide the unwarped image by it).
+    correction of gradwarp: a true voxel images onto an area scaled
+    by ``det J``, diluting its intensity by ``1/det J``, so MULTIPLY
+    the unwarped intensities ``I_dist(f(r))`` by ``det J(r)``
+    (verified empirically in ``examples/gnl_gradwarp.py``).
 
     Inputs: as :func:`gnl_loc`; Outputs: `(...,)` determinants.
     """

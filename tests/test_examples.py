@@ -69,6 +69,8 @@ CASES = [
     ('qsm.py', ['--n', '24', '--iters', '150']),
     # T1rho dispersion: spin-lock exchange quantification (k_ex fit)
     ('t1rho_dispersion.py', ['--dt', '4e-5', '--iters', '800']),
+    # gradient nonlinearity: distorted acquisition -> gradwarp
+    ('gnl_gradwarp.py', []),
     # voxel-sharded variants on the 8-virtual-device CPU mesh
     ('recon_sense.py', ['--n', '16', '--iters', '30', '--df', '40',
                         '--mesh']),
