@@ -71,6 +71,8 @@ CASES = [
     ('t1rho_dispersion.py', ['--dt', '4e-5', '--iters', '800']),
     # gradient nonlinearity: distorted acquisition -> gradwarp
     ('gnl_gradwarp.py', []),
+    # inter-shot motion -> phase-encode ghosts -> navigator fix
+    ('motion_ghosting.py', []),
     # voxel-sharded variants on the 8-virtual-device CPU mesh
     ('recon_sense.py', ['--n', '16', '--iters', '30', '--df', '40',
                         '--mesh']),
