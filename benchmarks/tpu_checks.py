@@ -258,6 +258,38 @@ def _signal_parity_one(*, nM, nT, nC, interpret):
     return ok
 
 
+def _field_stack():
+    r"""QSM/field stack (ops/field.py) compiled-f32 numerics: the
+    exact ∥-cylinder oracle pins the DFT-diagonal matmul chain (a
+    bf16-default dot would err at ~1e-2, 1000× the bound), and the
+    congruent-unwrap exactness pins the DCT Poisson solves (binary:
+    every voxel must round to the same 2πk)."""
+    from mrphy_tpu.ops.field import chi2field, unwrap_phase
+    rng = np.random.default_rng(7)
+    n = 32
+    chi2d = rng.standard_normal((n, n)).astype(np.float32)
+    chi = jnp.asarray(np.broadcast_to(chi2d[..., None], (n, n, n)))
+    d = jax.jit(chi2field)(chi)
+    want = (chi2d - chi2d.mean()) / 3.0
+    err = float(np.abs(np.asarray(d)
+                       - want[..., None]).max())
+    ok = err < 1e-5
+    _record('field_dipole_cylinder', ok, f'pointwise chi/3 err {err:.2e}')
+
+    ax = (np.arange(n) - n // 2) / (n / 2)
+    x, y, z = np.meshgrid(ax, ax, ax, indexing='ij')
+    phi = (12.0 * np.exp(-(x ** 2 + y ** 2 + z ** 2) / 0.6)
+           + 3.0 * x).astype(np.float32)
+    psi = jnp.asarray(np.angle(np.exp(1j * phi)).astype(np.float32))
+    u = np.asarray(jax.jit(unwrap_phase)(psi))
+    dres = u - phi
+    k = np.round(np.median(dres) / (2 * np.pi))
+    resid = float(np.abs(dres - 2 * np.pi * k).max())
+    ok2 = resid < 5e-4
+    _record('field_unwrap_congruent', ok2,
+            f'2pik residual {resid:.2e} (exactness is binary)')
+
+
 def _sincos_sweep():
     r"""Compiled _fast_sincos over [0, 60] rad vs numpy f64 (the range
     covers ~560 Gauss at dt=4us — far beyond hardware)."""
@@ -387,6 +419,7 @@ def main():
     _signal_parity(nM=nM, nT=nT, interpret=args.interpret)
     _sincos_sweep()
     _nufft_parity()
+    _field_stack()
     if not args.interpret:
         _mesh_1x1(nM=nM, nT=nT)
         _auto_gate()          # gate predicates include the on-TPU probe
