@@ -27,6 +27,8 @@ Configs:
               partial-Fourier (256x256, 16 coils)
   field       QSM/field stages on a 128^3 volume: dipole forward,
               Laplacian unwrapping, TV dipole-inversion per-iter cost
+  mrf         MRF dictionary throughput: 64k atoms x 400 TR epg_spgr
+              (K=48), atoms/s
 """
 
 import json
@@ -503,12 +505,38 @@ def bench_field():
             'tv_ms_per_iter': round(ttv * 1e3 / it, 2)}
 
 
+def bench_mrf():
+    r"""MRF dictionary generation throughput: epg_spgr over a
+    (T1, T2) atom grid with a 400-TR variable-flip train at K=48
+    configuration orders — atoms/s on-device (the dictionary is the
+    compute wall of fingerprinting pipelines)."""
+    import jax
+    import jax.numpy as jnp
+    from mrphy_tpu.ops import epg
+    rng = np.random.default_rng(0)
+    natoms = int(os.environ.get('MRPHY_MRF_ATOMS', 65536))
+    ntr = int(os.environ.get('MRPHY_MRF_NTR', 400))
+    flips = jnp.asarray(
+        np.deg2rad(10 + 50 * np.abs(np.sin(np.arange(ntr) / 40.0)))
+        + 0.01 * rng.standard_normal(ntr), jnp.float32)
+    T1 = jnp.asarray(rng.uniform(0.2, 3.0, natoms), jnp.float32)
+    T2 = jnp.asarray(rng.uniform(0.02, 0.5, natoms), jnp.float32)
+
+    gen = jax.jit(lambda t1, t2: epg.epg_spgr(
+        flips, None, T1=t1, T2=t2, tr=12e-3, te=3e-3, K=48))
+    t = _timeit(gen, T1, T2, repeats=4)
+    return {'metric': f'MRF dictionary: {natoms} atoms x {ntr} TR '
+                      '(K=48) epg_spgr',
+            'value': round(natoms / t, 0), 'unit': 'atoms/s',
+            'sec_per_dict': round(t, 3)}
+
+
 ALL = {'tiny': bench_tiny, 'freeprec32': bench_freeprec32,
        'design64': bench_design64, 'throughput': bench_throughput,
        'deeptime': bench_deeptime, 'longpulse': bench_longpulse,
        'beffstream': bench_beffstream, 'signal': bench_signal,
        'recon': bench_recon, 'nufft': bench_nufft,
-       'kspace': bench_kspace, 'field': bench_field}
+       'kspace': bench_kspace, 'field': bench_field, 'mrf': bench_mrf}
 
 
 def main():
