@@ -73,6 +73,8 @@ CASES = [
     ('gnl_gradwarp.py', []),
     # inter-shot motion -> phase-encode ghosts -> navigator fix
     ('motion_ghosting.py', []),
+    # EPI timing skew -> N/2 ghost -> hybrid-space phase correction
+    ('epi_ghost.py', []),
     # voxel-sharded variants on the 8-virtual-device CPU mesh
     ('recon_sense.py', ['--n', '16', '--iters', '30', '--df', '40',
                         '--mesh']),
