@@ -85,7 +85,8 @@ def blochsim(M, Beff, *, T1: Optional[jax.Array] = None,
         return oracle_sharded_traceable(mesh, M, Beff, T1=T1, T2=T2,
                                         gam=gam, dt=dt)
     M, Beff = jnp.asarray(M), jnp.asarray(Beff)
-    assert M.shape[:-1] == Beff.shape[:-2]
+    assert M.shape[:-1] == Beff.shape[:-2], \
+        f'M {M.shape} and Beff {Beff.shape} disagree on (N, *Nd)'
     ndim = M.ndim - 1
 
     assert (T1 is None) == (T2 is None), 'pass both T1 and T2, or neither'
@@ -216,7 +217,8 @@ def blochsim_tparallel(M, Beff, *, T1=None, T2=None, gam=gamH, dt=dt0):
     Same signature/semantics as :func:`blochsim` (relaxation optional).
     """
     M, Beff = jnp.asarray(M), jnp.asarray(Beff)
-    assert M.shape[:-1] == Beff.shape[:-2]
+    assert M.shape[:-1] == Beff.shape[:-2], \
+        f'M {M.shape} and Beff {Beff.shape} disagree on (N, *Nd)'
     ndim = M.ndim - 1
     assert (T1 is None) == (T2 is None), 'pass both T1 and T2, or neither'
     one = jnp.ones((), dtype=M.dtype)

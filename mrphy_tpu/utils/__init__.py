@@ -29,6 +29,8 @@ from mrphy_tpu.utils.grappa import (grappa_weights, grappa_apply,
 from mrphy_tpu.utils.pf import pocs_pf
 from mrphy_tpu.utils.pns import pns_kernel, pns_predict, pns_max
 from mrphy_tpu.utils.shim import sh_basis, shim_fit, shim_apply
+from mrphy_tpu.utils.export import (export_compiled, load_compiled,
+                                    symbolic_dim, export_applypulse)
 
 # -- Unicode aliases (reference spellings) --
 # Python NFKC-normalizes identifiers: source written as `uϕrot` (U+03D5,
@@ -55,5 +57,7 @@ __all__ = ['ctrsub', 'g2k', 'g2s', 'k2g', 'rf_c2r', 'rf_r2c',
            'grappa_weights', 'grappa_apply', 'sg_weights', 'sg_apply',
            'pocs_pf', 'pns_kernel', 'pns_predict', 'pns_max',
            'sh_basis', 'shim_fit', 'shim_apply',
+           'export_compiled', 'load_compiled', 'symbolic_dim',
+           'export_applypulse',
            # Unicode aliases (NFKC-normalized spellings)
            'uφrot', 'rf2tρθ', 'tρθ2rf', 'rf2lρθ', 'lρθ2rf']
