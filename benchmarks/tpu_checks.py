@@ -389,6 +389,37 @@ def _auto_gate():
     return ok
 
 
+def _export_artifact(*, nM, nT):
+    r"""AOT serving artifact (utils/export.py) on the real chip: a
+    deserialized engine must execute on-device and match the live jit
+    bit-for-bit (same StableHLO → same executable). Tries the portable
+    ``platforms=('tpu',)`` artifact first (the CPU-build-host story);
+    falls back to the current platform's name if the axon runtime
+    registers under a different one."""
+    from mrphy_tpu.utils import export_compiled, load_compiled
+    Mi, loc, df, b1, rf, gr, T1, T2 = _mk(1, nM, nT, seed=11)
+
+    def fwd(Mi, rf, gr, loc, T1, T2, df):
+        return sims.blochsim_rfgr(Mi, rf, gr, loc, T1=T1, T2=T2, df=df)
+
+    args = (Mi, rf, gr, loc, T1, T2, df)
+    how = "platforms=('tpu',)"
+    try:
+        blob = export_compiled(fwd, args, platforms=('tpu',))
+        out_a = np.asarray(load_compiled(blob)(*args))
+    except Exception:
+        how = 'current platform'
+        blob = export_compiled(fwd, args)
+        out_a = np.asarray(load_compiled(blob)(*args))
+    out_j = np.asarray(jax.jit(fwd)(*args))
+    err = float(np.max(np.abs(out_a - out_j)))
+    ok = err == 0.0
+    _record('export_artifact', ok,
+            f'{how}, {len(blob)} B, artifact-vs-jit err {err:.1e} '
+            f'(must be 0)')
+    return ok
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--interpret', action='store_true',
@@ -423,6 +454,7 @@ def main():
     if not args.interpret:
         _mesh_1x1(nM=nM, nT=nT)
         _auto_gate()          # gate predicates include the on-TPU probe
+        _export_artifact(nM=nM, nT=nT)
 
     n_ok = sum(r['ok'] for r in _RESULTS)
     summary = {
