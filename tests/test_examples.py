@@ -75,6 +75,8 @@ CASES = [
     ('motion_ghosting.py', []),
     # EPI timing skew -> N/2 ghost -> hybrid-space phase correction
     ('epi_ghost.py', []),
+    # deployment lifecycle: design -> AOT artifacts -> serve (bit-exact)
+    ('serve_artifact.py', ['--n', '8', '--nt', '32', '--iters', '20']),
     # voxel-sharded variants on the 8-virtual-device CPU mesh
     ('recon_sense.py', ['--n', '16', '--iters', '30', '--df', '40',
                         '--mesh']),
