@@ -31,17 +31,27 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
     __file__))))
 
 
-def synth_array(rng, nM, loc, nC=8, R=12.0):
+def synth_array(rng, nM, loc, nC=8, R=12.0, maps='synthetic'):
     r"""Ring-array B1+ maps (nM, 2, nC) and per-position E-field SAR
-    matrices (nPos, nC, nC): smooth complex sensitivities decaying from
-    each coil; E-fields strongest NEAR coils so local SAR peaks at the
-    rim — the classic pTx hazard geometry."""
+    matrices (nPos, nC, nC): sensitivities decaying from each coil;
+    E-fields strongest NEAR coils so local SAR peaks at the rim — the
+    classic pTx hazard geometry. ``maps='loops'`` replaces the
+    synthetic B1+ with the PHYSICAL field of a ring of circular loop
+    coils (:func:`mrphy_tpu.utils.loop_b1`, exact Biot–Savart): real
+    Maxwell falloff and the loop's rotating-frame phase structure."""
     ang = 2 * np.pi * np.arange(nC) / nC
     pc = R * np.stack([np.cos(ang), np.sin(ang)], -1)   # coil centers
     d = np.linalg.norm(loc[:, None, :2] - pc[None], axis=-1)  # (nM, nC)
-    amp = 1.0 / (1.0 + (d / R) ** 2)
-    pha = -0.15 * d + ang[None]                          # propagation-ish
-    b1 = amp * np.exp(1j * pha)                          # (nM, nC)
+    amp = 1.0 / (1.0 + (d / R) ** 2)   # near-coil weighting (E-fields)
+    if maps == 'loops':
+        from mrphy_tpu.utils import loop_b1, loop_ring
+        centers, normals, radii = loop_ring(nC, R, 6.0, axis='z')
+        tx = np.asarray(loop_b1(loc, center=centers, normal=normals,
+                                radius=radii, mode='tx'))  # (nM, 2, nC)
+        b1 = tx[:, 0] + 1j * tx[:, 1]
+    else:
+        pha = -0.15 * d + ang[None]                      # propagation-ish
+        b1 = amp * np.exp(1j * pha)                      # (nM, nC)
     b1 /= np.abs(b1).sum(-1, keepdims=True).mean()       # ~unit CP sum
 
     # E-fields: 3 components per coil, amplitude ~ 1/d (near-coil
@@ -59,6 +69,10 @@ def main():
     ap.add_argument('--nt', type=int, default=128)
     ap.add_argument('--iters', type=int, default=150)
     ap.add_argument('--flip', type=float, default=10., help='deg')
+    ap.add_argument('--maps', choices=('synthetic', 'loops'),
+                    default='synthetic',
+                    help='B1+ maps: synthetic phantom or physical '
+                         'Biot-Savart loop ring (utils.loop_b1)')
     ap.add_argument('--budget', type=float, default=0.4,
                     help='SAR limit as a fraction of the free design')
     args = ap.parse_args()
@@ -78,7 +92,7 @@ def main():
     nM = loc.shape[0]
     loc_ = jnp.asarray(loc[None], jnp.float32)
 
-    b1c, Q = synth_array(rng, nM, loc)
+    b1c, Q = synth_array(rng, nM, loc, maps=args.maps)
     b1Map_ = jnp.asarray(np.stack([b1c.real, b1c.imag], -2)[None],
                          jnp.float32)                    # (1,nM,2,nC)
     Qr, Qi, idx = vop_compress(Q, eps=0.05)

@@ -31,6 +31,8 @@ from mrphy_tpu.utils.pns import pns_kernel, pns_predict, pns_max
 from mrphy_tpu.utils.shim import sh_basis, shim_fit, shim_apply
 from mrphy_tpu.utils.export import (export_compiled, load_compiled,
                                     symbolic_dim, export_applypulse)
+from mrphy_tpu.utils.biot import (ellipk, ellipe, loop_field, loop_b1,
+                                  loop_ring)
 
 # -- Unicode aliases (reference spellings) --
 # Python NFKC-normalizes identifiers: source written as `uϕrot` (U+03D5,
@@ -59,5 +61,6 @@ __all__ = ['ctrsub', 'g2k', 'g2s', 'k2g', 'rf_c2r', 'rf_r2c',
            'sh_basis', 'shim_fit', 'shim_apply',
            'export_compiled', 'load_compiled', 'symbolic_dim',
            'export_applypulse',
+           'ellipk', 'ellipe', 'loop_field', 'loop_b1', 'loop_ring',
            # Unicode aliases (NFKC-normalized spellings)
            'uφrot', 'rf2tρθ', 'tρθ2rf', 'rf2lρθ', 'lρθ2rf']

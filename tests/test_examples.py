@@ -31,6 +31,9 @@ CASES = [
                            '--iters', '200']),
     ('girf_preemphasis.py', ['--nt', '128', '--iters', '250']),
     ('ptx_sar_design.py', ['--n', '6', '--nt', '64', '--iters', '120']),
+    # physical Biot-Savart loop-ring B1+ maps (utils.biot)
+    ('ptx_sar_design.py', ['--n', '6', '--nt', '64', '--iters', '120',
+                           '--maps', 'loops']),
     ('recon_sense.py', ['--n', '16', '--iters', '30']),
     ('dwi_adc_fit.py', ['--nvox', '16', '--iters', '400']),
     ('spectral_spatial.py', ['--nz', '24', '--ndf', '9']),
