@@ -178,18 +178,22 @@ def epg_diffusion(FpFmZ, D, dk, tau, delta: int = 0):
     return FpFmZ * att[..., None]
 
 
-def epg_cpmg(flips, *, T1, T2, esp, M0=1.0, phi_ex=pi / 2, mesh=None,
-             D=None, dk=0.0):
+def epg_cpmg(flips, *, T1, T2, esp, M0=1.0, phi_ex=pi / 2,
+             alpha_ex=pi / 2, mesh=None, D=None, dk=0.0):
     r"""Echo amplitudes of a CPMG spin-echo train.
 
-    Sequence: 90° excitation about ``phi_ex`` (default +y, so the
-    refocusing pulses about +x satisfy the CPMG condition), then for
-    each entry of ``flips``: [τ=esp/2 relax+dephase, refocusing pulse,
-    τ=esp/2 relax+dephase, echo].
+    Sequence: ``alpha_ex`` excitation about ``phi_ex`` (defaults 90°
+    about +y, so the refocusing pulses about +x satisfy the CPMG
+    condition), then for each entry of ``flips``: [τ=esp/2
+    relax+dephase, refocusing pulse, τ=esp/2 relax+dephase, echo].
 
     Inputs:
         - ``flips``: `(nEcho,)` or `(*batch, nEcho)`, "Rad", refocusing
           flip angles (B1-scaled trains broadcast per voxel).
+        - ``alpha_ex``: `()` ⊻ `(*batch,)`, "Rad" — excitation flip.
+          Batch it alongside per-voxel ``flips`` for slice-profile-
+          resolved echo trains (each slice position sees its own
+          excitation AND refocusing angles).
         - ``T1``/``T2``: `()` ⊻ `(*batch,)`, "Sec"; ``esp``: echo
           spacing, "Sec".
         - ``D``/``dk``: enable diffusion weighting
@@ -215,12 +219,14 @@ def epg_cpmg(flips, *, T1, T2, esp, M0=1.0, phi_ex=pi / 2, mesh=None,
         dkw = {} if D is None else {'D': D, 'dk': dk}
         return epg_cpmg_sharded_traceable(
             mesh, flips, T1=T1, T2=T2, esp=esp, M0=M0, phi_ex=phi_ex,
-            **dkw)
+            alpha_ex=alpha_ex, **dkw)
     flips = jnp.asarray(flips)
-    return _epg_cpmg_body(flips, T1, T2, esp, M0, phi_ex, D, dk)
+    return _epg_cpmg_body(flips, T1, T2, esp, M0, phi_ex, D, dk,
+                          alpha_ex)
 
 
-def _epg_cpmg_body(flips, T1, T2, esp, M0, phi_ex, D=None, dk=0.0):
+def _epg_cpmg_body(flips, T1, T2, esp, M0, phi_ex, D=None, dk=0.0,
+                   alpha_ex=pi / 2):
     nE = flips.shape[-1]
     T1b, T2b = jnp.asarray(T1), jnp.asarray(T2)
     # one common dtype: python-float esp/M0 would otherwise promote the
@@ -230,11 +236,13 @@ def _epg_cpmg_body(flips, T1, T2, esp, M0, phi_ex, D=None, dk=0.0):
     T1b, T2b = T1b.astype(dtype), T2b.astype(dtype)
     esp = jnp.asarray(esp, dtype)
     M0 = jnp.asarray(M0, dtype)
+    alpha_b = jnp.asarray(alpha_ex, dtype)
     batch = jnp.broadcast_shapes(flips.shape[:-1], T1b.shape, T2b.shape,
-                                 jnp.shape(M0))
+                                 jnp.shape(M0), alpha_b.shape)
     K = nE + 1
     s = epg_state(K, batch, M0=M0, dtype=flips.dtype)
-    s = epg_rf(s, pi / 2 * jnp.ones(batch, flips.dtype), phi_ex)
+    s = epg_rf(s, jnp.broadcast_to(alpha_b, batch).astype(flips.dtype),
+               phi_ex)
     flips_b = jnp.broadcast_to(flips, batch + (nE,))
     flips_t = jnp.moveaxis(flips_b, -1, 0)      # (nE, *batch)
 

@@ -78,6 +78,9 @@ CASES = [
     ('motion_ghosting.py', []),
     # EPI timing skew -> N/2 ghost -> hybrid-space phase correction
     ('epi_ghost.py', []),
+    # slice-profile-resolved EPG T2 mapping vs full Bloch train
+    ('t2map_slice_profile.py', ['--nz', '48', '--nt', '96',
+                                '--iters', '150']),
     # deployment lifecycle: design -> AOT artifacts -> serve (bit-exact)
     ('serve_artifact.py', ['--n', '8', '--nt', '32', '--iters', '20']),
     # voxel-sharded variants on the 8-virtual-device CPU mesh
