@@ -283,7 +283,11 @@ def _sharded_elementwise(mesh: Mesh, fn, pos: tuple, kw: dict, N: int,
                          nM: int, out_specs):
     r"""shard_map ``fn(*pos, **kw)`` with every array argument sharded by
     the ``(N, nM)`` by-shape rule (:func:`spin_pspec`); non-array kwargs
-    pass through statically."""
+    pass through statically. Dispatch goes through a CACHED jit — an
+    eager shard_map would execute the traced ops one by one across the
+    mesh (~100× slower than the compiled program on the 8-virtual-
+    device CPU mesh); ``fn`` must be a module-level function so the
+    cache key is stable across calls."""
     import jax.numpy as jnp
 
     pos = tuple(jnp.asarray(x) for x in pos)
@@ -293,17 +297,29 @@ def _sharded_elementwise(mesh: Mesh, fn, pos: tuple, kw: dict, N: int,
     arrs = {k: jnp.asarray(v) for k, v in kw.items() if k not in static}
     names = tuple(sorted(arrs))
 
-    def body(*vals):
-        p, rest = vals[:len(pos)], vals[len(pos):]
-        kwd = dict(zip(names, rest))
-        kwd.update(static)
-        return fn(*p, **kwd)
-
     in_specs = tuple(spin_pspec(x, N, nM) for x in pos) + tuple(
         spin_pspec(arrs[k], N, nM) for k in names)
-    f = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
-                      out_specs=out_specs, check_vma=False)
+    f = _elementwise_jit(mesh, fn, len(pos), names,
+                         tuple(sorted(static.items())), in_specs,
+                         out_specs)
     return f(*pos, *(arrs[k] for k in names))
+
+
+@_functools.lru_cache(maxsize=None)
+def _elementwise_jit(mesh: Mesh, fn, npos: int, names: tuple,
+                     static_items: tuple, in_specs: tuple, out_specs):
+    def run(*vals):
+        def body(*v):
+            p, rest = v[:npos], v[npos:]
+            kwd = dict(zip(names, rest))
+            kwd.update(dict(static_items))
+            return fn(*p, **kwd)
+
+        f = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_vma=False)
+        return f(*vals)
+
+    return jax.jit(run)
 
 
 def _check_divisible(mesh: Mesh, N: int, nM: int):
@@ -340,11 +356,10 @@ def oracle_freeprec_traceable(mesh: Mesh, M, dur, **kw):
     assert M.ndim == 3, 'mesh= requires compact (N, nM, xyz) layout'
     N, nM = M.shape[0], M.shape[1]
     _check_divisible(mesh, N, nM)
-
-    def body(M, dur, **kwd):
-        return slowsims.freeprec(M, dur, **kwd)
-
-    return _sharded_elementwise(mesh, body, (M, jnp.asarray(dur)), kw,
+    # NB: pass the module-level function itself — a per-call closure
+    # would defeat the _elementwise_jit cache (new key every call)
+    return _sharded_elementwise(mesh, slowsims.freeprec,
+                                (M, jnp.asarray(dur)), kw,
                                 N, nM, spin_pspec(M, N, nM))
 
 
@@ -380,8 +395,10 @@ def epg_cpmg_sharded_traceable(mesh: Mesh, flips, **kw):
             return P(SPIN_AXIS, *([None] * (x.ndim - 1)))
         return P()
 
-    arrs = {k: jnp.asarray(v) for k, v in kw.items() if hasattr(
-        jnp.asarray(v), 'ndim') and jnp.asarray(v).ndim >= 1}
+    # arrays AND tracers (any ndim, incl. 0-d) are traced args; only
+    # python scalars stay static — keeps the jit-cache key hashable
+    arrs = {k: jnp.asarray(v) for k, v in kw.items()
+            if hasattr(v, 'ndim')}
     static = {k: v for k, v in kw.items() if k not in arrs}
     flips = jnp.asarray(flips)
     # voxel count: leading axis of any (nV, ...) operand
@@ -392,18 +409,32 @@ def epg_cpmg_sharded_traceable(mesh: Mesh, flips, **kw):
     assert nV % sp == 0, (f'nV={nV} not divisible by spin mesh extent '
                           f'{sp}')
     names = tuple(sorted(arrs))
-
-    def body(flips, *vals):
-        kwd = dict(zip(names, vals))
-        kwd.update(static)
-        return epg.epg_cpmg(flips, **kwd)
-
     in_specs = (vox_spec(flips),) + tuple(vox_spec(arrs[k])
                                           for k in names)
-    f = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
-                      out_specs=P(SPIN_AXIS, None, None),
-                      check_vma=False)
+    f = _epg_cpmg_sharded_jit(mesh, names,
+                              tuple(sorted(static.items())), in_specs)
     return f(flips, *(arrs[k] for k in names))
+
+
+@_functools.lru_cache(maxsize=None)
+def _epg_cpmg_sharded_jit(mesh: Mesh, names: tuple, static_items: tuple,
+                          in_specs: tuple):
+    r"""Cached jit of the voxel-sharded CPMG train (eager shard_map
+    dispatches the whole echo-train scan op-by-op across the mesh)."""
+    from mrphy_tpu.ops import epg
+
+    def run(flips, *vals):
+        def body(flips, *v):
+            kwd = dict(zip(names, v))
+            kwd.update(dict(static_items))
+            return epg.epg_cpmg(flips, **kwd)
+
+        f = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                          out_specs=P(SPIN_AXIS, None, None),
+                          check_vma=False)
+        return f(flips, *vals)
+
+    return jax.jit(run)
 
 
 def signal_sharded_traceable(mesh: Mesh, M, loc_, ktraj, *, sens=None,
@@ -440,20 +471,51 @@ def signal_sharded_traceable(mesh: Mesh, M, loc_, ktraj, *, sens=None,
         return P(BATCH_AXIS if x.shape[0] == N else None,
                  *([None] * (x.ndim - 1)))
 
-    def body(M, loc_, ktraj, *vals):
-        kwd = dict(zip(names, vals))
-        s = _sig.signal(M, loc_, ktraj, dt=dt, chunk=chunk,
-                        backend=backend,
-                        _pallas_interpret=_pallas_interpret, **kwd)
-        return jax.lax.psum(s, SPIN_AXIS)
+    dt_static, dt_args = _dt_split(dt)
+    in_specs = ((spin_pspec(M, N, nM), spin_pspec(loc_, N, nM),
+                 wfspec(ktraj))
+                + tuple(P() for _ in dt_args)
+                + tuple(spin_pspec(arrs[k], N, nM) for k in names))
+    f = _signal_sharded_jit(mesh, names, chunk, backend,
+                            _pallas_interpret, dt_static, in_specs)
+    return f(M, loc_, ktraj, *dt_args, *(arrs[k] for k in names))
 
-    in_specs = (spin_pspec(M, N, nM), spin_pspec(loc_, N, nM),
-                wfspec(ktraj)) + tuple(spin_pspec(arrs[k], N, nM)
-                                       for k in names)
-    f = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
-                      out_specs=P(BATCH_AXIS, None, None, None),
-                      check_vma=False)
-    return f(M, loc_, ktraj, *(arrs[k] for k in names))
+
+def _dt_split(dt):
+    r"""dt → (static float, ()) when concrete — the Pallas signal
+    backend needs a concrete dwell — or (None, (dt,)) when it is a
+    tracer (XLA backend only; differentiable)."""
+    try:
+        return float(dt), ()
+    except (TypeError, jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError):
+        return None, (dt,)
+
+
+@_functools.lru_cache(maxsize=None)
+def _signal_sharded_jit(mesh: Mesh, names: tuple, chunk, backend: str,
+                        _pallas_interpret: bool, dt_static,
+                        in_specs: tuple):
+    r"""Cached jit of the spin-sharded acquisition operator (eager
+    shard_map dispatches each traced op across the mesh)."""
+    from mrphy_tpu.ops import signal as _sig
+    ndt = 0 if dt_static is not None else 1
+
+    def run(M, loc_, ktraj, *vals):
+        def body(M, loc_, ktraj, *v):
+            dt = dt_static if ndt == 0 else v[0]
+            kwd = dict(zip(names, v[ndt:]))
+            s = _sig.signal(M, loc_, ktraj, dt=dt, chunk=chunk,
+                            backend=backend,
+                            _pallas_interpret=_pallas_interpret, **kwd)
+            return jax.lax.psum(s, SPIN_AXIS)
+
+        f = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                          out_specs=P(BATCH_AXIS, None, None, None),
+                          check_vma=False)
+        return f(M, loc_, ktraj, *vals)
+
+    return jax.jit(run)
 
 
 def signal_adjoint_sharded_traceable(mesh: Mesh, s, loc_, ktraj, *,
@@ -489,20 +551,39 @@ def signal_adjoint_sharded_traceable(mesh: Mesh, s, loc_, ktraj, *,
         return P(BATCH_AXIS if x.shape[0] == N else None,
                  *([None] * (x.ndim - 1)))
 
-    def body(s, loc_, ktraj, *vals):
-        kwd = dict(zip(names, vals))
-        return _sig.signal_adjoint(s, loc_, ktraj, dt=dt, chunk=chunk,
-                                   backend=backend,
-                                   _pallas_interpret=_pallas_interpret,
-                                   **kwd)
+    dt_static, dt_args = _dt_split(dt)
+    in_specs = ((P(BATCH_AXIS, None, None, None),
+                 spin_pspec(loc_, N, nM), wfspec(ktraj))
+                + tuple(P() for _ in dt_args)
+                + tuple(spin_pspec(arrs[k], N, nM) for k in names))
+    f = _signal_adjoint_sharded_jit(mesh, names, chunk, backend,
+                                    _pallas_interpret, dt_static,
+                                    in_specs)
+    return f(s, loc_, ktraj, *dt_args, *(arrs[k] for k in names))
 
-    in_specs = (P(BATCH_AXIS, None, None, None),
-                spin_pspec(loc_, N, nM), wfspec(ktraj)) + tuple(
-        spin_pspec(arrs[k], N, nM) for k in names)
-    f = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
-                      out_specs=P(BATCH_AXIS, SPIN_AXIS, None),
-                      check_vma=False)
-    return f(s, loc_, ktraj, *(arrs[k] for k in names))
+
+@_functools.lru_cache(maxsize=None)
+def _signal_adjoint_sharded_jit(mesh: Mesh, names: tuple, chunk,
+                                backend: str, _pallas_interpret: bool,
+                                dt_static, in_specs: tuple):
+    r"""Cached jit of the spin-sharded acquisition adjoint."""
+    from mrphy_tpu.ops import signal as _sig
+    ndt = 0 if dt_static is not None else 1
+
+    def run(s, loc_, ktraj, *vals):
+        def body(s, loc_, ktraj, *v):
+            dt = dt_static if ndt == 0 else v[0]
+            kwd = dict(zip(names, v[ndt:]))
+            return _sig.signal_adjoint(
+                s, loc_, ktraj, dt=dt, chunk=chunk, backend=backend,
+                _pallas_interpret=_pallas_interpret, **kwd)
+
+        f = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                          out_specs=P(BATCH_AXIS, SPIN_AXIS, None),
+                          check_vma=False)
+        return f(s, loc_, ktraj, *vals)
+
+    return jax.jit(run)
 
 
 def epgx_train_sharded_traceable(mesh: Mesh, train: str, flips,
@@ -536,34 +617,66 @@ def epgx_train_sharded_traceable(mesh: Mesh, train: str, flips,
                 "for per-voxel rates")
         return True
 
-    arrs = {k: jnp.asarray(v) for k, v in kw.items()
-            if hasattr(v, 'ndim') or isinstance(v, (list, tuple))}
-    arrs = {k: v for k, v in arrs.items() if per_voxel(k, v)}
-    static = {k: v for k, v in kw.items() if k not in arrs}
-    names = tuple(sorted(arrs))
+    # three-way split: per-voxel arrays shard; other arrays (shared
+    # trains, 0-d scalars, tracers) are traced but REPLICATED; python
+    # scalars stay static (hashable jit-cache key)
+    allarr = {k: jnp.asarray(v) for k, v in kw.items()
+              if hasattr(v, 'ndim') or isinstance(v, (list, tuple))}
+    vox = {k: v for k, v in allarr.items() if per_voxel(k, v)}
+    rep = {k: v for k, v in allarr.items() if k not in vox}
+    static = {k: v for k, v in kw.items() if k not in allarr}
+    vnames, rnames = tuple(sorted(vox)), tuple(sorted(rep))
     # phis is per-voxel when batched (nV, nT); else replicate
     phis_a = None if phis is None else jnp.asarray(phis)
     phis_sharded = phis_a is not None and phis_a.ndim == 2 \
         and phis_a.shape[0] == nV
 
-    def body(flips, *vals):
-        if phis_sharded:
-            ph, vals = vals[0], vals[1:]
-        else:
-            ph = phis_a
-        kwd = dict(zip(names, vals))
-        kwd.update(static)
-        if train == 'cpmg':
-            return fn(flips, **kwd)
-        return fn(flips, ph, **kwd)
-
     pos = (flips,) + ((phis_a,) if phis_sharded else ())
-    in_specs = tuple(P(SPIN_AXIS, None) for _ in pos) + tuple(
-        P(SPIN_AXIS, *([None] * (arrs[k].ndim - 1))) for k in names)
-    f = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
-                      out_specs=P(SPIN_AXIS, None, None),
-                      check_vma=False)
-    return f(*pos, *(arrs[k] for k in names))
+    rep_phis = () if phis_sharded or phis_a is None else (phis_a,)
+    in_specs = (tuple(P(SPIN_AXIS, None) for _ in pos)
+                + tuple(P(SPIN_AXIS, *([None] * (vox[k].ndim - 1)))
+                        for k in vnames)
+                + tuple(P() for _ in rep_phis)
+                + tuple(P() for _ in rnames))
+    f = _epgx_train_sharded_jit(
+        mesh, train, len(pos), phis_sharded, bool(rep_phis), vnames,
+        rnames, tuple(sorted(static.items())), in_specs)
+    return f(*pos, *(vox[k] for k in vnames), *rep_phis,
+             *(rep[k] for k in rnames))
+
+
+@_functools.lru_cache(maxsize=None)
+def _epgx_train_sharded_jit(mesh: Mesh, train: str, npos: int,
+                            phis_sharded: bool, has_rep_phis: bool,
+                            vnames: tuple, rnames: tuple,
+                            static_items: tuple, in_specs: tuple):
+    r"""Cached jit of the voxel-sharded EPG-X trains (see
+    :func:`_elementwise_jit` for why eager shard_map is avoided)."""
+    from mrphy_tpu.ops import epg
+
+    fn = {'cpmg': epg.epgx_cpmg, 'spgr': epg.epgx_spgr,
+          'mt_spgr': epg.epgx_mt_spgr}[train]
+
+    def run(*vals):
+        def body(*v):
+            p, rest = v[:npos], list(v[npos:])
+            flips = p[0]
+            ph = p[1] if phis_sharded else None
+            vv = {k: rest.pop(0) for k in vnames}
+            if has_rep_phis:
+                ph = rest.pop(0)
+            vv.update({k: rest.pop(0) for k in rnames})
+            vv.update(dict(static_items))
+            if train == 'cpmg':
+                return fn(flips, **vv)
+            return fn(flips, ph, **vv)
+
+        f = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                          out_specs=P(SPIN_AXIS, None, None),
+                          check_vma=False)
+        return f(*vals)
+
+    return jax.jit(run)
 
 
 def nufft_sharded_traceable(mesh: Mesh, plan, img, ktraj, *, df=None,
@@ -586,30 +699,46 @@ def nufft_sharded_traceable(mesh: Mesh, plan, img, ktraj, *, df=None,
     pad = (-nT) % sp
     kp = jnp.pad(ktraj, ((0, 0), (0, pad)))
     segmented = df is not None or T2s is not None
+    f = _nufft_sharded_jit(mesh, segmented, int(nseg), chunk)
     if segmented:
         assert dt is not None, 'df/T2s time segmentation needs dt'
         b, w = _nf._segments(plan, df, T2s, dt, nseg, nT, img.dtype)
         b = jnp.pad(b, ((0, 0), (0, pad)))
+        return f(plan, img, kp, b, w)[:nT]
+    return f(plan, img, kp)[:nT]
 
-    def body(k_sh, *b_sh):
-        if not segmented:
-            return _nf._fwd_core(plan, img, k_sh, chunk)
-        s = jnp.zeros((k_sh.shape[-1], 2), img.dtype)
-        for el in range(nseg):
-            wr, wi = (img[..., 0] * w[el, ..., 0]
-                      - img[..., 1] * w[el, ..., 1],
-                      img[..., 0] * w[el, ..., 1]
-                      + img[..., 1] * w[el, ..., 0])
-            s = s + b_sh[0][el][:, None] * _nf._fwd_core(
-                plan, jnp.stack([wr, wi], -1), k_sh, chunk)
-        return s
 
-    in_specs = ((P(None, SPIN_AXIS), P(None, SPIN_AXIS))
-                if segmented else (P(None, SPIN_AXIS),))
-    f = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
-                      out_specs=P(SPIN_AXIS, None), check_vma=False)
-    out = f(kp, b) if segmented else f(kp)
-    return out[:nT]
+@_functools.lru_cache(maxsize=None)
+def _nufft_sharded_jit(mesh: Mesh, segmented: bool, nseg: int, chunk):
+    r"""Cached jit of the sample-sharded NUFFT forward: eager calls of
+    the *_traceable wrappers would otherwise dispatch each traced op
+    across the mesh one by one (measured ~70 s per segmented call on
+    the 8-virtual-device CPU mesh vs ~1 s compiled)."""
+    import jax.numpy as jnp
+    from mrphy_tpu.ops import nufft as _nf
+
+    def run(plan, img, kp, *bw):
+        def body(k_sh, *b_sh):
+            if not segmented:
+                return _nf._fwd_core(plan, img, k_sh, chunk)
+            w = bw[1]
+            s = jnp.zeros((k_sh.shape[-1], 2), img.dtype)
+            for el in range(nseg):
+                wr, wi = (img[..., 0] * w[el, ..., 0]
+                          - img[..., 1] * w[el, ..., 1],
+                          img[..., 0] * w[el, ..., 1]
+                          + img[..., 1] * w[el, ..., 0])
+                s = s + b_sh[0][el][:, None] * _nf._fwd_core(
+                    plan, jnp.stack([wr, wi], -1), k_sh, chunk)
+            return s
+
+        in_specs = ((P(None, SPIN_AXIS), P(None, SPIN_AXIS))
+                    if segmented else (P(None, SPIN_AXIS),))
+        f = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                          out_specs=P(SPIN_AXIS, None), check_vma=False)
+        return f(kp, bw[0]) if segmented else f(kp)
+
+    return jax.jit(run)
 
 
 def nufft_adjoint_sharded_traceable(mesh: Mesh, plan, s, ktraj, *,
@@ -630,37 +759,53 @@ def nufft_adjoint_sharded_traceable(mesh: Mesh, plan, s, ktraj, *,
     kp = jnp.pad(ktraj, ((0, 0), (0, pad)))
     sP = jnp.pad(s, ((0, pad), (0, 0)))
     segmented = df is not None or T2s is not None
+    f = _nufft_adjoint_sharded_jit(mesh, segmented, int(nseg), chunk)
     if segmented:
         assert dt is not None, 'df/T2s time segmentation needs dt'
         b, w = _nf._segments(plan, df, T2s, dt, nseg, nT, s.dtype)
         b = jnp.pad(b, ((0, 0), (0, pad)))
+        return f(plan, sP, kp, b, w)
+    return f(plan, sP, kp)
 
-    def body(k_sh, s_sh, *b_sh):
-        if not segmented:
-            g = _nf._adj_scatter(plan, s_sh, k_sh, chunk)
-            g = jax.lax.psum(g, SPIN_AXIS)
-            return _nf._adj_finish(plan, g)
-        gs = jnp.stack([_nf._adj_scatter(
-            plan, b_sh[0][el][:, None] * s_sh, k_sh, chunk)
-            for el in range(nseg)])
-        gs = jax.lax.psum(gs, SPIN_AXIS)      # one collective
-        out = jnp.zeros(plan.im_size + (2,), s.dtype)
-        for el in range(nseg):
-            x = _nf._adj_finish(plan, gs[el])
-            xr = (x[..., 0] * w[el, ..., 0]
-                  + x[..., 1] * w[el, ..., 1])
-            xi = (x[..., 1] * w[el, ..., 0]
-                  - x[..., 0] * w[el, ..., 1])
-            out = out + jnp.stack([xr, xi], -1)
-        return out
 
-    in_specs = ((P(None, SPIN_AXIS), P(SPIN_AXIS, None),
-                 P(None, SPIN_AXIS)) if segmented
-                else (P(None, SPIN_AXIS), P(SPIN_AXIS, None)))
-    out_specs = P(*([None] * (len(plan.im_size) + 1)))
-    f = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
-                      out_specs=out_specs, check_vma=False)
-    return f(kp, sP, b) if segmented else f(kp, sP)
+@_functools.lru_cache(maxsize=None)
+def _nufft_adjoint_sharded_jit(mesh: Mesh, segmented: bool, nseg: int,
+                               chunk):
+    r"""Cached jit of the sample-sharded NUFFT adjoint (see
+    :func:`_nufft_sharded_jit` for why)."""
+    import jax.numpy as jnp
+    from mrphy_tpu.ops import nufft as _nf
+
+    def run(plan, sP, kp, *bw):
+        def body(k_sh, s_sh, *b_sh):
+            if not segmented:
+                g = _nf._adj_scatter(plan, s_sh, k_sh, chunk)
+                g = jax.lax.psum(g, SPIN_AXIS)
+                return _nf._adj_finish(plan, g)
+            w = bw[1]
+            gs = jnp.stack([_nf._adj_scatter(
+                plan, b_sh[0][el][:, None] * s_sh, k_sh, chunk)
+                for el in range(nseg)])
+            gs = jax.lax.psum(gs, SPIN_AXIS)      # one collective
+            out = jnp.zeros(plan.im_size + (2,), sP.dtype)
+            for el in range(nseg):
+                x = _nf._adj_finish(plan, gs[el])
+                xr = (x[..., 0] * w[el, ..., 0]
+                      + x[..., 1] * w[el, ..., 1])
+                xi = (x[..., 1] * w[el, ..., 0]
+                      - x[..., 0] * w[el, ..., 1])
+                out = out + jnp.stack([xr, xi], -1)
+            return out
+
+        in_specs = ((P(None, SPIN_AXIS), P(SPIN_AXIS, None),
+                     P(None, SPIN_AXIS)) if segmented
+                    else (P(None, SPIN_AXIS), P(SPIN_AXIS, None)))
+        out_specs = P(*([None] * (len(plan.im_size) + 1)))
+        f = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                          out_specs=out_specs, check_vma=False)
+        return f(kp, sP, bw[0]) if segmented else f(kp, sP)
+
+    return jax.jit(run)
 
 
 def psum_loss(fn):
