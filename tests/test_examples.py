@@ -78,6 +78,8 @@ CASES = [
     ('motion_ghosting.py', []),
     # EPI timing skew -> N/2 ghost -> hybrid-space phase correction
     ('epi_ghost.py', []),
+    # differentiable coil-array layout optimization (g-factor descent)
+    ('coil_layout_optim.py', ['--n', '24', '--iters', '150']),
     # slice-profile-resolved EPG T2 mapping vs full Bloch train
     ('t2map_slice_profile.py', ['--nz', '48', '--nt', '96',
                                 '--iters', '150']),
