@@ -385,7 +385,6 @@ def epg_cpmg_sharded_traceable(mesh: Mesh, flips, **kw):
     with per-voxel ``T1``/``T2`` `(nV,)`). The voxel axis shards on the
     mesh's spin axis; returns ``(nV, nEcho, 2)``."""
     import jax.numpy as jnp
-    from mrphy_tpu.ops import epg
 
     sp = mesh.shape[SPIN_AXIS]
 
@@ -395,13 +394,16 @@ def epg_cpmg_sharded_traceable(mesh: Mesh, flips, **kw):
             return P(SPIN_AXIS, *([None] * (x.ndim - 1)))
         return P()
 
-    # arrays AND tracers (any ndim, incl. 0-d) are traced args; only
+    # arrays, tracers AND list/tuple sequences are traced args; only
     # python scalars stay static — keeps the jit-cache key hashable
     arrs = {k: jnp.asarray(v) for k, v in kw.items()
-            if hasattr(v, 'ndim')}
+            if hasattr(v, 'ndim') or isinstance(v, (list, tuple))}
     static = {k: v for k, v in kw.items() if k not in arrs}
     flips = jnp.asarray(flips)
-    # voxel count: leading axis of any (nV, ...) operand
+    # voxel count: leading axis of any (nV, ...) operand.  A 1-D flips
+    # train is ALWAYS the shared echo axis (never sharded), so it is
+    # excluded both here and from vox_spec below — otherwise an
+    # accidental nEcho == nV would silently shard the echoes.
     cands = [flips.shape[0]] if flips.ndim == 2 else []
     cands += [v.shape[0] for v in arrs.values() if v.ndim >= 1]
     assert cands, 'no per-voxel operand; nothing to shard'
@@ -409,8 +411,9 @@ def epg_cpmg_sharded_traceable(mesh: Mesh, flips, **kw):
     assert nV % sp == 0, (f'nV={nV} not divisible by spin mesh extent '
                           f'{sp}')
     names = tuple(sorted(arrs))
-    in_specs = (vox_spec(flips),) + tuple(vox_spec(arrs[k])
-                                          for k in names)
+    flips_spec = vox_spec(flips) if flips.ndim == 2 else P()
+    in_specs = (flips_spec,) + tuple(vox_spec(arrs[k])
+                                     for k in names)
     f = _epg_cpmg_sharded_jit(mesh, names,
                               tuple(sorted(static.items())), in_specs)
     return f(flips, *(arrs[k] for k in names))
@@ -596,10 +599,8 @@ def epgx_train_sharded_traceable(mesh: Mesh, train: str, flips,
     ambiguous and rejected (pass `(1, nTR)` for a shared train or
     `(nV, 1)` for per-voxel rates). Returns `(nV, nT, 2)`."""
     import jax.numpy as jnp
-    from mrphy_tpu.ops import epg
 
-    fn = {'cpmg': epg.epgx_cpmg, 'spgr': epg.epgx_spgr,
-          'mt_spgr': epg.epgx_mt_spgr}[train]
+    assert train in ('cpmg', 'spgr', 'mt_spgr'), train
     sp = mesh.shape[SPIN_AXIS]
     flips = jnp.asarray(flips)
     assert flips.ndim == 2, 'mesh= needs batched (nV, nT) flips'

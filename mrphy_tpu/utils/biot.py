@@ -72,9 +72,24 @@ def ellipk(m):
 
 def ellipe(m):
     r"""Complete elliptic integral of the second kind ``E(m)``,
-    parameter convention, ``m ∈ [0, 1]``."""
-    a, csum = _agm(m)
-    return jnp.pi / (2.0 * a) * (1.0 - csum)
+    parameter convention, ``m ∈ [0, 1]``. The ``m = 1`` endpoint is
+    special-cased to the exact ``E(1) = 1`` (the AGM degenerates to
+    linear convergence at ``b₀ = 0``, which would return π/4 after the
+    fixed unroll); the derivative there is the true ±∞ singularity."""
+    m = jnp.asarray(m)
+    a, csum = _agm(jnp.where(m >= 1.0, 0.0, m))   # keep AGM well-posed
+    e = jnp.pi / (2.0 * a) * (1.0 - csum)
+    return jnp.where(m >= 1.0, jnp.ones_like(e), e)
+
+
+def _is_batched(center, normal, radius, current):
+    r"""True iff any loop parameter carries a coil axis — the contract
+    that adds the trailing ``nC`` axis to :func:`loop_field` /
+    :func:`loop_b1` outputs."""
+    return (jnp.asarray(center).ndim == 2
+            or jnp.asarray(normal).ndim == 2
+            or jnp.asarray(radius).ndim >= 1
+            or jnp.asarray(current).ndim >= 1)
 
 
 def _frame(normal):
@@ -99,12 +114,14 @@ def loop_field(loc, *, center, normal, radius, current=1.0):
 
     Inputs:
         - ``loc``: `(..., 3)`, "cm" — field points.
-        - ``center``: `(3,)` ⊻ `(nC, 3)`, "cm"; with a coil axis, the
-          result gains a trailing coil axis.
+        - ``center``: `(3,)` ⊻ `(nC, 3)`, "cm".
         - ``normal``: like ``center`` — loop axis (need not be unit).
         - ``radius``: scalar ⊻ `(nC,)`, "cm".
         - ``current``: scalar ⊻ `(nC,)`, "A" (DC equivalent; for RF,
           the per-unit-current map scaled by drive amplitude).
+
+    A coil axis on ANY of the four loop parameters batches the result
+    (trailing coil axis); the others broadcast against it.
     Output: ``B`` `(..., 3)` ⊻ `(..., 3, nC)`, "Gauss", lab frame.
 
     Exact off the wire; the on-wire singularity (ρ = a, z = 0) is the
@@ -112,11 +129,21 @@ def loop_field(loc, *, center, normal, radius, current=1.0):
     Differentiable in every input (loop-placement optimization).
     """
     center = jnp.asarray(center, jnp.result_type(float, center))
-    batched = center.ndim == 2
-    cs = jnp.atleast_2d(center)                           # (nC, 3)
-    ns = jnp.atleast_2d(jnp.asarray(normal, cs.dtype))
-    rad = jnp.broadcast_to(jnp.asarray(radius, cs.dtype), cs.shape[:1])
-    cur = jnp.broadcast_to(jnp.asarray(current, cs.dtype), cs.shape[:1])
+    normal = jnp.asarray(normal, center.dtype)
+    radius = jnp.asarray(radius, center.dtype)
+    current = jnp.asarray(current, center.dtype)
+    # a coil axis on ANY input batches the result (keying off center
+    # alone silently dropped all but coil 0 when only normal/radius
+    # carried the axis)
+    batched = _is_batched(center, normal, radius, current)
+    nC = max(jnp.atleast_2d(center).shape[0],
+             jnp.atleast_2d(normal).shape[0],
+             radius.shape[0] if radius.ndim else 1,
+             current.shape[0] if current.ndim else 1)
+    cs = jnp.broadcast_to(jnp.atleast_2d(center), (nC, 3))   # (nC, 3)
+    ns = jnp.broadcast_to(jnp.atleast_2d(normal), (nC, 3))
+    rad = jnp.broadcast_to(radius, (nC,))
+    cur = jnp.broadcast_to(current, (nC,))
 
     loc = jnp.asarray(loc, cs.dtype)
     e1, e2, nz = _frame(ns)                               # (nC, 3) each
@@ -159,7 +186,7 @@ def loop_b1(loc, *, center, normal, radius, current=1.0, mode='rx'):
     assert mode in ('rx', 'tx'), mode
     B = loop_field(loc, center=center, normal=normal, radius=radius,
                    current=current)
-    if jnp.asarray(center).ndim != 2:
+    if not _is_batched(center, normal, radius, current):
         B = B[..., None]                                  # (..., 3, 1)
     sign = -1.0 if mode == 'rx' else 1.0
     return 0.5 * jnp.stack([B[..., 0, :], sign * B[..., 1, :]], -2)

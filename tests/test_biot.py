@@ -39,6 +39,13 @@ class TestElliptic:
             np.pi / 2, abs=1e-15)
         assert float(ellipe(jnp.float64(0.0))) == pytest.approx(
             np.pi / 2, abs=1e-15)
+        # regression: E(1) = 1 exactly (the raw AGM degenerates at
+        # b0 = 0 and used to return pi/4)
+        assert float(ellipe(jnp.float64(1.0))) == 1.0
+        m = jnp.asarray(1.0 - np.logspace(-12, -3, 10), jnp.float64)
+        np.testing.assert_allclose(np.asarray(ellipe(m)),
+                                   sps.ellipe(np.asarray(m)),
+                                   rtol=1e-12)
 
 
 def _quadrature_field(pts, center, normal, radius, current=1.0,
@@ -123,6 +130,31 @@ class TestLoopField:
                             radius=radii[c])
             np.testing.assert_allclose(np.asarray(B[..., c]),
                                        np.asarray(Bc), rtol=1e-12)
+
+
+    def test_batched_by_any_parameter(self):
+        # regression: batching used to key off center.ndim alone —
+        # a batched normal/radius with a shared center silently
+        # dropped every coil but the first
+        pts = jnp.asarray(np.random.default_rng(1).uniform(
+            -3, 3, (6, 3)))
+        normals = jnp.asarray([[0.0, 0, 1], [1.0, 0, 0]])
+        B = loop_field(pts, center=jnp.zeros(3), normal=normals,
+                       radius=5.0)
+        assert B.shape == (6, 3, 2)
+        for c in range(2):
+            Bc = loop_field(pts, center=jnp.zeros(3),
+                            normal=normals[c], radius=5.0)
+            np.testing.assert_allclose(np.asarray(B[..., c]),
+                                       np.asarray(Bc), rtol=1e-12)
+        # radius-only batching, center/normal shared
+        B2 = loop_field(pts, center=jnp.zeros(3), normal=normals[0],
+                        radius=jnp.asarray([4.0, 6.0]))
+        assert B2.shape == (6, 3, 2)
+        from mrphy_tpu.utils.biot import loop_b1
+        s = loop_b1(pts, center=jnp.zeros(3), normal=normals,
+                    radius=5.0)
+        assert s.shape == (6, 2, 2)      # (..., xy, nC) keeps nC = 2
 
 
 class TestB1Conventions:

@@ -268,6 +268,39 @@ class TestParallel:
         np.testing.assert_allclose(v_sh, v, atol=1e-12)
         np.testing.assert_allclose(g_sh, g, atol=1e-12)
 
+    def test_epg_cpmg_sharded_sequence_kwargs(self):
+        # regression: tuple/list kwargs must shard per-voxel like
+        # arrays (a tuple used to become a STATIC replicated constant
+        # → silently wrong shapes/physics; a list crashed the cache)
+        from mrphy_tpu.ops import epg
+        mesh = make_mesh()
+        nV, nE = 8, 4
+        flips = jnp.full((nV, nE), np.pi * 0.9)
+        T1_t = tuple(0.5 + 0.1 * i for i in range(nV))
+        e_arr = epg.epg_cpmg(flips, T1=jnp.asarray(T1_t), T2=0.08,
+                             esp=0.01, mesh=mesh)
+        e_tup = epg.epg_cpmg(flips, T1=T1_t, T2=0.08, esp=0.01,
+                             mesh=mesh)
+        e_lst = epg.epg_cpmg(flips, T1=list(T1_t), T2=0.08, esp=0.01,
+                             mesh=mesh)
+        assert e_tup.shape == (nV, nE, 2)
+        np.testing.assert_allclose(e_tup, e_arr, atol=0)
+        np.testing.assert_allclose(e_lst, e_arr, atol=0)
+
+    def test_epg_cpmg_sharded_shared_flips_necho_eq_nv(self):
+        # regression: a shared 1-D flips train whose length equals nV
+        # must stay the (replicated) echo axis, not get sharded
+        from mrphy_tpu.ops import epg
+        mesh = make_mesh()
+        nV = nE = 8
+        flips = jnp.full((nE,), np.pi * 0.9)
+        T1 = jnp.asarray(np.linspace(0.5, 2.0, nV))
+        e_sh = epg.epg_cpmg(flips, T1=T1, T2=0.08, esp=0.01, mesh=mesh)
+        e = epg.epg_cpmg(flips, T1=T1, T2=0.08, esp=0.01)
+        assert e_sh.shape == (nV, nE, 2)
+        np.testing.assert_allclose(np.asarray(e_sh), np.asarray(e),
+                                   atol=1e-12)
+
     def test_timing_utils(self):
         from mrphy_tpu.utils.timing import (host_sync, amortized_timeit,
                                             chained_timeit)
