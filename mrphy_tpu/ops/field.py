@@ -49,8 +49,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from mrphy_tpu.ops.nufft import _dft_axis
-from mrphy_tpu.utils.pf import _dftmat
+from mrphy_tpu.utils.pf import _dftmat, _apply2 as _fft3
 
 __all__ = ['dipole_kernel', 'chi2field', 'field2chi_tkd',
            'unwrap_phase', 'smv_kernel', 'sharp_background',
@@ -93,12 +92,6 @@ def dipole_kernel(shape, *, voxel=(1.0, 1.0, 1.0), zdir=(0.0, 0.0, 1.0),
         D = 1.0 / 3.0 - (kdz ** 2) / k2
     D[shape[0] // 2, shape[1] // 2, shape[2] // 2] = 0.0   # DC
     return jnp.asarray(D, dtype)
-
-
-def _fft3(xr, xi, mats):
-    for a, (mr, mi) in enumerate(mats):
-        xr, xi = _dft_axis(xr, xi, mr, mi, a)
-    return xr, xi
 
 
 @partial(jax.jit, static_argnums=(2,))
@@ -178,6 +171,7 @@ def field2chi_tkd(field, *, thresh: float = 0.2, voxel=(1.0, 1.0, 1.0),
                           dtype=field.dtype)
     else:
         D = jnp.asarray(D, field.dtype)
+        assert D.shape == field.shape[-3:], (D.shape, field.shape)
     t = jnp.asarray(thresh, field.dtype)
     sgn = jnp.where(D < 0, -1.0, 1.0).astype(field.dtype)
     Dinv = sgn / jnp.maximum(jnp.abs(D), t)
@@ -402,6 +396,7 @@ def field2chi_tv(field, *, lam: float = 1e-4, iters: int = 400,
                           dtype=field.dtype)
     else:
         D = jnp.asarray(D, field.dtype)
+        assert D.shape == field.shape[-3:], (D.shape, field.shape)
     w = (jnp.asarray(np.asarray(mask, bool), field.dtype)
          if mask is not None else None)
     nb = int(field.ndim > 3)

@@ -385,6 +385,7 @@ def _segments(plan, df, T2s, dt, nseg: int, nT: int, dtype):
     voxel weights."""
     t = (jnp.arange(nT, dtype=dtype) + 1) * dt        # signal()'s t_t
     t0, t1 = dt, nT * dt
+    nseg = min(nseg, nT)      # nseg > nT ⇒ dtau = 0 ⇒ NaN hats at nT=1
     if nseg == 1:
         taus = jnp.asarray([(t0 + t1) / 2], dtype)
         b = jnp.ones((1, nT), dtype)
@@ -454,7 +455,11 @@ def nufft(plan: NufftPlan, img, ktraj, *, df=None, T2s=None, dt=None,
     nT = ktraj.shape[-1]
     b, w = _segments(plan, df, T2s, dt, nseg, nT, img.dtype)
     s = jnp.zeros((nT, 2), img.dtype)
-    for el in range(nseg):                            # static, small
+    # NB each _fwd_core call rebuilds the same interpolation factors
+    # from the unchanged ktraj; under jit XLA CSE merges those
+    # identical pure subgraphs, so only the per-segment grid stages
+    # (different weighted images — inherent to the model) remain.
+    for el in range(b.shape[0]):                      # static, small
         wr, wi = _cmul(img[..., 0], img[..., 1],
                        w[el, ..., 0], w[el, ..., 1])
         s = s + b[el][:, None] * _fwd_core(
@@ -496,7 +501,7 @@ def nufft_adjoint(plan: NufftPlan, s, ktraj, *, df=None, T2s=None,
         nT = ktraj.shape[-1]
         b, w = _segments(plan, df, T2s, dt, nseg, nT, s.dtype)
         out = jnp.zeros(plan.im_size + (2,), s.dtype)
-        for el in range(nseg):                        # static, small
+        for el in range(b.shape[0]):                  # static, small
             x = nufft_adjoint(plan, b[el][:, None] * s, ktraj,
                               chunk=chunk)
             # conj(w_l) ⊙ x

@@ -700,7 +700,8 @@ def nufft_sharded_traceable(mesh: Mesh, plan, img, ktraj, *, df=None,
     pad = (-nT) % sp
     kp = jnp.pad(ktraj, ((0, 0), (0, pad)))
     segmented = df is not None or T2s is not None
-    f = _nufft_sharded_jit(mesh, segmented, int(nseg), chunk)
+    nseg = min(int(nseg), nT)    # match _segments' nT=1 NaN guard
+    f = _nufft_sharded_jit(mesh, segmented, nseg, chunk)
     if segmented:
         assert dt is not None, 'df/T2s time segmentation needs dt'
         b, w = _nf._segments(plan, df, T2s, dt, nseg, nT, img.dtype)
@@ -760,7 +761,8 @@ def nufft_adjoint_sharded_traceable(mesh: Mesh, plan, s, ktraj, *,
     kp = jnp.pad(ktraj, ((0, 0), (0, pad)))
     sP = jnp.pad(s, ((0, pad), (0, 0)))
     segmented = df is not None or T2s is not None
-    f = _nufft_adjoint_sharded_jit(mesh, segmented, int(nseg), chunk)
+    nseg = min(int(nseg), nT)    # match _segments' nT=1 NaN guard
+    f = _nufft_adjoint_sharded_jit(mesh, segmented, nseg, chunk)
     if segmented:
         assert dt is not None, 'df/T2s time segmentation needs dt'
         b, w = _nf._segments(plan, df, T2s, dt, nseg, nT, s.dtype)

@@ -128,8 +128,7 @@ def grappa_apply(ksp, W, R: int):
     R = int(R)
     assert Rm1 == R - 1, (W.shape, R)
     hx = nsx // 2
-    nacq = -(-ny // R)                                # ceil
-    acq = ksp[:, ::R]                                 # (nC, nacq, nx, 2)
+    acq = ksp[:, ::R]                                 # (nC, ⌈ny/R⌉, nx, 2)
     # zero-pad acquired rows and kx edges once; taps become static
     # slices (fused adds under jit)
     acqp = jnp.pad(acq, ((0, 0), (nsy, nsy), (hx, hx), (0, 0)))
@@ -217,7 +216,8 @@ def sg_weights(calibs, *, kernel: Tuple[int, int] = (5, 5),
     assert cy >= nky and cx >= nkx, (calibs.shape, kernel)
     C = calibs[..., 0] + 1j * calibs[..., 1]          # (nsl, nC, cy, cx)
     if shifts is not None:
-        fs = ([s / nsl for s in range(nsl)] if shifts == 'auto'
+        fs = ([s / nsl for s in range(nsl)]
+              if isinstance(shifts, str) and shifts == 'auto'
               else [float(f) for f in shifts])
         assert len(fs) == nsl, (fs, nsl)
         for s in range(nsl):
@@ -293,7 +293,8 @@ def sg_apply(ksp, W, *, shifts=None):
     out = jnp.stack(outs)                             # (nsl, nC, ny, nx, 2)
     if shifts is not None:
         nsl_ = out.shape[0]
-        fs = ([s / nsl_ for s in range(nsl_)] if shifts == 'auto'
+        fs = ([s / nsl_ for s in range(nsl_)]
+              if isinstance(shifts, str) and shifts == 'auto'
               else [float(f) for f in shifts])
         ramps = np.stack([_caipi_ramp(ny, -f) for f in fs])  # undo
         rr = jnp.asarray(ramps.real, ksp.dtype)[:, None, :, None]

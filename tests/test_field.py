@@ -164,6 +164,18 @@ def test_tkd_single_mode_exact():
                                rtol=0, atol=1e-12)
 
 
+def test_tkd_rejects_wrong_shaped_D():
+    # regression: a broadcast-compatible but wrong-shaped explicit D
+    # used to produce a silently wrong inversion (chi2field asserted,
+    # field2chi_tkd did not)
+    import pytest
+    n = 8
+    f = jnp.asarray(np.random.default_rng(0).normal(size=(n, n, n)))
+    bad = jnp.ones((n,))                      # broadcasts against (n,n,n)
+    with pytest.raises(AssertionError):
+        field2chi_tkd(f, D=bad)
+
+
 def test_tkd_recovers_well_conditioned_modes():
     # random chi: after TKD, the re-forward field matches the data on
     # every mode with |D| >= thresh (and only attenuates cone modes).

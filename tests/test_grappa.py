@@ -175,6 +175,18 @@ def test_sms_separation(nsl, shifts, tol):
         assert rel < tol, (shifts, s, rel)
 
 
+def test_sms_array_shifts_match_list():
+    r"""Regression: a numpy-array ``shifts`` used to raise (ambiguous
+    truth value in the ``== 'auto'`` comparison); arrays must behave
+    exactly like the equivalent list."""
+    ksps, kcs = _sms_problem()
+    nsl = ksps.shape[0]
+    fs = [s / nsl for s in range(nsl)]
+    r_list = _sms_recon_err(ksps, kcs, fs)
+    r_arr = _sms_recon_err(ksps, kcs, np.asarray(fs))
+    np.testing.assert_allclose(r_arr, r_list, rtol=0, atol=0)
+
+
 def test_caipi_beats_plain():
     ksps, kcs = _sms_problem()
     plain = max(_sms_recon_err(ksps, kcs, None))

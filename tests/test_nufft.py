@@ -182,6 +182,28 @@ def test_time_segmented_df_t2s_matches_exact():
     assert rel32 < rel / 2, (rel, rel32)
 
 
+def test_time_segmented_single_sample_no_nan():
+    r"""Regression: nT < nseg (extreme: nT = 1) used to divide by a
+    zero hat spacing and return all-NaN; nseg must clamp to nT."""
+    rng = np.random.default_rng(47)
+    im_size, fov = (16, 12), (24.0, 18.0)
+    loc_, img = _grid_problem(rng, im_size, fov)
+    k3 = _ktraj(rng, 2, im_size, fov, nT=1)
+    dfg = jnp.asarray(rng.uniform(-50, 50, im_size), F64)
+    plan = nf.nufft_plan(im_size, fov, width=6, dtype=F64)
+    s = nf.nufft(plan, img, k3[:2], df=dfg, dt=1e-5, nseg=8)
+    assert np.isfinite(np.asarray(s)).all(), s
+    nM = int(np.prod(im_size))
+    M = jnp.concatenate([img.reshape(nM, 2),
+                         jnp.zeros((nM, 1), F64)], -1)[None]
+    s0 = sig.signal(M, loc_, k3[None], df=dfg.reshape(1, nM),
+                    dt=1e-5)[0, 0]
+    rel = float(jnp.linalg.norm(s - s0) / jnp.linalg.norm(s0))
+    assert rel < 2e-5, rel
+    x = nf.nufft_adjoint(plan, s, k3[:2], df=dfg, dt=1e-5, nseg=8)
+    assert np.isfinite(np.asarray(x)).all()
+
+
 def test_time_segmented_adjoint_consistent():
     r"""Under df/T2s the pair must STILL be an exact complex-adjoint
     pair (same arguments), so CG normal equations stay symmetric."""
