@@ -16,9 +16,16 @@ evolutions. This demo exercises the TPU-shaped EPG machinery end to end:
    from the matched atom) recovers continuous values below grid
    resolution — the capability a lookup table alone cannot provide.
 
+With ``--seq bssfp`` the train is the ORIGINAL MRF sequence (Ma et al.,
+Nature 495:187, 2013): balanced SSFP with variable flips, whose signal
+also encodes off-resonance — the dictionary gains a ``df`` axis
+(:func:`mrphy_tpu.ops.ssfp.bssfp_train`), and matching + refinement
+recover (T1, T2, df) jointly.
+
 Usage::
 
     python examples/mrf_dictionary.py [--ntr 150] [--nt1 24] [--nt2 24]
+    python examples/mrf_dictionary.py --seq bssfp [--ndf 15]
 """
 
 import argparse
@@ -39,12 +46,15 @@ def main():
     ap.add_argument('--tr', type=float, default=0.012)
     ap.add_argument('--iters', type=int, default=250)
     ap.add_argument('--noise', type=float, default=0.0)
+    ap.add_argument('--seq', choices=('spgr', 'bssfp'), default='spgr')
+    ap.add_argument('--ndf', type=int, default=15,
+                    help='bssfp: off-resonance grid points (+-40 Hz)')
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
     import optax
-    from mrphy_tpu.ops import epg
+    from mrphy_tpu.ops import epg, ssfp
 
     nTR, tr = args.ntr, args.tr
     # classic MRF flip schedule: smooth sinusoidal lobes, 10–70 deg
@@ -61,21 +71,38 @@ def main():
     keep = T2g < T1g                      # physical constraint T2 < T1
     atoms_T1 = jnp.asarray(T1g[keep], jnp.float32)   # (nAtoms,)
     atoms_T2 = jnp.asarray(T2g[keep], jnp.float32)
+
+    if args.seq == 'bssfp':
+        # the original MRF sequence: the signal also encodes df, so the
+        # dictionary gains an off-resonance axis
+        dfs = np.linspace(-40.0, 40.0, args.ndf)
+        nK = atoms_T1.shape[0]
+        atoms_T1 = jnp.tile(atoms_T1, args.ndf)
+        atoms_T2 = jnp.tile(atoms_T2, args.ndf)
+        atoms_df = jnp.asarray(np.repeat(dfs, nK), jnp.float32)
+
+        def signals(T1, T2, df):
+            r"""(..., nTR, 2) bSSFP evolutions (alternating ±x)."""
+            return ssfp.bssfp_train(flips, T1=T1, T2=T2, tr=tr, df=df)
+    else:
+        atoms_df = jnp.zeros_like(atoms_T1)
+
+        def signals(T1, T2, df):
+            r"""(..., nTR, 2) RF-spoiled evolutions (df-independent)."""
+            return epg.epg_spgr(flips, phis, T1=T1, T2=T2, tr=tr,
+                                te=tr / 2)
     nA = atoms_T1.shape[0]
 
-    def signals(T1, T2):
-        r"""(..., nTR, 2) signal evolutions for (broadcast) T1/T2."""
-        return epg.epg_spgr(flips, phis, T1=T1, T2=T2, tr=tr,
-                            te=tr / 2)
-
     gen = jax.jit(signals)
-    D = gen(atoms_T1, atoms_T2)                      # (nA, nTR, 2)
+    D = gen(atoms_T1, atoms_T2, atoms_df)            # (nA, nTR, 2)
     Dn = D.reshape(nA, -1)
     Dn = Dn / jnp.linalg.norm(Dn, axis=1, keepdims=True)
 
     # probe voxel: ground truth intentionally OFF-grid
     T1_true, T2_true = 0.83, 0.067
-    probe = gen(jnp.asarray(T1_true), jnp.asarray(T2_true)).reshape(-1)
+    df_true = 13.0 if args.seq == 'bssfp' else 0.0
+    probe = gen(jnp.asarray(T1_true), jnp.asarray(T2_true),
+                jnp.asarray(df_true)).reshape(-1)
     if args.noise > 0:
         probe = probe + args.noise * jax.random.normal(
             jax.random.PRNGKey(0), probe.shape)
@@ -85,23 +112,31 @@ def main():
     scores = Dn @ pn                                  # (nA,)
     best = int(jnp.argmax(scores))
     T1_m, T2_m = float(atoms_T1[best]), float(atoms_T2[best])
-    print(f'{nA} atoms x {nTR} TRs; truth T1={T1_true*1e3:.0f} ms '
-          f'T2={T2_true*1e3:.1f} ms')
-    print(f'match: T1={T1_m*1e3:.0f} ms, T2={T2_m*1e3:.1f} ms '
-          f'(score {float(scores[best]):.5f})')
+    df_m = float(atoms_df[best])
+    print(f'{nA} atoms x {nTR} TRs ({args.seq}); truth '
+          f'T1={T1_true*1e3:.0f} ms T2={T2_true*1e3:.1f} ms'
+          + (f' df={df_true:.1f} Hz' if args.seq == 'bssfp' else ''))
+    print(f'match: T1={T1_m*1e3:.0f} ms, T2={T2_m*1e3:.1f} ms'
+          + (f', df={df_m:.1f} Hz' if args.seq == 'bssfp' else '')
+          + f' (score {float(scores[best]):.5f})')
     # the match lands on the nearest grid atoms (log-spacing ratios)
     rat1 = float(T1s[1] / T1s[0])
     rat2 = float(T2s[1] / T2s[0])
     assert abs(np.log(T1_m / T1_true)) < np.log(rat1), (T1_m, T1_true)
     assert abs(np.log(T2_m / T2_true)) < np.log(rat2), (T2_m, T2_true)
+    if args.seq == 'bssfp':
+        assert abs(df_m - df_true) < float(dfs[1] - dfs[0])
 
     # refinement: continuous fit through the simulator from the match
+    # (df parametrized in units of 100 Hz so one Adam step is ~2 Hz)
     def loss(p):
-        s = signals(jnp.exp(p[0]), jnp.exp(p[1])).reshape(-1)
+        s = signals(jnp.exp(p[0]), jnp.exp(p[1]),
+                    100.0 * p[2]).reshape(-1)
         s = s / jnp.linalg.norm(s)
         return -jnp.dot(s, pn)
 
-    p = jnp.log(jnp.asarray([T1_m, T2_m]))
+    p = jnp.concatenate([jnp.log(jnp.asarray([T1_m, T2_m])),
+                         jnp.asarray([df_m / 100.0])])
     opt = optax.adam(0.02)
 
     @jax.jit
@@ -116,14 +151,18 @@ def main():
 
     p = fit(p, opt.init(p))
     T1_f, T2_f = float(jnp.exp(p[0])), float(jnp.exp(p[1]))
+    df_f = 100.0 * float(p[2])
     e1 = abs(T1_f - T1_true) / T1_true
     e2 = abs(T2_f - T2_true) / T2_true
     print(f'fit:   T1={T1_f*1e3:.0f} ms ({e1:.2%}), '
-          f'T2={T2_f*1e3:.1f} ms ({e2:.2%})')
+          f'T2={T2_f*1e3:.1f} ms ({e2:.2%})'
+          + (f', df={df_f:.2f} Hz' if args.seq == 'bssfp' else ''))
     if args.noise == 0:
         assert e1 < 0.02 and e2 < 0.02, (T1_f, T2_f)
         # and the refinement beats the grid quantization
         assert e1 <= abs(T1_m - T1_true) / T1_true + 1e-9
+        if args.seq == 'bssfp':
+            assert abs(df_f - df_true) < 1.0, df_f
     print('OK')
 
 

@@ -35,6 +35,7 @@ __all__ = ['make_mesh', 'shard_spins', 'spin_pspec', 'blochsim_sharded',
            'blochsim_rfgr_sharded', 'rfgr_sharded_traceable',
            'oracle_sharded_traceable', 'oracle_freeprec_traceable',
            'mc_sharded_traceable', 'epg_cpmg_sharded_traceable',
+           'bssfp_train_sharded_traceable',
            'signal_sharded_traceable', 'signal_adjoint_sharded_traceable',
            'nufft_sharded_traceable', 'nufft_adjoint_sharded_traceable',
            'epgx_train_sharded_traceable',
@@ -431,6 +432,65 @@ def _epg_cpmg_sharded_jit(mesh: Mesh, names: tuple, static_items: tuple,
             kwd = dict(zip(names, v))
             kwd.update(dict(static_items))
             return epg.epg_cpmg(flips, **kwd)
+
+        f = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                          out_specs=P(SPIN_AXIS, None, None),
+                          check_vma=False)
+        return f(flips, *vals)
+
+    return jax.jit(run)
+
+
+def bssfp_train_sharded_traceable(mesh: Mesh, flips, **kw):
+    r"""shard_map-wrapped :func:`mrphy_tpu.ops.ssfp.bssfp_train` for 1-D
+    voxel batches: ``flips`` must be batched `(nV, nTR)` (tile a shared
+    train); per-voxel ``T1``/``T2``/``df``/``M0`` `(nV,)` (and
+    ``Minit`` `(nV, 3)`) shard on the mesh's spin axis. The
+    time-shaped kwargs ``phis``/``tr``/``te`` replicate when 1-D (a
+    1-D array of these is ALWAYS the shared TR axis — pass `(nV, nTR)`
+    phis for per-voxel schedules). Returns `(nV, nTR, 2)`."""
+    import jax.numpy as jnp
+
+    sp = mesh.shape[SPIN_AXIS]
+    flips = jnp.asarray(flips)
+    assert flips.ndim == 2, 'mesh= needs batched (nV, nTR) flips'
+    nV = flips.shape[0]
+    assert nV % sp == 0, (f'nV={nV} not divisible by spin mesh extent '
+                          f'{sp}')
+
+    def per_voxel(k, v):
+        if k in ('phis', 'tr', 'te') and v.ndim == 1:
+            return False          # 1-D time schedules are shared
+        return v.ndim >= 1 and v.shape[0] == nV
+
+    allarr = {k: jnp.asarray(v) for k, v in kw.items()
+              if hasattr(v, 'ndim') or isinstance(v, (list, tuple))}
+    vox = {k: v for k, v in allarr.items() if per_voxel(k, v)}
+    rep = {k: v for k, v in allarr.items() if k not in vox}
+    static = {k: v for k, v in kw.items() if k not in allarr}
+    vnames, rnames = tuple(sorted(vox)), tuple(sorted(rep))
+    in_specs = ((P(SPIN_AXIS, None),)
+                + tuple(P(SPIN_AXIS, *([None] * (vox[k].ndim - 1)))
+                        for k in vnames)
+                + tuple(P() for _ in rnames))
+    f = _bssfp_sharded_jit(mesh, vnames, rnames,
+                           tuple(sorted(static.items())), in_specs)
+    return f(flips, *(vox[k] for k in vnames),
+             *(rep[k] for k in rnames))
+
+
+@_functools.lru_cache(maxsize=None)
+def _bssfp_sharded_jit(mesh: Mesh, vnames: tuple, rnames: tuple,
+                       static_items: tuple, in_specs: tuple):
+    r"""Cached jit of the voxel-sharded bSSFP train (see
+    :func:`_elementwise_jit` for why eager shard_map is avoided)."""
+    from mrphy_tpu.ops import ssfp
+
+    def run(flips, *vals):
+        def body(flips, *v):
+            kwd = dict(zip(vnames + rnames, v))
+            kwd.update(dict(static_items))
+            return ssfp.bssfp_train(flips, **kwd)
 
         f = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
                           out_specs=P(SPIN_AXIS, None, None),

@@ -1,0 +1,178 @@
+r"""Balanced-SSFP model tests (:mod:`mrphy_tpu.ops.ssfp`).
+
+Oracles:
+- the Freeman–Hill/Scheffler mid-band closed form (analytic, exact),
+- per-TR composition through the package's own oracle ops
+  (:func:`mrphy_tpu.ops.slowsims.freeprec` + :func:`uphirot` in a plain
+  Python loop — independent code path with the same sign conventions),
+- train↔steady-state agreement across the full banding profile (scan of
+  rotations vs one 3×3 linear solve — structurally disjoint code).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mrphy_tpu import pi
+from mrphy_tpu.ops import slowsims
+from mrphy_tpu.ops.ssfp import bssfp_train, bssfp_steady
+from mrphy_tpu.utils import uphirot
+
+
+class TestBSSFPSteady:
+    T1, T2, tr = 1.0, 0.08, 4e-3
+    alpha = float(np.deg2rad(35.0))
+
+    def test_midband_analytic(self):
+        r"""On resonance, dphi=π, te=0: the textbook amplitude
+        ``M0·sinα(1−E1)/(1−(E1−E2)cosα−E1E2)``."""
+        s = bssfp_steady(jnp.float64(self.alpha), T1=self.T1,
+                         T2=self.T2, tr=self.tr, te=0.0)
+        E1, E2 = np.exp(-self.tr / self.T1), np.exp(-self.tr / self.T2)
+        ana = (np.sin(self.alpha) * (1 - E1)
+               / (1 - (E1 - E2) * np.cos(self.alpha) - E1 * E2))
+        assert abs(float(jnp.linalg.norm(s)) - ana) < 1e-12 * ana
+
+    def test_te_decay(self):
+        r"""On resonance the TE split only multiplies |s| by
+        ``exp(-te/T2)`` (the steady state itself is TE-independent)."""
+        s0 = bssfp_steady(jnp.float64(self.alpha), T1=self.T1,
+                          T2=self.T2, tr=self.tr, te=0.0)
+        s = bssfp_steady(jnp.float64(self.alpha), T1=self.T1,
+                         T2=self.T2, tr=self.tr)          # te=tr/2
+        ratio = float(jnp.linalg.norm(s) / jnp.linalg.norm(s0))
+        assert abs(ratio - np.exp(-self.tr / 2 / self.T2)) < 1e-12
+
+    def test_banding_profile(self):
+        r"""Banding structure: 1/tr-periodic in df, deep nulls at
+        ``df = ±1/(2·tr)``, maximum on resonance."""
+        df = jnp.asarray([-1 / self.tr, -1 / (2 * self.tr), 0.0,
+                          1 / (2 * self.tr), 1 / self.tr], jnp.float64)
+        prof = jnp.linalg.norm(bssfp_steady(
+            jnp.float64(self.alpha), T1=self.T1, T2=self.T2,
+            tr=self.tr, df=df), axis=-1)
+        prof = np.asarray(prof)
+        assert abs(prof[0] - prof[2]) < 1e-12      # 1/tr-periodic
+        assert abs(prof[4] - prof[2]) < 1e-12
+        assert prof[1] < 0.06 * prof[2]            # band nulls
+        assert prof[3] < 0.06 * prof[2]
+
+    def test_batched_b1_map(self):
+        r"""Batched flip (a B1-scaled map) broadcasts against batched
+        T1/T2/df."""
+        al = jnp.asarray(self.alpha) * jnp.linspace(0.8, 1.2, 5)
+        s = bssfp_steady(al, T1=jnp.full((5,), self.T1),
+                         T2=self.T2, tr=self.tr,
+                         df=jnp.linspace(-20, 20, 5))
+        assert s.shape == (5, 2)
+        assert bool(jnp.all(jnp.isfinite(s)))
+
+
+class TestBSSFPTrain:
+    T1, T2, tr = 1.0, 0.08, 4e-3
+    alpha = float(np.deg2rad(35.0))
+
+    def test_converges_to_steady(self):
+        r"""A long constant-flip train lands on the 3×3-solve fixed
+        point across the whole banding profile (two structurally
+        disjoint implementations)."""
+        df = jnp.asarray(np.linspace(-1 / self.tr, 1 / self.tr, 41))
+        flips = jnp.full((4096,), self.alpha, jnp.float64)
+        sig = bssfp_train(flips, T1=self.T1, T2=self.T2, tr=self.tr,
+                          df=df)[..., -1, :]
+        ss = bssfp_steady(jnp.float64(self.alpha), T1=self.T1,
+                          T2=self.T2, tr=self.tr, df=df)
+        assert float(jnp.max(jnp.abs(sig - ss))) < 1e-11
+
+    def test_vs_oracle_composition(self):
+        r"""A short random train (variable flips/phases, off-resonance)
+        matches per-TR composition through ``slowsims.freeprec`` +
+        ``uphirot`` — the package's oracle ops, driven by a plain
+        Python loop."""
+        rng = np.random.default_rng(7)
+        nTR = 24
+        flips = jnp.asarray(rng.uniform(0.1, 1.2, nTR))
+        phis = jnp.asarray(rng.uniform(0, 2 * np.pi, nTR))
+        trs = jnp.asarray(rng.uniform(3e-3, 8e-3, nTR))
+        df = 37.0
+
+        sig = bssfp_train(flips, T1=self.T1, T2=self.T2, tr=trs,
+                          df=df, phis=phis)
+
+        M = jnp.asarray([[0.0, 0.0, 1.0]])          # (N=1, xyz)
+        ref = []
+        for n in range(nTR):
+            a, ph, trn = float(flips[n]), float(phis[n]), float(trs[n])
+            u = jnp.asarray([[np.cos(ph), np.sin(ph), 0.0]])
+            M = uphirot(u, jnp.asarray([-a]), M)
+            M = slowsims.freeprec(M, trn / 2, T1=self.T1, T2=self.T2,
+                                  df=jnp.asarray([df]))
+            c, s = np.cos(ph), np.sin(ph)
+            ref.append([c * float(M[0, 0]) + s * float(M[0, 1]),
+                        c * float(M[0, 1]) - s * float(M[0, 0])])
+            M = slowsims.freeprec(M, trn / 2, T1=self.T1, T2=self.T2,
+                                  df=jnp.asarray([df]))
+        assert np.max(np.abs(np.asarray(sig) - np.asarray(ref))) < 1e-12
+
+    def test_mrf_catalyzed_train_grads(self):
+        r"""MRF-style usage: α/2−TR/2 catalyzation expressed in the
+        train itself; gradients w.r.t. T1/T2/df are finite, nonzero,
+        and match central differences."""
+        rng = np.random.default_rng(3)
+        nTR = 48
+        body = rng.uniform(0.15, 1.0, nTR - 1)
+        flips = jnp.asarray(np.concatenate([[body[0] / 2], body]))
+        trs = jnp.asarray(np.concatenate(
+            [[2e-3], rng.uniform(4e-3, 7e-3, nTR - 1)]))
+        phis = jnp.asarray(pi) * jnp.arange(nTR)   # alternating
+
+        def loss(T1, T2, df):
+            s = bssfp_train(flips, T1=T1, T2=T2, tr=trs, df=df,
+                            phis=phis + pi)  # catalyzation: -α/2 pulse
+            return jnp.sum(s ** 2)
+
+        g = jax.grad(loss, argnums=(0, 1, 2))(1.0, 0.08, 25.0)
+        eps = 1e-6
+        for i, args in enumerate([(1.0 + eps, 0.08, 25.0),
+                                  (1.0, 0.08 + eps, 25.0),
+                                  (1.0, 0.08, 25.0 + eps)]):
+            lo = [1.0, 0.08, 25.0]
+            lo[i] -= eps
+            fd = (loss(*args) - loss(*lo)) / (2 * eps)
+            assert np.isfinite(float(g[i])) and float(g[i]) != 0.0
+            assert abs(float(g[i]) - float(fd)) < 1e-5 * max(
+                1.0, abs(float(fd)))
+
+    def test_df_sensitivity_vs_spgr(self):
+        r"""The physics MRF-bSSFP exists for: the bSSFP train separates
+        off-resonance (signals differ across df), unlike the spoiled
+        train whose echoes are df-independent."""
+        flips = jnp.full((64,), self.alpha, jnp.float64)
+        s0 = bssfp_train(flips, T1=self.T1, T2=self.T2, tr=self.tr,
+                         df=0.0)
+        s1 = bssfp_train(flips, T1=self.T1, T2=self.T2, tr=self.tr,
+                         df=30.0)
+        assert float(jnp.max(jnp.abs(s0 - s1))) > 1e-3
+
+
+class TestBSSFPMesh:
+    def test_sharded_parity(self):
+        r"""Voxel-sharded dispatch on the 8-virtual-device mesh matches
+        the unsharded train bit-for-bit-ish."""
+        from mrphy_tpu.parallel import make_mesh
+
+        rng = np.random.default_rng(11)
+        nV, nTR = 16, 40
+        flips = jnp.asarray(np.tile(rng.uniform(0.1, 1.1, nTR),
+                                    (nV, 1)))
+        T1 = jnp.asarray(rng.uniform(0.5, 2.0, nV))
+        T2 = jnp.asarray(rng.uniform(0.03, 0.2, nV))
+        df = jnp.asarray(rng.uniform(-60, 60, nV))
+        trs = jnp.asarray(rng.uniform(4e-3, 7e-3, nTR))
+
+        ref = bssfp_train(flips, T1=T1, T2=T2, tr=trs, df=df)
+        mesh = make_mesh()
+        out = bssfp_train(flips, T1=T1, T2=T2, tr=trs, df=df,
+                          mesh=mesh)
+        assert out.shape == (nV, nTR, 2)
+        assert float(jnp.max(jnp.abs(out - ref))) < 1e-12
