@@ -93,6 +93,19 @@ def main():
     Mte = slowsims.blochsim_ab(Mss, Ah, Bh)
     sig = np.hypot(np.asarray(Mte)[0, :, 0], np.asarray(Mte)[0, :, 1])
 
+    # third, closed-form family member: ssfp.bssfp_steady solves the
+    # instantaneous-pulse fixed point directly — it must agree with the
+    # full finite-pulse Bloch propagator up to relaxation/precession
+    # DURING the nTp·dt of RF (here 40 us vs T2 = 80 ms)
+    from mrphy_tpu.ops import ssfp
+    s3 = ssfp.bssfp_steady(jnp.asarray(alpha, dtype), T1=T1, T2=T2,
+                           tr=TR, df=df[0], te=TR / 2)
+    sig3 = np.asarray(jnp.linalg.norm(s3, axis=-1))
+    dev3 = float(np.max(np.abs(sig3 - sig)))
+    print(f'closed-form bssfp_steady vs finite-pulse propagator: '
+          f'max |diff| = {dev3:.2e}')
+    assert dev3 < 2e-3, dev3
+
     dfn = np.asarray(df)[0]
     print(f'\nbSSFP banding profile (TR={TR*1e3:.1f} ms, '
           f'alpha={args.alpha:.0f} deg, TE=TR/2):')
