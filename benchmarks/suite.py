@@ -532,11 +532,18 @@ def bench_mrf():
 
     gen = jax.jit(lambda t1, t2: epg.epg_spgr(
         flips, None, T1=t1, T2=t2, tr=12e-3, te=3e-3, K=48))
+    genp = jax.jit(lambda t1, t2: epg.epg_spgr(
+        flips, None, T1=t1, T2=t2, tr=12e-3, te=3e-3, K=48,
+        backend='pallas'))
+    dev = float(jnp.max(jnp.abs(gen(T1, T2) - genp(T1, T2))))
     t = _timeit(gen, T1, T2, repeats=4)
+    tp = _timeit(genp, T1, T2, repeats=4)
     return {'metric': f'MRF dictionary: {natoms} atoms x {ntr} TR '
-                      '(K=48) epg_spgr',
-            'value': round(natoms / t, 0), 'unit': 'atoms/s',
-            'sec_per_dict': round(t, 3)}
+                      '(K=48) epg_spgr (fused pallas)',
+            'value': round(natoms / tp, 0), 'unit': 'atoms/s',
+            'sec_per_dict': round(tp, 3), 'xla_atoms_per_s':
+            round(natoms / t, 0), 'xla_sec_per_dict': round(t, 3),
+            'pallas_abs_dev': f'{dev:.1e}'}
 
 
 ALL = {'tiny': bench_tiny, 'freeprec32': bench_freeprec32,

@@ -258,6 +258,31 @@ def _signal_parity_one(*, nM, nT, nC, interpret):
     return ok
 
 
+def _epg_kernel_parity(interpret: bool):
+    r"""Fused EPG dictionary kernel (ops/epg_pallas.py) vs the XLA scan,
+    f32: pins the Mosaic lowering of the sublane rolls, k=0 hemisphere
+    selects, and SMEM per-TR coefficient reads (all invisible to the
+    CPU interpreter)."""
+    from mrphy_tpu.ops import epg
+    rng = np.random.default_rng(9)
+    nA, nTR, K = 1024, 120, 32
+    flips = jnp.asarray(rng.uniform(0.15, 1.2, nTR), DT32)
+    phis = epg.rf_spoil_phases(nTR).astype(DT32)
+    T1 = jnp.asarray(rng.uniform(0.2, 3.0, nA), DT32)
+    T2 = jnp.asarray(rng.uniform(0.02, 0.4, nA), DT32)
+    kw = dict(T1=T1, T2=T2, tr=12e-3, te=3e-3, K=K)
+    ref = np.asarray(jax.jit(lambda t1, t2: epg.epg_spgr(
+        flips, phis, **{**kw, 'T1': t1, 'T2': t2}))(T1, T2))
+    from mrphy_tpu.ops.epg_pallas import epg_spgr_pallas
+    out = np.asarray(epg_spgr_pallas(flips, phis, interpret=interpret,
+                                     **kw))
+    rel = np.abs(out - ref).max() / np.abs(ref).max()
+    ok = rel < 2e-4
+    _record('epg_dict_kernel', ok,
+            f'pallas-vs-xla rel {rel:.1e} (tol 2e-4), '
+            f'{nA} atoms x {nTR} TR, K={K}')
+
+
 def _field_stack():
     r"""QSM/field stack (ops/field.py) compiled-f32 numerics: the
     exact ∥-cylinder oracle pins the DFT-diagonal matmul chain (a
@@ -450,6 +475,7 @@ def main():
     _signal_parity(nM=nM, nT=nT, interpret=args.interpret)
     _sincos_sweep()
     _nufft_parity()
+    _epg_kernel_parity(interpret=args.interpret)
     _field_stack()
     if not args.interpret:
         _mesh_1x1(nM=nM, nT=nT)

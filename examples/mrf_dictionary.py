@@ -87,14 +87,21 @@ def main():
     else:
         atoms_df = jnp.zeros_like(atoms_T1)
 
-        def signals(T1, T2, df):
+        def signals(T1, T2, df, backend='xla'):
             r"""(..., nTR, 2) RF-spoiled evolutions (df-independent)."""
             return epg.epg_spgr(flips, phis, T1=T1, T2=T2, tr=tr,
-                                te=tr / 2)
+                                te=tr / 2, backend=backend)
     nA = atoms_T1.shape[0]
 
     gen = jax.jit(signals)
-    D = gen(atoms_T1, atoms_T2, atoms_df)            # (nA, nTR, 2)
+    # dictionary generation: the fused TPU kernel (7.5x the XLA scan at
+    # 64k-atom scale); probe + refinement stay on the differentiable
+    # XLA path (the kernel is forward-only)
+    from mrphy_tpu.ops.pallas_kernels import _on_tpu
+    if args.seq == 'spgr' and _on_tpu():
+        D = signals(atoms_T1, atoms_T2, atoms_df, backend='pallas')
+    else:
+        D = gen(atoms_T1, atoms_T2, atoms_df)        # (nA, nTR, 2)
     Dn = D.reshape(nA, -1)
     Dn = Dn / jnp.linalg.norm(Dn, axis=1, keepdims=True)
 

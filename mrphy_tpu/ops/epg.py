@@ -272,7 +272,8 @@ def rf_spoil_phases(n: int, phi0=117.0):
 
 
 def epg_spgr(flips, phis=None, *, T1, T2, tr, te=0.0, M0=1.0,
-             kshift: int = 1, D=None, dk=0.0, K=None):
+             kshift: int = 1, D=None, dk=0.0, K=None,
+             backend: str = 'xla'):
     r"""Gradient-spoiled GRE (SPGR / FISP) signal train — the MRF-style
     dictionary workhorse.
 
@@ -305,7 +306,20 @@ def epg_spgr(flips, phis=None, *, T1, T2, tr, te=0.0, M0=1.0,
     dictionary generation and sequence optimization run by gradient
     descent. Validated against a uniformly dephased isochromat ensemble
     (``tests/test_epg.py``).
+
+    ``backend='pallas'``: the fused TPU kernel
+    (:func:`mrphy_tpu.ops.epg_pallas.epg_spgr_pallas` — the whole
+    train's state lives in VMEM; measured 7.5× the XLA scan at MRF
+    dictionary scale). Dictionary workload only: shared 1-D trains,
+    1-D atom batch, no diffusion, FORWARD-ONLY (keep the default
+    backend for gradients).
     """
+    if backend == 'pallas':
+        assert D is None, 'pallas backend does not model diffusion'
+        from mrphy_tpu.ops.epg_pallas import epg_spgr_pallas
+        return epg_spgr_pallas(flips, phis, T1=T1, T2=T2, tr=tr, te=te,
+                               M0=M0, kshift=kshift, K=K)
+    assert backend == 'xla', backend
     flips = jnp.asarray(flips)
     nTR = flips.shape[-1]
     if phis is None:

@@ -1,0 +1,193 @@
+r"""Fused Pallas TPU kernel for gradient-spoiled EPG trains (MRF
+dictionary generation).
+
+Why a kernel: the XLA ``lax.scan`` of :func:`mrphy_tpu.ops.epg.epg_spgr`
+round-trips the full EPG state — ``(nAtoms, 3, K, 2)`` f32, ~75 MB at
+MRF dictionary scale — through HBM every TR (read + write ≈ 150 MB/TR,
+~60 GB over a 400-TR train; the measured 282 ms at 64k atoms is that
+HBM traffic, not the ~77 GFLOP of VPU math). This kernel holds each
+atom tile's ENTIRE state in registers/VMEM across the whole train and
+streams out only the echo rows, making the workload compute-bound.
+
+Layout: atoms ride the 128 lanes (the embarrassingly parallel axis),
+configuration orders ``k`` ride the sublanes — ``epg_grad``'s ±1 shift
+is a sublane roll (``pltpu.roll``), the k=0 hemisphere crossing a
+1-row select. Per-TR RF mixing coefficients are scalars from SMEM
+(shared across the dictionary — flips/phases are the train, not the
+atom); per-atom relaxation factors enter as `(1, TA)` lane vectors.
+
+Scope (asserted by the dispatcher): shared 1-D ``flips``/``phis``
+trains, 1-D atom batch, no diffusion — exactly the MRF dictionary
+workload. FORWARD-ONLY: dictionary generation needs no gradients; the
+XLA path (default backend) remains fully differentiable for fitting.
+Parity with the XLA engine is pinned at f32 tolerances in
+``tests/test_epg_pallas.py`` and on-chip by ``benchmarks/tpu_checks.py``.
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ['epg_spgr_pallas']
+
+_LANE = 128
+_VMEM_LIMIT = 100 * 1024 * 1024
+_UNROLL = 8      # Mosaic fori_loop can't unroll; do it manually
+
+
+def _spgr_kernel(K: int, nTR: int, kshift: int, coef_ref, e1_ref,
+                 e2_ref, e2te_ref, rec_ref, m0_ref, outr_ref, outi_ref):
+    r"""One atom tile: scan the whole train with the `(K, TA)` state
+    planes as loop carry (registers/VMEM — never HBM)."""
+    TA = e1_ref.shape[1]
+    E1, E2 = e1_ref[...], e2_ref[...]            # (1, TA)
+    E2te, rec = e2te_ref[...], rec_ref[...]
+    row = jax.lax.broadcasted_iota(jnp.int32, (K, TA), 0)
+    is0, islast = row == 0, row == K - 1
+    zero = jnp.zeros((K, TA), E1.dtype)
+
+    def step(t, s):
+        Fpr, Fpi, Fmr, Fmi, Zr, Zi = s
+        ca2, sa2 = coef_ref[0, t], coef_ref[1, t]
+        sa, ca = coef_ref[2, t], coef_ref[3, t]
+        c1, s1 = coef_ref[4, t], coef_ref[5, t]
+        c2, s2 = coef_ref[6, t], coef_ref[7, t]
+
+        # RF mixing (epg_rf rows, real-pair arithmetic)
+        sc2, ss2 = sa2 * c2, sa2 * s2
+        ss, sc = sa * s1, sa * c1
+        Fp1r = ca2 * Fpr + (sc2 * Fmr - ss2 * Fmi) + (ss * Zr + sc * Zi)
+        Fp1i = ca2 * Fpi + (sc2 * Fmi + ss2 * Fmr) + (ss * Zi - sc * Zr)
+        Fm1r = (sc2 * Fpr + ss2 * Fpi) + ca2 * Fmr + (ss * Zr - sc * Zi)
+        Fm1i = (sc2 * Fpi - ss2 * Fpr) + ca2 * Fmi + (ss * Zi + sc * Zr)
+        hs, hc = 0.5 * ss, 0.5 * sc
+        Z1r = (-hs * Fpr + hc * Fpi) + (-hs * Fmr - hc * Fmi) + ca * Zr
+        Z1i = (-hs * Fpi - hc * Fpr) + (-hs * Fmi + hc * Fmr) + ca * Zi
+
+        # echo at TE: F+(0) demodulated by the transmit phase
+        fp0r, fp0i = Fp1r[0:1, :], Fp1i[0:1, :]
+        outr_ref[pl.ds(t, 1), :] = E2te * (c1 * fp0r + s1 * fp0i)
+        outi_ref[pl.ds(t, 1), :] = E2te * (c1 * fp0i - s1 * fp0r)
+
+        # relaxation over TR (+ recovery into Z(0) re)
+        Fp1r, Fp1i = E2 * Fp1r, E2 * Fp1i
+        Fm1r, Fm1i = E2 * Fm1r, E2 * Fm1i
+        Z1r = jnp.where(is0, E1 * Z1r + rec, E1 * Z1r)
+        Z1i = E1 * Z1i
+
+        # spoiler: shift |kshift| unit k-quanta
+        for _ in range(abs(kshift)):
+            if kshift > 0:
+                Fp1r = pltpu.roll(Fp1r, 1, axis=0)
+                Fp1i = pltpu.roll(Fp1i, 1, axis=0)
+                Fm1r = jnp.where(islast, zero,
+                                 pltpu.roll(Fm1r, K - 1, axis=0))
+                Fm1i = jnp.where(islast, zero,
+                                 pltpu.roll(Fm1i, K - 1, axis=0))
+                Fp1r = jnp.where(is0, Fm1r[0:1, :], Fp1r)
+                Fp1i = jnp.where(is0, -Fm1i[0:1, :], Fp1i)
+            else:
+                Fm1r = pltpu.roll(Fm1r, 1, axis=0)
+                Fm1i = pltpu.roll(Fm1i, 1, axis=0)
+                Fp1r = jnp.where(islast, zero,
+                                 pltpu.roll(Fp1r, K - 1, axis=0))
+                Fp1i = jnp.where(islast, zero,
+                                 pltpu.roll(Fp1i, K - 1, axis=0))
+                Fm1r = jnp.where(is0, Fp1r[0:1, :], Fm1r)
+                Fm1i = jnp.where(is0, -Fp1i[0:1, :], Fm1i)
+        return (Fp1r, Fp1i, Fm1r, Fm1i, Z1r, Z1i)
+
+    u = math.gcd(nTR, _UNROLL)
+
+    def body(j, s):
+        for jj in range(u):
+            s = step(j * u + jj, s)
+        return s
+
+    init = (zero, zero, zero, zero,
+            jnp.where(is0, m0_ref[...], zero), zero)
+    jax.lax.fori_loop(0, nTR // u, body, init)
+
+
+@functools.partial(jax.jit, static_argnames=('K', 'kshift', 'tile',
+                                             'interpret'))
+def _spgr_dispatch(flips, phis, T1, T2, tr, te, M0, *, K: int,
+                   kshift: int, tile: int, interpret: bool):
+    nTR = flips.shape[0]
+    nA = T1.shape[0]
+    f32 = jnp.float32
+    flips, phis = flips.astype(f32), phis.astype(f32)
+    coef = jnp.stack([jnp.cos(flips / 2) ** 2, jnp.sin(flips / 2) ** 2,
+                      jnp.sin(flips), jnp.cos(flips),
+                      jnp.cos(phis), jnp.sin(phis),
+                      jnp.cos(2 * phis), jnp.sin(2 * phis)])  # (8, nTR)
+    E1 = jnp.exp(-tr / T1).astype(f32)[None]                  # (1, nA)
+    E2 = jnp.exp(-tr / T2).astype(f32)[None]
+    E2te = jnp.exp(-te / T2).astype(f32)[None]
+    M0a = jnp.broadcast_to(jnp.asarray(M0, f32), (1, nA))
+    rec = -jnp.expm1(-tr / T1).astype(f32)[None] * M0a
+
+    pad = (-nA) % tile
+    if pad:
+        padv = [(0, 0), (0, pad)]
+        E1, E2 = jnp.pad(E1, padv), jnp.pad(E2, padv)
+        E2te, rec = jnp.pad(E2te, padv), jnp.pad(rec, padv)
+        M0a = jnp.pad(M0a, padv)
+    nAp = nA + pad
+
+    atom = pl.BlockSpec((1, tile), lambda i: (0, i))
+    out = pl.BlockSpec((nTR, tile), lambda i: (0, i))
+    outr, outi = pl.pallas_call(
+        functools.partial(_spgr_kernel, K, nTR, kshift),
+        grid=(nAp // tile,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  atom, atom, atom, atom, atom],
+        out_specs=[out, out],
+        out_shape=[jax.ShapeDtypeStruct((nTR, nAp), f32)] * 2,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(coef, E1, E2, E2te, rec, M0a)
+    return jnp.stack([outr[:, :nA], outi[:, :nA]], -1)  # (nTR, nA, 2)
+
+
+def epg_spgr_pallas(flips, phis=None, *, T1, T2, tr, te=0.0, M0=1.0,
+                    kshift: int = 1, K=None, tile: int = 512,
+                    interpret=None):
+    r"""Fused-TPU gradient-spoiled EPG train (MRF dictionaries).
+
+    Same signature/semantics as :func:`mrphy_tpu.ops.epg.epg_spgr`
+    restricted to the dictionary workload: 1-D shared ``flips``/``phis``
+    `(nTR,)`, 1-D atom batch ``T1``/``T2``/``M0`` `(nAtoms,)` (scalars
+    broadcast), scalar ``tr``/``te``, integer ``kshift``, no diffusion.
+    Returns `(nAtoms, nTR, 2)`. Forward-only (use the XLA path for
+    gradients). ``tile`` atoms are processed per grid step (lane
+    multiples; the atom batch is padded internally). ``interpret``
+    defaults to Mosaic on TPU, interpreter elsewhere.
+    """
+    if interpret is None:
+        from mrphy_tpu.ops.pallas_kernels import _on_tpu
+        interpret = not _on_tpu()
+    flips = jnp.asarray(flips)
+    assert flips.ndim == 1, 'pallas backend needs a shared (nTR,) train'
+    nTR = flips.shape[0]
+    phis = jnp.zeros(nTR) if phis is None else jnp.asarray(phis)
+    assert phis.shape == flips.shape, (phis.shape, flips.shape)
+    T1 = jnp.atleast_1d(jnp.asarray(T1, jnp.float32))
+    T2 = jnp.atleast_1d(jnp.asarray(T2, jnp.float32))
+    nA = max(T1.shape[0], T2.shape[0],
+             jnp.shape(M0)[0] if jnp.ndim(M0) >= 1 else 1)
+    T1, T2 = jnp.broadcast_to(T1, (nA,)), jnp.broadcast_to(T2, (nA,))
+    assert int(kshift) != 0, 'kshift must be a nonzero integer'
+    K = nTR * abs(int(kshift)) + 1 if K is None else int(K)
+    assert tile % _LANE == 0, f'tile must be a multiple of {_LANE}'
+    sig = _spgr_dispatch(flips, phis, T1, T2,
+                         jnp.asarray(tr, jnp.float32),
+                         jnp.asarray(te, jnp.float32),
+                         M0, K=K, kshift=int(kshift), tile=tile,
+                         interpret=interpret)
+    return jnp.moveaxis(sig, 1, 0)               # (nA, nTR, 2)
