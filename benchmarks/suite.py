@@ -538,12 +538,27 @@ def bench_mrf():
     dev = float(jnp.max(jnp.abs(gen(T1, T2) - genp(T1, T2))))
     t = _timeit(gen, T1, T2, repeats=4)
     tp = _timeit(genp, T1, T2, repeats=4)
+    # two-pool (EPG-X) dictionary, fused kernel
+    xkw = dict(T1a=T1, T2a=T2,
+               T1b=jnp.asarray(rng.uniform(0.2, 0.6, natoms),
+                               jnp.float32),
+               T2b=jnp.asarray(rng.uniform(0.005, 0.03, natoms),
+                               jnp.float32),
+               kab=jnp.asarray(rng.uniform(1.0, 10.0, natoms),
+                               jnp.float32),
+               kba=jnp.asarray(rng.uniform(5.0, 40.0, natoms),
+                               jnp.float32))
+    genx = jax.jit(lambda d: epg.epgx_spgr(flips, None, tr=12e-3,
+                                           K=48, backend='pallas',
+                                           **d))
+    tx = _timeit(genx, xkw, repeats=4)
     return {'metric': f'MRF dictionary: {natoms} atoms x {ntr} TR '
                       '(K=48) epg_spgr (fused pallas)',
             'value': round(natoms / tp, 0), 'unit': 'atoms/s',
             'sec_per_dict': round(tp, 3), 'xla_atoms_per_s':
             round(natoms / t, 0), 'xla_sec_per_dict': round(t, 3),
-            'pallas_abs_dev': f'{dev:.1e}'}
+            'pallas_abs_dev': f'{dev:.1e}',
+            'epgx_pallas_atoms_per_s': round(natoms / tx, 0)}
 
 
 ALL = {'tiny': bench_tiny, 'freeprec32': bench_freeprec32,

@@ -604,7 +604,7 @@ def epgx_cpmg(flips, *, T1a, T2a, T1b, T2b, kab, kba, esp, M0a=1.0,
 
 def epgx_spgr(flips, phis=None, *, T1a, T2a, T1b, T2b, kab, kba, tr,
               M0a=1.0, M0b=0.1, dfb=0.0, kshift: int = 1, K=None,
-              mesh=None):
+              mesh=None, backend: str = 'xla'):
     r"""Gradient-spoiled GRE train of a two-pool exchanging system —
     EPG-X dictionaries for exchange-sensitive MRF. Per TR: RF on both
     pools, demodulated total ``F+(0)`` readout, exact
@@ -612,7 +612,20 @@ def epgx_spgr(flips, phis=None, *, T1a, T2a, T1b, T2b, kab, kba, tr,
     for the single-pool conventions.
 
     Outputs: ``signals`` `(*batch, nTR, 2)`.
+
+    ``backend='pallas'``: the fused two-pool TPU kernel
+    (:func:`mrphy_tpu.ops.epg_pallas.epgx_spgr_pallas`; measured 17×
+    the XLA scan at 64k-atom dictionary scale). Dictionary workload
+    only (shared 1-D trains, 1-D atom batch), forward-only.
     """
+    if backend == 'pallas':
+        assert mesh is None, 'pallas backend is single-chip'
+        from mrphy_tpu.ops.epg_pallas import epgx_spgr_pallas
+        return epgx_spgr_pallas(flips, phis, T1a=T1a, T2a=T2a,
+                                T1b=T1b, T2b=T2b, kab=kab, kba=kba,
+                                tr=tr, M0a=M0a, M0b=M0b, dfb=dfb,
+                                kshift=kshift, K=K)
+    assert backend == 'xla', backend
     if mesh is not None:
         from mrphy_tpu.parallel.mesh import (
             epgx_train_sharded_traceable)

@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ['epg_spgr_pallas']
+__all__ = ['epg_spgr_pallas', 'epgx_spgr_pallas']
 
 _LANE = 128
 _VMEM_LIMIT = 100 * 1024 * 1024
@@ -153,6 +153,206 @@ def _spgr_dispatch(flips, phis, T1, T2, tr, te, M0, *, K: int,
         interpret=interpret,
     )(coef, E1, E2, E2te, rec, M0a)
     return jnp.stack([outr[:, :nA], outi[:, :nA]], -1)  # (nTR, nA, 2)
+
+
+def _epgx_kernel(K: int, nTR: int, kshift: int, coef_ref, pk_ref,
+                 outr_ref, outi_ref):
+    r"""Two-pool (EPG-X full-BM) tile: 12 `(K, TA)` state planes as loop
+    carry; the exchange-relaxation propagator entries (complex 2×2
+    transverse, real 2×2 + affine recovery longitudinal) are per-atom
+    lane vectors precomputed by the dispatcher with the SAME jax
+    closed-form expm helpers the XLA path uses."""
+    TA = pk_ref.shape[1]
+    E00r, E00i = pk_ref[0:1, :], pk_ref[1:2, :]
+    E01r, E01i = pk_ref[2:3, :], pk_ref[3:4, :]
+    E10r, E10i = pk_ref[4:5, :], pk_ref[5:6, :]
+    E11r, E11i = pk_ref[6:7, :], pk_ref[7:8, :]
+    Z00, Z01 = pk_ref[8:9, :], pk_ref[9:10, :]
+    Z10, Z11 = pk_ref[10:11, :], pk_ref[11:12, :]
+    ra, rb = pk_ref[12:13, :], pk_ref[13:14, :]
+    M0a, M0b = pk_ref[14:15, :], pk_ref[15:16, :]
+    row = jax.lax.broadcasted_iota(jnp.int32, (K, TA), 0)
+    is0, islast = row == 0, row == K - 1
+    zero = jnp.zeros((K, TA), outr_ref.dtype)
+
+    def shift(Fpr, Fpi, Fmr, Fmi):
+        for _ in range(abs(kshift)):
+            if kshift > 0:
+                Fpr = pltpu.roll(Fpr, 1, axis=0)
+                Fpi = pltpu.roll(Fpi, 1, axis=0)
+                Fmr = jnp.where(islast, zero,
+                                pltpu.roll(Fmr, K - 1, axis=0))
+                Fmi = jnp.where(islast, zero,
+                                pltpu.roll(Fmi, K - 1, axis=0))
+                Fpr = jnp.where(is0, Fmr[0:1, :], Fpr)
+                Fpi = jnp.where(is0, -Fmi[0:1, :], Fpi)
+            else:
+                Fmr = pltpu.roll(Fmr, 1, axis=0)
+                Fmi = pltpu.roll(Fmi, 1, axis=0)
+                Fpr = jnp.where(islast, zero,
+                                pltpu.roll(Fpr, K - 1, axis=0))
+                Fpi = jnp.where(islast, zero,
+                                pltpu.roll(Fpi, K - 1, axis=0))
+                Fmr = jnp.where(is0, Fpr[0:1, :], Fmr)
+                Fmi = jnp.where(is0, -Fpi[0:1, :], Fmi)
+        return Fpr, Fpi, Fmr, Fmi
+
+    def step(t, s):
+        (Par, Pai, Mar, Mai, Zar, Zai,
+         Pbr, Pbi, Mbr, Mbi, Zbr, Zbi) = s
+        ca2, sa2 = coef_ref[0, t], coef_ref[1, t]
+        sa, ca = coef_ref[2, t], coef_ref[3, t]
+        c1, s1 = coef_ref[4, t], coef_ref[5, t]
+        c2, s2 = coef_ref[6, t], coef_ref[7, t]
+        sc2, ss2 = sa2 * c2, sa2 * s2
+        ss, sc = sa * s1, sa * c1
+        hs, hc = 0.5 * ss, 0.5 * sc
+
+        def rfmix(Fpr, Fpi, Fmr, Fmi, Zr, Zi):
+            p1r = (ca2 * Fpr + (sc2 * Fmr - ss2 * Fmi)
+                   + (ss * Zr + sc * Zi))
+            p1i = (ca2 * Fpi + (sc2 * Fmi + ss2 * Fmr)
+                   + (ss * Zi - sc * Zr))
+            m1r = ((sc2 * Fpr + ss2 * Fpi) + ca2 * Fmr
+                   + (ss * Zr - sc * Zi))
+            m1i = ((sc2 * Fpi - ss2 * Fpr) + ca2 * Fmi
+                   + (ss * Zi + sc * Zr))
+            z1r = ((-hs * Fpr + hc * Fpi) + (-hs * Fmr - hc * Fmi)
+                   + ca * Zr)
+            z1i = ((-hs * Fpi - hc * Fpr) + (-hs * Fmi + hc * Fmr)
+                   + ca * Zi)
+            return p1r, p1i, m1r, m1i, z1r, z1i
+
+        Par, Pai, Mar, Mai, Zar, Zai = rfmix(Par, Pai, Mar, Mai,
+                                             Zar, Zai)
+        Pbr, Pbi, Mbr, Mbi, Zbr, Zbi = rfmix(Pbr, Pbi, Mbr, Mbi,
+                                             Zbr, Zbi)
+
+        # demodulated TOTAL F+(0) over the pools
+        fr = Par[0:1, :] + Pbr[0:1, :]
+        fi = Pai[0:1, :] + Pbi[0:1, :]
+        outr_ref[pl.ds(t, 1), :] = c1 * fr + s1 * fi
+        outi_ref[pl.ds(t, 1), :] = c1 * fi - s1 * fr
+
+        # exchange-relaxation: complex 2x2 on F+ (conjugate on F-),
+        # real 2x2 + affine recovery on Z
+        P2ar = (E00r * Par - E00i * Pai) + (E01r * Pbr - E01i * Pbi)
+        P2ai = (E00r * Pai + E00i * Par) + (E01r * Pbi + E01i * Pbr)
+        P2br = (E10r * Par - E10i * Pai) + (E11r * Pbr - E11i * Pbi)
+        P2bi = (E10r * Pai + E10i * Par) + (E11r * Pbi + E11i * Pbr)
+        M2ar = (E00r * Mar + E00i * Mai) + (E01r * Mbr + E01i * Mbi)
+        M2ai = (E00r * Mai - E00i * Mar) + (E01r * Mbi - E01i * Mbr)
+        M2br = (E10r * Mar + E10i * Mai) + (E11r * Mbr + E11i * Mbi)
+        M2bi = (E10r * Mai - E10i * Mar) + (E11r * Mbi - E11i * Mbr)
+        Z2ar = Z00 * Zar + Z01 * Zbr
+        Z2ai = Z00 * Zai + Z01 * Zbi
+        Z2br = Z10 * Zar + Z11 * Zbr
+        Z2bi = Z10 * Zai + Z11 * Zbi
+        Z2ar = jnp.where(is0, Z2ar + ra, Z2ar)
+        Z2br = jnp.where(is0, Z2br + rb, Z2br)
+
+        P2ar, P2ai, M2ar, M2ai = shift(P2ar, P2ai, M2ar, M2ai)
+        P2br, P2bi, M2br, M2bi = shift(P2br, P2bi, M2br, M2bi)
+        return (P2ar, P2ai, M2ar, M2ai, Z2ar, Z2ai,
+                P2br, P2bi, M2br, M2bi, Z2br, Z2bi)
+
+    u = math.gcd(nTR, _UNROLL)
+
+    def body(j, s):
+        for jj in range(u):
+            s = step(j * u + jj, s)
+        return s
+
+    init = (zero, zero, zero, zero, jnp.where(is0, M0a, zero), zero,
+            zero, zero, zero, zero, jnp.where(is0, M0b, zero), zero)
+    jax.lax.fori_loop(0, nTR // u, body, init)
+
+
+@functools.partial(jax.jit, static_argnames=('K', 'kshift', 'tile',
+                                             'interpret'))
+def _epgx_dispatch(flips, phis, T1a, T2a, T1b, T2b, kab, kba, tr,
+                   M0a, M0b, dfb, *, K: int, kshift: int, tile: int,
+                   interpret: bool):
+    from mrphy_tpu import pi
+    from mrphy_tpu.ops.epg import _expm2c, _z_recovery
+    from mrphy_tpu.ops.slowsims import _expm2
+
+    nTR = flips.shape[0]
+    nA = T1a.shape[0]
+    f32 = jnp.float32
+    flips, phis = flips.astype(f32), phis.astype(f32)
+    coef = jnp.stack([jnp.cos(flips / 2) ** 2, jnp.sin(flips / 2) ** 2,
+                      jnp.sin(flips), jnp.cos(flips),
+                      jnp.cos(phis), jnp.sin(phis),
+                      jnp.cos(2 * phis), jnp.sin(2 * phis)])  # (8, nTR)
+
+    # propagator entries via the SAME closed forms as the XLA path
+    w = 2 * pi * dfb
+    E00, E01, E10, E11 = _expm2c(
+        (-1 / T2a - kab) * tr, jnp.zeros_like(T2a),
+        kba * tr, kab * tr, (-1 / T2b - kba) * tr, -w * tr)
+    Z00, Z01, Z10, Z11 = _expm2((-1 / T1a - kab) * tr, kba * tr,
+                                kab * tr, (-1 / T1b - kba) * tr)
+    ra, rb = _z_recovery(Z00, Z01, Z10, Z11, T1a, T1b, kab, kba,
+                         M0a, M0b)
+    pk = jnp.stack([E00[0], E00[1], E01[0], E01[1], E10[0], E10[1],
+                    E11[0], E11[1], Z00, Z01, Z10, Z11, ra, rb,
+                    jnp.broadcast_to(M0a, (nA,)),
+                    jnp.broadcast_to(M0b, (nA,))]).astype(f32)
+
+    pad = (-nA) % tile
+    if pad:
+        pk = jnp.pad(pk, [(0, 0), (0, pad)])
+    nAp = nA + pad
+
+    out = pl.BlockSpec((nTR, tile), lambda i: (0, i))
+    outr, outi = pl.pallas_call(
+        functools.partial(_epgx_kernel, K, nTR, kshift),
+        grid=(nAp // tile,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((16, tile), lambda i: (0, i))],
+        out_specs=[out, out],
+        out_shape=[jax.ShapeDtypeStruct((nTR, nAp), f32)] * 2,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(coef, pk)
+    return jnp.stack([outr[:, :nA], outi[:, :nA]], -1)  # (nTR, nA, 2)
+
+
+def epgx_spgr_pallas(flips, phis=None, *, T1a, T2a, T1b, T2b, kab,
+                     kba, tr, M0a=1.0, M0b=0.1, dfb=0.0,
+                     kshift: int = 1, K=None, tile: int = 512,
+                     interpret=None):
+    r"""Fused-TPU two-pool (EPG-X full-BM) gradient-spoiled train —
+    exchange-sensitive MRF / MWF dictionaries.
+
+    Same semantics as :func:`mrphy_tpu.ops.epg.epgx_spgr` restricted to
+    the dictionary workload: 1-D shared trains, 1-D atom batch for the
+    tissue/exchange parameters (scalars broadcast), scalar ``tr``.
+    Returns `(nAtoms, nTR, 2)`. Forward-only; the XLA path remains the
+    differentiable one.
+    """
+    if interpret is None:
+        from mrphy_tpu.ops.pallas_kernels import _on_tpu
+        interpret = not _on_tpu()
+    flips = jnp.asarray(flips)
+    assert flips.ndim == 1, 'pallas backend needs a shared (nTR,) train'
+    nTR = flips.shape[0]
+    phis = jnp.zeros(nTR) if phis is None else jnp.asarray(phis)
+    assert phis.shape == flips.shape, (phis.shape, flips.shape)
+    pars = [jnp.atleast_1d(jnp.asarray(x, jnp.float32)) for x in
+            (T1a, T2a, T1b, T2b, kab, kba, M0a, M0b, dfb)]
+    nA = max(p.shape[0] for p in pars)
+    pars = [jnp.broadcast_to(p, (nA,)) for p in pars]
+    assert int(kshift) != 0, 'kshift must be a nonzero integer'
+    K = nTR * abs(int(kshift)) + 1 if K is None else int(K)
+    assert tile % _LANE == 0, f'tile must be a multiple of {_LANE}'
+    sig = _epgx_dispatch(flips, phis, *pars[:6],
+                         jnp.asarray(tr, jnp.float32), *pars[6:],
+                         K=K, kshift=int(kshift), tile=tile,
+                         interpret=interpret)
+    return jnp.moveaxis(sig, 1, 0)               # (nA, nTR, 2)
 
 
 def epg_spgr_pallas(flips, phis=None, *, T1, T2, tr, te=0.0, M0=1.0,

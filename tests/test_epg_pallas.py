@@ -11,7 +11,7 @@ import jax.numpy as jnp
 import pytest
 
 from mrphy_tpu.ops import epg
-from mrphy_tpu.ops.epg_pallas import epg_spgr_pallas
+from mrphy_tpu.ops.epg_pallas import epg_spgr_pallas, epgx_spgr_pallas
 
 RNG = np.random.default_rng(0)
 NTR, NA, K = 40, 100, 24
@@ -79,3 +79,56 @@ class TestEPGPallasParity:
         with pytest.raises(AssertionError):
             epg_spgr_pallas(jnp.zeros((4, NTR)), None, T1=1.0, T2=0.1,
                             tr=TR, interpret=True)
+
+
+class TestEPGXPallasParity:
+    r"""Two-pool (EPG-X) kernel vs the XLA engine."""
+
+    KW = dict(T1a=jnp.asarray(RNG.uniform(0.5, 2.0, NA), jnp.float32),
+              T2a=jnp.asarray(RNG.uniform(0.05, 0.3, NA), jnp.float32),
+              T1b=jnp.asarray(RNG.uniform(0.2, 0.6, NA), jnp.float32),
+              T2b=jnp.asarray(RNG.uniform(0.005, 0.03, NA),
+                              jnp.float32),
+              kab=jnp.asarray(RNG.uniform(1.0, 10.0, NA), jnp.float32),
+              kba=jnp.asarray(RNG.uniform(5.0, 40.0, NA), jnp.float32),
+              tr=TR, K=K)
+
+    def _pair(self, **kw):
+        base = dict(self.KW)
+        base.update(kw)
+        phis = base.pop('phis', PHIS)
+        ref = epg.epgx_spgr(FLIPS, phis, **base)
+        out = epgx_spgr_pallas(FLIPS, phis, tile=128, interpret=True,
+                               **base)
+        assert out.shape == ref.shape
+        return float(jnp.max(jnp.abs(out - ref)))
+
+    def test_rf_spoiled_dfb(self):
+        r"""Per-atom pool-b shift exercises the complex transverse
+        propagator; nA=100 exercises the padding path."""
+        dfb = jnp.asarray(RNG.uniform(-20, 20, NA), jnp.float32)
+        assert self._pair(dfb=dfb) < 3e-6
+
+    def test_kshift_rewind_m0b(self):
+        M0b = jnp.asarray(RNG.uniform(0.05, 0.3, NA), jnp.float32)
+        assert self._pair(kshift=-1, M0b=M0b, phis=None) < 3e-6
+
+    def test_no_detailed_balance(self):
+        r"""kab·M0a ≠ kba·M0b: the affine recovery must be the exact
+        A⁻¹(E−I)b form, not the equilibrium shortcut."""
+        assert self._pair(kab=8.0, kba=3.0, M0a=1.0, M0b=0.4) < 3e-6
+
+    def test_decoupled_matches_single_pool(self):
+        r"""kab=kba=0, M0b=0: pool a IS the single-pool train."""
+        out = epgx_spgr_pallas(FLIPS, PHIS, T1a=T1, T2a=T2, T1b=0.3,
+                               T2b=0.01, kab=0.0, kba=0.0, M0b=0.0,
+                               tr=TR, K=K, tile=128, interpret=True)
+        ref = epg.epg_spgr(FLIPS, PHIS, T1=T1, T2=T2, tr=TR, te=0.0,
+                           K=K)
+        assert float(jnp.max(jnp.abs(out - ref))) < 3e-6
+
+    def test_backend_kwarg_dispatch(self):
+        out = epg.epgx_spgr(FLIPS, PHIS, backend='pallas', **self.KW)
+        ref = epgx_spgr_pallas(FLIPS, PHIS, tile=128, interpret=True,
+                               **self.KW)
+        assert float(jnp.max(jnp.abs(out - ref))) < 3e-6
