@@ -39,21 +39,32 @@ _VMEM_LIMIT = 100 * 1024 * 1024
 _UNROLL = 8      # Mosaic fori_loop can't unroll; do it manually
 
 
-def _spgr_kernel(K: int, nTR: int, kshift: int, coef_ref, e1_ref,
-                 e2_ref, e2te_ref, rec_ref, m0_ref, outr_ref, outi_ref):
+def _spgr_kernel(K: int, nTR: int, kshift: int, has_b1: bool,
+                 coef_ref, e1_ref, e2_ref, e2te_ref, rec_ref, m0_ref,
+                 b1_ref, outr_ref, outi_ref):
     r"""One atom tile: scan the whole train with the `(K, TA)` state
-    planes as loop carry (registers/VMEM — never HBM)."""
+    planes as loop carry (registers/VMEM — never HBM). With ``has_b1``
+    the flip is scaled per atom (the MRF B1 dictionary dimension): the
+    four flip trig factors become `(1, TA)` rows computed in-kernel
+    from half-angle identities (2 transcendentals/TR)."""
     TA = e1_ref.shape[1]
     E1, E2 = e1_ref[...], e2_ref[...]            # (1, TA)
     E2te, rec = e2te_ref[...], rec_ref[...]
+    b1 = b1_ref[...]
     row = jax.lax.broadcasted_iota(jnp.int32, (K, TA), 0)
     is0, islast = row == 0, row == K - 1
     zero = jnp.zeros((K, TA), E1.dtype)
 
     def step(t, s):
         Fpr, Fpi, Fmr, Fmi, Zr, Zi = s
-        ca2, sa2 = coef_ref[0, t], coef_ref[1, t]
-        sa, ca = coef_ref[2, t], coef_ref[3, t]
+        if has_b1:
+            ah = (0.5 * coef_ref[8, t]) * b1      # (1, TA) α/2
+            ch, sh = jnp.cos(ah), jnp.sin(ah)
+            ca2, sa2 = ch * ch, sh * sh
+            sa, ca = 2 * ch * sh, ca2 - sa2
+        else:
+            ca2, sa2 = coef_ref[0, t], coef_ref[1, t]
+            sa, ca = coef_ref[2, t], coef_ref[3, t]
         c1, s1 = coef_ref[4, t], coef_ref[5, t]
         c2, s2 = coef_ref[6, t], coef_ref[7, t]
 
@@ -114,9 +125,10 @@ def _spgr_kernel(K: int, nTR: int, kshift: int, coef_ref, e1_ref,
 
 
 @functools.partial(jax.jit, static_argnames=('K', 'kshift', 'tile',
-                                             'interpret'))
-def _spgr_dispatch(flips, phis, T1, T2, tr, te, M0, *, K: int,
-                   kshift: int, tile: int, interpret: bool):
+                                             'interpret', 'has_b1'))
+def _spgr_dispatch(flips, phis, T1, T2, tr, te, M0, b1, *, K: int,
+                   kshift: int, tile: int, interpret: bool,
+                   has_b1: bool):
     nTR = flips.shape[0]
     nA = T1.shape[0]
     f32 = jnp.float32
@@ -124,39 +136,41 @@ def _spgr_dispatch(flips, phis, T1, T2, tr, te, M0, *, K: int,
     coef = jnp.stack([jnp.cos(flips / 2) ** 2, jnp.sin(flips / 2) ** 2,
                       jnp.sin(flips), jnp.cos(flips),
                       jnp.cos(phis), jnp.sin(phis),
-                      jnp.cos(2 * phis), jnp.sin(2 * phis)])  # (8, nTR)
+                      jnp.cos(2 * phis), jnp.sin(2 * phis),
+                      flips])                                 # (9, nTR)
     E1 = jnp.exp(-tr / T1).astype(f32)[None]                  # (1, nA)
     E2 = jnp.exp(-tr / T2).astype(f32)[None]
     E2te = jnp.exp(-te / T2).astype(f32)[None]
     M0a = jnp.broadcast_to(jnp.asarray(M0, f32), (1, nA))
     rec = -jnp.expm1(-tr / T1).astype(f32)[None] * M0a
+    b1 = jnp.broadcast_to(jnp.asarray(b1, f32), (1, nA))
 
     pad = (-nA) % tile
     if pad:
         padv = [(0, 0), (0, pad)]
         E1, E2 = jnp.pad(E1, padv), jnp.pad(E2, padv)
         E2te, rec = jnp.pad(E2te, padv), jnp.pad(rec, padv)
-        M0a = jnp.pad(M0a, padv)
+        M0a, b1 = jnp.pad(M0a, padv), jnp.pad(b1, padv)
     nAp = nA + pad
 
     atom = pl.BlockSpec((1, tile), lambda i: (0, i))
     out = pl.BlockSpec((nTR, tile), lambda i: (0, i))
     outr, outi = pl.pallas_call(
-        functools.partial(_spgr_kernel, K, nTR, kshift),
+        functools.partial(_spgr_kernel, K, nTR, kshift, has_b1),
         grid=(nAp // tile,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  atom, atom, atom, atom, atom],
+                  atom, atom, atom, atom, atom, atom],
         out_specs=[out, out],
         out_shape=[jax.ShapeDtypeStruct((nTR, nAp), f32)] * 2,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(coef, E1, E2, E2te, rec, M0a)
+    )(coef, E1, E2, E2te, rec, M0a, b1)
     return jnp.stack([outr[:, :nA], outi[:, :nA]], -1)  # (nTR, nA, 2)
 
 
-def _epgx_kernel(K: int, nTR: int, kshift: int, coef_ref, pk_ref,
-                 outr_ref, outi_ref):
+def _epgx_kernel(K: int, nTR: int, kshift: int, has_b1: bool,
+                 coef_ref, pk_ref, outr_ref, outi_ref):
     r"""Two-pool (EPG-X full-BM) tile: 12 `(K, TA)` state planes as loop
     carry; the exchange-relaxation propagator entries (complex 2×2
     transverse, real 2×2 + affine recovery longitudinal) are per-atom
@@ -171,6 +185,7 @@ def _epgx_kernel(K: int, nTR: int, kshift: int, coef_ref, pk_ref,
     Z10, Z11 = pk_ref[10:11, :], pk_ref[11:12, :]
     ra, rb = pk_ref[12:13, :], pk_ref[13:14, :]
     M0a, M0b = pk_ref[14:15, :], pk_ref[15:16, :]
+    b1 = pk_ref[16:17, :]
     row = jax.lax.broadcasted_iota(jnp.int32, (K, TA), 0)
     is0, islast = row == 0, row == K - 1
     zero = jnp.zeros((K, TA), outr_ref.dtype)
@@ -200,8 +215,14 @@ def _epgx_kernel(K: int, nTR: int, kshift: int, coef_ref, pk_ref,
     def step(t, s):
         (Par, Pai, Mar, Mai, Zar, Zai,
          Pbr, Pbi, Mbr, Mbi, Zbr, Zbi) = s
-        ca2, sa2 = coef_ref[0, t], coef_ref[1, t]
-        sa, ca = coef_ref[2, t], coef_ref[3, t]
+        if has_b1:
+            ah = (0.5 * coef_ref[8, t]) * b1      # (1, TA) α/2
+            ch, sh = jnp.cos(ah), jnp.sin(ah)
+            ca2, sa2 = ch * ch, sh * sh
+            sa, ca = 2 * ch * sh, ca2 - sa2
+        else:
+            ca2, sa2 = coef_ref[0, t], coef_ref[1, t]
+            sa, ca = coef_ref[2, t], coef_ref[3, t]
         c1, s1 = coef_ref[4, t], coef_ref[5, t]
         c2, s2 = coef_ref[6, t], coef_ref[7, t]
         sc2, ss2 = sa2 * c2, sa2 * s2
@@ -269,10 +290,10 @@ def _epgx_kernel(K: int, nTR: int, kshift: int, coef_ref, pk_ref,
 
 
 @functools.partial(jax.jit, static_argnames=('K', 'kshift', 'tile',
-                                             'interpret'))
+                                             'interpret', 'has_b1'))
 def _epgx_dispatch(flips, phis, T1a, T2a, T1b, T2b, kab, kba, tr,
-                   M0a, M0b, dfb, *, K: int, kshift: int, tile: int,
-                   interpret: bool):
+                   M0a, M0b, dfb, b1, *, K: int, kshift: int,
+                   tile: int, interpret: bool, has_b1: bool):
     from mrphy_tpu import pi
     from mrphy_tpu.ops.epg import _expm2c, _z_recovery
     from mrphy_tpu.ops.slowsims import _expm2
@@ -284,7 +305,8 @@ def _epgx_dispatch(flips, phis, T1a, T2a, T1b, T2b, kab, kba, tr,
     coef = jnp.stack([jnp.cos(flips / 2) ** 2, jnp.sin(flips / 2) ** 2,
                       jnp.sin(flips), jnp.cos(flips),
                       jnp.cos(phis), jnp.sin(phis),
-                      jnp.cos(2 * phis), jnp.sin(2 * phis)])  # (8, nTR)
+                      jnp.cos(2 * phis), jnp.sin(2 * phis),
+                      flips])                                 # (9, nTR)
 
     # propagator entries via the SAME closed forms as the XLA path
     w = 2 * pi * dfb
@@ -298,7 +320,9 @@ def _epgx_dispatch(flips, phis, T1a, T2a, T1b, T2b, kab, kba, tr,
     pk = jnp.stack([E00[0], E00[1], E01[0], E01[1], E10[0], E10[1],
                     E11[0], E11[1], Z00, Z01, Z10, Z11, ra, rb,
                     jnp.broadcast_to(M0a, (nA,)),
-                    jnp.broadcast_to(M0b, (nA,))]).astype(f32)
+                    jnp.broadcast_to(M0b, (nA,)),
+                    jnp.broadcast_to(jnp.asarray(b1, f32),
+                                     (nA,))]).astype(f32)
 
     pad = (-nA) % tile
     if pad:
@@ -307,10 +331,10 @@ def _epgx_dispatch(flips, phis, T1a, T2a, T1b, T2b, kab, kba, tr,
 
     out = pl.BlockSpec((nTR, tile), lambda i: (0, i))
     outr, outi = pl.pallas_call(
-        functools.partial(_epgx_kernel, K, nTR, kshift),
+        functools.partial(_epgx_kernel, K, nTR, kshift, has_b1),
         grid=(nAp // tile,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec((16, tile), lambda i: (0, i))],
+                  pl.BlockSpec((17, tile), lambda i: (0, i))],
         out_specs=[out, out],
         out_shape=[jax.ShapeDtypeStruct((nTR, nAp), f32)] * 2,
         compiler_params=None if interpret else pltpu.CompilerParams(
@@ -321,7 +345,7 @@ def _epgx_dispatch(flips, phis, T1a, T2a, T1b, T2b, kab, kba, tr,
 
 
 def epgx_spgr_pallas(flips, phis=None, *, T1a, T2a, T1b, T2b, kab,
-                     kba, tr, M0a=1.0, M0b=0.1, dfb=0.0,
+                     kba, tr, M0a=1.0, M0b=0.1, dfb=0.0, b1=None,
                      kshift: int = 1, K=None, tile: int = 512,
                      interpret=None):
     r"""Fused-TPU two-pool (EPG-X full-BM) gradient-spoiled train —
@@ -329,9 +353,10 @@ def epgx_spgr_pallas(flips, phis=None, *, T1a, T2a, T1b, T2b, kab,
 
     Same semantics as :func:`mrphy_tpu.ops.epg.epgx_spgr` restricted to
     the dictionary workload: 1-D shared trains, 1-D atom batch for the
-    tissue/exchange parameters (scalars broadcast), scalar ``tr``.
-    Returns `(nAtoms, nTR, 2)`. Forward-only; the XLA path remains the
-    differentiable one.
+    tissue/exchange parameters (scalars broadcast), scalar ``tr``;
+    ``b1`` `(nAtoms,)` scales the flip train per atom (both pools — the
+    dictionary's B1+ dimension). Returns `(nAtoms, nTR, 2)`.
+    Forward-only; the XLA path remains the differentiable one.
     """
     if interpret is None:
         from mrphy_tpu.ops.pallas_kernels import _on_tpu
@@ -342,7 +367,8 @@ def epgx_spgr_pallas(flips, phis=None, *, T1a, T2a, T1b, T2b, kab,
     phis = jnp.zeros(nTR) if phis is None else jnp.asarray(phis)
     assert phis.shape == flips.shape, (phis.shape, flips.shape)
     pars = [jnp.atleast_1d(jnp.asarray(x, jnp.float32)) for x in
-            (T1a, T2a, T1b, T2b, kab, kba, M0a, M0b, dfb)]
+            (T1a, T2a, T1b, T2b, kab, kba, M0a, M0b, dfb,
+             1.0 if b1 is None else b1)]
     nA = max(p.shape[0] for p in pars)
     pars = [jnp.broadcast_to(p, (nA,)) for p in pars]
     assert int(kshift) != 0, 'kshift must be a nonzero integer'
@@ -351,12 +377,12 @@ def epgx_spgr_pallas(flips, phis=None, *, T1a, T2a, T1b, T2b, kab,
     sig = _epgx_dispatch(flips, phis, *pars[:6],
                          jnp.asarray(tr, jnp.float32), *pars[6:],
                          K=K, kshift=int(kshift), tile=tile,
-                         interpret=interpret)
+                         interpret=interpret, has_b1=b1 is not None)
     return jnp.moveaxis(sig, 1, 0)               # (nA, nTR, 2)
 
 
 def epg_spgr_pallas(flips, phis=None, *, T1, T2, tr, te=0.0, M0=1.0,
-                    kshift: int = 1, K=None, tile: int = 512,
+                    b1=None, kshift: int = 1, K=None, tile: int = 512,
                     interpret=None):
     r"""Fused-TPU gradient-spoiled EPG train (MRF dictionaries).
 
@@ -364,10 +390,13 @@ def epg_spgr_pallas(flips, phis=None, *, T1, T2, tr, te=0.0, M0=1.0,
     restricted to the dictionary workload: 1-D shared ``flips``/``phis``
     `(nTR,)`, 1-D atom batch ``T1``/``T2``/``M0`` `(nAtoms,)` (scalars
     broadcast), scalar ``tr``/``te``, integer ``kshift``, no diffusion.
-    Returns `(nAtoms, nTR, 2)`. Forward-only (use the XLA path for
-    gradients). ``tile`` atoms are processed per grid step (lane
-    multiples; the atom batch is padded internally). ``interpret``
-    defaults to Mosaic on TPU, interpreter elsewhere.
+    ``b1`` `(nAtoms,)` scales the whole flip train per atom — the MRF
+    dictionary's B1+ dimension (equivalent to the XLA path's batched
+    ``b1[:, None] * flips``; trig moves in-kernel at 2
+    transcendentals/TR). Returns `(nAtoms, nTR, 2)`. Forward-only (use
+    the XLA path for gradients). ``tile`` atoms are processed per grid
+    step (lane multiples; the atom batch is padded internally).
+    ``interpret`` defaults to Mosaic on TPU, interpreter elsewhere.
     """
     if interpret is None:
         from mrphy_tpu.ops.pallas_kernels import _on_tpu
@@ -380,7 +409,9 @@ def epg_spgr_pallas(flips, phis=None, *, T1, T2, tr, te=0.0, M0=1.0,
     T1 = jnp.atleast_1d(jnp.asarray(T1, jnp.float32))
     T2 = jnp.atleast_1d(jnp.asarray(T2, jnp.float32))
     nA = max(T1.shape[0], T2.shape[0],
-             jnp.shape(M0)[0] if jnp.ndim(M0) >= 1 else 1)
+             jnp.shape(M0)[0] if jnp.ndim(M0) >= 1 else 1,
+             jnp.shape(b1)[0] if (b1 is not None
+                                  and jnp.ndim(b1) >= 1) else 1)
     T1, T2 = jnp.broadcast_to(T1, (nA,)), jnp.broadcast_to(T2, (nA,))
     assert int(kshift) != 0, 'kshift must be a nonzero integer'
     K = nTR * abs(int(kshift)) + 1 if K is None else int(K)
@@ -388,6 +419,7 @@ def epg_spgr_pallas(flips, phis=None, *, T1, T2, tr, te=0.0, M0=1.0,
     sig = _spgr_dispatch(flips, phis, T1, T2,
                          jnp.asarray(tr, jnp.float32),
                          jnp.asarray(te, jnp.float32),
-                         M0, K=K, kshift=int(kshift), tile=tile,
-                         interpret=interpret)
+                         M0, 1.0 if b1 is None else b1,
+                         K=K, kshift=int(kshift), tile=tile,
+                         interpret=interpret, has_b1=b1 is not None)
     return jnp.moveaxis(sig, 1, 0)               # (nA, nTR, 2)

@@ -75,6 +75,16 @@ class TestEPGPallasParity:
         scale = float(jnp.max(jnp.abs(ref)))
         assert float(jnp.max(jnp.abs(out - ref))) < 5e-5 * scale
 
+    def test_b1_dictionary_dimension(self):
+        r"""Per-atom ``b1`` equals the XLA path's batched
+        ``b1[:, None] * flips`` (the MRF B1+ grid axis)."""
+        b1 = jnp.asarray(RNG.uniform(0.7, 1.3, NA), jnp.float32)
+        ref = epg.epg_spgr(b1[:, None] * FLIPS, PHIS, T1=T1, T2=T2,
+                           tr=TR, te=TE, K=K)
+        out = epg_spgr_pallas(FLIPS, PHIS, T1=T1, T2=T2, tr=TR, te=TE,
+                              K=K, b1=b1, tile=128, interpret=True)
+        assert float(jnp.max(jnp.abs(out - ref))) < 3e-6
+
     def test_rejects_batched_train(self):
         with pytest.raises(AssertionError):
             epg_spgr_pallas(jnp.zeros((4, NTR)), None, T1=1.0, T2=0.1,
@@ -131,4 +141,11 @@ class TestEPGXPallasParity:
         out = epg.epgx_spgr(FLIPS, PHIS, backend='pallas', **self.KW)
         ref = epgx_spgr_pallas(FLIPS, PHIS, tile=128, interpret=True,
                                **self.KW)
+        assert float(jnp.max(jnp.abs(out - ref))) < 3e-6
+
+    def test_b1_dictionary_dimension(self):
+        b1 = jnp.asarray(RNG.uniform(0.7, 1.3, NA), jnp.float32)
+        ref = epg.epgx_spgr(b1[:, None] * FLIPS, PHIS, **self.KW)
+        out = epgx_spgr_pallas(FLIPS, PHIS, b1=b1, tile=128,
+                               interpret=True, **self.KW)
         assert float(jnp.max(jnp.abs(out - ref))) < 3e-6
