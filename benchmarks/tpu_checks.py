@@ -311,6 +311,33 @@ def _epgx_kernel_parity(interpret: bool):
             f'{nA} atoms x {nTR} TR, K={K}, two-pool')
 
 
+def _epgx_mt_kernel_parity(interpret: bool):
+    r"""Fused EPG-X(MT) qMT-train kernel vs the XLA scan, f32: adds the
+    in-kernel rank-1 saturation exp to the Mosaic coverage."""
+    from mrphy_tpu.ops import epg
+    rng = np.random.default_rng(13)
+    nA, nTR, K = 1024, 120, 32
+    flips = jnp.asarray(rng.uniform(0.15, 1.2, nTR), DT32)
+    phis = epg.rf_spoil_phases(nTR).astype(DT32)
+    wt = jnp.asarray(rng.uniform(0.0, 0.5, nTR), DT32)
+    kw = dict(T1a=jnp.asarray(rng.uniform(0.5, 2.0, nA), DT32),
+              T2a=jnp.asarray(rng.uniform(0.05, 0.3, nA), DT32),
+              T1b=jnp.asarray(rng.uniform(0.2, 0.6, nA), DT32),
+              kab=jnp.asarray(rng.uniform(1.0, 10.0, nA), DT32),
+              kba=jnp.asarray(rng.uniform(5.0, 40.0, nA), DT32),
+              M0b=jnp.asarray(rng.uniform(0.05, 0.3, nA), DT32),
+              tr=12e-3, K=K)
+    ref = np.asarray(epg.epgx_mt_spgr(flips, phis, wt=wt, **kw))
+    from mrphy_tpu.ops.epg_pallas import epgx_mt_spgr_pallas
+    out = np.asarray(epgx_mt_spgr_pallas(flips, phis, wt=wt,
+                                         interpret=interpret, **kw))
+    rel = np.abs(out - ref).max() / np.abs(ref).max()
+    ok = rel < 2e-4
+    _record('epgx_mt_dict_kernel', ok,
+            f'pallas-vs-xla rel {rel:.1e} (tol 2e-4), '
+            f'{nA} atoms x {nTR} TR, K={K}, bound-pool MT')
+
+
 def _field_stack():
     r"""QSM/field stack (ops/field.py) compiled-f32 numerics: the
     exact ∥-cylinder oracle pins the DFT-diagonal matmul chain (a
@@ -505,6 +532,7 @@ def main():
     _nufft_parity()
     _epg_kernel_parity(interpret=args.interpret)
     _epgx_kernel_parity(interpret=args.interpret)
+    _epgx_mt_kernel_parity(interpret=args.interpret)
     _field_stack()
     if not args.interpret:
         _mesh_1x1(nM=nM, nT=nT)

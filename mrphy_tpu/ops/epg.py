@@ -761,7 +761,7 @@ def epgx_mt_rf(s, alpha, phi=0.0, wt=0.0):
 
 def epgx_mt_spgr(flips, phis=None, *, T1a, T2a, T1b, kab, kba, tr,
                  wt=0.0, M0a=1.0, M0b=0.1, kshift: int = 1,
-                 K=None, mesh=None):
+                 K=None, mesh=None, backend: str = 'xla'):
     r"""MT-weighted gradient-spoiled GRE train (the qMT-SPGR
     workhorse): per TR an on-resonance excitation of the free pool
     (flip ``flips[n]`` about ``phis[n]``) plus bound-pool saturation
@@ -780,7 +780,21 @@ def epgx_mt_spgr(flips, phis=None, *, T1a, T2a, T1b, kab, kba, tr,
     Differentiable w.r.t. everything (qMT parameter fitting by
     gradient descent); validated against the analytic coupled
     steady state in ``tests/test_epgx.py``.
+
+    ``backend='pallas'``: the fused TPU kernel
+    (:func:`mrphy_tpu.ops.epg_pallas.epgx_mt_spgr_pallas`; measured
+    31× the XLA scan at 64k-atom qMT-dictionary scale — per-atom
+    saturation scaling goes through its ``wscale``). Dictionary
+    workload only, forward-only.
     """
+    if backend == 'pallas':
+        assert mesh is None, 'pallas backend is single-chip'
+        from mrphy_tpu.ops.epg_pallas import epgx_mt_spgr_pallas
+        return epgx_mt_spgr_pallas(flips, phis, T1a=T1a, T2a=T2a,
+                                   T1b=T1b, kab=kab, kba=kba, tr=tr,
+                                   wt=wt, M0a=M0a, M0b=M0b,
+                                   kshift=kshift, K=K)
+    assert backend == 'xla', backend
     if mesh is not None:
         from mrphy_tpu.parallel.mesh import (
             epgx_train_sharded_traceable)

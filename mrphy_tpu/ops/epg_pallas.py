@@ -32,7 +32,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ['epg_spgr_pallas', 'epgx_spgr_pallas']
+__all__ = ['epg_spgr_pallas', 'epgx_spgr_pallas',
+           'epgx_mt_spgr_pallas']
 
 _LANE = 128
 _VMEM_LIMIT = 100 * 1024 * 1024
@@ -378,6 +379,189 @@ def epgx_spgr_pallas(flips, phis=None, *, T1a, T2a, T1b, T2b, kab,
                          jnp.asarray(tr, jnp.float32), *pars[6:],
                          K=K, kshift=int(kshift), tile=tile,
                          interpret=interpret, has_b1=b1 is not None)
+    return jnp.moveaxis(sig, 1, 0)               # (nA, nTR, 2)
+
+
+def _mt_kernel(K: int, nTR: int, kshift: int, has_b1: bool,
+               coef_ref, pk_ref, outr_ref, outi_ref):
+    r"""EPG-X(MT) tile: the bound pool carries only Z states (8 state
+    planes total); RF saturates ``Zb`` by ``exp(−wt_t · wscale_atom)``
+    — the rank-1 structure of ``W = π∫ω₁² · G(Δ, T2b)`` over a qMT
+    dictionary (per-TR power × per-atom lineshape), one row exp/TR."""
+    TA = pk_ref.shape[1]
+    Z00, Z01 = pk_ref[0:1, :], pk_ref[1:2, :]
+    Z10, Z11 = pk_ref[2:3, :], pk_ref[3:4, :]
+    ra, rb = pk_ref[4:5, :], pk_ref[5:6, :]
+    E2a = pk_ref[6:7, :]
+    M0a, M0b = pk_ref[7:8, :], pk_ref[8:9, :]
+    b1, wsc = pk_ref[9:10, :], pk_ref[10:11, :]
+    row = jax.lax.broadcasted_iota(jnp.int32, (K, TA), 0)
+    is0, islast = row == 0, row == K - 1
+    zero = jnp.zeros((K, TA), outr_ref.dtype)
+
+    def step(t, s):
+        Fpr, Fpi, Fmr, Fmi, Zr, Zi, Zbr, Zbi = s
+        if has_b1:
+            ah = (0.5 * coef_ref[8, t]) * b1
+            ch, sh = jnp.cos(ah), jnp.sin(ah)
+            ca2, sa2 = ch * ch, sh * sh
+            sa, ca = 2 * ch * sh, ca2 - sa2
+        else:
+            ca2, sa2 = coef_ref[0, t], coef_ref[1, t]
+            sa, ca = coef_ref[2, t], coef_ref[3, t]
+        c1, s1 = coef_ref[4, t], coef_ref[5, t]
+        c2, s2 = coef_ref[6, t], coef_ref[7, t]
+        sc2, ss2 = sa2 * c2, sa2 * s2
+        ss, sc = sa * s1, sa * c1
+        hs, hc = 0.5 * ss, 0.5 * sc
+
+        # RF: rotate pool a, saturate pool b's Z
+        Fp1r = ca2 * Fpr + (sc2 * Fmr - ss2 * Fmi) + (ss * Zr + sc * Zi)
+        Fp1i = ca2 * Fpi + (sc2 * Fmi + ss2 * Fmr) + (ss * Zi - sc * Zr)
+        Fm1r = (sc2 * Fpr + ss2 * Fpi) + ca2 * Fmr + (ss * Zr - sc * Zi)
+        Fm1i = (sc2 * Fpi - ss2 * Fpr) + ca2 * Fmi + (ss * Zi + sc * Zr)
+        Z1r = (-hs * Fpr + hc * Fpi) + (-hs * Fmr - hc * Fmi) + ca * Zr
+        Z1i = (-hs * Fpi - hc * Fpr) + (-hs * Fmi + hc * Fmr) + ca * Zi
+        sat = jnp.exp(-coef_ref[9, t] * wsc)     # (1, TA)
+        Zb1r, Zb1i = sat * Zbr, sat * Zbi
+
+        outr_ref[pl.ds(t, 1), :] = c1 * Fp1r[0:1, :] + s1 * Fp1i[0:1, :]
+        outi_ref[pl.ds(t, 1), :] = c1 * Fp1i[0:1, :] - s1 * Fp1r[0:1, :]
+
+        # relax-exchange: pool a F decays with E2a; Z pair mixes
+        Fp1r, Fp1i = E2a * Fp1r, E2a * Fp1i
+        Fm1r, Fm1i = E2a * Fm1r, E2a * Fm1i
+        Z2r = Z00 * Z1r + Z01 * Zb1r
+        Z2i = Z00 * Z1i + Z01 * Zb1i
+        Zb2r = Z10 * Z1r + Z11 * Zb1r
+        Zb2i = Z10 * Z1i + Z11 * Zb1i
+        Z2r = jnp.where(is0, Z2r + ra, Z2r)
+        Zb2r = jnp.where(is0, Zb2r + rb, Zb2r)
+
+        # spoiler shift (pool a transverse only)
+        for _ in range(abs(kshift)):
+            if kshift > 0:
+                Fp1r = pltpu.roll(Fp1r, 1, axis=0)
+                Fp1i = pltpu.roll(Fp1i, 1, axis=0)
+                Fm1r = jnp.where(islast, zero,
+                                 pltpu.roll(Fm1r, K - 1, axis=0))
+                Fm1i = jnp.where(islast, zero,
+                                 pltpu.roll(Fm1i, K - 1, axis=0))
+                Fp1r = jnp.where(is0, Fm1r[0:1, :], Fp1r)
+                Fp1i = jnp.where(is0, -Fm1i[0:1, :], Fp1i)
+            else:
+                Fm1r = pltpu.roll(Fm1r, 1, axis=0)
+                Fm1i = pltpu.roll(Fm1i, 1, axis=0)
+                Fp1r = jnp.where(islast, zero,
+                                 pltpu.roll(Fp1r, K - 1, axis=0))
+                Fp1i = jnp.where(islast, zero,
+                                 pltpu.roll(Fp1i, K - 1, axis=0))
+                Fm1r = jnp.where(is0, Fp1r[0:1, :], Fm1r)
+                Fm1i = jnp.where(is0, -Fp1i[0:1, :], Fm1i)
+        return (Fp1r, Fp1i, Fm1r, Fm1i, Z2r, Z2i, Zb2r, Zb2i)
+
+    u = math.gcd(nTR, _UNROLL)
+
+    def body(j, s):
+        for jj in range(u):
+            s = step(j * u + jj, s)
+        return s
+
+    init = (zero, zero, zero, zero, jnp.where(is0, M0a, zero), zero,
+            jnp.where(is0, M0b, zero), zero)
+    jax.lax.fori_loop(0, nTR // u, body, init)
+
+
+@functools.partial(jax.jit, static_argnames=('K', 'kshift', 'tile',
+                                             'interpret', 'has_b1'))
+def _mt_dispatch(flips, phis, wt, T1a, T2a, T1b, kab, kba, tr,
+                 M0a, M0b, b1, wscale, *, K: int, kshift: int,
+                 tile: int, interpret: bool, has_b1: bool):
+    from mrphy_tpu.ops.epg import _z_recovery
+    from mrphy_tpu.ops.slowsims import _expm2
+
+    nTR = flips.shape[0]
+    nA = T1a.shape[0]
+    f32 = jnp.float32
+    flips, phis = flips.astype(f32), phis.astype(f32)
+    wt = jnp.broadcast_to(jnp.asarray(wt, f32), (nTR,))
+    coef = jnp.stack([jnp.cos(flips / 2) ** 2, jnp.sin(flips / 2) ** 2,
+                      jnp.sin(flips), jnp.cos(flips),
+                      jnp.cos(phis), jnp.sin(phis),
+                      jnp.cos(2 * phis), jnp.sin(2 * phis),
+                      flips, wt])                             # (10, nTR)
+
+    Z00, Z01, Z10, Z11 = _expm2((-1 / T1a - kab) * tr, kba * tr,
+                                kab * tr, (-1 / T1b - kba) * tr)
+    ra, rb = _z_recovery(Z00, Z01, Z10, Z11, T1a, T1b, kab, kba,
+                         M0a, M0b)
+    pk = jnp.stack([Z00, Z01, Z10, Z11, ra, rb,
+                    jnp.exp(-tr / T2a),
+                    jnp.broadcast_to(M0a, (nA,)),
+                    jnp.broadcast_to(M0b, (nA,)),
+                    jnp.broadcast_to(jnp.asarray(b1, f32), (nA,)),
+                    jnp.broadcast_to(jnp.asarray(wscale, f32),
+                                     (nA,))]).astype(f32)
+
+    pad = (-nA) % tile
+    if pad:
+        pk = jnp.pad(pk, [(0, 0), (0, pad)])
+    nAp = nA + pad
+
+    out = pl.BlockSpec((nTR, tile), lambda i: (0, i))
+    outr, outi = pl.pallas_call(
+        functools.partial(_mt_kernel, K, nTR, kshift, has_b1),
+        grid=(nAp // tile,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((11, tile), lambda i: (0, i))],
+        out_specs=[out, out],
+        out_shape=[jax.ShapeDtypeStruct((nTR, nAp), f32)] * 2,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(coef, pk)
+    return jnp.stack([outr[:, :nA], outi[:, :nA]], -1)  # (nTR, nA, 2)
+
+
+def epgx_mt_spgr_pallas(flips, phis=None, *, T1a, T2a, T1b, kab, kba,
+                        tr, wt=0.0, wscale=None, M0a=1.0, M0b=0.1,
+                        b1=None, kshift: int = 1, K=None,
+                        tile: int = 512, interpret=None):
+    r"""Fused-TPU EPG-X(MT) gradient-spoiled train — qMT dictionaries.
+
+    Same semantics as :func:`mrphy_tpu.ops.epg.epgx_mt_spgr` restricted
+    to the dictionary workload: 1-D shared ``flips``/``phis``/``wt``
+    trains, 1-D atom batch for the tissue/exchange parameters. The
+    per-atom saturation scaling ``wscale`` `(nAtoms,)` (from the
+    bound-pool lineshape ``G(Δ, T2b)``) multiplies the shared ``wt``
+    train — the effective saturation equals the XLA path's batched
+    ``wt[None] * wscale[:, None]``. ``b1`` as in
+    :func:`epg_spgr_pallas`. Returns `(nAtoms, nTR, 2)`; forward-only.
+    """
+    if interpret is None:
+        from mrphy_tpu.ops.pallas_kernels import _on_tpu
+        interpret = not _on_tpu()
+    flips = jnp.asarray(flips)
+    assert flips.ndim == 1, 'pallas backend needs a shared (nTR,) train'
+    nTR = flips.shape[0]
+    phis = jnp.zeros(nTR) if phis is None else jnp.asarray(phis)
+    assert phis.shape == flips.shape, (phis.shape, flips.shape)
+    wt = jnp.asarray(wt)
+    assert wt.ndim <= 1, 'pallas backend needs a shared wt train; ' \
+        'express per-atom saturation via wscale'
+    pars = [jnp.atleast_1d(jnp.asarray(x, jnp.float32)) for x in
+            (T1a, T2a, T1b, kab, kba, M0a, M0b,
+             1.0 if b1 is None else b1,
+             1.0 if wscale is None else wscale)]
+    nA = max(p.shape[0] for p in pars)
+    pars = [jnp.broadcast_to(p, (nA,)) for p in pars]
+    assert int(kshift) != 0, 'kshift must be a nonzero integer'
+    K = nTR * abs(int(kshift)) + 1 if K is None else int(K)
+    assert tile % _LANE == 0, f'tile must be a multiple of {_LANE}'
+    sig = _mt_dispatch(flips, phis, wt, *pars[:5],
+                       jnp.asarray(tr, jnp.float32), *pars[5:],
+                       K=K, kshift=int(kshift), tile=tile,
+                       interpret=interpret, has_b1=b1 is not None)
     return jnp.moveaxis(sig, 1, 0)               # (nA, nTR, 2)
 
 

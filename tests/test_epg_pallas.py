@@ -11,7 +11,9 @@ import jax.numpy as jnp
 import pytest
 
 from mrphy_tpu.ops import epg
-from mrphy_tpu.ops.epg_pallas import epg_spgr_pallas, epgx_spgr_pallas
+from mrphy_tpu.ops.epg_pallas import (epg_spgr_pallas,
+                                      epgx_spgr_pallas,
+                                      epgx_mt_spgr_pallas)
 
 RNG = np.random.default_rng(0)
 NTR, NA, K = 40, 100, 24
@@ -149,3 +151,46 @@ class TestEPGXPallasParity:
         out = epgx_spgr_pallas(FLIPS, PHIS, b1=b1, tile=128,
                                interpret=True, **self.KW)
         assert float(jnp.max(jnp.abs(out - ref))) < 3e-6
+
+
+class TestEPGXMTPallasParity:
+    r"""Bound-pool (EPG-X(MT)) kernel vs the XLA qMT train."""
+
+    WT = jnp.asarray(RNG.uniform(0.0, 0.5, NTR), jnp.float32)
+    KW = dict(T1a=jnp.asarray(RNG.uniform(0.5, 2.0, NA), jnp.float32),
+              T2a=jnp.asarray(RNG.uniform(0.05, 0.3, NA), jnp.float32),
+              T1b=jnp.asarray(RNG.uniform(0.2, 0.6, NA), jnp.float32),
+              kab=jnp.asarray(RNG.uniform(1.0, 10.0, NA), jnp.float32),
+              kba=jnp.asarray(RNG.uniform(5.0, 40.0, NA), jnp.float32),
+              M0b=jnp.asarray(RNG.uniform(0.05, 0.3, NA), jnp.float32),
+              tr=TR, K=K)
+
+    def test_saturation_train(self):
+        ref = epg.epgx_mt_spgr(FLIPS, PHIS, wt=self.WT, **self.KW)
+        out = epgx_mt_spgr_pallas(FLIPS, PHIS, wt=self.WT, tile=128,
+                                  interpret=True, **self.KW)
+        assert float(jnp.max(jnp.abs(out - ref))) < 3e-6
+
+    def test_per_atom_wscale(self):
+        r"""Rank-1 saturation (per-TR power x per-atom lineshape)
+        equals the XLA path's fully batched wt."""
+        wsc = jnp.asarray(RNG.uniform(0.5, 2.0, NA), jnp.float32)
+        ref = epg.epgx_mt_spgr(FLIPS, PHIS, wt=wsc[:, None] * self.WT,
+                               **self.KW)
+        out = epgx_mt_spgr_pallas(FLIPS, PHIS, wt=self.WT, wscale=wsc,
+                                  tile=128, interpret=True, **self.KW)
+        assert float(jnp.max(jnp.abs(out - ref))) < 3e-6
+
+    def test_b1_and_backend_dispatch(self):
+        b1 = jnp.asarray(RNG.uniform(0.7, 1.3, NA), jnp.float32)
+        ref = epg.epgx_mt_spgr(b1[:, None] * FLIPS, PHIS, wt=self.WT,
+                               **self.KW)
+        out = epgx_mt_spgr_pallas(FLIPS, PHIS, wt=self.WT, b1=b1,
+                                  tile=128, interpret=True, **self.KW)
+        assert float(jnp.max(jnp.abs(out - ref))) < 3e-6
+        via = epg.epgx_mt_spgr(FLIPS, PHIS, wt=self.WT,
+                               backend='pallas', **self.KW)
+        direct = epgx_mt_spgr_pallas(FLIPS, PHIS, wt=self.WT,
+                                     tile=128, interpret=True,
+                                     **self.KW)
+        assert float(jnp.max(jnp.abs(via - direct))) < 3e-6
