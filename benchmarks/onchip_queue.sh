@@ -22,7 +22,8 @@ say "--- bench.py (headline; refreshes BENCH_CACHE.json) ---"
 timeout 1800 python bench.py >> "$LOG" 2>&1
 say "bench rc=$?"
 
-for sc in nufft kspace field mrf signal beffstream longpulse design64; do
+# scenarios, most-stale first (mrf reports all four dictionary kernels)
+for sc in mrf nufft kspace field signal beffstream longpulse design64; do
   say "--- suite: $sc ---"
   timeout 2400 python benchmarks/suite.py "$sc" >> "$LOG" 2>&1
   say "suite[$sc] rc=$?"

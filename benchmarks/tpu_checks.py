@@ -283,6 +283,29 @@ def _epg_kernel_parity(interpret: bool):
             f'{nA} atoms x {nTR} TR, K={K}')
 
 
+def _cpmg_kernel_parity(interpret: bool):
+    r"""Fused CPMG mapping kernel vs the XLA train, f32: covers the
+    double relax+shift per echo and the closed-form excitation init."""
+    from mrphy_tpu.ops import epg
+    rng = np.random.default_rng(17)
+    nA, nE = 1024, 48
+    flips = jnp.asarray(rng.uniform(1.5, np.pi, nE), DT32)
+    T1 = jnp.asarray(rng.uniform(0.3, 3.0, nA), DT32)
+    T2 = jnp.asarray(rng.uniform(0.02, 0.3, nA), DT32)
+    al = jnp.asarray(rng.uniform(0.3, np.pi / 2, nA), DT32)
+    ref = np.asarray(epg.epg_cpmg(flips, T1=T1, T2=T2, esp=0.01,
+                                  alpha_ex=al))
+    from mrphy_tpu.ops.epg_pallas import epg_cpmg_pallas
+    out = np.asarray(epg_cpmg_pallas(flips, T1=T1, T2=T2, esp=0.01,
+                                     alpha_ex=al,
+                                     interpret=interpret))
+    rel = np.abs(out - ref).max() / np.abs(ref).max()
+    ok = rel < 2e-4
+    _record('cpmg_map_kernel', ok,
+            f'pallas-vs-xla rel {rel:.1e} (tol 2e-4), '
+            f'{nA} voxels x {nE} echoes, slice-profile alpha_ex')
+
+
 def _epgx_kernel_parity(interpret: bool):
     r"""Fused two-pool EPG-X kernel vs the XLA scan, f32: adds the
     complex exchange propagator lane-vector reads and the doubled
@@ -531,6 +554,7 @@ def main():
     _sincos_sweep()
     _nufft_parity()
     _epg_kernel_parity(interpret=args.interpret)
+    _cpmg_kernel_parity(interpret=args.interpret)
     _epgx_kernel_parity(interpret=args.interpret)
     _epgx_mt_kernel_parity(interpret=args.interpret)
     _field_stack()

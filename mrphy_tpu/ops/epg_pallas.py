@@ -32,7 +32,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ['epg_spgr_pallas', 'epgx_spgr_pallas',
+__all__ = ['epg_spgr_pallas', 'epg_cpmg_pallas', 'epgx_spgr_pallas',
            'epgx_mt_spgr_pallas']
 
 _LANE = 128
@@ -168,6 +168,153 @@ def _spgr_dispatch(flips, phis, T1, T2, tr, te, M0, b1, *, K: int,
         interpret=interpret,
     )(coef, E1, E2, E2te, rec, M0a, b1)
     return jnp.stack([outr[:, :nA], outi[:, :nA]], -1)  # (nTR, nA, 2)
+
+
+def _cpmg_kernel(K: int, nE: int, has_b1: bool, coef_ref, pk_ref,
+                 outr_ref, outi_ref):
+    r"""CPMG tile: the excitation collapses to a closed-form initial
+    state (the pre-pulse state is pure ``Z(0)``), so the kernel runs
+    only the echo loop — per echo: relax(esp/2)+shift, refocusing RF
+    about +x (the φ=0 mixing matrix loses its phase terms), relax+
+    shift, read ``F+(0)``. ``K = nE + 1`` exactly."""
+    TA = pk_ref.shape[1]
+    E1h, E2h = pk_ref[0:1, :], pk_ref[1:2, :]
+    rech = pk_ref[2:3, :]
+    e_ss, e_sc, e_ca = pk_ref[3:4, :], pk_ref[4:5, :], pk_ref[5:6, :]
+    b1 = pk_ref[6:7, :]
+    row = jax.lax.broadcasted_iota(jnp.int32, (K, TA), 0)
+    is0, islast = row == 0, row == K - 1
+    zero = jnp.zeros((K, TA), outr_ref.dtype)
+
+    def half(Fpr, Fpi, Fmr, Fmi, Zr, Zi):
+        Fpr, Fpi = E2h * Fpr, E2h * Fpi
+        Fmr, Fmi = E2h * Fmr, E2h * Fmi
+        Zr = jnp.where(is0, E1h * Zr + rech, E1h * Zr)
+        Zi = E1h * Zi
+        Fpr = pltpu.roll(Fpr, 1, axis=0)
+        Fpi = pltpu.roll(Fpi, 1, axis=0)
+        Fmr = jnp.where(islast, zero, pltpu.roll(Fmr, K - 1, axis=0))
+        Fmi = jnp.where(islast, zero, pltpu.roll(Fmi, K - 1, axis=0))
+        Fpr = jnp.where(is0, Fmr[0:1, :], Fpr)
+        Fpi = jnp.where(is0, -Fmi[0:1, :], Fpi)
+        return Fpr, Fpi, Fmr, Fmi, Zr, Zi
+
+    def step(t, s):
+        s = half(*s)
+        Fpr, Fpi, Fmr, Fmi, Zr, Zi = s
+        if has_b1:
+            ah = (0.5 * coef_ref[4, t]) * b1
+            ch, sh = jnp.cos(ah), jnp.sin(ah)
+            ca2, sa2 = ch * ch, sh * sh
+            sa, ca = 2 * ch * sh, ca2 - sa2
+        else:
+            ca2, sa2 = coef_ref[0, t], coef_ref[1, t]
+            sa, ca = coef_ref[2, t], coef_ref[3, t]
+        # refocusing about +x: the general mix at phi = 0
+        hsa = 0.5 * sa
+        Fp1r = ca2 * Fpr + sa2 * Fmr + sa * Zi
+        Fp1i = ca2 * Fpi + sa2 * Fmi - sa * Zr
+        Fm1r = sa2 * Fpr + ca2 * Fmr - sa * Zi
+        Fm1i = sa2 * Fpi + ca2 * Fmi + sa * Zr
+        Z1r = hsa * (Fpi - Fmi) + ca * Zr
+        Z1i = hsa * (Fmr - Fpr) + ca * Zi
+        s = half(Fp1r, Fp1i, Fm1r, Fm1i, Z1r, Z1i)
+        outr_ref[pl.ds(t, 1), :] = s[0][0:1, :]
+        outi_ref[pl.ds(t, 1), :] = s[1][0:1, :]
+        return s
+
+    u = math.gcd(nE, _UNROLL)
+
+    def body(j, s):
+        for jj in range(u):
+            s = step(j * u + jj, s)
+        return s
+
+    # closed-form post-excitation state (equilibrium was pure Z(0)):
+    # F± = sinα·(sinφ ∓ i·cosφ)·M0, Z = cosα·M0
+    init = (jnp.where(is0, e_ss, zero), jnp.where(is0, -e_sc, zero),
+            jnp.where(is0, e_ss, zero), jnp.where(is0, e_sc, zero),
+            jnp.where(is0, e_ca, zero), zero)
+    jax.lax.fori_loop(0, nE // u, body, init)
+
+
+@functools.partial(jax.jit, static_argnames=('tile', 'interpret',
+                                             'has_b1'))
+def _cpmg_dispatch(flips, T1, T2, esp, M0, phi_ex, alpha_ex, b1, *,
+                   tile: int, interpret: bool, has_b1: bool):
+    nE = flips.shape[0]
+    K = nE + 1
+    nA = T1.shape[0]
+    f32 = jnp.float32
+    flips = flips.astype(f32)
+    coef = jnp.stack([jnp.cos(flips / 2) ** 2, jnp.sin(flips / 2) ** 2,
+                      jnp.sin(flips), jnp.cos(flips),
+                      flips])                                 # (5, nE)
+    E1h = jnp.exp(-esp / 2 / T1).astype(f32)[None]            # (1, nA)
+    E2h = jnp.exp(-esp / 2 / T2).astype(f32)[None]
+    M0a = jnp.broadcast_to(jnp.asarray(M0, f32), (nA,))
+    rech = -jnp.expm1(-esp / 2 / T1).astype(f32)[None] * M0a[None]
+    al = jnp.broadcast_to(jnp.asarray(alpha_ex, f32), (nA,))
+    ph = jnp.broadcast_to(jnp.asarray(phi_ex, f32), (nA,))
+    pk = jnp.stack([E1h[0], E2h[0], rech[0],
+                    jnp.sin(al) * jnp.sin(ph) * M0a,
+                    jnp.sin(al) * jnp.cos(ph) * M0a,
+                    jnp.cos(al) * M0a,
+                    jnp.broadcast_to(jnp.asarray(b1, f32),
+                                     (nA,))]).astype(f32)
+
+    pad = (-nA) % tile
+    if pad:
+        pk = jnp.pad(pk, [(0, 0), (0, pad)])
+    nAp = nA + pad
+
+    out = pl.BlockSpec((nE, tile), lambda i: (0, i))
+    outr, outi = pl.pallas_call(
+        functools.partial(_cpmg_kernel, K, nE, has_b1),
+        grid=(nAp // tile,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((7, tile), lambda i: (0, i))],
+        out_specs=[out, out],
+        out_shape=[jax.ShapeDtypeStruct((nE, nAp), f32)] * 2,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(coef, pk)
+    return jnp.stack([outr[:, :nA], outi[:, :nA]], -1)  # (nE, nA, 2)
+
+
+def epg_cpmg_pallas(flips, *, T1, T2, esp, M0=1.0, phi_ex=None,
+                    alpha_ex=None, b1=None, tile: int = 512,
+                    interpret=None):
+    r"""Fused-TPU CPMG echo train — voxel-wise T2 mapping / echo-train
+    dictionaries at volume scale.
+
+    Same semantics as :func:`mrphy_tpu.ops.epg.epg_cpmg` restricted to
+    the mapping workload: 1-D shared refocusing ``flips`` `(nEcho,)`
+    (``b1`` `(nVox,)` scales it per voxel), 1-D voxel batch
+    ``T1``/``T2``/``M0``/``alpha_ex``/``phi_ex`` (scalars broadcast —
+    per-voxel excitation supports slice-profile-resolved trains), no
+    diffusion. Returns `(nVox, nEcho, 2)`; forward-only.
+    """
+    from mrphy_tpu import pi as _pi
+    if interpret is None:
+        from mrphy_tpu.ops.pallas_kernels import _on_tpu
+        interpret = not _on_tpu()
+    flips = jnp.asarray(flips)
+    assert flips.ndim == 1, 'pallas backend needs a shared (nE,) train'
+    phi_ex = _pi / 2 if phi_ex is None else phi_ex
+    alpha_ex = _pi / 2 if alpha_ex is None else alpha_ex
+    pars = [jnp.atleast_1d(jnp.asarray(x, jnp.float32)) for x in
+            (T1, T2, M0, alpha_ex, phi_ex,
+             1.0 if b1 is None else b1)]
+    nA = max(p.shape[0] for p in pars)
+    pars = [jnp.broadcast_to(p, (nA,)) for p in pars]
+    assert tile % _LANE == 0, f'tile must be a multiple of {_LANE}'
+    sig = _cpmg_dispatch(flips, pars[0], pars[1],
+                         jnp.asarray(esp, jnp.float32), pars[2],
+                         pars[4], pars[3], pars[5], tile=tile,
+                         interpret=interpret, has_b1=b1 is not None)
+    return jnp.moveaxis(sig, 1, 0)               # (nA, nE, 2)
 
 
 def _epgx_kernel(K: int, nTR: int, kshift: int, has_b1: bool,

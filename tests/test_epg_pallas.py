@@ -12,6 +12,7 @@ import pytest
 
 from mrphy_tpu.ops import epg
 from mrphy_tpu.ops.epg_pallas import (epg_spgr_pallas,
+                                      epg_cpmg_pallas,
                                       epgx_spgr_pallas,
                                       epgx_mt_spgr_pallas)
 
@@ -91,6 +92,57 @@ class TestEPGPallasParity:
         with pytest.raises(AssertionError):
             epg_spgr_pallas(jnp.zeros((4, NTR)), None, T1=1.0, T2=0.1,
                             tr=TR, interpret=True)
+
+
+class TestCPMGPallasParity:
+    r"""CPMG mapping kernel vs the XLA train."""
+
+    ESP = 0.01
+    CFLIPS = jnp.asarray(RNG.uniform(1.5, np.pi, 32), jnp.float32)
+
+    def test_basic(self):
+        ref = epg.epg_cpmg(self.CFLIPS, T1=T1, T2=T2, esp=self.ESP)
+        out = epg_cpmg_pallas(self.CFLIPS, T1=T1, T2=T2, esp=self.ESP,
+                              tile=128, interpret=True)
+        assert float(jnp.max(jnp.abs(out - ref))) < 3e-6
+
+    def test_slice_profile_per_voxel_excitation(self):
+        al = jnp.asarray(RNG.uniform(0.3, np.pi / 2, NA), jnp.float32)
+        ph = jnp.asarray(RNG.uniform(0, 2 * np.pi, NA), jnp.float32)
+        M0 = jnp.asarray(RNG.uniform(0.5, 1.5, NA), jnp.float32)
+        ref = epg.epg_cpmg(self.CFLIPS, T1=T1, T2=T2, esp=self.ESP,
+                           alpha_ex=al, phi_ex=ph, M0=M0)
+        out = epg_cpmg_pallas(self.CFLIPS, T1=T1, T2=T2, esp=self.ESP,
+                              alpha_ex=al, phi_ex=ph, M0=M0, tile=128,
+                              interpret=True)
+        assert float(jnp.max(jnp.abs(out - ref))) < 3e-6
+
+    def test_b1_scaled_refocusing(self):
+        b1 = jnp.asarray(RNG.uniform(0.7, 1.3, NA), jnp.float32)
+        ref = epg.epg_cpmg(b1[:, None] * self.CFLIPS, T1=T1, T2=T2,
+                           esp=self.ESP)
+        out = epg_cpmg_pallas(self.CFLIPS, T1=T1, T2=T2, esp=self.ESP,
+                              b1=b1, tile=128, interpret=True)
+        assert float(jnp.max(jnp.abs(out - ref))) < 3e-6
+
+    def test_perfect_180_analytic(self):
+        r"""All-180° refocusing: |echo n| = exp(−n·esp/T2) exactly."""
+        f180 = jnp.full((32,), np.pi, jnp.float32)
+        o = epg_cpmg_pallas(f180, T1=1.0, T2=0.1, esp=self.ESP,
+                            tile=128, interpret=True)
+        mag = np.linalg.norm(np.asarray(o)[0], axis=-1)
+        ana = np.exp(-(np.arange(1, 33) * self.ESP) / 0.1)
+        assert np.abs(mag / ana - 1).max() < 1e-5
+
+    def test_backend_kwarg_dispatch(self):
+        out = epg.epg_cpmg(self.CFLIPS, T1=T1, T2=T2, esp=self.ESP,
+                           backend='pallas')
+        ref = epg_cpmg_pallas(self.CFLIPS, T1=T1, T2=T2, esp=self.ESP,
+                              tile=128, interpret=True)
+        assert float(jnp.max(jnp.abs(out - ref))) < 3e-6
+        with pytest.raises(AssertionError):
+            epg.epg_cpmg(self.CFLIPS, T1=1.0, T2=0.1, esp=self.ESP,
+                         D=1e-5, backend='pallas')
 
 
 class TestEPGXPallasParity:
