@@ -552,13 +552,25 @@ def bench_mrf():
                                            K=48, backend='pallas',
                                            **d))
     tx = _timeit(genx, xkw, repeats=4)
+    # CPMG mapping kernels (32-echo trains; single- and two-pool)
+    cflips = jnp.asarray(
+        np.deg2rad(rng.uniform(120, 180, 32)), jnp.float32)
+    genc = jax.jit(lambda t1, t2: epg.epg_cpmg(
+        cflips, T1=t1, T2=t2, esp=0.01, backend='pallas'))
+    tc = _timeit(genc, T1, T2, repeats=4)
+    genxc = jax.jit(lambda d: epg.epgx_cpmg(cflips, esp=0.01,
+                                            backend='pallas', **d))
+    txc = _timeit(genxc, {k: v for k, v in xkw.items()}, repeats=4)
     return {'metric': f'MRF dictionary: {natoms} atoms x {ntr} TR '
                       '(K=48) epg_spgr (fused pallas)',
             'value': round(natoms / tp, 0), 'unit': 'atoms/s',
             'sec_per_dict': round(tp, 3), 'xla_atoms_per_s':
             round(natoms / t, 0), 'xla_sec_per_dict': round(t, 3),
             'pallas_abs_dev': f'{dev:.1e}',
-            'epgx_pallas_atoms_per_s': round(natoms / tx, 0)}
+            'epgx_pallas_atoms_per_s': round(natoms / tx, 0),
+            'cpmg32_pallas_Mvox_per_s': round(natoms / tc / 1e6, 2),
+            'epgx_cpmg32_pallas_Mvox_per_s': round(
+                natoms / txc / 1e6, 2)}
 
 
 ALL = {'tiny': bench_tiny, 'freeprec32': bench_freeprec32,

@@ -334,6 +334,31 @@ def _epgx_kernel_parity(interpret: bool):
             f'{nA} atoms x {nTR} TR, K={K}, two-pool')
 
 
+def _epgx_cpmg_kernel_parity(interpret: bool):
+    r"""Fused two-pool CPMG (MWF) kernel vs the XLA train, f32."""
+    from mrphy_tpu.ops import epg
+    rng = np.random.default_rng(19)
+    nA, nE = 1024, 48
+    flips = jnp.asarray(rng.uniform(1.5, np.pi, nE), DT32)
+    kw = dict(T1a=jnp.asarray(rng.uniform(0.5, 2.0, nA), DT32),
+              T2a=jnp.asarray(rng.uniform(0.05, 0.3, nA), DT32),
+              T1b=jnp.asarray(rng.uniform(0.2, 0.6, nA), DT32),
+              T2b=jnp.asarray(rng.uniform(0.005, 0.03, nA), DT32),
+              kab=jnp.asarray(rng.uniform(1.0, 10.0, nA), DT32),
+              kba=jnp.asarray(rng.uniform(5.0, 40.0, nA), DT32),
+              M0b=jnp.asarray(rng.uniform(0.05, 0.3, nA), DT32),
+              esp=0.01)
+    ref = np.asarray(epg.epgx_cpmg(flips, **kw))
+    from mrphy_tpu.ops.epg_pallas import epgx_cpmg_pallas
+    out = np.asarray(epgx_cpmg_pallas(flips, interpret=interpret,
+                                      **kw))
+    rel = np.abs(out - ref).max() / np.abs(ref).max()
+    ok = rel < 2e-4
+    _record('epgx_cpmg_kernel', ok,
+            f'pallas-vs-xla rel {rel:.1e} (tol 2e-4), '
+            f'{nA} voxels x {nE} echoes, two-pool MWF')
+
+
 def _epgx_mt_kernel_parity(interpret: bool):
     r"""Fused EPG-X(MT) qMT-train kernel vs the XLA scan, f32: adds the
     in-kernel rank-1 saturation exp to the Mosaic coverage."""
@@ -556,6 +581,7 @@ def main():
     _epg_kernel_parity(interpret=args.interpret)
     _cpmg_kernel_parity(interpret=args.interpret)
     _epgx_kernel_parity(interpret=args.interpret)
+    _epgx_cpmg_kernel_parity(interpret=args.interpret)
     _epgx_mt_kernel_parity(interpret=args.interpret)
     _field_stack()
     if not args.interpret:

@@ -567,7 +567,8 @@ def epgx_relax(s, tau, *, T1a, T2a, T1b, T2b, kab, kba, M0a=1.0,
 
 
 def epgx_cpmg(flips, *, T1a, T2a, T1b, T2b, kab, kba, esp, M0a=1.0,
-              M0b=0.1, dfb=0.0, phi_ex=pi / 2, mesh=None):
+              M0b=0.1, dfb=0.0, phi_ex=pi / 2, mesh=None,
+              backend: str = 'xla'):
     r"""CPMG echo train of a two-pool exchanging system (myelin-water /
     MT-coupled T2 relaxometry). Same sequence as :func:`epg_cpmg`;
     every half-interval is one exact :func:`epgx_relax`. The receiver
@@ -578,7 +579,20 @@ def epgx_cpmg(flips, *, T1a, T2a, T1b, T2b, kab, kba, esp, M0a=1.0,
 
     Differentiable w.r.t. every tissue/exchange parameter — multi-pool
     T2 fitting (``examples``-grade) runs by gradient descent.
+
+    ``backend='pallas'``: the fused TPU kernel
+    (:func:`mrphy_tpu.ops.epg_pallas.epgx_cpmg_pallas`) for
+    volume-scale MWF dictionaries/forwards (shared 1-D flips, 1-D
+    voxel batch), forward-only.
     """
+    if backend == 'pallas':
+        assert mesh is None, 'pallas backend is single-chip'
+        from mrphy_tpu.ops.epg_pallas import epgx_cpmg_pallas
+        return epgx_cpmg_pallas(flips, T1a=T1a, T2a=T2a, T1b=T1b,
+                                T2b=T2b, kab=kab, kba=kba, esp=esp,
+                                M0a=M0a, M0b=M0b, dfb=dfb,
+                                phi_ex=phi_ex)
+    assert backend == 'xla', backend
     if mesh is not None:
         from mrphy_tpu.parallel.mesh import (
             epgx_train_sharded_traceable)

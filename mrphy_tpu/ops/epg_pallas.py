@@ -33,7 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 __all__ = ['epg_spgr_pallas', 'epg_cpmg_pallas', 'epgx_spgr_pallas',
-           'epgx_mt_spgr_pallas']
+           'epgx_cpmg_pallas', 'epgx_mt_spgr_pallas']
 
 _LANE = 128
 _VMEM_LIMIT = 100 * 1024 * 1024
@@ -527,6 +527,200 @@ def epgx_spgr_pallas(flips, phis=None, *, T1a, T2a, T1b, T2b, kab,
                          K=K, kshift=int(kshift), tile=tile,
                          interpret=interpret, has_b1=b1 is not None)
     return jnp.moveaxis(sig, 1, 0)               # (nA, nTR, 2)
+
+
+def _xcpmg_kernel(K: int, nE: int, has_b1: bool, coef_ref, pk_ref,
+                  outr_ref, outi_ref):
+    r"""Two-pool CPMG tile (EPG-X full-BM — myelin-water echo trains):
+    per echo two exact exchange-relax halves (propagator entries at
+    esp/2 as per-atom lane vectors) + shifts on both pools, a φ=0
+    refocusing mix on both pools, echo = total ``F+(0)``. The π/2
+    excitation on equilibrium is a closed-form init per pool."""
+    TA = pk_ref.shape[1]
+    E00r, E00i = pk_ref[0:1, :], pk_ref[1:2, :]
+    E01r, E01i = pk_ref[2:3, :], pk_ref[3:4, :]
+    E10r, E10i = pk_ref[4:5, :], pk_ref[5:6, :]
+    E11r, E11i = pk_ref[6:7, :], pk_ref[7:8, :]
+    Z00, Z01 = pk_ref[8:9, :], pk_ref[9:10, :]
+    Z10, Z11 = pk_ref[10:11, :], pk_ref[11:12, :]
+    ra, rb = pk_ref[12:13, :], pk_ref[13:14, :]
+    exc, exs = pk_ref[14:15, :], pk_ref[15:16, :]   # cosφ_ex, sinφ_ex
+    M0a, M0b = pk_ref[16:17, :], pk_ref[17:18, :]
+    b1 = pk_ref[18:19, :]
+    row = jax.lax.broadcasted_iota(jnp.int32, (K, TA), 0)
+    is0, islast = row == 0, row == K - 1
+    zero = jnp.zeros((K, TA), outr_ref.dtype)
+
+    def shift1(Fpr, Fpi, Fmr, Fmi):
+        Fpr = pltpu.roll(Fpr, 1, axis=0)
+        Fpi = pltpu.roll(Fpi, 1, axis=0)
+        Fmr = jnp.where(islast, zero, pltpu.roll(Fmr, K - 1, axis=0))
+        Fmi = jnp.where(islast, zero, pltpu.roll(Fmi, K - 1, axis=0))
+        Fpr = jnp.where(is0, Fmr[0:1, :], Fpr)
+        Fpi = jnp.where(is0, -Fmi[0:1, :], Fpi)
+        return Fpr, Fpi, Fmr, Fmi
+
+    def half(s):
+        (Par, Pai, Mar, Mai, Zar, Zai,
+         Pbr, Pbi, Mbr, Mbi, Zbr, Zbi) = s
+        P2ar = (E00r * Par - E00i * Pai) + (E01r * Pbr - E01i * Pbi)
+        P2ai = (E00r * Pai + E00i * Par) + (E01r * Pbi + E01i * Pbr)
+        P2br = (E10r * Par - E10i * Pai) + (E11r * Pbr - E11i * Pbi)
+        P2bi = (E10r * Pai + E10i * Par) + (E11r * Pbi + E11i * Pbr)
+        M2ar = (E00r * Mar + E00i * Mai) + (E01r * Mbr + E01i * Mbi)
+        M2ai = (E00r * Mai - E00i * Mar) + (E01r * Mbi - E01i * Mbr)
+        M2br = (E10r * Mar + E10i * Mai) + (E11r * Mbr + E11i * Mbi)
+        M2bi = (E10r * Mai - E10i * Mar) + (E11r * Mbi - E11i * Mbr)
+        Z2ar = Z00 * Zar + Z01 * Zbr
+        Z2ai = Z00 * Zai + Z01 * Zbi
+        Z2br = Z10 * Zar + Z11 * Zbr
+        Z2bi = Z10 * Zai + Z11 * Zbi
+        Z2ar = jnp.where(is0, Z2ar + ra, Z2ar)
+        Z2br = jnp.where(is0, Z2br + rb, Z2br)
+        P2ar, P2ai, M2ar, M2ai = shift1(P2ar, P2ai, M2ar, M2ai)
+        P2br, P2bi, M2br, M2bi = shift1(P2br, P2bi, M2br, M2bi)
+        return (P2ar, P2ai, M2ar, M2ai, Z2ar, Z2ai,
+                P2br, P2bi, M2br, M2bi, Z2br, Z2bi)
+
+    def step(t, s):
+        s = half(s)
+        (Par, Pai, Mar, Mai, Zar, Zai,
+         Pbr, Pbi, Mbr, Mbi, Zbr, Zbi) = s
+        if has_b1:
+            ah = (0.5 * coef_ref[4, t]) * b1
+            ch, sh = jnp.cos(ah), jnp.sin(ah)
+            ca2, sa2 = ch * ch, sh * sh
+            sa, ca = 2 * ch * sh, ca2 - sa2
+        else:
+            ca2, sa2 = coef_ref[0, t], coef_ref[1, t]
+            sa, ca = coef_ref[2, t], coef_ref[3, t]
+        hsa = 0.5 * sa
+
+        def rfmix0(Fpr, Fpi, Fmr, Fmi, Zr, Zi):
+            p1r = ca2 * Fpr + sa2 * Fmr + sa * Zi
+            p1i = ca2 * Fpi + sa2 * Fmi - sa * Zr
+            m1r = sa2 * Fpr + ca2 * Fmr - sa * Zi
+            m1i = sa2 * Fpi + ca2 * Fmi + sa * Zr
+            z1r = hsa * (Fpi - Fmi) + ca * Zr
+            z1i = hsa * (Fmr - Fpr) + ca * Zi
+            return p1r, p1i, m1r, m1i, z1r, z1i
+
+        Par, Pai, Mar, Mai, Zar, Zai = rfmix0(Par, Pai, Mar, Mai,
+                                              Zar, Zai)
+        Pbr, Pbi, Mbr, Mbi, Zbr, Zbi = rfmix0(Pbr, Pbi, Mbr, Mbi,
+                                              Zbr, Zbi)
+        s = half((Par, Pai, Mar, Mai, Zar, Zai,
+                  Pbr, Pbi, Mbr, Mbi, Zbr, Zbi))
+        outr_ref[pl.ds(t, 1), :] = s[0][0:1, :] + s[6][0:1, :]
+        outi_ref[pl.ds(t, 1), :] = s[1][0:1, :] + s[7][0:1, :]
+        return s
+
+    u = math.gcd(nE, _UNROLL)
+
+    def body(j, s):
+        for jj in range(u):
+            s = step(j * u + jj, s)
+        return s
+
+    # π/2 excitation about φ_ex on equilibrium [Za(0)=M0a, Zb(0)=M0b]:
+    # F± = (sinφ ∓ i·cosφ)·M0p, Z = 0 (per pool)
+    init = (jnp.where(is0, exs * M0a, zero),
+            jnp.where(is0, -exc * M0a, zero),
+            jnp.where(is0, exs * M0a, zero),
+            jnp.where(is0, exc * M0a, zero), zero, zero,
+            jnp.where(is0, exs * M0b, zero),
+            jnp.where(is0, -exc * M0b, zero),
+            jnp.where(is0, exs * M0b, zero),
+            jnp.where(is0, exc * M0b, zero), zero, zero)
+    jax.lax.fori_loop(0, nE // u, body, init)
+
+
+@functools.partial(jax.jit, static_argnames=('tile', 'interpret',
+                                             'has_b1'))
+def _xcpmg_dispatch(flips, T1a, T2a, T1b, T2b, kab, kba, esp,
+                    M0a, M0b, dfb, phi_ex, b1, *, tile: int,
+                    interpret: bool, has_b1: bool):
+    from mrphy_tpu import pi
+    from mrphy_tpu.ops.epg import _expm2c, _z_recovery
+    from mrphy_tpu.ops.slowsims import _expm2
+
+    nE = flips.shape[0]
+    K = nE + 1
+    nA = T1a.shape[0]
+    f32 = jnp.float32
+    flips = flips.astype(f32)
+    coef = jnp.stack([jnp.cos(flips / 2) ** 2, jnp.sin(flips / 2) ** 2,
+                      jnp.sin(flips), jnp.cos(flips),
+                      flips])                                 # (5, nE)
+
+    tau = esp / 2
+    w = 2 * pi * dfb
+    E00, E01, E10, E11 = _expm2c(
+        (-1 / T2a - kab) * tau, jnp.zeros_like(T2a),
+        kba * tau, kab * tau, (-1 / T2b - kba) * tau, -w * tau)
+    Z00, Z01, Z10, Z11 = _expm2((-1 / T1a - kab) * tau, kba * tau,
+                                kab * tau, (-1 / T1b - kba) * tau)
+    ra, rb = _z_recovery(Z00, Z01, Z10, Z11, T1a, T1b, kab, kba,
+                         M0a, M0b)
+    pk = jnp.stack([E00[0], E00[1], E01[0], E01[1], E10[0], E10[1],
+                    E11[0], E11[1], Z00, Z01, Z10, Z11, ra, rb,
+                    jnp.cos(jnp.broadcast_to(phi_ex, (nA,))),
+                    jnp.sin(jnp.broadcast_to(phi_ex, (nA,))),
+                    jnp.broadcast_to(M0a, (nA,)),
+                    jnp.broadcast_to(M0b, (nA,)),
+                    jnp.broadcast_to(jnp.asarray(b1, f32),
+                                     (nA,))]).astype(f32)
+
+    pad = (-nA) % tile
+    if pad:
+        pk = jnp.pad(pk, [(0, 0), (0, pad)])
+    nAp = nA + pad
+
+    out = pl.BlockSpec((nE, tile), lambda i: (0, i))
+    outr, outi = pl.pallas_call(
+        functools.partial(_xcpmg_kernel, K, nE, has_b1),
+        grid=(nAp // tile,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((19, tile), lambda i: (0, i))],
+        out_specs=[out, out],
+        out_shape=[jax.ShapeDtypeStruct((nE, nAp), f32)] * 2,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(coef, pk)
+    return jnp.stack([outr[:, :nA], outi[:, :nA]], -1)  # (nE, nA, 2)
+
+
+def epgx_cpmg_pallas(flips, *, T1a, T2a, T1b, T2b, kab, kba, esp,
+                     M0a=1.0, M0b=0.1, dfb=0.0, phi_ex=None, b1=None,
+                     tile: int = 512, interpret=None):
+    r"""Fused-TPU two-pool CPMG echo train — myelin-water-fraction /
+    exchange-sensitive T2-relaxometry dictionaries at volume scale.
+
+    Same semantics as :func:`mrphy_tpu.ops.epg.epgx_cpmg` restricted
+    to the mapping workload: 1-D shared refocusing ``flips``
+    `(nEcho,)` (``b1`` `(nVox,)` scales it per voxel), 1-D voxel batch
+    for the tissue/exchange parameters. Returns `(nVox, nEcho, 2)`;
+    forward-only.
+    """
+    from mrphy_tpu import pi as _pi
+    if interpret is None:
+        from mrphy_tpu.ops.pallas_kernels import _on_tpu
+        interpret = not _on_tpu()
+    flips = jnp.asarray(flips)
+    assert flips.ndim == 1, 'pallas backend needs a shared (nE,) train'
+    phi_ex = _pi / 2 if phi_ex is None else phi_ex
+    pars = [jnp.atleast_1d(jnp.asarray(x, jnp.float32)) for x in
+            (T1a, T2a, T1b, T2b, kab, kba, M0a, M0b, dfb, phi_ex,
+             1.0 if b1 is None else b1)]
+    nA = max(p.shape[0] for p in pars)
+    pars = [jnp.broadcast_to(p, (nA,)) for p in pars]
+    assert tile % _LANE == 0, f'tile must be a multiple of {_LANE}'
+    sig = _xcpmg_dispatch(flips, *pars[:6],
+                          jnp.asarray(esp, jnp.float32), *pars[6:],
+                          tile=tile, interpret=interpret,
+                          has_b1=b1 is not None)
+    return jnp.moveaxis(sig, 1, 0)               # (nA, nE, 2)
 
 
 def _mt_kernel(K: int, nTR: int, kshift: int, has_b1: bool,

@@ -14,6 +14,7 @@ from mrphy_tpu.ops import epg
 from mrphy_tpu.ops.epg_pallas import (epg_spgr_pallas,
                                       epg_cpmg_pallas,
                                       epgx_spgr_pallas,
+                                      epgx_cpmg_pallas,
                                       epgx_mt_spgr_pallas)
 
 RNG = np.random.default_rng(0)
@@ -202,6 +203,49 @@ class TestEPGXPallasParity:
         ref = epg.epgx_spgr(b1[:, None] * FLIPS, PHIS, **self.KW)
         out = epgx_spgr_pallas(FLIPS, PHIS, b1=b1, tile=128,
                                interpret=True, **self.KW)
+        assert float(jnp.max(jnp.abs(out - ref))) < 3e-6
+
+
+class TestEPGXCPMGPallasParity:
+    r"""Two-pool CPMG (MWF) kernel vs the XLA train."""
+
+    ESP = 0.01
+    CFLIPS = jnp.asarray(RNG.uniform(1.5, np.pi, 32), jnp.float32)
+    KW = dict(T1a=jnp.asarray(RNG.uniform(0.5, 2.0, NA), jnp.float32),
+              T2a=jnp.asarray(RNG.uniform(0.05, 0.3, NA), jnp.float32),
+              T1b=jnp.asarray(RNG.uniform(0.2, 0.6, NA), jnp.float32),
+              T2b=jnp.asarray(RNG.uniform(0.005, 0.03, NA),
+                              jnp.float32),
+              kab=jnp.asarray(RNG.uniform(1.0, 10.0, NA), jnp.float32),
+              kba=jnp.asarray(RNG.uniform(5.0, 40.0, NA), jnp.float32),
+              esp=0.01)
+
+    def test_basic(self):
+        ref = epg.epgx_cpmg(self.CFLIPS, **self.KW)
+        out = epgx_cpmg_pallas(self.CFLIPS, tile=128, interpret=True,
+                               **self.KW)
+        assert float(jnp.max(jnp.abs(out - ref))) < 3e-6
+
+    def test_dfb_m0b_phiex_b1(self):
+        r"""Pool-b shift, per-voxel M0b/phi_ex, B1-scaled refocusing —
+        all per-atom lanes at once."""
+        kw = dict(self.KW,
+                  dfb=jnp.asarray(RNG.uniform(-20, 20, NA),
+                                  jnp.float32),
+                  M0b=jnp.asarray(RNG.uniform(0.05, 0.3, NA),
+                                  jnp.float32),
+                  phi_ex=jnp.asarray(RNG.uniform(0, 2 * np.pi, NA),
+                                     jnp.float32))
+        b1 = jnp.asarray(RNG.uniform(0.7, 1.3, NA), jnp.float32)
+        ref = epg.epgx_cpmg(b1[:, None] * self.CFLIPS, **kw)
+        out = epgx_cpmg_pallas(self.CFLIPS, b1=b1, tile=128,
+                               interpret=True, **kw)
+        assert float(jnp.max(jnp.abs(out - ref))) < 3e-6
+
+    def test_backend_kwarg_dispatch(self):
+        out = epg.epgx_cpmg(self.CFLIPS, backend='pallas', **self.KW)
+        ref = epgx_cpmg_pallas(self.CFLIPS, tile=128, interpret=True,
+                               **self.KW)
         assert float(jnp.max(jnp.abs(out - ref))) < 3e-6
 
 
