@@ -561,6 +561,23 @@ def bench_mrf():
     genxc = jax.jit(lambda d: epg.epgx_cpmg(cflips, esp=0.01,
                                             backend='pallas', **d))
     txc = _timeit(genxc, {k: v for k, v in xkw.items()}, repeats=4)
+    # dictionary MATCHING (ops/mrf): rank-16 compressed matched filter
+    # over a whole volume — phase rotation applied in the compressed
+    # space (e^{iθ}d → cosθ·d_c + sinθ·J_c d_c, J-invariant basis)
+    from mrphy_tpu.ops import mrf as _mrf
+    nV = int(os.environ.get('MRPHY_MRF_VOX', 1 << 20))
+    Dd = gen(T1, T2)
+    basis = _mrf.svd_basis(Dd, rank=16)
+    Dc = _mrf.compress(Dd, basis)
+    ks = jnp.asarray(rng.integers(0, natoms, nV))
+    ph = jnp.asarray(rng.uniform(-np.pi, np.pi, nV), jnp.float32)
+    Xc = (jnp.cos(ph)[:, None] * Dc[ks]
+          + jnp.sin(ph)[:, None] * (Dc[ks] @ basis.jc.T))
+    matchc = jax.jit(lambda d, x: _mrf.dict_match_compressed(
+        d, x, basis))
+    res = matchc(Dc, Xc)
+    acc = float(jnp.mean((res.idx == ks).astype(jnp.float32)))
+    tmatch = _timeit(matchc, Dc, Xc, repeats=4)
     return {'metric': f'MRF dictionary: {natoms} atoms x {ntr} TR '
                       '(K=48) epg_spgr (fused pallas)',
             'value': round(natoms / tp, 0), 'unit': 'atoms/s',
@@ -570,7 +587,9 @@ def bench_mrf():
             'epgx_pallas_atoms_per_s': round(natoms / tx, 0),
             'cpmg32_pallas_Mvox_per_s': round(natoms / tc / 1e6, 2),
             'epgx_cpmg32_pallas_Mvox_per_s': round(
-                natoms / txc / 1e6, 2)}
+                natoms / txc / 1e6, 2),
+            'match_r16_Mvox_per_s': round(nV / tmatch / 1e6, 2),
+            'match_acc': round(acc, 4)}
 
 
 ALL = {'tiny': bench_tiny, 'freeprec32': bench_freeprec32,

@@ -9,12 +9,17 @@ evolutions. This demo exercises the TPU-shaped EPG machinery end to end:
    ALL (T1, T2) atoms at once — the atom grid rides the voxel batch
    axis, so generation vectorizes over lanes and the echo train is one
    ``lax.scan``.
-2. **Matching**: normalized inner products of the probe signal against
-   every atom = one matmul (MXU work), argmax picks the atom.
-3. **Refinement**: the dictionary quantizes (T1, T2) to its grid;
-   gradient descent THROUGH the simulator (Adam on log-params, started
-   from the matched atom) recovers continuous values below grid
-   resolution — the capability a lookup table alone cannot provide.
+2. **Compression + matching** (:mod:`mrphy_tpu.ops.mrf`): an SVD
+   temporal subspace shrinks the time axis ~20×
+   (:func:`~mrphy_tpu.ops.mrf.svd_basis`), then
+   :func:`~mrphy_tpu.ops.mrf.dict_match` streams blockwise MXU matmuls
+   with a running argmax — phase-invariant complex-modulus scores, the
+   complex scale (proton density × receive phase) returned in ``m0``.
+3. **Refinement** (:func:`~mrphy_tpu.ops.mrf.match_refine`): the
+   dictionary quantizes (T1, T2) to its grid; gradient descent THROUGH
+   the simulator (Adam on log-params, started from the matched atom)
+   recovers continuous values below grid resolution — the capability a
+   lookup table alone cannot provide.
 
 With ``--seq bssfp`` the train is the ORIGINAL MRF sequence (Ma et al.,
 Nature 495:187, 2013): balanced SSFP with variable flips, whose signal
@@ -53,8 +58,7 @@ def main():
 
     import jax
     import jax.numpy as jnp
-    import optax
-    from mrphy_tpu.ops import epg, ssfp
+    from mrphy_tpu.ops import epg, mrf, ssfp
 
     nTR, tr = args.ntr, args.tr
     # classic MRF flip schedule: smooth sinusoidal lobes, 10–70 deg
@@ -102,30 +106,51 @@ def main():
         D = signals(atoms_T1, atoms_T2, atoms_df, backend='pallas')
     else:
         D = gen(atoms_T1, atoms_T2, atoms_df)        # (nA, nTR, 2)
-    Dn = D.reshape(nA, -1)
-    Dn = Dn / jnp.linalg.norm(Dn, axis=1, keepdims=True)
 
-    # probe voxel: ground truth intentionally OFF-grid
+    # SVD temporal compression (ops/mrf): the smooth signal manifold
+    # collapses to a few dozen coefficients; complex (phase-invariant)
+    # scores survive because the pair basis is J-invariant
+    basis = mrf.svd_basis(D, energy=1 - 1e-8)
+    Dc = mrf.compress(D, basis)
+
+    # probe voxel: ground truth intentionally OFF-grid, with a receive
+    # phase the matched filter must be invariant to
     T1_true, T2_true = 0.83, 0.067
     df_true = 13.0 if args.seq == 'bssfp' else 0.0
     probe = gen(jnp.asarray(T1_true), jnp.asarray(T2_true),
-                jnp.asarray(df_true)).reshape(-1)
+                jnp.asarray(df_true))                # (nTR, 2)
+    ph = 0.6
+    probe0 = probe
+    probe = jnp.stack(
+        [np.cos(ph) * probe[..., 0] - np.sin(ph) * probe[..., 1],
+         np.sin(ph) * probe[..., 0] + np.cos(ph) * probe[..., 1]], -1)
     if args.noise > 0:
         probe = probe + args.noise * jax.random.normal(
             jax.random.PRNGKey(0), probe.shape)
-    pn = probe / jnp.linalg.norm(probe)
 
-    # matching: one matmul over the dictionary (MXU), argmax
-    scores = Dn @ pn                                  # (nA,)
-    best = int(jnp.argmax(scores))
+    # matching: streamed MXU matmuls in the compressed subspace (the
+    # unrotated copy rides along to demonstrate m0 phase recovery:
+    # the matched atom itself sits a small phase off the off-grid
+    # truth, but the m0 phase DIFFERENCE rotated-vs-unrotated is the
+    # receive phase exactly)
+    res = mrf.dict_match_compressed(
+        Dc, jnp.stack([probe, probe0]), basis)
+    best = int(res.idx[0])
     T1_m, T2_m = float(atoms_T1[best]), float(atoms_T2[best])
     df_m = float(atoms_df[best])
-    print(f'{nA} atoms x {nTR} TRs ({args.seq}); truth '
+    print(f'{nA} atoms x {nTR} TRs ({args.seq}), compressed '
+          f'{basis.B.shape[0]} -> {basis.B.shape[1]}; truth '
           f'T1={T1_true*1e3:.0f} ms T2={T2_true*1e3:.1f} ms'
           + (f' df={df_true:.1f} Hz' if args.seq == 'bssfp' else ''))
+    m0 = np.asarray(res.m0)                           # (2, 2)
+    rx = (np.arctan2(m0[0, 1], m0[0, 0])
+          - np.arctan2(m0[1, 1], m0[1, 0]))
     print(f'match: T1={T1_m*1e3:.0f} ms, T2={T2_m*1e3:.1f} ms'
           + (f', df={df_m:.1f} Hz' if args.seq == 'bssfp' else '')
-          + f' (score {float(scores[best]):.5f})')
+          + f' (rx phase {rx:.3f} rad)')
+    if args.noise == 0:
+        assert int(res.idx[1]) == best                # same atom wins
+        assert abs(rx - ph) < 1e-4, rx                # exact recovery
     # the match lands on the nearest grid atoms (log-spacing ratios)
     rat1 = float(T1s[1] / T1s[0])
     rat2 = float(T2s[1] / T2s[0])
@@ -136,27 +161,13 @@ def main():
 
     # refinement: continuous fit through the simulator from the match
     # (df parametrized in units of 100 Hz so one Adam step is ~2 Hz)
-    def loss(p):
-        s = signals(jnp.exp(p[0]), jnp.exp(p[1]),
-                    100.0 * p[2]).reshape(-1)
-        s = s / jnp.linalg.norm(s)
-        return -jnp.dot(s, pn)
+    def sig(p):
+        return signals(jnp.exp(p[0]), jnp.exp(p[1]), 100.0 * p[2])
 
-    p = jnp.concatenate([jnp.log(jnp.asarray([T1_m, T2_m])),
-                         jnp.asarray([df_m / 100.0])])
-    opt = optax.adam(0.02)
-
-    @jax.jit
-    def fit(p, st):
-        def body(carry, _):
-            p, st = carry
-            up, st = opt.update(jax.grad(loss)(p), st)
-            return (optax.apply_updates(p, up), st), None
-        (p, st), _ = jax.lax.scan(body, (p, st), None,
-                                  length=args.iters)
-        return p
-
-    p = fit(p, opt.init(p))
+    p0 = jnp.asarray([np.log(T1_m), np.log(T2_m), df_m / 100.0])
+    p, _ = mrf.match_refine(sig, p0[None], probe[None],
+                            iters=args.iters, lr=0.02)
+    p = p[0]
     T1_f, T2_f = float(jnp.exp(p[0])), float(jnp.exp(p[1]))
     df_f = 100.0 * float(p[2])
     e1 = abs(T1_f - T1_true) / T1_true

@@ -77,8 +77,12 @@ from mrphy_tpu.ops import beffective         # noqa: E402
 from mrphy_tpu.ops import sims               # noqa: E402
 from mrphy_tpu.ops import slowsims           # noqa: E402
 from mrphy_tpu.ops import epg                # noqa: E402
+from mrphy_tpu.ops import ssfp               # noqa: E402
+from mrphy_tpu.ops import mrf                # noqa: E402
 from mrphy_tpu.ops import signal             # noqa: E402
 from mrphy_tpu.ops import nufft              # noqa: E402
+from mrphy_tpu.ops import dixon              # noqa: E402
+from mrphy_tpu.ops import field              # noqa: E402
 from mrphy_tpu.models import mobjs           # noqa: E402
 from mrphy_tpu import parallel               # noqa: E402
 from mrphy_tpu import design                 # noqa: E402
@@ -91,10 +95,13 @@ import sys as _sys                           # noqa: E402
 
 for _name, _mod in (('beffective', beffective), ('sims', sims),
                     ('slowsims', slowsims), ('epg', epg),
+                    ('ssfp', ssfp), ('mrf', mrf),
                     ('signal', signal), ('nufft', nufft),
+                    ('dixon', dixon), ('field', field),
                     ('mobjs', mobjs)):
     _sys.modules[f'{__name__}.{_name}'] = _mod
 
 __all__ = ['gamH', 'γH', 'T1G', 'T2G', 'dt0', 'gmax0', 'smax0', 'rfmax0',
-           'utils', 'beffective', 'sims', 'slowsims', 'epg', 'signal',
-           'nufft', 'mobjs', 'parallel', 'design', 'tpu_is_available']
+           'utils', 'beffective', 'sims', 'slowsims', 'epg', 'ssfp',
+           'mrf', 'signal', 'nufft', 'dixon', 'field', 'mobjs',
+           'parallel', 'design', 'tpu_is_available']

@@ -35,7 +35,7 @@ __all__ = ['make_mesh', 'shard_spins', 'spin_pspec', 'blochsim_sharded',
            'blochsim_rfgr_sharded', 'rfgr_sharded_traceable',
            'oracle_sharded_traceable', 'oracle_freeprec_traceable',
            'mc_sharded_traceable', 'epg_cpmg_sharded_traceable',
-           'bssfp_train_sharded_traceable',
+           'bssfp_train_sharded_traceable', 'dict_match_sharded_traceable',
            'signal_sharded_traceable', 'signal_adjoint_sharded_traceable',
            'nufft_sharded_traceable', 'nufft_adjoint_sharded_traceable',
            'epgx_train_sharded_traceable',
@@ -496,6 +496,71 @@ def _bssfp_sharded_jit(mesh: Mesh, vnames: tuple, rnames: tuple,
                           out_specs=P(SPIN_AXIS, None, None),
                           check_vma=False)
         return f(flips, *vals)
+
+    return jax.jit(run)
+
+
+def dict_match_sharded_traceable(mesh: Mesh, D, probes, *,
+                                 block_atoms: int = 8192, pair=None,
+                                 basis=None):
+    r"""shard_map-wrapped :func:`mrphy_tpu.ops.mrf.dict_match` (and the
+    compressed variant when ``basis`` is given): the dictionary
+    replicates — every chip streams the full atom set against ITS voxel
+    shard — and ``probes`` `(nV, *tail)` (or `(nV, r)` compressed)
+    shard on the mesh's spin axis. Communication-free: matching is an
+    independent per-voxel argmax. Returns a
+    :class:`~mrphy_tpu.ops.mrf.MatchResult` with voxel-sharded fields."""
+    import jax.numpy as jnp
+
+    D = jnp.asarray(D)
+    probes = jnp.asarray(probes)
+    sp = mesh.shape[SPIN_AXIS]
+    assert probes.ndim >= 2, 'mesh= needs a leading (nV, ...) voxel axis'
+    nV = probes.shape[0]
+    assert nV % sp == 0, (f'nV={nV} not divisible by spin mesh extent '
+                          f'{sp}')
+    pair = None if pair is None else bool(pair)
+    if basis is None:
+        f = _dict_match_sharded_jit(mesh, probes.ndim,
+                                    int(block_atoms), pair, None, False)
+        return f(D, probes)
+    f = _dict_match_sharded_jit(mesh, probes.ndim, int(block_atoms),
+                                pair, tuple(basis.tail),
+                                basis.jc is not None)
+    args = (D, probes, basis.B) + (
+        (basis.jc,) if basis.jc is not None else ())
+    return f(*args)
+
+
+@_functools.lru_cache(maxsize=None)
+def _dict_match_sharded_jit(mesh: Mesh, pdim: int, block: int, pair,
+                            tail, has_jc: bool):
+    r"""Cached jit of the voxel-sharded dictionary match (see
+    :func:`_elementwise_jit` for why eager shard_map is avoided)."""
+    from mrphy_tpu.ops import mrf as _mrf
+
+    vox = P(SPIN_AXIS, *([None] * (pdim - 1)))
+    out = _mrf.MatchResult(P(SPIN_AXIS), P(SPIN_AXIS),
+                           P(SPIN_AXIS, None))
+
+    if tail is None:
+        def body(D, X):
+            return _mrf.dict_match(D, X, block_atoms=block, pair=pair)
+
+        in_specs = (P(), vox)
+    else:
+        def body(D, X, B, *jcs):
+            b = _mrf.Basis(B=B, jc=jcs[0] if jcs else None,
+                           s=B[:0, 0], tail=tail)
+            return _mrf.dict_match_compressed(D, X, b,
+                                              block_atoms=block)
+
+        in_specs = (P(), vox, P()) + ((P(),) if has_jc else ())
+
+    def run(*vals):
+        f = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                          out_specs=out, check_vma=False)
+        return f(*vals)
 
     return jax.jit(run)
 

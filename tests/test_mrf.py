@@ -1,0 +1,204 @@
+r"""MRF dictionary compression / matching / refinement tests.
+
+Oracles: exact-atom recovery under random complex scales (the matched
+filter must be phase/scale-invariant and return the scale in ``m0``),
+algebraic identities of the pair-rotation operator J, compressed-vs-full
+match identity at full rank, and refinement below grid quantization
+(the example's assertion promoted to a test).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mrphy_tpu.ops import epg, mrf
+
+
+def _spgr_dict(nTR=60, nt1=10, nt2=8, tr=0.012):
+    t = np.arange(nTR)
+    flips = jnp.asarray(np.deg2rad(
+        10 + 50 * np.abs(np.sin(np.pi * t / 40))))
+    phis = epg.rf_spoil_phases(nTR)
+    T1s = np.geomspace(0.3, 2.5, nt1)
+    T2s = np.geomspace(0.03, 0.3, nt2)
+    T1g, T2g = np.meshgrid(T1s, T2s, indexing='ij')
+    keep = T2g < T1g
+    T1a, T2a = jnp.asarray(T1g[keep]), jnp.asarray(T2g[keep])
+    D = epg.epg_spgr(flips, phis, T1=T1a, T2=T2a, tr=tr, te=tr / 2,
+                     K=48)
+    return D, T1a, T2a, (flips, phis, tr)
+
+
+def _scale_pair(d, c, phi):
+    r"""x = c·e^{iφ}·d in re/im pairs."""
+    re = c * (np.cos(phi) * d[..., 0] - np.sin(phi) * d[..., 1])
+    im = c * (np.sin(phi) * d[..., 0] + np.cos(phi) * d[..., 1])
+    return jnp.stack([re, im], -1)
+
+
+def test_pair_rotate_algebra():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((5, 7, 2)))
+    d = jnp.asarray(rng.standard_normal((5, 7, 2)))
+    assert jnp.allclose(mrf.pair_rotate(mrf.pair_rotate(x)), -x)
+    # J antisymmetric under the flattened real dot
+    dot = lambda a, b: jnp.sum(a * b)
+    assert jnp.allclose(dot(d, mrf.pair_rotate(x)),
+                        -dot(mrf.pair_rotate(d), x))
+
+
+def test_match_exact_atoms_complex_scale():
+    D, T1a, T2a, _ = _spgr_dict()
+    nA = D.shape[0]
+    rng = np.random.default_rng(1)
+    ks = rng.integers(0, nA, size=6)
+    cs = rng.uniform(0.5, 2.0, size=6)
+    phs = rng.uniform(-np.pi, np.pi, size=6)
+    probes = jnp.stack([_scale_pair(D[k], c, p)
+                        for k, c, p in zip(ks, cs, phs)]).reshape(
+                            2, 3, -1, 2)
+    res = mrf.dict_match(D, probes)
+    assert res.idx.shape == (2, 3) and res.m0.shape == (2, 3, 2)
+    assert np.array_equal(np.asarray(res.idx).ravel(), ks)
+    nrm = np.linalg.norm(np.asarray(D).reshape(nA, -1), axis=1)
+    # score = |⟨d̂, x⟩| = c·‖d‖ ; m0 = c·e^{iφ}
+    assert np.allclose(np.asarray(res.score).ravel(), cs * nrm[ks],
+                       rtol=1e-6)
+    m0 = np.asarray(res.m0).reshape(-1, 2)
+    assert np.allclose(m0[:, 0], cs * np.cos(phs), rtol=1e-5,
+                       atol=1e-8)
+    assert np.allclose(m0[:, 1], cs * np.sin(phs), rtol=1e-5,
+                       atol=1e-8)
+
+
+def test_match_real_signals_m0():
+    rng = np.random.default_rng(2)
+    D = jnp.asarray(rng.standard_normal((37, 50)))
+    ks = np.array([3, 19, 36, 0])
+    cs = np.array([0.7, 1.3, 2.2, 1.0])
+    probes = jnp.asarray(cs[:, None] * np.asarray(D)[ks])
+    res = mrf.dict_match(D, probes)
+    assert np.array_equal(np.asarray(res.idx), ks)
+    nrm2 = np.sum(np.asarray(D)[ks] ** 2, axis=1)
+    # m0 = ⟨d, x⟩/‖d‖² = c ; imaginary half identically zero
+    assert np.allclose(np.asarray(res.m0)[:, 0], cs, rtol=1e-9)
+    assert np.all(np.asarray(res.m0)[:, 1] == 0)
+    assert np.allclose(np.asarray(res.score),
+                       cs * np.sqrt(nrm2), rtol=1e-9)
+
+
+def test_block_streaming_invariance():
+    D, *_ = _spgr_dict(nt1=8, nt2=6)
+    rng = np.random.default_rng(3)
+    probes = jnp.asarray(rng.standard_normal((11, D.shape[1], 2)))
+    full = mrf.dict_match(D, probes, block_atoms=int(D.shape[0]))
+    blk = mrf.dict_match(D, probes, block_atoms=7)   # non-divisor
+    assert np.array_equal(np.asarray(full.idx), np.asarray(blk.idx))
+    assert np.allclose(np.asarray(full.score), np.asarray(blk.score))
+    assert np.allclose(np.asarray(full.m0), np.asarray(blk.m0))
+
+
+def test_svd_basis_invariants():
+    D, *_ = _spgr_dict()
+    basis = mrf.svd_basis(D, energy=0.99999)
+    B, jc = basis.B, basis.jc
+    r = B.shape[1]
+    assert r % 2 == 0 and jc is not None and jc.shape == (r, r)
+    assert jnp.allclose(B.T @ B, jnp.eye(r), atol=1e-10)
+    # J-invariant subspace: jc is the restriction of J — antisymmetric
+    # with jc² = −I (holds exactly only if span(B) is J-closed)
+    assert jnp.allclose(jc.T, -jc, atol=1e-8)
+    assert jnp.allclose(jc @ jc, -jnp.eye(r), atol=1e-6)
+    assert np.all(np.diff(np.asarray(basis.s)) <= 1e-9)
+
+
+def test_compress_preserves_complex_scores():
+    D, *_ = _spgr_dict()
+    basis = mrf.svd_basis(D, energy=1.0 - 1e-12)   # (near-)full rank
+    Dc = mrf.compress(D, basis)
+    rng = np.random.default_rng(4)
+    ks = rng.integers(0, D.shape[0], size=5)
+    phs = rng.uniform(-np.pi, np.pi, size=5)
+    probes = jnp.stack([_scale_pair(D[k], 1.0, p)
+                        for k, p in zip(ks, phs)])
+    full = mrf.dict_match(D, probes)
+    comp = mrf.dict_match_compressed(Dc, probes, basis)
+    assert np.array_equal(np.asarray(full.idx), np.asarray(comp.idx))
+    assert np.allclose(np.asarray(full.score), np.asarray(comp.score),
+                       rtol=1e-8)
+    assert np.allclose(np.asarray(full.m0), np.asarray(comp.m0),
+                       rtol=1e-6, atol=1e-9)
+
+
+def test_compressed_lowrank_match():
+    D, T1a, T2a, _ = _spgr_dict(nt1=14, nt2=12)
+    basis = mrf.svd_basis(D, rank=8)
+    assert basis.B.shape[1] == 8
+    # smooth SPGR manifold: rank-8 keeps ≫99.9% of the energy
+    s2 = np.asarray(basis.s) ** 2
+    assert s2[:8].sum() / s2.sum() > 0.999
+    Dc = mrf.compress(D, basis)
+    rng = np.random.default_rng(5)
+    ks = rng.integers(0, D.shape[0], size=8)
+    phs = rng.uniform(-np.pi, np.pi, size=8)
+    probes = jnp.stack([_scale_pair(D[k], 1.3, p)
+                        for k, p in zip(ks, phs)])
+    # compressed probes accepted directly too
+    comp = mrf.dict_match_compressed(Dc, mrf.compress(probes, basis),
+                                     basis)
+    assert np.array_equal(np.asarray(comp.idx), ks)
+    m0 = np.asarray(comp.m0)
+    assert np.allclose(np.hypot(m0[:, 0], m0[:, 1]), 1.3, rtol=1e-3)
+
+
+def test_sharded_match_parity():
+    from mrphy_tpu.parallel import make_mesh
+    D, *_ = _spgr_dict(nt1=8, nt2=6)
+    rng = np.random.default_rng(6)
+    ks = rng.integers(0, D.shape[0], size=16)
+    phs = rng.uniform(-np.pi, np.pi, size=16)
+    probes = jnp.stack([_scale_pair(D[k], 1.1, p)
+                        for k, p in zip(ks, phs)])
+    mesh = make_mesh()                                # 1 x 8
+    ref = mrf.dict_match(D, probes)
+    sh = mrf.dict_match(D, probes, mesh=mesh, block_atoms=7)
+    assert np.array_equal(np.asarray(ref.idx), np.asarray(sh.idx))
+    assert np.allclose(np.asarray(ref.score), np.asarray(sh.score))
+    assert np.allclose(np.asarray(ref.m0), np.asarray(sh.m0))
+    # compressed path under the mesh, raw and pre-compressed probes
+    basis = mrf.svd_basis(D, rank=10)
+    Dc = mrf.compress(D, basis)
+    cref = mrf.dict_match_compressed(Dc, probes, basis)
+    csh = mrf.dict_match_compressed(Dc, probes, basis, mesh=mesh)
+    csh2 = mrf.dict_match_compressed(Dc, mrf.compress(probes, basis),
+                                     basis, mesh=mesh)
+    for c in (csh, csh2):
+        assert np.array_equal(np.asarray(cref.idx), np.asarray(c.idx))
+        assert np.allclose(np.asarray(cref.score), np.asarray(c.score))
+        assert np.allclose(np.asarray(cref.m0), np.asarray(c.m0))
+
+
+def test_match_refine_below_grid():
+    D, T1a, T2a, (flips, phis, tr) = _spgr_dict(nTR=50, nt1=8, nt2=6)
+    T1_true, T2_true = 0.83, 0.067     # intentionally off-grid
+    truth = epg.epg_spgr(flips, phis, T1=jnp.asarray([T1_true, 1.4]),
+                         T2=jnp.asarray([T2_true, 0.11]), tr=tr,
+                         te=tr / 2, K=48)
+    probes = _scale_pair(truth, 1.0, 0.7)          # receive phase
+    res = mrf.dict_match(D, probes)
+    p0 = jnp.log(jnp.stack([T1a[res.idx], T2a[res.idx]], -1))
+
+    def sig(p):
+        return epg.epg_spgr(flips, phis, T1=jnp.exp(p[0]),
+                            T2=jnp.exp(p[1]), tr=tr, te=tr / 2, K=48)
+
+    p, score = mrf.match_refine(sig, p0, probes, iters=300, lr=0.02)
+    T1f, T2f = np.exp(np.asarray(p[..., 0])), np.exp(
+        np.asarray(p[..., 1]))
+    for i, (t1t, t2t) in enumerate([(T1_true, 0.067), (1.4, 0.11)]):
+        e1 = abs(T1f[i] - t1t) / t1t
+        e2 = abs(T2f[i] - t2t) / t2t
+        assert e1 < 0.01 and e2 < 0.01, (i, T1f[i], T2f[i])
+        # beats the matched atom's quantization
+        assert e1 <= abs(float(T1a[res.idx[i]]) - t1t) / t1t + 1e-9
+    assert np.all(np.asarray(score) > 0.99999)
