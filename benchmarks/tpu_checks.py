@@ -434,6 +434,95 @@ def _sincos_sweep():
     return ok
 
 
+def _sincos_cycles_exp_sweep():
+    r"""Compiled cycles-domain sincos (`ops/signal_pallas._sincos_m2pi`,
+    phase in cycles — k·x reaches ~N/2, df·t a few hundred) and the
+    base-e fast exp (`_fast_exp`, decay range) vs numpy f64."""
+    from mrphy_tpu.ops import signal_pallas as sp
+    phi = jnp.asarray(np.concatenate([
+        np.random.default_rng(5).uniform(-1000, 1000, 200001),
+        np.linspace(-0.5, 0.5, 4097),
+        [0.0, 0.25, -0.25, 0.5, 511.75, -511.75]]), DT32)
+    s, c = jax.jit(sp._sincos_m2pi)(phi)
+    ref = np.exp(-2j * np.pi * np.asarray(phi, np.float64))
+    es = float(np.max(np.abs(np.asarray(s) - ref.imag)))
+    ec = float(np.max(np.abs(np.asarray(c) - ref.real)))
+    y = jnp.asarray(-np.concatenate([np.linspace(0, 86.9, 100001),
+                                     10**np.linspace(-8, 1.9, 10001)]),
+                    DT32)
+    e = np.asarray(jax.jit(sp._fast_exp)(y), np.float64)
+    rexp = np.exp(np.asarray(y, np.float64))
+    ee = float(np.max(np.abs(e - rexp) / rexp))
+    ok = es < 4e-7 and ec < 4e-7 and ee < 4e-7
+    _record('sincos_cycles_exp_sweep', ok,
+            f'sin {es:.2e}, cos {ec:.2e} over ±1000 cycles; '
+            f'exp rel {ee:.2e} over (-87, 0] (tol 4e-7)')
+    return ok
+
+
+def _mrf_match_parity():
+    r"""Fused Pallas matcher (ops/mrf_pallas.py) vs the XLA matcher,
+    compiled on the real chip: identical argmax indices, matching
+    scores/m0. Uses a realistic SPGR dictionary (near-degenerate
+    neighbors — exactly where dot-precision regressions would flip
+    winners) plus random-phase probes."""
+    from mrphy_tpu.ops import epg, mrf
+    rng = np.random.default_rng(11)
+    nTR = 200
+    t = np.arange(nTR)
+    flips = jnp.asarray(np.deg2rad(10 + 60 * np.abs(
+        np.sin(np.pi * t / 75))), DT32)
+    phis = epg.rf_spoil_phases(nTR).astype(DT32)
+    T1g, T2g = np.meshgrid(np.geomspace(0.2, 4.0, 96),
+                           np.geomspace(0.015, 0.5, 64),
+                           indexing='ij')
+    D = epg.epg_spgr(flips, phis, T1=jnp.asarray(T1g.ravel(), DT32),
+                     T2=jnp.asarray(T2g.ravel(), DT32), tr=0.012,
+                     backend='pallas')
+    basis = mrf.svd_basis(D, rank=16)
+    Dc = mrf.compress(D, basis)
+    nV = 40000                                  # non-multiples of 128
+    ks = jnp.asarray(rng.integers(0, Dc.shape[0], nV))
+    ph = jnp.asarray(rng.uniform(-np.pi, np.pi, nV), DT32)
+    Xc = (jnp.cos(ph)[:, None] * Dc[ks]
+          + jnp.sin(ph)[:, None] * (Dc[ks] @ basis.jc.T))
+    r_x = jax.jit(lambda d, x: mrf.dict_match_compressed(
+        d, x, basis, backend='xla'))(Dc, Xc)
+    r_p = jax.jit(lambda d, x: mrf.dict_match_compressed(
+        d, x, basis, backend='pallas'))(Dc, Xc)
+    agree = float(np.mean(np.asarray(r_x.idx) == np.asarray(r_p.idx)))
+    rel_s = _rel(r_p.score, r_x.score)
+    rel_m = _rel(r_p.m0, r_x.m0)
+    # near-ties may legitimately flip under a different summation
+    # order; demand >=99.9% agreement and tight score parity
+    ok = agree >= 0.999 and rel_s < 1e-5 and rel_m < 1e-3
+    _record('mrf_match_kernel', ok,
+            f'idx agree {agree:.5f}, score rel {rel_s:.1e}, '
+            f'm0 rel {rel_m:.1e} ({Dc.shape[0]} atoms, {nV} voxels)')
+
+    # opt-in precision='high' knob (bf16x3, half the MXU passes):
+    # flips ARE expected between near-degenerate atoms, but every flip
+    # must be a near-tie — the winner's score must still match the
+    # true best — and scores stay within the bf16x3 error bound.
+    from mrphy_tpu.ops.mrf import _match_flat_pallas
+    nrm = jnp.linalg.norm(Dc, axis=1)
+    Dn = Dc / jnp.maximum(nrm, 1e-30)[:, None]
+    Dim = jnp.matmul(Dn, basis.jc.T,
+                     precision=jax.lax.Precision.HIGHEST)
+    idx_h, score_h, _ = jax.jit(lambda d, di, x, n: _match_flat_pallas(
+        d, di, x, n, pairlike=True, precision='high'))(Dn, Dim, Xc, nrm)
+    rel_sh = _rel(score_h, r_x.score)
+    tie_ok = float(np.mean(
+        (np.asarray(idx_h) == np.asarray(r_x.idx))
+        | (np.abs(np.asarray(score_h) - np.asarray(r_x.score))
+           <= 5e-5 * np.abs(np.asarray(r_x.score)))))
+    ok_h = rel_sh < 5e-5 and tie_ok >= 0.9999
+    _record('mrf_match_kernel_high', ok_h,
+            f'score rel {rel_sh:.1e} (tol 5e-5), tie-aware agree '
+            f'{tie_ok:.5f} (>=0.9999)')
+    return ok and ok_h
+
+
 def _nufft_parity():
     r"""Gridding NUFFT (ops/nufft.py) vs the exact signal operator, f32
     on the real chip: the DFT-stage tensordots and the Toeplitz
@@ -577,6 +666,9 @@ def main():
     _batched(nM=nM, nT=nT, interpret=args.interpret)
     _signal_parity(nM=nM, nT=nT, interpret=args.interpret)
     _sincos_sweep()
+    _sincos_cycles_exp_sweep()
+    if not args.interpret:
+        _mrf_match_parity()
     _nufft_parity()
     _epg_kernel_parity(interpret=args.interpret)
     _cpmg_kernel_parity(interpret=args.interpret)

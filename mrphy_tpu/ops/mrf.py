@@ -15,11 +15,12 @@ Design notes (TPU-first):
   complex arithmetic (modulus matching, phase-invariant scores, complex
   proton density) is spelled out in pair arithmetic. Plain real signals
   ``(..., nT)`` work too (``pair`` auto-detected from the trailing 2).
-- **Matching = streamed matmuls.** ``dict_match`` scans over atom
-  blocks with a running argmax carry: the ``(nV, block)`` score tile is
-  one MXU matmul (``precision=HIGHEST`` — bf16-input scores can flip
-  the argmax between close atoms), and memory stays
-  ``O(nV · block)`` whatever the dictionary size.
+- **Matching = chunked matmuls.** ``dict_match`` scans over PROBE
+  chunks with the full atom axis per chunk: one MXU matmul
+  (``precision=HIGHEST`` — bf16-input scores can flip the argmax
+  between close atoms) plus a single-pass row argmax, no in-loop
+  gathers (which serialize on TPU). Memory stays ``O(chunk · nA)``
+  whatever the probe count.
 - **Compression is a Gram eigendecomposition** (McGivney et al., IEEE
   TMI 33(12):2311, 2014): the ``(nT, nT)`` Gram of the dictionary is
   tiny next to ``(nA, nT)``, so the SVD cost is one big matmul plus an
@@ -163,64 +164,91 @@ def compress(x, basis: Basis):
     return out.reshape(batch + (out.shape[-1],))
 
 
-def _pad_blocks(D, block):
-    nA, nT = D.shape
-    nblk = -(-nA // block)
-    pad = nblk * block - nA
-    if pad:
-        D = jnp.concatenate([D, jnp.zeros((pad, nT), D.dtype)], 0)
-    return D.reshape(nblk, block, nT), nA
+def _pick_chunk(nV: int, nA: int) -> int:
+    r"""Probe-chunk size: cap the live `(chunk, nA)` score tile at
+    ~256M elements (1 GB f32; a few such tiles are alive at once —
+    measured 2× faster than 256 MB tiles at 64k atoms), keep the MXU
+    row dimension ≥ 256 when possible."""
+    c = max(256, (1 << 28) // max(1, nA))
+    return min(nV, c)
 
 
-@_functools.partial(jax.jit, static_argnames=('block', 'pairlike'))
-def _match_flat(Dre, Dim, X, nrm, nA_true, *, block: int,
-                pairlike: bool):
-    r"""Streaming argmax match in the flattened (or compressed) space.
+@_functools.partial(jax.jit, static_argnames=('chunk', 'pairlike'))
+def _match_flat(Dre, Dim, X, nrm, *, chunk: int, pairlike: bool):
+    r"""Argmax match in the flattened (or compressed) space.
 
     ``Dre``/``Dim``: `(nA, nT)` unit-norm atoms (+ their i-rotation;
     ``Dim`` is ignored when not pairlike). ``X``: `(nV, nT)` probes.
-    Scans atom blocks with a running-best carry — peak memory is the
-    `(nV, block)` score tile, not `(nV, nA)`."""
-    Dre_b, nA = _pad_blocks(Dre, block)
-    if pairlike:
-        Dim_b, _ = _pad_blocks(Dim, block)
-    else:
-        Dim_b = jnp.zeros((Dre_b.shape[0],) + (0, 0), Dre.dtype)
-    nV = X.shape[0]
-    neg = jnp.asarray(-jnp.inf, X.dtype)
 
-    def body(carry, inp):
-        b, dre, dim = inp
-        best, bidx, bre, bim = carry
-        sre = jnp.matmul(X, dre.T, precision=Precision.HIGHEST)
+    Chunks over PROBES with the full atom axis per chunk: each chunk is
+    one `(chunk, nT)·(nT, nA)` MXU matmul plus a single-pass row
+    max/argmax — no per-block gathers or running-best selects, which
+    serialize on TPU (the atom-streaming formulation this replaces
+    measured 26× off the matmul roofline). ``m0`` components are
+    recovered AFTER the loop with one row-gather of the winning atoms.
+    Peak memory is the `(chunk, nA)` score tile, never `(nV, nA)`."""
+    nA = Dre.shape[0]
+    nV, nT = X.shape
+    nck = -(-nV // chunk)
+    pad = nck * chunk - nV
+    Xb = (jnp.pad(X, ((0, pad), (0, 0))) if pad else X).reshape(
+        nck, chunk, nT)
+
+    def body(_, xc):
+        sre = jnp.matmul(xc, Dre.T, precision=Precision.HIGHEST)
         if pairlike:
-            sim = jnp.matmul(X, dim.T, precision=Precision.HIGHEST)
-            mag = sre * sre + sim * sim       # |⟨d̂,x⟩|² per (voxel, atom)
+            sim = jnp.matmul(xc, Dim.T, precision=Precision.HIGHEST)
+            mag = sre * sre + sim * sim    # |⟨d̂,x⟩|² per (voxel, atom)
         else:
-            sim = jnp.zeros_like(sre)
-            mag = sre                          # signed real correlation
-        gidx = (b.astype(jnp.int32) * block
-                + jnp.arange(block, dtype=jnp.int32))
-        mag = jnp.where(gidx[None, :] < nA_true, mag, neg)
-        bi = jnp.argmax(mag, axis=-1)
-        take = lambda s: jnp.take_along_axis(s, bi[:, None], 1)[:, 0]
-        bs = take(mag)
-        upd = bs > best
-        carry = (jnp.where(upd, bs, best),
-                 jnp.where(upd, gidx[bi], bidx),
-                 jnp.where(upd, take(sre), bre),
-                 jnp.where(upd, take(sim), bim))
-        return carry, None
+            mag = sre                      # signed real correlation
+        return None, (jnp.argmax(mag, -1).astype(jnp.int32),
+                      jnp.max(mag, -1))
 
-    init = (jnp.full((nV,), neg), jnp.zeros((nV,), jnp.int32),
-            jnp.zeros((nV,), X.dtype), jnp.zeros((nV,), X.dtype))
-    steps = jnp.arange(Dre_b.shape[0])
-    (best, idx, re, im), _ = jax.lax.scan(
-        body, init, (steps, Dre_b, Dim_b))
+    _, (idx, best) = jax.lax.scan(body, None, Xb)
+    idx, best = idx.reshape(-1)[:nV], best.reshape(-1)[:nV]
+    return _finish_match(Dre, Dim, X, nrm, idx, best,
+                         pairlike=pairlike)
+
+
+def _finish_match(Dre, Dim, X, nrm, idx, best, *, pairlike: bool):
+    r"""score/m0 from the winning atom per probe: one row-gather, then
+    row-wise dots (recomputing the two winning inner products is far
+    cheaper than carrying them through the search)."""
     score = jnp.sqrt(jnp.maximum(best, 0.0)) if pairlike else best
-    n_at = nrm[idx]
-    m0 = jnp.stack([re, im], -1) / jnp.maximum(n_at, 1e-30)[:, None]
+    re = jnp.sum(jnp.take(Dre, idx, axis=0) * X, -1)
+    im = (jnp.sum(jnp.take(Dim, idx, axis=0) * X, -1) if pairlike
+          else jnp.zeros_like(re))
+    m0 = (jnp.stack([re, im], -1)
+          / jnp.maximum(nrm[idx], 1e-30)[:, None])
     return idx, score, m0
+
+
+@_functools.partial(jax.jit, static_argnames=('pairlike', 'interpret',
+                                              'precision'))
+def _match_flat_pallas(Dre, Dim, X, nrm, *, pairlike: bool,
+                       interpret: bool = False,
+                       precision: str = 'highest'):
+    r"""Fused-kernel search (`ops/mrf_pallas.py`): scores never touch
+    HBM; m0 recovery reuses :func:`_finish_match`."""
+    from mrphy_tpu.ops import mrf_pallas
+    idx, best = mrf_pallas.match_core(Dre, Dim if pairlike else Dre[:1],
+                                      X, pairlike=pairlike,
+                                      precision=precision,
+                                      interpret=interpret)
+    return _finish_match(Dre, Dim, X, nrm, idx, best,
+                         pairlike=pairlike)
+
+
+def _use_pallas(backend: str, nA: int, nV: int, dtype) -> bool:
+    from mrphy_tpu.ops import mrf_pallas
+    if backend == 'pallas':
+        return True
+    if backend != 'auto':
+        return False
+    # the fused kernel wins at volume scale; below that the XLA
+    # matcher is already sub-ms and compiles much faster
+    return (nA >= 1024 and nV >= 32768
+            and mrf_pallas.is_available(dtype=dtype))
 
 
 def _prep_dict(D, pair):
@@ -237,8 +265,10 @@ def _prep_dict(D, pair):
     return Dn, Dim, nrm, p, tail
 
 
-def dict_match(D, probes, *, block_atoms: int = 8192,
-               pair: Optional[bool] = None, mesh=None) -> MatchResult:
+def dict_match(D, probes, *, chunk_probes: Optional[int] = None,
+               pair: Optional[bool] = None, backend: str = 'auto',
+               mesh=None, _pallas_interpret: bool = False
+               ) -> MatchResult:
     r"""Matched-filter dictionary search.
 
     Inputs:
@@ -246,10 +276,14 @@ def dict_match(D, probes, *, block_atoms: int = 8192,
         - ``probes``: `(*batch, nTR, 2)` (or `(*batch, nT)`) measured
           evolutions — any voxel batch shape.
     Optionals:
-        - ``block_atoms``: atoms per streamed MXU tile (memory knob:
-          peak live score tile is ``nV·block_atoms`` floats).
+        - ``chunk_probes``: probes per score tile (memory knob: the
+          peak live tile is `(chunk, nA)` floats; default caps it at
+          ~256 MB).
         - ``pair``: force/deny pair (re/im) semantics; default
           auto-detects a trailing axis of 2.
+        - ``backend``: ``'auto'`` (fused Pallas kernel at volume scale
+          on TPU, XLA otherwise), ``'xla'``, ``'pallas'``. The kernel
+          keeps score tiles in VMEM (:mod:`mrphy_tpu.ops.mrf_pallas`).
         - ``mesh``: a ``(batch, spins)`` :class:`jax.sharding.Mesh` —
           voxel-sharded matching (dictionary replicated, probes
           `(nV, *tail)` sharded; communication-free). See
@@ -265,23 +299,31 @@ def dict_match(D, probes, *, block_atoms: int = 8192,
     if mesh is not None:
         from mrphy_tpu.parallel.mesh import dict_match_sharded_traceable
         return dict_match_sharded_traceable(
-            mesh, D, probes, block_atoms=block_atoms, pair=pair)
+            mesh, D, probes, chunk_probes=chunk_probes, pair=pair)
     Dn, Dim, nrm, p, tail = _prep_dict(D, pair)
     probes = jnp.asarray(probes)
     Xf, batch = _flatten(probes, len(tail))
     assert Xf.shape[-1] == Dn.shape[-1], (probes.shape, D.shape)
     Xf = Xf.reshape(-1, Xf.shape[-1])
-    idx, score, m0 = _match_flat(
-        Dn, Dim if p else Dn[:0], Xf, nrm,
-        jnp.asarray(Dn.shape[0], jnp.int32),
-        block=min(block_atoms, max(1, Dn.shape[0])), pairlike=p)
+    if _use_pallas(backend, Dn.shape[0], Xf.shape[0], Xf.dtype) \
+            or _pallas_interpret:
+        idx, score, m0 = _match_flat_pallas(
+            Dn, Dim if p else Dn[:0], Xf, nrm, pairlike=p,
+            interpret=_pallas_interpret)
+    else:
+        chunk = int(chunk_probes
+                    or _pick_chunk(Xf.shape[0], Dn.shape[0]))
+        idx, score, m0 = _match_flat(
+            Dn, Dim if p else Dn[:0], Xf, nrm, chunk=chunk, pairlike=p)
     return MatchResult(idx.reshape(batch), score.reshape(batch),
                        m0.reshape(batch + (2,)))
 
 
 def dict_match_compressed(Dc, probes, basis: Basis, *,
-                          block_atoms: int = 8192,
-                          mesh=None) -> MatchResult:
+                          chunk_probes: Optional[int] = None,
+                          backend: str = 'auto', mesh=None,
+                          _pallas_interpret: bool = False
+                          ) -> MatchResult:
     r"""Dictionary search in the compressed subspace.
 
     Inputs:
@@ -299,7 +341,7 @@ def dict_match_compressed(Dc, probes, basis: Basis, *,
     if mesh is not None:
         from mrphy_tpu.parallel.mesh import dict_match_sharded_traceable
         return dict_match_sharded_traceable(
-            mesh, Dc, probes, block_atoms=block_atoms, basis=basis)
+            mesh, Dc, probes, chunk_probes=chunk_probes, basis=basis)
     Dc = jnp.asarray(Dc)
     probes = jnp.asarray(probes)
     tail = basis.tail
@@ -316,9 +358,16 @@ def dict_match_compressed(Dc, probes, basis: Basis, *,
     p = basis.jc is not None
     Dim = jnp.matmul(Dn, basis.jc.T,
                      precision=Precision.HIGHEST) if p else Dn[:0]
-    idx, score, m0 = _match_flat(
-        Dn, Dim, Xf, nrm, jnp.asarray(Dn.shape[0], jnp.int32),
-        block=min(block_atoms, max(1, Dn.shape[0])), pairlike=p)
+    if _use_pallas(backend, Dn.shape[0], Xf.shape[0], Xf.dtype) \
+            or _pallas_interpret:
+        idx, score, m0 = _match_flat_pallas(
+            Dn, Dim, Xf, nrm, pairlike=p,
+            interpret=_pallas_interpret)
+    else:
+        chunk = int(chunk_probes
+                    or _pick_chunk(Xf.shape[0], Dn.shape[0]))
+        idx, score, m0 = _match_flat(Dn, Dim, Xf, nrm, chunk=chunk,
+                                     pairlike=p)
     return MatchResult(idx.reshape(batch), score.reshape(batch),
                        m0.reshape(batch + (2,)))
 

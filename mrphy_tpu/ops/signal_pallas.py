@@ -43,6 +43,65 @@ _LANE = 128
 _DEF_SP = 512          # spins per tile (sublane extent)
 _2PI = 2 * math.pi
 
+# fast sincos of -2*pi*phi with phi in CYCLES. Mosaic's sin/cos pay a
+# full Cody-Waite radian reduction per call; in cycles the reduction is
+# exact arithmetic on half-integers (k = round(2*phi); phi - k/2 is an
+# exact f32 subtraction at any magnitude), so the pair costs ~22 VPU
+# mul-adds instead of two full transcendentals — and is MORE accurate
+# at large |phi| than reducing after the 2*pi multiply. Polynomials are
+# the minimax pair of ops/pallas_kernels (f32-exact, ~1e-7 on
+# [-pi/2, pi/2]); on-chip parity is pinned by tpu_checks'
+# signal_kernel check.
+_SIN_C = (-1.6666658774e-01, 8.3330584764e-03, -1.9809573982e-04,
+          2.6065399554e-06)
+_COS_C = (-4.9999999647e-01, 4.1666645172e-02, -1.3888464769e-03,
+          2.4765154176e-05, -2.6136419324e-07)
+
+
+_LOG2E = 1.4426950408889634
+_LN2_HI = 0.693145751953125          # exact in f32 (Cody–Waite split)
+_LN2_LO = 1.42860677e-06
+
+
+def _fast_exp(y):
+    r"""``exp(y)`` for the decay range ``y ∈ (−87, 0]``: ``k =
+    round(y·log2e)``, Cody–Waite residual ``r = y − k·ln2`` (exact —
+    the naive base-2 split loses ~5e-6 relative at |y|≈80 to the
+    rounding of ``y·log2e``), a 6-term ``e^r`` polynomial on
+    [−ln2/2, ln2/2] (~2e-7 relative), and the exact ``2^k`` scale
+    built in the exponent bits — ~16 VPU ops vs a full Mosaic
+    transcendental. Below y≈−87.3 the result clamps to ~2.9e-38
+    (true exp underflows f32 there anyway).
+
+    MEASURED NEGATIVE in the signal kernels (RESULTS.md round 2):
+    swapping it for ``jnp.exp`` there cost ~10% (150→164 ms fwd,
+    3 runs) — the int bitcast/shift path beats Mosaic's exp on
+    accuracy but not latency in this fusion. Kept (and f32-exactness
+    swept on-chip by tpu_checks' sincos_cycles_exp_sweep) for reuse
+    where exp dominates; the kernels use ``jnp.exp``."""
+    y = jnp.maximum(y, -87.3)            # keeps k ≥ −126 AND r in range
+    k = jnp.round(y * _LOG2E)
+    r = (y - k * _LN2_HI) - k * _LN2_LO
+    p = 1.0 + r * (1.0 + r * (0.5 + r * (
+        1.0 / 6 + r * (1.0 / 24 + r * (1.0 / 120 + r * (1.0 / 720))))))
+    ebits = (k.astype(jnp.int32) + 127) << 23
+    return p * jax.lax.bitcast_convert_type(ebits, jnp.float32)
+
+
+def _sincos_m2pi(phi):
+    r"""``(sin(-2π·phi), cos(-2π·phi))`` for ``phi`` in cycles (any
+    sign/magnitude below 2^22 cycles)."""
+    k = jnp.round(phi + phi)                     # nearest half-cycle
+    r = (phi - 0.5 * k) * (-_2PI)                # in [-pi/2, pi/2]
+    x = r * r
+    s1, s2, s3, s4 = _SIN_C
+    s = r * (1.0 + x * (s1 + x * (s2 + x * (s3 + x * s4))))
+    c1_, c2_, c3_, c4_, c5_ = _COS_C
+    c = 1.0 + x * (c1_ + x * (c2_ + x * (c3_ + x * (c4_ + x * c5_))))
+    half = k * 0.5
+    sgn = 1.0 - 4.0 * (half - jnp.floor(half))   # (-1)^k
+    return sgn * s, sgn * c
+
 
 def is_available(*, dtype, nC: int) -> bool:
     r"""Pallas signal path gate: TPU platform, f32, coil rows fit the
@@ -71,8 +130,7 @@ def _sig_fwd_kernel(has_df: bool, relax: bool, dt: float,
            + locz[...] * k[2:3, :])                          # (S, 128)
     if has_df:
         phi = phi + dfr[...] * tt
-    psi = -_2PI * phi
-    C, S = jnp.cos(psi), jnp.sin(psi)
+    S, C = _sincos_m2pi(phi)
     if relax:
         E = jnp.exp(-tt * it2[...])                          # (S, 128)
         C, S = C * E, S * E
@@ -105,8 +163,7 @@ def _sig_adj_kernel(has_df: bool, relax: bool, dt: float,
            + locz[...] * k[2:3, :])
     if has_df:
         phi = phi + dfr[...] * tt
-    psi = -_2PI * phi
-    C, S = jnp.cos(psi), jnp.sin(psi)
+    S, C = _sincos_m2pi(phi)
     if relax:
         E = jnp.exp(-tt * it2[...])
         C, S = C * E, S * E

@@ -501,11 +501,11 @@ def _bssfp_sharded_jit(mesh: Mesh, vnames: tuple, rnames: tuple,
 
 
 def dict_match_sharded_traceable(mesh: Mesh, D, probes, *,
-                                 block_atoms: int = 8192, pair=None,
+                                 chunk_probes=None, pair=None,
                                  basis=None):
     r"""shard_map-wrapped :func:`mrphy_tpu.ops.mrf.dict_match` (and the
     compressed variant when ``basis`` is given): the dictionary
-    replicates — every chip streams the full atom set against ITS voxel
+    replicates — every chip matches the full atom set against ITS voxel
     shard — and ``probes`` `(nV, *tail)` (or `(nV, r)` compressed)
     shard on the mesh's spin axis. Communication-free: matching is an
     independent per-voxel argmax. Returns a
@@ -520,11 +520,12 @@ def dict_match_sharded_traceable(mesh: Mesh, D, probes, *,
     assert nV % sp == 0, (f'nV={nV} not divisible by spin mesh extent '
                           f'{sp}')
     pair = None if pair is None else bool(pair)
+    chunk = None if chunk_probes is None else int(chunk_probes)
     if basis is None:
         f = _dict_match_sharded_jit(mesh, probes.ndim,
-                                    int(block_atoms), pair, None, False)
+                                    chunk, pair, None, False)
         return f(D, probes)
-    f = _dict_match_sharded_jit(mesh, probes.ndim, int(block_atoms),
+    f = _dict_match_sharded_jit(mesh, probes.ndim, chunk,
                                 pair, tuple(basis.tail),
                                 basis.jc is not None)
     args = (D, probes, basis.B) + (
@@ -533,7 +534,7 @@ def dict_match_sharded_traceable(mesh: Mesh, D, probes, *,
 
 
 @_functools.lru_cache(maxsize=None)
-def _dict_match_sharded_jit(mesh: Mesh, pdim: int, block: int, pair,
+def _dict_match_sharded_jit(mesh: Mesh, pdim: int, chunk, pair,
                             tail, has_jc: bool):
     r"""Cached jit of the voxel-sharded dictionary match (see
     :func:`_elementwise_jit` for why eager shard_map is avoided)."""
@@ -545,7 +546,7 @@ def _dict_match_sharded_jit(mesh: Mesh, pdim: int, block: int, pair,
 
     if tail is None:
         def body(D, X):
-            return _mrf.dict_match(D, X, block_atoms=block, pair=pair)
+            return _mrf.dict_match(D, X, chunk_probes=chunk, pair=pair)
 
         in_specs = (P(), vox)
     else:
@@ -553,7 +554,7 @@ def _dict_match_sharded_jit(mesh: Mesh, pdim: int, block: int, pair,
             b = _mrf.Basis(B=B, jc=jcs[0] if jcs else None,
                            s=B[:0, 0], tail=tail)
             return _mrf.dict_match_compressed(D, X, b,
-                                              block_atoms=block)
+                                              chunk_probes=chunk)
 
         in_specs = (P(), vox, P()) + ((P(),) if has_jc else ())
 

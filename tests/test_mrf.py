@@ -87,12 +87,42 @@ def test_match_real_signals_m0():
                        cs * np.sqrt(nrm2), rtol=1e-9)
 
 
-def test_block_streaming_invariance():
+def test_pallas_matcher_parity():
+    # fused-kernel search (interpret mode on CPU; compiled parity is
+    # pinned on-chip by benchmarks/tpu_checks.py::mrf_match_kernel)
+    D, T1a, T2a, _ = _spgr_dict(nt1=9, nt2=7)
+    rng = np.random.default_rng(7)
+    nV = 150                                   # non-multiple of 128
+    ks = rng.integers(0, D.shape[0], nV)
+    probes = jnp.stack([_scale_pair(D[k], 0.8, p) for k, p in
+                        zip(ks, rng.uniform(-np.pi, np.pi, nV))]
+                       ).astype(jnp.float32)
+    ref = mrf.dict_match(D.astype(jnp.float32), probes, backend='xla')
+    pk = mrf.dict_match(D.astype(jnp.float32), probes,
+                        _pallas_interpret=True)
+    assert np.array_equal(np.asarray(ref.idx), np.asarray(pk.idx))
+    # default precision='highest' (bf16x6) matches the XLA/HIGHEST
+    # scores to f32 rounding
+    assert np.allclose(np.asarray(ref.score), np.asarray(pk.score),
+                       rtol=1e-5)
+    assert np.allclose(np.asarray(ref.m0), np.asarray(pk.m0),
+                       rtol=1e-5, atol=1e-7)
+    # real (non-pair) path too
+    Dr = D.reshape(D.shape[0], -1).astype(jnp.float32)
+    Xr = Dr[jnp.asarray(ks)] * 1.3
+    rr = mrf.dict_match(Dr, Xr, backend='xla')
+    rp = mrf.dict_match(Dr, Xr, _pallas_interpret=True)
+    assert np.array_equal(np.asarray(rr.idx), np.asarray(rp.idx))
+    assert np.allclose(np.asarray(rr.m0), np.asarray(rp.m0),
+                       rtol=1e-5, atol=1e-7)
+
+
+def test_chunk_invariance():
     D, *_ = _spgr_dict(nt1=8, nt2=6)
     rng = np.random.default_rng(3)
     probes = jnp.asarray(rng.standard_normal((11, D.shape[1], 2)))
-    full = mrf.dict_match(D, probes, block_atoms=int(D.shape[0]))
-    blk = mrf.dict_match(D, probes, block_atoms=7)   # non-divisor
+    full = mrf.dict_match(D, probes, chunk_probes=11)
+    blk = mrf.dict_match(D, probes, chunk_probes=4)   # non-divisor
     assert np.array_equal(np.asarray(full.idx), np.asarray(blk.idx))
     assert np.allclose(np.asarray(full.score), np.asarray(blk.score))
     assert np.allclose(np.asarray(full.m0), np.asarray(blk.m0))
@@ -161,7 +191,7 @@ def test_sharded_match_parity():
                         for k, p in zip(ks, phs)])
     mesh = make_mesh()                                # 1 x 8
     ref = mrf.dict_match(D, probes)
-    sh = mrf.dict_match(D, probes, mesh=mesh, block_atoms=7)
+    sh = mrf.dict_match(D, probes, mesh=mesh, chunk_probes=4)
     assert np.array_equal(np.asarray(ref.idx), np.asarray(sh.idx))
     assert np.allclose(np.asarray(ref.score), np.asarray(sh.score))
     assert np.allclose(np.asarray(ref.m0), np.asarray(sh.m0))

@@ -173,6 +173,23 @@ class TestSignalPallas:
         # both paths are f32; phase roundoff scales with signal size
         return 2e-5 * float(np.abs(np.asarray(s)).max()) + 1e-6
 
+    def test_sincos_m2pi_sweep(self):
+        # the cycles-domain fast sincos must hold f32 accuracy over the
+        # whole physical phase range (k.x reaches ~N/2 cycles; df.t a
+        # few hundred) — reduction is exact arithmetic on half-integers
+        from mrphy_tpu.ops.signal_pallas import _sincos_m2pi
+        rng = np.random.default_rng(3)
+        phi = np.concatenate([
+            rng.uniform(-1000.0, 1000.0, 1 << 16),
+            np.linspace(-0.5, 0.5, 4097),          # ties at +-0.25
+            np.asarray([0.0, 0.25, -0.25, 0.5, 511.75, -511.75])])
+        phi32 = jnp.asarray(phi, jnp.float32)
+        s, c = _sincos_m2pi(phi32)
+        ref = np.exp(-2j * np.pi * np.asarray(phi32, np.float64))
+        err = max(float(np.abs(np.asarray(s) - ref.imag).max()),
+                  float(np.abs(np.asarray(c) - ref.real).max()))
+        assert err < 4e-7, err
+
     def test_fwd_matches_xla(self):
         rng = np.random.default_rng(20)
         M, loc_, gr, k, df, T2s, sens = _problem(rng, nM=137, nT=97,
