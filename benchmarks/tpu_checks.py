@@ -386,6 +386,44 @@ def _epgx_mt_kernel_parity(interpret: bool):
             f'{nA} atoms x {nTR} TR, K={K}, bound-pool MT')
 
 
+def _mc_kernel_parity(interpret: bool, nM: int, nT: int):
+    r"""Fused two-pool Bloch–McConnell kernel (ops/mc_pallas.py) vs the
+    XLA core, f32, CEST-MRF-style per-voxel tissue/exchange maps: pins
+    the 6-plane state carry, the second (pool-b) sincos, and the
+    in-kernel exchange mix on the compiled Mosaic path."""
+    from mrphy_tpu import gamH
+    from mrphy_tpu.ops import mc
+    rng = np.random.default_rng(23)
+    N = 1
+    Mia = jnp.asarray(np.tile([0., 0., 1.], (N, nM, 1)), DT32)
+    Mib = 0.02 * Mia
+    loc = jnp.asarray(rng.random((N, nM, 3)) * 2 - 1, DT32)
+    df = jnp.asarray(rng.random((N, nM)) * 100 - 50, DT32)
+    b1 = jnp.asarray(np.stack([0.7 + rng.random((N, nM)) * .6,
+                               rng.random((N, nM)) * .1 - .05], -1), DT32)
+    rf = jnp.asarray(np.full((N, 2, nT), [[0.005], [0.0]]), DT32)
+    gr = jnp.asarray(rng.normal(size=(N, 3, nT)) * 0.1, DT32)
+    kab = jnp.asarray(rng.uniform(0.5, 5.0, (N, nM)), DT32)
+    kw = dict(T1a=1.2, T2a=0.06, T1b=1.0, T2b=0.01, kab=kab,
+              kba=kab * 50.0, Ma0=1.0, Mb0=0.02, dfb=750.0, df=df,
+              b1Map=b1, gam=gamH, dt=2e-4)
+
+    fx = jax.jit(lambda *a: mc.blochsim_mc_rfgr(*a, backend='xla', **kw))
+    ref = fx(Mia, Mib, rf, gr, loc)
+    if interpret:
+        out = mc.blochsim_mc_rfgr(Mia, Mib, rf, gr, loc,
+                                  _pallas_interpret=True, **kw)
+    else:
+        fp = jax.jit(lambda *a: mc.blochsim_mc_rfgr(
+            *a, backend='pallas', **kw))
+        out = fp(Mia, Mib, rf, gr, loc)
+    err = max(_max_abs(out[0], ref[0]), _max_abs(out[1], ref[1]))
+    ok = err < FWD_ATOL
+    _record('mc_rfgr_kernel', ok,
+            f'pallas-vs-xla fwd max abs {err:.1e} (tol {FWD_ATOL:.0e}), '
+            f'{nM} voxels x {nT} steps, two-pool')
+
+
 def _field_stack():
     r"""QSM/field stack (ops/field.py) compiled-f32 numerics: the
     exact ∥-cylinder oracle pins the DFT-diagonal matmul chain (a
@@ -675,6 +713,7 @@ def main():
     _epgx_kernel_parity(interpret=args.interpret)
     _epgx_cpmg_kernel_parity(interpret=args.interpret)
     _epgx_mt_kernel_parity(interpret=args.interpret)
+    _mc_kernel_parity(args.interpret, nM=nM, nT=nT)
     _field_stack()
     if not args.interpret:
         _mesh_1x1(nM=nM, nT=nT)

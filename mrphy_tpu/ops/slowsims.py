@@ -27,7 +27,7 @@ from mrphy_tpu.utils._shapes import rshape
 
 __all__ = ['blochsim_1step', 'blochsim', 'blochsim_ab',
            'blochsim_segmented', 'blochsim_tparallel', 'blochsim_mc',
-           'freeprec']
+           'mc_propagators', 'freeprec']
 
 
 @kwalias(**{'γ2πdt': 'gam2pidt'})
@@ -251,6 +251,37 @@ def _expm2(a, b, c, d):
             em * (shq * c), em * (ch - shq * dev))
 
 
+def mc_propagators(T1a, T2a, T1b, T2b, kab, kba, Ma0, Mb0, dt):
+    r"""Exact per-step two-pool exchange/relaxation propagators
+    (batched elementwise over any common broadcast shape).
+
+    Returns the ten planes ``(X00, X01, X10, X11, Z00, Z01, Z10, Z11,
+    ca, cb)``: the transverse 2×2 interval propagator ``X = expm(dt·
+    [[−1/T2a−kab, kba], [kab, −1/T2b−kba]])``, the longitudinal ``Z``
+    (same with R1), and the affine recovery ``c = A⁻¹(Z−I)·r`` with
+    ``r = [R1a·Ma0, R1b·Mb0]·dt`` — so one step of free exchange+
+    relaxation is ``[Ma⊥, Mb⊥] ← X·[Ma⊥, Mb⊥]`` and ``[Maz, Mbz] ←
+    Z·[Maz, Mbz] + [ca, cb]``, exact for any ``dt``. Shared by the
+    oracle (:func:`blochsim_mc`) and the fused engine
+    (:func:`mrphy_tpu.ops.mc.blochsim_mc_rfgr`)."""
+    t00 = (-1 / T2a - kab) * dt
+    t11 = (-1 / T2b - kba) * dt
+    tob, tba = kba * dt, kab * dt
+    X00, X01, X10, X11 = _expm2(t00, tob, tba, t11)       # transverse
+    z00 = (-1 / T1a - kab) * dt
+    z11 = (-1 / T1b - kba) * dt
+    Z00, Z01, Z10, Z11 = _expm2(z00, tob, tba, z11)       # longitudinal
+    # affine recovery: c = A⁻¹ (E − I) r, with r = [R1a·Ma0, R1b·Mb0]·dt
+    ra, rb = Ma0 * dt / T1a, Mb0 * dt / T1b
+    det = z00 * z11 - tob * tba
+    ia, ib_ = z11 / det, -tob / det
+    ic, id_ = -tba / det, z00 / det
+    e00, e01, e10, e11 = Z00 - 1.0, Z01, Z10, Z11 - 1.0
+    ca = (ia * e00 + ib_ * e10) * ra + (ia * e01 + ib_ * e11) * rb
+    cb = (ic * e00 + id_ * e10) * ra + (ic * e01 + id_ * e11) * rb
+    return X00, X01, X10, X11, Z00, Z01, Z10, Z11, ca, cb
+
+
 @kwalias(**{'γ': 'gam'})
 def blochsim_mc(Ma, Mb, Beff, *, T1a, T2a, T1b, T2b, kab, kba,
                 Ma0=1.0, Mb0=0.1, dfb=0.0, gam=gamH, dt=dt0, mesh=None):
@@ -311,21 +342,8 @@ def blochsim_mc(Ma, Mb, Beff, *, T1a, T2a, T1b, T2b, kab, kba,
     dt_ = jnp.asarray(rshape(jnp.asarray(dt, dtype), ndim))
 
     # exact per-step exchange/relaxation propagators (per spin)
-    t00 = (-1 / T2a - kab) * dt_
-    t11 = (-1 / T2b - kba) * dt_
-    tob, tba = kba * dt_, kab * dt_
-    X00, X01, X10, X11 = _expm2(t00, tob, tba, t11)       # transverse
-    z00 = (-1 / T1a - kab) * dt_
-    z11 = (-1 / T1b - kba) * dt_
-    Z00, Z01, Z10, Z11 = _expm2(z00, tob, tba, z11)       # longitudinal
-    # affine recovery: c = A⁻¹ (E − I) r, with r = [R1a·Ma0, R1b·Mb0]·dt
-    ra, rb = Ma0 * dt_ / T1a, Mb0 * dt_ / T1b
-    det = z00 * z11 - tob * tba
-    ia, ib_ = z11 / det, -tob / det
-    ic, id_ = -tba / det, z00 / det
-    e00, e01, e10, e11 = Z00 - 1.0, Z01, Z10, Z11 - 1.0
-    ca = (ia * e00 + ib_ * e10) * ra + (ia * e01 + ib_ * e11) * rb
-    cb = (ic * e00 + id_ * e10) * ra + (ic * e01 + id_ * e11) * rb
+    (X00, X01, X10, X11, Z00, Z01, Z10, Z11, ca, cb) = mc_propagators(
+        T1a, T2a, T1b, T2b, kab, kba, Ma0, Mb0, dt_)
 
     gam2pidt = 2 * pi * gam * dt_
     shift = (dfb / gam)                                    # Gauss, pool b

@@ -34,7 +34,8 @@ from mrphy_tpu.ops import sims
 __all__ = ['make_mesh', 'shard_spins', 'spin_pspec', 'blochsim_sharded',
            'blochsim_rfgr_sharded', 'rfgr_sharded_traceable',
            'oracle_sharded_traceable', 'oracle_freeprec_traceable',
-           'mc_sharded_traceable', 'epg_cpmg_sharded_traceable',
+           'mc_sharded_traceable', 'mc_rfgr_sharded_traceable',
+           'epg_cpmg_sharded_traceable',
            'bssfp_train_sharded_traceable', 'dict_match_sharded_traceable',
            'signal_sharded_traceable', 'signal_adjoint_sharded_traceable',
            'nufft_sharded_traceable', 'nufft_adjoint_sharded_traceable',
@@ -378,6 +379,54 @@ def mc_sharded_traceable(mesh: Mesh, Ma, Mb, Beff, **kw):
     spec = spin_pspec(Ma, N, nM)
     return _sharded_elementwise(mesh, slowsims.blochsim_mc,
                                 (Ma, Mb, Beff), kw, N, nM, (spec, spec))
+
+
+_MC_RFGR_STATIC_KW = ('backend', 'max_phi', '_pallas_interpret')
+
+
+def mc_rfgr_sharded_traceable(mesh: Mesh, Mia, Mib, rf, gr, loc, **kw):
+    r"""shard_map-wrapped :func:`mrphy_tpu.ops.mc.blochsim_mc_rfgr` (the
+    fused two-pool waveform engine) — each device simulates its local
+    voxel block (Pallas fast path included) with zero collectives in the
+    forward; waveform gradients psum over the spin axis automatically by
+    the shard_map transpose.
+
+    ``Mia``/``Mib``/``loc`` must be compact `(N, nM, xyz)`; per-voxel
+    optionals (``df``, ``b1Map``, tissue/exchange maps) shard on
+    ``(batch, spins)`` by shape; waveforms and broadcast params
+    replicate (batch-sharded when their leading axis is ``N``)."""
+    import jax.numpy as jnp
+    from mrphy_tpu.ops import mc
+
+    Mia, Mib, rf, gr, loc = (jnp.asarray(x)
+                             for x in (Mia, Mib, rf, gr, loc))
+    assert Mia.ndim == 3, 'compact (N, nM, xyz) layout required'
+    N, nM = Mia.shape[0], Mia.shape[1]
+    _check_divisible(mesh, N, nM)
+
+    static = {k: v for k, v in kw.items() if k in _MC_RFGR_STATIC_KW}
+    arrs = {k: jnp.asarray(v) for k, v in kw.items()
+            if k not in _MC_RFGR_STATIC_KW and kw[k] is not None}
+
+    def pspec(x):  # per-voxel / broadcast params: the shared shape rule
+        return spin_pspec(x, N, nM)
+
+    def wfspec(x):  # waveforms: never spin-sharded
+        return P(BATCH_AXIS) if x.shape[0] == N else P()
+
+    names = tuple(sorted(arrs))
+
+    def body(Mia, Mib, rf, gr, loc, *vals):
+        kwd = dict(zip(names, vals))
+        kwd.update(static)
+        return mc.blochsim_mc_rfgr(Mia, Mib, rf, gr, loc, **kwd)
+
+    in_specs = (pspec(Mia), pspec(Mib), wfspec(rf), wfspec(gr),
+                pspec(loc)) + tuple(pspec(arrs[k]) for k in names)
+    f = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                      out_specs=(pspec(Mia), pspec(Mib)),
+                      check_vma=False)
+    return f(Mia, Mib, rf, gr, loc, *(arrs[k] for k in names))
 
 
 def epg_cpmg_sharded_traceable(mesh: Mesh, flips, **kw):

@@ -161,3 +161,119 @@ def test_grads_finite_at_degenerate_params():
     g = jax.grad(mz, argnums=(0, 1))(jnp.asarray(0.0, F64),
                                      jnp.asarray(0.05, F64))
     assert all(np.isfinite(float(x)) for x in g), g
+
+
+class TestBlochMcRfgr:
+    r"""Fused waveform engine (ops/mc.py) vs the streaming oracle."""
+    PARS = dict(T1a=1.2, T2a=0.06, T1b=1.0, T2b=0.01, kab=3.0,
+                kba=150.0, Ma0=1.0, Mb0=0.02, dfb=750.0)
+
+    def _mk(self, nS=40, nT=32, nC=2, seed=0):
+        rng = np.random.default_rng(seed)
+        mk = lambda *s: jnp.asarray(rng.random((1,) + s), F64)  # noqa
+        return dict(
+            Mia=mk(nS, 3) - 0.5, Mib=(mk(nS, 3) - 0.5) * 0.04,
+            loc=mk(nS, 3) * 2 - 1, df=mk(nS)[..., 0:nS] * 100,
+            b1=mk(nS, 2, nC), rf=mk(2, nT, nC) * 0.05,
+            gr=jnp.asarray(rng.normal(size=(1, 3, nT)), F64))
+
+    def _oracle(self, a, *, df=None, b1=None, dt=4e-6, **over):
+        from mrphy_tpu.ops import beffective
+        pars = {**self.PARS, **over}
+        beff = beffective.rfgr2beff(a['rf'], a['gr'], a['loc'], df=df,
+                                    b1Map=b1, gam=gamH)
+        return slowsims.blochsim_mc(a['Mia'], a['Mib'], beff,
+                                    gam=gamH, dt=dt, **pars)
+
+    def _fused(self, a, *, df=None, b1=None, dt=4e-6, backend='xla',
+               interpret=False, **over):
+        from mrphy_tpu.ops import mc
+        pars = {**self.PARS, **over}
+        return mc.blochsim_mc_rfgr(
+            a['Mia'], a['Mib'], a['rf'], a['gr'], a['loc'], df=df,
+            b1Map=b1, gam=gamH, dt=dt, backend=backend,
+            _pallas_interpret=interpret, **pars)
+
+    def test_fwd_matches_streaming_oracle(self):
+        a = self._mk()
+        for kw in ({}, {'df': a['df']}, {'df': a['df'], 'b1': a['b1']}):
+            Mo = self._oracle(a, **kw)
+            Mf = self._fused(a, **kw)
+            for o, f in zip(Mo, Mf):
+                assert float(jnp.max(jnp.abs(o - f))) < 1e-12
+
+    def test_fwd_chunked_remat_path(self):
+        # nT=512 > _XLA_TC engages the chunk-rematerialized scan
+        a = self._mk(nS=8, nT=512)
+        Mo = self._oracle(a, df=a['df'])
+        Mf = self._fused(a, df=a['df'])
+        for o, f in zip(Mo, Mf):
+            assert float(jnp.max(jnp.abs(o - f))) < 1e-11
+
+    def test_pallas_interpret_matches_xla(self):
+        a = self._mk()
+        Mx = self._fused(a, df=a['df'], b1=a['b1'])
+        Mp = self._fused(a, df=a['df'], b1=a['b1'], interpret=True)
+        for x, p in zip(Mx, Mp):
+            assert float(jnp.max(jnp.abs(x - p))) < 1e-6  # poly sincos
+
+    def test_grads_match_oracle(self):
+        import jax
+        a = self._mk(nS=12, nT=24, nC=1)
+
+        def loss_o(rf, loc, kab, dfb, T2b):
+            from mrphy_tpu.ops import beffective
+            b = beffective.rfgr2beff(rf, a['gr'], loc, df=a['df'],
+                                     b1Map=a['b1'], gam=gamH)
+            Ma, Mb = slowsims.blochsim_mc(
+                a['Mia'], a['Mib'], b, gam=gamH, dt=4e-6,
+                **{**self.PARS, 'kab': kab, 'dfb': dfb, 'T2b': T2b})
+            return jnp.sum(Ma ** 2) + jnp.sum(Mb ** 2)
+
+        def loss_f(rf, loc, kab, dfb, T2b):
+            from mrphy_tpu.ops import mc
+            Ma, Mb = mc.blochsim_mc_rfgr(
+                a['Mia'], a['Mib'], rf, a['gr'], loc, df=a['df'],
+                b1Map=a['b1'], gam=gamH, dt=4e-6, backend='xla',
+                **{**self.PARS, 'kab': kab, 'dfb': dfb, 'T2b': T2b})
+            return jnp.sum(Ma ** 2) + jnp.sum(Mb ** 2)
+
+        args = (a['rf'], a['loc'], jnp.asarray(3.0, F64),
+                jnp.asarray(750.0, F64), jnp.asarray(0.01, F64))
+        go = jax.grad(loss_o, argnums=tuple(range(5)))(*args)
+        gf = jax.grad(loss_f, argnums=tuple(range(5)))(*args)
+        for name, o, f in zip(('rf', 'loc', 'kab', 'dfb', 'T2b'), go, gf):
+            rel = float(jnp.max(jnp.abs(o - f))
+                        / (jnp.max(jnp.abs(o)) + 1e-30))
+            assert rel < 1e-9, (name, rel)
+
+    def test_pallas_vjp_is_xla_grad(self):
+        # the Pallas path's custom VJP recomputes through the XLA core:
+        # same primals in => gradients equal up to the fwd cotangent diff
+        import jax
+        a = self._mk(nS=12, nT=24, nC=1)
+
+        def loss(rf, interpret):
+            from mrphy_tpu.ops import mc
+            Ma, Mb = mc.blochsim_mc_rfgr(
+                a['Mia'], a['Mib'], rf, a['gr'], a['loc'], df=a['df'],
+                gam=gamH, dt=4e-6,
+                backend='xla' if not interpret else 'auto',
+                _pallas_interpret=interpret, **self.PARS)
+            return jnp.sum(Ma ** 2)
+
+        gx = jax.grad(lambda rf: loss(rf, False))(a['rf'])
+        gp = jax.grad(lambda rf: loss(rf, True))(a['rf'])
+        rel = float(jnp.max(jnp.abs(gx - gp))
+                    / (jnp.max(jnp.abs(gx)) + 1e-30))
+        assert rel < 1e-5, rel
+
+    def test_zero_exchange_reduces_to_single_pool(self):
+        from mrphy_tpu.ops import sims
+        a = self._mk()
+        Ma, _ = self._fused(a, df=a['df'], kab=0.0, kba=0.0, Ma0=1.0)
+        Ms = sims.blochsim_rfgr(a['Mia'], a['rf'], a['gr'], a['loc'],
+                                T1=self.PARS['T1a'], T2=self.PARS['T2a'],
+                                df=a['df'], gam=gamH, dt=4e-6,
+                                backend='xla')
+        assert float(jnp.max(jnp.abs(Ma - Ms))) < 1e-12

@@ -249,6 +249,38 @@ class TestParallel:
         np.testing.assert_allclose(v_sh, v, atol=1e-12)
         np.testing.assert_allclose(g_sh, g, atol=1e-12)
 
+    def test_mc_rfgr_sharded_matches(self):
+        r"""Fused two-pool waveform engine under shard_map == unsharded:
+        fwd + per-voxel exchange-rate grad + psum'd rf grad in ONE
+        value_and_grad per variant."""
+        from mrphy_tpu.ops import mc
+        mesh = make_mesh()
+        rng = np.random.default_rng(7)
+        N, nM, nT = 1, 16, 8
+        Ma = jnp.asarray(np.tile([0., 0., 1.], (N, nM, 1)))
+        Mb = 0.05 * Ma
+        loc = jnp.asarray(rng.random((N, nM, 3)) - .5)
+        df = jnp.asarray(rng.random((N, nM)) * 50)
+        rf = jnp.asarray(rng.random((N, 2, nT)) * .05)
+        gr = jnp.asarray(rng.random((N, 3, nT)))
+        kw = dict(T1a=1.2, T2a=0.06, T1b=1.0, T2b=0.01, kba=50.0,
+                  Ma0=1.0, Mb0=0.02, dfb=750.0, dt=2e-4, df=df,
+                  backend='xla')
+        kab_v = jnp.asarray(rng.uniform(0.5, 2.0, (N, nM)))
+        W = jnp.asarray(rng.normal(size=(2, N, nM, 3)))
+
+        def loss(kab, rf, mesh):
+            a, b = mc.blochsim_mc_rfgr(Ma, Mb, rf, gr, loc, kab=kab,
+                                       mesh=mesh, **kw)
+            return jnp.sum(W[0] * a + W[1] * b)
+        f = jax.jit(jax.value_and_grad(loss, argnums=(0, 1)),
+                    static_argnums=2)
+        v_sh, g_sh = f(kab_v, rf, mesh)
+        v, g = f(kab_v, rf, None)
+        np.testing.assert_allclose(v_sh, v, atol=1e-12)
+        for a, b in zip(g_sh, g):
+            np.testing.assert_allclose(a, b, atol=1e-12)
+
     def test_epg_cpmg_sharded_matches(self):
         from mrphy_tpu.ops import epg
         mesh = make_mesh()
