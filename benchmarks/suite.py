@@ -29,6 +29,9 @@ Configs:
               Laplacian unwrapping, TV dipole-inversion per-iter cost
   mrf         MRF dictionary throughput: 64k atoms x 400 TR epg_spgr
               (K=48), atoms/s
+  cest        volume-scale two-pool Bloch-McConnell: 512k voxels x 2k
+              saturation steps through the fused waveform engine
+              (blochsim_mc_rfgr), pallas vs XLA core
 """
 
 import json
@@ -601,12 +604,72 @@ def bench_mrf():
             'match_acc_degeneracy_aware': round(acc_eff, 4)}
 
 
+def bench_cest():
+    r"""Volume-scale two-pool Bloch–McConnell (MT/CEST) through the
+    fused waveform engine: 512k voxels × 2k saturation steps with
+    per-voxel B0/B1/exchange maps — the whole-brain Z-spectrum point
+    workload. The streaming oracle would need a 12.6 GB materialized
+    Beff here; the fused engine needs the voxel maps plus one 2k-sample
+    waveform. Reports the fused Pallas forward, the XLA-core forward,
+    and one fit step (grad w.r.t. the exchange maps through the
+    Pallas-forward custom_vjp, which recomputes through the XLA core).
+    Timing chains iterations through a data dependency (Ma feeds the
+    next call's Mia). Overridable via MRPHY_CEST_NM / MRPHY_CEST_NT."""
+    import jax
+    import jax.numpy as jnp
+    from mrphy_tpu.ops import mc
+    from mrphy_tpu.utils.timing import chained_timeit
+
+    nM = int(os.environ.get('MRPHY_CEST_NM', 1 << 19))
+    nT = int(os.environ.get('MRPHY_CEST_NT', 2000))
+    rng = np.random.default_rng(0)
+    f32 = jnp.float32
+    Mia = jnp.asarray(np.tile([0., 0., 1.], (1, nM, 1)), f32)
+    Mib = 0.02 * Mia
+    loc = jnp.zeros((1, nM, 3), f32)
+    df = jnp.asarray(rng.uniform(-300, 300, (1, nM)), f32)
+    b1 = jnp.asarray(np.stack([0.7 + rng.random((1, nM)) * .6,
+                               rng.random((1, nM)) * .1 - .05], -1), f32)
+    kab = jnp.asarray(rng.uniform(0.5, 5.0, (1, nM)), f32)
+    rf = jnp.asarray(np.full((1, 2, nT), [[0.005], [0.0]]), f32)
+    gr = jnp.zeros((1, 3, nT), f32)
+    kw = dict(T1a=1.2, T2a=0.06, T1b=1.0, T2b=0.01, kba=kab * 50.0,
+              Ma0=1.0, Mb0=0.02, dfb=750.0, df=df, b1Map=b1, dt=2e-4)
+
+    def mk(backend):
+        return jax.jit(lambda mia, k: mc.blochsim_mc_rfgr(
+            mia, Mib, rf, gr, loc, kab=k, backend=backend, **kw)[0])
+
+    fp, fx = mk('pallas'), mk('xla')
+    dev = float(jnp.max(jnp.abs(fp(Mia, kab) - fx(Mia, kab))))
+    tp = chained_timeit(fp, Mia, kab, repeats=4)
+    tx = chained_timeit(fx, Mia, kab, repeats=2)
+    # one fit step: dL/d(kab) via the recompute-through-XLA VJP
+    gk = jax.jit(jax.grad(lambda k: jnp.sum(
+        mc.blochsim_mc_rfgr(Mia, Mib, rf, gr, loc, kab=k,
+                            backend='pallas', **kw)[0])))
+    tg = chained_timeit(gk, kab, repeats=2,
+                        feedback=lambda k, g: k - 1e-6 * g)
+    vs = nM * nT
+    return {'metric': f'CEST two-pool fused waveform engine: {nM} '
+                      f'voxels x {nT} steps (per-voxel B0/B1/exchange)',
+            'value': round(vs / tp / 1e9, 2),
+            'unit': 'G voxel*steps/s (pallas fwd)',
+            'pallas_fwd_ms': round(tp * 1e3, 1),
+            'xla_fwd_ms': round(tx * 1e3, 1),
+            'speedup': round(tx / tp, 2),
+            'fit_step_ms': round(tg * 1e3, 1),
+            'pallas_abs_dev': f'{dev:.1e}',
+            'streaming_beff_gb': round(nM * nT * 3 * 4 / 1e9, 1)}
+
+
 ALL = {'tiny': bench_tiny, 'freeprec32': bench_freeprec32,
        'design64': bench_design64, 'throughput': bench_throughput,
        'deeptime': bench_deeptime, 'longpulse': bench_longpulse,
        'beffstream': bench_beffstream, 'signal': bench_signal,
        'recon': bench_recon, 'nufft': bench_nufft,
-       'kspace': bench_kspace, 'field': bench_field, 'mrf': bench_mrf}
+       'kspace': bench_kspace, 'field': bench_field, 'mrf': bench_mrf,
+       'cest': bench_cest}
 
 
 def main():

@@ -92,6 +92,14 @@ CASES = [
     ('mwf_fit.py', ['--nvox', '16', '--iters', '500', '--mesh']),
     ('cest_zspectrum.py', ['--noffsets', '13', '--tsat', '0.5',
                            '--mesh']),
+    # CEST quantification: kab/B0 maps by Adam through the fused
+    # two-pool waveform engine (QUESP-style two saturation powers).
+    # (--mesh variant not smoked here: engine-level sharded fwd+grad
+    # parity is pinned at 1e-12 by test_parallel, and the 8-virtual-
+    # device fit costs ~12 min of single-CPU suite time for no new
+    # coverage.)
+    ('cest_fit.py', ['--nvox', '6', '--noffsets', '12', '--tsat',
+                     '0.4', '--iters', '150']),
 ]
 
 
