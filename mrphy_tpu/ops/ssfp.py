@@ -63,7 +63,8 @@ def _relax_precess(M, dur, df, T1, T2, M0):
 
 
 def bssfp_train(flips, *, T1, T2, tr, df=0.0, te=None, phis=None,
-                dphi=pi, M0=1.0, Minit=None, mesh=None):
+                dphi=pi, M0=1.0, Minit=None, mesh=None,
+                backend: str = 'xla'):
     r"""Transient balanced-SSFP train — instantaneous RF pulses with
     exact inter-pulse precession/relaxation, one isochromat per voxel.
 
@@ -101,7 +102,23 @@ def bssfp_train(flips, *, T1, T2, tr, df=0.0, te=None, phis=None,
     Differentiable w.r.t. ``flips``/``phis``/``T1``/``T2``/``df``/``M0``
     — bSSFP-MRF dictionaries, sequence optimization, and direct
     parameter fitting run by gradient descent.
+
+    ``backend='pallas'``: the fused TPU kernel
+    (:func:`mrphy_tpu.ops.ssfp_pallas.bssfp_train_pallas` — the
+    magnetization stays in registers across the whole train, echoes
+    stream out). Dictionary workload only: shared 1-D trains, 1-D atom
+    batch, equilibrium start, FORWARD-ONLY (keep the default backend
+    for gradients). Scalar AND variable `(nTR,)` ``tr``/``te`` trains
+    are supported.
     """
+    if backend == 'pallas':
+        assert mesh is None, 'pallas backend is single-chip'
+        assert Minit is None, 'pallas backend starts from equilibrium'
+        from mrphy_tpu.ops.ssfp_pallas import bssfp_train_pallas
+        kw = ({'phis': phis} if phis is not None else {'dphi': dphi})
+        return bssfp_train_pallas(flips, T1=T1, T2=T2, tr=tr, df=df,
+                                  te=te, M0=M0, **kw)
+    assert backend == 'xla', backend
     if mesh is not None:
         from mrphy_tpu.parallel.mesh import bssfp_train_sharded_traceable
         return bssfp_train_sharded_traceable(

@@ -176,3 +176,87 @@ class TestBSSFPMesh:
                           mesh=mesh)
         assert out.shape == (nV, nTR, 2)
         assert float(jnp.max(jnp.abs(out - ref))) < 1e-12
+
+
+class TestBSSFPPallas:
+    r"""Fused dictionary kernel (interpret mode on CPU) vs the XLA
+    train — same f32 inputs both sides; on-chip compiled parity is
+    pinned by ``benchmarks/tpu_checks.py::bssfp_dict_kernel``."""
+
+    def _atoms(self, nA, seed=5):
+        rng = np.random.default_rng(seed)
+        return (jnp.asarray(rng.uniform(0.3, 3.0, nA), jnp.float32),
+                jnp.asarray(rng.uniform(0.02, 0.3, nA), jnp.float32),
+                jnp.asarray(rng.uniform(-120, 120, nA), jnp.float32))
+
+    def _rel(self, a, b):
+        return float(jnp.max(jnp.abs(a - b)) / jnp.max(jnp.abs(b)))
+
+    def test_const_tr_parity(self):
+        r"""Scalar tr/te (precomputed-factor path), default alternating
+        phase cycle, atom count NOT a multiple of the 8·128 block."""
+        rng = np.random.default_rng(1)
+        nA, nTR = 1100, 96
+        T1, T2, df = self._atoms(nA)
+        flips = jnp.asarray(rng.uniform(0.1, 1.2, nTR), jnp.float32)
+        ref = bssfp_train(flips, T1=T1, T2=T2, tr=5e-3, df=df)
+        out = bssfp_train(flips, T1=T1, T2=T2, tr=5e-3, df=df,
+                          backend='pallas')
+        assert out.shape == (nA, nTR, 2)
+        assert self._rel(out, ref) < 2e-5
+
+    def test_vartr_parity(self):
+        r"""Variable (nTR,) tr train (in-kernel transcendental path),
+        te defaulting to tr/2 per TR."""
+        rng = np.random.default_rng(2)
+        nA, nTR = 257, 80
+        T1, T2, df = self._atoms(nA, seed=9)
+        flips = jnp.asarray(rng.uniform(0.1, 1.2, nTR), jnp.float32)
+        trs = jnp.asarray(rng.uniform(4e-3, 9e-3, nTR), jnp.float32)
+        ref = bssfp_train(flips, T1=T1, T2=T2, tr=trs, df=df)
+        out = bssfp_train(flips, T1=T1, T2=T2, tr=trs, df=df,
+                          backend='pallas')
+        assert self._rel(out, ref) < 2e-5
+
+    def test_explicit_phis_and_te(self):
+        r"""Quadratic phase schedule + scalar te ≠ tr/2."""
+        rng = np.random.default_rng(3)
+        nA, nTR = 130, 64
+        T1, T2, df = self._atoms(nA, seed=13)
+        flips = jnp.asarray(rng.uniform(0.1, 1.0, nTR), jnp.float32)
+        phis = jnp.asarray(rng.uniform(0, 2 * np.pi, nTR), jnp.float32)
+        ref = bssfp_train(flips, T1=T1, T2=T2, tr=6e-3, te=2e-3,
+                          df=df, phis=phis)
+        out = bssfp_train(flips, T1=T1, T2=T2, tr=6e-3, te=2e-3,
+                          df=df, phis=phis, backend='pallas')
+        assert self._rel(out, ref) < 2e-5
+
+    def test_b1_dimension(self):
+        r"""Per-atom b1 flip scaling equals the XLA path's batched
+        ``b1[:, None] * flips``."""
+        from mrphy_tpu.ops.ssfp_pallas import bssfp_train_pallas
+
+        rng = np.random.default_rng(4)
+        nA, nTR = 90, 48
+        T1, T2, df = self._atoms(nA, seed=17)
+        b1 = jnp.asarray(rng.uniform(0.6, 1.4, nA), jnp.float32)
+        flips = jnp.asarray(rng.uniform(0.1, 1.0, nTR), jnp.float32)
+        ref = bssfp_train(b1[:, None] * flips[None, :], T1=T1, T2=T2,
+                          tr=5e-3, df=df)
+        out = bssfp_train_pallas(flips, T1=T1, T2=T2, tr=5e-3, df=df,
+                                 b1=b1)
+        assert self._rel(out, ref) < 2e-5
+
+    def test_f64_oracle_accuracy(self):
+        r"""The f32 kernel against the f64 XLA train: the echo error
+        stays at the f32 noise floor over a long phase-cycled train."""
+        rng = np.random.default_rng(6)
+        nA, nTR = 64, 400
+        T1, T2, df = self._atoms(nA, seed=21)
+        flips = jnp.asarray(rng.uniform(0.1, 1.2, nTR))
+        ref = bssfp_train(flips, T1=T1.astype(jnp.float64),
+                          T2=T2.astype(jnp.float64),
+                          tr=5e-3, df=df.astype(jnp.float64))
+        out = bssfp_train(flips.astype(jnp.float32), T1=T1, T2=T2,
+                          tr=5e-3, df=df, backend='pallas')
+        assert self._rel(out, ref) < 2e-4
