@@ -564,6 +564,19 @@ def bench_mrf():
     genxc = jax.jit(lambda d: epg.epgx_cpmg(cflips, esp=0.01,
                                             backend='pallas', **d))
     txc = _timeit(genxc, {k: v for k, v in xkw.items()}, repeats=4)
+    # bSSFP-MRF dictionary (Ma 2013: variable flips AND TRs, the
+    # dictionary carries df) — fused ssfp_pallas kernel vs the XLA scan
+    from mrphy_tpu.ops import ssfp
+    dfa = jnp.asarray(rng.uniform(-80, 80, natoms), jnp.float32)
+    btrs = jnp.asarray(10e-3 + 3e-3 * rng.random(ntr), jnp.float32)
+    genb = jax.jit(lambda t1, t2, d: ssfp.bssfp_train(
+        flips, T1=t1, T2=t2, tr=btrs, df=d))
+    genbp = jax.jit(lambda t1, t2, d: ssfp.bssfp_train(
+        flips, T1=t1, T2=t2, tr=btrs, df=d, backend='pallas'))
+    devb = float(jnp.max(jnp.abs(genb(T1, T2, dfa)
+                                 - genbp(T1, T2, dfa))))
+    tb = _timeit(genb, T1, T2, dfa, repeats=4)
+    tbp = _timeit(genbp, T1, T2, dfa, repeats=4)
     # dictionary MATCHING (ops/mrf): rank-16 compressed matched filter
     # over a whole volume — phase rotation applied in the compressed
     # space (e^{iθ}d → cosθ·d_c + sinθ·J_c d_c, J-invariant basis)
@@ -599,6 +612,9 @@ def bench_mrf():
             'cpmg32_pallas_Mvox_per_s': round(natoms / tc / 1e6, 2),
             'epgx_cpmg32_pallas_Mvox_per_s': round(
                 natoms / txc / 1e6, 2),
+            'bssfp_pallas_atoms_per_s': round(natoms / tbp, 0),
+            'bssfp_xla_atoms_per_s': round(natoms / tb, 0),
+            'bssfp_pallas_abs_dev': f'{devb:.1e}',
             'match_r16_Mvox_per_s': round(nV / tmatch / 1e6, 2),
             'match_acc': round(acc, 4),
             'match_acc_degeneracy_aware': round(acc_eff, 4)}

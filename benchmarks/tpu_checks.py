@@ -386,6 +386,42 @@ def _epgx_mt_kernel_parity(interpret: bool):
             f'{nA} atoms x {nTR} TR, K={K}, bound-pool MT')
 
 
+def _bssfp_kernel_parity(interpret: bool):
+    r"""Fused bSSFP-MRF dictionary kernel (ops/ssfp_pallas.py) vs the
+    XLA train, f32: pins the Mosaic lowering of the full-tile (8, lane)
+    atom layout, the precomputed-factor constant-TR path, and the
+    in-kernel exp/expm1/sincos of the variable-TR path."""
+    from mrphy_tpu.ops.ssfp import bssfp_train
+    from mrphy_tpu.ops.ssfp_pallas import bssfp_train_pallas
+    rng = np.random.default_rng(23)
+    nA, nTR = 2048, 200
+    flips = jnp.asarray(rng.uniform(0.1, 1.2, nTR), DT32)
+    T1 = jnp.asarray(rng.uniform(0.3, 3.0, nA), DT32)
+    T2 = jnp.asarray(rng.uniform(0.02, 0.3, nA), DT32)
+    df = jnp.asarray(rng.uniform(-120, 120, nA), DT32)
+    b1 = jnp.asarray(rng.uniform(0.7, 1.3, nA), DT32)
+    trs = jnp.asarray(rng.uniform(4e-3, 8e-3, nTR), DT32)
+
+    ref_c = np.asarray(jax.jit(lambda *a: bssfp_train(
+        flips, T1=a[0], T2=a[1], tr=5e-3, df=a[2]))(T1, T2, df))
+    out_c = np.asarray(bssfp_train_pallas(flips, T1=T1, T2=T2, tr=5e-3,
+                                          df=df, interpret=interpret))
+    rel_c = np.abs(out_c - ref_c).max() / np.abs(ref_c).max()
+
+    ref_v = np.asarray(jax.jit(lambda *a: bssfp_train(
+        a[3][:, None] * flips[None], T1=a[0], T2=a[1], tr=trs,
+        df=a[2]))(T1, T2, df, b1))
+    out_v = np.asarray(bssfp_train_pallas(flips, T1=T1, T2=T2, tr=trs,
+                                          df=df, b1=b1,
+                                          interpret=interpret))
+    rel_v = np.abs(out_v - ref_v).max() / np.abs(ref_v).max()
+
+    ok = rel_c < 2e-4 and rel_v < 2e-4
+    _record('bssfp_dict_kernel', ok,
+            f'pallas-vs-xla rel const-TR {rel_c:.1e} / var-TR+b1 '
+            f'{rel_v:.1e} (tol 2e-4), {nA} atoms x {nTR} TR')
+
+
 def _mc_kernel_parity(interpret: bool, nM: int, nT: int):
     r"""Fused two-pool Bloch–McConnell kernel (ops/mc_pallas.py) vs the
     XLA core, f32, CEST-MRF-style per-voxel tissue/exchange maps: pins
@@ -713,6 +749,7 @@ def main():
     _epgx_kernel_parity(interpret=args.interpret)
     _epgx_cpmg_kernel_parity(interpret=args.interpret)
     _epgx_mt_kernel_parity(interpret=args.interpret)
+    _bssfp_kernel_parity(interpret=args.interpret)
     _mc_kernel_parity(args.interpret, nM=nM, nT=nT)
     _field_stack()
     if not args.interpret:

@@ -85,9 +85,10 @@ def main():
         atoms_T2 = jnp.tile(atoms_T2, args.ndf)
         atoms_df = jnp.asarray(np.repeat(dfs, nK), jnp.float32)
 
-        def signals(T1, T2, df):
+        def signals(T1, T2, df, backend='xla'):
             r"""(..., nTR, 2) bSSFP evolutions (alternating ±x)."""
-            return ssfp.bssfp_train(flips, T1=T1, T2=T2, tr=tr, df=df)
+            return ssfp.bssfp_train(flips, T1=T1, T2=T2, tr=tr, df=df,
+                                    backend=backend)
     else:
         atoms_df = jnp.zeros_like(atoms_T1)
 
@@ -102,7 +103,7 @@ def main():
     # 64k-atom scale); probe + refinement stay on the differentiable
     # XLA path (the kernel is forward-only)
     from mrphy_tpu.ops.pallas_kernels import _on_tpu
-    if args.seq == 'spgr' and _on_tpu():
+    if _on_tpu():
         D = signals(atoms_T1, atoms_T2, atoms_df, backend='pallas')
     else:
         D = gen(atoms_T1, atoms_T2, atoms_df)        # (nA, nTR, 2)

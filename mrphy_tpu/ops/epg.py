@@ -178,8 +178,18 @@ def epg_diffusion(FpFmZ, D, dk, tau, delta: int = 0):
     return FpFmZ * att[..., None]
 
 
+def _apply_b1(flips, b1):
+    r"""Per-voxel transmit scale: ``b1`` `(*batch,)` multiplies the
+    flip train — the dictionary's B1+ dimension, uniform across every
+    train family/backend (the Pallas kernels take it natively; the XLA
+    paths fold it into batched flips)."""
+    if b1 is None:
+        return flips
+    return jnp.asarray(b1)[..., None] * jnp.asarray(flips)
+
+
 def epg_cpmg(flips, *, T1, T2, esp, M0=1.0, phi_ex=pi / 2,
-             alpha_ex=pi / 2, mesh=None, D=None, dk=0.0,
+             alpha_ex=pi / 2, b1=None, mesh=None, D=None, dk=0.0,
              backend: str = 'xla'):
     r"""Echo amplitudes of a CPMG spin-echo train.
 
@@ -221,20 +231,20 @@ def epg_cpmg(flips, *, T1, T2, esp, M0=1.0, phi_ex=pi / 2,
     through its ``b1``). Mapping workload only (shared 1-D flips, 1-D
     voxel batch, no diffusion), forward-only.
     """
-    if backend == 'pallas':
-        assert mesh is None, 'pallas backend is single-chip'
-        assert D is None, 'pallas backend does not model diffusion'
-        from mrphy_tpu.ops.epg_pallas import epg_cpmg_pallas
-        return epg_cpmg_pallas(flips, T1=T1, T2=T2, esp=esp, M0=M0,
-                               phi_ex=phi_ex, alpha_ex=alpha_ex)
-    assert backend == 'xla', backend
-    if mesh is not None:
+    if mesh is not None:        # composes with backend='pallas': each
+        # device runs the fused kernel on its voxel shard
         from mrphy_tpu.parallel.mesh import epg_cpmg_sharded_traceable
         dkw = {} if D is None else {'D': D, 'dk': dk}
         return epg_cpmg_sharded_traceable(
             mesh, flips, T1=T1, T2=T2, esp=esp, M0=M0, phi_ex=phi_ex,
-            alpha_ex=alpha_ex, **dkw)
-    flips = jnp.asarray(flips)
+            alpha_ex=alpha_ex, b1=b1, backend=backend, **dkw)
+    if backend == 'pallas':
+        assert D is None, 'pallas backend does not model diffusion'
+        from mrphy_tpu.ops.epg_pallas import epg_cpmg_pallas
+        return epg_cpmg_pallas(flips, T1=T1, T2=T2, esp=esp, M0=M0,
+                               phi_ex=phi_ex, alpha_ex=alpha_ex, b1=b1)
+    assert backend == 'xla', backend
+    flips = _apply_b1(jnp.asarray(flips), b1)
     return _epg_cpmg_body(flips, T1, T2, esp, M0, phi_ex, D, dk,
                           alpha_ex)
 
@@ -286,7 +296,7 @@ def rf_spoil_phases(n: int, phi0=117.0):
 
 
 def epg_spgr(flips, phis=None, *, T1, T2, tr, te=0.0, M0=1.0,
-             kshift: int = 1, D=None, dk=0.0, K=None,
+             b1=None, kshift: int = 1, D=None, dk=0.0, K=None,
              backend: str = 'xla'):
     r"""Gradient-spoiled GRE (SPGR / FISP) signal train — the MRF-style
     dictionary workhorse.
@@ -332,9 +342,9 @@ def epg_spgr(flips, phis=None, *, T1, T2, tr, te=0.0, M0=1.0,
         assert D is None, 'pallas backend does not model diffusion'
         from mrphy_tpu.ops.epg_pallas import epg_spgr_pallas
         return epg_spgr_pallas(flips, phis, T1=T1, T2=T2, tr=tr, te=te,
-                               M0=M0, kshift=kshift, K=K)
+                               M0=M0, b1=b1, kshift=kshift, K=K)
     assert backend == 'xla', backend
-    flips = jnp.asarray(flips)
+    flips = _apply_b1(jnp.asarray(flips), b1)
     nTR = flips.shape[-1]
     if phis is None:
         phis = jnp.zeros(nTR, flips.dtype)
@@ -567,7 +577,7 @@ def epgx_relax(s, tau, *, T1a, T2a, T1b, T2b, kab, kba, M0a=1.0,
 
 
 def epgx_cpmg(flips, *, T1a, T2a, T1b, T2b, kab, kba, esp, M0a=1.0,
-              M0b=0.1, dfb=0.0, phi_ex=pi / 2, mesh=None,
+              M0b=0.1, dfb=0.0, phi_ex=pi / 2, b1=None, mesh=None,
               backend: str = 'xla'):
     r"""CPMG echo train of a two-pool exchanging system (myelin-water /
     MT-coupled T2 relaxometry). Same sequence as :func:`epg_cpmg`;
@@ -585,22 +595,21 @@ def epgx_cpmg(flips, *, T1a, T2a, T1b, T2b, kab, kba, esp, M0a=1.0,
     volume-scale MWF dictionaries/forwards (shared 1-D flips, 1-D
     voxel batch), forward-only.
     """
-    if backend == 'pallas':
-        assert mesh is None, 'pallas backend is single-chip'
-        from mrphy_tpu.ops.epg_pallas import epgx_cpmg_pallas
-        return epgx_cpmg_pallas(flips, T1a=T1a, T2a=T2a, T1b=T1b,
-                                T2b=T2b, kab=kab, kba=kba, esp=esp,
-                                M0a=M0a, M0b=M0b, dfb=dfb,
-                                phi_ex=phi_ex)
-    assert backend == 'xla', backend
-    if mesh is not None:
+    if mesh is not None:        # composes with backend='pallas'
         from mrphy_tpu.parallel.mesh import (
             epgx_train_sharded_traceable)
         return epgx_train_sharded_traceable(
             mesh, 'cpmg', flips, T1a=T1a, T2a=T2a, T1b=T1b,
             T2b=T2b, kab=kab, kba=kba, esp=esp, M0a=M0a,
-            M0b=M0b, dfb=dfb, phi_ex=phi_ex)
-    flips = jnp.asarray(flips)
+            M0b=M0b, dfb=dfb, phi_ex=phi_ex, b1=b1, backend=backend)
+    if backend == 'pallas':
+        from mrphy_tpu.ops.epg_pallas import epgx_cpmg_pallas
+        return epgx_cpmg_pallas(flips, T1a=T1a, T2a=T2a, T1b=T1b,
+                                T2b=T2b, kab=kab, kba=kba, esp=esp,
+                                M0a=M0a, M0b=M0b, dfb=dfb,
+                                phi_ex=phi_ex, b1=b1)
+    assert backend == 'xla', backend
+    flips = _apply_b1(jnp.asarray(flips), b1)
     nE = flips.shape[-1]
     dtype = jnp.result_type(flips.dtype, jnp.asarray(T2a).dtype)
     flips = flips.astype(dtype)
@@ -631,8 +640,8 @@ def epgx_cpmg(flips, *, T1a, T2a, T1b, T2b, kab, kba, esp, M0a=1.0,
 
 
 def epgx_spgr(flips, phis=None, *, T1a, T2a, T1b, T2b, kab, kba, tr,
-              M0a=1.0, M0b=0.1, dfb=0.0, kshift: int = 1, K=None,
-              mesh=None, backend: str = 'xla'):
+              M0a=1.0, M0b=0.1, dfb=0.0, b1=None, kshift: int = 1,
+              K=None, mesh=None, backend: str = 'xla'):
     r"""Gradient-spoiled GRE train of a two-pool exchanging system —
     EPG-X dictionaries for exchange-sensitive MRF. Per TR: RF on both
     pools, demodulated total ``F+(0)`` readout, exact
@@ -646,22 +655,22 @@ def epgx_spgr(flips, phis=None, *, T1a, T2a, T1b, T2b, kab, kba, tr,
     the XLA scan at 64k-atom dictionary scale). Dictionary workload
     only (shared 1-D trains, 1-D atom batch), forward-only.
     """
-    if backend == 'pallas':
-        assert mesh is None, 'pallas backend is single-chip'
-        from mrphy_tpu.ops.epg_pallas import epgx_spgr_pallas
-        return epgx_spgr_pallas(flips, phis, T1a=T1a, T2a=T2a,
-                                T1b=T1b, T2b=T2b, kab=kab, kba=kba,
-                                tr=tr, M0a=M0a, M0b=M0b, dfb=dfb,
-                                kshift=kshift, K=K)
-    assert backend == 'xla', backend
-    if mesh is not None:
+    if mesh is not None:        # composes with backend='pallas'
         from mrphy_tpu.parallel.mesh import (
             epgx_train_sharded_traceable)
         return epgx_train_sharded_traceable(
             mesh, 'spgr', flips, phis, T1a=T1a, T2a=T2a,
             T1b=T1b, T2b=T2b, kab=kab, kba=kba, tr=tr,
-            M0a=M0a, M0b=M0b, dfb=dfb, kshift=kshift, K=K)
-    flips = jnp.asarray(flips)
+            M0a=M0a, M0b=M0b, dfb=dfb, b1=b1, kshift=kshift, K=K,
+            backend=backend)
+    if backend == 'pallas':
+        from mrphy_tpu.ops.epg_pallas import epgx_spgr_pallas
+        return epgx_spgr_pallas(flips, phis, T1a=T1a, T2a=T2a,
+                                T1b=T1b, T2b=T2b, kab=kab, kba=kba,
+                                tr=tr, M0a=M0a, M0b=M0b, dfb=dfb,
+                                b1=b1, kshift=kshift, K=K)
+    assert backend == 'xla', backend
+    flips = _apply_b1(jnp.asarray(flips), b1)
     nTR = flips.shape[-1]
     if phis is None:
         phis = jnp.zeros(nTR, flips.dtype)
@@ -788,7 +797,7 @@ def epgx_mt_rf(s, alpha, phi=0.0, wt=0.0):
 
 
 def epgx_mt_spgr(flips, phis=None, *, T1a, T2a, T1b, kab, kba, tr,
-                 wt=0.0, M0a=1.0, M0b=0.1, kshift: int = 1,
+                 wt=0.0, M0a=1.0, M0b=0.1, b1=None, kshift: int = 1,
                  K=None, mesh=None, backend: str = 'xla'):
     r"""MT-weighted gradient-spoiled GRE train (the qMT-SPGR
     workhorse): per TR an on-resonance excitation of the free pool
@@ -815,22 +824,21 @@ def epgx_mt_spgr(flips, phis=None, *, T1a, T2a, T1b, kab, kba, tr,
     saturation scaling goes through its ``wscale``). Dictionary
     workload only, forward-only.
     """
-    if backend == 'pallas':
-        assert mesh is None, 'pallas backend is single-chip'
-        from mrphy_tpu.ops.epg_pallas import epgx_mt_spgr_pallas
-        return epgx_mt_spgr_pallas(flips, phis, T1a=T1a, T2a=T2a,
-                                   T1b=T1b, kab=kab, kba=kba, tr=tr,
-                                   wt=wt, M0a=M0a, M0b=M0b,
-                                   kshift=kshift, K=K)
-    assert backend == 'xla', backend
-    if mesh is not None:
+    if mesh is not None:        # composes with backend='pallas'
         from mrphy_tpu.parallel.mesh import (
             epgx_train_sharded_traceable)
         return epgx_train_sharded_traceable(
             mesh, 'mt_spgr', flips, phis, T1a=T1a, T2a=T2a,
             T1b=T1b, kab=kab, kba=kba, tr=tr, wt=wt, M0a=M0a,
-            M0b=M0b, kshift=kshift, K=K)
-    flips = jnp.asarray(flips)
+            M0b=M0b, b1=b1, kshift=kshift, K=K, backend=backend)
+    if backend == 'pallas':
+        from mrphy_tpu.ops.epg_pallas import epgx_mt_spgr_pallas
+        return epgx_mt_spgr_pallas(flips, phis, T1a=T1a, T2a=T2a,
+                                   T1b=T1b, kab=kab, kba=kba, tr=tr,
+                                   wt=wt, M0a=M0a, M0b=M0b, b1=b1,
+                                   kshift=kshift, K=K)
+    assert backend == 'xla', backend
+    flips = _apply_b1(jnp.asarray(flips), b1)
     nTR = flips.shape[-1]
     if phis is None:
         phis = jnp.zeros(nTR, flips.dtype)

@@ -63,7 +63,7 @@ def _relax_precess(M, dur, df, T1, T2, M0):
 
 
 def bssfp_train(flips, *, T1, T2, tr, df=0.0, te=None, phis=None,
-                dphi=pi, M0=1.0, Minit=None, mesh=None,
+                dphi=pi, M0=1.0, b1=None, Minit=None, mesh=None,
                 backend: str = 'xla'):
     r"""Transient balanced-SSFP train — instantaneous RF pulses with
     exact inter-pulse precession/relaxation, one isochromat per voxel.
@@ -91,6 +91,9 @@ def bssfp_train(flips, *, T1, T2, tr, df=0.0, te=None, phis=None,
           alternating ±x scheme whose pass band is centered on
           resonance; sweep it for band-shifted phase-cycled bSSFP).
         - ``M0``: `()` ⊻ `(*batch,)`, equilibrium magnetization.
+        - ``b1``: `()` ⊻ `(*batch,)` transmit scale multiplying the
+          flip train (the dictionary's B1+ dimension) — uniform across
+          backends and ``mesh=``.
         - ``Minit``: `(*batch, xyz)` initial state; None → equilibrium
           ``[0, 0, M0]``.
         - ``mesh``: optional ``(batch, spins)`` :class:`jax.sharding.Mesh`
@@ -111,19 +114,21 @@ def bssfp_train(flips, *, T1, T2, tr, df=0.0, te=None, phis=None,
     for gradients). Scalar AND variable `(nTR,)` ``tr``/``te`` trains
     are supported.
     """
+    if mesh is not None:        # composes with backend='pallas': each
+        # device runs the fused kernel on its voxel shard
+        from mrphy_tpu.parallel.mesh import bssfp_train_sharded_traceable
+        return bssfp_train_sharded_traceable(
+            mesh, flips, T1=T1, T2=T2, tr=tr, df=df, te=te, phis=phis,
+            dphi=dphi, M0=M0, b1=b1, Minit=Minit, backend=backend)
     if backend == 'pallas':
-        assert mesh is None, 'pallas backend is single-chip'
         assert Minit is None, 'pallas backend starts from equilibrium'
         from mrphy_tpu.ops.ssfp_pallas import bssfp_train_pallas
         kw = ({'phis': phis} if phis is not None else {'dphi': dphi})
         return bssfp_train_pallas(flips, T1=T1, T2=T2, tr=tr, df=df,
-                                  te=te, M0=M0, **kw)
+                                  te=te, M0=M0, b1=b1, **kw)
     assert backend == 'xla', backend
-    if mesh is not None:
-        from mrphy_tpu.parallel.mesh import bssfp_train_sharded_traceable
-        return bssfp_train_sharded_traceable(
-            mesh, flips, T1=T1, T2=T2, tr=tr, df=df, te=te, phis=phis,
-            dphi=dphi, M0=M0, Minit=Minit)
+    if b1 is not None:          # per-voxel transmit scale (B1+ dim)
+        flips = jnp.asarray(b1)[..., None] * jnp.asarray(flips)
 
     flips = jnp.asarray(flips)
     nTR = flips.shape[-1]

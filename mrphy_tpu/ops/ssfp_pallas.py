@@ -53,6 +53,16 @@ _VMEM_LIMIT = 100 * 1024 * 1024
 _UNROLL = 8      # Mosaic fori_loop can't unroll; do it manually
 
 
+def _nexpm1(x):
+    r"""``expm1(-x)`` for ``x ≥ 0`` without the ``expm1`` primitive
+    (Mosaic has no TPU lowering for it): 6-term Taylor below 0.17
+    (series tail < 8e-9 — f32-exact where ``exp(-x) - 1`` cancels),
+    plain ``exp(-x) - 1`` above (cancellation harmless there)."""
+    t = -x * (1 + x * (-1 / 2 + x * (1 / 6 + x * (
+        -1 / 24 + x * (1 / 120 - x * (1 / 720))))))
+    return jnp.where(x < 0.17, t, jnp.exp(-x) - 1)
+
+
 def _bssfp_kernel(nTR: int, has_b1: bool, vartr: bool,
                   coef_ref, pk_ref, outr_ref, outi_ref):
     r"""One `(8, tile)` atom tile: the whole train with (Mx, My, Mz)
@@ -94,11 +104,11 @@ def _bssfp_kernel(nTR: int, has_b1: bool, vartr: bool,
             phi = om * ten
             cte_t, ste_t = jnp.cos(phi), jnp.sin(phi)
             E2te_t = jnp.exp(-ten * R2)
-            a1te_t = -jnp.expm1(-ten * R1)
+            a1te_t = -_nexpm1(ten * R1)
             phi = om * remn
             crem_t, srem_t = jnp.cos(phi), jnp.sin(phi)
             E2rem_t = jnp.exp(-remn * R2)
-            a1rem_t = -jnp.expm1(-remn * R1)
+            a1rem_t = -_nexpm1(remn * R1)
         else:
             cte_t, ste_t, E2te_t, a1te_t = cte, ste, E2te, a1te
             crem_t, srem_t = crem, srem

@@ -492,18 +492,30 @@ def _epg_cpmg_sharded_jit(mesh: Mesh, names: tuple, static_items: tuple,
 
 def bssfp_train_sharded_traceable(mesh: Mesh, flips, **kw):
     r"""shard_map-wrapped :func:`mrphy_tpu.ops.ssfp.bssfp_train` for 1-D
-    voxel batches: ``flips`` must be batched `(nV, nTR)` (tile a shared
-    train); per-voxel ``T1``/``T2``/``df``/``M0`` `(nV,)` (and
+    voxel batches: ``flips`` batched `(nV, nTR)` or a shared `(nTR,)`
+    train (replicated; ``nV`` then comes from the per-voxel parameter
+    arrays); per-voxel ``T1``/``T2``/``df``/``M0`` `(nV,)` (and
     ``Minit`` `(nV, 3)`) shard on the mesh's spin axis. The
     time-shaped kwargs ``phis``/``tr``/``te`` replicate when 1-D (a
     1-D array of these is ALWAYS the shared TR axis — pass `(nV, nTR)`
-    phis for per-voxel schedules). Returns `(nV, nTR, 2)`."""
+    phis for per-voxel schedules). Returns `(nV, nTR, 2)`. A static
+    ``backend='pallas'`` kwarg passes through: each device runs the
+    fused dictionary kernel on its voxel shard (shared-train workloads
+    only)."""
     import jax.numpy as jnp
 
     sp = mesh.shape[SPIN_AXIS]
     flips = jnp.asarray(flips)
-    assert flips.ndim == 2, 'mesh= needs batched (nV, nTR) flips'
-    nV = flips.shape[0]
+    allarr = {k: jnp.asarray(v) for k, v in kw.items()
+              if hasattr(v, 'ndim') or isinstance(v, (list, tuple))}
+    if flips.ndim == 2:
+        nV = flips.shape[0]
+    else:                   # shared (nTR,) train: replicate; nV from
+        assert flips.ndim == 1      # the per-voxel parameter arrays
+        cands = [v.shape[0] for k, v in allarr.items()
+                 if v.ndim == 1 and k not in ('phis', 'tr', 'te')]
+        assert cands, 'no per-voxel operand; nothing to shard'
+        nV = max(cands)
     assert nV % sp == 0, (f'nV={nV} not divisible by spin mesh extent '
                           f'{sp}')
 
@@ -512,13 +524,12 @@ def bssfp_train_sharded_traceable(mesh: Mesh, flips, **kw):
             return False          # 1-D time schedules are shared
         return v.ndim >= 1 and v.shape[0] == nV
 
-    allarr = {k: jnp.asarray(v) for k, v in kw.items()
-              if hasattr(v, 'ndim') or isinstance(v, (list, tuple))}
     vox = {k: v for k, v in allarr.items() if per_voxel(k, v)}
     rep = {k: v for k, v in allarr.items() if k not in vox}
     static = {k: v for k, v in kw.items() if k not in allarr}
     vnames, rnames = tuple(sorted(vox)), tuple(sorted(rep))
-    in_specs = ((P(SPIN_AXIS, None),)
+    flips_spec = P(SPIN_AXIS, None) if flips.ndim == 2 else P()
+    in_specs = ((flips_spec,)
                 + tuple(P(SPIN_AXIS, *([None] * (vox[k].ndim - 1)))
                         for k in vnames)
                 + tuple(P() for _ in rnames))
@@ -767,8 +778,11 @@ def _signal_adjoint_sharded_jit(mesh: Mesh, names: tuple, chunk,
 def epgx_train_sharded_traceable(mesh: Mesh, train: str, flips,
                                  phis=None, **kw):
     r"""shard_map-wrapped EPG-X trains (``'cpmg'`` ⊻ ``'spgr'`` ⊻
-    ``'mt_spgr'``) for 1-D voxel batches: ``flips`` must be batched
-    `(nV, nT)` (tile a shared train). ``phis`` and kwargs shard with
+    ``'mt_spgr'``) for 1-D voxel batches: ``flips`` batched `(nV, nT)`
+    or a shared `(nT,)` train (replicated; ``nV`` then comes from the
+    per-voxel parameter arrays — required for a static
+    ``backend='pallas'``, which runs the fused dictionary kernel on
+    each device's voxel shard). ``phis`` and kwargs shard with
     the voxels when their leading axis is ``nV``, else replicate —
     EXCEPT the time-shaped ``wt``: a 1-D ``wt`` with ``nTR == nV`` is
     ambiguous and rejected (pass `(1, nTR)` for a shared train or
@@ -778,8 +792,16 @@ def epgx_train_sharded_traceable(mesh: Mesh, train: str, flips,
     assert train in ('cpmg', 'spgr', 'mt_spgr'), train
     sp = mesh.shape[SPIN_AXIS]
     flips = jnp.asarray(flips)
-    assert flips.ndim == 2, 'mesh= needs batched (nV, nT) flips'
-    nV, nT = flips.shape
+    if flips.ndim == 2:
+        nV, nT = flips.shape
+    else:                   # shared (nT,) train: replicate; nV from
+        assert flips.ndim == 1      # the per-voxel parameter arrays
+        nT = flips.shape[0]
+        _c = [jnp.asarray(v).shape[0] for k, v in kw.items()
+              if k not in ('wt',) and hasattr(v, 'ndim')
+              and jnp.asarray(v).ndim == 1]
+        assert _c, 'no per-voxel operand; nothing to shard'
+        nV = max(_c)
     assert nV % sp == 0, (f'nV={nV} not divisible by spin mesh extent '
                           f'{sp}')
 
@@ -809,7 +831,9 @@ def epgx_train_sharded_traceable(mesh: Mesh, train: str, flips,
 
     pos = (flips,) + ((phis_a,) if phis_sharded else ())
     rep_phis = () if phis_sharded or phis_a is None else (phis_a,)
-    in_specs = (tuple(P(SPIN_AXIS, None) for _ in pos)
+    flips_spec = P(SPIN_AXIS, None) if flips.ndim == 2 else P()
+    in_specs = ((flips_spec,)
+                + tuple(P(SPIN_AXIS, None) for _ in pos[1:])
                 + tuple(P(SPIN_AXIS, *([None] * (vox[k].ndim - 1)))
                         for k in vnames)
                 + tuple(P() for _ in rep_phis)

@@ -9,6 +9,7 @@ numerics).
 import numpy as np
 import jax.numpy as jnp
 import pytest
+import jax
 
 from mrphy_tpu.ops import epg
 from mrphy_tpu.ops.epg_pallas import (epg_spgr_pallas,
@@ -290,3 +291,83 @@ class TestEPGXMTPallasParity:
                                      tile=128, interpret=True,
                                      **self.KW)
         assert float(jnp.max(jnp.abs(via - direct))) < 3e-6
+
+
+class TestB1Kwarg:
+    r"""The unified per-voxel ``b1`` transmit-scale kwarg: on the XLA
+    backends it equals batched ``b1[:, None] * flips``; on the pallas
+    backends it reaches the kernels' native b1 lanes; under ``mesh=``
+    it shards with the voxels."""
+
+    def _setup(self):
+        rng = np.random.default_rng(41)
+        nA, nT = 40, 12
+        flips = jnp.asarray(rng.uniform(0.3, 1.2, nT), jnp.float32)
+        T1 = jnp.asarray(rng.uniform(0.5, 2.0, nA), jnp.float32)
+        T2 = jnp.asarray(rng.uniform(0.03, 0.2, nA), jnp.float32)
+        b1 = jnp.asarray(rng.uniform(0.7, 1.3, nA), jnp.float32)
+        return flips, T1, T2, b1
+
+    def test_epg_spgr_all_backends(self):
+        flips, T1, T2, b1 = self._setup()
+        kw = dict(T1=T1, T2=T2, tr=12e-3, te=3e-3, K=8)
+        ref = epg.epg_spgr(b1[:, None] * flips[None], None, **kw)
+        out = epg.epg_spgr(flips, None, b1=b1, **kw)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-12)
+        outp = epg.epg_spgr(flips, None, b1=b1, backend='pallas', **kw)
+        assert float(jnp.max(jnp.abs(outp - ref))) < 2e-5
+
+    def test_epg_cpmg_scales_refocusing_only(self):
+        flips, T1, T2, b1 = self._setup()
+        kw = dict(T1=T1, T2=T2, esp=0.01, alpha_ex=1.3)
+        ref = epg.epg_cpmg(b1[:, None] * flips[None], **kw)
+        out = epg.epg_cpmg(flips, b1=b1, **kw)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-12)
+        outp = epg.epg_cpmg(flips, b1=b1, backend='pallas', **kw)
+        assert float(jnp.max(jnp.abs(outp - ref))) < 2e-5
+
+    def test_epgx_trains(self):
+        flips, T1, T2, b1 = self._setup()
+        kw = dict(T1a=T1, T2a=T2, T1b=0.3, T2b=0.01, kab=2.0, kba=8.0)
+        for fn, extra in ((epg.epgx_spgr, dict(tr=12e-3, K=8)),
+                          (epg.epgx_cpmg, dict(esp=0.01)),):
+            ref = fn(b1[:, None] * flips[None], **kw, **extra) \
+                if fn is epg.epgx_cpmg else fn(
+                    b1[:, None] * flips[None], None, **kw, **extra)
+            out = fn(flips, b1=b1, **kw, **extra) \
+                if fn is epg.epgx_cpmg else fn(flips, None, b1=b1,
+                                               **kw, **extra)
+            np.testing.assert_allclose(np.asarray(out),
+                                       np.asarray(ref), atol=1e-12)
+        mt = dict(T1a=T1, T2a=T2, T1b=0.25, kab=3.0, kba=12.0,
+                  tr=12e-3, wt=2.0, K=8)
+        ref = epg.epgx_mt_spgr(b1[:, None] * flips[None], None, **mt)
+        out = epg.epgx_mt_spgr(flips, None, b1=b1, **mt)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-12)
+
+    def test_b1_under_mesh(self):
+        if len(jax.devices()) < 8:
+            import pytest
+            pytest.skip('needs the 8-vdev mesh')
+        from mrphy_tpu.parallel import make_mesh
+        mesh = make_mesh()
+        flips, T1, T2, b1 = self._setup()
+        kw = dict(T1=T1, T2=T2, esp=0.01)
+        ref = epg.epg_cpmg(flips, b1=b1, **kw)
+        out = epg.epg_cpmg(flips, b1=b1, mesh=mesh, **kw)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-12)
+        from mrphy_tpu.ops import ssfp
+        df = jnp.zeros_like(T1)
+        ref = ssfp.bssfp_train(flips, T1=T1, T2=T2, tr=5e-3, df=df,
+                               b1=b1)
+        out = ssfp.bssfp_train(flips, T1=T1, T2=T2, tr=5e-3, df=df,
+                               b1=b1, mesh=mesh)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-6)   # f32 fusion ulps
+        outp = ssfp.bssfp_train(flips, T1=T1, T2=T2, tr=5e-3, df=df,
+                                b1=b1, mesh=mesh, backend='pallas')
+        assert float(jnp.max(jnp.abs(outp - ref))) < 2e-5

@@ -333,6 +333,65 @@ class TestParallel:
         np.testing.assert_allclose(np.asarray(e_sh), np.asarray(e),
                                    atol=1e-12)
 
+    def test_mesh_composes_with_pallas_dictionary_kernels(self):
+        r"""``mesh=`` + ``backend='pallas'``: each device runs the
+        fused dictionary/mapping kernel on its voxel shard — equal to
+        the single-device kernel up to compile-fusion ulps (per-atom
+        math is independent of tile padding; the epgx propagator
+        precompute may fuse differently across the two programs)."""
+        from mrphy_tpu.ops import epg, ssfp
+        mesh = make_mesh()
+        rng = np.random.default_rng(31)
+        nV, nE = 16, 6
+        flips = jnp.asarray(rng.uniform(1.5, 3.1, nE), jnp.float32)
+        T1 = jnp.asarray(rng.uniform(0.5, 2.0, nV), jnp.float32)
+        T2 = jnp.asarray(rng.uniform(0.02, 0.2, nV), jnp.float32)
+        df = jnp.asarray(rng.uniform(-80, 80, nV), jnp.float32)
+
+        a = epg.epg_cpmg(flips, T1=T1, T2=T2, esp=0.01,
+                         backend='pallas')
+        b = epg.epg_cpmg(flips, T1=T1, T2=T2, esp=0.01,
+                         backend='pallas', mesh=mesh)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-7)
+        a = ssfp.bssfp_train(flips, T1=T1, T2=T2, tr=5e-3, df=df,
+                             backend='pallas')
+        b = ssfp.bssfp_train(flips, T1=T1, T2=T2, tr=5e-3, df=df,
+                             backend='pallas', mesh=mesh)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-7)
+        kw = dict(T1a=T1, T2a=T2, T1b=0.3, T2b=0.01, kab=2.0,
+                  kba=8.0, tr=12e-3, K=8)
+        a = epg.epgx_spgr(flips, None, backend='pallas', **kw)
+        b = epg.epgx_spgr(flips, None, backend='pallas', mesh=mesh,
+                          **kw)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-7)
+        mt = dict(T1a=T1, T2a=T2, T1b=0.25, kab=3.0, kba=12.0,
+                  tr=12e-3, wt=jnp.full((nE,), 2.0, jnp.float32), K=8)
+        a = epg.epgx_mt_spgr(flips, None, backend='pallas', **mt)
+        b = epg.epgx_mt_spgr(flips, None, backend='pallas', mesh=mesh,
+                             **mt)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-7)
+
+    def test_epgx_sharded_shared_flips_xla(self):
+        r"""The relaxed epgx wrapper: a shared 1-D train replicates
+        (nV from the tissue arrays) and matches the batched-flips
+        sharding and the unsharded run."""
+        from mrphy_tpu.ops import epg
+        mesh = make_mesh()
+        rng = np.random.default_rng(33)
+        nV, nE = 8, 5
+        flips = jnp.asarray(rng.uniform(1.5, 3.1, nE))
+        T1a = jnp.asarray(rng.uniform(0.5, 2.0, nV))
+        kw = dict(T1a=T1a, T2a=0.08, T1b=0.3, T2b=0.01, kab=2.0,
+                  kba=8.0, esp=0.01)
+        ref = epg.epgx_cpmg(flips, **kw)
+        out = epg.epgx_cpmg(flips, mesh=mesh, **kw)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   atol=1e-12)
+
     def test_timing_utils(self):
         from mrphy_tpu.utils.timing import (host_sync, amortized_timeit,
                                             chained_timeit)
