@@ -68,6 +68,22 @@ def _timeit(f, *args, repeats=8):
     return (time.perf_counter() - t0) / repeats
 
 
+def _timeit_device(f, *args, repeats=8):
+    r"""Amortized per-call DEVICE time: dispatch ``repeats`` calls
+    back-to-back (a single TPU core executes programs in order, so the
+    wall covers all executions) and host-read ONE element of the LAST
+    output only. ``_timeit``'s read-per-rep convention adds the ~10 ms
+    host round-trip of this tunneled attachment to every rep — honest
+    for latency-sensitive callers, but it buries sub-50 ms kernels
+    (RESULTS.md round-2 `mrf` note). Report both where it matters."""
+    out = f(*args)
+    _read(out)  # warm / compile
+    t0 = time.perf_counter()
+    outs = [f(*args) for _ in range(repeats)]
+    _read(outs[-1])
+    return (time.perf_counter() - t0) / repeats
+
+
 def bench_tiny():
     import jax
     from mrphy_tpu.models.mobjs import Examples
@@ -541,6 +557,7 @@ def bench_mrf():
     dev = float(jnp.max(jnp.abs(gen(T1, T2) - genp(T1, T2))))
     t = _timeit(gen, T1, T2, repeats=4)
     tp = _timeit(genp, T1, T2, repeats=4)
+    tp_dev = _timeit_device(genp, T1, T2, repeats=8)
     # two-pool (EPG-X) dictionary, fused kernel
     xkw = dict(T1a=T1, T2a=T2,
                T1b=jnp.asarray(rng.uniform(0.2, 0.6, natoms),
@@ -605,6 +622,12 @@ def bench_mrf():
     return {'metric': f'MRF dictionary: {natoms} atoms x {ntr} TR '
                       '(K=48) epg_spgr (fused pallas)',
             'value': round(natoms / tp, 0), 'unit': 'atoms/s',
+            'device_atoms_per_s': round(natoms / tp_dev, 0),
+            'device_sec_per_dict': round(tp_dev, 4),
+            'timing_note': 'value includes a ~10 ms host-read '
+                           'round-trip per rep (read-per-rep '
+                           'convention); device_* is amortized '
+                           'device time (one final read)',
             'sec_per_dict': round(tp, 3), 'xla_atoms_per_s':
             round(natoms / t, 0), 'xla_sec_per_dict': round(t, 3),
             'pallas_abs_dev': f'{dev:.1e}',

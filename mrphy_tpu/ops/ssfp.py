@@ -97,7 +97,9 @@ def bssfp_train(flips, *, T1, T2, tr, df=0.0, te=None, phis=None,
         - ``Minit``: `(*batch, xyz)` initial state; None → equilibrium
           ``[0, 0, M0]``.
         - ``mesh``: optional ``(batch, spins)`` :class:`jax.sharding.Mesh`
-          — voxel-sharded dispatch (requires batched `(nV, nTR)` flips).
+          — voxel-sharded dispatch. Accepts batched `(nV, nTR)` flips
+          or a shared `(nTR,)` train (replicated across shards; ``nV``
+          then inferred from the per-voxel parameter arrays).
     Outputs:
         - ``signals``: `(*batch, nTR, 2)` real ([re, im] of the
           demodulated echo at TE).
@@ -123,9 +125,26 @@ def bssfp_train(flips, *, T1, T2, tr, df=0.0, te=None, phis=None,
     if backend == 'pallas':
         assert Minit is None, 'pallas backend starts from equilibrium'
         from mrphy_tpu.ops.ssfp_pallas import bssfp_train_pallas
-        kw = ({'phis': phis} if phis is not None else {'dphi': dphi})
-        return bssfp_train_pallas(flips, T1=T1, T2=T2, tr=tr, df=df,
-                                  te=te, M0=M0, b1=b1, **kw)
+        from mrphy_tpu.ops._diffwrap import pallas_with_xla_vjp
+        if phis is not None:
+            return pallas_with_xla_vjp(
+                lambda fl, ph, t1, t2, trv, dfv, tev, m0, b:
+                    bssfp_train_pallas(fl, phis=ph, T1=t1, T2=t2,
+                                       tr=trv, df=dfv, te=tev, M0=m0,
+                                       b1=b),
+                lambda fl, ph, t1, t2, trv, dfv, tev, m0, b:
+                    bssfp_train(fl, T1=t1, T2=t2, tr=trv, df=dfv,
+                                te=tev, phis=ph, M0=m0, b1=b,
+                                backend='xla'),
+                flips, phis, T1, T2, tr, df, te, M0, b1)
+        return pallas_with_xla_vjp(
+            lambda fl, t1, t2, trv, dfv, tev, m0, b:
+                bssfp_train_pallas(fl, dphi=dphi, T1=t1, T2=t2, tr=trv,
+                                   df=dfv, te=tev, M0=m0, b1=b),
+            lambda fl, t1, t2, trv, dfv, tev, m0, b:
+                bssfp_train(fl, T1=t1, T2=t2, tr=trv, df=dfv, te=tev,
+                            dphi=dphi, M0=m0, b1=b, backend='xla'),
+            flips, T1, T2, tr, df, te, M0, b1)
     assert backend == 'xla', backend
     if b1 is not None:          # per-voxel transmit scale (B1+ dim)
         flips = jnp.asarray(b1)[..., None] * jnp.asarray(flips)

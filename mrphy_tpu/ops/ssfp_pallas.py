@@ -150,6 +150,18 @@ def _bssfp_dispatch(flips, phis, trs, tes, T1, T2, df, M0, b1, *,
     nTR = flips.shape[0]
     nA = T1.shape[0]
     f32 = jnp.float32
+    # pad the train to a multiple of _UNROLL so the manual unroll never
+    # degrades to gcd(nTR, 8) = 1 on odd/prime train lengths: the train
+    # is causal (echo t depends on flips[0..t] only), so appended
+    # zero-flip TRs cannot perturb the first nTR echoes, which are all
+    # we return.
+    tpad = (-nTR) % _UNROLL
+    if tpad:
+        flips = jnp.pad(flips, (0, tpad))
+        phis = jnp.pad(phis, (0, tpad))
+        trs = jnp.pad(trs, (0, tpad), constant_values=1.0)
+        tes = jnp.pad(tes, (0, tpad), constant_values=0.5)
+    nTRp = nTR + tpad
     flips, phis = flips.astype(f32), phis.astype(f32)
     ca, sa = jnp.cos(flips), jnp.sin(flips)
     cphi, sphi = jnp.cos(phis), jnp.sin(phis)
@@ -183,21 +195,24 @@ def _bssfp_dispatch(flips, phis, trs, tes, T1, T2, df, M0, b1, *,
     nP = pk.shape[0]
     pk = pk.reshape(nP, nAp // tile, tile)
 
-    out = pl.BlockSpec((nTR, _SUB, tile), lambda i: (0, i, 0))
+    # NB both output blocks are full (nTRp, 8, tile) VMEM residents
+    # (~8 KB per TR at tile=128 for the pair), so trains beyond ~6k TR
+    # hit the VMEM cap at compile time — far above any MRF train.
+    out = pl.BlockSpec((nTRp, _SUB, tile), lambda i: (0, i, 0))
     outr, outi = pl.pallas_call(
-        functools.partial(_bssfp_kernel, nTR, has_b1, vartr),
+        functools.partial(_bssfp_kernel, nTRp, has_b1, vartr),
         grid=(nAp // blk,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   pl.BlockSpec((nP, _SUB, tile), lambda i: (0, i, 0))],
         out_specs=[out, out],
-        out_shape=[jax.ShapeDtypeStruct((nTR, nAp // tile, tile),
+        out_shape=[jax.ShapeDtypeStruct((nTRp, nAp // tile, tile),
                                         f32)] * 2,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(coef, pk)
-    outr = outr.reshape(nTR, nAp)[:, :nA]
-    outi = outi.reshape(nTR, nAp)[:, :nA]
+    outr = outr.reshape(nTRp, nAp)[:nTR, :nA]
+    outi = outi.reshape(nTRp, nAp)[:nTR, :nA]
     return jnp.stack([outr, outi], -1)           # (nTR, nA, 2)
 
 

@@ -512,8 +512,12 @@ def bssfp_train_sharded_traceable(mesh: Mesh, flips, **kw):
         nV = flips.shape[0]
     else:                   # shared (nTR,) train: replicate; nV from
         assert flips.ndim == 1      # the per-voxel parameter arrays
+        # any non-time kwarg with a leading axis is a candidate (e.g.
+        # a call whose only per-voxel operand is Minit (nV, 3)); 1-D
+        # phis/tr/te are shared TR schedules, 2-D ones are (nV, nTR)
         cands = [v.shape[0] for k, v in allarr.items()
-                 if v.ndim == 1 and k not in ('phis', 'tr', 'te')]
+                 if v.ndim >= 1 and (k not in ('phis', 'tr', 'te')
+                                     or v.ndim == 2)]
         assert cands, 'no per-voxel operand; nothing to shard'
         nV = max(cands)
     assert nV % sp == 0, (f'nV={nV} not divisible by spin mesh extent '

@@ -83,6 +83,8 @@ CASES = [
     # slice-profile-resolved EPG T2 mapping vs full Bloch train
     ('t2map_slice_profile.py', ['--nz', '48', '--nt', '96',
                                 '--iters', '150']),
+    # T2 shuffling: subspace echo-train recon via block-diagonal solve
+    ('t2shuffling.py', ['--n', '32', '--ne', '16', '--shots', '4']),
     # deployment lifecycle: design -> AOT artifacts -> serve (bit-exact)
     ('serve_artifact.py', ['--n', '8', '--nt', '32', '--iters', '20']),
     # voxel-sharded variants on the 8-virtual-device CPU mesh
