@@ -18,12 +18,16 @@ Two backends behind one function:
   ``T2b``/``kab``/``kba``/``Ma0``/``Mb0``/``dfb``, whose gradients flow
   through the exact 2×2 propagator precompute). ``gam``/``dt`` get zero
   gradients (engine contract, like ``blochsim_rfgr``).
-- ``'pallas'`` (:mod:`mrphy_tpu.ops.mc_pallas`): the fused TPU kernel for
-  the forward pass, wrapped in a ``jax.custom_vjp`` whose backward
-  recomputes through the XLA core — so the Pallas path is *also* fully
-  differentiable (gradients are bit-identical to the XLA backend's; the
-  speedup applies to the forward — dictionary generation, Z-spectrum
-  simulation, matching — while fitting loops pay one XLA-speed reverse).
+- ``'pallas'`` (:mod:`mrphy_tpu.ops.mc_pallas`): fused TPU kernels for
+  BOTH passes — the forward streams chunk-start checkpoints, and the
+  backward is a hand-derived two-phase chunk adjoint (forward-recompute
+  into VMEM, cotangent recursion over the stored states; no step
+  inversion, so it is sound for arbitrarily contracting exchange).
+  Fully differentiable w.r.t. everything the XLA path is — tissue/
+  exchange parameters flow through in-kernel propagator-plane
+  cotangents chained through ``mc_propagators``. Instances the bwd
+  kernel cannot fit (divisor-poor nT, oversized waveform-grad
+  partials) fall back to a recompute-through-XLA adjoint.
 
 No counterpart in the reference (single-pool only); validated against
 exact 2×2 exchange solutions and the oracle in ``tests/test_mc.py``.
@@ -117,29 +121,57 @@ def _pallas_fwd_impl(interpret, small, ma, mb, rf_t, gr_t, loc_p, dfg,
     gr2 = gr_t.transpose(1, 2, 0)                      # (N, 3, nT)
     b1_4 = None if b1_p is None else b1_p.reshape(
         N, 2 * nC, *b1_p.shape[3:])
-    out = mc_pallas.mc_fwd_planes(mi6, rf2, gr2, loc_p, dfg, b1_4, sb,
-                                  Xp, Zp, g2pd, small_phi=small,
-                                  interpret=interpret)
-    return out[:, :3], out[:, 3:]
+    out, chk = mc_pallas.mc_fwd_planes(mi6, rf2, gr2, loc_p, dfg, b1_4,
+                                       sb, Xp, Zp, g2pd,
+                                       small_phi=small,
+                                       interpret=interpret)
+    return (out[:, :3], out[:, 3:]), chk
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
 def _mc_core_pallas(interpret, small, ma, mb, rf_t, gr_t, loc_p, dfg,
                     b1_p, sb, Xp, Zp, g2pd):
     return _pallas_fwd_impl(interpret, small, ma, mb, rf_t, gr_t, loc_p,
-                            dfg, b1_p, sb, Xp, Zp, g2pd)
+                            dfg, b1_p, sb, Xp, Zp, g2pd)[0]
 
 
 def _mc_core_pallas_fwd(interpret, small, *args):
-    return _pallas_fwd_impl(interpret, small, *args), args
+    out, chk = _pallas_fwd_impl(interpret, small, *args)
+    return out, (args, chk)
 
 
 def _mc_core_pallas_bwd(interpret, small, res, g):
-    # Recompute-through-XLA adjoint: gradients are exactly the XLA
-    # backend's (same math, same chunk-remat reverse), while the primal
-    # forward ran fused. One XLA-speed fwd+bwd per reverse pass.
-    _, vjp = jax.vjp(_mc_xla_core, *res)
-    return vjp(g)
+    r"""Fused two-pool adjoint (hand-derived two-phase chunk kernel in
+    :mod:`mrphy_tpu.ops.mc_pallas`) when the instance fits it; otherwise
+    the recompute-through-XLA adjoint (same math as the XLA backend's
+    autodiff — used for divisor-poor nT or oversized waveform-grad
+    partials). Tissue/exchange-parameter gradients flow through the
+    propagator-plane cotangents (dX/dZ), which the wrapper chains through
+    ``mc_propagators`` by autodiff."""
+    from mrphy_tpu.ops import mc_pallas
+    args, chk = res
+    (ma, mb, rf_t, gr_t, loc_p, dfg, b1_p, sb, Xp, Zp, g2pd) = args
+    N, _, S1, _ = ma.shape
+    nT = rf_t.shape[0]
+    nC = rf_t.shape[-1]
+    if not mc_pallas.mc_bwd_is_available(nT=nT, S1=S1, nC=nC,
+                                         ntiles_hbm_n=N):
+        _, vjp = jax.vjp(_mc_xla_core, *args)
+        return vjp(g)
+    rf2 = rf_t.transpose(1, 2, 3, 0).reshape(N, 2 * nC, nT)
+    gr2 = gr_t.transpose(1, 2, 0)
+    b1_4 = None if b1_p is None else b1_p.reshape(
+        N, 2 * nC, *b1_p.shape[3:])
+    g6 = jnp.concatenate([g[0], g[1]], axis=1)
+    (dmi6, drf2, dgr2, dloc, ddfg, db1g, dsb, dXg, dZg) = \
+        mc_pallas.mc_bwd_planes(chk, g6, rf2, gr2, loc_p, dfg, b1_4, sb,
+                                Xp, Zp, g2pd, small_phi=small,
+                                interpret=interpret)
+    drf_t = drf2.reshape(N, 2, nC, nT).transpose(3, 0, 1, 2)
+    dgr_t = dgr2.transpose(2, 0, 1)
+    db1_p = None if db1g is None else db1g.reshape(b1_p.shape)
+    return (dmi6[:, :3], dmi6[:, 3:], drf_t, dgr_t, dloc, ddfg, db1_p,
+            dsb, dXg, dZg, jnp.zeros_like(g2pd))
 
 
 _mc_core_pallas.defvjp(_mc_core_pallas_fwd, _mc_core_pallas_bwd)
@@ -185,10 +217,12 @@ def blochsim_mc_rfgr(Mia, Mib, rf, gr, loc, *, T1a, T2a, T1b, T2b,
 
     Differentiable w.r.t. every physics input (including the tissue and
     exchange parameters, through the exact-propagator precompute) on
-    both backends — the Pallas forward's VJP recomputes through the XLA
-    core, so its gradients match the XLA backend's exactly.
-    ``gam``/``dt`` get zero gradients (engine contract, matching
-    ``blochsim_rfgr``).
+    both backends — the Pallas path's VJP is the fused two-phase chunk
+    adjoint kernel (parity with the XLA grads pinned at 1e-5/f32 and
+    against the kernel-math autodiff oracle at 1e-7/f64 in
+    ``tests/test_mc.py``), with a recompute-through-XLA fallback for
+    instances the kernel cannot fit. ``gam``/``dt`` get zero gradients
+    (engine contract, matching ``blochsim_rfgr``).
 
     Beyond-reference family (``/root/reference/mrphy`` is single-pool);
     shares the rotate-then-exchange splitting and exact interval

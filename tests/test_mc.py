@@ -248,8 +248,8 @@ class TestBlochMcRfgr:
             assert rel < 1e-9, (name, rel)
 
     def test_pallas_vjp_is_xla_grad(self):
-        # the Pallas path's custom VJP recomputes through the XLA core:
-        # same primals in => gradients equal up to the fwd cotangent diff
+        # the Pallas path's fused adjoint kernel vs the XLA backend's
+        # autodiff: same math up to the polynomial-vs-exact sincos
         import jax
         a = self._mk(nS=12, nT=24, nC=1)
 
@@ -277,3 +277,130 @@ class TestBlochMcRfgr:
                                 df=a['df'], gam=gamH, dt=4e-6,
                                 backend='xla')
         assert float(jnp.max(jnp.abs(Ma - Ms))) < 1e-12
+
+
+class TestFusedMcAdjoint:
+    r"""The hand-derived two-phase chunk adjoint (``mc_pallas.
+    mc_bwd_planes``) vs the autodiff oracle of the EXACT kernel math —
+    an in-test planes-level forward using the same ``_fast_sincos``
+    rotation as the kernel, so parity isolates the adjoint derivation
+    (1e-9/f64), not the sincos implementation."""
+
+    def _args(self, nC=1, has_dfg=True, has_b1=True, nT=24, seed=3):
+        import jax.numpy as jnp
+        rng = np.random.default_rng(seed)
+        N, S1, L = 1, 8, 128
+        mk = lambda *s: jnp.asarray(rng.standard_normal(s), F64)  # noqa
+        mi6 = mk(N, 6, S1, L) * 0.5
+        rf_t = mk(nT, N, 2, nC) * 0.05
+        gr_t = mk(nT, N, 3)
+        g2pd = jnp.full((N, S1, L), 2 * np.pi * gamH * 4e-6, F64)
+        loc_p = g2pd[:, None] * mk(N, 3, S1, L)
+        dfg = (mk(N, S1, L) * 100 * 2 * np.pi * 4e-6) if has_dfg else None
+        b1_p = (g2pd[:, None, None] * (mk(N, 2, nC, S1, L) * .3 + .5)
+                if has_b1 else None)
+        sb = jnp.full((N, S1, L), 750.0 * 2 * np.pi * 4e-6, F64)
+        pr = slowsims.mc_propagators(
+            jnp.asarray(1.2, F64), jnp.asarray(0.06, F64),
+            jnp.asarray(1.0, F64), jnp.asarray(0.01, F64),
+            jnp.asarray(3.0, F64), jnp.asarray(150.0, F64),
+            jnp.asarray(1.0, F64), jnp.asarray(0.02, F64),
+            jnp.asarray(4e-6, F64))
+        ones = jnp.ones((N, S1, L), F64)
+        Xp = jnp.stack([p * ones for p in pr[:4]], 1)
+        Zp = jnp.stack([p * ones for p in pr[4:]], 1)
+        return mi6, rf_t, gr_t, loc_p, dfg, b1_p, sb, Xp, Zp, g2pd
+
+    @staticmethod
+    def _fwd_ref(mi6, rf_t, gr_t, loc_p, dfg, b1_p, sb, Xp, Zp, g2pd):
+        r"""Planes-level scan forward with the KERNEL's sincos."""
+        import jax
+        from mrphy_tpu.ops.mc_pallas import _mc_rot
+        from mrphy_tpu.ops.sims import _assemble_b
+        X00, X01, X10, X11 = (Xp[:, k] for k in range(4))
+        Z00, Z01, Z10, Z11, ca, cb = (Zp[:, k] for k in range(6))
+
+        def step(m, xs):
+            ma, mb = m
+            rf_1, gr_1 = xs
+            b = _assemble_b(rf_1, gr_1, loc_p, dfg, b1_p, g2pd)
+            a1 = _mc_rot(b[:, 0], b[:, 1], b[:, 2],
+                         ma[:, 0], ma[:, 1], ma[:, 2], False)
+            b1 = _mc_rot(b[:, 0], b[:, 1], b[:, 2] + sb,
+                         mb[:, 0], mb[:, 1], mb[:, 2], False)
+            ma2 = jnp.stack([X00 * a1[0] + X01 * b1[0],
+                             X00 * a1[1] + X01 * b1[1],
+                             Z00 * a1[2] + Z01 * b1[2] + ca], 1)
+            mb2 = jnp.stack([X10 * a1[0] + X11 * b1[0],
+                             X10 * a1[1] + X11 * b1[1],
+                             Z10 * a1[2] + Z11 * b1[2] + cb], 1)
+            return (ma2, mb2), None
+
+        (ma, mb), _ = jax.lax.scan(step, (mi6[:, :3], mi6[:, 3:]),
+                                   (rf_t, gr_t))
+        return jnp.concatenate([ma, mb], 1)
+
+    def _check(self, nC, has_dfg, has_b1, tc):
+        import jax
+        from mrphy_tpu.ops import mc_pallas
+        (mi6, rf_t, gr_t, loc_p, dfg, b1_p, sb, Xp, Zp,
+         g2pd) = self._args(nC=nC, has_dfg=has_dfg, has_b1=has_b1)
+        nT = rf_t.shape[0]
+        N = mi6.shape[0]
+        rf2 = rf_t.transpose(1, 2, 3, 0).reshape(N, 2 * nC, nT)
+        gr2 = gr_t.transpose(1, 2, 0)
+        b1_4 = None if b1_p is None else b1_p.reshape(
+            N, 2 * nC, *b1_p.shape[3:])
+        out, chk = mc_pallas.mc_fwd_planes(
+            mi6, rf2, gr2, loc_p, dfg, b1_4, sb, Xp, Zp, g2pd,
+            tc=tc, interpret=True)
+        ref = self._fwd_ref(mi6, rf_t, gr_t, loc_p, dfg, b1_p, sb,
+                            Xp, Zp, g2pd)
+        assert float(jnp.max(jnp.abs(out - ref))) < 1e-12
+
+        rng = np.random.default_rng(7)
+        g6 = jnp.asarray(rng.standard_normal(out.shape), F64)
+        _, vjp = jax.vjp(self._fwd_ref, mi6, rf_t, gr_t, loc_p,
+                         dfg, b1_p, sb, Xp, Zp, g2pd)
+        (ami6, arf_t, agr_t, aloc, adfg, ab1, asb, aX, aZ,
+         ag2pd) = vjp(g6)
+        (dmi6, drf2, dgr2, dloc, ddfg, db1g, dsb, dXg, dZg) = \
+            mc_pallas.mc_bwd_planes(chk, g6, rf2, gr2, loc_p, dfg,
+                                    b1_4, sb, Xp, Zp, g2pd, tc=tc,
+                                    interpret=True)
+        drf_t = drf2.reshape(N, 2, nC, nT).transpose(3, 0, 1, 2)
+        dgr_t = dgr2.transpose(2, 0, 1)
+        pairs = [('mi', ami6, dmi6), ('rf', arf_t, drf_t),
+                 ('gr', agr_t, dgr_t), ('loc', aloc, dloc),
+                 ('sb', asb, dsb), ('X', aX, dXg), ('Z', aZ, dZg)]
+        if has_dfg:
+            pairs.append(('dfg', adfg, ddfg))
+        if has_b1:
+            pairs.append(('b1', ab1,
+                          db1g.reshape(b1_p.shape)))
+        # Tolerance 1e-7, not 1e-9: the oracle autodiffs THROUGH the
+        # minimax sincos polynomial (whose derivative differs from the
+        # true cos/sin by the poly error ~1e-8), while the hand-derived
+        # adjoint applies the exact rotation-adjoint algebra at the poly
+        # values. A derivation error would show at 1e-4+; the measured
+        # gap is the poly-derivative mismatch (~1e-8).
+        for name, a, d in pairs:
+            rel = float(jnp.max(jnp.abs(a - d))
+                        / (jnp.max(jnp.abs(a)) + 1e-30))
+            assert rel < 1e-7, (name, rel)
+
+    def test_full_single_chunk(self):
+        self._check(nC=1, has_dfg=True, has_b1=True, tc=24)
+
+    def test_full_multi_chunk(self):
+        # tc=8 < nT=24 exercises the chunked checkpoint restarts
+        self._check(nC=1, has_dfg=True, has_b1=True, tc=8)
+
+    def test_multicoil(self):
+        self._check(nC=2, has_dfg=True, has_b1=True, tc=12)
+
+    def test_no_b1(self):
+        self._check(nC=1, has_dfg=True, has_b1=False, tc=8)
+
+    def test_no_dfg_no_b1(self):
+        self._check(nC=1, has_dfg=False, has_b1=False, tc=24)
