@@ -241,8 +241,15 @@ def epg_cpmg(flips, *, T1, T2, esp, M0=1.0, phi_ex=pi / 2,
     if backend == 'pallas':
         assert D is None, 'pallas backend does not model diffusion'
         from mrphy_tpu.ops.epg_pallas import epg_cpmg_pallas
-        return epg_cpmg_pallas(flips, T1=T1, T2=T2, esp=esp, M0=M0,
-                               phi_ex=phi_ex, alpha_ex=alpha_ex, b1=b1)
+        from mrphy_tpu.ops._diffwrap import pallas_with_xla_vjp
+        return pallas_with_xla_vjp(
+            lambda fl, t1, t2, es, m0, pex, aex, b:
+                epg_cpmg_pallas(fl, T1=t1, T2=t2, esp=es, M0=m0,
+                                phi_ex=pex, alpha_ex=aex, b1=b),
+            lambda fl, t1, t2, es, m0, pex, aex, b:
+                epg_cpmg(fl, T1=t1, T2=t2, esp=es, M0=m0, phi_ex=pex,
+                         alpha_ex=aex, b1=b, backend='xla'),
+            flips, T1, T2, esp, M0, phi_ex, alpha_ex, b1)
     assert backend == 'xla', backend
     flips = _apply_b1(jnp.asarray(flips), b1)
     return _epg_cpmg_body(flips, T1, T2, esp, M0, phi_ex, D, dk,
@@ -341,8 +348,15 @@ def epg_spgr(flips, phis=None, *, T1, T2, tr, te=0.0, M0=1.0,
     if backend == 'pallas':
         assert D is None, 'pallas backend does not model diffusion'
         from mrphy_tpu.ops.epg_pallas import epg_spgr_pallas
-        return epg_spgr_pallas(flips, phis, T1=T1, T2=T2, tr=tr, te=te,
-                               M0=M0, b1=b1, kshift=kshift, K=K)
+        from mrphy_tpu.ops._diffwrap import pallas_with_xla_vjp
+        return pallas_with_xla_vjp(
+            lambda fl, ph, t1, t2, trv, tev, m0, b:
+                epg_spgr_pallas(fl, ph, T1=t1, T2=t2, tr=trv, te=tev,
+                                M0=m0, b1=b, kshift=kshift, K=K),
+            lambda fl, ph, t1, t2, trv, tev, m0, b:
+                epg_spgr(fl, ph, T1=t1, T2=t2, tr=trv, te=tev, M0=m0,
+                         b1=b, kshift=kshift, K=K, backend='xla'),
+            flips, phis, T1, T2, tr, te, M0, b1)
     assert backend == 'xla', backend
     flips = _apply_b1(jnp.asarray(flips), b1)
     nTR = flips.shape[-1]
@@ -604,10 +618,19 @@ def epgx_cpmg(flips, *, T1a, T2a, T1b, T2b, kab, kba, esp, M0a=1.0,
             M0b=M0b, dfb=dfb, phi_ex=phi_ex, b1=b1, backend=backend)
     if backend == 'pallas':
         from mrphy_tpu.ops.epg_pallas import epgx_cpmg_pallas
-        return epgx_cpmg_pallas(flips, T1a=T1a, T2a=T2a, T1b=T1b,
-                                T2b=T2b, kab=kab, kba=kba, esp=esp,
-                                M0a=M0a, M0b=M0b, dfb=dfb,
-                                phi_ex=phi_ex, b1=b1)
+        from mrphy_tpu.ops._diffwrap import pallas_with_xla_vjp
+        return pallas_with_xla_vjp(
+            lambda fl, *p: epgx_cpmg_pallas(
+                fl, **dict(zip(('T1a', 'T2a', 'T1b', 'T2b', 'kab',
+                                'kba', 'esp', 'M0a', 'M0b', 'dfb',
+                                'phi_ex', 'b1'), p))),
+            lambda fl, *p: epgx_cpmg(
+                fl, backend='xla',
+                **dict(zip(('T1a', 'T2a', 'T1b', 'T2b', 'kab', 'kba',
+                            'esp', 'M0a', 'M0b', 'dfb', 'phi_ex',
+                            'b1'), p))),
+            flips, T1a, T2a, T1b, T2b, kab, kba, esp, M0a, M0b, dfb,
+            phi_ex, b1)
     assert backend == 'xla', backend
     flips = _apply_b1(jnp.asarray(flips), b1)
     nE = flips.shape[-1]
@@ -665,10 +688,17 @@ def epgx_spgr(flips, phis=None, *, T1a, T2a, T1b, T2b, kab, kba, tr,
             backend=backend)
     if backend == 'pallas':
         from mrphy_tpu.ops.epg_pallas import epgx_spgr_pallas
-        return epgx_spgr_pallas(flips, phis, T1a=T1a, T2a=T2a,
-                                T1b=T1b, T2b=T2b, kab=kab, kba=kba,
-                                tr=tr, M0a=M0a, M0b=M0b, dfb=dfb,
-                                b1=b1, kshift=kshift, K=K)
+        from mrphy_tpu.ops._diffwrap import pallas_with_xla_vjp
+        names = ('T1a', 'T2a', 'T1b', 'T2b', 'kab', 'kba', 'tr',
+                 'M0a', 'M0b', 'dfb', 'b1')
+        return pallas_with_xla_vjp(
+            lambda fl, ph, *p: epgx_spgr_pallas(
+                fl, ph, kshift=kshift, K=K, **dict(zip(names, p))),
+            lambda fl, ph, *p: epgx_spgr(
+                fl, ph, backend='xla', kshift=kshift, K=K,
+                **dict(zip(names, p))),
+            flips, phis, T1a, T2a, T1b, T2b, kab, kba, tr, M0a, M0b,
+            dfb, b1)
     assert backend == 'xla', backend
     flips = _apply_b1(jnp.asarray(flips), b1)
     nTR = flips.shape[-1]

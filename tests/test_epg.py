@@ -365,3 +365,76 @@ class TestAlphaEx:
                                          esp=0.01, alpha_ex=al[i],
                                          phi_ex=ph[i]))
             np.testing.assert_allclose(eb[i], ei, rtol=1e-12, atol=1e-15)
+
+
+class TestFusedTrainGrads:
+    r"""``backend='pallas'`` trains are differentiable: the recompute-
+    through-XLA custom VJP (``ops/_diffwrap.py``) makes ``jax.grad``
+    through every fused dictionary kernel return the XLA backend's
+    gradients. Tolerance 1e-6/f64, NOT 1e-9: the kernels emit f32, so
+    the cotangent crosses one f32 rounding at the custom-vjp boundary
+    (~1e-7 rel); in f32 pipelines the paths are identical."""
+
+    def _mk(self, ntr=20, nA=6, seed=0):
+        import jax.numpy as jnp
+        rng = np.random.default_rng(seed)
+        F = jnp.float64
+        return (jnp.asarray(np.deg2rad(rng.uniform(10, 60, ntr)), F),
+                jnp.asarray(rng.uniform(0.3, 2.0, nA), F),
+                jnp.asarray(rng.uniform(0.03, 0.3, nA), F),
+                jnp.asarray(rng.uniform(0.8, 1.2, nA), F),
+                jnp.asarray(rng.standard_normal((nA, ntr, 2)), F))
+
+    def _check(self, f, flips, T1, T2, w):
+        import jax
+        import jax.numpy as jnp
+        gx = jax.grad(lambda *a: jnp.sum(w * f(*a, 'xla')),
+                      argnums=(0, 1, 2))(flips, T1, T2)
+        gp = jax.grad(lambda *a: jnp.sum(w * f(*a, 'pallas')),
+                      argnums=(0, 1, 2))(flips, T1, T2)
+        for name, x, p in zip(('flips', 'T1', 'T2'), gx, gp):
+            rel = float(jnp.max(jnp.abs(x - p))
+                        / (jnp.max(jnp.abs(x)) + 1e-30))
+            assert rel < 1e-6, (name, rel)
+
+    def test_spgr(self):
+        from mrphy_tpu.ops import epg
+        flips, T1, T2, b1, w = self._mk()
+        self._check(lambda fl, t1, t2, be: epg.epg_spgr(
+            fl, None, T1=t1, T2=t2, tr=12e-3, te=3e-3, K=12, b1=b1,
+            backend=be), flips, T1, T2, w)
+
+    def test_cpmg(self):
+        from mrphy_tpu.ops import epg
+        flips, T1, T2, b1, w = self._mk()
+        self._check(lambda fl, t1, t2, be: epg.epg_cpmg(
+            fl, T1=t1, T2=t2, esp=0.01, b1=b1, backend=be),
+            flips, T1, T2, w)
+
+    def test_epgx_spgr(self):
+        from mrphy_tpu.ops import epg
+        flips, T1, T2, b1, w = self._mk()
+        self._check(lambda fl, t1, t2, be: epg.epgx_spgr(
+            fl, None, T1a=t1, T2a=t2, T1b=0.5, T2b=0.02, kab=4.0,
+            kba=20.0, tr=12e-3, K=10, b1=b1, backend=be),
+            flips, T1, T2, w)
+
+    def test_epgx_cpmg_exchange_param_grads(self):
+        import jax
+        import jax.numpy as jnp
+        from mrphy_tpu.ops import epg
+        flips, T1, T2, b1, w = self._mk()
+        F = jnp.float64
+
+        def loss(kab, t2b, be):
+            s = epg.epgx_cpmg(flips, T1a=T1, T2a=T2, T1b=0.5, T2b=t2b,
+                              kab=kab, kba=20.0, esp=0.01, b1=b1,
+                              backend=be)
+            return jnp.sum(w * s)
+
+        args = (jnp.asarray(4.0, F), jnp.asarray(0.02, F))
+        gx = jax.grad(loss, argnums=(0, 1))(*args, 'xla')
+        gp = jax.grad(loss, argnums=(0, 1))(*args, 'pallas')
+        for name, x, p in zip(('kab', 'T2b'), gx, gp):
+            rel = abs(float(x - p)) / (abs(float(x)) + 1e-30)
+            assert rel < 1e-6, (name, rel)

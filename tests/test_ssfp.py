@@ -260,3 +260,38 @@ class TestBSSFPPallas:
         out = bssfp_train(flips.astype(jnp.float32), T1=T1, T2=T2,
                           tr=5e-3, df=df, backend='pallas')
         assert self._rel(out, ref) < 2e-4
+
+
+class TestFusedBssfpGrads:
+    r"""``backend='pallas'`` bSSFP trains are differentiable (recompute-
+    through-XLA VJP) — gradients are the XLA backend's up to the f32
+    cotangent rounding at the kernel boundary (see
+    ``tests/test_epg.py::TestFusedTrainGrads``)."""
+
+    def test_grads_match_xla(self):
+        import jax
+        import jax.numpy as jnp
+        from mrphy_tpu.ops import ssfp
+        rng = np.random.default_rng(1)
+        F = jnp.float64
+        ntr, nA = 24, 5
+        flips = jnp.asarray(np.deg2rad(rng.uniform(10, 60, ntr)), F)
+        trs = jnp.asarray(10e-3 + 3e-3 * rng.random(ntr), F)
+        T1 = jnp.asarray(rng.uniform(0.3, 2.0, nA), F)
+        T2 = jnp.asarray(rng.uniform(0.03, 0.3, nA), F)
+        df = jnp.asarray(rng.uniform(-60, 60, nA), F)
+        w = jnp.asarray(rng.standard_normal((nA, ntr, 2)), F)
+
+        def loss(fl, trv, t1, t2, dfv, be):
+            s = ssfp.bssfp_train(fl, T1=t1, T2=t2, tr=trv, df=dfv,
+                                 backend=be)
+            return jnp.sum(w * s)
+
+        args = (flips, trs, T1, T2, df)
+        gx = jax.grad(loss, argnums=tuple(range(5)))(*args, 'xla')
+        gp = jax.grad(loss, argnums=tuple(range(5)))(*args, 'pallas')
+        for name, x, p in zip(('flips', 'tr', 'T1', 'T2', 'df'),
+                              gx, gp):
+            rel = float(jnp.max(jnp.abs(x - p))
+                        / (jnp.max(jnp.abs(x)) + 1e-30))
+            assert rel < 1e-6, (name, rel)
