@@ -255,7 +255,28 @@ def _signal_parity_one(*, nM, nT, nC, interpret):
     _record(f'signal_kernel_nc{nC}', ok,
             f'fwd rel {rel_f:.1e}, adj rel {rel_a:.1e}, '
             f'Mgrad rel {rel_g:.1e}')
-    return ok
+
+    # round 3: the fused full VJP — trajectory/field cotangents
+    def floss(lo, kk, se, dd, t2, backend):
+        return jnp.sum(sig_mod.signal(
+            M, lo, kk, sens=se, df=dd, T2s=t2, dt=dt0,
+            backend=backend,
+            _pallas_interpret=interpret and backend != 'xla') ** 2)
+
+    args = (loc, k, sens, df, T2s)
+    gx = jax.jit(jax.grad(lambda *a: floss(*a, 'xla'),
+                          argnums=tuple(range(5))))(*args)
+    gp = jax.jit(jax.grad(lambda *a: floss(*a, 'pallas'),
+                          argnums=tuple(range(5))))(*args)
+    rels = {n: _rel(p, x) for n, x, p in
+            zip(('loc', 'k', 'sens', 'df', 'T2s'), gx, gp)}
+    ftol = 2e-3       # dphi chains the f32 phase roundoff once more
+    okf = all(r < ftol for r in rels.values())
+    _record(f'signal_field_grads_nc{nC}', okf,
+            'fused-VJP vs XLA: ' + ', '.join(
+                f'd{n} {r:.1e}' for n, r in rels.items())
+            + f' (tol {ftol:.0e})')
+    return ok and okf
 
 
 def _epg_kernel_parity(interpret: bool):
@@ -458,6 +479,28 @@ def _mc_kernel_parity(interpret: bool, nM: int, nT: int):
     _record('mc_rfgr_kernel', ok,
             f'pallas-vs-xla fwd max abs {err:.1e} (tol {FWD_ATOL:.0e}), '
             f'{nM} voxels x {nT} steps, two-pool')
+
+    # round 3: the hand-derived fused two-phase chunk adjoint — grads
+    # w.r.t. rf AND an exchange parameter vs the XLA backend's autodiff
+    def loss(rf_, kab_, backend):
+        Ma, Mb = mc.blochsim_mc_rfgr(
+            Mia, Mib, rf_, gr, loc, backend=backend,
+            _pallas_interpret=interpret and backend != 'xla',
+            **{**kw, 'kab': kab_})
+        return jnp.sum(Ma ** 2) + jnp.sum(Mb ** 2)
+
+    be = 'auto' if interpret else 'pallas'
+    gx = jax.jit(jax.grad(lambda r_, k_: loss(r_, k_, 'xla'),
+                          argnums=(0, 1)))(rf, kab)
+    gp = jax.jit(jax.grad(lambda r_, k_: loss(r_, k_, be),
+                          argnums=(0, 1)))(rf, kab)
+    rel_rf = _rel(gp[0], gx[0])
+    rel_k = _rel(gp[1], gx[1])
+    tol = 1e-3        # f32 poly-vs-exact sincos accumulated over nT
+    okg = rel_rf < tol and rel_k < tol
+    _record('mc_rfgr_adjoint', okg,
+            f'fused-adjoint drf rel {rel_rf:.1e}, dkab rel '
+            f'{rel_k:.1e} vs XLA grads (tol {tol:.0e})')
 
 
 def _field_stack():

@@ -123,12 +123,14 @@ def signal(M, loc_, ktraj, *, sens=None, df=None, T2s=None, dt=dt0,
         - ``mesh``: a ``(batch, spins)`` :class:`jax.sharding.Mesh` —
           each chip encodes its spin shard, one ``psum`` combines the
           coil signals (the collective rides ICI).
-        - ``backend``: ``'xla'`` (default; fully differentiable) ⊻
-          ``'pallas'`` — the fused TPU kernel
-          (:mod:`mrphy_tpu.ops.signal_pallas`): ~2–3× faster (the
-          factor matrices never hit HBM), differentiable w.r.t. ``M``
-          ONLY (exact — its VJP is the fused adjoint kernel); ``loc_``/
-          ``ktraj``/``sens``/``df``/``T2s`` get ZERO gradients there.
+        - ``backend``: ``'xla'`` (default) ⊻ ``'pallas'`` — the fused
+          TPU kernel (:mod:`mrphy_tpu.ops.signal_pallas`): ~2–3×
+          faster (the factor matrices never hit HBM) and FULLY
+          differentiable — the VJP is one fused kernel emitting the
+          exact ``M``/``sens`` linear adjoint AND the phase-chain
+          ``loc_``/``ktraj``/``df``/``T2s`` cotangents (trajectory
+          optimization at kernel speed; parity vs the XLA grads pinned
+          in ``tests/test_signal.py`` and on-chip by ``tpu_checks``).
     Outputs:
         - ``s``: `(N, nC, nT, 2)` signal as re/im pairs ("complex" is
           unsupported on this TPU runtime).
@@ -207,8 +209,8 @@ def _w2(M1, sens1, dtype):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
 def _signal_pallas_vjp(M, loc_b, k_b, sens_b, df_b, T2s_b, dt,
                        interpret):
-    r"""Fused-kernel forward, linear-exact VJP in ``M`` (zero cotangents
-    for everything else — see :func:`signal`'s backend contract)."""
+    r"""Fused-kernel forward; the VJP is the fused full-gradient kernel
+    (see :func:`_sig_pl_bwd`)."""
     from mrphy_tpu.ops import signal_pallas
     N = M.shape[0]
     dtype = jnp.float32
@@ -232,33 +234,55 @@ def _sig_pl_fwd(M, loc_b, k_b, sens_b, df_b, T2s_b, dt, interpret):
 
 
 def _sig_pl_bwd(dt, interpret, res, g):
+    r"""Full VJP through the fused kernel (:func:`mrphy_tpu.ops.
+    signal_pallas.signal_vjp_planes`): exact linear adjoint in ``M``/
+    ``sens`` plus the phase-chain cotangents for ``loc_``/``ktraj``/
+    ``df``/``T2s`` — trajectory optimization and field-map fitting run
+    at kernel speed."""
     from mrphy_tpu.ops import signal_pallas
     M, loc_b, k_b, sens_b, df_b, T2s_b = res
     N, nM = M.shape[0], M.shape[1]
-    gs = []
+    f32 = jnp.float32
+    gMs, gls, gks, gses, gdfs, gt2s = [], [], [], [], [], []
     for n in range(N):
         gn = g[n]                                         # (nC, nT, 2)
-        s2 = jnp.concatenate([gn[..., 0], gn[..., 1]], 0)  # (2nC, nT)
+        g2 = jnp.concatenate([gn[..., 0], gn[..., 1]], 0)  # (2nC, nT)
         nC = gn.shape[0]
-        XR, XS = signal_pallas.signal_adj_planes(
-            s2, loc_b[n], k_b[n],
-            None if df_b is None else df_b[n],
-            None if T2s_b is None else T2s_b[n], dt,
+        sens1 = None if sens_b is None else sens_b[n]
+        w2 = _w2(M[n], sens1, f32)
+        T2s1 = None if T2s_b is None else T2s_b[n]
+        XR, XS, dloc, dk, ddf, di2 = signal_pallas.signal_vjp_planes(
+            g2, w2, loc_b[n], k_b[n],
+            None if df_b is None else df_b[n], T2s1, dt,
             interpret=interpret)
-        xr = XR[:, :nC] + XS[:, nC:]                      # (nM, nC)
-        xi = XR[:, nC:] - XS[:, :nC]
-        if sens_b is None:
+        xr = XR[:, :nC] + XS[:, nC:]                      # dw_re (nM,nC)
+        xi = XR[:, nC:] - XS[:, :nC]                      # dw_im
+        mx, my = M[n][:, 0].astype(f32), M[n][:, 1].astype(f32)
+        if sens1 is None:
             mr, mi = xr[:, 0], xi[:, 0]
         else:
-            cr, ci = sens_b[n][:, 0], sens_b[n][:, 1]     # (nM, nC)
+            cr = sens1[:, 0].astype(f32)                  # (nM, nC)
+            ci = sens1[:, 1].astype(f32)
             mr = (cr * xr + ci * xi).sum(-1)
             mi = (cr * xi - ci * xr).sum(-1)
-        gs.append(jnp.stack([mr, mi, jnp.zeros((nM,), mr.dtype)], -1))
-    gM = jnp.stack(gs).astype(M.dtype)
-    zero = (lambda x: None if x is None else
-            jnp.zeros_like(jnp.asarray(x)))
-    return (gM, zero(loc_b), zero(k_b), zero(sens_b), zero(df_b),
-            zero(T2s_b))
+            # w = sens ∘ (mx + i·my): product-rule sens cotangent
+            dsr = xr * mx[:, None] + xi * my[:, None]
+            dsi = xi * mx[:, None] - xr * my[:, None]
+            gses.append(jnp.stack([dsr, dsi], 1))         # (nM, 2, nC)
+        gMs.append(jnp.stack([mr, mi, jnp.zeros((nM,), mr.dtype)], -1))
+        gls.append(dloc)
+        gks.append(dk)
+        if ddf is not None:
+            gdfs.append(ddf)
+        if di2 is not None:
+            gt2s.append(-di2 / (T2s1.astype(f32) ** 2))
+    gM = jnp.stack(gMs).astype(M.dtype)
+    cast = lambda xs, ref: jnp.stack(xs).astype(        # noqa: E731
+        jnp.asarray(ref).dtype)
+    return (gM, cast(gls, loc_b), cast(gks, k_b),
+            None if sens_b is None else cast(gses, sens_b),
+            None if df_b is None else cast(gdfs, df_b),
+            None if T2s_b is None else cast(gt2s, T2s_b))
 
 
 _signal_pallas_vjp.defvjp(_sig_pl_fwd, _sig_pl_bwd)

@@ -18,12 +18,18 @@ the whole pipeline in VMEM:
 Per-element HBM traffic is O(1/128) reads of the per-spin params — the
 factor matrices never exist in memory.
 
-Differentiability contract (mirrors the fused Bloch engine's
-zero-gradient params, ``ops/sims.py``): the Pallas backend is
-differentiable w.r.t. ``M`` (its VJP is the fused adjoint kernel —
-exact, since the operator is linear in M); ``loc_``/``ktraj``/``sens``/
-``df``/``T2s`` receive ZERO gradients on this backend. Use
-``backend='xla'`` to differentiate w.r.t. those.
+Differentiability (round 3): the Pallas backend is FULLY differentiable
+— its VJP is :func:`signal_vjp_planes`, one fused kernel that emits the
+``M``/``sens`` cotangent factors (the linear-adjoint ``XR``/``XS``) AND
+the phase-chain cotangents for ``loc_``/``ktraj``/``df``/``T2s`` in the
+same tile pass. The phase algebra: with per-(spin, sample) coefficients
+``P = Σ_c (w_re·ḡ_re + w_im·ḡ_im)`` and ``Q = Σ_c (w_re·ḡ_im −
+w_im·ḡ_re)``, the loss is ``Σ C·P + S·Q``, so the cycles-phase
+cotangent is ``dφ = 2π(P·S − Q·C)`` and
+
+- ``∂L/∂x_m = Σ_t dφ·k_t``, ``∂L/∂k_t = Σ_m dφ·x_m`` (trajectory
+  design at kernel speed), ``∂L/∂Δf_m = Σ_t dφ·t_t``,
+- ``∂L/∂(1/T2*) = −Σ_t t_t·(C·P + S·Q)`` (chained to T2* outside).
 
 Scope: TPU backend, f32 (CPU tests via ``interpret=True``), ``N = 1``
 per kernel call (the wrapper loops the small static batch).
@@ -37,7 +43,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ['is_available', 'signal_fwd_planes', 'signal_adj_planes']
+__all__ = ['is_available', 'signal_fwd_planes', 'signal_adj_planes',
+           'signal_vjp_planes']
 
 _LANE = 128
 _DEF_SP = 512          # spins per tile (sublane extent)
@@ -184,6 +191,84 @@ def _sig_adj_kernel(has_df: bool, relax: bool, dt: float,
     xs_ref[...] += XS
 
 
+def _sig_vjp_kernel(has_df: bool, relax: bool, dt: float,
+                    locx, locy, locz, dfr, it2, w2, g2p, g2q, k,
+                    xr_ref, xs_ref, dlx_ref, dly_ref, dlz_ref, dk_ref,
+                    *opt_refs):
+    r"""Full-VJP tile pass: one (spin tile j, time tile i) cell, time
+    minor. Spin-indexed outputs (xr/xs/dloc/ddf/di2) accumulate across
+    the consecutive time-tile sweep; the trajectory cotangent streams
+    per-(j, i) partials (summed over spin tiles outside). Optional
+    trailing refs: [ddf], [di2]."""
+    oi = 0
+    ddf_ref = di2_ref = None
+    if has_df:
+        ddf_ref = opt_refs[oi]
+        oi += 1
+    if relax:
+        di2_ref = opt_refs[oi]
+    i = pl.program_id(1)                       # time tile (minor)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, _LANE),
+                                    1).astype(jnp.float32)
+    tt = (i.astype(jnp.float32) * _LANE + lane + 1.0) * dt   # (1, 128)
+    phi = (locx[...] * k[0:1, :] + locy[...] * k[1:2, :]
+           + locz[...] * k[2:3, :])                          # (S, 128)
+    if has_df:
+        phi = phi + dfr[...] * tt
+    S, C = _sincos_m2pi(phi)
+    if relax:
+        E = jnp.exp(-tt * it2[...])
+        C, S = C * E, S * E
+
+    hp = jax.lax.Precision.HIGHEST
+    cdim = (((1,), (1,)), ((), ()))            # contract the lane axis
+    XR = jax.lax.dot_general(C, g2p[...], cdim, precision=hp,
+                             preferred_element_type=jnp.float32)
+    XS = jax.lax.dot_general(S, g2p[...], cdim, precision=hp,
+                             preferred_element_type=jnp.float32)
+
+    wdim = (((0,), (0,)), ((), ()))            # contract the coil rows
+    P = jax.lax.dot_general(w2[...], g2p[...], wdim, precision=hp,
+                            preferred_element_type=jnp.float32)
+    Q = jax.lax.dot_general(w2[...], g2q[...], wdim, precision=hp,
+                            preferred_element_type=jnp.float32)
+    dphi = _2PI * (P * S - Q * C)              # cycles-phase cotangent
+
+    @pl.when(i == 0)
+    def _():
+        xr_ref[...] = jnp.zeros_like(xr_ref)
+        xs_ref[...] = jnp.zeros_like(xs_ref)
+        dlx_ref[...] = jnp.zeros_like(dlx_ref)
+        dly_ref[...] = jnp.zeros_like(dly_ref)
+        dlz_ref[...] = jnp.zeros_like(dlz_ref)
+        if has_df:
+            ddf_ref[...] = jnp.zeros_like(ddf_ref)
+        if relax:
+            di2_ref[...] = jnp.zeros_like(di2_ref)
+
+    xr_ref[...] += XR
+    xs_ref[...] += XS
+    dlx_ref[...] += jnp.sum(dphi * k[0:1, :], axis=1, keepdims=True)
+    dly_ref[...] += jnp.sum(dphi * k[1:2, :], axis=1, keepdims=True)
+    dlz_ref[...] += jnp.sum(dphi * k[2:3, :], axis=1, keepdims=True)
+    if has_df:
+        ddf_ref[...] += jnp.sum(dphi * tt, axis=1, keepdims=True)
+    if relax:
+        di2_ref[...] += jnp.sum((C * P + S * Q) * (-tt), axis=1,
+                                keepdims=True)
+
+    sdim = (((0,), (0,)), ((), ()))            # contract the spin axis
+    dk_ref[0, 0:1] = jax.lax.dot_general(
+        locx[...], dphi, sdim, precision=hp,
+        preferred_element_type=jnp.float32)
+    dk_ref[0, 1:2] = jax.lax.dot_general(
+        locy[...], dphi, sdim, precision=hp,
+        preferred_element_type=jnp.float32)
+    dk_ref[0, 2:3] = jax.lax.dot_general(
+        locz[...], dphi, sdim, precision=hp,
+        preferred_element_type=jnp.float32)
+
+
 def _pad_spin_inputs(loc1, df1, T2s1, nSp, sp):
     pad = (-nSp) % sp
     f32 = jnp.float32
@@ -237,6 +322,74 @@ def signal_fwd_planes(w2, loc1, k1, df1, T2s1, dt: float, *,
             dimension_semantics=('arbitrary', 'arbitrary')),
     )(locx, locy, locz, dfr, it2, w2, k1)
     return u[:, :nT], v[:, :nT]
+
+
+def signal_vjp_planes(g2, w2, loc1, k1, df1, T2s1, dt: float, *,
+                      interpret: bool = False):
+    r"""One-batch full VJP of the fused signal operator. ``g2``:
+    `(2nC, nT)` cotangent rows ``[ḡ_re; ḡ_im]``; ``w2``: `(2nC, nM)`
+    the forward's coil-weighted spins. Returns ``(XR, XS, dloc, dk,
+    ddf, di2)``: the linear-adjoint factors `(nM, 2nC)` (combine to
+    dM/dsens exactly as :func:`signal_adj_planes`'s), ``dloc``
+    `(nM, 3)`, ``dk`` `(3, nT)`, ``ddf`` `(nM,)` (None if no df),
+    ``di2`` `(nM,)` — the cotangent w.r.t. ``1/T2*`` (None if no T2s;
+    chain ``dT2s = −di2/T2s²`` outside)."""
+    nC2, nSp = w2.shape
+    nT = k1.shape[-1]
+    sp = _pick_sp(nSp)
+    locx, locy, locz, dfr, it2, pad = _pad_spin_inputs(
+        loc1, df1, T2s1, nSp, sp)
+    w2 = jnp.pad(w2, ((0, 0), (0, pad))).astype(jnp.float32)
+    k1, nTp = _pad_time(k1, nT)
+    g2 = jnp.pad(g2, ((0, 0), (0, nTp - nT))).astype(jnp.float32)
+    nC = nC2 // 2
+    g2q = jnp.concatenate([g2[nC:], -g2[:nC]], 0)
+    nst, ntt = (nSp + pad) // sp, nTp // _LANE
+    has_df, relax = df1 is not None, T2s1 is not None
+
+    spin = pl.BlockSpec((sp, 1), lambda j, i: (j, 0))
+    lanes = pl.BlockSpec((nC2, _LANE), lambda j, i: (0, i))
+    out_specs = [pl.BlockSpec((sp, nC2), lambda j, i: (j, 0))] * 2 \
+        + [spin] * 3 \
+        + [pl.BlockSpec((1, 3, _LANE), lambda j, i: (j, 0, i))]
+    out_shape = [jax.ShapeDtypeStruct((nSp + pad, nC2),
+                                      jnp.float32)] * 2 \
+        + [jax.ShapeDtypeStruct((nSp + pad, 1), jnp.float32)] * 3 \
+        + [jax.ShapeDtypeStruct((nst, 3, nTp), jnp.float32)]
+    if has_df:
+        out_specs.append(spin)
+        out_shape.append(jax.ShapeDtypeStruct((nSp + pad, 1),
+                                              jnp.float32))
+    if relax:
+        out_specs.append(spin)
+        out_shape.append(jax.ShapeDtypeStruct((nSp + pad, 1),
+                                              jnp.float32))
+
+    kern = functools.partial(_sig_vjp_kernel, has_df, relax, float(dt))
+    outs = pl.pallas_call(
+        kern,
+        grid=(nst, ntt),
+        in_specs=[spin, spin, spin, spin, spin,
+                  pl.BlockSpec((nC2, sp), lambda j, i: (0, j)),
+                  lanes, lanes,
+                  pl.BlockSpec((3, _LANE), lambda j, i: (0, i))],
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        interpret=interpret,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            dimension_semantics=('arbitrary', 'arbitrary')),
+    )(locx, locy, locz, dfr, it2, w2, g2, g2q, k1)
+    XR, XS = outs[0][:nSp], outs[1][:nSp]
+    dloc = jnp.concatenate([outs[2], outs[3], outs[4]], -1)[:nSp]
+    dk = jnp.sum(outs[5], axis=0)[:, :nT]
+    oi = 6
+    ddf = di2 = None
+    if has_df:
+        ddf = outs[oi][:nSp, 0]
+        oi += 1
+    if relax:
+        di2 = outs[oi][:nSp, 0]
+    return XR, XS, dloc, dk, ddf, di2
 
 
 def signal_adj_planes(s2, loc1, k1, df1, T2s1, dt: float, *,

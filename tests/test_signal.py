@@ -243,14 +243,50 @@ class TestSignalPallas:
         np.testing.assert_allclose(g, g0, atol=self._tol(g0))
         np.testing.assert_allclose(g[..., 2], 0, atol=0)
 
-    def test_zero_grad_contract_for_fields(self):
+    def test_field_grads_match_xla(self):
+        # round 3: the fused backend is FULLY differentiable — one
+        # fused VJP kernel emits the loc/ktraj/sens/df/T2s cotangents
+        # alongside the exact M adjoint (was a zero-grad contract)
         rng = np.random.default_rng(24)
-        M, loc_, gr, k, df, T2s, sens = _problem(rng, nM=16, nT=32,
+        M, loc_, gr, k, df, T2s, sens = _problem(rng, nM=72, nT=64,
+                                                 nC=3,
                                                  dtype=jnp.float32)
-        g = jax.grad(lambda lo: jnp.sum(sig.signal(
-            M, lo, k, sens=sens, df=df, T2s=T2s, dt=DT,
-            backend='pallas', _pallas_interpret=True) ** 2))(loc_)
-        np.testing.assert_allclose(g, 0, atol=0)  # documented contract
+
+        def loss(backend):
+            def f(loc_, k, sens, df, T2s):
+                return jnp.sum(sig.signal(
+                    M, loc_, k, sens=sens, df=df, T2s=T2s, dt=DT,
+                    backend=backend,
+                    _pallas_interpret=(backend == 'pallas')) ** 2)
+            return f
+
+        args = (loc_, k, sens, df, T2s)
+        g0 = jax.grad(loss('xla'), argnums=tuple(range(5)))(*args)
+        g = jax.jit(jax.grad(loss('pallas'),
+                             argnums=tuple(range(5))))(*args)
+        for name, x, p in zip(('loc', 'ktraj', 'sens', 'df', 'T2s'),
+                              g0, g):
+            rel = float(jnp.max(jnp.abs(jnp.asarray(x)
+                                        - jnp.asarray(p)))
+                        / (jnp.max(jnp.abs(jnp.asarray(x))) + 1e-30))
+            assert rel < 2e-4, (name, rel)   # f32 phase roundoff
+
+    def test_field_grads_defaults(self):
+        # optional-arg combos: df-only, T2s-only, no-sens
+        rng = np.random.default_rng(25)
+        M, loc_, gr, k, df, T2s, sens = _problem(rng, nM=40, nT=64,
+                                                 dtype=jnp.float32)
+        for kw in ({'df': df}, {'T2s': T2s}, {'df': df, 'T2s': T2s}):
+            def loss(backend):
+                return lambda lo: jnp.sum(sig.signal(
+                    M, lo, k, dt=DT, backend=backend,
+                    _pallas_interpret=(backend == 'pallas'),
+                    **kw) ** 2)
+            g0 = jax.grad(loss('xla'))(loc_)
+            g = jax.grad(loss('pallas'))(loc_)
+            rel = float(jnp.max(jnp.abs(g - g0))
+                        / (jnp.max(jnp.abs(g0)) + 1e-30))
+            assert rel < 2e-4, (sorted(kw), rel)
 
 
 class TestSignalSharded:
