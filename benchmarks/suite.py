@@ -29,6 +29,9 @@ Configs:
               Laplacian unwrapping, TV dipole-inversion per-iter cost
   mrf         MRF dictionary throughput: 64k atoms x 400 TR epg_spgr
               (K=48), atoms/s
+  mrf_pipeline end-to-end MRF mapping: fused dict -> SVD16 compression
+              -> fused volume match -> continuous refinement;
+              voxels/s (device time) + map accuracy
   cest        volume-scale two-pool Bloch-McConnell: 512k voxels x 2k
               saturation steps through the fused waveform engine
               (blochsim_mc_rfgr), pallas vs XLA core
@@ -702,13 +705,101 @@ def bench_cest():
             'streaming_beff_gb': round(nM * nT * 3 * 4 / 1e9, 1)}
 
 
+def bench_mrf_pipeline():
+    r"""End-to-end MRF mapping pipeline, the number a fingerprinting
+    user cares about: fused dictionary (epg_spgr pallas) → SVD rank-16
+    compression → fused compressed matcher over a whole volume →
+    continuous refinement (match_refine) on a tile. Every stage is
+    individually benchmarked elsewhere (`mrf` scenario); this reports
+    the composed voxels/s in the device-time convention plus the
+    matched-map accuracy against ground truth."""
+    import jax
+    import jax.numpy as jnp
+    from mrphy_tpu.ops import epg
+    from mrphy_tpu.ops import mrf as _mrf
+    rng = np.random.default_rng(0)
+    natoms = int(os.environ.get('MRPHY_MRF_ATOMS', 65536))
+    ntr = int(os.environ.get('MRPHY_MRF_NTR', 400))
+    nV = int(os.environ.get('MRPHY_MRF_VOX', 1 << 20))
+    nref = int(os.environ.get('MRPHY_MRF_REFINE', 4096))
+    flips = jnp.asarray(
+        np.deg2rad(10 + 50 * np.abs(np.sin(np.arange(ntr) / 40.0))),
+        jnp.float32)
+    # log-spaced T1/T2 grid (the standard MRF dictionary layout)
+    t1g = np.exp(np.linspace(np.log(0.2), np.log(3.0), 256))
+    t2g = np.exp(np.linspace(np.log(0.02), np.log(0.5), 256))
+    T1g, T2g = np.meshgrid(t1g, t2g, indexing='ij')
+    keep = (T2g < T1g)                 # physical atoms only
+    T1 = jnp.asarray(T1g[keep][:natoms], jnp.float32)
+    T2 = jnp.asarray(T2g[keep][:natoms], jnp.float32)
+    natoms = T1.shape[0]
+    seq = dict(tr=12e-3, te=3e-3, K=48)
+
+    def pipeline(T1, T2, probes):
+        D = epg.epg_spgr(flips, None, T1=T1, T2=T2, backend='pallas',
+                         **seq)
+        basis = _mrf.svd_basis(D, rank=16)
+        Dc = _mrf.compress(D, basis)
+        Xc = _mrf.compress(probes, basis)
+        return _mrf.dict_match_compressed(Dc, Xc, basis)
+
+    # synthetic volume: random atoms + receive phase + noise
+    ks = rng.integers(0, natoms, nV)
+    ph = rng.uniform(-np.pi, np.pi, nV).astype(np.float32)
+    Dtrue = np.asarray(epg.epg_spgr(
+        flips, None, T1=T1, T2=T2, backend='pallas', **seq))
+    X = Dtrue[ks]
+    X = (np.cos(ph)[:, None, None] * X
+         + np.sin(ph)[:, None, None]
+         * np.stack([-X[..., 1], X[..., 0]], -1))
+    X += 0.002 * rng.standard_normal(X.shape).astype(np.float32)
+    X = jnp.asarray(X, jnp.float32)
+
+    run = jax.jit(pipeline)
+    res = run(T1, T2, X)
+    t = _timeit_device(run, T1, T2, X, repeats=4)
+    t1_hat = np.asarray(T1)[np.asarray(res.idx)]
+    t2_hat = np.asarray(T2)[np.asarray(res.idx)]
+    e1 = np.median(np.abs(t1_hat - np.asarray(T1)[ks])
+                   / np.asarray(T1)[ks])
+    e2 = np.median(np.abs(t2_hat - np.asarray(T2)[ks])
+                   / np.asarray(T2)[ks])
+
+    # continuous refinement on a tile (through the DIFFERENTIABLE
+    # fused train — round 3's recompute-through-XLA VJP)
+    p0 = jnp.log(jnp.stack([t1_hat[:nref], t2_hat[:nref]], -1))
+
+    def sig1(p):
+        return epg.epg_spgr(flips, None, T1=jnp.exp(p[0]),
+                            T2=jnp.exp(p[1]), K=16, tr=12e-3, te=3e-3)
+
+    _read(_mrf.match_refine(sig1, p0, X[:nref], iters=50,
+                            lr=0.02))          # warm (jit caches)
+    t0 = time.perf_counter()
+    P, score = _mrf.match_refine(sig1, p0, X[:nref], iters=50, lr=0.02)
+    _read((P, score))
+    t_ref = time.perf_counter() - t0
+    r1 = np.exp(np.asarray(P[:, 0]))
+    er1 = np.median(np.abs(r1 - np.asarray(T1)[ks[:nref]])
+                    / np.asarray(T1)[ks[:nref]])
+    return {'metric': f'MRF pipeline: {natoms}-atom fused dict + SVD16 '
+                      f'+ fused match over {nV} voxels',
+            'value': round(nV / t, 0), 'unit': 'voxels/s (device time)',
+            'pipeline_ms': round(t * 1e3, 1),
+            'median_T1_relerr': round(float(e1), 4),
+            'median_T2_relerr': round(float(e2), 4),
+            'refine_voxels_per_s': round(nref / t_ref, 0),
+            'refine_T1_relerr': round(float(er1), 4),
+            'refine_iters': 50}
+
+
 ALL = {'tiny': bench_tiny, 'freeprec32': bench_freeprec32,
        'design64': bench_design64, 'throughput': bench_throughput,
        'deeptime': bench_deeptime, 'longpulse': bench_longpulse,
        'beffstream': bench_beffstream, 'signal': bench_signal,
        'recon': bench_recon, 'nufft': bench_nufft,
        'kspace': bench_kspace, 'field': bench_field, 'mrf': bench_mrf,
-       'cest': bench_cest}
+       'mrf_pipeline': bench_mrf_pipeline, 'cest': bench_cest}
 
 
 def main():
