@@ -105,9 +105,19 @@ CASES = [
 ]
 
 
-@pytest.mark.parametrize('name,args', CASES,
-                         ids=[f'{n}{"-coarse" if "--coarse" in a else ""}'
-                              for n, a in CASES])
+# the heaviest fits (minutes each on one vCPU) form the slow tier —
+# their physics assertions still run in the full tier (`-m ""`)
+_SLOW = {'cest_fit.py', 'spectral_spatial.py', 'qmt_fit.py',
+         'traj_optim.py', 'fieldmap_recon.py', 't2map_slice_profile.py'}
+
+
+def _case(n, a):
+    marks = [pytest.mark.slow] if (n in _SLOW or '--mesh' in a) else []
+    return pytest.param(n, a, marks=marks,
+                        id=f'{n}{"-coarse" if "--coarse" in a else ""}')
+
+
+@pytest.mark.parametrize('name,args', [_case(n, a) for n, a in CASES])
 def test_example_runs(name, args, monkeypatch):
     monkeypatch.setattr(sys, 'argv', [name] + args)
     try:

@@ -31,7 +31,9 @@ def _case(rng):
                 has_b1=has_b1, pshape=pshape)
 
 
-@pytest.mark.parametrize('seed', range(8))
+@pytest.mark.parametrize('seed', [
+    *range(4),
+    *(pytest.param(k, marks=pytest.mark.slow) for k in range(4, 8))])
 def test_engines_agree_on_random_configs(seed):
     rng = np.random.default_rng(100 + seed)
     c = _case(rng)
@@ -86,7 +88,9 @@ def test_engines_agree_on_random_configs(seed):
         np.testing.assert_allclose(b, d, atol=1e-8, err_msg=c)
 
 
-@pytest.mark.parametrize('seed', range(6))
+@pytest.mark.parametrize('seed', [
+    *range(3),
+    *(pytest.param(k, marks=pytest.mark.slow) for k in range(3, 6))])
 def test_signal_backends_agree_on_random_configs(seed):
     r"""Acquisition operator: XLA path, fused-Pallas path (interpret),
     and the dense closed form agree for random shapes and optional
@@ -151,7 +155,9 @@ def test_signal_backends_agree_on_random_configs(seed):
     assert abs(lhs - rhs) <= 3e-6 * abs(lhs) + 1e-4, (lhs, rhs)
 
 
-@pytest.mark.parametrize('seed', range(6))
+@pytest.mark.parametrize('seed', [
+    *range(3),
+    *(pytest.param(k, marks=pytest.mark.slow) for k in range(3, 6))])
 def test_nufft_agrees_with_exact_on_random_configs(seed):
     r"""Random grid shapes/dims/widths/anisotropies: the gridding NUFFT
     and its adjoint must match the exact operator within the

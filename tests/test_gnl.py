@@ -12,6 +12,7 @@ r"""Gradient-nonlinearity tests:
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -24,6 +25,7 @@ def _rng(seed=0):
     return np.random.default_rng(seed)
 
 
+@pytest.mark.slow
 def test_sh_basis_columns_are_harmonic():
     pts = jnp.asarray(_rng(0).standard_normal((64, 3)))
 

@@ -92,6 +92,7 @@ class TestChunkedBackward:
     the single-chunk kernel reconstructs through — so results agree to
     reconstruction rounding (tight f32), not bit-for-bit."""
 
+    @pytest.mark.slow
     def test_chunked_equals_single_chunk(self, monkeypatch):
         from mrphy_tpu.ops import pallas_kernels as pk
         rng = np.random.default_rng(5)
