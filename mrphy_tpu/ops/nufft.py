@@ -200,19 +200,32 @@ def nufft_plan(im_size: Sequence[int], fov, *, osf: float = 2.0,
         - ``dtype``: on-device dtype of the plan constants.
         - ``interp``: sample-stage strategy — ``'gather'`` (wrapped
           gather/scatter), ``'matmul'`` (dense one-hot MXU factors,
-          d ≤ 2 only), or ``'auto'`` (matmul where allowed). The two
-          are value-identical up to float sum order.
+          d ≤ 2 only), ``'pallas'`` (VMEM-resident slice kernel,
+          d = 3 only — :mod:`mrphy_tpu.ops.nufft_pallas`), or
+          ``'auto'`` (matmul for d ≤ 2; pallas for d = 3 when the
+          padded grid fits VMEM and a TPU is present, else gather).
+          All modes are value-identical up to float sum order.
     """
     im_size = tuple(int(n) for n in im_size)
     fov = tuple(float(f) for f in np.asarray(fov).reshape(-1))
     d = len(im_size)
     assert len(fov) == d, (im_size, fov)
     assert all(n >= 2 for n in im_size), im_size
-    assert interp in ('auto', 'gather', 'matmul'), interp
+    assert interp in ('auto', 'gather', 'matmul', 'pallas'), interp
+    grid_probe = tuple(int(-2 * (-osf * n // 2)) for n in im_size)
     if interp == 'auto':
-        interp = 'matmul' if d <= 2 else 'gather'
+        if d <= 2:
+            interp = 'matmul'
+        else:
+            from mrphy_tpu.ops import nufft_pallas as _np3
+            from mrphy_tpu.ops.pallas_kernels import _on_tpu
+            nGp = int(np.prod([g + width for g in grid_probe]))
+            interp = ('pallas' if (8 * nGp <= _np3._VMEM_BUDGET
+                                   and _on_tpu()) else 'gather')
     assert not (interp == 'matmul' and d > 2), \
         f'interp=matmul supports d<=2 (got {d}-dim; use gather)'
+    assert not (interp == 'pallas' and d != 3), \
+        f'interp=pallas supports d=3 only (got {d}-dim)'
     grid = tuple(int(-2 * (-osf * n // 2)) for n in im_size)  # even ≥ σn
     if beta is None:
         s = osf
@@ -360,6 +373,23 @@ def _fwd_core(plan: NufftPlan, img, ktraj, chunk):
                 si = (jnp.einsum('cg,gh->ch', ohs[0], xi,
                                  precision=_PH) * ohs[1]).sum(-1)
             return jnp.stack([sr, si], -1)            # (chunk, 2)
+    elif plan.interp == 'pallas':                     # d = 3, VMEM
+        from mrphy_tpu.ops import nufft_pallas as _np3
+        from mrphy_tpu.ops._diffwrap import pallas_with_xla_vjp
+        from mrphy_tpu.ops.pallas_kernels import _on_tpu
+        interp_flag = not _on_tpu()
+
+        def _pl(br_, bi_, k_):
+            return _np3.sample3d(plan, br_, bi_, k_,
+                                 interpret=interp_flag)
+
+        def _xla(br_, bi_, k_):                       # gather oracle
+            fi, fw = _taps(plan, *_coords(plan, k_))
+            sr = (br_.reshape(-1)[fi] * fw).sum(-1)
+            si = (bi_.reshape(-1)[fi] * fw).sum(-1)
+            return jnp.stack([sr, si], -1)
+
+        return pallas_with_xla_vjp(_pl, _xla, xr, xi, ktraj)
     else:
         br, bi = xr.reshape(-1), xi.reshape(-1)       # (ΠG,)
 
@@ -536,6 +566,25 @@ def _adj_scatter(plan: NufftPlan, s, ktraj, chunk):
                 bi = jnp.einsum('cg,ch->gh', ohs[0],
                                 s_c[:, 1:] * ohs[1], precision=_PH)
             return jnp.stack([br.reshape(-1), bi.reshape(-1)])
+    elif plan.interp == 'pallas':                     # d = 3, VMEM
+        from mrphy_tpu.ops import nufft_pallas as _np3
+        from mrphy_tpu.ops._diffwrap import pallas_with_xla_vjp
+        from mrphy_tpu.ops.pallas_kernels import _on_tpu
+        interp_flag = not _on_tpu()
+
+        def _pl(s_, k_):
+            return _np3.scatter3d(plan, s_, k_, interpret=interp_flag)
+
+        def _xla(s_, k_):                             # scatter oracle
+            fi, fw = _taps(plan, *_coords(plan, k_))
+            z = jnp.zeros((nG,), s_.dtype)
+            br = z.at[fi.reshape(-1)].add(
+                (fw * s_[:, :1]).reshape(-1))
+            bi = z.at[fi.reshape(-1)].add(
+                (fw * s_[:, 1:]).reshape(-1))
+            return jnp.stack([br, bi])
+
+        return pallas_with_xla_vjp(_pl, _xla, s, ktraj)
     else:
         def scatter(k_c, s_c):
             fi, fw = _taps(plan, *_coords(plan, k_c.T))

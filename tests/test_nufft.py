@@ -373,13 +373,68 @@ def test_matmul_interp_matches_gather(im_size, fov):
 
 
 def test_matmul_interp_3d_rejected():
-    r"""3-D plans stay on gather (the dense factors would cost
-    nT·G³): 'auto' resolves to gather, an explicit 'matmul' asserts."""
+    r"""3-D plans never take 'matmul' (the dense factors would cost
+    nT·G³): on CPU 'auto' resolves to gather (the pallas mode needs a
+    TPU), and an explicit 'matmul' asserts."""
     p = nf.nufft_plan((8, 8, 8), (16.0, 16.0, 16.0), dtype=F64)
     assert p.interp == 'gather'
     with pytest.raises(AssertionError):
         nf.nufft_plan((8, 8, 8), (16.0,) * 3, dtype=F64,
                       interp='matmul')
+    with pytest.raises(AssertionError):
+        nf.nufft_plan((8, 8), (16.0,) * 2, dtype=F64, interp='pallas')
+
+
+def test_pallas_interp_3d_matches_gather():
+    r"""``interp='pallas'`` (VMEM-resident slice kernel, d = 3) vs the
+    gather path: forward, adjoint, the ⟨Ax, y⟩ = ⟨x, Aᴴy⟩ identity on
+    the pallas pair itself, and the trajectory gradient (recompute-
+    through-XLA VJP ⇒ exactly the gather path's grads at the f32
+    kernel boundary). Kernel runs f32, so parity is f32-roundoff."""
+    rng = np.random.default_rng(61)
+    im_size, fov = (12, 10, 14), (18.0, 15.0, 21.0)
+    _, img = _grid_problem(rng, im_size, fov)
+    k = _ktraj(rng, 3, im_size, fov, nT=333)
+    y = jnp.asarray(rng.standard_normal((333, 2)), F64)
+    pg = nf.nufft_plan(im_size, fov, width=4, dtype=F64,
+                       interp='gather')
+    pp = nf.nufft_plan(im_size, fov, width=4, dtype=F64,
+                       interp='pallas')
+
+    sg, sp = nf.nufft(pg, img, k), nf.nufft(pp, img, k)
+    rel = float(jnp.abs(sg - sp).max() / jnp.abs(sg).max())
+    assert rel < 1e-5, rel
+    ag, ap = nf.nufft_adjoint(pg, y, k), nf.nufft_adjoint(pp, y, k)
+    rel = float(jnp.abs(ag - ap).max() / jnp.abs(ag).max())
+    assert rel < 1e-5, rel
+
+    lhs = float(jnp.sum(sp.astype(F64) * y))
+    rhs = float(jnp.sum(img * ap.astype(F64)))
+    assert abs(lhs - rhs) < 3e-6 * abs(lhs) + 1e-6, (lhs, rhs)
+
+    # df/T2s segmentation + chunking compose through the pallas stage
+    df = jnp.asarray(rng.uniform(-30, 30, im_size), F64)
+    T2s = jnp.asarray(rng.uniform(0.01, 0.05, im_size), F64)
+    sgs = nf.nufft(pg, img, k, df=df, T2s=T2s, dt=4e-6, nseg=4)
+    sps = nf.nufft(pp, img, k, df=df, T2s=T2s, dt=4e-6, nseg=4)
+    rel = float(jnp.abs(sgs - sps).max() / jnp.abs(sgs).max())
+    assert rel < 1e-5, rel
+
+    def loss(plan, kk):
+        return jnp.sum(nf.nufft(plan, img, kk) ** 2)
+
+    gk_g = jax.grad(lambda kk: loss(pg, kk))(k)
+    gk_p = jax.grad(lambda kk: loss(pp, kk))(k)
+    rel = float(jnp.abs(gk_g - gk_p).max() / jnp.abs(gk_g).max())
+    assert rel < 1e-4, rel
+
+    def loss_img(plan, im):
+        return jnp.sum(nf.nufft(plan, im, k) ** 2)
+
+    gi_g = jax.grad(lambda im: loss_img(pg, im))(img)
+    gi_p = jax.grad(lambda im: loss_img(pp, im))(img)
+    rel = float(jnp.abs(gi_g - gi_p).max() / jnp.abs(gi_g).max())
+    assert rel < 1e-4, rel
 
 
 def test_mesh_sharded_parity():
