@@ -874,11 +874,24 @@ def _beff_bwd_kernel(tc: int, ntc: int, relax: bool, small: bool,
         dmi_ref[0], dmi_ref[1], dmi_ref[2] = h_scr[0], h_scr[1], h_scr[2]
 
 
+def _pick_ts_stream(S1: int) -> int:
+    r"""Streaming-engine sublane tile: small tiles + long time chunks
+    won the round-3 on-chip sweep (ts=32/tc=256: 11.7 ms fwd+bwd at
+    32k × 4096 = 11.5 G spin·steps/s, vs 17.7 ms at the old
+    ts=256/tc=8 — whose real cost was the O(nM·ntc) checkpoint
+    stream: 512 chunks × 400 KB of chk writes; see RESULTS.md)."""
+    return math.gcd(S1, 32)
+
+
 def _pick_tc(nT: int, ts: int) -> int:
-    r"""Time-chunk length: target ~2 MB beff blocks, divide nT."""
-    target = max(1, (2 << 20) // (3 * ts * _LANE * 4))
-    tc = math.gcd(nT, 1 << (target.bit_length() - 1))
-    return max(tc, math.gcd(nT, 8), 1)
+    r"""Streaming-engine time-chunk length: as LARGE as divides nT
+    within a ~12 MB beff block and tc ≤ 256 (conditioning bound for
+    the inverse-relaxation restart, cf. ``_pick_tc_xla``). Large tc
+    minimizes the adjoint's checkpoint stream (ntc chunk-end states),
+    which dominated at the old ~2 MB/tc=8 rule."""
+    bound = max(1, min(256, (12 << 20) // (3 * ts * _LANE * 4)))
+    tc = _largest_divisor_leq(nT, bound)
+    return max(tc, 1)
 
 
 def blochsim_fwd_planes(mi, beff, E, e1_1, g2pd, *, ts=None, tc=None,
@@ -889,7 +902,7 @@ def blochsim_fwd_planes(mi, beff, E, e1_1, g2pd, *, ts=None, tc=None,
     the chunk-end checkpoints ``chk``: `(ntc, 3, S1, L)` (final state
     = ``chk[-1]``; the rest feed the adjoint's per-chunk restarts)."""
     nT, S1 = beff.shape[0], mi.shape[1]
-    ts = _pick_ts(S1) if ts is None else ts
+    ts = _pick_ts_stream(S1) if ts is None else ts
     tc = _pick_tc(nT, ts) if tc is None else tc
     assert S1 % ts == 0 and nT % tc == 0
     ntc = nT // tc
@@ -934,7 +947,7 @@ def blochsim_bwd_planes(chk, g, beff, E, e1_1, g2pd, *, ts=None, tc=None,
     checkpoints from :func:`blochsim_fwd_planes` (same ``tc``).
     Returns ``(dmi, dbeff)``."""
     nT, S1 = beff.shape[0], chk.shape[2]
-    ts = _pick_ts(S1) if ts is None else ts
+    ts = _pick_ts_stream(S1) if ts is None else ts
     tc = _pick_tc(nT, ts) if tc is None else tc
     assert S1 % ts == 0 and nT % tc == 0
     ntc = nT // tc
