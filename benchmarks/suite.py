@@ -307,6 +307,19 @@ def bench_signal():
     ta = _timeit(adj, s, repeats=4)
     tfp = _timeit(fwd_p, M, repeats=4)
     tap = _timeit(adj_p, s, repeats=4)
+
+    # full gradient step (round 3): d/d(ktraj, M) of an l2 loss — the
+    # trajectory-optimization inner loop; the fused VJP kernel vs the
+    # XLA autodiff chain
+    def mkgrad(backend):
+        def loss(kk, M):
+            return jnp.sum(sig.signal(M, loc_, kk, sens=sens, df=df,
+                                      T2s=T2s, dt=dt0,
+                                      backend=backend) ** 2)
+        return jax.jit(jax.grad(loss, argnums=(0, 1)))
+
+    tg = _timeit_device(mkgrad('xla'), k, M, repeats=2)
+    tgp = _timeit_device(mkgrad('pallas'), k, M, repeats=4)
     return {'metric': f'signal: {nM} spins x {nT} samples x {nC} coils '
                       'encode (fused pallas fwd / adjoint)',
             'value': round(nM * nT / tfp / 1e9, 2),
@@ -314,6 +327,9 @@ def bench_signal():
             'fwd_ms': round(tfp * 1e3, 1), 'adj_ms': round(tap * 1e3, 1),
             'xla_fwd_ms': round(tf * 1e3, 1),
             'xla_adj_ms': round(ta * 1e3, 1),
+            'grad_kM_pallas_ms': round(tgp * 1e3, 1),
+            'grad_kM_xla_ms': round(tg * 1e3, 1),
+            'grad_speedup': round(tg / tgp, 2),
             'pallas_rel_dev': f'{dev:.1e}'}
 
 
@@ -705,6 +721,48 @@ def bench_cest():
             'streaming_beff_gb': round(nM * nT * 3 * 4 / 1e9, 1)}
 
 
+def bench_nufft3d():
+    r"""True-3D NUFFT (koosh-ball-style random trajectory): the
+    VMEM-resident Pallas slice kernel (``interp='pallas'``) vs the
+    serialized XLA gather path, forward and adjoint, 96³ image x 32k
+    samples (padded 124³ grid ≈ 2 x 7.6 MB resident)."""
+    import jax
+    import jax.numpy as jnp
+    from mrphy_tpu.ops import nufft as nf
+    n = int(os.environ.get('MRPHY_N3D', 96))
+    nT = int(os.environ.get('MRPHY_NT3D', 32768))
+    rng = np.random.default_rng(0)
+    fov = (24.0, 24.0, 24.0)
+    img = jnp.asarray(rng.standard_normal((n, n, n, 2)), jnp.float32)
+    kmax = n / 2 / fov[0]
+    kt = jnp.asarray(rng.uniform(-kmax, kmax, (3, nT)), jnp.float32)
+    pg = nf.nufft_plan((n,) * 3, fov, width=4, osf=1.25,
+                       interp='gather')
+    pp = nf.nufft_plan((n,) * 3, fov, width=4, osf=1.25,
+                       interp='pallas')
+    fg = jax.jit(lambda im: nf.nufft(pg, im, kt))
+    fp = jax.jit(lambda im: nf.nufft(pp, im, kt))
+    sg, sp = fg(img), fp(img)
+    dev = float(jnp.max(jnp.abs(sg - sp)) / jnp.max(jnp.abs(sg)))
+    tg = _timeit_device(fg, img, repeats=4)
+    tp = _timeit_device(fp, img, repeats=8)
+    ag = jax.jit(lambda s: nf.nufft_adjoint(pg, s, kt))
+    ap = jax.jit(lambda s: nf.nufft_adjoint(pp, s, kt))
+    deva = float(jnp.max(jnp.abs(ag(sg) - ap(sg)))
+                 / jnp.max(jnp.abs(ag(sg))))
+    tga = _timeit_device(ag, sg, repeats=4)
+    tpa = _timeit_device(ap, sg, repeats=8)
+    return {'metric': f'nufft3d: {n}^3 x {nT} samples, pallas '
+                      'VMEM-slice interp vs XLA gather',
+            'value': round(tg / tp, 2), 'unit': 'x fwd speedup',
+            'pallas_fwd_ms': round(tp * 1e3, 1),
+            'gather_fwd_ms': round(tg * 1e3, 1),
+            'pallas_adj_ms': round(tpa * 1e3, 1),
+            'gather_adj_ms': round(tga * 1e3, 1),
+            'adj_speedup': round(tga / tpa, 2),
+            'fwd_rel_dev': f'{dev:.1e}', 'adj_rel_dev': f'{deva:.1e}'}
+
+
 def bench_mrf_pipeline():
     r"""End-to-end MRF mapping pipeline, the number a fingerprinting
     user cares about: fused dictionary (epg_spgr pallas) → SVD rank-16
@@ -799,7 +857,8 @@ ALL = {'tiny': bench_tiny, 'freeprec32': bench_freeprec32,
        'beffstream': bench_beffstream, 'signal': bench_signal,
        'recon': bench_recon, 'nufft': bench_nufft,
        'kspace': bench_kspace, 'field': bench_field, 'mrf': bench_mrf,
-       'mrf_pipeline': bench_mrf_pipeline, 'cest': bench_cest}
+       'mrf_pipeline': bench_mrf_pipeline, 'cest': bench_cest,
+       'nufft3d': bench_nufft3d}
 
 
 def main():

@@ -577,6 +577,82 @@ def _sincos_cycles_exp_sweep():
     return ok
 
 
+def _nufft3d_kernel_parity(interpret: bool):
+    r"""3-D Pallas interpolation kernel (ops/nufft_pallas.py) vs the
+    XLA gather path on a true-3D random trajectory: fwd, adjoint, and
+    the ⟨Ax, y⟩ = ⟨x, Aᴴy⟩ identity of the pallas pair (pins the
+    VMEM-resident slice loads, the wrap-pad/fold transpose pair, and
+    the scatter's read-modify-write accumulation on compiled Mosaic)."""
+    from mrphy_tpu.ops import nufft as nf
+    rng = np.random.default_rng(17)
+    n, nT = 24, 4097                        # odd nT exercises padding
+    fov = (24.0, 20.0, 28.0)
+    img = jnp.asarray(rng.standard_normal((n, n, n, 2)), DT32)
+    kmax = n / 2 / max(fov)
+    kt = jnp.asarray(rng.uniform(-kmax, kmax, (3, nT)), DT32)
+    pg = nf.nufft_plan((n,) * 3, fov, width=4, interp='gather')
+    pp = nf.nufft_plan((n,) * 3, fov, width=4, interp='pallas')
+    sg = jax.jit(lambda im: nf.nufft(pg, im, kt))(img)
+    sp = jax.jit(lambda im: nf.nufft(pp, im, kt))(img)
+    rel_f = _rel(sp, sg)
+    y = jnp.asarray(rng.standard_normal((nT, 2)), DT32)
+    ag = jax.jit(lambda s: nf.nufft_adjoint(pg, s, kt))(y)
+    ap = jax.jit(lambda s: nf.nufft_adjoint(pp, s, kt))(y)
+    rel_a = _rel(ap, ag)
+    lhs = float(jnp.sum(sp * y))
+    rhs = float(jnp.sum(img * ap))
+    rel_d = abs(lhs - rhs) / (abs(lhs) + 1e-30)
+    tol = 1e-5
+    ok = rel_f < tol and rel_a < tol and rel_d < 1e-5
+    _record('nufft3d_kernel', ok,
+            f'pallas-vs-gather fwd rel {rel_f:.1e}, adj rel '
+            f'{rel_a:.1e}, dot identity {rel_d:.1e} (tol {tol:.0e})')
+
+
+def _mrf_pipeline_check():
+    r"""End-to-end MRF pipeline on the chip (round 3): fused SPGR
+    dictionary → SVD-16 compression → fused compressed matcher, fed
+    noisy random-phase probes from ground-truth atoms — the recovered
+    T1/T2 maps must hit the truth (median rel err, not just backend
+    parity; complements the per-stage checks)."""
+    from mrphy_tpu.ops import epg, mrf
+    rng = np.random.default_rng(13)
+    nTR = 200
+    flips = jnp.asarray(np.deg2rad(10 + 50 * np.abs(
+        np.sin(np.arange(nTR) / 40.0))), DT32)
+    T1g, T2g = np.meshgrid(np.geomspace(0.2, 3.0, 96),
+                           np.geomspace(0.02, 0.5, 64), indexing='ij')
+    keep = T2g < T1g
+    T1 = jnp.asarray(T1g[keep], DT32)
+    T2 = jnp.asarray(T2g[keep], DT32)
+    nA = T1.shape[0]
+    D = epg.epg_spgr(flips, None, T1=T1, T2=T2, tr=0.012, te=0.003,
+                     K=48, backend='pallas')
+    basis = mrf.svd_basis(D, rank=16)
+    Dc = mrf.compress(D, basis)
+    nV = 50000
+    ks = rng.integers(0, nA, nV)
+    ph = rng.uniform(-np.pi, np.pi, nV).astype(np.float32)
+    X = np.asarray(D)[ks]
+    X = (np.cos(ph)[:, None, None] * X
+         + np.sin(ph)[:, None, None]
+         * np.stack([-X[..., 1], X[..., 0]], -1))
+    X += 0.002 * rng.standard_normal(X.shape).astype(np.float32)
+    Xc = mrf.compress(jnp.asarray(X, DT32), basis)
+    res = jax.jit(lambda d, x: mrf.dict_match_compressed(
+        d, x, basis))(Dc, Xc)
+    t1h = np.asarray(T1)[np.asarray(res.idx)]
+    t2h = np.asarray(T2)[np.asarray(res.idx)]
+    e1 = float(np.median(np.abs(t1h - np.asarray(T1)[ks])
+                         / np.asarray(T1)[ks]))
+    e2 = float(np.median(np.abs(t2h - np.asarray(T2)[ks])
+                         / np.asarray(T2)[ks]))
+    ok = e1 < 0.02 and e2 < 0.02
+    _record('mrf_pipeline', ok,
+            f'fused dict+SVD16+match: median T1 rel {e1:.4f}, '
+            f'T2 rel {e2:.4f} over {nV} noisy voxels ({nA} atoms)')
+
+
 def _mrf_match_parity():
     r"""Fused Pallas matcher (ops/mrf_pallas.py) vs the XLA matcher,
     compiled on the real chip: identical argmax indices, matching
@@ -786,7 +862,9 @@ def main():
     _sincos_cycles_exp_sweep()
     if not args.interpret:
         _mrf_match_parity()
+        _mrf_pipeline_check()
     _nufft_parity()
+    _nufft3d_kernel_parity(interpret=args.interpret)
     _epg_kernel_parity(interpret=args.interpret)
     _cpmg_kernel_parity(interpret=args.interpret)
     _epgx_kernel_parity(interpret=args.interpret)

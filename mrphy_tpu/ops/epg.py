@@ -229,7 +229,9 @@ def epg_cpmg(flips, *, T1, T2, esp, M0=1.0, phi_ex=pi / 2,
     (:func:`mrphy_tpu.ops.epg_pallas.epg_cpmg_pallas`; measured 25×
     the XLA scan at 1M voxels × 32 echoes — B1-scaled trains go
     through its ``b1``). Mapping workload only (shared 1-D flips, 1-D
-    voxel batch, no diffusion), forward-only.
+    voxel batch, no diffusion); differentiable via the recompute-
+    through-XLA VJP (``ops/_diffwrap.py`` — gradients are the XLA
+    backend's).
     """
     if mesh is not None:        # composes with backend='pallas': each
         # device runs the fused kernel on its voxel shard
@@ -342,8 +344,9 @@ def epg_spgr(flips, phis=None, *, T1, T2, tr, te=0.0, M0=1.0,
     (:func:`mrphy_tpu.ops.epg_pallas.epg_spgr_pallas` — the whole
     train's state lives in VMEM; measured 7.5× the XLA scan at MRF
     dictionary scale). Dictionary workload only: shared 1-D trains,
-    1-D atom batch, no diffusion, FORWARD-ONLY (keep the default
-    backend for gradients).
+    1-D atom batch, no diffusion; differentiable via the recompute-
+    through-XLA VJP (``ops/_diffwrap.py`` — gradients are the XLA
+    backend's).
     """
     if backend == 'pallas':
         assert D is None, 'pallas backend does not model diffusion'
@@ -607,7 +610,8 @@ def epgx_cpmg(flips, *, T1a, T2a, T1b, T2b, kab, kba, esp, M0a=1.0,
     ``backend='pallas'``: the fused TPU kernel
     (:func:`mrphy_tpu.ops.epg_pallas.epgx_cpmg_pallas`) for
     volume-scale MWF dictionaries/forwards (shared 1-D flips, 1-D
-    voxel batch), forward-only.
+    voxel batch); differentiable via the recompute-through-XLA VJP
+    (``ops/_diffwrap.py`` — gradients are the XLA backend's).
     """
     if mesh is not None:        # composes with backend='pallas'
         from mrphy_tpu.parallel.mesh import (
@@ -676,7 +680,8 @@ def epgx_spgr(flips, phis=None, *, T1a, T2a, T1b, T2b, kab, kba, tr,
     ``backend='pallas'``: the fused two-pool TPU kernel
     (:func:`mrphy_tpu.ops.epg_pallas.epgx_spgr_pallas`; measured 17×
     the XLA scan at 64k-atom dictionary scale). Dictionary workload
-    only (shared 1-D trains, 1-D atom batch), forward-only.
+    only (shared 1-D trains, 1-D atom batch); differentiable via the
+    recompute-through-XLA VJP (``ops/_diffwrap.py``).
     """
     if mesh is not None:        # composes with backend='pallas'
         from mrphy_tpu.parallel.mesh import (
@@ -852,7 +857,8 @@ def epgx_mt_spgr(flips, phis=None, *, T1a, T2a, T1b, kab, kba, tr,
     (:func:`mrphy_tpu.ops.epg_pallas.epgx_mt_spgr_pallas`; measured
     31× the XLA scan at 64k-atom qMT-dictionary scale — per-atom
     saturation scaling goes through its ``wscale``). Dictionary
-    workload only, forward-only.
+    workload only; differentiable via the recompute-through-XLA VJP
+    (``ops/_diffwrap.py``).
     """
     if mesh is not None:        # composes with backend='pallas'
         from mrphy_tpu.parallel.mesh import (

@@ -18,7 +18,10 @@ atom); per-atom relaxation factors enter as `(1, TA)` lane vectors.
 
 Scope (asserted by the dispatcher): shared 1-D ``flips``/``phis``
 trains, 1-D atom batch, no diffusion — exactly the MRF dictionary
-workload. FORWARD-ONLY: dictionary generation needs no gradients; the
+workload. The kernels themselves are forward-only (the public
+dispatchers wrap them in the recompute-through-XLA VJP of
+``ops/_diffwrap.py``, so ``backend='pallas'`` supports ``jax.grad`` —
+sequence design at kernel-speed forwards); the
 XLA path (default backend) remains fully differentiable for fitting.
 Parity with the XLA engine is pinned at f32 tolerances in
 ``tests/test_epg_pallas.py`` and on-chip by ``benchmarks/tpu_checks.py``.
@@ -294,7 +297,7 @@ def epg_cpmg_pallas(flips, *, T1, T2, esp, M0=1.0, phi_ex=None,
     (``b1`` `(nVox,)` scales it per voxel), 1-D voxel batch
     ``T1``/``T2``/``M0``/``alpha_ex``/``phi_ex`` (scalars broadcast —
     per-voxel excitation supports slice-profile-resolved trains), no
-    diffusion. Returns `(nVox, nEcho, 2)`; forward-only.
+    diffusion. Returns `(nVox, nEcho, 2)`.
     """
     from mrphy_tpu import pi as _pi
     if interpret is None:

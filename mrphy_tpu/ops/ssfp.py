@@ -112,9 +112,9 @@ def bssfp_train(flips, *, T1, T2, tr, df=0.0, te=None, phis=None,
     (:func:`mrphy_tpu.ops.ssfp_pallas.bssfp_train_pallas` — the
     magnetization stays in registers across the whole train, echoes
     stream out). Dictionary workload only: shared 1-D trains, 1-D atom
-    batch, equilibrium start, FORWARD-ONLY (keep the default backend
-    for gradients). Scalar AND variable `(nTR,)` ``tr``/``te`` trains
-    are supported.
+    batch, equilibrium start; differentiable via the recompute-through-
+    XLA VJP (``ops/_diffwrap.py`` — gradients are the XLA backend's).
+    Scalar AND variable `(nTR,)` ``tr``/``te`` trains are supported.
     """
     if mesh is not None:        # composes with backend='pallas': each
         # device runs the fused kernel on its voxel shard

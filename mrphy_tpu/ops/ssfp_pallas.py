@@ -30,10 +30,11 @@ Two precession modes, chosen statically from the input shapes:
   te/rem durations — 8 transcendentals per atom·TR.
 
 Scope (asserted by the dispatcher): shared 1-D ``flips``/``phis``
-trains, 1-D atom batch, equilibrium start. FORWARD-ONLY: dictionary
-generation needs no gradients; the XLA path (default backend) remains
-fully differentiable for fitting/sequence design. Parity with the XLA
-engine is pinned in ``tests/test_ssfp.py`` (interpret mode) and on-chip
+trains, 1-D atom batch, equilibrium start. The kernel itself is
+forward-only; the public dispatcher wraps it in the recompute-through-
+XLA VJP (``ops/_diffwrap.py``), so ``backend='pallas'`` trains are
+differentiable — kernel-speed forwards, one XLA-speed reverse. Parity
+with the XLA engine is pinned in ``tests/test_ssfp.py`` and on-chip
 by ``benchmarks/tpu_checks.py::bssfp_dict_kernel``.
 """
 
