@@ -56,7 +56,7 @@ from jax.experimental.pallas import tpu as pltpu
 from mrphy_tpu.ops.pallas_kernels import (
     _LANE, _MIN_AUTO_SPINS, _PHI_EPS, _SMEM_BUDGET, _UNROLL, _VMEM_LIMIT,
     _assemble_b_tile, _fast_sincos, _on_tpu, _pick_ts)
-from mrphy_tpu.utils._shapes import largest_divisor_leq
+from mrphy_tpu.utils._shapes import largest_divisor_leq_pref
 
 __all__ = ['mc_is_available', 'mc_bwd_is_available', 'mc_fwd_planes',
            'mc_bwd_planes']
@@ -180,7 +180,7 @@ def _pick_tc_mc(nT: int, S1: int) -> int:
     bound = max(1, (16 << 20) // (6 * ts * _LANE * 4))
     if nT <= bound:
         return nT
-    tc = largest_divisor_leq(nT, bound)
+    tc = largest_divisor_leq_pref(nT, bound, _UNROLL)
     return tc if tc >= 32 else nT
 
 

@@ -559,8 +559,9 @@ def rfgr_fwd_planes(mi, rf2, gr2, loc_p, dfg, b1_p, E, e1_1, g2pd,
     )(*args)
 
 
-from mrphy_tpu.utils._shapes import (     # noqa: E402  (shared helper)
-    largest_divisor_leq as _largest_divisor_leq)
+from mrphy_tpu.utils._shapes import (     # noqa: E402  (shared helpers)
+    largest_divisor_leq as _largest_divisor_leq,
+    largest_divisor_leq_pref as _largest_divisor_leq_pref)
 
 
 def _pick_tc_wf(nT: int, K: int) -> int:
@@ -575,7 +576,7 @@ def _pick_tc_wf(nT: int, K: int) -> int:
     bound = max(1, (4 << 20) // (K * _LANE * 4))
     if nT <= bound:
         return nT
-    tc = _largest_divisor_leq(nT, bound)
+    tc = _largest_divisor_leq_pref(nT, bound, _UNROLL)
     return tc if tc >= 128 else nT
 
 
@@ -890,7 +891,7 @@ def _pick_tc(nT: int, ts: int) -> int:
     minimizes the adjoint's checkpoint stream (ntc chunk-end states),
     which dominated at the old ~2 MB/tc=8 rule."""
     bound = max(1, min(256, (12 << 20) // (3 * ts * _LANE * 4)))
-    tc = _largest_divisor_leq(nT, bound)
+    tc = _largest_divisor_leq_pref(nT, bound, _UNROLL)
     return max(tc, 1)
 
 
