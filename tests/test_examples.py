@@ -85,6 +85,10 @@ CASES = [
                                 '--iters', '150']),
     # T2 shuffling: subspace echo-train recon via block-diagonal solve
     ('t2shuffling.py', ['--n', '32', '--ne', '16', '--shots', '4']),
+    # MRF sequence optimization through the DIFFERENTIABLE fused
+    # dictionary kernels (round-3 recompute-through-XLA VJP)
+    ('mrf_seq_optim.py', ['--natoms', '64', '--ntr', '32', '--K', '10',
+                          '--iters', '30']),
     # deployment lifecycle: design -> AOT artifacts -> serve (bit-exact)
     ('serve_artifact.py', ['--n', '8', '--nt', '32', '--iters', '20']),
     # voxel-sharded variants on the 8-virtual-device CPU mesh
