@@ -318,19 +318,26 @@ def bench_signal():
                                       backend=backend) ** 2)
         return jax.jit(jax.grad(loss, argnums=(0, 1)))
 
-    tg = _timeit_device(mkgrad('xla'), k, M, repeats=2)
     tgp = _timeit_device(mkgrad('pallas'), k, M, repeats=4)
-    return {'metric': f'signal: {nM} spins x {nT} samples x {nC} coils '
-                      'encode (fused pallas fwd / adjoint)',
-            'value': round(nM * nT / tfp / 1e9, 2),
-            'unit': 'G spin*samples/s/chip',
-            'fwd_ms': round(tfp * 1e3, 1), 'adj_ms': round(tap * 1e3, 1),
-            'xla_fwd_ms': round(tf * 1e3, 1),
-            'xla_adj_ms': round(ta * 1e3, 1),
-            'grad_kM_pallas_ms': round(tgp * 1e3, 1),
-            'grad_kM_xla_ms': round(tg * 1e3, 1),
-            'grad_speedup': round(tg / tgp, 2),
-            'pallas_rel_dev': f'{dev:.1e}'}
+    out = {'metric': f'signal: {nM} spins x {nT} samples x {nC} coils '
+                     'encode (fused pallas fwd / adjoint)',
+           'value': round(nM * nT / tfp / 1e9, 2),
+           'unit': 'G spin*samples/s/chip',
+           'fwd_ms': round(tfp * 1e3, 1), 'adj_ms': round(tap * 1e3, 1),
+           'xla_fwd_ms': round(tf * 1e3, 1),
+           'xla_adj_ms': round(ta * 1e3, 1),
+           'grad_kM_pallas_ms': round(tgp * 1e3, 1),
+           'pallas_rel_dev': f'{dev:.1e}'}
+    try:
+        # the XLA autodiff chain at this scale rematerializes the
+        # (chunk, nT) factor matrices in reverse — its compile can
+        # exceed the remote helper's limits; report it when it builds
+        tg = _timeit_device(mkgrad('xla'), k, M, repeats=2)
+        out['grad_kM_xla_ms'] = round(tg * 1e3, 1)
+        out['grad_speedup'] = round(tg / tgp, 2)
+    except Exception as e:  # noqa: BLE001
+        out['grad_kM_xla_ms'] = f'compile failed: {type(e).__name__}'
+    return out
 
 
 def bench_recon():
@@ -702,11 +709,16 @@ def bench_cest():
     dev = float(jnp.max(jnp.abs(fp(Mia, kab) - fx(Mia, kab))))
     tp = chained_timeit(fp, Mia, kab, repeats=4)
     tx = chained_timeit(fx, Mia, kab, repeats=2)
-    # one fit step: dL/d(kab) via the recompute-through-XLA VJP
+    # one fit step: dL/d(kab) via the fused two-phase chunk adjoint
     gk = jax.jit(jax.grad(lambda k: jnp.sum(
         mc.blochsim_mc_rfgr(Mia, Mib, rf, gr, loc, kab=k,
                             backend='pallas', **kw)[0])))
-    tg = chained_timeit(gk, kab, repeats=2,
+    # the first 1-2 post-compile executions pay a ~240 ms program-load
+    # /allocator warmup on this attachment (measured, then settles);
+    # warm past it so the number is the steady-state fit rate
+    _read(gk(kab))
+    _read(gk(kab))
+    tg = chained_timeit(gk, kab, repeats=3,
                         feedback=lambda k, g: k - 1e-6 * g)
     vs = nM * nT
     return {'metric': f'CEST two-pool fused waveform engine: {nM} '
