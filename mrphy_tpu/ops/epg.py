@@ -869,10 +869,16 @@ def epgx_mt_spgr(flips, phis=None, *, T1a, T2a, T1b, kab, kba, tr,
             M0b=M0b, b1=b1, kshift=kshift, K=K, backend=backend)
     if backend == 'pallas':
         from mrphy_tpu.ops.epg_pallas import epgx_mt_spgr_pallas
-        return epgx_mt_spgr_pallas(flips, phis, T1a=T1a, T2a=T2a,
-                                   T1b=T1b, kab=kab, kba=kba, tr=tr,
-                                   wt=wt, M0a=M0a, M0b=M0b, b1=b1,
-                                   kshift=kshift, K=K)
+        from mrphy_tpu.ops._diffwrap import pallas_with_xla_vjp
+        names = ('T1a', 'T2a', 'T1b', 'kab', 'kba', 'tr', 'wt',
+                 'M0a', 'M0b', 'b1')
+        return pallas_with_xla_vjp(
+            lambda fl, ph, *p: epgx_mt_spgr_pallas(
+                fl, ph, kshift=kshift, K=K, **dict(zip(names, p))),
+            lambda fl, ph, *p: epgx_mt_spgr(
+                fl, ph, backend='xla', kshift=kshift, K=K,
+                **dict(zip(names, p))),
+            flips, phis, T1a, T2a, T1b, kab, kba, tr, wt, M0a, M0b, b1)
     assert backend == 'xla', backend
     flips = _apply_b1(jnp.asarray(flips), b1)
     nTR = flips.shape[-1]

@@ -438,3 +438,30 @@ class TestFusedTrainGrads:
         for name, x, p in zip(('kab', 'T2b'), gx, gp):
             rel = abs(float(x - p)) / (abs(float(x)) + 1e-30)
             assert rel < 1e-6, (name, rel)
+
+    def test_epgx_mt_spgr_grads(self):
+        import jax
+        import jax.numpy as jnp
+        from mrphy_tpu.ops import epg
+        rng = np.random.default_rng(5)
+        F = jnp.float64
+        ntr, nA = 16, 5
+        flips = jnp.asarray(np.deg2rad(rng.uniform(10, 40, ntr)), F)
+        wt = jnp.asarray(rng.uniform(0.0, 20.0, ntr), F)
+        T1a = jnp.asarray(rng.uniform(0.5, 2.0, nA), F)
+        kba = jnp.asarray(rng.uniform(10.0, 40.0, nA), F)
+        w = jnp.asarray(rng.standard_normal((nA, ntr, 2)), F)
+
+        def loss(t1a, kb, be):
+            s = epg.epgx_mt_spgr(flips, None, T1a=t1a, T2a=0.08,
+                                 T1b=1.0, kab=4.0, kba=kb, tr=0.03,
+                                 wt=wt, M0a=1.0, M0b=0.15, K=8,
+                                 backend=be)
+            return jnp.sum(w * s)
+
+        gx = jax.grad(loss, argnums=(0, 1))(T1a, kba, 'xla')
+        gp = jax.grad(loss, argnums=(0, 1))(T1a, kba, 'pallas')
+        for name, x, p in zip(('T1a', 'kba'), gx, gp):
+            rel = float(jnp.max(jnp.abs(x - p))
+                        / (jnp.max(jnp.abs(x)) + 1e-30))
+            assert rel < 1e-6, (name, rel)
