@@ -89,6 +89,8 @@ CASES = [
     # dictionary kernels (round-3 recompute-through-XLA VJP)
     ('mrf_seq_optim.py', ['--natoms', '64', '--ntr', '32', '--K', '10',
                           '--iters', '30']),
+    # true-3D koosh-ball CG recon through the 3-D Pallas NUFFT
+    ('recon3d.py', ['--n', '12', '--spokes', '120', '--iters', '8']),
     # deployment lifecycle: design -> AOT artifacts -> serve (bit-exact)
     ('serve_artifact.py', ['--n', '8', '--nt', '32', '--iters', '20']),
     # voxel-sharded variants on the 8-virtual-device CPU mesh
