@@ -353,3 +353,29 @@ class TestSignalSharded:
         g = jax.grad(loss(lambda M: signal_sharded_traceable(
             mesh, M, loc_, k, sens=sens, df=df, T2s=T2s, dt=DT)))(M)
         np.testing.assert_allclose(g, g0, atol=1e-12)
+
+
+class TestShardedPallasFieldGrads:
+    r"""Round 3: the loc/ktraj cotangents of the fused VJP must survive
+    the shard_map composition — spin-sharded dloc stays local, the
+    replicated trajectory's dk psums over the spin shards."""
+
+    def test_loc_and_k_grads_match_unsharded(self):
+        mesh = make_mesh()  # 1 x 8
+        rng = np.random.default_rng(13)
+        M, loc_, gr, k, df, T2s, sens = _problem(rng, nM=64,
+                                                 dtype=jnp.float32)
+
+        def loss(lo, kk, mesh_=None):
+            return jnp.sum(sig.signal(
+                M, lo, kk, sens=sens, df=df, T2s=T2s, dt=DT,
+                mesh=mesh_, backend='pallas',
+                _pallas_interpret=True) ** 2)
+
+        g0 = jax.grad(loss, argnums=(0, 1))(loc_, k)
+        gl = jax.grad(lambda lo: loss(lo, k, mesh))(loc_)
+        gk = jax.grad(lambda kk: loss(loc_, kk, mesh))(k)
+        for name, a, b in (('loc', g0[0], gl), ('k', g0[1], gk)):
+            rel = float(jnp.max(jnp.abs(a - b))
+                        / (jnp.max(jnp.abs(a)) + 1e-30))
+            assert rel < 1e-5, (name, rel)
