@@ -373,7 +373,8 @@ def dict_match_compressed(Dc, probes, basis: Basis, *,
 
 
 def match_refine(signal_fn: Callable, p0, probes, *, iters: int = 200,
-                 lr: float = 0.02, pair: Optional[bool] = None):
+                 lr: float = 0.02, pair: Optional[bool] = None,
+                 batched: bool = False):
     r"""Continuous parameter refinement through the signal model.
 
     The dictionary quantizes parameters to its grid; gradient descent
@@ -386,7 +387,16 @@ def match_refine(signal_fn: Callable, p0, probes, *, iters: int = 200,
         - ``signal_fn``: maps ONE parameter vector `(nP,)` to its
           signal `(*tail)` (e.g. ``lambda p: epg_spgr(flips, phis,
           T1=exp(p[0]), T2=exp(p[1]), tr=tr)``) — vmapped internally,
-          so it must be jit-traceable.
+          so it must be jit-traceable. With ``batched=True`` it
+          instead maps the WHOLE `(nVox, nP)` parameter array to
+          `(nVox, *tail)` signals — e.g. ``lambda P: epg_spgr(flips,
+          None, T1=exp(P[:, 0]), T2=exp(P[:, 1]), tr=tr,
+          backend='pallas')``. The per-voxel losses are independent,
+          so the gradients are identical; the batched form runs ONE
+          train per iteration instead of a vmap of per-voxel scans —
+          and can route through the fused Pallas dictionary kernels
+          (round-3 measurement: 1.7 k → 64 k voxels/s at 50 Adam
+          iterations, `benchmarks/RESULTS.md`).
         - ``p0``: `(*batch, nP)` starting parameters (matched atoms).
         - ``probes``: `(*batch, *tail)` measured evolutions.
     Optionals:
@@ -401,8 +411,12 @@ def match_refine(signal_fn: Callable, p0, probes, *, iters: int = 200,
     probes = jnp.asarray(probes)
     nP = p0.shape[-1]
     batch = p0.shape[:-1]
-    probe0 = signal_fn(p0.reshape(-1, nP)[0])
-    tail = jnp.shape(probe0)
+    if batched:
+        probe0 = signal_fn(p0.reshape(-1, nP)[:1])
+        tail = jnp.shape(probe0)[1:]
+    else:
+        probe0 = signal_fn(p0.reshape(-1, nP)[0])
+        tail = jnp.shape(probe0)
     pr = _is_pair(jnp.asarray(probe0), pair)
     assert probes.shape[probes.ndim - len(tail):] == tuple(tail), \
         (probes.shape, tail)
@@ -421,11 +435,40 @@ def match_refine(signal_fn: Callable, p0, probes, *, iters: int = 200,
         im = jnp.dot(s, xjn, precision=Precision.HIGHEST)
         return jnp.sqrt(re * re + im * im + 1e-30)
 
+    def corr_batched(P, Xn, Xjn):
+        S = signal_fn(P).reshape(P.shape[0], -1)
+        S = S / jnp.maximum(jnp.linalg.norm(S, axis=1, keepdims=True),
+                            1e-30)
+        re = jnp.sum(S * Xn, -1)
+        if not pr:
+            return re
+        im = jnp.sum(S * Xjn, -1)
+        return jnp.sqrt(re * re + im * im + 1e-30)
+
     Xjn = (pair_rotate(Xn.reshape((-1,) + tuple(tail)))
            .reshape(Xn.shape) if pr else jnp.zeros_like(Xn))
     opt = optax.adam(lr)
-    vg = jax.vmap(jax.value_and_grad(lambda p, xn, xjn:
-                                     -corr(p, xn, xjn)))
+    if batched:
+        # per-voxel losses are independent, so the gradient of their
+        # SUM carries every voxel's own gradient — one train per
+        # iteration instead of a vmap of per-voxel scans
+        grad_fn = jax.grad(lambda P_, xn, xjn:
+                           -jnp.sum(corr_batched(P_, xn, xjn)))
+
+        def step_grad(P, Xn, Xjn):
+            return grad_fn(P, Xn, Xjn)
+
+        def scores(P, Xn, Xjn):
+            return corr_batched(P, Xn, Xjn)
+    else:
+        vg = jax.vmap(jax.value_and_grad(lambda p, xn, xjn:
+                                         -corr(p, xn, xjn)))
+
+        def step_grad(P, Xn, Xjn):
+            return vg(P, Xn, Xjn)[1]
+
+        def scores(P, Xn, Xjn):
+            return -vg(P, Xn, Xjn)[0]
 
     @jax.jit
     def run(P, Xn, Xjn):
@@ -433,13 +476,12 @@ def match_refine(signal_fn: Callable, p0, probes, *, iters: int = 200,
 
         def body(carry, _):
             P, st = carry
-            loss, g = vg(P, Xn, Xjn)
+            g = step_grad(P, Xn, Xjn)
             up, st = opt.update(g, st)
             return (optax.apply_updates(P, up), st), None
 
         (P, st), _ = jax.lax.scan(body, (P, st), None, length=iters)
-        loss, _ = vg(P, Xn, Xjn)
-        return P, -loss
+        return P, scores(P, Xn, Xjn)
 
     P, score = run(P0, Xn, Xjn)
     return P.reshape(batch + (nP,)), score.reshape(batch)
