@@ -279,6 +279,43 @@ def _signal_parity_one(*, nM, nT, nC, interpret):
     return ok and okf
 
 
+def _spgr_adjoint_parity(interpret: bool):
+    r"""Round 3: the in-kernel hand-transposed SPGR adjoint
+    (epg_pallas._spgr_bwd_kernel) vs the XLA backend's autodiff —
+    flips/phis/T1/T2/M0/b1 gradients on compiled Mosaic (pins the
+    shift transpose, the chunked checkpoint restarts, and the
+    lane-partial coefficient reductions)."""
+    from mrphy_tpu.ops import epg, epg_pallas
+    rng = np.random.default_rng(29)
+    ntr, nA, K = 120, 1024, 32
+    assert epg_pallas.spgr_bwd_is_available(nTR=ntr, K=K, nA=nA)
+    flips = jnp.asarray(np.deg2rad(rng.uniform(10, 60, ntr)), DT32)
+    phis = jnp.asarray(epg.rf_spoil_phases(ntr), DT32)
+    T1 = jnp.asarray(rng.uniform(0.3, 2.0, nA), DT32)
+    T2 = jnp.asarray(rng.uniform(0.03, 0.3, nA), DT32)
+    b1 = jnp.asarray(rng.uniform(0.8, 1.2, nA), DT32)
+    w = jnp.asarray(rng.standard_normal((nA, ntr, 2)), DT32)
+
+    def loss(be, fl, ph, t1, t2, b):
+        return jnp.sum(w * epg.epg_spgr(fl, ph, T1=t1, T2=t2,
+                                        tr=12e-3, te=3e-3, K=K, b1=b,
+                                        backend=be))
+
+    an = tuple(range(5))
+    gx = jax.jit(jax.grad(lambda *a: loss('xla', *a), argnums=an))(
+        flips, phis, T1, T2, b1)
+    gp = jax.jit(jax.grad(lambda *a: loss('pallas', *a), argnums=an))(
+        flips, phis, T1, T2, b1)
+    rels = {n: _rel(p, x) for n, x, p in
+            zip(('flips', 'phis', 'T1', 'T2', 'b1'), gx, gp)}
+    tol = 1e-3          # both paths f32 here; T1-grad conditioning
+    ok = all(r < tol for r in rels.values())
+    _record('spgr_adjoint', ok,
+            'in-kernel adjoint vs XLA grads: ' + ', '.join(
+                f'd{n} {r:.1e}' for n, r in rels.items())
+            + f' (tol {tol:.0e})')
+
+
 def _epg_kernel_parity(interpret: bool):
     r"""Fused EPG dictionary kernel (ops/epg_pallas.py) vs the XLA scan,
     f32: pins the Mosaic lowering of the sublane rolls, k=0 hemisphere
@@ -866,6 +903,7 @@ def main():
     _nufft_parity()
     _nufft3d_kernel_parity(interpret=args.interpret)
     _epg_kernel_parity(interpret=args.interpret)
+    _spgr_adjoint_parity(interpret=args.interpret)
     _cpmg_kernel_parity(interpret=args.interpret)
     _epgx_kernel_parity(interpret=args.interpret)
     _epgx_cpmg_kernel_parity(interpret=args.interpret)

@@ -344,18 +344,33 @@ def epg_spgr(flips, phis=None, *, T1, T2, tr, te=0.0, M0=1.0,
     (:func:`mrphy_tpu.ops.epg_pallas.epg_spgr_pallas` — the whole
     train's state lives in VMEM; measured 7.5× the XLA scan at MRF
     dictionary scale). Dictionary workload only: shared 1-D trains,
-    1-D atom batch, no diffusion; differentiable via the recompute-
-    through-XLA VJP (``ops/_diffwrap.py`` — gradients are the XLA
-    backend's).
+    1-D atom batch, no diffusion; differentiable NATIVELY — the
+    in-kernel hand-transposed adjoint (round 3,
+    ``epg_pallas._spgr_bwd_kernel``) runs gradients at kernel speed
+    when it fits, with the recompute-through-XLA VJP
+    (``ops/_diffwrap.py``) as the fallback.
     """
     if backend == 'pallas':
         assert D is None, 'pallas backend does not model diffusion'
-        from mrphy_tpu.ops.epg_pallas import epg_spgr_pallas
+        from mrphy_tpu.ops import epg_pallas
         from mrphy_tpu.ops._diffwrap import pallas_with_xla_vjp
+        fl_a = jnp.asarray(flips)
+        nA_g = max([1] + [jnp.shape(v)[0] for v in (T1, T2, M0, b1)
+                          if v is not None and jnp.ndim(v) >= 1])
+        K_g = (fl_a.shape[-1] * abs(int(kshift)) + 1 if K is None
+               else int(K))
+        if (fl_a.ndim == 1 and epg_pallas.spgr_bwd_is_available(
+                nTR=fl_a.shape[-1], K=K_g, nA=nA_g)):
+            # natively differentiable: the hand-transposed fused
+            # adjoint kernel (round 3) — gradients at kernel speed
+            return epg_pallas.epg_spgr_pallas(
+                flips, phis, T1=T1, T2=T2, tr=tr, te=te, M0=M0, b1=b1,
+                kshift=kshift, K=K)
         return pallas_with_xla_vjp(
             lambda fl, ph, t1, t2, trv, tev, m0, b:
-                epg_spgr_pallas(fl, ph, T1=t1, T2=t2, tr=trv, te=tev,
-                                M0=m0, b1=b, kshift=kshift, K=K),
+                epg_pallas.epg_spgr_pallas(
+                    fl, ph, T1=t1, T2=t2, tr=trv, te=tev,
+                    M0=m0, b1=b, kshift=kshift, K=K),
             lambda fl, ph, t1, t2, trv, tev, m0, b:
                 epg_spgr(fl, ph, T1=t1, T2=t2, tr=trv, te=tev, M0=m0,
                          b1=b, kshift=kshift, K=K, backend='xla'),

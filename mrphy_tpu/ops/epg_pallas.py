@@ -18,11 +18,16 @@ atom); per-atom relaxation factors enter as `(1, TA)` lane vectors.
 
 Scope (asserted by the dispatcher): shared 1-D ``flips``/``phis``
 trains, 1-D atom batch, no diffusion — exactly the MRF dictionary
-workload. The kernels themselves are forward-only (the public
-dispatchers wrap them in the recompute-through-XLA VJP of
-``ops/_diffwrap.py``, so ``backend='pallas'`` supports ``jax.grad`` —
-sequence design at kernel-speed forwards); the
-XLA path (default backend) remains fully differentiable for fitting.
+workload. Differentiability (round 3): ``epg_spgr`` carries a NATIVE
+in-kernel adjoint — ``_spgr_bwd_kernel``, a hand-transposed two-phase
+chunk kernel (phase 1 recomputes each chunk's pre-RF states from
+chunk-START checkpoints; phase 2 runs shift-transpose →
+relax-transpose → echo-cotangent injection → RF-mix transpose,
+emitting per-TR coefficient grads as lane-partials and per-atom
+E1/E2/E2te/rec/M0/b1 rows) — so its gradients run at kernel speed.
+The other train kernels are forward-only and get gradients via the
+recompute-through-XLA VJP of ``ops/_diffwrap.py``; the XLA paths
+(default backend) remain fully differentiable everywhere.
 Parity with the XLA engine is pinned at f32 tolerances in
 ``tests/test_epg_pallas.py`` and on-chip by ``benchmarks/tpu_checks.py``.
 """
@@ -149,28 +154,13 @@ def _spgr_dispatch(flips, phis, T1, T2, tr, te, M0, b1, *, K: int,
     rec = -jnp.expm1(-tr / T1).astype(f32)[None] * M0a
     b1 = jnp.broadcast_to(jnp.asarray(b1, f32), (1, nA))
 
-    pad = (-nA) % tile
-    if pad:
-        padv = [(0, 0), (0, pad)]
-        E1, E2 = jnp.pad(E1, padv), jnp.pad(E2, padv)
-        E2te, rec = jnp.pad(E2te, padv), jnp.pad(rec, padv)
-        M0a, b1 = jnp.pad(M0a, padv), jnp.pad(b1, padv)
-    nAp = nA + pad
-
-    atom = pl.BlockSpec((1, tile), lambda i: (0, i))
-    out = pl.BlockSpec((nTR, tile), lambda i: (0, i))
-    outr, outi = pl.pallas_call(
-        functools.partial(_spgr_kernel, K, nTR, kshift, has_b1),
-        grid=(nAp // tile,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  atom, atom, atom, atom, atom, atom],
-        out_specs=[out, out],
-        out_shape=[jax.ShapeDtypeStruct((nTR, nAp), f32)] * 2,
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT),
-        interpret=interpret,
-    )(coef, E1, E2, E2te, rec, M0a, b1)
-    return jnp.stack([outr[:, :nA], outi[:, :nA]], -1)  # (nTR, nA, 2)
+    del nA
+    # the differentiable core: fast unchunked kernel as the primal,
+    # the hand-transposed fused adjoint under jax.grad (atom padding
+    # happens per-path inside)
+    outr, outi = _spgr_core(K, kshift, interpret, has_b1, coef, E1,
+                            E2, E2te, rec, M0a, b1, None)
+    return jnp.stack([outr, outi], -1)              # (nTR, nA, 2)
 
 
 def _cpmg_kernel(K: int, nE: int, has_b1: bool, coef_ref, pk_ref,
@@ -951,3 +941,492 @@ def epg_spgr_pallas(flips, phis=None, *, T1, T2, tr, te=0.0, M0=1.0,
                          K=K, kshift=int(kshift), tile=tile,
                          interpret=interpret, has_b1=b1 is not None)
     return jnp.moveaxis(sig, 1, 0)               # (nA, nTR, 2)
+
+
+# ==========================================================================
+# In-kernel SPGR adjoint (round 3): hand-transposed fused backward
+# ==========================================================================
+
+def _spgr_trig(coef_ref, t, b1, has_b1):
+    r"""Per-TR RF trig (shared scalars, or per-atom rows under b1) —
+    the same arithmetic as ``_spgr_kernel``'s step (kept in sync)."""
+    if has_b1:
+        ah = (0.5 * coef_ref[8, t]) * b1
+        ch, sh = jnp.cos(ah), jnp.sin(ah)
+        ca2, sa2 = ch * ch, sh * sh
+        sa, ca = 2 * ch * sh, ca2 - sa2
+    else:
+        ca2, sa2 = coef_ref[0, t], coef_ref[1, t]
+        sa, ca = coef_ref[2, t], coef_ref[3, t]
+    return (ca2, sa2, sa, ca, coef_ref[4, t], coef_ref[5, t],
+            coef_ref[6, t], coef_ref[7, t])
+
+
+def _spgr_mix(tg, s):
+    r"""RF mixing (``epg_rf`` rows, real-pair arithmetic)."""
+    ca2, sa2, sa, ca, c1, s1, c2, s2 = tg
+    Fpr, Fpi, Fmr, Fmi, Zr, Zi = s
+    sc2, ss2 = sa2 * c2, sa2 * s2
+    ss, sc = sa * s1, sa * c1
+    hs, hc = 0.5 * ss, 0.5 * sc
+    return (ca2 * Fpr + (sc2 * Fmr - ss2 * Fmi) + (ss * Zr + sc * Zi),
+            ca2 * Fpi + (sc2 * Fmi + ss2 * Fmr) + (ss * Zi - sc * Zr),
+            (sc2 * Fpr + ss2 * Fpi) + ca2 * Fmr + (ss * Zr - sc * Zi),
+            (sc2 * Fpi - ss2 * Fpr) + ca2 * Fmi + (ss * Zi + sc * Zr),
+            (-hs * Fpr + hc * Fpi) + (-hs * Fmr - hc * Fmi) + ca * Zr,
+            (-hs * Fpi - hc * Fpr) + (-hs * Fmi + hc * Fmr) + ca * Zi)
+
+
+def _spgr_mix_T(tg, h):
+    r"""Exact transpose of :func:`_spgr_mix` (coefficient-wise)."""
+    ca2, sa2, sa, ca, c1, s1, c2, s2 = tg
+    hFpr, hFpi, hFmr, hFmi, hZr, hZi = h
+    sc2, ss2 = sa2 * c2, sa2 * s2
+    ss, sc = sa * s1, sa * c1
+    hs, hc = 0.5 * ss, 0.5 * sc
+    return (ca2 * hFpr + sc2 * hFmr - ss2 * hFmi - hs * hZr - hc * hZi,
+            ca2 * hFpi + ss2 * hFmr + sc2 * hFmi + hc * hZr - hs * hZi,
+            sc2 * hFpr + ss2 * hFpi + ca2 * hFmr - hs * hZr + hc * hZi,
+            -ss2 * hFpr + sc2 * hFpi + ca2 * hFmi - hc * hZr - hs * hZi,
+            ss * hFpr - sc * hFpi + ss * hFmr + sc * hFmi + ca * hZr,
+            sc * hFpr + ss * hFpi - sc * hFmr + ss * hFmi + ca * hZi)
+
+
+def _spgr_relax_shift(kshift, masks, E1, E2, rec, s):
+    r"""Relaxation over TR + |kshift| unit spoiler shifts (the tail of
+    ``_spgr_kernel``'s step, kept in sync)."""
+    is0, islast, zero = masks
+    K = zero.shape[0]
+    Fpr, Fpi, Fmr, Fmi, Zr, Zi = s
+    Fpr, Fpi = E2 * Fpr, E2 * Fpi
+    Fmr, Fmi = E2 * Fmr, E2 * Fmi
+    Zr = jnp.where(is0, E1 * Zr + rec, E1 * Zr)
+    Zi = E1 * Zi
+    for _ in range(abs(kshift)):
+        if kshift > 0:
+            Fpr = pltpu.roll(Fpr, 1, axis=0)
+            Fpi = pltpu.roll(Fpi, 1, axis=0)
+            Fmr = jnp.where(islast, zero,
+                            pltpu.roll(Fmr, K - 1, axis=0))
+            Fmi = jnp.where(islast, zero,
+                            pltpu.roll(Fmi, K - 1, axis=0))
+            Fpr = jnp.where(is0, Fmr[0:1, :], Fpr)
+            Fpi = jnp.where(is0, -Fmi[0:1, :], Fpi)
+        else:
+            Fmr = pltpu.roll(Fmr, 1, axis=0)
+            Fmi = pltpu.roll(Fmi, 1, axis=0)
+            Fpr = jnp.where(islast, zero,
+                            pltpu.roll(Fpr, K - 1, axis=0))
+            Fpi = jnp.where(islast, zero,
+                            pltpu.roll(Fpi, K - 1, axis=0))
+            Fmr = jnp.where(is0, Fpr[0:1, :], Fmr)
+            Fmi = jnp.where(is0, -Fpi[0:1, :], Fmi)
+    return Fpr, Fpi, Fmr, Fmi, Zr, Zi
+
+
+def _spgr_shift_T(kshift, masks, h):
+    r"""Transpose of ONE application of the spoiler shift. Forward
+    (kshift > 0): ``Fp1[k] = Fp[k-1]`` (k >= 1), ``Fp1[0] =
+    conj(Fm[1])``, ``Fm1[k] = Fm[k+1]`` (k <= K-2), ``Fm1[K-1] = 0``
+    — so ``Fp[K-1]`` and ``Fm[0]`` feed nothing, and ``Fm[1]`` feeds
+    both ``Fm1[0]`` and the conjugated ``Fp1[0]``."""
+    is0, islast, zero = masks
+    K = zero.shape[0]
+    row1 = jax.lax.broadcasted_iota(jnp.int32, zero.shape, 0) == 1
+    hFpr, hFpi, hFmr, hFmi, hZr, hZi = h
+    if kshift > 0:
+        nFpr = jnp.where(islast, zero,
+                         pltpu.roll(hFpr, K - 1, axis=0))
+        nFpi = jnp.where(islast, zero,
+                         pltpu.roll(hFpi, K - 1, axis=0))
+        nFmr = jnp.where(is0, zero, pltpu.roll(hFmr, 1, axis=0))
+        nFmi = jnp.where(is0, zero, pltpu.roll(hFmi, 1, axis=0))
+        nFmr = jnp.where(row1, nFmr + hFpr[0:1, :], nFmr)
+        nFmi = jnp.where(row1, nFmi - hFpi[0:1, :], nFmi)
+    else:
+        nFmr = jnp.where(islast, zero,
+                         pltpu.roll(hFmr, K - 1, axis=0))
+        nFmi = jnp.where(islast, zero,
+                         pltpu.roll(hFmi, K - 1, axis=0))
+        nFpr = jnp.where(is0, zero, pltpu.roll(hFpr, 1, axis=0))
+        nFpi = jnp.where(is0, zero, pltpu.roll(hFpi, 1, axis=0))
+        nFpr = jnp.where(row1, nFpr + hFmr[0:1, :], nFpr)
+        nFpi = jnp.where(row1, nFpi - hFmi[0:1, :], nFpi)
+    return nFpr, nFpi, nFmr, nFmi, hZr, hZi
+
+
+def _spgr_fwd_chk_kernel(K: int, tc: int, ntc: int, kshift: int,
+                         has_b1: bool, coef_ref, e1_ref, e2_ref,
+                         e2te_ref, rec_ref, m0_ref, b1_ref, outr_ref,
+                         outi_ref, chk_ref, s_scr):
+    r"""Chunked forward for the VJP path: grid (atom tiles, time
+    chunks); the state persists in scratch across chunks, each chunk's
+    START (pre-RF) state streams to ``chk`` for the backward's
+    per-chunk recompute. Echo math matches ``_spgr_kernel``."""
+    TA = e1_ref.shape[1]
+    E1, E2 = e1_ref[...], e2_ref[...]
+    E2te, rec = e2te_ref[...], rec_ref[...]
+    b1 = b1_ref[...]
+    row = jax.lax.broadcasted_iota(jnp.int32, (K, TA), 0)
+    masks = (row == 0, row == K - 1, jnp.zeros((K, TA), E1.dtype))
+    j = pl.program_id(1)
+    t0 = j * tc
+
+    @pl.when(j == 0)
+    def _():
+        z = masks[2]
+        for p, v in enumerate((z, z, z, z,
+                               jnp.where(masks[0], m0_ref[...], z), z)):
+            s_scr[p] = v
+
+    s = tuple(s_scr[p] for p in range(6))
+    for p in range(6):
+        chk_ref[0, p] = s[p]
+
+    def step(t, s):
+        tg = _spgr_trig(coef_ref, t, b1, has_b1)
+        s1 = _spgr_mix(tg, s)
+        c1, s1c = tg[4], tg[5]
+        fp0r, fp0i = s1[0][0:1, :], s1[1][0:1, :]
+        outr_ref[pl.ds(t, 1), :] = E2te * (c1 * fp0r + s1c * fp0i)
+        outi_ref[pl.ds(t, 1), :] = E2te * (c1 * fp0i - s1c * fp0r)
+        return _spgr_relax_shift(kshift, masks, E1, E2, rec, s1)
+
+    u = math.gcd(tc, _UNROLL)
+
+    def body(k, s):
+        for jj in range(u):
+            s = step(t0 + k * u + jj, s)
+        return s
+
+    s = jax.lax.fori_loop(0, tc // u, body, s)
+    for p in range(6):
+        s_scr[p] = s[p]
+
+
+def _spgr_bwd_kernel(K: int, tc: int, ntc: int, kshift: int,
+                     has_b1: bool, coef_ref, e1_ref, e2_ref, e2te_ref,
+                     rec_ref, m0_ref, b1_ref, chk_ref, gr_ref, gi_ref,
+                     dpar_ref, dcf_ref, s_scr, h_scr, acc_scr):
+    r"""Two-phase chunk adjoint, chunks visited newest-first. Phase 1
+    re-runs the forward from the chunk-START checkpoint, storing every
+    pre-RF state; phase 2 walks them backwards: spoiler-shift
+    transpose -> relaxation transpose (dE1/dE2/drec rows) -> echo
+    cotangent injection (dE2te + phase-coefficient terms) -> RF-mix
+    transpose (per-TR coefficient grads as (TA,) lane-partials; under
+    b1, the per-atom flip chain feeds db1 and the flips row).
+    Outputs: ``dpar`` (6, TA) = [dE1, dE2, dE2te, drec, dM0, db1];
+    ``dcf`` (tc, 9, TA) lane-partial coefficient rows per chunk."""
+    TA = e1_ref.shape[1]
+    E1, E2 = e1_ref[...], e2_ref[...]
+    E2te, rec = e2te_ref[...], rec_ref[...]
+    b1 = b1_ref[...]
+    row = jax.lax.broadcasted_iota(jnp.int32, (K, TA), 0)
+    masks = (row == 0, row == K - 1, jnp.zeros((K, TA), E1.dtype))
+    is0 = masks[0]
+    j = pl.program_id(1)
+    t0 = (ntc - 1 - j) * tc
+
+    @pl.when(j == 0)
+    def _():
+        z1 = jnp.zeros((1, TA), E1.dtype)
+        for a in range(6):
+            acc_scr[a] = z1
+        for p in range(6):
+            h_scr[p] = masks[2]
+
+    # ---- phase 1: forward recompute, storing pre-RF states ---------
+    def fstep(t, s):
+        tg = _spgr_trig(coef_ref, t, b1, has_b1)
+        return _spgr_relax_shift(kshift, masks, E1, E2, rec,
+                                 _spgr_mix(tg, s))
+
+    u = math.gcd(tc, _UNROLL)
+
+    def fbody(k, s):
+        for jj in range(u):
+            tl = k * u + jj
+            for p in range(6):
+                s_scr[tl, p] = s[p]
+            s = fstep(t0 + tl, s)
+        return s
+
+    jax.lax.fori_loop(0, tc // u, fbody,
+                      tuple(chk_ref[0, p] for p in range(6)))
+
+    # ---- phase 2: transposed recursion over the stored states ------
+    def bstep(t, tl, carry):
+        h = carry[:6]
+        (aE1, aE2, aE2te, arec, aM0, ab1) = carry[6:]
+        s = tuple(s_scr[tl, p] for p in range(6))
+        tg = _spgr_trig(coef_ref, t, b1, has_b1)
+        s1 = _spgr_mix(tg, s)
+
+        # shift transpose (reverse the |kshift| unit shifts)
+        for _ in range(abs(kshift)):
+            h = _spgr_shift_T(kshift, masks, h)
+
+        # relaxation transpose + per-atom factor grads
+        hFpr, hFpi, hFmr, hFmi, hZr, hZi = h
+        aE2 = aE2 + jnp.sum(hFpr * s1[0] + hFpi * s1[1]
+                            + hFmr * s1[2] + hFmi * s1[3], axis=0,
+                            keepdims=True)
+        aE1 = aE1 + jnp.sum(hZr * s1[4] + hZi * s1[5], axis=0,
+                            keepdims=True)
+        arec = arec + hZr[0:1, :]
+        h = (E2 * hFpr, E2 * hFpi, E2 * hFmr, E2 * hFmi,
+             E1 * hZr, E1 * hZi)
+
+        # echo cotangent injection (echo reads s1 BEFORE relaxation)
+        c1, s1c = tg[4], tg[5]
+        gyr, gyi = gr_ref[pl.ds(t, 1), :], gi_ref[pl.ds(t, 1), :]
+        fp0r, fp0i = s1[0][0:1, :], s1[1][0:1, :]
+        aE2te = aE2te + (gyr * (c1 * fp0r + s1c * fp0i)
+                         + gyi * (c1 * fp0i - s1c * fp0r))
+        er = E2te * (c1 * gyr - s1c * gyi)
+        ei = E2te * (s1c * gyr + c1 * gyi)
+        h = (jnp.where(is0, h[0] + er, h[0]),
+             jnp.where(is0, h[1] + ei, h[1])) + h[2:]
+        # echo's own phase-coefficient terms (c1, s1 rows)
+        d_c1e = E2te * (gyr * fp0r + gyi * fp0i)
+        d_s1e = E2te * (gyr * fp0i - gyi * fp0r)
+
+        # RF-mix transpose + coefficient grads
+        ca2, sa2, sa, ca, c1, s1c, c2, s2 = tg
+        h1Fpr, h1Fpi, h1Fmr, h1Fmi, h1Zr, h1Zi = h
+        Fpr, Fpi, Fmr, Fmi, Zr, Zi = s
+
+        def ksum(x):
+            return jnp.sum(x, axis=0, keepdims=True)     # (1, TA)
+
+        d_ca2 = ksum(h1Fpr * Fpr + h1Fpi * Fpi
+                     + h1Fmr * Fmr + h1Fmi * Fmi)
+        d_sc2 = ksum(h1Fpr * Fmr + h1Fpi * Fmi
+                     + h1Fmr * Fpr + h1Fmi * Fpi)
+        d_ss2 = ksum(-h1Fpr * Fmi + h1Fpi * Fmr
+                     + h1Fmr * Fpi - h1Fmi * Fpr)
+        d_ss = ksum((h1Fpr + h1Fmr) * Zr + (h1Fpi + h1Fmi) * Zi)
+        d_sc = ksum((h1Fpr - h1Fmr) * Zi - (h1Fpi - h1Fmi) * Zr)
+        d_hs = ksum(-h1Zr * (Fpr + Fmr) - h1Zi * (Fpi + Fmi))
+        d_hc = ksum(h1Zr * (Fpi - Fmi) + h1Zi * (Fmr - Fpr))
+        d_ca = ksum(h1Zr * Zr + h1Zi * Zi)
+
+        d_sa2 = c2 * d_sc2 + s2 * d_ss2
+        d_c2 = sa2 * d_sc2
+        d_s2 = sa2 * d_ss2
+        d_sa = s1c * (d_ss + 0.5 * d_hs) + c1 * (d_sc + 0.5 * d_hc)
+        d_s1 = sa * (d_ss + 0.5 * d_hs) + d_s1e
+        d_c1 = sa * (d_sc + 0.5 * d_hc) + d_c1e
+
+        zrow = jnp.zeros((1, TA), E1.dtype)
+        if has_b1:
+            # alpha = flips[t] * b1: chain the half-angle trig
+            d_al = (0.5 * sa * (d_sa2 - d_ca2) + ca * d_sa
+                    - sa * d_ca)
+            ab1 = ab1 + d_al * coef_ref[8, t]
+            rows = (zrow, zrow, zrow, zrow, d_c1, d_s1, d_c2, d_s2,
+                    d_al * b1)
+        else:
+            rows = (d_ca2, d_sa2, d_sa, d_ca, d_c1, d_s1, d_c2, d_s2,
+                    zrow)
+        for c in range(9):
+            dcf_ref[0, tl, c] = rows[c][0]
+
+        h = _spgr_mix_T(tg, h)
+        return h + (aE1, aE2, aE2te, arec, aM0, ab1)
+
+    def bbody(k, carry):
+        for jj in range(u):
+            tl = tc - 1 - (k * u + jj)
+            carry = bstep(t0 + tl, tl, carry)
+        return carry
+
+    carry = jax.lax.fori_loop(
+        0, tc // u, bbody,
+        tuple(h_scr[p] for p in range(6))
+        + tuple(acc_scr[a] for a in range(6)))
+    for p in range(6):
+        h_scr[p] = carry[p]
+    for a in range(6):
+        acc_scr[a] = carry[6 + a]
+
+    @pl.when(j == ntc - 1)
+    def _():
+        # cotangent at the initial state: Z(0) = M0 on the k=0 row
+        dM0 = carry[10] + carry[4][0:1, :]
+        for a, v in enumerate((carry[6], carry[7], carry[8],
+                               carry[9], dM0, carry[11])):
+            dpar_ref[pl.ds(a, 1), :] = v
+
+
+_BWD_TILE = 128                    # lanes per backward atom tile
+
+
+def _pick_tc_spgr(nTR: int, K: int) -> int:
+    r"""Backward time-chunk: bound the per-chunk pre-RF state scratch
+    (tc, 6, K, _BWD_TILE) to ~14 MB while dividing nTR (unroll-friendly
+    divisors preferred — the 5x gcd cliff, RESULTS.md round 3)."""
+    from mrphy_tpu.utils._shapes import largest_divisor_leq_pref
+    bound = max(1, (14 << 20) // (6 * K * _BWD_TILE * 4))
+    if nTR <= bound:
+        return nTR
+    return largest_divisor_leq_pref(nTR, bound, _UNROLL)
+
+
+def spgr_bwd_is_available(*, nTR: int, K: int, nA: int) -> bool:
+    r"""Whether the fused SPGR adjoint fits: per-chunk state scratch in
+    VMEM and bounded HBM for the checkpoint/coefficient partials."""
+    tc = _pick_tc_spgr(nTR, K)
+    if nTR % tc:
+        return False
+    ntc = nTR // tc
+    scr = tc * 6 * K * _BWD_TILE * 4
+    ntiles = -(-nA // _BWD_TILE)
+    chk = ntc * 6 * K * ntiles * _BWD_TILE * 4
+    dcf = ntiles * nTR * 9 * _BWD_TILE * 4
+    return (scr <= 20 * 1024 * 1024 and chk <= 2 * 1024 ** 3
+            and dcf <= 2 * 1024 ** 3)
+
+
+def _spgr_args_pad(E1, E2, E2te, rec, M0a, b1, tile):
+    nA = E1.shape[1]
+    pad = (-nA) % tile
+    if pad:
+        pv = [(0, 0), (0, pad)]
+        return tuple(jnp.pad(x, pv) for x in
+                     (E1, E2, E2te, rec, M0a, b1)), nA + pad
+    return (E1, E2, E2te, rec, M0a, b1), nA
+
+
+def _spgr_fwd_chk(coef, E1, E2, E2te, rec, M0a, b1, *, K, kshift,
+                  interpret, has_b1):
+    nTR = coef.shape[1]
+    tile = _BWD_TILE
+    (E1, E2, E2te, rec, M0a, b1), nAp = _spgr_args_pad(
+        E1, E2, E2te, rec, M0a, b1, tile)
+    tc = _pick_tc_spgr(nTR, K)
+    ntc = nTR // tc
+    atom = pl.BlockSpec((1, tile), lambda i, j: (0, i))
+    out = pl.BlockSpec((nTR, tile), lambda i, j: (0, i))
+    chk = pl.BlockSpec((1, 6, K, tile), lambda i, j: (j, 0, 0, i))
+    outr, outi, chka = pl.pallas_call(
+        functools.partial(_spgr_fwd_chk_kernel, K, tc, ntc, kshift,
+                          has_b1),
+        grid=(nAp // tile, ntc),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  atom, atom, atom, atom, atom, atom],
+        out_specs=[out, out, chk],
+        out_shape=[jax.ShapeDtypeStruct((nTR, nAp), jnp.float32)] * 2
+        + [jax.ShapeDtypeStruct((ntc, 6, K, nAp), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((6, K, tile), jnp.float32)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(coef, E1, E2, E2te, rec, M0a, b1)
+    return outr, outi, chka
+
+
+def _spgr_bwd(coef, E1, E2, E2te, rec, M0a, b1, chka, gr, gi, *, K,
+              kshift, interpret, has_b1):
+    r"""Returns ``(dcoef (9, nTR), dE1, dE2, dE2te, drec, dM0, db1)``
+    with the per-atom rows `(1, nA)`-shaped (unpadded)."""
+    nTR = coef.shape[1]
+    nA = E1.shape[1]
+    tile = _BWD_TILE
+    (E1p, E2p, E2tep, recp, M0ap, b1p), nAp = _spgr_args_pad(
+        E1, E2, E2te, rec, M0a, b1, tile)
+    grp = jnp.pad(gr, [(0, 0), (0, nAp - nA)])
+    gip = jnp.pad(gi, [(0, 0), (0, nAp - nA)])
+    tc = _pick_tc_spgr(nTR, K)
+    ntc = nTR // tc
+    ntiles = nAp // tile
+    atom = pl.BlockSpec((1, tile), lambda i, j: (0, i))
+    gsp = pl.BlockSpec((nTR, tile), lambda i, j: (0, i))
+    chk = pl.BlockSpec((1, 6, K, tile),
+                       lambda i, j: (ntc - 1 - j, 0, 0, i))
+    dpar, dcf = pl.pallas_call(
+        functools.partial(_spgr_bwd_kernel, K, tc, ntc, kshift,
+                          has_b1),
+        grid=(ntiles, ntc),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  atom, atom, atom, atom, atom, atom, chk, gsp, gsp],
+        out_specs=[pl.BlockSpec((6, tile), lambda i, j: (0, i)),
+                   pl.BlockSpec((1, tc, 9, tile),
+                                lambda i, j: (i, ntc - 1 - j, 0, 0))],
+        out_shape=[jax.ShapeDtypeStruct((6, nAp), jnp.float32),
+                   jax.ShapeDtypeStruct((ntiles, nTR, 9, tile),
+                                        jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((tc, 6, K, tile), jnp.float32),
+                        pltpu.VMEM((6, K, tile), jnp.float32),
+                        pltpu.VMEM((6, 1, tile), jnp.float32)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(coef, E1p, E2p, E2tep, recp, M0ap, b1p, chka, grp, gip)
+    dcoef = jnp.sum(dcf, axis=(0, 3)).T            # (9, nTR)
+    dpar = dpar[:, :nA]
+    return (dcoef, dpar[0:1], dpar[1:2], dpar[2:3], dpar[3:4],
+            dpar[4:5], dpar[5:6])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _spgr_core(K, kshift, interpret, has_b1, coef, E1, E2, E2te, rec,
+               M0a, b1, tile):
+    r"""Differentiable fused SPGR train core. The primal runs the fast
+    unchunked kernel; under differentiation the forward emits chunk
+    checkpoints and the backward is the hand-transposed fused adjoint
+    (``_spgr_bwd_kernel``) — gradients at kernel speed, no
+    recompute-through-XLA reverse. ``tile`` rides as a traced-ignored
+    arg so the primal keeps its wide default."""
+    del tile
+    return _spgr_fast(coef, E1, E2, E2te, rec, M0a, b1, K=K,
+                      kshift=kshift, interpret=interpret,
+                      has_b1=has_b1)
+
+
+def _spgr_fast(coef, E1, E2, E2te, rec, M0a, b1, *, K, kshift,
+               interpret, has_b1, tile=512):
+    nTR = coef.shape[1]
+    nA = E1.shape[1]
+    tile = min(tile, -(-nA // _LANE) * _LANE)
+    (E1, E2, E2te, rec, M0a, b1), nAp = _spgr_args_pad(
+        E1, E2, E2te, rec, M0a, b1, tile)
+    atom = pl.BlockSpec((1, tile), lambda i: (0, i))
+    out = pl.BlockSpec((nTR, tile), lambda i: (0, i))
+    outr, outi = pl.pallas_call(
+        functools.partial(_spgr_kernel, K, nTR, kshift, has_b1),
+        grid=(nAp // tile,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  atom, atom, atom, atom, atom, atom],
+        out_specs=[out, out],
+        out_shape=[jax.ShapeDtypeStruct((nTR, nAp), jnp.float32)] * 2,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(coef, E1, E2, E2te, rec, M0a, b1)
+    return outr[:, :nA], outi[:, :nA]
+
+
+def _spgr_core_fwd(K, kshift, interpret, has_b1, coef, E1, E2, E2te,
+                   rec, M0a, b1, tile):
+    outr, outi, chka = _spgr_fwd_chk(coef, E1, E2, E2te, rec, M0a, b1,
+                                     K=K, kshift=kshift,
+                                     interpret=interpret,
+                                     has_b1=has_b1)
+    nA = E1.shape[1]
+    return ((outr[:, :nA], outi[:, :nA]),
+            (coef, E1, E2, E2te, rec, M0a, b1, chka))
+
+
+def _spgr_core_bwd(K, kshift, interpret, has_b1, res, g):
+    coef, E1, E2, E2te, rec, M0a, b1, chka = res
+    gr, gi = g
+    (dcoef, dE1, dE2, dE2te, drec, dM0, db1) = _spgr_bwd(
+        coef, E1, E2, E2te, rec, M0a, b1, chka, gr, gi, K=K,
+        kshift=kshift, interpret=interpret, has_b1=has_b1)
+    if not has_b1:
+        db1 = jnp.zeros_like(db1)
+    return (dcoef, dE1, dE2, dE2te, drec, dM0, db1, None)
+
+
+_spgr_core.defvjp(_spgr_core_fwd, _spgr_core_bwd)
