@@ -316,6 +316,38 @@ def _spgr_adjoint_parity(interpret: bool):
             + f' (tol {tol:.0e})')
 
 
+def _cpmg_adjoint_parity(interpret: bool):
+    r"""Round 3: the in-kernel CPMG adjoint vs XLA autodiff grads on
+    compiled Mosaic (volume T2/MWF fitting path)."""
+    from mrphy_tpu.ops import epg, epg_pallas
+    rng = np.random.default_rng(31)
+    nE, nA = 32, 1024
+    assert epg_pallas.cpmg_bwd_is_available(nE=nE, nA=nA)
+    flips = jnp.asarray(np.deg2rad(rng.uniform(120, 180, nE)), DT32)
+    T1 = jnp.asarray(rng.uniform(0.3, 2.0, nA), DT32)
+    T2 = jnp.asarray(rng.uniform(0.03, 0.3, nA), DT32)
+    b1 = jnp.asarray(rng.uniform(0.8, 1.2, nA), DT32)
+    w = jnp.asarray(rng.standard_normal((nA, nE, 2)), DT32)
+
+    def loss(be, fl, t1, t2, b):
+        return jnp.sum(w * epg.epg_cpmg(fl, T1=t1, T2=t2, esp=0.01,
+                                        b1=b, backend=be))
+
+    an = tuple(range(4))
+    gx = jax.jit(jax.grad(lambda *a: loss('xla', *a), argnums=an))(
+        flips, T1, T2, b1)
+    gp = jax.jit(jax.grad(lambda *a: loss('pallas', *a), argnums=an))(
+        flips, T1, T2, b1)
+    rels = {n: _rel(p, x) for n, x, p in
+            zip(('flips', 'T1', 'T2', 'b1'), gx, gp)}
+    tol = 1e-3
+    ok = all(r < tol for r in rels.values())
+    _record('cpmg_adjoint', ok,
+            'in-kernel adjoint vs XLA grads: ' + ', '.join(
+                f'd{n} {r:.1e}' for n, r in rels.items())
+            + f' (tol {tol:.0e})')
+
+
 def _epg_kernel_parity(interpret: bool):
     r"""Fused EPG dictionary kernel (ops/epg_pallas.py) vs the XLA scan,
     f32: pins the Mosaic lowering of the sublane rolls, k=0 hemisphere
@@ -904,6 +936,7 @@ def main():
     _nufft3d_kernel_parity(interpret=args.interpret)
     _epg_kernel_parity(interpret=args.interpret)
     _spgr_adjoint_parity(interpret=args.interpret)
+    _cpmg_adjoint_parity(interpret=args.interpret)
     _cpmg_kernel_parity(interpret=args.interpret)
     _epgx_kernel_parity(interpret=args.interpret)
     _epgx_cpmg_kernel_parity(interpret=args.interpret)

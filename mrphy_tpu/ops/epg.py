@@ -242,8 +242,22 @@ def epg_cpmg(flips, *, T1, T2, esp, M0=1.0, phi_ex=pi / 2,
             alpha_ex=alpha_ex, b1=b1, backend=backend, **dkw)
     if backend == 'pallas':
         assert D is None, 'pallas backend does not model diffusion'
+        from mrphy_tpu.ops import epg_pallas
         from mrphy_tpu.ops.epg_pallas import epg_cpmg_pallas
         from mrphy_tpu.ops._diffwrap import pallas_with_xla_vjp
+        fl_a = jnp.asarray(flips)
+        nA_g = max([1] + [jnp.shape(v)[0] for v in
+                          (T1, T2, M0, b1, phi_ex, alpha_ex)
+                          if v is not None and jnp.ndim(v) >= 1])
+        if (fl_a.ndim == 1 and epg_pallas.cpmg_bwd_is_available(
+                nE=fl_a.shape[-1], nA=nA_g)):
+            # natively differentiable: the in-kernel hand-transposed
+            # CPMG adjoint (round 3) — volume T2/MWF fitting gradients
+            # at kernel speed (the recompute-through-XLA reverse holds
+            # O(nE*nV*K) scan residuals and OOMs at volume scale)
+            return epg_cpmg_pallas(flips, T1=T1, T2=T2, esp=esp,
+                                   M0=M0, phi_ex=phi_ex,
+                                   alpha_ex=alpha_ex, b1=b1)
         return pallas_with_xla_vjp(
             lambda fl, t1, t2, es, m0, pex, aex, b:
                 epg_cpmg_pallas(fl, T1=t1, T2=t2, esp=es, M0=m0,

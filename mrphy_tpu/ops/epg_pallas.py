@@ -18,8 +18,8 @@ atom); per-atom relaxation factors enter as `(1, TA)` lane vectors.
 
 Scope (asserted by the dispatcher): shared 1-D ``flips``/``phis``
 trains, 1-D atom batch, no diffusion — exactly the MRF dictionary
-workload. Differentiability (round 3): ``epg_spgr`` carries a NATIVE
-in-kernel adjoint — ``_spgr_bwd_kernel``, a hand-transposed two-phase
+workload. Differentiability (round 3): ``epg_spgr`` AND ``epg_cpmg``
+carry NATIVE in-kernel adjoints — ``_spgr_bwd_kernel``, a hand-transposed two-phase
 chunk kernel (phase 1 recomputes each chunk's pre-RF states from
 chunk-START checkpoints; phase 2 runs shift-transpose →
 relax-transpose → echo-cotangent injection → RF-mix transpose,
@@ -256,24 +256,11 @@ def _cpmg_dispatch(flips, T1, T2, esp, M0, phi_ex, alpha_ex, b1, *,
                     jnp.broadcast_to(jnp.asarray(b1, f32),
                                      (nA,))]).astype(f32)
 
-    pad = (-nA) % tile
-    if pad:
-        pk = jnp.pad(pk, [(0, 0), (0, pad)])
-    nAp = nA + pad
-
-    out = pl.BlockSpec((nE, tile), lambda i: (0, i))
-    outr, outi = pl.pallas_call(
-        functools.partial(_cpmg_kernel, K, nE, has_b1),
-        grid=(nAp // tile,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec((7, tile), lambda i: (0, i))],
-        out_specs=[out, out],
-        out_shape=[jax.ShapeDtypeStruct((nE, nAp), f32)] * 2,
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT),
-        interpret=interpret,
-    )(coef, pk)
-    return jnp.stack([outr[:, :nA], outi[:, :nA]], -1)  # (nE, nA, 2)
+    del nA
+    # differentiable core: fast unchunked primal; the hand-transposed
+    # fused adjoint under jax.grad (atom padding happens per-path)
+    outr, outi = _cpmg_core(K, interpret, has_b1, coef, pk)
+    return jnp.stack([outr, outi], -1)               # (nE, nA, 2)
 
 
 def epg_cpmg_pallas(flips, *, T1, T2, esp, M0=1.0, phi_ex=None,
@@ -287,7 +274,8 @@ def epg_cpmg_pallas(flips, *, T1, T2, esp, M0=1.0, phi_ex=None,
     (``b1`` `(nVox,)` scales it per voxel), 1-D voxel batch
     ``T1``/``T2``/``M0``/``alpha_ex``/``phi_ex`` (scalars broadcast —
     per-voxel excitation supports slice-profile-resolved trains), no
-    diffusion. Returns `(nVox, nEcho, 2)`.
+    diffusion. Returns `(nVox, nEcho, 2)`. Differentiable: ``jax.grad``
+    runs the in-kernel hand-transposed adjoint (``_cpmg_bwd_kernel``).
     """
     from mrphy_tpu import pi as _pi
     if interpret is None:
@@ -1430,3 +1418,339 @@ def _spgr_core_bwd(K, kshift, interpret, has_b1, res, g):
 
 
 _spgr_core.defvjp(_spgr_core_fwd, _spgr_core_bwd)
+
+
+# ==========================================================================
+# In-kernel CPMG adjoint (round 3): composes the SPGR transposes —
+# the refocusing mix is the general RF mix at phi = 0, and `half` is
+# relax(esp/2) + unit shift, so the reverse is echo-cotangent inject →
+# shift-T → relax-T → mix-T(+flip grads) → shift-T → relax-T per echo.
+# Volume T2/MWF fitting needs this: the recompute-through-XLA reverse
+# holds O(nE·nV·K) scan residuals (≈25 GB at 1M voxels × 32 echoes).
+# ==========================================================================
+
+def _cpmg_trig(coef_ref, t, b1, has_b1):
+    if has_b1:
+        ah = (0.5 * coef_ref[4, t]) * b1
+        ch, sh = jnp.cos(ah), jnp.sin(ah)
+        ca2, sa2 = ch * ch, sh * sh
+        sa, ca = 2 * ch * sh, ca2 - sa2
+    else:
+        ca2, sa2 = coef_ref[0, t], coef_ref[1, t]
+        sa, ca = coef_ref[2, t], coef_ref[3, t]
+    one = 1.0
+    return (ca2, sa2, sa, ca, one, 0.0, one, 0.0)
+
+
+def _cpmg_half(masks, E1h, E2h, rech, s):
+    return _spgr_relax_shift(1, masks, E1h, E2h, rech, s)
+
+
+def _cpmg_init(masks, pk_ref):
+    is0, _, zero = masks
+    e_ss, e_sc, e_ca = pk_ref[3:4, :], pk_ref[4:5, :], pk_ref[5:6, :]
+    return (jnp.where(is0, e_ss, zero), jnp.where(is0, -e_sc, zero),
+            jnp.where(is0, e_ss, zero), jnp.where(is0, e_sc, zero),
+            jnp.where(is0, e_ca, zero), zero)
+
+
+def _cpmg_fwd_chk_kernel(K: int, tc: int, ntc: int, has_b1: bool,
+                         coef_ref, pk_ref, outr_ref, outi_ref,
+                         chk_ref, s_scr):
+    r"""Chunked CPMG forward for the VJP path (echo math matches
+    ``_cpmg_kernel``); chunk-START (pre-echo) states stream to chk."""
+    TA = pk_ref.shape[1]
+    E1h, E2h = pk_ref[0:1, :], pk_ref[1:2, :]
+    rech = pk_ref[2:3, :]
+    b1 = pk_ref[6:7, :]
+    row = jax.lax.broadcasted_iota(jnp.int32, (K, TA), 0)
+    masks = (row == 0, row == K - 1,
+             jnp.zeros((K, TA), outr_ref.dtype))
+    j = pl.program_id(1)
+    t0 = j * tc
+
+    @pl.when(j == 0)
+    def _():
+        for p, v in enumerate(_cpmg_init(masks, pk_ref)):
+            s_scr[p] = v
+
+    s = tuple(s_scr[p] for p in range(6))
+    for p in range(6):
+        chk_ref[0, p] = s[p]
+
+    def step(t, s):
+        s = _cpmg_half(masks, E1h, E2h, rech, s)
+        s = _spgr_mix(_cpmg_trig(coef_ref, t, b1, has_b1), s)
+        s = _cpmg_half(masks, E1h, E2h, rech, s)
+        outr_ref[pl.ds(t, 1), :] = s[0][0:1, :]
+        outi_ref[pl.ds(t, 1), :] = s[1][0:1, :]
+        return s
+
+    u = math.gcd(tc, _UNROLL)
+
+    def body(k, s):
+        for jj in range(u):
+            s = step(t0 + k * u + jj, s)
+        return s
+
+    s = jax.lax.fori_loop(0, tc // u, body, s)
+    for p in range(6):
+        s_scr[p] = s[p]
+
+
+def _cpmg_bwd_kernel(K: int, tc: int, ntc: int, has_b1: bool,
+                     coef_ref, pk_ref, chk_ref, gr_ref, gi_ref,
+                     dpar_ref, dcf_ref, s_scr, h_scr, acc_scr):
+    r"""Two-phase chunk adjoint for the CPMG train. Accumulator rows:
+    [dE1h, dE2h, drech, db1]; ``dcf`` `(tc, 5, TA)` lane-partials for
+    the coef rows [ca2, sa2, sa, ca, flips]; init grads (excitation
+    e_ss/e_sc/e_ca rows) emit with ``dpar``."""
+    TA = pk_ref.shape[1]
+    E1h, E2h = pk_ref[0:1, :], pk_ref[1:2, :]
+    b1 = pk_ref[6:7, :]
+    rech = pk_ref[2:3, :]
+    row = jax.lax.broadcasted_iota(jnp.int32, (K, TA), 0)
+    masks = (row == 0, row == K - 1,
+             jnp.zeros((K, TA), gr_ref.dtype))
+    is0 = masks[0]
+    j = pl.program_id(1)
+    t0 = (ntc - 1 - j) * tc
+
+    @pl.when(j == 0)
+    def _():
+        z1 = jnp.zeros((1, TA), gr_ref.dtype)
+        for a in range(4):
+            acc_scr[a] = z1
+        for p in range(6):
+            h_scr[p] = masks[2]
+
+    # ---- phase 1: forward recompute, storing pre-echo states -------
+    def fstep(t, s):
+        s = _cpmg_half(masks, E1h, E2h, rech, s)
+        s = _spgr_mix(_cpmg_trig(coef_ref, t, b1, has_b1), s)
+        return _cpmg_half(masks, E1h, E2h, rech, s)
+
+    u = math.gcd(tc, _UNROLL)
+
+    def fbody(k, s):
+        for jj in range(u):
+            tl = k * u + jj
+            for p in range(6):
+                s_scr[tl, p] = s[p]
+            s = fstep(t0 + tl, s)
+        return s
+
+    jax.lax.fori_loop(0, tc // u, fbody,
+                      tuple(chk_ref[0, p] for p in range(6)))
+
+    def ksum(x):
+        return jnp.sum(x, axis=0, keepdims=True)
+
+    def relax_T(h, x, aE1, aE2, arec):
+        r"""Transpose of relax(esp/2) evaluated at input ``x``."""
+        hFpr, hFpi, hFmr, hFmi, hZr, hZi = h
+        aE2 = aE2 + ksum(hFpr * x[0] + hFpi * x[1]
+                         + hFmr * x[2] + hFmi * x[3])
+        aE1 = aE1 + ksum(hZr * x[4] + hZi * x[5])
+        arec = arec + hZr[0:1, :]
+        return (E2h * hFpr, E2h * hFpi, E2h * hFmr, E2h * hFmi,
+                E1h * hZr, E1h * hZi), aE1, aE2, arec
+
+    # ---- phase 2: transposed recursion ------------------------------
+    def bstep(t, tl, carry):
+        h = carry[:6]
+        aE1, aE2, arec, ab1 = carry[6:]
+        s = tuple(s_scr[tl, p] for p in range(6))
+        tg = _cpmg_trig(coef_ref, t, b1, has_b1)
+        sh1 = _cpmg_half(masks, E1h, E2h, rech, s)    # after 1st half
+        s1 = _spgr_mix(tg, sh1)                       # after refocus
+
+        # echo emission reads F+(0) of the POST-2nd-half state
+        h = (jnp.where(is0, h[0] + gr_ref[pl.ds(t, 1), :], h[0]),
+             jnp.where(is0, h[1] + gi_ref[pl.ds(t, 1), :], h[1]))             + h[2:]
+
+        # 2nd half transpose (shift-T then relax-T at input s1)
+        h = _spgr_shift_T(1, masks, h)
+        h, aE1, aE2, arec = relax_T(h, s1, aE1, aE2, arec)
+
+        # refocusing-mix transpose + flip grads (general formulas at
+        # c1=1, s1=0, c2=1, s2=0: d_sa2 = d_sc2, d_sa = d_sc + d_hc/2)
+        ca2, sa2, sa, ca = tg[0], tg[1], tg[2], tg[3]
+        h1Fpr, h1Fpi, h1Fmr, h1Fmi, h1Zr, h1Zi = h
+        Fpr, Fpi, Fmr, Fmi, Zr, Zi = sh1
+        d_ca2 = ksum(h1Fpr * Fpr + h1Fpi * Fpi
+                     + h1Fmr * Fmr + h1Fmi * Fmi)
+        d_sc2 = ksum(h1Fpr * Fmr + h1Fpi * Fmi
+                     + h1Fmr * Fpr + h1Fmi * Fpi)
+        d_sc = ksum((h1Fpr - h1Fmr) * Zi - (h1Fpi - h1Fmi) * Zr)
+        d_hc = ksum(h1Zr * (Fpi - Fmi) + h1Zi * (Fmr - Fpr))
+        d_ca = ksum(h1Zr * Zr + h1Zi * Zi)
+        d_sa2 = d_sc2
+        d_sa = d_sc + 0.5 * d_hc
+
+        zrow = jnp.zeros((1, TA), gr_ref.dtype)
+        if has_b1:
+            d_al = (0.5 * sa * (d_sa2 - d_ca2) + ca * d_sa
+                    - sa * d_ca)
+            ab1 = ab1 + d_al * coef_ref[4, t]
+            rows = (zrow, zrow, zrow, zrow, d_al * b1)
+        else:
+            rows = (d_ca2, d_sa2, d_sa, d_ca, zrow)
+        for c in range(5):
+            dcf_ref[0, tl, c] = rows[c][0]
+
+        h = _spgr_mix_T(tg, h)
+
+        # 1st half transpose (input = the stored pre-echo state)
+        h = _spgr_shift_T(1, masks, h)
+        h, aE1, aE2, arec = relax_T(h, s, aE1, aE2, arec)
+        return h + (aE1, aE2, arec, ab1)
+
+    def bbody(k, carry):
+        for jj in range(u):
+            tl = tc - 1 - (k * u + jj)
+            carry = bstep(t0 + tl, tl, carry)
+        return carry
+
+    carry = jax.lax.fori_loop(
+        0, tc // u, bbody,
+        tuple(h_scr[p] for p in range(6))
+        + tuple(acc_scr[a] for a in range(4)))
+    for p in range(6):
+        h_scr[p] = carry[p]
+    for a in range(4):
+        acc_scr[a] = carry[6 + a]
+
+    @pl.when(j == ntc - 1)
+    def _():
+        # init transpose: Fp(0)=(e_ss, -e_sc), Fm(0)=(e_ss, e_sc),
+        # Z(0)=e_ca (k=0 rows only)
+        h = carry[:6]
+        d_ss = h[0][0:1, :] + h[2][0:1, :]
+        d_sc = -h[1][0:1, :] + h[3][0:1, :]
+        d_ca = h[4][0:1, :]
+        for a, v in enumerate((carry[6], carry[7], carry[8], d_ss,
+                               d_sc, d_ca, carry[9])):
+            dpar_ref[pl.ds(a, 1), :] = v
+
+
+def _pick_tc_cpmg(nE: int, K: int) -> int:
+    from mrphy_tpu.utils._shapes import largest_divisor_leq_pref
+    bound = max(1, (14 << 20) // (6 * K * _BWD_TILE * 4))
+    if nE <= bound:
+        return nE
+    return largest_divisor_leq_pref(nE, bound, _UNROLL)
+
+
+def cpmg_bwd_is_available(*, nE: int, nA: int) -> bool:
+    K = nE + 1
+    tc = _pick_tc_cpmg(nE, K)
+    if nE % tc:
+        return False
+    ntc = nE // tc
+    scr = tc * 6 * K * _BWD_TILE * 4
+    ntiles = -(-nA // _BWD_TILE)
+    chk = ntc * 6 * K * ntiles * _BWD_TILE * 4
+    dcf = ntiles * nE * 5 * _BWD_TILE * 4
+    return (scr <= 20 * 1024 * 1024 and chk <= 2 * 1024 ** 3
+            and dcf <= 2 * 1024 ** 3)
+
+
+def _cpmg_pad(coef, pk, tile):
+    nA = pk.shape[1]
+    pad = (-nA) % tile
+    if pad:
+        pk = jnp.pad(pk, [(0, 0), (0, pad)])
+    return coef, pk, nA + pad
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _cpmg_core(K, interpret, has_b1, coef, pk):
+    r"""Differentiable fused CPMG core (fast unchunked primal; under
+    differentiation the chunked forward + the hand-transposed fused
+    adjoint)."""
+    nE = coef.shape[1]
+    nA = pk.shape[1]
+    tile = min(512, -(-nA // _LANE) * _LANE)
+    coef, pkp, nAp = _cpmg_pad(coef, pk, tile)
+    out = pl.BlockSpec((nE, tile), lambda i: (0, i))
+    outr, outi = pl.pallas_call(
+        functools.partial(_cpmg_kernel, K, nE, has_b1),
+        grid=(nAp // tile,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((7, tile), lambda i: (0, i))],
+        out_specs=[out, out],
+        out_shape=[jax.ShapeDtypeStruct((nE, nAp), jnp.float32)] * 2,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(coef, pkp)
+    return outr[:, :nA], outi[:, :nA]
+
+
+def _cpmg_core_fwd(K, interpret, has_b1, coef, pk):
+    nE = coef.shape[1]
+    nA = pk.shape[1]
+    tile = _BWD_TILE
+    coefp, pkp, nAp = _cpmg_pad(coef, pk, tile)
+    tc = _pick_tc_cpmg(nE, K)
+    ntc = nE // tc
+    atom = pl.BlockSpec((7, tile), lambda i, j: (0, i))
+    out = pl.BlockSpec((nE, tile), lambda i, j: (0, i))
+    chk = pl.BlockSpec((1, 6, K, tile), lambda i, j: (j, 0, 0, i))
+    outr, outi, chka = pl.pallas_call(
+        functools.partial(_cpmg_fwd_chk_kernel, K, tc, ntc, has_b1),
+        grid=(nAp // tile, ntc),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), atom],
+        out_specs=[out, out, chk],
+        out_shape=[jax.ShapeDtypeStruct((nE, nAp), jnp.float32)] * 2
+        + [jax.ShapeDtypeStruct((ntc, 6, K, nAp), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((6, K, tile), jnp.float32)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(coefp, pkp)
+    return (outr[:, :nA], outi[:, :nA]), (coef, pk, chka)
+
+
+def _cpmg_core_bwd(K, interpret, has_b1, res, g):
+    coef, pk, chka = res
+    gr, gi = g
+    nE = coef.shape[1]
+    nA = pk.shape[1]
+    tile = _BWD_TILE
+    coefp, pkp, nAp = _cpmg_pad(coef, pk, tile)
+    grp = jnp.pad(gr, [(0, 0), (0, nAp - nA)]).astype(jnp.float32)
+    gip = jnp.pad(gi, [(0, 0), (0, nAp - nA)]).astype(jnp.float32)
+    tc = _pick_tc_cpmg(nE, K)
+    ntc = nE // tc
+    ntiles = nAp // tile
+    atom = pl.BlockSpec((7, tile), lambda i, j: (0, i))
+    gsp = pl.BlockSpec((nE, tile), lambda i, j: (0, i))
+    chk = pl.BlockSpec((1, 6, K, tile),
+                       lambda i, j: (ntc - 1 - j, 0, 0, i))
+    dpar, dcf = pl.pallas_call(
+        functools.partial(_cpmg_bwd_kernel, K, tc, ntc, has_b1),
+        grid=(ntiles, ntc),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM), atom, chk,
+                  gsp, gsp],
+        out_specs=[pl.BlockSpec((7, tile), lambda i, j: (0, i)),
+                   pl.BlockSpec((1, tc, 5, tile),
+                                lambda i, j: (i, ntc - 1 - j, 0, 0))],
+        out_shape=[jax.ShapeDtypeStruct((7, nAp), jnp.float32),
+                   jax.ShapeDtypeStruct((ntiles, nE, 5, tile),
+                                        jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((tc, 6, K, tile), jnp.float32),
+                        pltpu.VMEM((6, K, tile), jnp.float32),
+                        pltpu.VMEM((4, 1, tile), jnp.float32)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(coefp, pkp, chka, grp, gip)
+    dcoef = jnp.sum(dcf, axis=(0, 3)).T              # (5, nE)
+    # dpar rows [dE1h, dE2h, drech, d_ss, d_sc, d_ca, db1] map onto
+    # the pk rows [E1h, E2h, rech, e_ss, e_sc, e_ca, b1] 1:1
+    return dcoef, dpar[:, :nA]
+
+
+_cpmg_core.defvjp(_cpmg_core_fwd, _cpmg_core_bwd)

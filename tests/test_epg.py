@@ -546,3 +546,60 @@ class TestFusedSpgrAdjoint:
             fl, None, T1=1.0, T2=0.1, tr=0.01, backend='pallas',
             K=None)))(flips)   # K=None -> nTR+1, still available; and
         assert bool(jnp.all(jnp.isfinite(g)))
+
+
+class TestFusedCpmgAdjoint:
+    r"""The in-kernel CPMG adjoint (``epg_pallas._cpmg_bwd_kernel``) vs
+    the XLA backend's autodiff — volume T2/MWF fitting gradients
+    (flips, T1, T2, esp, M0, excitation, b1) at kernel speed.
+    nE=96 forces the multi-chunk restarts."""
+
+    def _check(self, nE, nA, b1=None, alpha_ex=None, seed=0, tol=2e-5):
+        import jax
+        import jax.numpy as jnp
+        from mrphy_tpu.ops import epg, epg_pallas
+        assert epg_pallas.cpmg_bwd_is_available(nE=nE, nA=nA)
+        rng = np.random.default_rng(seed)
+        F = jnp.float64
+        flips = jnp.asarray(np.deg2rad(rng.uniform(120, 180, nE)), F)
+        T1 = jnp.asarray(rng.uniform(0.3, 2.0, nA), F)
+        T2 = jnp.asarray(rng.uniform(0.03, 0.3, nA), F)
+        M0 = jnp.asarray(rng.uniform(0.8, 1.2, nA), F)
+        esp = jnp.asarray(0.01, F)
+        w = jnp.asarray(rng.standard_normal((nA, nE, 2)), F)
+        args = [flips, T1, T2, esp, M0]
+        names = ['flips', 'T1', 'T2', 'esp', 'M0']
+        kwn = []
+        if b1 is not None:
+            args.append(jnp.asarray(b1, F))
+            names.append('b1')
+            kwn.append('b1')
+        if alpha_ex is not None:
+            args.append(jnp.asarray(alpha_ex, F))
+            names.append('alpha_ex')
+            kwn.append('alpha_ex')
+
+        def loss(be, *a):
+            kw = dict(T1=a[1], T2=a[2], esp=a[3], M0=a[4], backend=be)
+            for i, n in enumerate(kwn):
+                kw[n] = a[5 + i]
+            return jnp.sum(w * epg.epg_cpmg(a[0], **kw))
+
+        an = tuple(range(len(args)))
+        gx = jax.grad(lambda *a: loss('xla', *a), argnums=an)(*args)
+        gp = jax.grad(lambda *a: loss('pallas', *a), argnums=an)(*args)
+        for name, x, p in zip(names, gx, gp):
+            rel = float(jnp.max(jnp.abs(x - p))
+                        / (jnp.max(jnp.abs(x)) + 1e-30))
+            assert rel < tol, (name, rel)
+
+    def test_basic(self):
+        self._check(16, 6)
+
+    def test_multi_chunk(self):
+        self._check(96, 4, tol=2e-4)   # f32 bar at nE*K scale
+
+    def test_b1_and_sliceprofile_excitation(self):
+        rng = np.random.default_rng(11)
+        self._check(20, 8, b1=rng.uniform(0.8, 1.2, 8),
+                    alpha_ex=rng.uniform(1.2, 1.6, 8))
