@@ -19,8 +19,8 @@ atom); per-atom relaxation factors enter as `(1, TA)` lane vectors.
 Scope (asserted by the dispatcher): shared 1-D ``flips``/``phis``
 trains, 1-D atom batch, no diffusion — exactly the MRF dictionary
 workload. Differentiability (round 3): ``epg_spgr`` AND ``epg_cpmg``
-carry NATIVE in-kernel adjoints — ``_spgr_bwd_kernel``, a hand-transposed two-phase
-chunk kernel (phase 1 recomputes each chunk's pre-RF states from
+carry NATIVE in-kernel adjoints — hand-transposed two-phase
+chunk kernels (phase 1 recomputes each chunk's pre-RF states from
 chunk-START checkpoints; phase 2 runs shift-transpose →
 relax-transpose → echo-cotangent injection → RF-mix transpose,
 emitting per-TR coefficient grads as lane-partials and per-atom
@@ -1567,7 +1567,8 @@ def _cpmg_bwd_kernel(K: int, tc: int, ntc: int, has_b1: bool,
 
         # echo emission reads F+(0) of the POST-2nd-half state
         h = (jnp.where(is0, h[0] + gr_ref[pl.ds(t, 1), :], h[0]),
-             jnp.where(is0, h[1] + gi_ref[pl.ds(t, 1), :], h[1]))             + h[2:]
+             jnp.where(is0, h[1] + gi_ref[pl.ds(t, 1), :], h[1])) \
+            + h[2:]
 
         # 2nd half transpose (shift-T then relax-T at input s1)
         h = _spgr_shift_T(1, masks, h)
