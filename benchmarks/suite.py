@@ -598,6 +598,14 @@ def bench_mrf():
                                            K=48, backend='pallas',
                                            **d))
     tx = _timeit(genx, xkw, repeats=4)
+    # full dictionary GRADIENT through the in-kernel SPGR adjoint
+    # (round 3): d/d(flips, T1, T2) — the recompute-through-XLA
+    # reverse OOMs at this scale (58.6 GB of scan residuals)
+    gsp = jax.jit(jax.grad(
+        lambda fl, t1, t2: jnp.sum(epg.epg_spgr(
+            fl, None, T1=t1, T2=t2, tr=12e-3, te=3e-3, K=48,
+            backend='pallas') ** 2), argnums=(0, 1, 2)))
+    tgs = _timeit_device(gsp, flips, T1, T2, repeats=6)
     # CPMG mapping kernels (32-echo trains; single- and two-pool)
     cflips = jnp.asarray(
         np.deg2rad(rng.uniform(120, 180, 32)), jnp.float32)
@@ -656,6 +664,9 @@ def bench_mrf():
                            'device time (one final read)',
             'sec_per_dict': round(tp, 3), 'xla_atoms_per_s':
             round(natoms / t, 0), 'xla_sec_per_dict': round(t, 3),
+            'grad_device_ms': round(tgs * 1e3, 1),
+            'grad_note': 'in-kernel SPGR adjoint; the recompute-'
+                         'through-XLA reverse OOMs at this scale',
             'pallas_abs_dev': f'{dev:.1e}',
             'epgx_pallas_atoms_per_s': round(natoms / tx, 0),
             'cpmg32_pallas_Mvox_per_s': round(natoms / tc / 1e6, 2),
