@@ -348,6 +348,48 @@ def _cpmg_adjoint_parity(interpret: bool):
             + f' (tol {tol:.0e})')
 
 
+def _epgx_adjoint_parity(interpret: bool):
+    r"""Round 3: the in-kernel two-pool (EPG-X) adjoints — SPGR and
+    CPMG — vs XLA autodiff grads on compiled Mosaic (volume MWF /
+    exchange-MRF fitting paths)."""
+    from mrphy_tpu.ops import epg, epg_pallas
+    rng = np.random.default_rng(37)
+    n, nA = 32, 1024
+    assert epg_pallas.xspgr_bwd_is_available(nTR=n, K=16, nA=nA)
+    assert epg_pallas.xcpmg_bwd_is_available(nE=n, nA=nA)
+    flips = jnp.asarray(np.deg2rad(rng.uniform(60, 180, n)), DT32)
+    T1a = jnp.asarray(rng.uniform(0.5, 2.0, nA), DT32)
+    kab = jnp.asarray(rng.uniform(2.0, 8.0, nA), DT32)
+    w = jnp.asarray(rng.standard_normal((nA, n, 2)), DT32)
+
+    def loss_s(be, fl, t1a, k_):
+        s = epg.epgx_spgr(fl, None, T1a=t1a, T2a=0.08, T1b=1.0,
+                          T2b=0.02, kab=k_, kba=20.0, tr=12e-3, K=16,
+                          backend=be)
+        return jnp.sum(w * s)
+
+    def loss_c(be, fl, t1a, k_):
+        s = epg.epgx_cpmg(fl, T1a=t1a, T2a=0.08, T1b=1.0, T2b=0.015,
+                          kab=k_, kba=18.0, esp=0.01, dfb=30.0,
+                          backend=be)
+        return jnp.sum(w * s)
+
+    an = (0, 1, 2)
+    tol = 1e-3
+    for nm, loss in (('xspgr', loss_s), ('xcpmg', loss_c)):
+        gx = jax.jit(jax.grad(lambda *a: loss('xla', *a),
+                              argnums=an))(flips, T1a, kab)
+        gp = jax.jit(jax.grad(lambda *a: loss('pallas', *a),
+                              argnums=an))(flips, T1a, kab)
+        rels = {m: _rel(p, x) for m, x, p in
+                zip(('flips', 'T1a', 'kab'), gx, gp)}
+        ok = all(r < tol for r in rels.values())
+        _record(f'{nm}_adjoint', ok,
+                'in-kernel two-pool adjoint vs XLA grads: '
+                + ', '.join(f'd{m} {r:.1e}' for m, r in rels.items())
+                + f' (tol {tol:.0e})')
+
+
 def _epg_kernel_parity(interpret: bool):
     r"""Fused EPG dictionary kernel (ops/epg_pallas.py) vs the XLA scan,
     f32: pins the Mosaic lowering of the sublane rolls, k=0 hemisphere
@@ -937,6 +979,7 @@ def main():
     _epg_kernel_parity(interpret=args.interpret)
     _spgr_adjoint_parity(interpret=args.interpret)
     _cpmg_adjoint_parity(interpret=args.interpret)
+    _epgx_adjoint_parity(interpret=args.interpret)
     _cpmg_kernel_parity(interpret=args.interpret)
     _epgx_kernel_parity(interpret=args.interpret)
     _epgx_cpmg_kernel_parity(interpret=args.interpret)

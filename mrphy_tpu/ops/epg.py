@@ -229,9 +229,10 @@ def epg_cpmg(flips, *, T1, T2, esp, M0=1.0, phi_ex=pi / 2,
     (:func:`mrphy_tpu.ops.epg_pallas.epg_cpmg_pallas`; measured 25×
     the XLA scan at 1M voxels × 32 echoes — B1-scaled trains go
     through its ``b1``). Mapping workload only (shared 1-D flips, 1-D
-    voxel batch, no diffusion); differentiable via the recompute-
-    through-XLA VJP (``ops/_diffwrap.py`` — gradients are the XLA
-    backend's).
+    voxel batch, no diffusion); differentiable NATIVELY via the
+    in-kernel two-pool CPMG adjoint (round 3 — whole-brain MWF
+    fitting at ~3.3 Mvox/s per gradient step; the recompute VJP
+    remains the fallback when the kernel budgets don't fit).
     """
     if mesh is not None:        # composes with backend='pallas': each
         # device runs the fused kernel on its voxel shard
@@ -650,8 +651,22 @@ def epgx_cpmg(flips, *, T1a, T2a, T1b, T2b, kab, kba, esp, M0a=1.0,
             T2b=T2b, kab=kab, kba=kba, esp=esp, M0a=M0a,
             M0b=M0b, dfb=dfb, phi_ex=phi_ex, b1=b1, backend=backend)
     if backend == 'pallas':
+        from mrphy_tpu.ops import epg_pallas
         from mrphy_tpu.ops.epg_pallas import epgx_cpmg_pallas
         from mrphy_tpu.ops._diffwrap import pallas_with_xla_vjp
+        fl_a = jnp.asarray(flips)
+        nA_g = max([1] + [jnp.shape(v)[0] for v in
+                          (T1a, T2a, T1b, T2b, kab, kba, M0a, M0b,
+                           dfb, phi_ex, b1)
+                          if v is not None and jnp.ndim(v) >= 1])
+        if (fl_a.ndim == 1 and epg_pallas.xcpmg_bwd_is_available(
+                nE=fl_a.shape[-1], nA=nA_g)):
+            # natively differentiable: in-kernel two-pool CPMG
+            # adjoint (round 3) — volume MWF fitting at kernel speed
+            return epgx_cpmg_pallas(
+                flips, T1a=T1a, T2a=T2a, T1b=T1b, T2b=T2b, kab=kab,
+                kba=kba, esp=esp, M0a=M0a, M0b=M0b, dfb=dfb,
+                phi_ex=phi_ex, b1=b1)
         return pallas_with_xla_vjp(
             lambda fl, *p: epgx_cpmg_pallas(
                 fl, **dict(zip(('T1a', 'T2a', 'T1b', 'T2b', 'kab',
@@ -709,8 +724,9 @@ def epgx_spgr(flips, phis=None, *, T1a, T2a, T1b, T2b, kab, kba, tr,
     ``backend='pallas'``: the fused two-pool TPU kernel
     (:func:`mrphy_tpu.ops.epg_pallas.epgx_spgr_pallas`; measured 17×
     the XLA scan at 64k-atom dictionary scale). Dictionary workload
-    only (shared 1-D trains, 1-D atom batch); differentiable via the
-    recompute-through-XLA VJP (``ops/_diffwrap.py``).
+    only (shared 1-D trains, 1-D atom batch); differentiable NATIVELY
+    via the in-kernel two-pool adjoint (round 3; recompute-VJP
+    fallback).
     """
     if mesh is not None:        # composes with backend='pallas'
         from mrphy_tpu.parallel.mesh import (
@@ -721,8 +737,24 @@ def epgx_spgr(flips, phis=None, *, T1a, T2a, T1b, T2b, kab, kba, tr,
             M0a=M0a, M0b=M0b, dfb=dfb, b1=b1, kshift=kshift, K=K,
             backend=backend)
     if backend == 'pallas':
+        from mrphy_tpu.ops import epg_pallas
         from mrphy_tpu.ops.epg_pallas import epgx_spgr_pallas
         from mrphy_tpu.ops._diffwrap import pallas_with_xla_vjp
+        fl_a = jnp.asarray(flips)
+        nA_g = max([1] + [jnp.shape(v)[0] for v in
+                          (T1a, T2a, T1b, T2b, kab, kba, M0a, M0b,
+                           dfb, b1)
+                          if v is not None and jnp.ndim(v) >= 1])
+        K_g = (fl_a.shape[-1] * abs(int(kshift)) + 1 if K is None
+               else int(K))
+        if (fl_a.ndim == 1 and epg_pallas.xspgr_bwd_is_available(
+                nTR=fl_a.shape[-1], K=K_g, nA=nA_g)):
+            # natively differentiable: in-kernel two-pool adjoint
+            # (round 3) — exchange-MRF fitting at kernel speed
+            return epgx_spgr_pallas(
+                flips, phis, T1a=T1a, T2a=T2a, T1b=T1b, T2b=T2b,
+                kab=kab, kba=kba, tr=tr, M0a=M0a, M0b=M0b, dfb=dfb,
+                b1=b1, kshift=kshift, K=K)
         names = ('T1a', 'T2a', 'T1b', 'T2b', 'kab', 'kba', 'tr',
                  'M0a', 'M0b', 'dfb', 'b1')
         return pallas_with_xla_vjp(

@@ -18,10 +18,11 @@ atom); per-atom relaxation factors enter as `(1, TA)` lane vectors.
 
 Scope (asserted by the dispatcher): shared 1-D ``flips``/``phis``
 trains, 1-D atom batch, no diffusion — exactly the MRF dictionary
-workload. Differentiability (round 3): ``epg_spgr`` AND ``epg_cpmg``
-carry NATIVE in-kernel adjoints — hand-transposed two-phase
-chunk kernels (phase 1 recomputes each chunk's pre-RF states from
-chunk-START checkpoints; phase 2 runs shift-transpose →
+workload. Differentiability (round 3): ``epg_spgr``, ``epg_cpmg``,
+``epgx_spgr`` and ``epgx_cpmg`` carry NATIVE in-kernel adjoints —
+hand-transposed two-phase chunk kernels (phase 1 recomputes each
+chunk's pre-RF states from chunk-START checkpoints; phase 2 runs
+shift-transpose →
 relax-transpose → echo-cotangent injection → RF-mix transpose,
 emitting per-TR coefficient grads as lane-partials and per-atom
 E1/E2/E2te/rec/M0/b1 rows) — so its gradients run at kernel speed.
@@ -453,24 +454,11 @@ def _epgx_dispatch(flips, phis, T1a, T2a, T1b, T2b, kab, kba, tr,
                     jnp.broadcast_to(jnp.asarray(b1, f32),
                                      (nA,))]).astype(f32)
 
-    pad = (-nA) % tile
-    if pad:
-        pk = jnp.pad(pk, [(0, 0), (0, pad)])
-    nAp = nA + pad
-
-    out = pl.BlockSpec((nTR, tile), lambda i: (0, i))
-    outr, outi = pl.pallas_call(
-        functools.partial(_epgx_kernel, K, nTR, kshift, has_b1),
-        grid=(nAp // tile,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec((17, tile), lambda i: (0, i))],
-        out_specs=[out, out],
-        out_shape=[jax.ShapeDtypeStruct((nTR, nAp), f32)] * 2,
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT),
-        interpret=interpret,
-    )(coef, pk)
-    return jnp.stack([outr[:, :nA], outi[:, :nA]], -1)  # (nTR, nA, 2)
+    del nA
+    # differentiable core: fast unchunked primal; the hand-transposed
+    # fused adjoint under jax.grad (atom padding happens per-path)
+    outr, outi = _xspgr_core(K, kshift, interpret, has_b1, coef, pk)
+    return jnp.stack([outr, outi], -1)              # (nTR, nA, 2)
 
 
 def epgx_spgr_pallas(flips, phis=None, *, T1a, T2a, T1b, T2b, kab,
@@ -485,7 +473,8 @@ def epgx_spgr_pallas(flips, phis=None, *, T1a, T2a, T1b, T2b, kab,
     tissue/exchange parameters (scalars broadcast), scalar ``tr``;
     ``b1`` `(nAtoms,)` scales the flip train per atom (both pools — the
     dictionary's B1+ dimension). Returns `(nAtoms, nTR, 2)`.
-    Forward-only; the XLA path remains the differentiable one.
+    Differentiable: ``jax.grad`` runs the in-kernel hand-transposed
+    two-pool adjoint (``_xspgr_bwd_kernel``).
     """
     if interpret is None:
         from mrphy_tpu.ops.pallas_kernels import _on_tpu
@@ -652,24 +641,11 @@ def _xcpmg_dispatch(flips, T1a, T2a, T1b, T2b, kab, kba, esp,
                     jnp.broadcast_to(jnp.asarray(b1, f32),
                                      (nA,))]).astype(f32)
 
-    pad = (-nA) % tile
-    if pad:
-        pk = jnp.pad(pk, [(0, 0), (0, pad)])
-    nAp = nA + pad
-
-    out = pl.BlockSpec((nE, tile), lambda i: (0, i))
-    outr, outi = pl.pallas_call(
-        functools.partial(_xcpmg_kernel, K, nE, has_b1),
-        grid=(nAp // tile,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec((19, tile), lambda i: (0, i))],
-        out_specs=[out, out],
-        out_shape=[jax.ShapeDtypeStruct((nE, nAp), f32)] * 2,
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT),
-        interpret=interpret,
-    )(coef, pk)
-    return jnp.stack([outr[:, :nA], outi[:, :nA]], -1)  # (nE, nA, 2)
+    del nA
+    # differentiable core: fast unchunked primal; the hand-transposed
+    # fused adjoint under jax.grad (atom padding happens per-path)
+    outr, outi = _xcpmg_core(K, interpret, has_b1, coef, pk)
+    return jnp.stack([outr, outi], -1)               # (nE, nA, 2)
 
 
 def epgx_cpmg_pallas(flips, *, T1a, T2a, T1b, T2b, kab, kba, esp,
@@ -681,8 +657,9 @@ def epgx_cpmg_pallas(flips, *, T1a, T2a, T1b, T2b, kab, kba, esp,
     Same semantics as :func:`mrphy_tpu.ops.epg.epgx_cpmg` restricted
     to the mapping workload: 1-D shared refocusing ``flips``
     `(nEcho,)` (``b1`` `(nVox,)` scales it per voxel), 1-D voxel batch
-    for the tissue/exchange parameters. Returns `(nVox, nEcho, 2)`;
-    forward-only.
+    for the tissue/exchange parameters. Returns `(nVox, nEcho, 2)`.
+    Differentiable: ``jax.grad`` runs the in-kernel hand-transposed
+    two-pool adjoint (``_xcpmg_bwd_kernel``).
     """
     from mrphy_tpu import pi as _pi
     if interpret is None:
@@ -899,8 +876,9 @@ def epg_spgr_pallas(flips, phis=None, *, T1, T2, tr, te=0.0, M0=1.0,
     ``b1`` `(nAtoms,)` scales the whole flip train per atom — the MRF
     dictionary's B1+ dimension (equivalent to the XLA path's batched
     ``b1[:, None] * flips``; trig moves in-kernel at 2
-    transcendentals/TR). Returns `(nAtoms, nTR, 2)`. Forward-only (use
-    the XLA path for gradients). ``tile`` atoms are processed per grid
+    transcendentals/TR). Returns `(nAtoms, nTR, 2)`. Differentiable:
+    ``jax.grad`` runs the in-kernel hand-transposed adjoint
+    (``_spgr_bwd_kernel``). ``tile`` atoms are processed per grid
     step (lane multiples; the atom batch is padded internally).
     ``interpret`` defaults to Mosaic on TPU, interpreter elsewhere.
     """
@@ -1755,3 +1733,792 @@ def _cpmg_core_bwd(K, interpret, has_b1, res, g):
 
 
 _cpmg_core.defvjp(_cpmg_core_fwd, _cpmg_core_bwd)
+
+
+# ==========================================================================
+# In-kernel EPG-X adjoints (round 3): volume MWF / exchange-MRF fitting.
+# Per-pool RF-mix and shift transposes reuse the SPGR helpers; the
+# exchange-relaxation transpose multiplies cotangents by the CONJUGATE
+# complex 2x2 on F+ (plain E on F-, real Z-transpose on Z) and
+# accumulates the 12 propagator-entry + 2 recovery gradients per atom.
+# ==========================================================================
+
+def _x_pk(pk_ref):
+    r"""Unpack the exchange-relaxation planes shared by both trains."""
+    return tuple(pk_ref[k:k + 1, :] for k in range(14))
+
+
+def _x_relax(xk, masks, s):
+    r"""Exchange-relaxation over one interval (NO shift) — the linear
+    part of the fused `half`/post-RF stage of the fwd kernels (kept in
+    sync with ``_epgx_kernel``/``_xcpmg_kernel``)."""
+    (E00r, E00i, E01r, E01i, E10r, E10i, E11r, E11i,
+     Z00, Z01, Z10, Z11, ra, rb) = xk
+    is0 = masks[0]
+    (Par, Pai, Mar, Mai, Zar, Zai,
+     Pbr, Pbi, Mbr, Mbi, Zbr, Zbi) = s
+    P2ar = (E00r * Par - E00i * Pai) + (E01r * Pbr - E01i * Pbi)
+    P2ai = (E00r * Pai + E00i * Par) + (E01r * Pbi + E01i * Pbr)
+    P2br = (E10r * Par - E10i * Pai) + (E11r * Pbr - E11i * Pbi)
+    P2bi = (E10r * Pai + E10i * Par) + (E11r * Pbi + E11i * Pbr)
+    M2ar = (E00r * Mar + E00i * Mai) + (E01r * Mbr + E01i * Mbi)
+    M2ai = (E00r * Mai - E00i * Mar) + (E01r * Mbi - E01i * Mbr)
+    M2br = (E10r * Mar + E10i * Mai) + (E11r * Mbr + E11i * Mbi)
+    M2bi = (E10r * Mai - E10i * Mar) + (E11r * Mbi - E11i * Mbr)
+    Z2ar = Z00 * Zar + Z01 * Zbr
+    Z2ai = Z00 * Zai + Z01 * Zbi
+    Z2br = Z10 * Zar + Z11 * Zbr
+    Z2bi = Z10 * Zai + Z11 * Zbi
+    Z2ar = jnp.where(is0, Z2ar + ra, Z2ar)
+    Z2br = jnp.where(is0, Z2br + rb, Z2br)
+    return (P2ar, P2ai, M2ar, M2ai, Z2ar, Z2ai,
+            P2br, P2bi, M2br, M2bi, Z2br, Z2bi)
+
+
+def _x_shift(kshift, masks, s):
+    r"""Per-pool spoiler shift on the F states (Z untouched)."""
+    return (_spgr_shift_like(kshift, masks, s[:6])
+            + _spgr_shift_like(kshift, masks, s[6:]))
+
+
+def _spgr_shift_like(kshift, masks, s6):
+    r"""The |kshift| unit shifts of ``_spgr_relax_shift`` without the
+    relaxation (kept in sync)."""
+    is0, islast, zero = masks
+    K = zero.shape[0]
+    Fpr, Fpi, Fmr, Fmi, Zr, Zi = s6
+    for _ in range(abs(kshift)):
+        if kshift > 0:
+            Fpr = pltpu.roll(Fpr, 1, axis=0)
+            Fpi = pltpu.roll(Fpi, 1, axis=0)
+            Fmr = jnp.where(islast, zero,
+                            pltpu.roll(Fmr, K - 1, axis=0))
+            Fmi = jnp.where(islast, zero,
+                            pltpu.roll(Fmi, K - 1, axis=0))
+            Fpr = jnp.where(is0, Fmr[0:1, :], Fpr)
+            Fpi = jnp.where(is0, -Fmi[0:1, :], Fpi)
+        else:
+            Fmr = pltpu.roll(Fmr, 1, axis=0)
+            Fmi = pltpu.roll(Fmi, 1, axis=0)
+            Fpr = jnp.where(islast, zero,
+                            pltpu.roll(Fpr, K - 1, axis=0))
+            Fpi = jnp.where(islast, zero,
+                            pltpu.roll(Fpi, K - 1, axis=0))
+            Fmr = jnp.where(is0, Fpr[0:1, :], Fmr)
+            Fmi = jnp.where(is0, -Fpi[0:1, :], Fmi)
+    return Fpr, Fpi, Fmr, Fmi, Zr, Zi
+
+
+def _x_shift_T(kshift, masks, h):
+    ha = _spgr_shift_T(kshift, masks, h[:6])
+    hb = _spgr_shift_T(kshift, masks, h[6:])
+    return ha + hb
+
+
+def _x_mix(tg, s):
+    return _spgr_mix(tg, s[:6]) + _spgr_mix(tg, s[6:])
+
+
+def _x_mix_T(tg, h):
+    return _spgr_mix_T(tg, h[:6]) + _spgr_mix_T(tg, h[6:])
+
+
+def _ksum1(x):
+    return jnp.sum(x, axis=0, keepdims=True)
+
+
+def _x_relax_T(xk, masks, h, x, acc):
+    r"""Transpose of :func:`_x_relax` evaluated at its input ``x``;
+    accumulates the 14 per-atom entry grads into ``acc`` (list order =
+    the pk rows [E00r..E11i, Z00..Z11, ra, rb])."""
+    (E00r, E00i, E01r, E01i, E10r, E10i, E11r, E11i,
+     Z00, Z01, Z10, Z11, ra, rb) = xk
+    (hP2ar, hP2ai, hM2ar, hM2ai, hZ2ar, hZ2ai,
+     hP2br, hP2bi, hM2br, hM2bi, hZ2br, hZ2bi) = h
+    (Par, Pai, Mar, Mai, Zar, Zai,
+     Pbr, Pbi, Mbr, Mbi, Zbr, Zbi) = x
+
+    acc[0] = acc[0] + _ksum1(hP2ar * Par + hP2ai * Pai
+                             + hM2ar * Mar + hM2ai * Mai)
+    acc[1] = acc[1] + _ksum1(-hP2ar * Pai + hP2ai * Par
+                             + hM2ar * Mai - hM2ai * Mar)
+    acc[2] = acc[2] + _ksum1(hP2ar * Pbr + hP2ai * Pbi
+                             + hM2ar * Mbr + hM2ai * Mbi)
+    acc[3] = acc[3] + _ksum1(-hP2ar * Pbi + hP2ai * Pbr
+                             + hM2ar * Mbi - hM2ai * Mbr)
+    acc[4] = acc[4] + _ksum1(hP2br * Par + hP2bi * Pai
+                             + hM2br * Mar + hM2bi * Mai)
+    acc[5] = acc[5] + _ksum1(-hP2br * Pai + hP2bi * Par
+                             + hM2br * Mai - hM2bi * Mar)
+    acc[6] = acc[6] + _ksum1(hP2br * Pbr + hP2bi * Pbi
+                             + hM2br * Mbr + hM2bi * Mbi)
+    acc[7] = acc[7] + _ksum1(-hP2br * Pbi + hP2bi * Pbr
+                             + hM2br * Mbi - hM2bi * Mbr)
+    acc[8] = acc[8] + _ksum1(hZ2ar * Zar + hZ2ai * Zai)
+    acc[9] = acc[9] + _ksum1(hZ2ar * Zbr + hZ2ai * Zbi)
+    acc[10] = acc[10] + _ksum1(hZ2br * Zar + hZ2bi * Zai)
+    acc[11] = acc[11] + _ksum1(hZ2br * Zbr + hZ2bi * Zbi)
+    acc[12] = acc[12] + hZ2ar[0:1, :]
+    acc[13] = acc[13] + hZ2br[0:1, :]
+
+    # cotangents: conj(E)^T on F+, E^T on F- (the forward conjugates
+    # there), Z^T on Z
+    hPar = (E00r * hP2ar + E00i * hP2ai
+            + E10r * hP2br + E10i * hP2bi)
+    hPai = (-E00i * hP2ar + E00r * hP2ai
+            - E10i * hP2br + E10r * hP2bi)
+    hPbr = (E01r * hP2ar + E01i * hP2ai
+            + E11r * hP2br + E11i * hP2bi)
+    hPbi = (-E01i * hP2ar + E01r * hP2ai
+            - E11i * hP2br + E11r * hP2bi)
+    hMar = (E00r * hM2ar - E00i * hM2ai
+            + E10r * hM2br - E10i * hM2bi)
+    hMai = (E00i * hM2ar + E00r * hM2ai
+            + E10i * hM2br + E10r * hM2bi)
+    hMbr = (E01r * hM2ar - E01i * hM2ai
+            + E11r * hM2br - E11i * hM2bi)
+    hMbi = (E01i * hM2ar + E01r * hM2ai
+            + E11i * hM2br + E11r * hM2bi)
+    hZar = Z00 * hZ2ar + Z10 * hZ2br
+    hZai = Z00 * hZ2ai + Z10 * hZ2bi
+    hZbr = Z01 * hZ2ar + Z11 * hZ2br
+    hZbi = Z01 * hZ2ai + Z11 * hZ2bi
+    return (hPar, hPai, hMar, hMai, hZar, hZai,
+            hPbr, hPbi, hMbr, hMbi, hZbr, hZbi), acc
+
+
+def _x_mix_coef_grads(tg, h, x):
+    r"""Per-TR coefficient gradients of the per-pool RF mix: the SPGR
+    contraction formulas summed over both pools. Returns the 8
+    composite grads (d_ca2, d_sc2, d_ss2, d_ss, d_sc, d_hs, d_hc,
+    d_ca) as (1, TA) rows."""
+    outs = []
+    for h6, x6 in ((h[:6], x[:6]), (h[6:], x[6:])):
+        h1Fpr, h1Fpi, h1Fmr, h1Fmi, h1Zr, h1Zi = h6
+        Fpr, Fpi, Fmr, Fmi, Zr, Zi = x6
+        d = (_ksum1(h1Fpr * Fpr + h1Fpi * Fpi
+                    + h1Fmr * Fmr + h1Fmi * Fmi),
+             _ksum1(h1Fpr * Fmr + h1Fpi * Fmi
+                    + h1Fmr * Fpr + h1Fmi * Fpi),
+             _ksum1(-h1Fpr * Fmi + h1Fpi * Fmr
+                    + h1Fmr * Fpi - h1Fmi * Fpr),
+             _ksum1((h1Fpr + h1Fmr) * Zr + (h1Fpi + h1Fmi) * Zi),
+             _ksum1((h1Fpr - h1Fmr) * Zi - (h1Fpi - h1Fmi) * Zr),
+             _ksum1(-h1Zr * (Fpr + Fmr) - h1Zi * (Fpi + Fmi)),
+             _ksum1(h1Zr * (Fpi - Fmi) + h1Zi * (Fmr - Fpr)),
+             _ksum1(h1Zr * Zr + h1Zi * Zi))
+        outs.append(d)
+    return tuple(a + b for a, b in zip(*outs))
+
+
+def _xspgr_trig(coef_ref, t, b1, has_b1):
+    if has_b1:
+        ah = (0.5 * coef_ref[8, t]) * b1
+        ch, sh = jnp.cos(ah), jnp.sin(ah)
+        ca2, sa2 = ch * ch, sh * sh
+        sa, ca = 2 * ch * sh, ca2 - sa2
+    else:
+        ca2, sa2 = coef_ref[0, t], coef_ref[1, t]
+        sa, ca = coef_ref[2, t], coef_ref[3, t]
+    return (ca2, sa2, sa, ca, coef_ref[4, t], coef_ref[5, t],
+            coef_ref[6, t], coef_ref[7, t])
+
+
+def _xspgr_fwd_chk_kernel(K: int, tc: int, ntc: int, kshift: int,
+                          has_b1: bool, coef_ref, pk_ref, outr_ref,
+                          outi_ref, chk_ref, s_scr):
+    r"""Chunked EPG-X SPGR forward for the VJP path (echo math matches
+    ``_epgx_kernel``: RF -> demodulated total F+(0) -> exchange-relax
+    -> shift)."""
+    TA = pk_ref.shape[1]
+    xk = _x_pk(pk_ref)
+    M0a, M0b = pk_ref[14:15, :], pk_ref[15:16, :]
+    b1 = pk_ref[16:17, :]
+    row = jax.lax.broadcasted_iota(jnp.int32, (K, TA), 0)
+    masks = (row == 0, row == K - 1,
+             jnp.zeros((K, TA), outr_ref.dtype))
+    is0, _, zero = masks
+    j = pl.program_id(1)
+    t0 = j * tc
+
+    @pl.when(j == 0)
+    def _():
+        init = (zero, zero, zero, zero,
+                jnp.where(is0, M0a, zero), zero,
+                zero, zero, zero, zero,
+                jnp.where(is0, M0b, zero), zero)
+        for p, v in enumerate(init):
+            s_scr[p] = v
+
+    s = tuple(s_scr[p] for p in range(12))
+    for p in range(12):
+        chk_ref[0, p] = s[p]
+
+    def step(t, s):
+        tg = _xspgr_trig(coef_ref, t, b1, has_b1)
+        s1 = _x_mix(tg, s)
+        c1, s1c = tg[4], tg[5]
+        fr = s1[0][0:1, :] + s1[6][0:1, :]
+        fi = s1[1][0:1, :] + s1[7][0:1, :]
+        outr_ref[pl.ds(t, 1), :] = c1 * fr + s1c * fi
+        outi_ref[pl.ds(t, 1), :] = c1 * fi - s1c * fr
+        return _x_shift(kshift, masks, _x_relax(xk, masks, s1))
+
+    u = math.gcd(tc, _UNROLL)
+
+    def body(k, s):
+        for jj in range(u):
+            s = step(t0 + k * u + jj, s)
+        return s
+
+    s = jax.lax.fori_loop(0, tc // u, body, s)
+    for p in range(12):
+        s_scr[p] = s[p]
+
+
+def _xspgr_bwd_kernel(K: int, tc: int, ntc: int, kshift: int,
+                      has_b1: bool, coef_ref, pk_ref, chk_ref, gr_ref,
+                      gi_ref, dpar_ref, dcf_ref, s_scr, h_scr,
+                      acc_scr):
+    r"""Two-phase chunk adjoint for the EPG-X SPGR train. ``dpar``
+    rows map 1:1 onto the pk rows [E00r..E11i, Z00..Z11, ra, rb, M0a,
+    M0b, b1]; ``dcf`` `(tc, 9, TA)` lane-partials as in SPGR."""
+    TA = pk_ref.shape[1]
+    xk = _x_pk(pk_ref)
+    b1 = pk_ref[16:17, :]
+    row = jax.lax.broadcasted_iota(jnp.int32, (K, TA), 0)
+    masks = (row == 0, row == K - 1,
+             jnp.zeros((K, TA), gr_ref.dtype))
+    is0 = masks[0]
+    j = pl.program_id(1)
+    t0 = (ntc - 1 - j) * tc
+    N_ACC = 15                # 14 relax entries + db1
+
+    @pl.when(j == 0)
+    def _():
+        z1 = jnp.zeros((1, TA), gr_ref.dtype)
+        for a in range(N_ACC):
+            acc_scr[a] = z1
+        for p in range(12):
+            h_scr[p] = masks[2]
+
+    def fstep(t, s):
+        tg = _xspgr_trig(coef_ref, t, b1, has_b1)
+        return _x_shift(kshift, masks,
+                        _x_relax(xk, masks, _x_mix(tg, s)))
+
+    u = math.gcd(tc, _UNROLL)
+
+    def fbody(k, s):
+        for jj in range(u):
+            tl = k * u + jj
+            for p in range(12):
+                s_scr[tl, p] = s[p]
+            s = fstep(t0 + tl, s)
+        return s
+
+    jax.lax.fori_loop(0, tc // u, fbody,
+                      tuple(chk_ref[0, p] for p in range(12)))
+
+    def bstep(t, tl, carry):
+        h = carry[:12]
+        acc = list(carry[12:])
+        s = tuple(s_scr[tl, p] for p in range(12))
+        tg = _xspgr_trig(coef_ref, t, b1, has_b1)
+        s1 = _x_mix(tg, s)
+
+        for _ in range(abs(kshift)):
+            h = _x_shift_T(kshift, masks, h)
+        h, acc14 = _x_relax_T(xk, masks, h, s1, acc[:14])
+        acc = acc14 + acc[14:]
+
+        # echo: demodulated TOTAL F+(0) of the post-RF state
+        c1, s1c = tg[4], tg[5]
+        gyr, gyi = gr_ref[pl.ds(t, 1), :], gi_ref[pl.ds(t, 1), :]
+        er = c1 * gyr - s1c * gyi
+        ei = s1c * gyr + c1 * gyi
+        h = (jnp.where(is0, h[0] + er, h[0]),
+             jnp.where(is0, h[1] + ei, h[1])) + h[2:6] \
+            + (jnp.where(is0, h[6] + er, h[6]),
+               jnp.where(is0, h[7] + ei, h[7])) + h[8:]
+        fr = s1[0][0:1, :] + s1[6][0:1, :]
+        fi = s1[1][0:1, :] + s1[7][0:1, :]
+        d_c1e = gyr * fr + gyi * fi
+        d_s1e = gyr * fi - gyi * fr
+
+        ca2, sa2, sa, ca, c1, s1c, c2, s2 = tg
+        (d_ca2, d_sc2, d_ss2, d_ss, d_sc, d_hs, d_hc,
+         d_ca) = _x_mix_coef_grads(tg, h, s)
+        d_sa2 = c2 * d_sc2 + s2 * d_ss2
+        d_c2 = sa2 * d_sc2
+        d_s2 = sa2 * d_ss2
+        d_sa = s1c * (d_ss + 0.5 * d_hs) + c1 * (d_sc + 0.5 * d_hc)
+        d_s1 = sa * (d_ss + 0.5 * d_hs) + d_s1e
+        d_c1 = sa * (d_sc + 0.5 * d_hc) + d_c1e
+
+        zrow = jnp.zeros((1, TA), gr_ref.dtype)
+        if has_b1:
+            d_al = (0.5 * sa * (d_sa2 - d_ca2) + ca * d_sa
+                    - sa * d_ca)
+            acc[14] = acc[14] + d_al * coef_ref[8, t]
+            rows = (zrow, zrow, zrow, zrow, d_c1, d_s1, d_c2, d_s2,
+                    d_al * b1)
+        else:
+            rows = (d_ca2, d_sa2, d_sa, d_ca, d_c1, d_s1, d_c2, d_s2,
+                    zrow)
+        for c in range(9):
+            dcf_ref[0, tl, c] = rows[c][0]
+
+        h = _x_mix_T(tg, h)
+        return h + tuple(acc)
+
+    def bbody(k, carry):
+        for jj in range(u):
+            tl = tc - 1 - (k * u + jj)
+            carry = bstep(t0 + tl, tl, carry)
+        return carry
+
+    carry = jax.lax.fori_loop(
+        0, tc // u, bbody,
+        tuple(h_scr[p] for p in range(12))
+        + tuple(acc_scr[a] for a in range(N_ACC)))
+    for p in range(12):
+        h_scr[p] = carry[p]
+    for a in range(N_ACC):
+        acc_scr[a] = carry[12 + a]
+
+    @pl.when(j == ntc - 1)
+    def _():
+        acc = carry[12:]
+        dM0a = carry[4][0:1, :]            # init Za(0) = M0a
+        dM0b = carry[10][0:1, :]           # init Zb(0) = M0b
+        for a in range(14):
+            dpar_ref[pl.ds(a, 1), :] = acc[a]
+        dpar_ref[pl.ds(14, 1), :] = dM0a
+        dpar_ref[pl.ds(15, 1), :] = dM0b
+        dpar_ref[pl.ds(16, 1), :] = acc[14]
+
+
+def _pick_tc_x(nT: int, K: int) -> int:
+    from mrphy_tpu.utils._shapes import largest_divisor_leq_pref
+    bound = max(1, (14 << 20) // (12 * K * _BWD_TILE * 4))
+    if nT <= bound:
+        return nT
+    return largest_divisor_leq_pref(nT, bound, _UNROLL)
+
+
+def xspgr_bwd_is_available(*, nTR: int, K: int, nA: int) -> bool:
+    tc = _pick_tc_x(nTR, K)
+    if nTR % tc:
+        return False
+    ntc = nTR // tc
+    scr = tc * 12 * K * _BWD_TILE * 4
+    ntiles = -(-nA // _BWD_TILE)
+    chk = ntc * 12 * K * ntiles * _BWD_TILE * 4
+    dcf = ntiles * nTR * 9 * _BWD_TILE * 4
+    return (scr <= 20 * 1024 * 1024 and chk <= 2 * 1024 ** 3
+            and dcf <= 2 * 1024 ** 3)
+
+
+def _xspgr_pad(coef, pk, tile):
+    nA = pk.shape[1]
+    pad = (-nA) % tile
+    if pad:
+        pk = jnp.pad(pk, [(0, 0), (0, pad)])
+    return coef, pk, nA + pad
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _xspgr_core(K, kshift, interpret, has_b1, coef, pk):
+    nTR = coef.shape[1]
+    nA = pk.shape[1]
+    tile = min(512, -(-nA // _LANE) * _LANE)
+    coefp, pkp, nAp = _xspgr_pad(coef, pk, tile)
+    out = pl.BlockSpec((nTR, tile), lambda i: (0, i))
+    outr, outi = pl.pallas_call(
+        functools.partial(_epgx_kernel, K, nTR, kshift, has_b1),
+        grid=(nAp // tile,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((17, tile), lambda i: (0, i))],
+        out_specs=[out, out],
+        out_shape=[jax.ShapeDtypeStruct((nTR, nAp), jnp.float32)] * 2,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(coefp, pkp)
+    return outr[:, :nA], outi[:, :nA]
+
+
+def _xspgr_core_fwd(K, kshift, interpret, has_b1, coef, pk):
+    nTR = coef.shape[1]
+    nA = pk.shape[1]
+    tile = _BWD_TILE
+    coefp, pkp, nAp = _xspgr_pad(coef, pk, tile)
+    tc = _pick_tc_x(nTR, K)
+    ntc = nTR // tc
+    out = pl.BlockSpec((nTR, tile), lambda i, j: (0, i))
+    chk = pl.BlockSpec((1, 12, K, tile), lambda i, j: (j, 0, 0, i))
+    outr, outi, chka = pl.pallas_call(
+        functools.partial(_xspgr_fwd_chk_kernel, K, tc, ntc, kshift,
+                          has_b1),
+        grid=(nAp // tile, ntc),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((17, tile), lambda i, j: (0, i))],
+        out_specs=[out, out, chk],
+        out_shape=[jax.ShapeDtypeStruct((nTR, nAp), jnp.float32)] * 2
+        + [jax.ShapeDtypeStruct((ntc, 12, K, nAp), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((12, K, tile), jnp.float32)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(coefp, pkp)
+    return (outr[:, :nA], outi[:, :nA]), (coef, pk, chka)
+
+
+def _xspgr_core_bwd(K, kshift, interpret, has_b1, res, g):
+    coef, pk, chka = res
+    gr, gi = g
+    nTR = coef.shape[1]
+    nA = pk.shape[1]
+    tile = _BWD_TILE
+    coefp, pkp, nAp = _xspgr_pad(coef, pk, tile)
+    grp = jnp.pad(gr, [(0, 0), (0, nAp - nA)]).astype(jnp.float32)
+    gip = jnp.pad(gi, [(0, 0), (0, nAp - nA)]).astype(jnp.float32)
+    tc = _pick_tc_x(nTR, K)
+    ntc = nTR // tc
+    ntiles = nAp // tile
+    gsp = pl.BlockSpec((nTR, tile), lambda i, j: (0, i))
+    chk = pl.BlockSpec((1, 12, K, tile),
+                      lambda i, j: (ntc - 1 - j, 0, 0, i))
+    dpar, dcf = pl.pallas_call(
+        functools.partial(_xspgr_bwd_kernel, K, tc, ntc, kshift,
+                          has_b1),
+        grid=(ntiles, ntc),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((17, tile), lambda i, j: (0, i)),
+                  chk, gsp, gsp],
+        out_specs=[pl.BlockSpec((17, tile), lambda i, j: (0, i)),
+                   pl.BlockSpec((1, tc, 9, tile),
+                                lambda i, j: (i, ntc - 1 - j, 0, 0))],
+        out_shape=[jax.ShapeDtypeStruct((17, nAp), jnp.float32),
+                   jax.ShapeDtypeStruct((ntiles, nTR, 9, tile),
+                                        jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((tc, 12, K, tile), jnp.float32),
+                        pltpu.VMEM((12, K, tile), jnp.float32),
+                        pltpu.VMEM((15, 1, tile), jnp.float32)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(coefp, pkp, chka, grp, gip)
+    dcoef = jnp.sum(dcf, axis=(0, 3)).T              # (9, nTR)
+    return dcoef, dpar[:, :nA]
+
+
+_xspgr_core.defvjp(_xspgr_core_fwd, _xspgr_core_bwd)
+
+
+def _xcpmg_trig(coef_ref, t, b1, has_b1):
+    if has_b1:
+        ah = (0.5 * coef_ref[4, t]) * b1
+        ch, sh = jnp.cos(ah), jnp.sin(ah)
+        ca2, sa2 = ch * ch, sh * sh
+        sa, ca = 2 * ch * sh, ca2 - sa2
+    else:
+        ca2, sa2 = coef_ref[0, t], coef_ref[1, t]
+        sa, ca = coef_ref[2, t], coef_ref[3, t]
+    return (ca2, sa2, sa, ca, 1.0, 0.0, 1.0, 0.0)
+
+
+def _xcpmg_init(masks, pk_ref):
+    r"""π/2 excitation about φ_ex on the two-pool equilibrium (matches
+    ``_xcpmg_kernel``): F± = (sinφ ∓ i·cosφ)·M0p, Z = 0 per pool."""
+    is0, _, zero = masks
+    exc, exs = pk_ref[14:15, :], pk_ref[15:16, :]
+    M0a, M0b = pk_ref[16:17, :], pk_ref[17:18, :]
+    return (jnp.where(is0, exs * M0a, zero),
+            jnp.where(is0, -exc * M0a, zero),
+            jnp.where(is0, exs * M0a, zero),
+            jnp.where(is0, exc * M0a, zero), zero, zero,
+            jnp.where(is0, exs * M0b, zero),
+            jnp.where(is0, -exc * M0b, zero),
+            jnp.where(is0, exs * M0b, zero),
+            jnp.where(is0, exc * M0b, zero), zero, zero)
+
+
+def _xcpmg_fwd_chk_kernel(K: int, tc: int, ntc: int, has_b1: bool,
+                          coef_ref, pk_ref, outr_ref, outi_ref,
+                          chk_ref, s_scr):
+    r"""Chunked two-pool CPMG forward for the VJP path (echo math
+    matches ``_xcpmg_kernel``)."""
+    TA = pk_ref.shape[1]
+    xk = _x_pk(pk_ref)
+    b1 = pk_ref[18:19, :]
+    row = jax.lax.broadcasted_iota(jnp.int32, (K, TA), 0)
+    masks = (row == 0, row == K - 1,
+             jnp.zeros((K, TA), outr_ref.dtype))
+    j = pl.program_id(1)
+    t0 = j * tc
+
+    @pl.when(j == 0)
+    def _():
+        for p, v in enumerate(_xcpmg_init(masks, pk_ref)):
+            s_scr[p] = v
+
+    s = tuple(s_scr[p] for p in range(12))
+    for p in range(12):
+        chk_ref[0, p] = s[p]
+
+    def half(s):
+        return _x_shift(1, masks, _x_relax(xk, masks, s))
+
+    def step(t, s):
+        s = half(s)
+        s = _x_mix(_xcpmg_trig(coef_ref, t, b1, has_b1), s)
+        s = half(s)
+        outr_ref[pl.ds(t, 1), :] = s[0][0:1, :] + s[6][0:1, :]
+        outi_ref[pl.ds(t, 1), :] = s[1][0:1, :] + s[7][0:1, :]
+        return s
+
+    u = math.gcd(tc, _UNROLL)
+
+    def body(k, s):
+        for jj in range(u):
+            s = step(t0 + k * u + jj, s)
+        return s
+
+    s = jax.lax.fori_loop(0, tc // u, body, s)
+    for p in range(12):
+        s_scr[p] = s[p]
+
+
+def _xcpmg_bwd_kernel(K: int, tc: int, ntc: int, has_b1: bool,
+                      coef_ref, pk_ref, chk_ref, gr_ref, gi_ref,
+                      dpar_ref, dcf_ref, s_scr, h_scr, acc_scr):
+    r"""Two-phase chunk adjoint for the two-pool CPMG train. ``dpar``
+    rows map 1:1 onto the pk rows [E00r..E11i, Z00..Z11, ra, rb, exc,
+    exs, M0a, M0b, b1]; ``dcf`` `(tc, 5, TA)` lane-partials."""
+    TA = pk_ref.shape[1]
+    xk = _x_pk(pk_ref)
+    b1 = pk_ref[18:19, :]
+    row = jax.lax.broadcasted_iota(jnp.int32, (K, TA), 0)
+    masks = (row == 0, row == K - 1,
+             jnp.zeros((K, TA), gr_ref.dtype))
+    is0 = masks[0]
+    j = pl.program_id(1)
+    t0 = (ntc - 1 - j) * tc
+    N_ACC = 15                 # 14 relax entries + db1
+
+    @pl.when(j == 0)
+    def _():
+        z1 = jnp.zeros((1, TA), gr_ref.dtype)
+        for a in range(N_ACC):
+            acc_scr[a] = z1
+        for p in range(12):
+            h_scr[p] = masks[2]
+
+    def half(s):
+        return _x_shift(1, masks, _x_relax(xk, masks, s))
+
+    def fstep(t, s):
+        s = half(s)
+        s = _x_mix(_xcpmg_trig(coef_ref, t, b1, has_b1), s)
+        return half(s)
+
+    u = math.gcd(tc, _UNROLL)
+
+    def fbody(k, s):
+        for jj in range(u):
+            tl = k * u + jj
+            for p in range(12):
+                s_scr[tl, p] = s[p]
+            s = fstep(t0 + tl, s)
+        return s
+
+    jax.lax.fori_loop(0, tc // u, fbody,
+                      tuple(chk_ref[0, p] for p in range(12)))
+
+    def bstep(t, tl, carry):
+        h = carry[:12]
+        acc = list(carry[12:])
+        s = tuple(s_scr[tl, p] for p in range(12))
+        tg = _xcpmg_trig(coef_ref, t, b1, has_b1)
+        sh1 = half(s)
+        s1 = _x_mix(tg, sh1)
+
+        # echo (total F+(0) after the 2nd half, no demod)
+        h = (jnp.where(is0, h[0] + gr_ref[pl.ds(t, 1), :], h[0]),
+             jnp.where(is0, h[1] + gi_ref[pl.ds(t, 1), :], h[1])) \
+            + h[2:6] \
+            + (jnp.where(is0, h[6] + gr_ref[pl.ds(t, 1), :], h[6]),
+               jnp.where(is0, h[7] + gi_ref[pl.ds(t, 1), :],
+                         h[7])) \
+            + h[8:]
+
+        # 2nd half transpose (shift-T then relax-T at input s1)
+        h = _x_shift_T(1, masks, h)
+        h, acc14 = _x_relax_T(xk, masks, h, s1, acc[:14])
+        acc = acc14 + acc[14:]
+
+        # refocusing mix transpose + flip grads (phi = 0 chain)
+        ca2, sa2, sa, ca = tg[0], tg[1], tg[2], tg[3]
+        (d_ca2, d_sc2, _, _, d_sc, _, d_hc,
+         d_ca) = _x_mix_coef_grads(tg, h, sh1)
+        d_sa2 = d_sc2
+        d_sa = d_sc + 0.5 * d_hc
+
+        zrow = jnp.zeros((1, TA), gr_ref.dtype)
+        if has_b1:
+            d_al = (0.5 * sa * (d_sa2 - d_ca2) + ca * d_sa
+                    - sa * d_ca)
+            acc[14] = acc[14] + d_al * coef_ref[4, t]
+            rows = (zrow, zrow, zrow, zrow, d_al * b1)
+        else:
+            rows = (d_ca2, d_sa2, d_sa, d_ca, zrow)
+        for c in range(5):
+            dcf_ref[0, tl, c] = rows[c][0]
+
+        h = _x_mix_T(tg, h)
+
+        # 1st half transpose (input = stored pre-echo state)
+        h = _x_shift_T(1, masks, h)
+        h, acc14 = _x_relax_T(xk, masks, h, s, acc[:14])
+        acc = acc14 + acc[14:]
+        return h + tuple(acc)
+
+    def bbody(k, carry):
+        for jj in range(u):
+            tl = tc - 1 - (k * u + jj)
+            carry = bstep(t0 + tl, tl, carry)
+        return carry
+
+    carry = jax.lax.fori_loop(
+        0, tc // u, bbody,
+        tuple(h_scr[p] for p in range(12))
+        + tuple(acc_scr[a] for a in range(N_ACC)))
+    for p in range(12):
+        h_scr[p] = carry[p]
+    for a in range(N_ACC):
+        acc_scr[a] = carry[12 + a]
+
+    @pl.when(j == ntc - 1)
+    def _():
+        acc = carry[12:]
+        h = carry[:12]
+        exc, exs = pk_ref[14:15, :], pk_ref[15:16, :]
+        M0a, M0b = pk_ref[16:17, :], pk_ref[17:18, :]
+        hPar0, hPai0 = h[0][0:1, :], h[1][0:1, :]
+        hMar0, hMai0 = h[2][0:1, :], h[3][0:1, :]
+        hPbr0, hPbi0 = h[6][0:1, :], h[7][0:1, :]
+        hMbr0, hMbi0 = h[8][0:1, :], h[9][0:1, :]
+        ra_ = hPar0 + hMar0
+        ia_ = -hPai0 + hMai0
+        rb_ = hPbr0 + hMbr0
+        ib_ = -hPbi0 + hMbi0
+        for a in range(14):
+            dpar_ref[pl.ds(a, 1), :] = acc[a]
+        dpar_ref[pl.ds(14, 1), :] = M0a * ia_ + M0b * ib_   # d exc
+        dpar_ref[pl.ds(15, 1), :] = M0a * ra_ + M0b * rb_   # d exs
+        dpar_ref[pl.ds(16, 1), :] = exs * ra_ + exc * ia_   # d M0a
+        dpar_ref[pl.ds(17, 1), :] = exs * rb_ + exc * ib_   # d M0b
+        dpar_ref[pl.ds(18, 1), :] = acc[14]                 # d b1
+
+
+def xcpmg_bwd_is_available(*, nE: int, nA: int) -> bool:
+    K = nE + 1
+    tc = _pick_tc_x(nE, K)
+    if nE % tc:
+        return False
+    ntc = nE // tc
+    scr = tc * 12 * K * _BWD_TILE * 4
+    ntiles = -(-nA // _BWD_TILE)
+    chk = ntc * 12 * K * ntiles * _BWD_TILE * 4
+    dcf = ntiles * nE * 5 * _BWD_TILE * 4
+    return (scr <= 20 * 1024 * 1024 and chk <= 2 * 1024 ** 3
+            and dcf <= 2 * 1024 ** 3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2))
+def _xcpmg_core(K, interpret, has_b1, coef, pk):
+    nE = coef.shape[1]
+    nA = pk.shape[1]
+    tile = min(512, -(-nA // _LANE) * _LANE)
+    coefp, pkp, nAp = _xspgr_pad(coef, pk, tile)
+    out = pl.BlockSpec((nE, tile), lambda i: (0, i))
+    outr, outi = pl.pallas_call(
+        functools.partial(_xcpmg_kernel, K, nE, has_b1),
+        grid=(nAp // tile,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((19, tile), lambda i: (0, i))],
+        out_specs=[out, out],
+        out_shape=[jax.ShapeDtypeStruct((nE, nAp), jnp.float32)] * 2,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(coefp, pkp)
+    return outr[:, :nA], outi[:, :nA]
+
+
+def _xcpmg_core_fwd(K, interpret, has_b1, coef, pk):
+    nE = coef.shape[1]
+    nA = pk.shape[1]
+    tile = _BWD_TILE
+    coefp, pkp, nAp = _xspgr_pad(coef, pk, tile)
+    tc = _pick_tc_x(nE, K)
+    ntc = nE // tc
+    out = pl.BlockSpec((nE, tile), lambda i, j: (0, i))
+    chk = pl.BlockSpec((1, 12, K, tile), lambda i, j: (j, 0, 0, i))
+    outr, outi, chka = pl.pallas_call(
+        functools.partial(_xcpmg_fwd_chk_kernel, K, tc, ntc, has_b1),
+        grid=(nAp // tile, ntc),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((19, tile), lambda i, j: (0, i))],
+        out_specs=[out, out, chk],
+        out_shape=[jax.ShapeDtypeStruct((nE, nAp), jnp.float32)] * 2
+        + [jax.ShapeDtypeStruct((ntc, 12, K, nAp), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((12, K, tile), jnp.float32)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(coefp, pkp)
+    return (outr[:, :nA], outi[:, :nA]), (coef, pk, chka)
+
+
+def _xcpmg_core_bwd(K, interpret, has_b1, res, g):
+    coef, pk, chka = res
+    gr, gi = g
+    nE = coef.shape[1]
+    nA = pk.shape[1]
+    tile = _BWD_TILE
+    coefp, pkp, nAp = _xspgr_pad(coef, pk, tile)
+    grp = jnp.pad(gr, [(0, 0), (0, nAp - nA)]).astype(jnp.float32)
+    gip = jnp.pad(gi, [(0, 0), (0, nAp - nA)]).astype(jnp.float32)
+    tc = _pick_tc_x(nE, K)
+    ntc = nE // tc
+    ntiles = nAp // tile
+    gsp = pl.BlockSpec((nE, tile), lambda i, j: (0, i))
+    chk = pl.BlockSpec((1, 12, K, tile),
+                       lambda i, j: (ntc - 1 - j, 0, 0, i))
+    dpar, dcf = pl.pallas_call(
+        functools.partial(_xcpmg_bwd_kernel, K, tc, ntc, has_b1),
+        grid=(ntiles, ntc),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((19, tile), lambda i, j: (0, i)),
+                  chk, gsp, gsp],
+        out_specs=[pl.BlockSpec((19, tile), lambda i, j: (0, i)),
+                   pl.BlockSpec((1, tc, 5, tile),
+                                lambda i, j: (i, ntc - 1 - j, 0, 0))],
+        out_shape=[jax.ShapeDtypeStruct((19, nAp), jnp.float32),
+                   jax.ShapeDtypeStruct((ntiles, nE, 5, tile),
+                                        jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((tc, 12, K, tile), jnp.float32),
+                        pltpu.VMEM((12, K, tile), jnp.float32),
+                        pltpu.VMEM((15, 1, tile), jnp.float32)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(coefp, pkp, chka, grp, gip)
+    dcoef = jnp.sum(dcf, axis=(0, 3)).T              # (5, nE)
+    return dcoef, dpar[:, :nA]
+
+
+_xcpmg_core.defvjp(_xcpmg_core_fwd, _xcpmg_core_bwd)

@@ -30,10 +30,29 @@ def enable_persistent_cache(path: str = '~/.cache/mrphy_tpu_jax') -> None:
     Bloch engine) take tens of seconds to minutes to compile on a remote
     attachment; the persistent cache makes later processes reuse the
     compiled executables. Call once, before the first ``jit`` runs.
+
+    The directory is suffixed with a fingerprint of the host CPU's
+    feature flags: XLA:CPU AOT results are machine-specific, and this
+    container can migrate between hosts — loading another machine's
+    cached executable SIGILLs/segfaults mid-compile (observed: two
+    full-suite crashes inside ``backend_compile_and_load`` after a
+    host change, with XLA warning "Compile machine features ... vs
+    host machine features").
     """
+    import hashlib
     import os
+    import platform
+    fp = platform.machine()
+    try:
+        with open('/proc/cpuinfo') as f:
+            for line in f:
+                if line.startswith('flags'):
+                    fp = hashlib.sha1(line.encode()).hexdigest()[:12]
+                    break
+    except OSError:
+        pass
     jax.config.update('jax_compilation_cache_dir',
-                      os.path.expanduser(path))
+                      os.path.expanduser(path) + '-' + fp)
     jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
 
 

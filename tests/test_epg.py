@@ -435,9 +435,11 @@ class TestFusedTrainGrads:
         args = (jnp.asarray(4.0, F), jnp.asarray(0.02, F))
         gx = jax.grad(loss, argnums=(0, 1))(*args, 'xla')
         gp = jax.grad(loss, argnums=(0, 1))(*args, 'pallas')
+        # 2e-5, not 1e-6: this path now runs the NATIVE in-kernel
+        # two-pool adjoint (all-f32), not the f64 XLA recompute
         for name, x, p in zip(('kab', 'T2b'), gx, gp):
             rel = abs(float(x - p)) / (abs(float(x)) + 1e-30)
-            assert rel < 1e-6, (name, rel)
+            assert rel < 2e-5, (name, rel)
 
     def test_epgx_mt_spgr_grads(self):
         import jax
@@ -603,3 +605,93 @@ class TestFusedCpmgAdjoint:
         rng = np.random.default_rng(11)
         self._check(20, 8, b1=rng.uniform(0.8, 1.2, 8),
                     alpha_ex=rng.uniform(1.2, 1.6, 8))
+
+
+class TestFusedEpgxAdjoints:
+    r"""The in-kernel EPG-X adjoints (two-pool SPGR and CPMG) vs the
+    XLA backend's autodiff — volume MWF/exchange-MRF fitting
+    gradients. All-f32 kernels vs the f64 XLA reverse: 2e-5 bar
+    (multi-chunk at K·nTR scale: 5e-4, cf. the single-pool batteries)."""
+
+    def _mk(self, n, nA, seed=0):
+        import jax.numpy as jnp
+        rng = np.random.default_rng(seed)
+        F = jnp.float64
+        return (jnp.asarray(np.deg2rad(rng.uniform(60, 180, n)), F),
+                jnp.asarray(rng.uniform(0.5, 2.0, nA), F),
+                jnp.asarray(rng.uniform(0.06, 0.12, nA), F),
+                jnp.asarray(rng.uniform(2.0, 8.0, nA), F),
+                jnp.asarray(rng.uniform(0.8, 1.2, nA), F),
+                jnp.asarray(rng.standard_normal((nA, n, 2)), F))
+
+    def _grads(self, loss, args, names, tol):
+        import jax
+        import jax.numpy as jnp
+        an = tuple(range(len(args)))
+        gx = jax.grad(lambda *a: loss('xla', *a), argnums=an)(*args)
+        gp = jax.grad(lambda *a: loss('pallas', *a),
+                      argnums=an)(*args)
+        for name, x, p in zip(names, gx, gp):
+            rel = float(jnp.max(jnp.abs(jnp.asarray(x - p)))
+                        / (jnp.max(jnp.abs(jnp.asarray(x))) + 1e-30))
+            assert rel < tol, (name, rel)
+
+    def test_xspgr(self):
+        import jax.numpy as jnp
+        from mrphy_tpu.ops import epg, epg_pallas
+        ntr, nA = 24, 5
+        assert epg_pallas.xspgr_bwd_is_available(nTR=ntr, K=12, nA=nA)
+        flips, T1a, T2a, kab, b1, w = self._mk(ntr, nA)
+        F = jnp.float64
+
+        def loss(be, fl, t1a, t2a, k_, dfb, m0b, b_):
+            s = epg.epgx_spgr(fl, None, T1a=t1a, T2a=t2a, T1b=1.0,
+                              T2b=0.02, kab=k_, kba=20.0, tr=12e-3,
+                              M0a=1.0, M0b=m0b, dfb=dfb, K=12, b1=b_,
+                              backend=be)
+            return jnp.sum(w * s)
+
+        self._grads(loss,
+                    (flips, T1a, T2a, kab, jnp.asarray(120.0, F),
+                     jnp.asarray(0.15, F), b1),
+                    ('flips', 'T1a', 'T2a', 'kab', 'dfb', 'M0b',
+                     'b1'), 2e-5)
+
+    def test_xspgr_multichunk(self):
+        import jax.numpy as jnp
+        from mrphy_tpu.ops import epg, epg_pallas
+        ntr, nA, K = 64, 4, 40
+        from mrphy_tpu.ops.epg_pallas import _pick_tc_x
+        assert _pick_tc_x(ntr, K) < ntr      # chunked
+        assert epg_pallas.xspgr_bwd_is_available(nTR=ntr, K=K, nA=nA)
+        flips, T1a, T2a, kab, b1, w = self._mk(ntr, nA, seed=2)
+
+        def loss(be, fl, t1a, k_):
+            s = epg.epgx_spgr(fl, None, T1a=t1a, T2a=0.08, T1b=1.0,
+                              T2b=0.02, kab=k_, kba=20.0, tr=12e-3,
+                              K=K, backend=be)
+            return jnp.sum(w * s)
+
+        self._grads(loss, (flips, T1a, kab),
+                    ('flips', 'T1a', 'kab'), 5e-4)
+
+    def test_xcpmg(self):
+        import jax.numpy as jnp
+        from mrphy_tpu.ops import epg, epg_pallas
+        nE, nA = 20, 6
+        assert epg_pallas.xcpmg_bwd_is_available(nE=nE, nA=nA)
+        flips, T1a, T2a, kab, b1, w = self._mk(nE, nA, seed=3)
+        F = jnp.float64
+
+        def loss(be, fl, t1a, t2a, k_, esp, m0b, b_):
+            s = epg.epgx_cpmg(fl, T1a=t1a, T2a=t2a, T1b=1.0,
+                              T2b=0.015, kab=k_, kba=18.0, esp=esp,
+                              M0a=1.0, M0b=m0b, dfb=30.0, b1=b_,
+                              backend=be)
+            return jnp.sum(w * s)
+
+        self._grads(loss,
+                    (flips, T1a, T2a, kab, jnp.asarray(0.01, F),
+                     jnp.asarray(0.15, F), b1),
+                    ('flips', 'T1a', 'T2a', 'kab', 'esp', 'M0b',
+                     'b1'), 2e-5)
