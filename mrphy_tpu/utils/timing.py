@@ -37,11 +37,17 @@ def enable_persistent_cache(path: str = '~/.cache/mrphy_tpu_jax') -> None:
     cached executable SIGILLs/segfaults mid-compile (observed: two
     full-suite crashes inside ``backend_compile_and_load`` after a
     host change, with XLA warning "Compile machine features ... vs
-    host machine features").
+    host machine features"). Set ``MRPHY_NO_PERSISTENT_CACHE`` to make
+    this a no-op (the test suite does: torn entries from a crashed
+    writer abort subsequent cache READS, and the fingerprint cannot
+    catch every host difference — XLA's detected features can differ
+    while /proc/cpuinfo matches).
     """
     import hashlib
     import os
     import platform
+    if os.environ.get('MRPHY_NO_PERSISTENT_CACHE'):
+        return
     fp = platform.machine()
     try:
         with open('/proc/cpuinfo') as f:

@@ -26,26 +26,13 @@ import jax  # noqa: E402
 jax.config.update('jax_platforms', 'cpu')
 jax.config.update('jax_enable_x64', True)
 
-# Persistent compile cache: most of the suite's wall time is jit compiles
-# of the big parametrized engines; repeated runs reuse the executables.
-# The dir is keyed by a CPU-feature fingerprint: XLA:CPU AOT artifacts
-# are machine-specific, and loading another host's entries fails loudly
-# (and slowly) for every cached executable.
-
-
-def _cpu_fingerprint():
-    import hashlib
-    try:
-        with open('/proc/cpuinfo') as f:
-            for line in f:
-                if line.startswith('flags'):
-                    return hashlib.md5(line.encode()).hexdigest()[:10]
-    except OSError:
-        pass
-    import platform
-    return platform.machine()
-
-
-jax.config.update('jax_compilation_cache_dir', os.path.expanduser(
-    f'~/.cache/mrphy_tpu_test_jax_{_cpu_fingerprint()}'))
-jax.config.update('jax_persistent_cache_min_compile_time_secs', 0.5)
+# Persistent compile cache: DISABLED under pytest. Two full-suite
+# crashes this round traced to it — (a) XLA:CPU AOT entries are
+# machine-specific and this container migrates hosts (SIGILL loading a
+# foreign executable, even with a /proc/cpuinfo fingerprint in the
+# path: XLA's detected feature set can differ while cpuinfo matches),
+# and (b) a crash mid-write leaves torn entries that abort every later
+# read. Cold compiles cost ~10 min of suite time; reliability wins.
+# The env var is honored by utils.timing.enable_persistent_cache, so
+# tests that exercise it (test_parallel) stay inert here.
+os.environ['MRPHY_NO_PERSISTENT_CACHE'] = '1'
