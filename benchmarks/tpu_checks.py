@@ -374,9 +374,19 @@ def _epgx_adjoint_parity(interpret: bool):
                           backend=be)
         return jnp.sum(w * s)
 
+    wt = jnp.asarray(rng.uniform(0.0, 30.0, n), DT32)
+
+    def loss_m(be, fl, t1a, k_):
+        s = epg.epgx_mt_spgr(fl, None, T1a=t1a, T2a=0.08, T1b=1.0,
+                             kab=k_, kba=20.0, tr=0.03, wt=wt, K=16,
+                             M0b=0.15, backend=be)
+        return jnp.sum(w * s)
+
+    assert epg_pallas.mt_bwd_is_available(nTR=n, K=16, nA=nA)
     an = (0, 1, 2)
     tol = 1e-3
-    for nm, loss in (('xspgr', loss_s), ('xcpmg', loss_c)):
+    for nm, loss in (('xspgr', loss_s), ('xcpmg', loss_c),
+                     ('mt', loss_m)):
         gx = jax.jit(jax.grad(lambda *a: loss('xla', *a),
                               argnums=an))(flips, T1a, kab)
         gp = jax.jit(jax.grad(lambda *a: loss('pallas', *a),

@@ -918,8 +918,8 @@ def epgx_mt_spgr(flips, phis=None, *, T1a, T2a, T1b, kab, kba, tr,
     (:func:`mrphy_tpu.ops.epg_pallas.epgx_mt_spgr_pallas`; measured
     31× the XLA scan at 64k-atom qMT-dictionary scale — per-atom
     saturation scaling goes through its ``wscale``). Dictionary
-    workload only; differentiable via the recompute-through-XLA VJP
-    (``ops/_diffwrap.py``).
+    workload only; differentiable NATIVELY via the in-kernel MT
+    adjoint (round 3; recompute-VJP fallback).
     """
     if mesh is not None:        # composes with backend='pallas'
         from mrphy_tpu.parallel.mesh import (
@@ -929,8 +929,24 @@ def epgx_mt_spgr(flips, phis=None, *, T1a, T2a, T1b, kab, kba, tr,
             T1b=T1b, kab=kab, kba=kba, tr=tr, wt=wt, M0a=M0a,
             M0b=M0b, b1=b1, kshift=kshift, K=K, backend=backend)
     if backend == 'pallas':
+        from mrphy_tpu.ops import epg_pallas
         from mrphy_tpu.ops.epg_pallas import epgx_mt_spgr_pallas
         from mrphy_tpu.ops._diffwrap import pallas_with_xla_vjp
+        fl_a = jnp.asarray(flips)
+        nA_g = max([1] + [jnp.shape(v)[0] for v in
+                          (T1a, T2a, T1b, kab, kba, M0a, M0b, b1)
+                          if v is not None and jnp.ndim(v) >= 1])
+        K_g = (fl_a.shape[-1] * abs(int(kshift)) + 1 if K is None
+               else int(K))
+        if (fl_a.ndim == 1 and jnp.ndim(wt) <= 1
+                and epg_pallas.mt_bwd_is_available(
+                    nTR=fl_a.shape[-1], K=K_g, nA=nA_g)):
+            # natively differentiable: in-kernel MT adjoint (round 3)
+            # — volume qMT fitting at kernel speed
+            return epgx_mt_spgr_pallas(
+                flips, phis, T1a=T1a, T2a=T2a, T1b=T1b, kab=kab,
+                kba=kba, tr=tr, wt=wt, M0a=M0a, M0b=M0b, b1=b1,
+                kshift=kshift, K=K)
         names = ('T1a', 'T2a', 'T1b', 'kab', 'kba', 'tr', 'wt',
                  'M0a', 'M0b', 'b1')
         return pallas_with_xla_vjp(

@@ -19,16 +19,18 @@ atom); per-atom relaxation factors enter as `(1, TA)` lane vectors.
 Scope (asserted by the dispatcher): shared 1-D ``flips``/``phis``
 trains, 1-D atom batch, no diffusion — exactly the MRF dictionary
 workload. Differentiability (round 3): ``epg_spgr``, ``epg_cpmg``,
-``epgx_spgr`` and ``epgx_cpmg`` carry NATIVE in-kernel adjoints —
+``epgx_spgr``, ``epgx_cpmg`` and ``epgx_mt_spgr`` carry NATIVE
+in-kernel adjoints —
 hand-transposed two-phase chunk kernels (phase 1 recomputes each
 chunk's pre-RF states from chunk-START checkpoints; phase 2 runs
 shift-transpose →
 relax-transpose → echo-cotangent injection → RF-mix transpose,
 emitting per-TR coefficient grads as lane-partials and per-atom
 E1/E2/E2te/rec/M0/b1 rows) — so its gradients run at kernel speed.
-The other train kernels are forward-only and get gradients via the
-recompute-through-XLA VJP of ``ops/_diffwrap.py``; the XLA paths
-(default backend) remain fully differentiable everywhere.
+Only the bSSFP train keeps the recompute-through-XLA VJP of
+``ops/_diffwrap.py`` (its per-atom state is 3 scalars — the XLA
+reverse has no memory cliff there); the XLA paths (default backend)
+remain fully differentiable everywhere.
 Parity with the XLA engine is pinned at f32 tolerances in
 ``tests/test_epg_pallas.py`` and on-chip by ``benchmarks/tpu_checks.py``.
 """
@@ -802,24 +804,11 @@ def _mt_dispatch(flips, phis, wt, T1a, T2a, T1b, kab, kba, tr,
                     jnp.broadcast_to(jnp.asarray(wscale, f32),
                                      (nA,))]).astype(f32)
 
-    pad = (-nA) % tile
-    if pad:
-        pk = jnp.pad(pk, [(0, 0), (0, pad)])
-    nAp = nA + pad
-
-    out = pl.BlockSpec((nTR, tile), lambda i: (0, i))
-    outr, outi = pl.pallas_call(
-        functools.partial(_mt_kernel, K, nTR, kshift, has_b1),
-        grid=(nAp // tile,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  pl.BlockSpec((11, tile), lambda i: (0, i))],
-        out_specs=[out, out],
-        out_shape=[jax.ShapeDtypeStruct((nTR, nAp), f32)] * 2,
-        compiler_params=None if interpret else pltpu.CompilerParams(
-            vmem_limit_bytes=_VMEM_LIMIT),
-        interpret=interpret,
-    )(coef, pk)
-    return jnp.stack([outr[:, :nA], outi[:, :nA]], -1)  # (nTR, nA, 2)
+    del nA
+    # differentiable core: fast unchunked primal; the hand-transposed
+    # fused adjoint under jax.grad (atom padding happens per-path)
+    outr, outi = _mt_core(K, kshift, interpret, has_b1, coef, pk)
+    return jnp.stack([outr, outi], -1)              # (nTR, nA, 2)
 
 
 def epgx_mt_spgr_pallas(flips, phis=None, *, T1a, T2a, T1b, kab, kba,
@@ -835,7 +824,9 @@ def epgx_mt_spgr_pallas(flips, phis=None, *, T1a, T2a, T1b, kab, kba,
     bound-pool lineshape ``G(Δ, T2b)``) multiplies the shared ``wt``
     train — the effective saturation equals the XLA path's batched
     ``wt[None] * wscale[:, None]``. ``b1`` as in
-    :func:`epg_spgr_pallas`. Returns `(nAtoms, nTR, 2)`; forward-only.
+    :func:`epg_spgr_pallas`. Returns `(nAtoms, nTR, 2)`.
+    Differentiable: ``jax.grad`` runs the in-kernel hand-transposed
+    MT adjoint (``_mt_bwd_kernel``).
     """
     if interpret is None:
         from mrphy_tpu.ops.pallas_kernels import _on_tpu
@@ -2522,3 +2513,363 @@ def _xcpmg_core_bwd(K, interpret, has_b1, res, g):
 
 
 _xcpmg_core.defvjp(_xcpmg_core_fwd, _xcpmg_core_bwd)
+
+
+# ==========================================================================
+# In-kernel EPG-X(MT) adjoint (round 3): volume qMT fitting. Pool a is
+# the SPGR algebra verbatim; the bound pool carries only Z, saturated
+# per TR by exp(-wt_t * wscale_atom) — a rank-1 factor whose transpose
+# feeds both the per-TR wt row and the per-atom wscale gradient.
+# ==========================================================================
+
+def _mt_pk(pk_ref):
+    return tuple(pk_ref[k:k + 1, :] for k in range(11))
+
+
+def _mt_relax(mk, masks, s):
+    r"""F decay (E2a) + Z-pair exchange + recovery (kept in sync with
+    ``_mt_kernel``)."""
+    Z00, Z01, Z10, Z11, ra, rb, E2a = mk[:7]
+    is0 = masks[0]
+    Fpr, Fpi, Fmr, Fmi, Zr, Zi, Zbr, Zbi = s
+    Fpr, Fpi = E2a * Fpr, E2a * Fpi
+    Fmr, Fmi = E2a * Fmr, E2a * Fmi
+    Z2r = Z00 * Zr + Z01 * Zbr
+    Z2i = Z00 * Zi + Z01 * Zbi
+    Zb2r = Z10 * Zr + Z11 * Zbr
+    Zb2i = Z10 * Zi + Z11 * Zbi
+    Z2r = jnp.where(is0, Z2r + ra, Z2r)
+    Zb2r = jnp.where(is0, Zb2r + rb, Zb2r)
+    return Fpr, Fpi, Fmr, Fmi, Z2r, Z2i, Zb2r, Zb2i
+
+
+def _mt_relax_T(mk, masks, h, x, acc):
+    r"""Transpose of :func:`_mt_relax` at input ``x``; accumulates
+    [dZ00, dZ01, dZ10, dZ11, dra, drb, dE2a] into ``acc[:7]``."""
+    Z00, Z01, Z10, Z11, ra, rb, E2a = mk[:7]
+    hFpr, hFpi, hFmr, hFmi, hZr, hZi, hZbr, hZbi = h
+    Fpr, Fpi, Fmr, Fmi, Zr, Zi, Zbr, Zbi = x
+    acc[0] = acc[0] + _ksum1(hZr * Zr + hZi * Zi)
+    acc[1] = acc[1] + _ksum1(hZr * Zbr + hZi * Zbi)
+    acc[2] = acc[2] + _ksum1(hZbr * Zr + hZbi * Zi)
+    acc[3] = acc[3] + _ksum1(hZbr * Zbr + hZbi * Zbi)
+    acc[4] = acc[4] + hZr[0:1, :]
+    acc[5] = acc[5] + hZbr[0:1, :]
+    acc[6] = acc[6] + _ksum1(hFpr * Fpr + hFpi * Fpi
+                             + hFmr * Fmr + hFmi * Fmi)
+    return (E2a * hFpr, E2a * hFpi, E2a * hFmr, E2a * hFmi,
+            Z00 * hZr + Z10 * hZbr, Z00 * hZi + Z10 * hZbi,
+            Z01 * hZr + Z11 * hZbr, Z01 * hZi + Z11 * hZbi), acc
+
+
+def _mt_fwd_chk_kernel(K: int, tc: int, ntc: int, kshift: int,
+                       has_b1: bool, coef_ref, pk_ref, outr_ref,
+                       outi_ref, chk_ref, s_scr):
+    r"""Chunked EPG-X(MT) forward for the VJP path (echo math matches
+    ``_mt_kernel``)."""
+    TA = pk_ref.shape[1]
+    mk = _mt_pk(pk_ref)
+    M0a, M0b = mk[7], mk[8]
+    b1, wsc = mk[9], mk[10]
+    row = jax.lax.broadcasted_iota(jnp.int32, (K, TA), 0)
+    masks = (row == 0, row == K - 1,
+             jnp.zeros((K, TA), outr_ref.dtype))
+    is0, _, zero = masks
+    j = pl.program_id(1)
+    t0 = j * tc
+
+    @pl.when(j == 0)
+    def _():
+        init = (zero, zero, zero, zero,
+                jnp.where(is0, M0a, zero), zero,
+                jnp.where(is0, M0b, zero), zero)
+        for p, v in enumerate(init):
+            s_scr[p] = v
+
+    s = tuple(s_scr[p] for p in range(8))
+    for p in range(8):
+        chk_ref[0, p] = s[p]
+
+    def step(t, s):
+        tg = _xspgr_trig(coef_ref, t, b1, has_b1)
+        sa6 = _spgr_mix(tg, s[:6])
+        sat = jnp.exp(-coef_ref[9, t] * wsc)
+        s1 = sa6 + (sat * s[6], sat * s[7])
+        c1, s1c = tg[4], tg[5]
+        outr_ref[pl.ds(t, 1), :] = (c1 * s1[0][0:1, :]
+                                    + s1c * s1[1][0:1, :])
+        outi_ref[pl.ds(t, 1), :] = (c1 * s1[1][0:1, :]
+                                    - s1c * s1[0][0:1, :])
+        s2 = _mt_relax(mk, masks, s1)
+        return _spgr_shift_like(kshift, masks, s2[:6]) + s2[6:]
+
+    u = math.gcd(tc, _UNROLL)
+
+    def body(k, s):
+        for jj in range(u):
+            s = step(t0 + k * u + jj, s)
+        return s
+
+    s = jax.lax.fori_loop(0, tc // u, body, s)
+    for p in range(8):
+        s_scr[p] = s[p]
+
+
+def _mt_bwd_kernel(K: int, tc: int, ntc: int, kshift: int,
+                   has_b1: bool, coef_ref, pk_ref, chk_ref, gr_ref,
+                   gi_ref, dpar_ref, dcf_ref, s_scr, h_scr, acc_scr):
+    r"""Two-phase chunk adjoint for the EPG-X(MT) train. ``dpar`` rows
+    map 1:1 onto the pk rows [Z00..Z11, ra, rb, E2a, M0a, M0b, b1,
+    wscale]; ``dcf`` `(tc, 10, TA)` lane-partials (coef rows incl. the
+    per-TR saturation ``wt``)."""
+    TA = pk_ref.shape[1]
+    mk = _mt_pk(pk_ref)
+    b1, wsc = mk[9], mk[10]
+    row = jax.lax.broadcasted_iota(jnp.int32, (K, TA), 0)
+    masks = (row == 0, row == K - 1,
+             jnp.zeros((K, TA), gr_ref.dtype))
+    is0 = masks[0]
+    j = pl.program_id(1)
+    t0 = (ntc - 1 - j) * tc
+    N_ACC = 9                    # 7 relax entries + db1 + dwscale
+
+    @pl.when(j == 0)
+    def _():
+        z1 = jnp.zeros((1, TA), gr_ref.dtype)
+        for a in range(N_ACC):
+            acc_scr[a] = z1
+        for p in range(8):
+            h_scr[p] = masks[2]
+
+    def fstep(t, s):
+        tg = _xspgr_trig(coef_ref, t, b1, has_b1)
+        sat = jnp.exp(-coef_ref[9, t] * wsc)
+        s1 = _spgr_mix(tg, s[:6]) + (sat * s[6], sat * s[7])
+        s2 = _mt_relax(mk, masks, s1)
+        return _spgr_shift_like(kshift, masks, s2[:6]) + s2[6:]
+
+    u = math.gcd(tc, _UNROLL)
+
+    def fbody(k, s):
+        for jj in range(u):
+            tl = k * u + jj
+            for p in range(8):
+                s_scr[tl, p] = s[p]
+            s = fstep(t0 + tl, s)
+        return s
+
+    jax.lax.fori_loop(0, tc // u, fbody,
+                      tuple(chk_ref[0, p] for p in range(8)))
+
+    def bstep(t, tl, carry):
+        h = carry[:8]
+        acc = list(carry[8:])
+        s = tuple(s_scr[tl, p] for p in range(8))
+        tg = _xspgr_trig(coef_ref, t, b1, has_b1)
+        sat = jnp.exp(-coef_ref[9, t] * wsc)
+        s1 = _spgr_mix(tg, s[:6]) + (sat * s[6], sat * s[7])
+
+        # shift transpose (pool-a F only)
+        for _ in range(abs(kshift)):
+            h = _spgr_shift_T(kshift, masks, h[:6]) + h[6:]
+        # relax-exchange transpose (+ entry grads)
+        h, acc7 = _mt_relax_T(mk, masks, h, s1, acc[:7])
+        acc = acc7 + acc[7:]
+
+        # echo inject (demodulated pool-a F+(0) of s1)
+        c1, s1c = tg[4], tg[5]
+        gyr, gyi = gr_ref[pl.ds(t, 1), :], gi_ref[pl.ds(t, 1), :]
+        er = c1 * gyr - s1c * gyi
+        ei = s1c * gyr + c1 * gyi
+        h = (jnp.where(is0, h[0] + er, h[0]),
+             jnp.where(is0, h[1] + ei, h[1])) + h[2:]
+        fp0r, fp0i = s1[0][0:1, :], s1[1][0:1, :]
+        d_c1e = gyr * fp0r + gyi * fp0i
+        d_s1e = gyr * fp0i - gyi * fp0r
+
+        # saturation transpose (pool-b Z): Zb1 = sat * Zb
+        dsat = _ksum1(h[6] * s[6] + h[7] * s[7])
+        d_wt_row = -wsc * sat * dsat
+        acc[8] = acc[8] + (-coef_ref[9, t]) * sat * dsat
+        h = h[:6] + (sat * h[6], sat * h[7])
+
+        # pool-a RF transpose + coefficient grads (SPGR algebra)
+        ca2, sa2, sa, ca, c1, s1c, c2, s2 = tg
+        h1Fpr, h1Fpi, h1Fmr, h1Fmi, h1Zr, h1Zi = h[:6]
+        Fpr, Fpi, Fmr, Fmi, Zr, Zi = s[:6]
+        d_ca2 = _ksum1(h1Fpr * Fpr + h1Fpi * Fpi
+                       + h1Fmr * Fmr + h1Fmi * Fmi)
+        d_sc2 = _ksum1(h1Fpr * Fmr + h1Fpi * Fmi
+                       + h1Fmr * Fpr + h1Fmi * Fpi)
+        d_ss2 = _ksum1(-h1Fpr * Fmi + h1Fpi * Fmr
+                       + h1Fmr * Fpi - h1Fmi * Fpr)
+        d_ss = _ksum1((h1Fpr + h1Fmr) * Zr + (h1Fpi + h1Fmi) * Zi)
+        d_sc = _ksum1((h1Fpr - h1Fmr) * Zi - (h1Fpi - h1Fmi) * Zr)
+        d_hs = _ksum1(-h1Zr * (Fpr + Fmr) - h1Zi * (Fpi + Fmi))
+        d_hc = _ksum1(h1Zr * (Fpi - Fmi) + h1Zi * (Fmr - Fpr))
+        d_ca = _ksum1(h1Zr * Zr + h1Zi * Zi)
+        d_sa2 = c2 * d_sc2 + s2 * d_ss2
+        d_c2 = sa2 * d_sc2
+        d_s2 = sa2 * d_ss2
+        d_sa = s1c * (d_ss + 0.5 * d_hs) + c1 * (d_sc + 0.5 * d_hc)
+        d_s1 = sa * (d_ss + 0.5 * d_hs) + d_s1e
+        d_c1 = sa * (d_sc + 0.5 * d_hc) + d_c1e
+
+        # per-TR coefficient grads, fully reduced to SMEM scalars:
+        # the lane-partial convention would cost nA*nT*10*4 bytes of
+        # HBM (6 GB at 1M voxels x 150 TR) and gate volume qMT
+        # fitting out; the extra in-kernel lane reductions are ~10
+        # ops/TR
+        zs = jnp.zeros((), gr_ref.dtype)
+        if has_b1:
+            d_al = (0.5 * sa * (d_sa2 - d_ca2) + ca * d_sa
+                    - sa * d_ca)
+            acc[7] = acc[7] + d_al * coef_ref[8, t]
+            rows = (zs, zs, zs, zs, jnp.sum(d_c1), jnp.sum(d_s1),
+                    jnp.sum(d_c2), jnp.sum(d_s2),
+                    jnp.sum(d_al * b1), jnp.sum(d_wt_row))
+        else:
+            rows = (jnp.sum(d_ca2), jnp.sum(d_sa2), jnp.sum(d_sa),
+                    jnp.sum(d_ca), jnp.sum(d_c1), jnp.sum(d_s1),
+                    jnp.sum(d_c2), jnp.sum(d_s2), zs,
+                    jnp.sum(d_wt_row))
+        for c in range(10):
+            dcf_ref[0, tl, c] = rows[c]
+
+        h = _spgr_mix_T(tg, h[:6]) + h[6:]
+        return h + tuple(acc)
+
+    def bbody(k, carry):
+        for jj in range(u):
+            tl = tc - 1 - (k * u + jj)
+            carry = bstep(t0 + tl, tl, carry)
+        return carry
+
+    carry = jax.lax.fori_loop(
+        0, tc // u, bbody,
+        tuple(h_scr[p] for p in range(8))
+        + tuple(acc_scr[a] for a in range(N_ACC)))
+    for p in range(8):
+        h_scr[p] = carry[p]
+    for a in range(N_ACC):
+        acc_scr[a] = carry[8 + a]
+
+    @pl.when(j == ntc - 1)
+    def _():
+        acc = carry[8:]
+        for a in range(7):
+            dpar_ref[pl.ds(a, 1), :] = acc[a]
+        dpar_ref[pl.ds(7, 1), :] = carry[4][0:1, :]    # dM0a (Z init)
+        dpar_ref[pl.ds(8, 1), :] = carry[6][0:1, :]    # dM0b (Zb init)
+        dpar_ref[pl.ds(9, 1), :] = acc[7]              # db1
+        dpar_ref[pl.ds(10, 1), :] = acc[8]             # dwscale
+
+
+def _pick_tc_mt(nT: int, K: int) -> int:
+    from mrphy_tpu.utils._shapes import largest_divisor_leq_pref
+    bound = max(1, (14 << 20) // (8 * K * _BWD_TILE * 4))
+    if nT <= bound:
+        return nT
+    return largest_divisor_leq_pref(nT, bound, _UNROLL)
+
+
+def mt_bwd_is_available(*, nTR: int, K: int, nA: int) -> bool:
+    tc = _pick_tc_mt(nTR, K)
+    if nTR % tc:
+        return False
+    ntc = nTR // tc
+    scr = tc * 8 * K * _BWD_TILE * 4
+    ntiles = -(-nA // _BWD_TILE)
+    chk = ntc * 8 * K * ntiles * _BWD_TILE * 4
+    # dcf is SMEM-scalar-reduced in-kernel: ntiles*nTR*10*4 bytes of
+    # HBM — never gates (47 MB even at 1M voxels x 150 TR)
+    return scr <= 20 * 1024 * 1024 and chk <= 2 * 1024 ** 3
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
+def _mt_core(K, kshift, interpret, has_b1, coef, pk):
+    nTR = coef.shape[1]
+    nA = pk.shape[1]
+    tile = min(512, -(-nA // _LANE) * _LANE)
+    coefp, pkp, nAp = _xspgr_pad(coef, pk, tile)
+    out = pl.BlockSpec((nTR, tile), lambda i: (0, i))
+    outr, outi = pl.pallas_call(
+        functools.partial(_mt_kernel, K, nTR, kshift, has_b1),
+        grid=(nAp // tile,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((11, tile), lambda i: (0, i))],
+        out_specs=[out, out],
+        out_shape=[jax.ShapeDtypeStruct((nTR, nAp), jnp.float32)] * 2,
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(coefp, pkp)
+    return outr[:, :nA], outi[:, :nA]
+
+
+def _mt_core_fwd(K, kshift, interpret, has_b1, coef, pk):
+    nTR = coef.shape[1]
+    nA = pk.shape[1]
+    tile = _BWD_TILE
+    coefp, pkp, nAp = _xspgr_pad(coef, pk, tile)
+    tc = _pick_tc_mt(nTR, K)
+    ntc = nTR // tc
+    out = pl.BlockSpec((nTR, tile), lambda i, j: (0, i))
+    chk = pl.BlockSpec((1, 8, K, tile), lambda i, j: (j, 0, 0, i))
+    outr, outi, chka = pl.pallas_call(
+        functools.partial(_mt_fwd_chk_kernel, K, tc, ntc, kshift,
+                          has_b1),
+        grid=(nAp // tile, ntc),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((11, tile), lambda i, j: (0, i))],
+        out_specs=[out, out, chk],
+        out_shape=[jax.ShapeDtypeStruct((nTR, nAp), jnp.float32)] * 2
+        + [jax.ShapeDtypeStruct((ntc, 8, K, nAp), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((8, K, tile), jnp.float32)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(coefp, pkp)
+    return (outr[:, :nA], outi[:, :nA]), (coef, pk, chka)
+
+
+def _mt_core_bwd(K, kshift, interpret, has_b1, res, g):
+    coef, pk, chka = res
+    gr, gi = g
+    nTR = coef.shape[1]
+    nA = pk.shape[1]
+    tile = _BWD_TILE
+    coefp, pkp, nAp = _xspgr_pad(coef, pk, tile)
+    grp = jnp.pad(gr, [(0, 0), (0, nAp - nA)]).astype(jnp.float32)
+    gip = jnp.pad(gi, [(0, 0), (0, nAp - nA)]).astype(jnp.float32)
+    tc = _pick_tc_mt(nTR, K)
+    ntc = nTR // tc
+    ntiles = nAp // tile
+    gsp = pl.BlockSpec((nTR, tile), lambda i, j: (0, i))
+    chk = pl.BlockSpec((1, 8, K, tile),
+                       lambda i, j: (ntc - 1 - j, 0, 0, i))
+    dpar, dcf = pl.pallas_call(
+        functools.partial(_mt_bwd_kernel, K, tc, ntc, kshift, has_b1),
+        grid=(ntiles, ntc),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
+                  pl.BlockSpec((11, tile), lambda i, j: (0, i)),
+                  chk, gsp, gsp],
+        out_specs=[pl.BlockSpec((11, tile), lambda i, j: (0, i)),
+                   pl.BlockSpec((1, tc, 10),
+                                lambda i, j: (i, ntc - 1 - j, 0),
+                                memory_space=pltpu.SMEM)],
+        out_shape=[jax.ShapeDtypeStruct((11, nAp), jnp.float32),
+                   jax.ShapeDtypeStruct((ntiles, nTR, 10),
+                                        jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((tc, 8, K, tile), jnp.float32),
+                        pltpu.VMEM((8, K, tile), jnp.float32),
+                        pltpu.VMEM((9, 1, tile), jnp.float32)],
+        compiler_params=None if interpret else pltpu.CompilerParams(
+            vmem_limit_bytes=_VMEM_LIMIT),
+        interpret=interpret,
+    )(coefp, pkp, chka, grp, gip)
+    dcoef = jnp.sum(dcf, axis=0).T                   # (10, nTR)
+    return dcoef, dpar[:, :nA]
+
+
+_mt_core.defvjp(_mt_core_fwd, _mt_core_bwd)

@@ -695,3 +695,26 @@ class TestFusedEpgxAdjoints:
                      jnp.asarray(0.15, F), b1),
                     ('flips', 'T1a', 'T2a', 'kab', 'esp', 'M0b',
                      'b1'), 2e-5)
+
+    def test_mt_spgr(self):
+        import jax.numpy as jnp
+        from mrphy_tpu.ops import epg, epg_pallas
+        ntr, nA = 24, 5
+        assert epg_pallas.mt_bwd_is_available(nTR=ntr, K=12, nA=nA)
+        flips, T1a, T2a, kab, b1, w = self._mk(ntr, nA, seed=5)
+        rng = np.random.default_rng(6)
+        F = jnp.float64
+        wt = jnp.asarray(rng.uniform(0.0, 30.0, ntr), F)
+
+        def loss(be, fl, t1a, t2a, k_, wt_, m0b, b_):
+            s = epg.epgx_mt_spgr(fl, None, T1a=t1a, T2a=t2a, T1b=1.0,
+                                 kab=k_, kba=20.0, tr=0.03, wt=wt_,
+                                 M0a=1.0, M0b=m0b, K=12, b1=b_,
+                                 backend=be)
+            return jnp.sum(w * s)
+
+        self._grads(loss,
+                    (flips, T1a, T2a, kab, wt, jnp.asarray(0.15, F),
+                     b1),
+                    ('flips', 'T1a', 'T2a', 'kab', 'wt', 'M0b', 'b1'),
+                    2e-5)
