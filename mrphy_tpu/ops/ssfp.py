@@ -112,9 +112,11 @@ def bssfp_train(flips, *, T1, T2, tr, df=0.0, te=None, phis=None,
     (:func:`mrphy_tpu.ops.ssfp_pallas.bssfp_train_pallas` — the
     magnetization stays in registers across the whole train, echoes
     stream out). Dictionary workload only: shared 1-D trains, 1-D atom
-    batch, equilibrium start; differentiable via the recompute-through-
-    XLA VJP (``ops/_diffwrap.py`` — gradients are the XLA backend's).
-    Scalar AND variable `(nTR,)` ``tr``/``te`` trains are supported.
+    batch, equilibrium start; ``jax.grad`` runs the in-kernel
+    hand-transposed adjoint (``ssfp_pallas._bssfp_bwd_kernel``) —
+    volume-scale direct bSSFP fitting and sequence design at kernel
+    speed. Scalar AND variable `(nTR,)` ``tr``/``te`` trains are
+    supported (the adjoint also yields d/d(tr, te) per TR there).
     """
     if mesh is not None:        # composes with backend='pallas': each
         # device runs the fused kernel on its voxel shard
@@ -125,26 +127,13 @@ def bssfp_train(flips, *, T1, T2, tr, df=0.0, te=None, phis=None,
     if backend == 'pallas':
         assert Minit is None, 'pallas backend starts from equilibrium'
         from mrphy_tpu.ops.ssfp_pallas import bssfp_train_pallas
-        from mrphy_tpu.ops._diffwrap import pallas_with_xla_vjp
-        if phis is not None:
-            return pallas_with_xla_vjp(
-                lambda fl, ph, t1, t2, trv, dfv, tev, m0, b:
-                    bssfp_train_pallas(fl, phis=ph, T1=t1, T2=t2,
-                                       tr=trv, df=dfv, te=tev, M0=m0,
-                                       b1=b),
-                lambda fl, ph, t1, t2, trv, dfv, tev, m0, b:
-                    bssfp_train(fl, T1=t1, T2=t2, tr=trv, df=dfv,
-                                te=tev, phis=ph, M0=m0, b1=b,
-                                backend='xla'),
-                flips, phis, T1, T2, tr, df, te, M0, b1)
-        return pallas_with_xla_vjp(
-            lambda fl, t1, t2, trv, dfv, tev, m0, b:
-                bssfp_train_pallas(fl, dphi=dphi, T1=t1, T2=t2, tr=trv,
-                                   df=dfv, te=tev, M0=m0, b1=b),
-            lambda fl, t1, t2, trv, dfv, tev, m0, b:
-                bssfp_train(fl, T1=t1, T2=t2, tr=trv, df=dfv, te=tev,
-                            dphi=dphi, M0=m0, b1=b, backend='xla'),
-            flips, T1, T2, tr, df, te, M0, b1)
+        # natively differentiable: the in-kernel hand-transposed bSSFP
+        # adjoint (round 4, ``ssfp_pallas._bssfp_bwd_kernel``) — volume
+        # direct-fit / sequence-design gradients at kernel speed (the
+        # recompute-through-XLA reverse held O(nTR·nV) scan residuals)
+        pkw = {'phis': phis} if phis is not None else {'dphi': dphi}
+        return bssfp_train_pallas(flips, T1=T1, T2=T2, tr=tr, df=df,
+                                  te=te, M0=M0, b1=b1, **pkw)
     assert backend == 'xla', backend
     if b1 is not None:          # per-voxel transmit scale (B1+ dim)
         flips = jnp.asarray(b1)[..., None] * jnp.asarray(flips)

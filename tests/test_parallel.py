@@ -404,11 +404,23 @@ class TestParallel:
         assert dt1 > 0 and dt2 > 0
 
 
-def test_enable_persistent_cache(tmp_path):
+def test_enable_persistent_cache(tmp_path, monkeypatch):
     r"""Smoke: sets the compilation-cache config (behavior is exercised
-    on real hardware; here we only verify the knobs are applied)."""
+    on real hardware; here we only verify the knobs are applied). The
+    suite's conftest sets ``MRPHY_NO_PERSISTENT_CACHE`` (the function
+    must then be a no-op — torn entries from a crashed writer abort
+    cache reads); lift it to check the knobs, then restore."""
     import jax
     from mrphy_tpu.utils.timing import enable_persistent_cache
     d = str(tmp_path / 'jc')
-    enable_persistent_cache(d)
-    assert jax.config.jax_compilation_cache_dir == d
+    enable_persistent_cache(d)               # gated: must be a no-op
+    assert jax.config.jax_compilation_cache_dir is None
+    monkeypatch.delenv('MRPHY_NO_PERSISTENT_CACHE', raising=False)
+    try:
+        enable_persistent_cache(d)
+        got = jax.config.jax_compilation_cache_dir
+        # host-fingerprint suffix: another machine's XLA:CPU AOT
+        # entries SIGILL on load, so the dir is per-CPU-flags
+        assert got is not None and got.startswith(d + '-')
+    finally:
+        jax.config.update('jax_compilation_cache_dir', None)
