@@ -226,15 +226,23 @@ class Pulse(_SlotStateMixin):
     def interpT(self, dt, *, kind: str = 'linear') -> 'Pulse':
         r"""Temporal resampling to a new dwell time (multi-scale design).
 
-        On-device ``jnp.interp`` replaces the reference's host-SciPy
+        On-device resampling replaces the reference's host-SciPy
         round-trip (``mobjs.py:177-220``, the one device→host boundary in
-        the reference). ``dt`` must be scalar/concrete on both sides (the
-        output length is shape-determining, hence not jittable).
+        the reference) for EVERY kind: 'linear' via ``jnp.interp``;
+        'cubic'/'nearest'/'nearest-up'/'previous'/'next'/'zero' via a
+        precomputed `(nNew, nOld)` interpolation matrix applied as one
+        HIGHEST-precision matmul (:mod:`mrphy_tpu.utils.interp` — grids
+        are static, so the not-a-knot spline solve folds into the
+        matrix on the host; exotic kinds probe SciPy column-wise at
+        build time only). Unlike the reference's host path, the
+        resample stays differentiable w.r.t. ``rf``/``gr``. ``dt`` must
+        be scalar/concrete on both sides (the output length is
+        shape-determining, hence not jittable).
 
         Inputs:
             - ``dt``: `()` ⊻ `(1,)`, "Sec", new dwell time.
-            - ``kind``: 'linear' (native). Other SciPy kinds are supported
-              on host if SciPy is installed.
+            - ``kind``: any SciPy ``interp1d`` kind (default 'linear',
+              matching the reference's default).
         """
         # compare both dwell times in the pulse dtype (the stored dt is
         # e.g. float32; comparing it to a float64 argument would miss the
@@ -268,10 +276,11 @@ class Pulse(_SlotStateMixin):
                     out.reshape(xm.shape[:-1] + (len(t_n),)), -1, 2)
             rf_n, gr_n = interp_time(rf0), interp_time(gr0)
         else:
-            from scipy import interpolate  # host fallback for other kinds
-            kw = dict(axis=2, kind=kind, copy=False, assume_sorted=True)
-            rf_n = interpolate.interp1d(t_o, np.asarray(rf0), **kw)(t_n)
-            gr_n = interpolate.interp1d(t_o, np.asarray(gr0), **kw)(t_n)
+            from mrphy_tpu.utils.interp import (interp_matrix,
+                                                interp1d_apply)
+            C = interp_matrix(t_o, t_n, kind)
+            rf_n = interp1d_apply(C, rf0, axis=2)
+            gr_n = interp1d_apply(C, gr0, axis=2)
 
         desc = f'{self.desc} + interpT\'ed: dt = {dt_n}'
         return Pulse(_asarr(rf_n, self.dtype), _asarr(gr_n, self.dtype),

@@ -12,6 +12,7 @@ from mrphy_tpu.utils.rf import (rf_c2r, rf_r2c, rf2trho_theta,
                                 lrho_theta2rf, rfclamp)
 from mrphy_tpu.utils.slew import s2ts, ts2s, sclamp
 from mrphy_tpu.utils.rotation import uphirot
+from mrphy_tpu.utils.interp import interp_matrix, interp1d_apply
 from mrphy_tpu.utils import timing  # noqa: F401  (timing/profiling harness)
 from mrphy_tpu.utils.pulseq import pulse_to_seq, seq_to_pulse
 from mrphy_tpu.utils.girf import apply_girf, exp_decay_girf
@@ -49,7 +50,8 @@ lρθ2rf = lrho_theta2rf   # /root/reference/mrphy/utils.py:114
 __all__ = ['ctrsub', 'g2k', 'g2s', 'k2g', 'rf_c2r', 'rf_r2c',
            'rf2trho_theta', 'trho_theta2rf', 'rf2lrho_theta',
            'lrho_theta2rf', 'rfclamp', 's2g', 's2ts', 'sclamp', 'ts2s',
-           'uphirot', 'pulse_to_seq', 'seq_to_pulse',
+           'uphirot', 'interp_matrix', 'interp1d_apply',
+           'pulse_to_seq', 'seq_to_pulse',
            'apply_girf', 'exp_decay_girf', 'sar_vops', 'vop_compress',
            'spiral2d', 'epi', 'radial', 'radial3d', 'rosette',
            'trapezoid', 'rewinder', 'mintime_gradient', 'traj_check',

@@ -147,6 +147,41 @@ class TestMobjs:
         p_same = p_old.interpT(dt=jnp.asarray(dt0, DTYPE))
         np.testing.assert_allclose(p_same.rf, p_old.rf, atol=0)
 
+    def test_pulse_interpT_cubic_on_device(self):
+        r"""Non-linear ``interpT`` kinds run on-device (round 4:
+        :mod:`mrphy_tpu.utils.interp` matrix path) and match the
+        host-SciPy result the reference would produce — and, unlike
+        the host round-trip, stay differentiable w.r.t. the
+        waveform."""
+        from scipy import interpolate
+        rng = np.random.default_rng(3)
+        nT = 40
+        rf = jnp.asarray(rng.standard_normal((1, 2, nT)), DTYPE)
+        gr = jnp.asarray(rng.standard_normal((1, 3, nT)), DTYPE)
+        p_old = mobjs.Pulse(rf=rf, gr=gr, dt=dt0, dtype=DTYPE)
+        dt_n = jnp.asarray(dt0 * 2.5, DTYPE)
+        for kind in ('cubic', 'nearest', 'previous'):
+            p_new = p_old.interpT(dt=dt_n, kind=kind)
+            # reproduce the reference-style host path (zero-prepended)
+            rf0 = np.concatenate([np.zeros((1, 2, 1)),
+                                  np.asarray(rf, np.float64)], 2)
+            t_o = np.arange(nT + 1) * float(np.asarray(p_old.dt))
+            t_n = np.arange(1, int(np.floor(
+                t_o[-1] / float(dt_n) + 1e-9)) + 1) * float(dt_n)
+            want = interpolate.interp1d(t_o, rf0, axis=2,
+                                        kind=kind)(t_n)
+            np.testing.assert_allclose(np.asarray(p_new.rf), want,
+                                       atol=2e-6, err_msg=kind)
+
+        def loss(rfv):
+            pn = mobjs.Pulse(rf=rfv, gr=gr, dt=dt0,
+                             dtype=DTYPE).interpT(dt=dt_n, kind='cubic')
+            return jnp.sum(pn.rf ** 2)
+
+        g = jax.grad(loss)(rf)
+        assert np.all(np.isfinite(np.asarray(g)))
+        assert float(jnp.linalg.norm(g)) > 0
+
     def test_readonly_and_validation(self):
         cube, p = _setup([[1.]], [[4e-2]], self.gam)
         with pytest.raises(AttributeError):

@@ -201,3 +201,70 @@ class TestShim:
         assert c.shape == (2, 9)
         assert float(jnp.abs(c - c_true).max()) < 1e-9
         assert float(jnp.abs(res).max()) < 1e-8
+
+
+class TestInterpMatrix:
+    r"""On-device resampling matrices (``utils/interp.py``, round 4):
+    every kind pinned against ``scipy.interpolate.interp1d`` on the
+    same grids — the matrix IS the interpolation operator, so f64
+    agreement is at solver precision."""
+
+    def _grids(self, seed=0, n=23, m=41, uniform=False):
+        rng = np.random.default_rng(seed)
+        if uniform:
+            t_o = np.arange(n) * 4e-6
+        else:
+            t_o = np.cumsum(rng.uniform(0.5, 1.5, n))
+        t_n = np.sort(rng.uniform(t_o[0], t_o[-1], m))
+        y = rng.standard_normal((3, n))
+        return t_o, t_n, y
+
+    def test_all_kinds_vs_scipy(self):
+        from scipy import interpolate
+        from mrphy_tpu.utils.interp import interp_matrix
+        for uniform in (False, True):
+            t_o, t_n, y = self._grids(uniform=uniform)
+            for kind in ('linear', 'cubic', 'nearest', 'nearest-up',
+                         'previous', 'next', 'zero', 'quadratic',
+                         'slinear'):
+                C = interp_matrix(t_o, t_n, kind)
+                got = y @ C.T
+                want = interpolate.interp1d(
+                    t_o, y, axis=-1, kind=kind)(t_n)
+                np.testing.assert_allclose(
+                    got, want, atol=1e-11,
+                    err_msg=f'{kind} uniform={uniform}')
+
+    def test_exact_at_samples(self):
+        # querying the knots reproduces the data exactly (cubic spline
+        # interpolates): C restricted to t_o is the identity
+        from mrphy_tpu.utils.interp import interp_matrix
+        t_o, _, y = self._grids(seed=1)
+        C = interp_matrix(t_o, t_o, 'cubic')
+        np.testing.assert_allclose(y @ C.T, y, atol=1e-11)
+
+    def test_apply_on_device_and_grads(self):
+        import jax
+        import jax.numpy as jnp
+        from mrphy_tpu.utils.interp import interp_matrix, interp1d_apply
+        t_o, t_n, y = self._grids(seed=2)
+        C = interp_matrix(t_o, t_n, 'cubic')
+        yj = jnp.asarray(y)
+        out = interp1d_apply(C, yj, axis=-1)
+        np.testing.assert_allclose(np.asarray(out), y @ C.T, rtol=1e-12)
+        g = jax.grad(lambda v: float(0) + jnp.sum(
+            interp1d_apply(C, v, axis=-1) ** 2))(yj)
+        assert np.all(np.isfinite(np.asarray(g)))
+        # the adjoint of the matrix apply is the transposed matmul
+        np.testing.assert_allclose(np.asarray(g), 2 * (y @ C.T) @ C,
+                                   rtol=1e-10)
+
+    def test_guards(self):
+        from mrphy_tpu.utils.interp import interp_matrix
+        t_o, t_n, _ = self._grids()
+        with pytest.raises(AssertionError):
+            interp_matrix(t_o[::-1], t_n, 'cubic')     # not increasing
+        with pytest.raises(AssertionError):
+            interp_matrix(t_o, t_n + t_o[-1], 'cubic')  # extrapolation
+        with pytest.raises(AssertionError):
+            interp_matrix(t_o[:3], t_o[:3], 'cubic')   # n < 4
