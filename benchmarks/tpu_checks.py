@@ -564,6 +564,45 @@ def _bssfp_kernel_parity(interpret: bool):
             f'{rel_v:.1e} (tol 2e-4), {nA} atoms x {nTR} TR')
 
 
+def _bssfp_adjoint_parity(interpret: bool):
+    r"""Round 4: the in-kernel hand-transposed bSSFP adjoint
+    (ssfp_pallas._bssfp_bwd_kernel) vs the XLA backend's autodiff —
+    the last train family off the recompute-through-XLA VJP. Pins the
+    three-stage transpose (remainder/TE/RF), the variable-TR in-kernel
+    factor chains (d/d om, R1, R2, te, rem), and the per-atom B1 flip
+    chain on compiled Mosaic."""
+    from mrphy_tpu.ops import ssfp
+    from mrphy_tpu.ops.ssfp_pallas import bssfp_bwd_is_available
+    rng = np.random.default_rng(37)
+    ntr, nA = 200, 1024
+    assert bssfp_bwd_is_available(nTR=ntr, nA=nA)
+    flips = jnp.asarray(rng.uniform(0.1, 1.2, ntr), DT32)
+    trs = jnp.asarray(rng.uniform(4e-3, 8e-3, ntr), DT32)
+    T1 = jnp.asarray(rng.uniform(0.3, 3.0, nA), DT32)
+    T2 = jnp.asarray(rng.uniform(0.02, 0.3, nA), DT32)
+    df = jnp.asarray(rng.uniform(-120, 120, nA), DT32)
+    b1 = jnp.asarray(rng.uniform(0.7, 1.3, nA), DT32)
+    w = jnp.asarray(rng.standard_normal((nA, ntr, 2)), DT32)
+
+    def loss(be, fl, trv, t1, t2, dfv, b):
+        return jnp.sum(w * ssfp.bssfp_train(fl, T1=t1, T2=t2, tr=trv,
+                                            df=dfv, b1=b, backend=be))
+
+    an = tuple(range(6))
+    gx = jax.jit(jax.grad(lambda *a: loss('xla', *a), argnums=an))(
+        flips, trs, T1, T2, df, b1)
+    gp = jax.jit(jax.grad(lambda *a: loss('pallas', *a), argnums=an))(
+        flips, trs, T1, T2, df, b1)
+    rels = {n: _rel(p, x) for n, x, p in
+            zip(('flips', 'tr', 'T1', 'T2', 'df', 'b1'), gx, gp)}
+    tol = 1e-3          # both paths f32 here
+    ok = all(r < tol for r in rels.values())
+    _record('bssfp_adjoint', ok,
+            'in-kernel adjoint vs XLA grads: ' + ', '.join(
+                f'd{n} {r:.1e}' for n, r in rels.items())
+            + f' (tol {tol:.0e})')
+
+
 def _mc_kernel_parity(interpret: bool, nM: int, nT: int):
     r"""Fused two-pool Bloch–McConnell kernel (ops/mc_pallas.py) vs the
     XLA core, f32, CEST-MRF-style per-voxel tissue/exchange maps: pins
@@ -995,6 +1034,7 @@ def main():
     _epgx_cpmg_kernel_parity(interpret=args.interpret)
     _epgx_mt_kernel_parity(interpret=args.interpret)
     _bssfp_kernel_parity(interpret=args.interpret)
+    _bssfp_adjoint_parity(interpret=args.interpret)
     _mc_kernel_parity(args.interpret, nM=nM, nT=nT)
     _field_stack()
     if not args.interpret:

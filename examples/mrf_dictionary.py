@@ -91,11 +91,22 @@ def main():
                                     backend=backend)
     else:
         atoms_df = jnp.zeros_like(atoms_T1)
+        # the canonical MRF-FISP schedule (Jiang et al. MRM 74:1621,
+        # 2015): adiabatic inversion + TI delay, variable flips AND
+        # variable TRs (smooth pseudo-random 11.5-14.5 ms) — both the
+        # prep (epg.ir_prep) and the (nTR,) tr train are first-class,
+        # differentiable inputs of epg_spgr (round 4)
+        ti = 0.018
+        trs = jnp.asarray(tr + 0.25 * tr * (
+            0.5 + 0.5 * np.sin(2 * np.pi * t / 37)
+            + 0.3 * np.sin(2 * np.pi * t / 101)), jnp.float32)
 
         def signals(T1, T2, df, backend='xla'):
-            r"""(..., nTR, 2) RF-spoiled evolutions (df-independent)."""
-            return epg.epg_spgr(flips, phis, T1=T1, T2=T2, tr=tr,
-                                te=tr / 2, backend=backend)
+            r"""(..., nTR, 2) inversion-prepped RF-spoiled evolutions
+            (df-independent)."""
+            return epg.epg_spgr(flips, phis, T1=T1, T2=T2, tr=trs,
+                                te=tr / 2, zinit=epg.ir_prep(ti, T1),
+                                backend=backend)
     nA = atoms_T1.shape[0]
 
     gen = jax.jit(signals)

@@ -29,7 +29,8 @@ import jax.numpy as jnp
 from mrphy_tpu import pi
 
 __all__ = ['epg_state', 'epg_rf', 'epg_grad', 'epg_relax',
-           'epg_diffusion', 'epg_cpmg', 'epg_spgr', 'rf_spoil_phases',
+           'epg_diffusion', 'epg_cpmg', 'epg_spgr', 'ir_prep',
+           'rf_spoil_phases',
            'epgx_state', 'epgx_rf', 'epgx_relax', 'epgx_cpmg',
            'epgx_spgr', 'mt_lineshape', 'epgx_mt_relax', 'epgx_mt_rf',
            'epgx_mt_spgr']
@@ -319,9 +320,23 @@ def rf_spoil_phases(n: int, phi0=117.0):
     return jnp.deg2rad(jnp.asarray(phi0)) * (j * (j + 1) / 2)
 
 
+def ir_prep(ti, T1, M0=1.0, inv_eff=1.0):
+    r"""Longitudinal magnetization ``TI`` seconds after an inversion:
+    ``M0·(1 − (1 + inv_eff)·exp(−TI/T1))`` — the closed-form
+    inversion-recovery prep for :func:`epg_spgr`'s ``zinit`` (the
+    canonical MRF-FISP acquisition, Jiang et al. MRM 74:1621, 2015:
+    adiabatic inversion + TI delay, then the variable-flip/TR train).
+    ``inv_eff ∈ [0, 1]`` models imperfect (e.g. B1-limited) inversion;
+    differentiable in every argument — TI/efficiency can be fitted or
+    design variables."""
+    ti = jnp.asarray(ti)
+    return jnp.asarray(M0) * (1 - (1 + jnp.asarray(inv_eff))
+                              * jnp.exp(-ti / jnp.asarray(T1)))
+
+
 def epg_spgr(flips, phis=None, *, T1, T2, tr, te=0.0, M0=1.0,
-             b1=None, kshift: int = 1, D=None, dk=0.0, K=None,
-             backend: str = 'xla'):
+             zinit=None, b1=None, kshift: int = 1, D=None, dk=0.0,
+             K=None, mesh=None, backend: str = 'xla'):
     r"""Gradient-spoiled GRE (SPGR / FISP) signal train — the MRF-style
     dictionary workhorse.
 
@@ -338,7 +353,15 @@ def epg_spgr(flips, phis=None, *, T1, T2, tr, te=0.0, M0=1.0,
     Inputs:
         - ``flips``: `(nTR,)` or `(*batch, nTR)`, "Rad".
         - ``phis``: `(nTR,)` or `(*batch, nTR)`, "Rad" (None → 0).
-        - ``T1``/``T2``: `()` ⊻ `(*batch,)`, "Sec"; ``tr``/``te``: "Sec".
+        - ``T1``/``T2``: `()` ⊻ `(*batch,)`, "Sec".
+        - ``tr``/``te``: `()` or `(nTR,)`, "Sec" — variable-TR/TE
+          trains (the canonical MRF-FISP schedule, round 4).
+        - ``zinit``: `()` ⊻ `(*batch,)` initial longitudinal
+          magnetization (None → equilibrium ``M0``). Magnetization
+          preparation: :func:`ir_prep` gives the inversion-recovery
+          value, so the Jiang-2015 MRF-FISP acquisition is
+          ``epg_spgr(flips, tr=trs, zinit=ir_prep(ti, T1))`` —
+          differentiable through the prep.
         - ``D``/``dk``: diffusion weighting by the spoiler
           (:func:`epg_diffusion` with ``δ=kshift`` per TR) —
           diffusion-weighted SSFP; "cm²/Sec" and "Rad/cm" per k-quantum.
@@ -346,14 +369,19 @@ def epg_spgr(flips, phis=None, *, T1, T2, tr, te=0.0, M0=1.0,
           ``nTR·|kshift| + 1``; RF-spoiled steady-state work is
           standard at K ≈ 32–64 — truncation error decays as
           ``E2^K``, pinned by a test).
+        - ``mesh``: optional ``(batch, spins)``
+          :class:`jax.sharding.Mesh` — voxel-sharded dispatch
+          (:func:`mrphy_tpu.parallel.mesh.epg_spgr_sharded_traceable`);
+          composes with ``backend='pallas'``. ``tr``/``te`` trains
+          replicate (shared time axes).
     Outputs:
         - ``signals``: `(*batch, nTR, 2)` real ([re, im] of the
           demodulated echo).
 
-    Differentiable w.r.t. ``flips``/``phis``/``T1``/``T2`` — MRF
-    dictionary generation and sequence optimization run by gradient
-    descent. Validated against a uniformly dephased isochromat ensemble
-    (``tests/test_epg.py``).
+    Differentiable w.r.t. ``flips``/``phis``/``T1``/``T2``/``tr``/``te``
+    /``zinit`` — MRF dictionary generation and sequence optimization
+    run by gradient descent. Validated against a uniformly dephased
+    isochromat ensemble (``tests/test_epg.py``).
 
     ``backend='pallas'``: the fused TPU kernel
     (:func:`mrphy_tpu.ops.epg_pallas.epg_spgr_pallas` — the whole
@@ -361,16 +389,26 @@ def epg_spgr(flips, phis=None, *, T1, T2, tr, te=0.0, M0=1.0,
     dictionary scale). Dictionary workload only: shared 1-D trains,
     1-D atom batch, no diffusion; differentiable NATIVELY — the
     in-kernel hand-transposed adjoint (round 3,
-    ``epg_pallas._spgr_bwd_kernel``) runs gradients at kernel speed
-    when it fits, with the recompute-through-XLA VJP
-    (``ops/_diffwrap.py``) as the fallback.
+    ``epg_pallas._spgr_bwd_kernel``; round 4 adds the variable-TR/TE
+    in-kernel factor chains) runs gradients at kernel speed when it
+    fits, with the recompute-through-XLA VJP (``ops/_diffwrap.py``)
+    as the fallback.
     """
+    if mesh is not None:        # composes with backend='pallas': each
+        # device runs the fused kernel on its voxel shard
+        from mrphy_tpu.parallel.mesh import epg_spgr_sharded_traceable
+        dkw = {} if D is None else {'D': D, 'dk': dk}
+        return epg_spgr_sharded_traceable(
+            mesh, flips, phis, T1=T1, T2=T2, tr=tr, te=te, M0=M0,
+            zinit=zinit, b1=b1, kshift=kshift, K=K, backend=backend,
+            **dkw)
     if backend == 'pallas':
         assert D is None, 'pallas backend does not model diffusion'
         from mrphy_tpu.ops import epg_pallas
         from mrphy_tpu.ops._diffwrap import pallas_with_xla_vjp
         fl_a = jnp.asarray(flips)
-        nA_g = max([1] + [jnp.shape(v)[0] for v in (T1, T2, M0, b1)
+        nA_g = max([1] + [jnp.shape(v)[0] for v in
+                          (T1, T2, M0, b1, zinit)
                           if v is not None and jnp.ndim(v) >= 1])
         K_g = (fl_a.shape[-1] * abs(int(kshift)) + 1 if K is None
                else int(K))
@@ -379,17 +417,18 @@ def epg_spgr(flips, phis=None, *, T1, T2, tr, te=0.0, M0=1.0,
             # natively differentiable: the hand-transposed fused
             # adjoint kernel (round 3) — gradients at kernel speed
             return epg_pallas.epg_spgr_pallas(
-                flips, phis, T1=T1, T2=T2, tr=tr, te=te, M0=M0, b1=b1,
-                kshift=kshift, K=K)
+                flips, phis, T1=T1, T2=T2, tr=tr, te=te, M0=M0,
+                zinit=zinit, b1=b1, kshift=kshift, K=K)
         return pallas_with_xla_vjp(
-            lambda fl, ph, t1, t2, trv, tev, m0, b:
+            lambda fl, ph, t1, t2, trv, tev, m0, zi, b:
                 epg_pallas.epg_spgr_pallas(
                     fl, ph, T1=t1, T2=t2, tr=trv, te=tev,
-                    M0=m0, b1=b, kshift=kshift, K=K),
-            lambda fl, ph, t1, t2, trv, tev, m0, b:
+                    M0=m0, zinit=zi, b1=b, kshift=kshift, K=K),
+            lambda fl, ph, t1, t2, trv, tev, m0, zi, b:
                 epg_spgr(fl, ph, T1=t1, T2=t2, tr=trv, te=tev, M0=m0,
-                         b1=b, kshift=kshift, K=K, backend='xla'),
-            flips, phis, T1, T2, tr, te, M0, b1)
+                         zinit=zi, b1=b, kshift=kshift, K=K,
+                         backend='xla'),
+            flips, phis, T1, T2, tr, te, M0, zinit, b1)
     assert backend == 'xla', backend
     flips = _apply_b1(jnp.asarray(flips), b1)
     nTR = flips.shape[-1]
@@ -403,34 +442,36 @@ def epg_spgr(flips, phis=None, *, T1, T2, tr, te=0.0, M0=1.0,
                             T2b.dtype)
     flips, phis = flips.astype(dtype), phis.astype(dtype)
     T1b, T2b = T1b.astype(dtype), T2b.astype(dtype)
-    tr = jnp.asarray(tr, dtype)
-    te = jnp.asarray(te, dtype)
+    trs = jnp.broadcast_to(jnp.asarray(tr, dtype), (nTR,))
+    tes = jnp.broadcast_to(jnp.asarray(te, dtype), (nTR,))
     M0 = jnp.asarray(M0, dtype)
+    z0 = M0 if zinit is None else jnp.asarray(zinit, dtype)
     batch = jnp.broadcast_shapes(flips.shape[:-1], phis.shape[:-1],
-                                 T1b.shape, T2b.shape, jnp.shape(M0))
+                                 T1b.shape, T2b.shape, jnp.shape(M0),
+                                 jnp.shape(z0))
     K = nTR * abs(int(kshift)) + 1 if K is None else int(K)
-    s = epg_state(K, batch, M0=M0, dtype=dtype)
+    s = epg_state(K, batch, M0=jnp.broadcast_to(z0, batch),
+                  dtype=dtype)
     flips_t = jnp.moveaxis(jnp.broadcast_to(flips, batch + (nTR,)),
                            -1, 0)
     phis_t = jnp.moveaxis(jnp.broadcast_to(phis, batch + (nTR,)), -1, 0)
-    E2te = jnp.broadcast_to(jnp.exp(-jnp.asarray(te) / T2b), batch)
 
     def step(s, x):
-        a, phi = x
+        a, phi, trn, ten = x
         s = epg_rf(s, a, phi)
         # demodulate by the transmit phase: s·e^{−iφ}, with TE decay
         fr, fi = s[..., 0, 0, 0], s[..., 0, 0, 1]
         c, si = jnp.cos(phi), jnp.sin(phi)
-        sig = E2te[..., None] * jnp.stack(
+        sig = jnp.exp(-ten / T2b)[..., None] * jnp.stack(
             [c * fr + si * fi, c * fi - si * fr], -1)
-        s = epg_relax(s, tr, T1b, T2b, M0)
+        s = epg_relax(s, trn, T1b, T2b, M0)
         if D is not None:
-            s = epg_diffusion(s, jnp.asarray(D, dtype), dk, tr,
+            s = epg_diffusion(s, jnp.asarray(D, dtype), dk, trn,
                               delta=kshift)
         s = epg_grad(s, kshift)
         return s, sig
 
-    _, sigs = jax.lax.scan(step, s, (flips_t, phis_t))
+    _, sigs = jax.lax.scan(step, s, (flips_t, phis_t, trs, tes))
     return jnp.moveaxis(sigs, 0, -2)            # (*batch, nTR, 2)
 
 

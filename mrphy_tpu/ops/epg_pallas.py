@@ -51,14 +51,31 @@ _VMEM_LIMIT = 100 * 1024 * 1024
 _UNROLL = 8      # Mosaic fori_loop can't unroll; do it manually
 
 
+def _spgr_factors_t(vartr, coef_ref, t, p1, p2, p3, p4):
+    r"""Per-TR relaxation factors ``(E1, E2, E2te, rec)``. Constant
+    TR/TE: the precomputed per-atom plane rows pass through. Variable
+    TR/TE trains (round 4 — the canonical MRF-FISP schedule): the
+    plane slots hold ``(R1, R2, M0, ·)`` and the factors come from the
+    SMEM tr/te rows (coef rows 9/10) at 3 transcendentals per atom·TR;
+    the recovery uses expm1 (``1 − exp(−tr·R1)`` cancels at ms TRs —
+    the package-wide trap, see ssfp_pallas)."""
+    if not vartr:
+        return p1, p2, p3, p4
+    from mrphy_tpu.ops.ssfp_pallas import _nexpm1
+    trn, ten = coef_ref[9, t], coef_ref[10, t]
+    a1 = -_nexpm1(trn * p1)
+    return 1 - a1, jnp.exp(-trn * p2), jnp.exp(-ten * p2), p3 * a1
+
+
 def _spgr_kernel(K: int, nTR: int, kshift: int, has_b1: bool,
-                 coef_ref, e1_ref, e2_ref, e2te_ref, rec_ref, m0_ref,
-                 b1_ref, outr_ref, outi_ref):
+                 vartr: bool, coef_ref, e1_ref, e2_ref, e2te_ref,
+                 rec_ref, m0_ref, b1_ref, outr_ref, outi_ref):
     r"""One atom tile: scan the whole train with the `(K, TA)` state
     planes as loop carry (registers/VMEM — never HBM). With ``has_b1``
     the flip is scaled per atom (the MRF B1 dictionary dimension): the
     four flip trig factors become `(1, TA)` rows computed in-kernel
-    from half-angle identities (2 transcendentals/TR)."""
+    from half-angle identities (2 transcendentals/TR). With ``vartr``
+    the relaxation factors are per-TR (:func:`_spgr_factors_t`)."""
     TA = e1_ref.shape[1]
     E1, E2 = e1_ref[...], e2_ref[...]            # (1, TA)
     E2te, rec = e2te_ref[...], rec_ref[...]
@@ -79,6 +96,8 @@ def _spgr_kernel(K: int, nTR: int, kshift: int, has_b1: bool,
             sa, ca = coef_ref[2, t], coef_ref[3, t]
         c1, s1 = coef_ref[4, t], coef_ref[5, t]
         c2, s2 = coef_ref[6, t], coef_ref[7, t]
+        E1t, E2t, E2tet, rect = _spgr_factors_t(vartr, coef_ref, t,
+                                                E1, E2, E2te, rec)
 
         # RF mixing (epg_rf rows, real-pair arithmetic)
         sc2, ss2 = sa2 * c2, sa2 * s2
@@ -93,14 +112,14 @@ def _spgr_kernel(K: int, nTR: int, kshift: int, has_b1: bool,
 
         # echo at TE: F+(0) demodulated by the transmit phase
         fp0r, fp0i = Fp1r[0:1, :], Fp1i[0:1, :]
-        outr_ref[pl.ds(t, 1), :] = E2te * (c1 * fp0r + s1 * fp0i)
-        outi_ref[pl.ds(t, 1), :] = E2te * (c1 * fp0i - s1 * fp0r)
+        outr_ref[pl.ds(t, 1), :] = E2tet * (c1 * fp0r + s1 * fp0i)
+        outi_ref[pl.ds(t, 1), :] = E2tet * (c1 * fp0i - s1 * fp0r)
 
         # relaxation over TR (+ recovery into Z(0) re)
-        Fp1r, Fp1i = E2 * Fp1r, E2 * Fp1i
-        Fm1r, Fm1i = E2 * Fm1r, E2 * Fm1i
-        Z1r = jnp.where(is0, E1 * Z1r + rec, E1 * Z1r)
-        Z1i = E1 * Z1i
+        Fp1r, Fp1i = E2t * Fp1r, E2t * Fp1i
+        Fm1r, Fm1i = E2t * Fm1r, E2t * Fm1i
+        Z1r = jnp.where(is0, E1t * Z1r + rect, E1t * Z1r)
+        Z1i = E1t * Z1i
 
         # spoiler: shift |kshift| unit k-quanta
         for _ in range(abs(kshift)):
@@ -137,10 +156,11 @@ def _spgr_kernel(K: int, nTR: int, kshift: int, has_b1: bool,
 
 
 @functools.partial(jax.jit, static_argnames=('K', 'kshift', 'tile',
-                                             'interpret', 'has_b1'))
-def _spgr_dispatch(flips, phis, T1, T2, tr, te, M0, b1, *, K: int,
-                   kshift: int, tile: int, interpret: bool,
-                   has_b1: bool):
+                                             'interpret', 'has_b1',
+                                             'vartr'))
+def _spgr_dispatch(flips, phis, T1, T2, tr, te, M0, zinit, b1, *,
+                   K: int, kshift: int, tile: int, interpret: bool,
+                   has_b1: bool, vartr: bool):
     nTR = flips.shape[0]
     nA = T1.shape[0]
     f32 = jnp.float32
@@ -150,19 +170,34 @@ def _spgr_dispatch(flips, phis, T1, T2, tr, te, M0, b1, *, K: int,
                       jnp.cos(phis), jnp.sin(phis),
                       jnp.cos(2 * phis), jnp.sin(2 * phis),
                       flips])                                 # (9, nTR)
-    E1 = jnp.exp(-tr / T1).astype(f32)[None]                  # (1, nA)
-    E2 = jnp.exp(-tr / T2).astype(f32)[None]
-    E2te = jnp.exp(-te / T2).astype(f32)[None]
     M0a = jnp.broadcast_to(jnp.asarray(M0, f32), (1, nA))
-    rec = -jnp.expm1(-tr / T1).astype(f32)[None] * M0a
+    if vartr:
+        # per-TR factors are computed in-kernel from rates + the SMEM
+        # tr/te rows; the (E1, E2, E2te, rec) plane slots carry
+        # (R1, R2, M0, 0) — their adjoint rows chain back to T1/T2/M0
+        # through this construction by autodiff
+        trs = jnp.broadcast_to(jnp.asarray(tr, f32), (nTR,))
+        tes = jnp.broadcast_to(jnp.asarray(te, f32), (nTR,))
+        coef = jnp.concatenate([coef, trs[None], tes[None]])  # (11,·)
+        E1 = (1 / T1).astype(f32)[None]                       # R1
+        E2 = (1 / T2).astype(f32)[None]                       # R2
+        E2te = M0a                                            # M0
+        rec = jnp.zeros_like(M0a)
+    else:
+        E1 = jnp.exp(-tr / T1).astype(f32)[None]              # (1, nA)
+        E2 = jnp.exp(-tr / T2).astype(f32)[None]
+        E2te = jnp.exp(-te / T2).astype(f32)[None]
+        rec = -jnp.expm1(-tr / T1).astype(f32)[None] * M0a
+    z0 = M0a if zinit is None else jnp.broadcast_to(
+        jnp.asarray(zinit, f32), (1, nA))
     b1 = jnp.broadcast_to(jnp.asarray(b1, f32), (1, nA))
 
     del nA
     # the differentiable core: fast unchunked kernel as the primal,
     # the hand-transposed fused adjoint under jax.grad (atom padding
     # happens per-path inside)
-    outr, outi = _spgr_core(K, kshift, interpret, has_b1, coef, E1,
-                            E2, E2te, rec, M0a, b1, None)
+    outr, outi = _spgr_core(K, kshift, interpret, has_b1, vartr, coef,
+                            E1, E2, E2te, rec, z0, b1, None)
     return jnp.stack([outr, outi], -1)              # (nTR, nA, 2)
 
 
@@ -856,22 +891,28 @@ def epgx_mt_spgr_pallas(flips, phis=None, *, T1a, T2a, T1b, kab, kba,
 
 
 def epg_spgr_pallas(flips, phis=None, *, T1, T2, tr, te=0.0, M0=1.0,
-                    b1=None, kshift: int = 1, K=None, tile: int = 512,
-                    interpret=None):
+                    zinit=None, b1=None, kshift: int = 1, K=None,
+                    tile: int = 512, interpret=None):
     r"""Fused-TPU gradient-spoiled EPG train (MRF dictionaries).
 
     Same signature/semantics as :func:`mrphy_tpu.ops.epg.epg_spgr`
     restricted to the dictionary workload: 1-D shared ``flips``/``phis``
-    `(nTR,)`, 1-D atom batch ``T1``/``T2``/``M0`` `(nAtoms,)` (scalars
-    broadcast), scalar ``tr``/``te``, integer ``kshift``, no diffusion.
-    ``b1`` `(nAtoms,)` scales the whole flip train per atom — the MRF
+    `(nTR,)`, 1-D atom batch ``T1``/``T2``/``M0``/``zinit`` `(nAtoms,)`
+    (scalars broadcast), integer ``kshift``, no diffusion. ``tr``/``te``
+    may be scalars (zero in-kernel relaxation transcendentals) or
+    `(nTR,)` variable trains (round 4 — the canonical MRF-FISP
+    schedule; factors computed in-kernel from per-atom rates).
+    ``zinit`` starts the train from a prepared longitudinal state
+    (:func:`mrphy_tpu.ops.epg.ir_prep` for inversion recovery). ``b1``
+    `(nAtoms,)` scales the whole flip train per atom — the MRF
     dictionary's B1+ dimension (equivalent to the XLA path's batched
     ``b1[:, None] * flips``; trig moves in-kernel at 2
     transcendentals/TR). Returns `(nAtoms, nTR, 2)`. Differentiable:
     ``jax.grad`` runs the in-kernel hand-transposed adjoint
-    (``_spgr_bwd_kernel``). ``tile`` atoms are processed per grid
-    step (lane multiples; the atom batch is padded internally).
-    ``interpret`` defaults to Mosaic on TPU, interpreter elsewhere.
+    (``_spgr_bwd_kernel``; variable-TR/TE factor chains in-kernel).
+    ``tile`` atoms are processed per grid step (lane multiples; the
+    atom batch is padded internally). ``interpret`` defaults to Mosaic
+    on TPU, interpreter elsewhere.
     """
     if interpret is None:
         from mrphy_tpu.ops.pallas_kernels import _on_tpu
@@ -885,18 +926,22 @@ def epg_spgr_pallas(flips, phis=None, *, T1, T2, tr, te=0.0, M0=1.0,
     T2 = jnp.atleast_1d(jnp.asarray(T2, jnp.float32))
     nA = max(T1.shape[0], T2.shape[0],
              jnp.shape(M0)[0] if jnp.ndim(M0) >= 1 else 1,
+             jnp.shape(zinit)[0] if (zinit is not None
+                                     and jnp.ndim(zinit) >= 1) else 1,
              jnp.shape(b1)[0] if (b1 is not None
                                   and jnp.ndim(b1) >= 1) else 1)
     T1, T2 = jnp.broadcast_to(T1, (nA,)), jnp.broadcast_to(T2, (nA,))
     assert int(kshift) != 0, 'kshift must be a nonzero integer'
     K = nTR * abs(int(kshift)) + 1 if K is None else int(K)
     assert tile % _LANE == 0, f'tile must be a multiple of {_LANE}'
+    vartr = jnp.ndim(tr) == 1 or jnp.ndim(te) == 1
     sig = _spgr_dispatch(flips, phis, T1, T2,
                          jnp.asarray(tr, jnp.float32),
                          jnp.asarray(te, jnp.float32),
-                         M0, 1.0 if b1 is None else b1,
+                         M0, zinit, 1.0 if b1 is None else b1,
                          K=K, kshift=int(kshift), tile=tile,
-                         interpret=interpret, has_b1=b1 is not None)
+                         interpret=interpret, has_b1=b1 is not None,
+                         vartr=vartr)
     return jnp.moveaxis(sig, 1, 0)               # (nA, nTR, 2)
 
 
@@ -1013,9 +1058,9 @@ def _spgr_shift_T(kshift, masks, h):
 
 
 def _spgr_fwd_chk_kernel(K: int, tc: int, ntc: int, kshift: int,
-                         has_b1: bool, coef_ref, e1_ref, e2_ref,
-                         e2te_ref, rec_ref, m0_ref, b1_ref, outr_ref,
-                         outi_ref, chk_ref, s_scr):
+                         has_b1: bool, vartr: bool, coef_ref, e1_ref,
+                         e2_ref, e2te_ref, rec_ref, m0_ref, b1_ref,
+                         outr_ref, outi_ref, chk_ref, s_scr):
     r"""Chunked forward for the VJP path: grid (atom tiles, time
     chunks); the state persists in scratch across chunks, each chunk's
     START (pre-RF) state streams to ``chk`` for the backward's
@@ -1042,12 +1087,14 @@ def _spgr_fwd_chk_kernel(K: int, tc: int, ntc: int, kshift: int,
 
     def step(t, s):
         tg = _spgr_trig(coef_ref, t, b1, has_b1)
+        E1t, E2t, E2tet, rect = _spgr_factors_t(vartr, coef_ref, t,
+                                                E1, E2, E2te, rec)
         s1 = _spgr_mix(tg, s)
         c1, s1c = tg[4], tg[5]
         fp0r, fp0i = s1[0][0:1, :], s1[1][0:1, :]
-        outr_ref[pl.ds(t, 1), :] = E2te * (c1 * fp0r + s1c * fp0i)
-        outi_ref[pl.ds(t, 1), :] = E2te * (c1 * fp0i - s1c * fp0r)
-        return _spgr_relax_shift(kshift, masks, E1, E2, rec, s1)
+        outr_ref[pl.ds(t, 1), :] = E2tet * (c1 * fp0r + s1c * fp0i)
+        outi_ref[pl.ds(t, 1), :] = E2tet * (c1 * fp0i - s1c * fp0r)
+        return _spgr_relax_shift(kshift, masks, E1t, E2t, rect, s1)
 
     u = math.gcd(tc, _UNROLL)
 
@@ -1062,9 +1109,10 @@ def _spgr_fwd_chk_kernel(K: int, tc: int, ntc: int, kshift: int,
 
 
 def _spgr_bwd_kernel(K: int, tc: int, ntc: int, kshift: int,
-                     has_b1: bool, coef_ref, e1_ref, e2_ref, e2te_ref,
-                     rec_ref, m0_ref, b1_ref, chk_ref, gr_ref, gi_ref,
-                     dpar_ref, dcf_ref, s_scr, h_scr, acc_scr):
+                     has_b1: bool, vartr: bool, coef_ref, e1_ref,
+                     e2_ref, e2te_ref, rec_ref, m0_ref, b1_ref,
+                     chk_ref, gr_ref, gi_ref, dpar_ref, dcf_ref,
+                     s_scr, h_scr, acc_scr):
     r"""Two-phase chunk adjoint, chunks visited newest-first. Phase 1
     re-runs the forward from the chunk-START checkpoint, storing every
     pre-RF state; phase 2 walks them backwards: spoiler-shift
@@ -1073,11 +1121,16 @@ def _spgr_bwd_kernel(K: int, tc: int, ntc: int, kshift: int,
     transpose (per-TR coefficient grads as (TA,) lane-partials; under
     b1, the per-atom flip chain feeds db1 and the flips row).
     Outputs: ``dpar`` (6, TA) = [dE1, dE2, dE2te, drec, dM0, db1];
-    ``dcf`` (tc, 9, TA) lane-partial coefficient rows per chunk."""
+    ``dcf`` (tc, nC, TA) lane-partial coefficient rows per chunk.
+    Variable-TR/TE mode (round 4): the plane slots hold (R1, R2, M0,
+    ·), the per-step factor grads chain in-kernel to the rate/M0 rows
+    and to per-TR d(tr)/d(te) coefficient rows (dcf rows 9/10), and
+    ``dpar`` reads [dR1, dR2, dM0, 0, dzinit, db1]."""
     TA = e1_ref.shape[1]
     E1, E2 = e1_ref[...], e2_ref[...]
     E2te, rec = e2te_ref[...], rec_ref[...]
     b1 = b1_ref[...]
+    nC = 11 if vartr else 9
     row = jax.lax.broadcasted_iota(jnp.int32, (K, TA), 0)
     masks = (row == 0, row == K - 1, jnp.zeros((K, TA), E1.dtype))
     is0 = masks[0]
@@ -1095,7 +1148,9 @@ def _spgr_bwd_kernel(K: int, tc: int, ntc: int, kshift: int,
     # ---- phase 1: forward recompute, storing pre-RF states ---------
     def fstep(t, s):
         tg = _spgr_trig(coef_ref, t, b1, has_b1)
-        return _spgr_relax_shift(kshift, masks, E1, E2, rec,
+        E1t, E2t, _, rect = _spgr_factors_t(vartr, coef_ref, t,
+                                            E1, E2, E2te, rec)
+        return _spgr_relax_shift(kshift, masks, E1t, E2t, rect,
                                  _spgr_mix(tg, s))
 
     u = math.gcd(tc, _UNROLL)
@@ -1117,36 +1172,56 @@ def _spgr_bwd_kernel(K: int, tc: int, ntc: int, kshift: int,
         (aE1, aE2, aE2te, arec, aM0, ab1) = carry[6:]
         s = tuple(s_scr[tl, p] for p in range(6))
         tg = _spgr_trig(coef_ref, t, b1, has_b1)
+        E1t, E2t, E2tet, _ = _spgr_factors_t(vartr, coef_ref, t,
+                                             E1, E2, E2te, rec)
         s1 = _spgr_mix(tg, s)
 
         # shift transpose (reverse the |kshift| unit shifts)
         for _ in range(abs(kshift)):
             h = _spgr_shift_T(kshift, masks, h)
 
-        # relaxation transpose + per-atom factor grads
+        # relaxation transpose + per-step factor grads
         hFpr, hFpi, hFmr, hFmi, hZr, hZi = h
-        aE2 = aE2 + jnp.sum(hFpr * s1[0] + hFpi * s1[1]
-                            + hFmr * s1[2] + hFmi * s1[3], axis=0,
-                            keepdims=True)
-        aE1 = aE1 + jnp.sum(hZr * s1[4] + hZi * s1[5], axis=0,
-                            keepdims=True)
-        arec = arec + hZr[0:1, :]
-        h = (E2 * hFpr, E2 * hFpi, E2 * hFmr, E2 * hFmi,
-             E1 * hZr, E1 * hZi)
+        d_E2_t = jnp.sum(hFpr * s1[0] + hFpi * s1[1]
+                         + hFmr * s1[2] + hFmi * s1[3], axis=0,
+                         keepdims=True)
+        d_E1_t = jnp.sum(hZr * s1[4] + hZi * s1[5], axis=0,
+                         keepdims=True)
+        d_rec_t = hZr[0:1, :]
+        h = (E2t * hFpr, E2t * hFpi, E2t * hFmr, E2t * hFmi,
+             E1t * hZr, E1t * hZi)
 
         # echo cotangent injection (echo reads s1 BEFORE relaxation)
         c1, s1c = tg[4], tg[5]
         gyr, gyi = gr_ref[pl.ds(t, 1), :], gi_ref[pl.ds(t, 1), :]
         fp0r, fp0i = s1[0][0:1, :], s1[1][0:1, :]
-        aE2te = aE2te + (gyr * (c1 * fp0r + s1c * fp0i)
-                         + gyi * (c1 * fp0i - s1c * fp0r))
-        er = E2te * (c1 * gyr - s1c * gyi)
-        ei = E2te * (s1c * gyr + c1 * gyi)
+        d_E2te_t = (gyr * (c1 * fp0r + s1c * fp0i)
+                    + gyi * (c1 * fp0i - s1c * fp0r))
+        er = E2tet * (c1 * gyr - s1c * gyi)
+        ei = E2tet * (s1c * gyr + c1 * gyi)
         h = (jnp.where(is0, h[0] + er, h[0]),
              jnp.where(is0, h[1] + ei, h[1])) + h[2:]
         # echo's own phase-coefficient terms (c1, s1 rows)
-        d_c1e = E2te * (gyr * fp0r + gyi * fp0i)
-        d_s1e = E2te * (gyr * fp0i - gyi * fp0r)
+        d_c1e = E2tet * (gyr * fp0r + gyi * fp0i)
+        d_s1e = E2tet * (gyr * fp0i - gyi * fp0r)
+
+        if vartr:
+            # chain the per-step factors back to (R1, R2, M0) rows —
+            # E1/E2/E2te slots hold R1/R2/M0 — and to the SMEM tr/te
+            # trains (per-TR dcf rows 9/10). rect = M0·(1−E1t).
+            trn, ten = coef_ref[9, t], coef_ref[10, t]
+            d_E1tot = d_E1_t - E2te * d_rec_t
+            aE2te = aE2te + (1 - E1t) * d_rec_t            # dM0
+            aE1 = aE1 - trn * E1t * d_E1tot                # dR1
+            aE2 = aE2 - trn * E2t * d_E2_t \
+                - ten * E2tet * d_E2te_t                   # dR2
+            d_tr_row = -E1 * E1t * d_E1tot - E2 * E2t * d_E2_t
+            d_te_row = -E2 * E2tet * d_E2te_t
+        else:
+            aE1 = aE1 + d_E1_t
+            aE2 = aE2 + d_E2_t
+            arec = arec + d_rec_t
+            aE2te = aE2te + d_E2te_t
 
         # RF-mix transpose + coefficient grads
         ca2, sa2, sa, ca, c1, s1c, c2, s2 = tg
@@ -1186,7 +1261,9 @@ def _spgr_bwd_kernel(K: int, tc: int, ntc: int, kshift: int,
         else:
             rows = (d_ca2, d_sa2, d_sa, d_ca, d_c1, d_s1, d_c2, d_s2,
                     zrow)
-        for c in range(9):
+        if vartr:
+            rows = rows + (d_tr_row, d_te_row)
+        for c in range(nC):
             dcf_ref[0, tl, c] = rows[c][0]
 
         h = _spgr_mix_T(tg, h)
@@ -1209,7 +1286,9 @@ def _spgr_bwd_kernel(K: int, tc: int, ntc: int, kshift: int,
 
     @pl.when(j == ntc - 1)
     def _():
-        # cotangent at the initial state: Z(0) = M0 on the k=0 row
+        # cotangent at the initial state: Z(0) = zinit on the k=0 row
+        # (the m0 slot; = M0 when no preparation). In vartr mode the
+        # slots read [dR1, dR2, dM0, 0, dzinit, db1].
         dM0 = carry[10] + carry[4][0:1, :]
         for a, v in enumerate((carry[6], carry[7], carry[8],
                                carry[9], dM0, carry[11])):
@@ -1240,7 +1319,7 @@ def spgr_bwd_is_available(*, nTR: int, K: int, nA: int) -> bool:
     scr = tc * 6 * K * _BWD_TILE * 4
     ntiles = -(-nA // _BWD_TILE)
     chk = ntc * 6 * K * ntiles * _BWD_TILE * 4
-    dcf = ntiles * nTR * 9 * _BWD_TILE * 4
+    dcf = ntiles * nTR * 11 * _BWD_TILE * 4
     return (scr <= 20 * 1024 * 1024 and chk <= 2 * 1024 ** 3
             and dcf <= 2 * 1024 ** 3)
 
@@ -1256,7 +1335,7 @@ def _spgr_args_pad(E1, E2, E2te, rec, M0a, b1, tile):
 
 
 def _spgr_fwd_chk(coef, E1, E2, E2te, rec, M0a, b1, *, K, kshift,
-                  interpret, has_b1):
+                  interpret, has_b1, vartr):
     nTR = coef.shape[1]
     tile = _BWD_TILE
     (E1, E2, E2te, rec, M0a, b1), nAp = _spgr_args_pad(
@@ -1268,7 +1347,7 @@ def _spgr_fwd_chk(coef, E1, E2, E2te, rec, M0a, b1, *, K, kshift,
     chk = pl.BlockSpec((1, 6, K, tile), lambda i, j: (j, 0, 0, i))
     outr, outi, chka = pl.pallas_call(
         functools.partial(_spgr_fwd_chk_kernel, K, tc, ntc, kshift,
-                          has_b1),
+                          has_b1, vartr),
         grid=(nAp // tile, ntc),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   atom, atom, atom, atom, atom, atom],
@@ -1284,10 +1363,10 @@ def _spgr_fwd_chk(coef, E1, E2, E2te, rec, M0a, b1, *, K, kshift,
 
 
 def _spgr_bwd(coef, E1, E2, E2te, rec, M0a, b1, chka, gr, gi, *, K,
-              kshift, interpret, has_b1):
-    r"""Returns ``(dcoef (9, nTR), dE1, dE2, dE2te, drec, dM0, db1)``
+              kshift, interpret, has_b1, vartr):
+    r"""Returns ``(dcoef (nC, nTR), dE1, dE2, dE2te, drec, dM0, db1)``
     with the per-atom rows `(1, nA)`-shaped (unpadded)."""
-    nTR = coef.shape[1]
+    nC, nTR = coef.shape
     nA = E1.shape[1]
     tile = _BWD_TILE
     (E1p, E2p, E2tep, recp, M0ap, b1p), nAp = _spgr_args_pad(
@@ -1303,15 +1382,15 @@ def _spgr_bwd(coef, E1, E2, E2te, rec, M0a, b1, chka, gr, gi, *, K,
                        lambda i, j: (ntc - 1 - j, 0, 0, i))
     dpar, dcf = pl.pallas_call(
         functools.partial(_spgr_bwd_kernel, K, tc, ntc, kshift,
-                          has_b1),
+                          has_b1, vartr),
         grid=(ntiles, ntc),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   atom, atom, atom, atom, atom, atom, chk, gsp, gsp],
         out_specs=[pl.BlockSpec((6, tile), lambda i, j: (0, i)),
-                   pl.BlockSpec((1, tc, 9, tile),
+                   pl.BlockSpec((1, tc, nC, tile),
                                 lambda i, j: (i, ntc - 1 - j, 0, 0))],
         out_shape=[jax.ShapeDtypeStruct((6, nAp), jnp.float32),
-                   jax.ShapeDtypeStruct((ntiles, nTR, 9, tile),
+                   jax.ShapeDtypeStruct((ntiles, nTR, nC, tile),
                                         jnp.float32)],
         scratch_shapes=[pltpu.VMEM((tc, 6, K, tile), jnp.float32),
                         pltpu.VMEM((6, K, tile), jnp.float32),
@@ -1320,15 +1399,15 @@ def _spgr_bwd(coef, E1, E2, E2te, rec, M0a, b1, chka, gr, gi, *, K,
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(coef, E1p, E2p, E2tep, recp, M0ap, b1p, chka, grp, gip)
-    dcoef = jnp.sum(dcf, axis=(0, 3)).T            # (9, nTR)
+    dcoef = jnp.sum(dcf, axis=(0, 3)).T            # (nC, nTR)
     dpar = dpar[:, :nA]
     return (dcoef, dpar[0:1], dpar[1:2], dpar[2:3], dpar[3:4],
             dpar[4:5], dpar[5:6])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def _spgr_core(K, kshift, interpret, has_b1, coef, E1, E2, E2te, rec,
-               M0a, b1, tile):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _spgr_core(K, kshift, interpret, has_b1, vartr, coef, E1, E2,
+               E2te, rec, M0a, b1, tile):
     r"""Differentiable fused SPGR train core. The primal runs the fast
     unchunked kernel; under differentiation the forward emits chunk
     checkpoints and the backward is the hand-transposed fused adjoint
@@ -1338,11 +1417,11 @@ def _spgr_core(K, kshift, interpret, has_b1, coef, E1, E2, E2te, rec,
     del tile
     return _spgr_fast(coef, E1, E2, E2te, rec, M0a, b1, K=K,
                       kshift=kshift, interpret=interpret,
-                      has_b1=has_b1)
+                      has_b1=has_b1, vartr=vartr)
 
 
 def _spgr_fast(coef, E1, E2, E2te, rec, M0a, b1, *, K, kshift,
-               interpret, has_b1, tile=512):
+               interpret, has_b1, vartr, tile=512):
     nTR = coef.shape[1]
     nA = E1.shape[1]
     tile = min(tile, -(-nA // _LANE) * _LANE)
@@ -1351,7 +1430,8 @@ def _spgr_fast(coef, E1, E2, E2te, rec, M0a, b1, *, K, kshift,
     atom = pl.BlockSpec((1, tile), lambda i: (0, i))
     out = pl.BlockSpec((nTR, tile), lambda i: (0, i))
     outr, outi = pl.pallas_call(
-        functools.partial(_spgr_kernel, K, nTR, kshift, has_b1),
+        functools.partial(_spgr_kernel, K, nTR, kshift, has_b1,
+                          vartr),
         grid=(nAp // tile,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
                   atom, atom, atom, atom, atom, atom],
@@ -1364,23 +1444,24 @@ def _spgr_fast(coef, E1, E2, E2te, rec, M0a, b1, *, K, kshift,
     return outr[:, :nA], outi[:, :nA]
 
 
-def _spgr_core_fwd(K, kshift, interpret, has_b1, coef, E1, E2, E2te,
-                   rec, M0a, b1, tile):
+def _spgr_core_fwd(K, kshift, interpret, has_b1, vartr, coef, E1,
+                   E2, E2te, rec, M0a, b1, tile):
     outr, outi, chka = _spgr_fwd_chk(coef, E1, E2, E2te, rec, M0a, b1,
                                      K=K, kshift=kshift,
                                      interpret=interpret,
-                                     has_b1=has_b1)
+                                     has_b1=has_b1, vartr=vartr)
     nA = E1.shape[1]
     return ((outr[:, :nA], outi[:, :nA]),
             (coef, E1, E2, E2te, rec, M0a, b1, chka))
 
 
-def _spgr_core_bwd(K, kshift, interpret, has_b1, res, g):
+def _spgr_core_bwd(K, kshift, interpret, has_b1, vartr, res, g):
     coef, E1, E2, E2te, rec, M0a, b1, chka = res
     gr, gi = g
     (dcoef, dE1, dE2, dE2te, drec, dM0, db1) = _spgr_bwd(
         coef, E1, E2, E2te, rec, M0a, b1, chka, gr, gi, K=K,
-        kshift=kshift, interpret=interpret, has_b1=has_b1)
+        kshift=kshift, interpret=interpret, has_b1=has_b1,
+        vartr=vartr)
     if not has_b1:
         db1 = jnp.zeros_like(db1)
     return (dcoef, dE1, dE2, dE2te, drec, dM0, db1, None)

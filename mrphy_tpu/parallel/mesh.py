@@ -490,6 +490,81 @@ def _epg_cpmg_sharded_jit(mesh: Mesh, names: tuple, static_items: tuple,
     return jax.jit(run)
 
 
+def epg_spgr_sharded_traceable(mesh: Mesh, flips, phis=None, **kw):
+    r"""shard_map-wrapped :func:`mrphy_tpu.ops.epg.epg_spgr` for 1-D
+    voxel batches (round 4 — closes the one train family without a
+    ``mesh=`` path): ``flips``/``phis`` batched `(nV, nTR)` or shared
+    `(nTR,)` (replicated), per-voxel ``T1``/``T2``/``M0``/``zinit``/
+    ``b1`` `(nV,)` sharded on the mesh's spin axis. ``tr``/``te``
+    `(nTR,)` trains are shared TIME axes and always replicate (they
+    are excluded from the voxel-count inference — an accidental
+    ``nTR == nV`` must not shard the schedule). Returns
+    `(nV, nTR, 2)`."""
+    import jax.numpy as jnp
+
+    sp = mesh.shape[SPIN_AXIS]
+
+    arrs = {k: jnp.asarray(v) for k, v in kw.items()
+            if hasattr(v, 'ndim') or isinstance(v, (list, tuple))}
+    static = {k: v for k, v in kw.items() if k not in arrs}
+    flips = jnp.asarray(flips)
+    phis_a = None if phis is None else jnp.asarray(phis)
+    cands = [flips.shape[0]] if flips.ndim == 2 else []
+    cands += [a.shape[0] for a in (phis_a,)
+              if a is not None and a.ndim == 2]
+    cands += [v.shape[0] for k, v in arrs.items()
+              if v.ndim >= 1 and k not in ('tr', 'te')]
+    assert cands, 'no per-voxel operand; nothing to shard'
+    nV = max(cands)
+    assert nV % sp == 0, (f'nV={nV} not divisible by spin mesh extent '
+                          f'{sp}')
+
+    def vox_spec(x, key=None):
+        x = jnp.asarray(x)
+        if key in ('tr', 'te'):                  # shared time trains
+            return P()
+        if x.ndim >= 1 and x.shape[0] == nV:
+            return P(SPIN_AXIS, *([None] * (x.ndim - 1)))
+        return P()
+
+    names = tuple(sorted(arrs))
+    flips_spec = vox_spec(flips) if flips.ndim == 2 else P()
+    has_phis = phis_a is not None
+    phis_spec = (vox_spec(phis_a) if (has_phis and phis_a.ndim == 2)
+                 else P())
+    in_specs = (flips_spec,) + ((phis_spec,) if has_phis else ()) \
+        + tuple(vox_spec(arrs[k], k) for k in names)
+    f = _epg_spgr_sharded_jit(mesh, names,
+                              tuple(sorted(static.items())), in_specs,
+                              has_phis)
+    args = (flips,) + ((phis_a,) if has_phis else ())
+    return f(*args, *(arrs[k] for k in names))
+
+
+@_functools.lru_cache(maxsize=None)
+def _epg_spgr_sharded_jit(mesh: Mesh, names: tuple, static_items: tuple,
+                          in_specs: tuple, has_phis: bool):
+    r"""Cached jit of the voxel-sharded SPGR train."""
+    from mrphy_tpu.ops import epg
+
+    def run(*args):
+        def body(flips, *rest):
+            if has_phis:
+                ph, vals = rest[0], rest[1:]
+            else:
+                ph, vals = None, rest
+            kwd = dict(zip(names, vals))
+            kwd.update(dict(static_items))
+            return epg.epg_spgr(flips, ph, **kwd)
+
+        f = jax.shard_map(body, mesh=mesh, in_specs=in_specs,
+                          out_specs=P(SPIN_AXIS, None, None),
+                          check_vma=False)
+        return f(*args)
+
+    return jax.jit(run)
+
+
 def bssfp_train_sharded_traceable(mesh: Mesh, flips, **kw):
     r"""shard_map-wrapped :func:`mrphy_tpu.ops.ssfp.bssfp_train` for 1-D
     voxel batches: ``flips`` batched `(nV, nTR)` or a shared `(nTR,)`

@@ -7,6 +7,7 @@ spaced dephasing angles make the discrete Fourier sampling exact).
 """
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -466,7 +467,11 @@ class TestFusedTrainGrads:
         for name, x, p in zip(('T1a', 'kba'), gx, gp):
             rel = float(jnp.max(jnp.abs(x - p))
                         / (jnp.max(jnp.abs(x)) + 1e-30))
-            assert rel < 1e-6, (name, rel)
+            # 2e-5, not the diffwrap-era 1e-6: since round 3 this path
+            # runs the NATIVE in-kernel MT adjoint (f32 recompute +
+            # transposed recursion) — same bar as the other native
+            # adjoints (measured 1.7e-6 on kba here)
+            assert rel < 2e-5, (name, rel)
 
 
 class TestFusedSpgrAdjoint:
@@ -547,6 +552,177 @@ class TestFusedSpgrAdjoint:
         g = jax.grad(lambda fl: jnp.sum(epg.epg_spgr(
             fl, None, T1=1.0, T2=0.1, tr=0.01, backend='pallas',
             K=None)))(flips)   # K=None -> nTR+1, still available; and
+        assert bool(jnp.all(jnp.isfinite(g)))
+
+
+class TestSpgrMRFSchedule:
+    r"""Round 4: the canonical MRF-FISP acquisition (Jiang et al. MRM
+    74:1621, 2015 — inversion prep + variable-flip/TR train) through
+    ``epg_spgr``: ``zinit``/``ir_prep`` and `(nTR,)` ``tr``/``te``
+    trains, XLA and fused-Pallas, forward and gradients."""
+
+    def _setup(self, ntr=24, nA=5, seed=0):
+        rng = np.random.default_rng(seed)
+        F = jnp.float64
+        from mrphy_tpu.ops import epg
+        return dict(
+            flips=jnp.asarray(np.deg2rad(rng.uniform(10, 60, ntr)), F),
+            phis=jnp.asarray(epg.rf_spoil_phases(ntr), F),
+            trs=jnp.asarray(rng.uniform(10e-3, 15e-3, ntr), F),
+            tes=jnp.asarray(rng.uniform(2e-3, 4e-3, ntr), F),
+            T1=jnp.asarray(rng.uniform(0.3, 2.0, nA), F),
+            T2=jnp.asarray(rng.uniform(0.03, 0.3, nA), F),
+            M0=jnp.asarray(rng.uniform(0.8, 1.2, nA), F),
+            w=jnp.asarray(rng.standard_normal((nA, ntr, 2)), F))
+
+    def test_ir_prep_closed_form(self):
+        from mrphy_tpu.ops import epg
+        # perfect inversion at TI=0 gives -M0; TI >> T1 recovers M0
+        assert abs(float(epg.ir_prep(0.0, 1.0, 1.3)) + 1.3) < 1e-12
+        assert abs(float(epg.ir_prep(50.0, 1.0, 1.3)) - 1.3) < 1e-9
+        # inv_eff=0 is a no-op prep... of a saturated pulse: M0(1-e)
+        got = float(epg.ir_prep(0.3, 1.0, 1.0, inv_eff=0.0))
+        assert abs(got - (1 - np.exp(-0.3))) < 1e-12
+
+    def test_const_train_equals_scalar(self):
+        # (nTR,) constant tr/te trains run the vartr path yet must
+        # reproduce the scalar path exactly on XLA
+        from mrphy_tpu.ops import epg
+        s = self._setup()
+        ntr = s['flips'].shape[0]
+        a = epg.epg_spgr(s['flips'], s['phis'], T1=s['T1'], T2=s['T2'],
+                         tr=12e-3, te=3e-3, K=14)
+        b = epg.epg_spgr(s['flips'], s['phis'], T1=s['T1'], T2=s['T2'],
+                         tr=jnp.full(ntr, 12e-3, jnp.float64),
+                         te=jnp.full(ntr, 3e-3, jnp.float64), K=14)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-14)
+
+    def test_zinit_vs_manual_prep(self):
+        # zinit must equal manually seeding the EPG state
+        from mrphy_tpu.ops import epg
+        s = self._setup(nA=3)
+        zi = epg.ir_prep(0.021, s['T1'], s['M0'])
+        a = epg.epg_spgr(s['flips'], s['phis'], T1=s['T1'], T2=s['T2'],
+                         tr=12e-3, te=3e-3, M0=s['M0'], zinit=zi, K=14)
+        # manual: one relax-free composition from the seeded state
+        K = 14
+        st = epg.epg_state(K, (3,), M0=zi, dtype=jnp.float64)
+
+        def step(st, x):
+            a_, phi = x
+            st = epg.epg_rf(st, a_, phi)
+            fr, fi = st[..., 0, 0, 0], st[..., 0, 0, 1]
+            c, si = jnp.cos(phi), jnp.sin(phi)
+            sig = np.exp(-3e-3) ** (1 / np.asarray(s['T2'], float)) \
+                [:, None] * jnp.stack([c * fr + si * fi,
+                                       c * fi - si * fr], -1)
+            st = epg.epg_relax(st, 12e-3, s['T1'], s['T2'], s['M0'])
+            st = epg.epg_grad(st, 1)
+            return st, sig
+
+        _, sigs = jax.lax.scan(
+            step, st, (jnp.broadcast_to(s['flips'], (3, 24)).T,
+                       jnp.broadcast_to(s['phis'], (3, 24)).T))
+        want = jnp.moveaxis(sigs, 0, -2)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(want),
+                                   atol=1e-12)
+
+    def test_pallas_fwd_parity_vartr_zinit(self):
+        from mrphy_tpu.ops import epg
+        s = self._setup()
+        zi = epg.ir_prep(0.021, s['T1'], s['M0'])
+        kw = dict(T1=s['T1'], T2=s['T2'], tr=s['trs'], te=s['tes'],
+                  M0=s['M0'], zinit=zi, K=14)
+        x = epg.epg_spgr(s['flips'], s['phis'], backend='xla', **kw)
+        p = epg.epg_spgr(s['flips'], s['phis'], backend='pallas', **kw)
+        rel = float(jnp.max(jnp.abs(x - p)) / jnp.max(jnp.abs(x)))
+        assert rel < 2e-5, rel
+
+    def test_native_adjoint_vartr_zinit(self, b1=None, ntr=24,
+                                        tol=5e-5):
+        import jax
+        from mrphy_tpu.ops import epg
+        s = self._setup(ntr=ntr)
+        args = [s['flips'], s['phis'], s['trs'], s['tes'], s['T1'],
+                s['T2'], s['M0'],
+                epg.ir_prep(0.021, s['T1'], s['M0'])]
+        names = ['flips', 'phis', 'tr', 'te', 'T1', 'T2', 'M0',
+                 'zinit']
+        if b1 is not None:
+            args.append(jnp.asarray(b1, jnp.float64))
+            names.append('b1')
+
+        def loss(be, *a):
+            kw = dict(T1=a[4], T2=a[5], tr=a[2], te=a[3], M0=a[6],
+                      zinit=a[7], K=14, backend=be)
+            if b1 is not None:
+                kw['b1'] = a[8]
+            return jnp.sum(s['w'] * epg.epg_spgr(a[0], a[1], **kw))
+
+        an = tuple(range(len(args)))
+        gx = jax.grad(lambda *a: loss('xla', *a), argnums=an)(*args)
+        gp = jax.grad(lambda *a: loss('pallas', *a), argnums=an)(*args)
+        for name, x, p in zip(names, gx, gp):
+            rel = float(jnp.max(jnp.abs(x - p))
+                        / (jnp.max(jnp.abs(x)) + 1e-30))
+            assert rel < tol, (name, rel)
+
+    def test_native_adjoint_vartr_b1(self):
+        rng = np.random.default_rng(11)
+        self.test_native_adjoint_vartr_zinit(b1=rng.uniform(0.7, 1.3,
+                                                            5))
+
+    @pytest.mark.slow
+    def test_native_adjoint_vartr_multichunk(self):
+        # nTR=80 at K=64 forces tc=40, ntc=2 checkpoint restarts in
+        # the vartr mode too (see _pick_tc_spgr); larger f32
+        # accumulation -> the SPGR multi-chunk bar
+        import jax
+        from mrphy_tpu.ops import epg, epg_pallas
+        s = self._setup(ntr=80, nA=4, seed=3)
+        assert epg_pallas._pick_tc_spgr(80, 64) < 80
+
+        def loss(be, fl, trv, t1, t2):
+            return jnp.sum(s['w'] * epg.epg_spgr(
+                fl, s['phis'], T1=t1, T2=t2, tr=trv, te=3e-3, K=64,
+                backend=be))
+
+        an = tuple(range(4))
+        a = (s['flips'], s['trs'], s['T1'], s['T2'])
+        gx = jax.grad(lambda *x: loss('xla', *x), argnums=an)(*a)
+        gp = jax.grad(lambda *x: loss('pallas', *x), argnums=an)(*a)
+        for name, x, p in zip(('flips', 'tr', 'T1', 'T2'), gx, gp):
+            rel = float(jnp.max(jnp.abs(x - p))
+                        / (jnp.max(jnp.abs(x)) + 1e-30))
+            assert rel < 5e-4, (name, rel)
+
+    def test_sharded_mesh_parity(self):
+        from mrphy_tpu.ops import epg
+        from mrphy_tpu.parallel import make_mesh
+        mesh = make_mesh()
+        rng = np.random.default_rng(13)
+        nV, ntr = 16, 12
+        flips = jnp.asarray(rng.uniform(0.2, 1.0, ntr), jnp.float32)
+        trs = jnp.asarray(rng.uniform(10e-3, 14e-3, ntr), jnp.float32)
+        T1 = jnp.asarray(rng.uniform(0.5, 2.0, nV), jnp.float32)
+        T2 = jnp.asarray(rng.uniform(0.03, 0.2, nV), jnp.float32)
+        zi = epg.ir_prep(0.02, T1)
+        kw = dict(T1=T1, T2=T2, tr=trs, te=3e-3, zinit=zi, K=8)
+        a = epg.epg_spgr(flips, **kw)
+        b = epg.epg_spgr(flips, mesh=mesh, **kw)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-7)
+        # batched per-voxel flips shard too; grads flow
+        flb = jnp.asarray(rng.uniform(0.2, 1.0, (nV, ntr)), jnp.float32)
+        a = epg.epg_spgr(flb, T1=T1, T2=T2, tr=trs, te=3e-3, K=8)
+        b = epg.epg_spgr(flb, T1=T1, T2=T2, tr=trs, te=3e-3, K=8,
+                         mesh=mesh)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-7)
+        g = jax.grad(lambda t1: jnp.sum(epg.epg_spgr(
+            flips, T1=t1, T2=T2, tr=trs, te=3e-3, K=8, mesh=mesh)
+            ** 2))(T1)
         assert bool(jnp.all(jnp.isfinite(g)))
 
 

@@ -42,6 +42,7 @@ CASES = [
     ('scanner_pipeline.py', ['--n', '16']),
     ('fieldmap_recon.py', ['--n', '16', '--iters', '250', '--shim']),
     ('mwf_fit.py', ['--nvox', '12', '--iters', '600']),
+    ('bssfp_fit.py', ['--nvox', '8', '--ntr', '80', '--iters', '250']),
     ('qmt_fit.py', ['--nvox', '6', '--iters', '300', '--ntr', '150']),
     ('pc_venc.py', ['--nspins', '16']),
     ('traj_optim.py', ['--iters', '100']),
