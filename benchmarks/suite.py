@@ -877,6 +877,103 @@ def bench_mrf_pipeline():
             'refine_iters': 50}
 
 
+def bench_bssfp_fit():
+    r"""Whole-volume direct bSSFP parameter mapping (round 4): one
+    Adam-style gradient step — fused forward + the native in-kernel
+    adjoint (``ssfp_pallas._bssfp_bwd_kernel``) — w.r.t. per-voxel
+    (T1, T2, df, M0) at 1M voxels × 200 variable TRs. The
+    recompute-through-XLA reverse this replaces held O(nTR·nV) scan
+    residuals (~4.8 GB of saved relax/rotation factors per plane set
+    at this shape) and paid an extra XLA forward."""
+    import jax
+    import jax.numpy as jnp
+    from mrphy_tpu.ops import ssfp
+
+    nV, nTR = 1_048_576, 200
+    rng = np.random.default_rng(0)
+    t = np.arange(nTR)
+    flips = jnp.asarray(np.deg2rad(
+        10 + 50 * np.abs(np.sin(np.pi * t / 60))), jnp.float32)
+    trs = jnp.asarray(4e-3 + 2e-3 * rng.random(nTR), jnp.float32)
+    T1t = jnp.asarray(rng.uniform(0.3, 2.0, nV), jnp.float32)
+    T2t = jnp.asarray(rng.uniform(0.03, 0.3, nV), jnp.float32)
+    dft = jnp.asarray(rng.uniform(-80, 80, nV), jnp.float32)
+    M0t = jnp.asarray(rng.uniform(0.7, 1.2, nV), jnp.float32)
+
+    fwd = jax.jit(lambda a, b, c, d: ssfp.bssfp_train(
+        flips, T1=a, T2=b, tr=trs, df=c, M0=d, backend='pallas'))
+    fwd_x = jax.jit(lambda a, b, c, d: ssfp.bssfp_train(
+        flips, T1=a, T2=b, tr=trs, df=c, M0=d, backend='xla'))
+    data = fwd(T1t, T2t, dft, M0t)
+
+    # NB data rides as an ARGUMENT: closed over, the 1.6 GB echo array
+    # embeds as a jaxpr constant and the serialized module overflows
+    # the remote compile helper (HTTP 413 / broken pipe — measured)
+    def loss(a, b, c, d, y):
+        s = ssfp.bssfp_train(flips, T1=a, T2=b, tr=trs, df=c, M0=d,
+                             backend='pallas')
+        return jnp.mean((s - y) ** 2)
+
+    gradf = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3)))
+    T10 = jnp.full(nV, 1.0, jnp.float32)
+    T20 = jnp.full(nV, 0.1, jnp.float32)
+    df0 = jnp.zeros(nV, jnp.float32)
+    M00 = jnp.ones(nV, jnp.float32)
+    t_fwd = _timeit_device(fwd, T1t, T2t, dft, M0t, repeats=4)
+    t_fwdx = _timeit_device(fwd_x, T1t, T2t, dft, M0t, repeats=2)
+    t_grad = _timeit_device(gradf, T10, T20, df0, M00, data,
+                            repeats=4)
+    return {'metric': 'direct bSSFP volume fit (1M voxels x 200 '
+                      'variable TR, native in-kernel adjoint)',
+            'fused_fwd_ms': round(t_fwd * 1e3, 1),
+            'xla_fwd_ms': round(t_fwdx * 1e3, 1),
+            'fit_grad_step_ms': round(t_grad * 1e3, 1),
+            'fit_Mvox_per_s': round(nV / t_grad / 1e6, 2),
+            'unit': 'ms'}
+
+
+def bench_mrf_fisp():
+    r"""Canonical MRF-FISP dictionary (round 4): inversion prep
+    (``ir_prep``) + variable-TR train through the fused SPGR kernel —
+    forward and the full native-adjoint gradient (the in-kernel
+    variable-TR factor chains), 65 536 atoms × 400 TR, K=48. Compare
+    the const-TR round-3 record (fwd 30.5 ms / grad 89.5 ms): the
+    variable-TR mode adds 3 in-kernel transcendentals per atom·TR."""
+    import jax
+    import jax.numpy as jnp
+    from mrphy_tpu.ops import epg
+
+    nA, nTR, K = 65_536, 400, 48
+    rng = np.random.default_rng(0)
+    t = np.arange(nTR)
+    flips = jnp.asarray(np.deg2rad(
+        10 + 60 * np.abs(np.sin(np.pi * t / 75))), jnp.float32)
+    phis = epg.rf_spoil_phases(nTR).astype(jnp.float32)
+    trs = jnp.asarray(0.0115 + 0.003 * (0.5 + 0.5 * np.sin(
+        2 * np.pi * t / 37)), jnp.float32)
+    T1 = jnp.asarray(rng.uniform(0.2, 3.0, nA), jnp.float32)
+    T2 = jnp.asarray(rng.uniform(0.02, 0.4, nA), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((nA, nTR, 2)), jnp.float32)
+
+    def gen(t1, t2, trv):
+        return epg.epg_spgr(flips, phis, T1=t1, T2=t2, tr=trv,
+                            te=2e-3, zinit=epg.ir_prep(0.018, t1),
+                            K=K, backend='pallas')
+
+    fwd = jax.jit(gen)
+    gradf = jax.jit(jax.grad(
+        lambda t1, t2, trv: jnp.sum(w * gen(t1, t2, trv)),
+        argnums=(0, 1, 2)))
+    t_fwd = _timeit_device(fwd, T1, T2, trs, repeats=4)
+    t_grad = _timeit_device(gradf, T1, T2, trs, repeats=4)
+    return {'metric': 'canonical MRF-FISP dictionary (65k atoms x '
+                      '400 TR, K=48, IR prep + variable TR)',
+            'fused_fwd_ms': round(t_fwd * 1e3, 1),
+            'fused_fwd_Matoms_per_s': round(nA / t_fwd / 1e6, 2),
+            'full_grad_ms': round(t_grad * 1e3, 1),
+            'unit': 'ms'}
+
+
 ALL = {'tiny': bench_tiny, 'freeprec32': bench_freeprec32,
        'design64': bench_design64, 'throughput': bench_throughput,
        'deeptime': bench_deeptime, 'longpulse': bench_longpulse,
@@ -884,7 +981,8 @@ ALL = {'tiny': bench_tiny, 'freeprec32': bench_freeprec32,
        'recon': bench_recon, 'nufft': bench_nufft,
        'kspace': bench_kspace, 'field': bench_field, 'mrf': bench_mrf,
        'mrf_pipeline': bench_mrf_pipeline, 'cest': bench_cest,
-       'nufft3d': bench_nufft3d}
+       'nufft3d': bench_nufft3d, 'bssfp_fit': bench_bssfp_fit,
+       'mrf_fisp': bench_mrf_fisp}
 
 
 def main():

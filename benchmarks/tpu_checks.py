@@ -316,6 +316,46 @@ def _spgr_adjoint_parity(interpret: bool):
             + f' (tol {tol:.0e})')
 
 
+def _spgr_vartr_adjoint_parity(interpret: bool):
+    r"""Round 4: the canonical MRF-FISP schedule — variable-TR/TE
+    train + inversion prep (zinit/ir_prep) — through the fused SPGR
+    kernel's in-kernel adjoint: pins the per-TR factor recompute
+    (expm1 recovery), the dR1/dR2/dM0 chains, and the per-TR
+    d(tr)/d(te) coefficient rows on compiled Mosaic."""
+    from mrphy_tpu.ops import epg, epg_pallas
+    rng = np.random.default_rng(41)
+    ntr, nA, K = 120, 1024, 32
+    assert epg_pallas.spgr_bwd_is_available(nTR=ntr, K=K, nA=nA)
+    flips = jnp.asarray(np.deg2rad(rng.uniform(10, 60, ntr)), DT32)
+    phis = jnp.asarray(epg.rf_spoil_phases(ntr), DT32)
+    trs = jnp.asarray(rng.uniform(10e-3, 15e-3, ntr), DT32)
+    tes = jnp.asarray(rng.uniform(2e-3, 4e-3, ntr), DT32)
+    T1 = jnp.asarray(rng.uniform(0.3, 2.0, nA), DT32)
+    T2 = jnp.asarray(rng.uniform(0.03, 0.3, nA), DT32)
+    M0 = jnp.asarray(rng.uniform(0.8, 1.2, nA), DT32)
+    w = jnp.asarray(rng.standard_normal((nA, ntr, 2)), DT32)
+
+    def loss(be, fl, trv, tev, t1, t2, m0):
+        zi = epg.ir_prep(0.018, t1, m0)
+        return jnp.sum(w * epg.epg_spgr(fl, phis, T1=t1, T2=t2,
+                                        tr=trv, te=tev, M0=m0,
+                                        zinit=zi, K=K, backend=be))
+
+    an = tuple(range(6))
+    gx = jax.jit(jax.grad(lambda *a: loss('xla', *a), argnums=an))(
+        flips, trs, tes, T1, T2, M0)
+    gp = jax.jit(jax.grad(lambda *a: loss('pallas', *a), argnums=an))(
+        flips, trs, tes, T1, T2, M0)
+    rels = {n: _rel(p, x) for n, x, p in
+            zip(('flips', 'tr', 'te', 'T1', 'T2', 'M0'), gx, gp)}
+    tol = 1e-3
+    ok = all(r < tol for r in rels.values())
+    _record('spgr_vartr_adjoint', ok,
+            'MRF-FISP schedule adjoint vs XLA grads: ' + ', '.join(
+                f'd{n} {r:.1e}' for n, r in rels.items())
+            + f' (tol {tol:.0e})')
+
+
 def _cpmg_adjoint_parity(interpret: bool):
     r"""Round 3: the in-kernel CPMG adjoint vs XLA autodiff grads on
     compiled Mosaic (volume T2/MWF fitting path)."""
@@ -1027,6 +1067,7 @@ def main():
     _nufft3d_kernel_parity(interpret=args.interpret)
     _epg_kernel_parity(interpret=args.interpret)
     _spgr_adjoint_parity(interpret=args.interpret)
+    _spgr_vartr_adjoint_parity(interpret=args.interpret)
     _cpmg_adjoint_parity(interpret=args.interpret)
     _epgx_adjoint_parity(interpret=args.interpret)
     _cpmg_kernel_parity(interpret=args.interpret)

@@ -12,8 +12,14 @@ minimize a smooth-max of the off-diagonal coherences of a
 dictionary, with the dictionary generated per iteration by
 ``epg_spgr(..., backend='pallas')``: the fused kernel runs the forward
 at dictionary scale (`benchmarks/RESULTS.md`: 7.5–17× the XLA scan),
-and its recompute-through-XLA custom VJP (``ops/_diffwrap.py``) makes
-``jax.grad`` through it exact.
+and ``jax.grad`` through it runs the native in-kernel adjoint.
+
+``--schedule full`` optimizes the WHOLE canonical MRF-FISP schedule
+(round 4): flips AND the variable-TR train AND the inversion time,
+through ``zinit=ir_prep(ti, T1)`` and the `(nTR,)` ``tr`` input — the
+TR train is constrained to a fixed total scan time (softmax
+reparametrization), so the optimizer redistributes time rather than
+simply lengthening the scan.
 
 Physics checks asserted:
 - the optimized train reduces the evaluation-grid's worst off-diagonal
@@ -48,6 +54,11 @@ def main():
     ap.add_argument('--lr', type=float, default=0.05)
     ap.add_argument('--fmin', type=float, default=8., help='deg')
     ap.add_argument('--fmax', type=float, default=70., help='deg')
+    ap.add_argument('--schedule', choices=('flips', 'full'),
+                    default='flips',
+                    help='full: also optimize the TR train (fixed '
+                         'total time) and the inversion time TI')
+    ap.add_argument('--trmin', type=float, default=0.009)
     args = ap.parse_args()
 
     import jax
@@ -68,13 +79,27 @@ def main():
     print(f'dictionary: {nA} atoms x {args.ntr} TR (K={args.K})')
 
     fmin, fmax = np.deg2rad(args.fmin), np.deg2rad(args.fmax)
+    full = args.schedule == 'full'
+    budget = args.ntr * args.tr         # total scan time, fixed
+    slack = budget - args.ntr * args.trmin
+    assert slack > 0, 'trmin must leave schedule slack'
 
-    def train(p):                       # unbounded -> bounded flips
-        return fmin + (fmax - fmin) * jax.nn.sigmoid(p)
+    def train(p):
+        # unbounded params -> (flips, trs, ti): the TR train sums to
+        # the fixed budget (each >= trmin); TI in [5, 50] ms
+        flips = fmin + (fmax - fmin) * jax.nn.sigmoid(p['pf'])
+        if not full:
+            return flips, args.tr, None
+        trs = args.trmin + slack * jax.nn.softmax(p['ptr'])
+        ti = 5e-3 + 45e-3 * jax.nn.sigmoid(p['pti'])
+        return flips, trs, ti
 
-    def dictionary(flips, backend):
-        D = epg.epg_spgr(flips, None, T1=T1, T2=T2, tr=args.tr,
-                         te=args.te, K=args.K, backend=backend)
+    def dictionary(sched, backend):
+        flips, trs, ti = sched
+        zi = None if ti is None else epg.ir_prep(ti, T1)
+        D = epg.epg_spgr(flips, None, T1=T1, T2=T2, tr=trs,
+                         te=args.te, zinit=zi, K=args.K,
+                         backend=backend)
         return D.reshape(nA, -1, 2)     # (nA, nTR, 2)
 
     def coherence(D):
@@ -94,7 +119,11 @@ def main():
         return jax.nn.logsumexp(40.0 * C) / 40.0
 
     rng = np.random.default_rng(0)
-    p = jnp.asarray(0.1 * rng.standard_normal(args.ntr), jnp.float32)
+    p = {'pf': jnp.asarray(0.1 * rng.standard_normal(args.ntr),
+                           jnp.float32)}
+    if full:
+        p['ptr'] = jnp.zeros(args.ntr, jnp.float32)
+        p['pti'] = jnp.zeros((), jnp.float32)
     opt = optax.adam(args.lr)
     state = opt.init(p)
     vg = jax.jit(jax.value_and_grad(loss))
@@ -106,7 +135,16 @@ def main():
             print(f'  iter {it:4d}  smooth-max coherence {val:.4f}')
 
     # --- evaluation: worst off-diagonal coherence, const vs optimized
-    const = jnp.full((args.ntr,), np.deg2rad(35.0), jnp.float32)
+    # (same total scan time by construction in --schedule full)
+    const = (jnp.full((args.ntr,), np.deg2rad(35.0), jnp.float32),
+             args.tr, None)
+    if full:
+        flo, tro, tio = train(p)
+        print(f'optimized schedule: total {float(jnp.sum(tro))*1e3:.1f}'
+              f' ms (budget {budget*1e3:.1f}), TI {float(tio)*1e3:.1f}'
+              f' ms, TR range [{float(jnp.min(tro))*1e3:.2f}, '
+              f'{float(jnp.max(tro))*1e3:.2f}] ms')
+        assert abs(float(jnp.sum(tro)) - budget) < 1e-5
     C0 = coherence(dictionary(const, 'pallas'))
     C1 = coherence(dictionary(train(p), 'pallas'))
     # exact signal duplicates (distinct (T1,T2) with identical signals)
@@ -128,8 +166,8 @@ def main():
     nV, sig = 20000, 0.03
     ks = rng.integers(0, nA, nV)
 
-    def acc(flips):
-        D = dictionary(flips, 'pallas')
+    def acc(sched):
+        D = dictionary(sched, 'pallas')
         X = np.asarray(D)[ks]
         ph = rng.uniform(-np.pi, np.pi, nV).astype(np.float32)
         X = (np.cos(ph)[:, None, None] * X

@@ -90,6 +90,10 @@ CASES = [
     # dictionary kernels (round-3 recompute-through-XLA VJP)
     ('mrf_seq_optim.py', ['--natoms', '64', '--ntr', '32', '--K', '10',
                           '--iters', '30']),
+    # full canonical-schedule optimization: flips + TR train (fixed
+    # total time) + inversion time, through zinit/ir_prep + vartr
+    ('mrf_seq_optim.py', ['--natoms', '64', '--ntr', '32', '--K', '10',
+                          '--iters', '30', '--schedule', 'full']),
     # true-3D koosh-ball CG recon through the 3-D Pallas NUFFT
     ('recon3d.py', ['--n', '12', '--spokes', '120', '--iters', '8']),
     # deployment lifecycle: design -> AOT artifacts -> serve (bit-exact)
