@@ -356,6 +356,44 @@ def _spgr_vartr_adjoint_parity(interpret: bool):
             + f' (tol {tol:.0e})')
 
 
+def _spgr_diffusion_parity(interpret: bool):
+    r"""Round 4: in-kernel spoiler diffusion (per-order attenuation
+    planes, exactly epg_diffusion with delta=kshift) — forward parity
+    and the adjoint's dD chain on compiled Mosaic (diffusion-MRF)."""
+    from mrphy_tpu.ops import epg
+    rng = np.random.default_rng(43)
+    ntr, nA, K = 120, 1024, 32
+    flips = jnp.asarray(np.deg2rad(rng.uniform(10, 60, ntr)), DT32)
+    phis = jnp.asarray(epg.rf_spoil_phases(ntr), DT32)
+    T1 = jnp.asarray(rng.uniform(0.3, 2.0, nA), DT32)
+    T2 = jnp.asarray(rng.uniform(0.03, 0.3, nA), DT32)
+    Dv = jnp.asarray(rng.uniform(0.5e-5, 3e-5, nA), DT32)
+    w = jnp.asarray(rng.standard_normal((nA, ntr, 2)), DT32)
+    kw = dict(T1=T1, T2=T2, tr=12e-3, te=3e-3, K=K, dk=500.0)
+
+    x = jax.jit(lambda d: epg.epg_spgr(flips, phis, D=d,
+                                       backend='xla', **kw))(Dv)
+    p = jax.jit(lambda d: epg.epg_spgr(flips, phis, D=d,
+                                       backend='pallas', **kw))(Dv)
+    rel = _rel(np.asarray(p), np.asarray(x))
+
+    def loss(be, d, t2):
+        return jnp.sum(w * epg.epg_spgr(flips, phis, T1=T1, T2=t2,
+                                        tr=12e-3, te=3e-3, K=K, D=d,
+                                        dk=500.0, backend=be))
+
+    gx = jax.jit(jax.grad(lambda *a: loss('xla', *a),
+                          argnums=(0, 1)))(Dv, T2)
+    gp = jax.jit(jax.grad(lambda *a: loss('pallas', *a),
+                          argnums=(0, 1)))(Dv, T2)
+    rd, rt2 = _rel(gp[0], gx[0]), _rel(gp[1], gx[1])
+    tol = 1e-3
+    ok = rel < 2e-4 and rd < tol and rt2 < tol
+    _record('spgr_diffusion', ok,
+            f'in-kernel spoiler diffusion: fwd rel {rel:.1e} '
+            f'(tol 2e-4), dD {rd:.1e}, dT2 {rt2:.1e} (tol {tol:.0e})')
+
+
 def _cpmg_adjoint_parity(interpret: bool):
     r"""Round 3: the in-kernel CPMG adjoint vs XLA autodiff grads on
     compiled Mosaic (volume T2/MWF fitting path)."""
@@ -1068,6 +1106,7 @@ def main():
     _epg_kernel_parity(interpret=args.interpret)
     _spgr_adjoint_parity(interpret=args.interpret)
     _spgr_vartr_adjoint_parity(interpret=args.interpret)
+    _spgr_diffusion_parity(interpret=args.interpret)
     _cpmg_adjoint_parity(interpret=args.interpret)
     _epgx_adjoint_parity(interpret=args.interpret)
     _cpmg_kernel_parity(interpret=args.interpret)

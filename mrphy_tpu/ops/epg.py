@@ -403,12 +403,13 @@ def epg_spgr(flips, phis=None, *, T1, T2, tr, te=0.0, M0=1.0,
             zinit=zinit, b1=b1, kshift=kshift, K=K, backend=backend,
             **dkw)
     if backend == 'pallas':
-        assert D is None, 'pallas backend does not model diffusion'
         from mrphy_tpu.ops import epg_pallas
         from mrphy_tpu.ops._diffwrap import pallas_with_xla_vjp
+        assert D is None or (jnp.ndim(tr) == 0 and jnp.ndim(te) == 0),\
+            'pallas diffusion needs scalar tr/te'
         fl_a = jnp.asarray(flips)
         nA_g = max([1] + [jnp.shape(v)[0] for v in
-                          (T1, T2, M0, b1, zinit)
+                          (T1, T2, M0, b1, zinit, D)
                           if v is not None and jnp.ndim(v) >= 1])
         K_g = (fl_a.shape[-1] * abs(int(kshift)) + 1 if K is None
                else int(K))
@@ -418,17 +419,18 @@ def epg_spgr(flips, phis=None, *, T1, T2, tr, te=0.0, M0=1.0,
             # adjoint kernel (round 3) — gradients at kernel speed
             return epg_pallas.epg_spgr_pallas(
                 flips, phis, T1=T1, T2=T2, tr=tr, te=te, M0=M0,
-                zinit=zinit, b1=b1, kshift=kshift, K=K)
+                zinit=zinit, b1=b1, D=D, dk=dk, kshift=kshift, K=K)
         return pallas_with_xla_vjp(
-            lambda fl, ph, t1, t2, trv, tev, m0, zi, b:
+            lambda fl, ph, t1, t2, trv, tev, m0, zi, b, d:
                 epg_pallas.epg_spgr_pallas(
                     fl, ph, T1=t1, T2=t2, tr=trv, te=tev,
-                    M0=m0, zinit=zi, b1=b, kshift=kshift, K=K),
-            lambda fl, ph, t1, t2, trv, tev, m0, zi, b:
+                    M0=m0, zinit=zi, b1=b, D=d, dk=dk, kshift=kshift,
+                    K=K),
+            lambda fl, ph, t1, t2, trv, tev, m0, zi, b, d:
                 epg_spgr(fl, ph, T1=t1, T2=t2, tr=trv, te=tev, M0=m0,
-                         zinit=zi, b1=b, kshift=kshift, K=K,
-                         backend='xla'),
-            flips, phis, T1, T2, tr, te, M0, zinit, b1)
+                         zinit=zi, b1=b, D=d, dk=dk, kshift=kshift,
+                         K=K, backend='xla'),
+            flips, phis, T1, T2, tr, te, M0, zinit, b1, D)
     assert backend == 'xla', backend
     flips = _apply_b1(jnp.asarray(flips), b1)
     nTR = flips.shape[-1]

@@ -67,9 +67,30 @@ def _spgr_factors_t(vartr, coef_ref, t, p1, p2, p3, p4):
     return 1 - a1, jnp.exp(-trn * p2), jnp.exp(-ten * p2), p3 * a1
 
 
+def _spgr_diff_att(K: int, kshift: int, dq, dtype):
+    r"""Per-order diffusion attenuations (and their b-factor
+    coefficient planes, for the adjoint's dD chain) from the prescaled
+    per-atom row ``dq = D*dk^2*tr``: ``A = exp(-dq*c(k))`` with
+    ``cT±(k) = k^2 ± k*delta + delta^2/3`` (F- carries -k) and
+    ``cL(k) = k^2`` — exactly :func:`mrphy_tpu.ops.epg.epg_diffusion`
+    with ``delta = kshift``. Computed ONCE per atom tile (constant-TR
+    mode only): 3 (K, TA) exps outside the time loop. The iota must
+    be INTEGER (Mosaic's ``tpu.iota`` rejects float results — an
+    interpret-mode-invisible constraint) and is cast after."""
+    TA = dq.shape[1]
+    k = jax.lax.broadcasted_iota(jnp.int32, (K, TA), 0).astype(dtype)
+    d = float(kshift)
+    cTp = k * k + k * d + d * d / 3
+    cTm = k * k - k * d + d * d / 3
+    cL = k * k
+    return (jnp.exp(-dq * cTp), jnp.exp(-dq * cTm), jnp.exp(-dq * cL),
+            cTp, cTm, cL)
+
+
 def _spgr_kernel(K: int, nTR: int, kshift: int, has_b1: bool,
-                 vartr: bool, coef_ref, e1_ref, e2_ref, e2te_ref,
-                 rec_ref, m0_ref, b1_ref, outr_ref, outi_ref):
+                 vartr: bool, has_d: bool, coef_ref, e1_ref, e2_ref,
+                 e2te_ref, rec_ref, m0_ref, b1_ref, dq_ref, outr_ref,
+                 outi_ref):
     r"""One atom tile: scan the whole train with the `(K, TA)` state
     planes as loop carry (registers/VMEM — never HBM). With ``has_b1``
     the flip is scaled per atom (the MRF B1 dictionary dimension): the
@@ -83,6 +104,9 @@ def _spgr_kernel(K: int, nTR: int, kshift: int, has_b1: bool,
     row = jax.lax.broadcasted_iota(jnp.int32, (K, TA), 0)
     is0, islast = row == 0, row == K - 1
     zero = jnp.zeros((K, TA), E1.dtype)
+    if has_d:
+        ATp, ATm, AL = _spgr_diff_att(K, kshift, dq_ref[...],
+                                      E1.dtype)[:3]
 
     def step(t, s):
         Fpr, Fpi, Fmr, Fmi, Zr, Zi = s
@@ -121,6 +145,12 @@ def _spgr_kernel(K: int, nTR: int, kshift: int, has_b1: bool,
         Z1r = jnp.where(is0, E1t * Z1r + rect, E1t * Z1r)
         Z1i = E1t * Z1i
 
+        # spoiler diffusion (before the shift, like epg_diffusion)
+        if has_d:
+            Fp1r, Fp1i = ATp * Fp1r, ATp * Fp1i
+            Fm1r, Fm1i = ATm * Fm1r, ATm * Fm1i
+            Z1r, Z1i = AL * Z1r, AL * Z1i
+
         # spoiler: shift |kshift| unit k-quanta
         for _ in range(abs(kshift)):
             if kshift > 0:
@@ -157,10 +187,10 @@ def _spgr_kernel(K: int, nTR: int, kshift: int, has_b1: bool,
 
 @functools.partial(jax.jit, static_argnames=('K', 'kshift', 'tile',
                                              'interpret', 'has_b1',
-                                             'vartr'))
-def _spgr_dispatch(flips, phis, T1, T2, tr, te, M0, zinit, b1, *,
-                   K: int, kshift: int, tile: int, interpret: bool,
-                   has_b1: bool, vartr: bool):
+                                             'vartr', 'has_d'))
+def _spgr_dispatch(flips, phis, T1, T2, tr, te, M0, zinit, b1, D, dk,
+                   *, K: int, kshift: int, tile: int, interpret: bool,
+                   has_b1: bool, vartr: bool, has_d: bool):
     nTR = flips.shape[0]
     nA = T1.shape[0]
     f32 = jnp.float32
@@ -191,13 +221,25 @@ def _spgr_dispatch(flips, phis, T1, T2, tr, te, M0, zinit, b1, *,
     z0 = M0a if zinit is None else jnp.broadcast_to(
         jnp.asarray(zinit, f32), (1, nA))
     b1 = jnp.broadcast_to(jnp.asarray(b1, f32), (1, nA))
+    if has_d:
+        # prescaled per-atom diffusion row: A(k) = exp(-dq*c(k)) with
+        # c(k) static (iota in-kernel); dD/dtr/ddk chain through this
+        # product by autodiff
+        assert not vartr, \
+            'pallas diffusion needs scalar tr/te (constant-TR mode)'
+        dq = jnp.broadcast_to(
+            (jnp.asarray(D, f32) * jnp.asarray(dk, f32) ** 2
+             * jnp.asarray(tr, f32)), (1, nA)).astype(f32)
+    else:
+        dq = jnp.zeros((1, nA), f32)
 
     del nA
     # the differentiable core: fast unchunked kernel as the primal,
     # the hand-transposed fused adjoint under jax.grad (atom padding
     # happens per-path inside)
-    outr, outi = _spgr_core(K, kshift, interpret, has_b1, vartr, coef,
-                            E1, E2, E2te, rec, z0, b1, None)
+    outr, outi = _spgr_core(K, kshift, interpret, has_b1, vartr,
+                            has_d, coef, E1, E2, E2te, rec, z0, b1,
+                            dq, None)
     return jnp.stack([outr, outi], -1)              # (nTR, nA, 2)
 
 
@@ -891,8 +933,9 @@ def epgx_mt_spgr_pallas(flips, phis=None, *, T1a, T2a, T1b, kab, kba,
 
 
 def epg_spgr_pallas(flips, phis=None, *, T1, T2, tr, te=0.0, M0=1.0,
-                    zinit=None, b1=None, kshift: int = 1, K=None,
-                    tile: int = 512, interpret=None):
+                    zinit=None, b1=None, D=None, dk=0.0,
+                    kshift: int = 1, K=None, tile: int = 512,
+                    interpret=None):
     r"""Fused-TPU gradient-spoiled EPG train (MRF dictionaries).
 
     Same signature/semantics as :func:`mrphy_tpu.ops.epg.epg_spgr`
@@ -910,9 +953,15 @@ def epg_spgr_pallas(flips, phis=None, *, T1, T2, tr, te=0.0, M0=1.0,
     transcendentals/TR). Returns `(nAtoms, nTR, 2)`. Differentiable:
     ``jax.grad`` runs the in-kernel hand-transposed adjoint
     (``_spgr_bwd_kernel``; variable-TR/TE factor chains in-kernel).
-    ``tile`` atoms are processed per grid step (lane multiples; the
-    atom batch is padded internally). ``interpret`` defaults to Mosaic
-    on TPU, interpreter elsewhere.
+    ``D``/``dk`` `(nAtoms,)`/scalar (round 4): spoiler-diffusion
+    attenuation IN-KERNEL — per-order planes ``exp(-D·dk²·tr·c(k))``
+    computed once per atom tile (constant-TR mode only; exactly
+    :func:`mrphy_tpu.ops.epg.epg_diffusion` with ``delta=kshift``),
+    with the dD chain carried by the adjoint — diffusion-MRF
+    (T1, T2, D) dictionaries and continuous ADC refinement at kernel
+    speed. ``tile`` atoms are processed per grid step (lane multiples;
+    the atom batch is padded internally). ``interpret`` defaults to
+    Mosaic on TPU, interpreter elsewhere.
     """
     if interpret is None:
         from mrphy_tpu.ops.pallas_kernels import _on_tpu
@@ -928,6 +977,8 @@ def epg_spgr_pallas(flips, phis=None, *, T1, T2, tr, te=0.0, M0=1.0,
              jnp.shape(M0)[0] if jnp.ndim(M0) >= 1 else 1,
              jnp.shape(zinit)[0] if (zinit is not None
                                      and jnp.ndim(zinit) >= 1) else 1,
+             jnp.shape(D)[0] if (D is not None
+                                 and jnp.ndim(D) >= 1) else 1,
              jnp.shape(b1)[0] if (b1 is not None
                                   and jnp.ndim(b1) >= 1) else 1)
     T1, T2 = jnp.broadcast_to(T1, (nA,)), jnp.broadcast_to(T2, (nA,))
@@ -935,13 +986,16 @@ def epg_spgr_pallas(flips, phis=None, *, T1, T2, tr, te=0.0, M0=1.0,
     K = nTR * abs(int(kshift)) + 1 if K is None else int(K)
     assert tile % _LANE == 0, f'tile must be a multiple of {_LANE}'
     vartr = jnp.ndim(tr) == 1 or jnp.ndim(te) == 1
+    assert not (vartr and D is not None), \
+        'pallas diffusion needs scalar tr/te (constant-TR mode)'
     sig = _spgr_dispatch(flips, phis, T1, T2,
                          jnp.asarray(tr, jnp.float32),
                          jnp.asarray(te, jnp.float32),
                          M0, zinit, 1.0 if b1 is None else b1,
+                         0.0 if D is None else D, dk,
                          K=K, kshift=int(kshift), tile=tile,
                          interpret=interpret, has_b1=b1 is not None,
-                         vartr=vartr)
+                         vartr=vartr, has_d=D is not None)
     return jnp.moveaxis(sig, 1, 0)               # (nA, nTR, 2)
 
 
@@ -994,8 +1048,9 @@ def _spgr_mix_T(tg, h):
             sc * hFpr + ss * hFpi - sc * hFmr + ss * hFmi + ca * hZi)
 
 
-def _spgr_relax_shift(kshift, masks, E1, E2, rec, s):
-    r"""Relaxation over TR + |kshift| unit spoiler shifts (the tail of
+def _spgr_relax_shift(kshift, masks, E1, E2, rec, s, att=None):
+    r"""Relaxation over TR (+ optional per-order diffusion
+    attenuation) + |kshift| unit spoiler shifts (the tail of
     ``_spgr_kernel``'s step, kept in sync)."""
     is0, islast, zero = masks
     K = zero.shape[0]
@@ -1004,6 +1059,11 @@ def _spgr_relax_shift(kshift, masks, E1, E2, rec, s):
     Fmr, Fmi = E2 * Fmr, E2 * Fmi
     Zr = jnp.where(is0, E1 * Zr + rec, E1 * Zr)
     Zi = E1 * Zi
+    if att is not None:
+        ATp, ATm, AL = att
+        Fpr, Fpi = ATp * Fpr, ATp * Fpi
+        Fmr, Fmi = ATm * Fmr, ATm * Fmi
+        Zr, Zi = AL * Zr, AL * Zi
     for _ in range(abs(kshift)):
         if kshift > 0:
             Fpr = pltpu.roll(Fpr, 1, axis=0)
@@ -1058,9 +1118,10 @@ def _spgr_shift_T(kshift, masks, h):
 
 
 def _spgr_fwd_chk_kernel(K: int, tc: int, ntc: int, kshift: int,
-                         has_b1: bool, vartr: bool, coef_ref, e1_ref,
-                         e2_ref, e2te_ref, rec_ref, m0_ref, b1_ref,
-                         outr_ref, outi_ref, chk_ref, s_scr):
+                         has_b1: bool, vartr: bool, has_d: bool,
+                         coef_ref, e1_ref, e2_ref, e2te_ref, rec_ref,
+                         m0_ref, b1_ref, dq_ref, outr_ref, outi_ref,
+                         chk_ref, s_scr):
     r"""Chunked forward for the VJP path: grid (atom tiles, time
     chunks); the state persists in scratch across chunks, each chunk's
     START (pre-RF) state streams to ``chk`` for the backward's
@@ -1071,6 +1132,8 @@ def _spgr_fwd_chk_kernel(K: int, tc: int, ntc: int, kshift: int,
     b1 = b1_ref[...]
     row = jax.lax.broadcasted_iota(jnp.int32, (K, TA), 0)
     masks = (row == 0, row == K - 1, jnp.zeros((K, TA), E1.dtype))
+    att = (_spgr_diff_att(K, kshift, dq_ref[...], E1.dtype)[:3]
+           if has_d else None)
     j = pl.program_id(1)
     t0 = j * tc
 
@@ -1094,7 +1157,8 @@ def _spgr_fwd_chk_kernel(K: int, tc: int, ntc: int, kshift: int,
         fp0r, fp0i = s1[0][0:1, :], s1[1][0:1, :]
         outr_ref[pl.ds(t, 1), :] = E2tet * (c1 * fp0r + s1c * fp0i)
         outi_ref[pl.ds(t, 1), :] = E2tet * (c1 * fp0i - s1c * fp0r)
-        return _spgr_relax_shift(kshift, masks, E1t, E2t, rect, s1)
+        return _spgr_relax_shift(kshift, masks, E1t, E2t, rect, s1,
+                                 att)
 
     u = math.gcd(tc, _UNROLL)
 
@@ -1109,10 +1173,10 @@ def _spgr_fwd_chk_kernel(K: int, tc: int, ntc: int, kshift: int,
 
 
 def _spgr_bwd_kernel(K: int, tc: int, ntc: int, kshift: int,
-                     has_b1: bool, vartr: bool, coef_ref, e1_ref,
-                     e2_ref, e2te_ref, rec_ref, m0_ref, b1_ref,
-                     chk_ref, gr_ref, gi_ref, dpar_ref, dcf_ref,
-                     s_scr, h_scr, acc_scr):
+                     has_b1: bool, vartr: bool, has_d: bool, coef_ref,
+                     e1_ref, e2_ref, e2te_ref, rec_ref, m0_ref,
+                     b1_ref, dq_ref, chk_ref, gr_ref, gi_ref,
+                     dpar_ref, dcf_ref, s_scr, h_scr, acc_scr):
     r"""Two-phase chunk adjoint, chunks visited newest-first. Phase 1
     re-runs the forward from the chunk-START checkpoint, storing every
     pre-RF state; phase 2 walks them backwards: spoiler-shift
@@ -1120,8 +1184,12 @@ def _spgr_bwd_kernel(K: int, tc: int, ntc: int, kshift: int,
     cotangent injection (dE2te + phase-coefficient terms) -> RF-mix
     transpose (per-TR coefficient grads as (TA,) lane-partials; under
     b1, the per-atom flip chain feeds db1 and the flips row).
-    Outputs: ``dpar`` (6, TA) = [dE1, dE2, dE2te, drec, dM0, db1];
-    ``dcf`` (tc, nC, TA) lane-partial coefficient rows per chunk.
+    Outputs: ``dpar`` (7, TA) = [dE1, dE2, dE2te, drec, dM0, db1,
+    dDq]; ``dcf`` (tc, nC, TA) lane-partial coefficient rows per
+    chunk. Under ``has_d`` the diffusion transpose multiplies the
+    cotangent by the same attenuation planes and accumulates the
+    per-atom ``dDq`` row via the static b-factor coefficient planes
+    (``dA/dDq = -c(k)*A(k)``).
     Variable-TR/TE mode (round 4): the plane slots hold (R1, R2, M0,
     ·), the per-step factor grads chain in-kernel to the rate/M0 rows
     and to per-TR d(tr)/d(te) coefficient rows (dcf rows 9/10), and
@@ -1134,13 +1202,15 @@ def _spgr_bwd_kernel(K: int, tc: int, ntc: int, kshift: int,
     row = jax.lax.broadcasted_iota(jnp.int32, (K, TA), 0)
     masks = (row == 0, row == K - 1, jnp.zeros((K, TA), E1.dtype))
     is0 = masks[0]
+    att = (_spgr_diff_att(K, kshift, dq_ref[...], E1.dtype)
+           if has_d else None)
     j = pl.program_id(1)
     t0 = (ntc - 1 - j) * tc
 
     @pl.when(j == 0)
     def _():
         z1 = jnp.zeros((1, TA), E1.dtype)
-        for a in range(6):
+        for a in range(7):
             acc_scr[a] = z1
         for p in range(6):
             h_scr[p] = masks[2]
@@ -1151,7 +1221,8 @@ def _spgr_bwd_kernel(K: int, tc: int, ntc: int, kshift: int,
         E1t, E2t, _, rect = _spgr_factors_t(vartr, coef_ref, t,
                                             E1, E2, E2te, rec)
         return _spgr_relax_shift(kshift, masks, E1t, E2t, rect,
-                                 _spgr_mix(tg, s))
+                                 _spgr_mix(tg, s),
+                                 None if att is None else att[:3])
 
     u = math.gcd(tc, _UNROLL)
 
@@ -1169,16 +1240,32 @@ def _spgr_bwd_kernel(K: int, tc: int, ntc: int, kshift: int,
     # ---- phase 2: transposed recursion over the stored states ------
     def bstep(t, tl, carry):
         h = carry[:6]
-        (aE1, aE2, aE2te, arec, aM0, ab1) = carry[6:]
+        (aE1, aE2, aE2te, arec, aM0, ab1, aDq) = carry[6:]
         s = tuple(s_scr[tl, p] for p in range(6))
         tg = _spgr_trig(coef_ref, t, b1, has_b1)
-        E1t, E2t, E2tet, _ = _spgr_factors_t(vartr, coef_ref, t,
-                                             E1, E2, E2te, rec)
+        E1t, E2t, E2tet, rect = _spgr_factors_t(vartr, coef_ref, t,
+                                                E1, E2, E2te, rec)
         s1 = _spgr_mix(tg, s)
 
         # shift transpose (reverse the |kshift| unit shifts)
         for _ in range(abs(kshift)):
             h = _spgr_shift_T(kshift, masks, h)
+
+        if has_d:
+            # diffusion transpose: h *= A; dDq -= sum_k c*A*(h.s2)
+            # with s2 the post-relax state (recomputed from s1)
+            ATp, ATm, AL, cTp, cTm, cL = att
+            is0m = masks[0]
+            s2F = (E2t * s1[0], E2t * s1[1], E2t * s1[2], E2t * s1[3])
+            s2Zr = jnp.where(is0m, E1t * s1[4] + rect, E1t * s1[4])
+            s2Zi = E1t * s1[5]
+            aDq = aDq - jnp.sum(
+                cTp * ATp * (h[0] * s2F[0] + h[1] * s2F[1])
+                + cTm * ATm * (h[2] * s2F[2] + h[3] * s2F[3])
+                + cL * AL * (h[4] * s2Zr + h[5] * s2Zi),
+                axis=0, keepdims=True)
+            h = (ATp * h[0], ATp * h[1], ATm * h[2], ATm * h[3],
+                 AL * h[4], AL * h[5])
 
         # relaxation transpose + per-step factor grads
         hFpr, hFpi, hFmr, hFmi, hZr, hZi = h
@@ -1267,7 +1354,7 @@ def _spgr_bwd_kernel(K: int, tc: int, ntc: int, kshift: int,
             dcf_ref[0, tl, c] = rows[c][0]
 
         h = _spgr_mix_T(tg, h)
-        return h + (aE1, aE2, aE2te, arec, aM0, ab1)
+        return h + (aE1, aE2, aE2te, arec, aM0, ab1, aDq)
 
     def bbody(k, carry):
         for jj in range(u):
@@ -1278,20 +1365,20 @@ def _spgr_bwd_kernel(K: int, tc: int, ntc: int, kshift: int,
     carry = jax.lax.fori_loop(
         0, tc // u, bbody,
         tuple(h_scr[p] for p in range(6))
-        + tuple(acc_scr[a] for a in range(6)))
+        + tuple(acc_scr[a] for a in range(7)))
     for p in range(6):
         h_scr[p] = carry[p]
-    for a in range(6):
+    for a in range(7):
         acc_scr[a] = carry[6 + a]
 
     @pl.when(j == ntc - 1)
     def _():
         # cotangent at the initial state: Z(0) = zinit on the k=0 row
         # (the m0 slot; = M0 when no preparation). In vartr mode the
-        # slots read [dR1, dR2, dM0, 0, dzinit, db1].
+        # slots read [dR1, dR2, dM0, 0, dzinit, db1, dDq].
         dM0 = carry[10] + carry[4][0:1, :]
         for a, v in enumerate((carry[6], carry[7], carry[8],
-                               carry[9], dM0, carry[11])):
+                               carry[9], dM0, carry[11], carry[12])):
             dpar_ref[pl.ds(a, 1), :] = v
 
 
@@ -1324,22 +1411,22 @@ def spgr_bwd_is_available(*, nTR: int, K: int, nA: int) -> bool:
             and dcf <= 2 * 1024 ** 3)
 
 
-def _spgr_args_pad(E1, E2, E2te, rec, M0a, b1, tile):
+def _spgr_args_pad(E1, E2, E2te, rec, M0a, b1, dq, tile):
     nA = E1.shape[1]
     pad = (-nA) % tile
     if pad:
         pv = [(0, 0), (0, pad)]
         return tuple(jnp.pad(x, pv) for x in
-                     (E1, E2, E2te, rec, M0a, b1)), nA + pad
-    return (E1, E2, E2te, rec, M0a, b1), nA
+                     (E1, E2, E2te, rec, M0a, b1, dq)), nA + pad
+    return (E1, E2, E2te, rec, M0a, b1, dq), nA
 
 
-def _spgr_fwd_chk(coef, E1, E2, E2te, rec, M0a, b1, *, K, kshift,
-                  interpret, has_b1, vartr):
+def _spgr_fwd_chk(coef, E1, E2, E2te, rec, M0a, b1, dq, *, K, kshift,
+                  interpret, has_b1, vartr, has_d):
     nTR = coef.shape[1]
     tile = _BWD_TILE
-    (E1, E2, E2te, rec, M0a, b1), nAp = _spgr_args_pad(
-        E1, E2, E2te, rec, M0a, b1, tile)
+    (E1, E2, E2te, rec, M0a, b1, dq), nAp = _spgr_args_pad(
+        E1, E2, E2te, rec, M0a, b1, dq, tile)
     tc = _pick_tc_spgr(nTR, K)
     ntc = nTR // tc
     atom = pl.BlockSpec((1, tile), lambda i, j: (0, i))
@@ -1347,10 +1434,10 @@ def _spgr_fwd_chk(coef, E1, E2, E2te, rec, M0a, b1, *, K, kshift,
     chk = pl.BlockSpec((1, 6, K, tile), lambda i, j: (j, 0, 0, i))
     outr, outi, chka = pl.pallas_call(
         functools.partial(_spgr_fwd_chk_kernel, K, tc, ntc, kshift,
-                          has_b1, vartr),
+                          has_b1, vartr, has_d),
         grid=(nAp // tile, ntc),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  atom, atom, atom, atom, atom, atom],
+                  atom, atom, atom, atom, atom, atom, atom],
         out_specs=[out, out, chk],
         out_shape=[jax.ShapeDtypeStruct((nTR, nAp), jnp.float32)] * 2
         + [jax.ShapeDtypeStruct((ntc, 6, K, nAp), jnp.float32)],
@@ -1358,19 +1445,19 @@ def _spgr_fwd_chk(coef, E1, E2, E2te, rec, M0a, b1, *, K, kshift,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(coef, E1, E2, E2te, rec, M0a, b1)
+    )(coef, E1, E2, E2te, rec, M0a, b1, dq)
     return outr, outi, chka
 
 
-def _spgr_bwd(coef, E1, E2, E2te, rec, M0a, b1, chka, gr, gi, *, K,
-              kshift, interpret, has_b1, vartr):
-    r"""Returns ``(dcoef (nC, nTR), dE1, dE2, dE2te, drec, dM0, db1)``
-    with the per-atom rows `(1, nA)`-shaped (unpadded)."""
+def _spgr_bwd(coef, E1, E2, E2te, rec, M0a, b1, dq, chka, gr, gi, *,
+              K, kshift, interpret, has_b1, vartr, has_d):
+    r"""Returns ``(dcoef (nC, nTR), dE1, dE2, dE2te, drec, dM0, db1,
+    dDq)`` with the per-atom rows `(1, nA)`-shaped (unpadded)."""
     nC, nTR = coef.shape
     nA = E1.shape[1]
     tile = _BWD_TILE
-    (E1p, E2p, E2tep, recp, M0ap, b1p), nAp = _spgr_args_pad(
-        E1, E2, E2te, rec, M0a, b1, tile)
+    (E1p, E2p, E2tep, recp, M0ap, b1p, dqp), nAp = _spgr_args_pad(
+        E1, E2, E2te, rec, M0a, b1, dq, tile)
     grp = jnp.pad(gr, [(0, 0), (0, nAp - nA)])
     gip = jnp.pad(gi, [(0, 0), (0, nAp - nA)])
     tc = _pick_tc_spgr(nTR, K)
@@ -1382,32 +1469,34 @@ def _spgr_bwd(coef, E1, E2, E2te, rec, M0a, b1, chka, gr, gi, *, K,
                        lambda i, j: (ntc - 1 - j, 0, 0, i))
     dpar, dcf = pl.pallas_call(
         functools.partial(_spgr_bwd_kernel, K, tc, ntc, kshift,
-                          has_b1, vartr),
+                          has_b1, vartr, has_d),
         grid=(ntiles, ntc),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  atom, atom, atom, atom, atom, atom, chk, gsp, gsp],
-        out_specs=[pl.BlockSpec((6, tile), lambda i, j: (0, i)),
+                  atom, atom, atom, atom, atom, atom, atom, chk,
+                  gsp, gsp],
+        out_specs=[pl.BlockSpec((7, tile), lambda i, j: (0, i)),
                    pl.BlockSpec((1, tc, nC, tile),
                                 lambda i, j: (i, ntc - 1 - j, 0, 0))],
-        out_shape=[jax.ShapeDtypeStruct((6, nAp), jnp.float32),
+        out_shape=[jax.ShapeDtypeStruct((7, nAp), jnp.float32),
                    jax.ShapeDtypeStruct((ntiles, nTR, nC, tile),
                                         jnp.float32)],
         scratch_shapes=[pltpu.VMEM((tc, 6, K, tile), jnp.float32),
                         pltpu.VMEM((6, K, tile), jnp.float32),
-                        pltpu.VMEM((6, 1, tile), jnp.float32)],
+                        pltpu.VMEM((7, 1, tile), jnp.float32)],
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(coef, E1p, E2p, E2tep, recp, M0ap, b1p, chka, grp, gip)
+    )(coef, E1p, E2p, E2tep, recp, M0ap, b1p, dqp, chka, grp, gip)
     dcoef = jnp.sum(dcf, axis=(0, 3)).T            # (nC, nTR)
     dpar = dpar[:, :nA]
     return (dcoef, dpar[0:1], dpar[1:2], dpar[2:3], dpar[3:4],
-            dpar[4:5], dpar[5:6])
+            dpar[4:5], dpar[5:6], dpar[6:7])
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
-def _spgr_core(K, kshift, interpret, has_b1, vartr, coef, E1, E2,
-               E2te, rec, M0a, b1, tile):
+@functools.partial(jax.custom_vjp,
+                   nondiff_argnums=(0, 1, 2, 3, 4, 5))
+def _spgr_core(K, kshift, interpret, has_b1, vartr, has_d, coef, E1,
+               E2, E2te, rec, M0a, b1, dq, tile):
     r"""Differentiable fused SPGR train core. The primal runs the fast
     unchunked kernel; under differentiation the forward emits chunk
     checkpoints and the backward is the hand-transposed fused adjoint
@@ -1415,56 +1504,60 @@ def _spgr_core(K, kshift, interpret, has_b1, vartr, coef, E1, E2,
     recompute-through-XLA reverse. ``tile`` rides as a traced-ignored
     arg so the primal keeps its wide default."""
     del tile
-    return _spgr_fast(coef, E1, E2, E2te, rec, M0a, b1, K=K,
+    return _spgr_fast(coef, E1, E2, E2te, rec, M0a, b1, dq, K=K,
                       kshift=kshift, interpret=interpret,
-                      has_b1=has_b1, vartr=vartr)
+                      has_b1=has_b1, vartr=vartr, has_d=has_d)
 
 
-def _spgr_fast(coef, E1, E2, E2te, rec, M0a, b1, *, K, kshift,
-               interpret, has_b1, vartr, tile=512):
+def _spgr_fast(coef, E1, E2, E2te, rec, M0a, b1, dq, *, K, kshift,
+               interpret, has_b1, vartr, has_d, tile=512):
     nTR = coef.shape[1]
     nA = E1.shape[1]
     tile = min(tile, -(-nA // _LANE) * _LANE)
-    (E1, E2, E2te, rec, M0a, b1), nAp = _spgr_args_pad(
-        E1, E2, E2te, rec, M0a, b1, tile)
+    (E1, E2, E2te, rec, M0a, b1, dq), nAp = _spgr_args_pad(
+        E1, E2, E2te, rec, M0a, b1, dq, tile)
     atom = pl.BlockSpec((1, tile), lambda i: (0, i))
     out = pl.BlockSpec((nTR, tile), lambda i: (0, i))
     outr, outi = pl.pallas_call(
         functools.partial(_spgr_kernel, K, nTR, kshift, has_b1,
-                          vartr),
+                          vartr, has_d),
         grid=(nAp // tile,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM),
-                  atom, atom, atom, atom, atom, atom],
+                  atom, atom, atom, atom, atom, atom, atom],
         out_specs=[out, out],
         out_shape=[jax.ShapeDtypeStruct((nTR, nAp), jnp.float32)] * 2,
         compiler_params=None if interpret else pltpu.CompilerParams(
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
-    )(coef, E1, E2, E2te, rec, M0a, b1)
+    )(coef, E1, E2, E2te, rec, M0a, b1, dq)
     return outr[:, :nA], outi[:, :nA]
 
 
-def _spgr_core_fwd(K, kshift, interpret, has_b1, vartr, coef, E1,
-                   E2, E2te, rec, M0a, b1, tile):
+def _spgr_core_fwd(K, kshift, interpret, has_b1, vartr, has_d, coef,
+                   E1, E2, E2te, rec, M0a, b1, dq, tile):
     outr, outi, chka = _spgr_fwd_chk(coef, E1, E2, E2te, rec, M0a, b1,
-                                     K=K, kshift=kshift,
+                                     dq, K=K, kshift=kshift,
                                      interpret=interpret,
-                                     has_b1=has_b1, vartr=vartr)
+                                     has_b1=has_b1, vartr=vartr,
+                                     has_d=has_d)
     nA = E1.shape[1]
     return ((outr[:, :nA], outi[:, :nA]),
-            (coef, E1, E2, E2te, rec, M0a, b1, chka))
+            (coef, E1, E2, E2te, rec, M0a, b1, dq, chka))
 
 
-def _spgr_core_bwd(K, kshift, interpret, has_b1, vartr, res, g):
-    coef, E1, E2, E2te, rec, M0a, b1, chka = res
+def _spgr_core_bwd(K, kshift, interpret, has_b1, vartr, has_d, res,
+                   g):
+    coef, E1, E2, E2te, rec, M0a, b1, dq, chka = res
     gr, gi = g
-    (dcoef, dE1, dE2, dE2te, drec, dM0, db1) = _spgr_bwd(
-        coef, E1, E2, E2te, rec, M0a, b1, chka, gr, gi, K=K,
+    (dcoef, dE1, dE2, dE2te, drec, dM0, db1, dDq) = _spgr_bwd(
+        coef, E1, E2, E2te, rec, M0a, b1, dq, chka, gr, gi, K=K,
         kshift=kshift, interpret=interpret, has_b1=has_b1,
-        vartr=vartr)
+        vartr=vartr, has_d=has_d)
     if not has_b1:
         db1 = jnp.zeros_like(db1)
-    return (dcoef, dE1, dE2, dE2te, drec, dM0, db1, None)
+    if not has_d:
+        dDq = jnp.zeros_like(dDq)
+    return (dcoef, dE1, dE2, dE2te, drec, dM0, db1, dDq, None)
 
 
 _spgr_core.defvjp(_spgr_core_fwd, _spgr_core_bwd)

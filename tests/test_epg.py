@@ -697,6 +697,49 @@ class TestSpgrMRFSchedule:
                         / (jnp.max(jnp.abs(x)) + 1e-30))
             assert rel < 5e-4, (name, rel)
 
+    def test_diffusion_in_kernel(self):
+        r"""Round 4: spoiler diffusion in the fused SPGR kernel —
+        per-order attenuation planes exactly matching
+        ``epg_diffusion(delta=kshift)``, with the dD chain carried by
+        the in-kernel adjoint (diffusion-MRF dictionaries)."""
+        import jax
+        from mrphy_tpu.ops import epg
+        rng = np.random.default_rng(17)
+        ntr, nA, K = 24, 5, 14
+        F = jnp.float64
+        flips = jnp.asarray(np.deg2rad(rng.uniform(10, 60, ntr)), F)
+        phis = jnp.asarray(epg.rf_spoil_phases(ntr), F)
+        T1 = jnp.asarray(rng.uniform(0.3, 2.0, nA), F)
+        T2 = jnp.asarray(rng.uniform(0.03, 0.3, nA), F)
+        Dv = jnp.asarray(rng.uniform(0.5e-5, 3e-5, nA), F)
+        w = jnp.asarray(rng.standard_normal((nA, ntr, 2)), F)
+        for ks, b1 in ((1, None),
+                       (2, jnp.asarray(rng.uniform(0.7, 1.3, nA), F))):
+            kw = dict(T1=T1, T2=T2, tr=12e-3, te=3e-3, K=K + 6 * ks,
+                      dk=500.0, kshift=ks, b1=b1)
+            x = epg.epg_spgr(flips, phis, D=Dv, backend='xla', **kw)
+            p = epg.epg_spgr(flips, phis, D=Dv, backend='pallas',
+                             **kw)
+            rel = float(jnp.max(jnp.abs(x - p)) / jnp.max(jnp.abs(x)))
+            assert rel < 2e-5, (ks, rel)
+            # D must actually matter (sensitivity, not a no-op)
+            x0 = epg.epg_spgr(flips, phis, backend='pallas', **kw)
+            assert float(jnp.max(jnp.abs(x0 - p))) > 1e-3
+
+            def loss(be, t2, d):
+                return jnp.sum(w * epg.epg_spgr(
+                    flips, phis, D=d, backend=be,
+                    **{**kw, 'T2': t2}))
+
+            gx = jax.grad(lambda *a: loss('xla', *a),
+                          argnums=(0, 1))(T2, Dv)
+            gp = jax.grad(lambda *a: loss('pallas', *a),
+                          argnums=(0, 1))(T2, Dv)
+            for n, xg, pg in zip(('T2', 'D'), gx, gp):
+                r = float(jnp.max(jnp.abs(xg - pg))
+                          / (jnp.max(jnp.abs(xg)) + 1e-30))
+                assert r < 5e-5, (ks, n, r)
+
     def test_sharded_mesh_parity(self):
         from mrphy_tpu.ops import epg
         from mrphy_tpu.parallel import make_mesh

@@ -43,6 +43,10 @@ CASES = [
     ('fieldmap_recon.py', ['--n', '16', '--iters', '250', '--shim']),
     ('mwf_fit.py', ['--nvox', '12', '--iters', '600']),
     ('bssfp_fit.py', ['--nvox', '8', '--ntr', '80', '--iters', '250']),
+    # (T1, T2, D) diffusion-MRF through the in-kernel spoiler
+    # diffusion: two-crusher dictionary -> match -> refinement
+    ('mrf_diffusion.py', ['--ntr', '60', '--nt1', '6', '--nt2', '6',
+                          '--nd', '5', '--K', '16', '--iters', '150']),
     ('qmt_fit.py', ['--nvox', '6', '--iters', '300', '--ntr', '150']),
     ('pc_venc.py', ['--nspins', '16']),
     ('traj_optim.py', ['--iters', '100']),
