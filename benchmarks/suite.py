@@ -775,6 +775,16 @@ def bench_nufft3d():
                  / jnp.max(jnp.abs(ag(sg))))
     tga = _timeit_device(ag, sg, repeats=4)
     tpa = _timeit_device(ap, sg, repeats=8)
+    # trajectory gradient (native dk3d VJP vs gather autodiff): the
+    # 3-D trajectory-optimization step d/dk Σ|A(k)x|²
+    gp = jax.jit(jax.grad(lambda kk: jnp.sum(nf.nufft(pp, img, kk)
+                                             ** 2)))
+    gg = jax.jit(jax.grad(lambda kk: jnp.sum(nf.nufft(pg, img, kk)
+                                             ** 2)))
+    devk = float(jnp.max(jnp.abs(gg(kt) - gp(kt)))
+                 / jnp.max(jnp.abs(gg(kt))))
+    tgk = _timeit_device(gg, kt, repeats=2)
+    tpk = _timeit_device(gp, kt, repeats=4)
     return {'metric': f'nufft3d: {n}^3 x {nT} samples, pallas '
                       'VMEM-slice interp vs XLA gather',
             'value': round(tg / tp, 2), 'unit': 'x fwd speedup',
@@ -783,7 +793,11 @@ def bench_nufft3d():
             'pallas_adj_ms': round(tpa * 1e3, 1),
             'gather_adj_ms': round(tga * 1e3, 1),
             'adj_speedup': round(tga / tpa, 2),
-            'fwd_rel_dev': f'{dev:.1e}', 'adj_rel_dev': f'{deva:.1e}'}
+            'pallas_kgrad_ms': round(tpk * 1e3, 1),
+            'gather_kgrad_ms': round(tgk * 1e3, 1),
+            'kgrad_speedup': round(tgk / tpk, 2),
+            'fwd_rel_dev': f'{dev:.1e}', 'adj_rel_dev': f'{deva:.1e}',
+            'kgrad_rel_dev': f'{devk:.1e}'}
 
 
 def bench_mrf_pipeline():

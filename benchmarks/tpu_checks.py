@@ -846,6 +846,31 @@ def _nufft3d_kernel_parity(interpret: bool):
             f'pallas-vs-gather fwd rel {rel_f:.1e}, adj rel '
             f'{rel_a:.1e}, dot identity {rel_d:.1e} (tol {tol:.0e})')
 
+    # native VJP (round 4): image + trajectory grads of BOTH stages
+    # computed by the scatter/sample transposes + the dk3d kernel must
+    # match the gather path's autodiff on compiled Mosaic
+    def loss_f(plan):
+        return lambda im, kk: jnp.sum(nf.nufft(plan, im, kk) ** 2)
+
+    def loss_a(plan):
+        return lambda s, kk: jnp.sum(
+            nf.nufft_adjoint(plan, s, kk) ** 2)
+
+    gi_g, gk_g = jax.jit(jax.grad(loss_f(pg), argnums=(0, 1)))(
+        img, kt)
+    gi_p, gk_p = jax.jit(jax.grad(loss_f(pp), argnums=(0, 1)))(
+        img, kt)
+    gs_g, hk_g = jax.jit(jax.grad(loss_a(pg), argnums=(0, 1)))(y, kt)
+    gs_p, hk_p = jax.jit(jax.grad(loss_a(pp), argnums=(0, 1)))(y, kt)
+    rels = [_rel(gi_p, gi_g), _rel(gk_p, gk_g),
+            _rel(gs_p, gs_g), _rel(hk_p, hk_g)]
+    gtol = 5e-4
+    okg = max(rels) < gtol
+    _record('nufft3d_native_vjp', okg,
+            f'fwd dimg {rels[0]:.1e} dk {rels[1]:.1e}; adj ds '
+            f'{rels[2]:.1e} dk {rels[3]:.1e} (tol {gtol:.0e})')
+    ok = ok and okg
+
 
 def _mrf_pipeline_check():
     r"""End-to-end MRF pipeline on the chip (round 3): fused SPGR

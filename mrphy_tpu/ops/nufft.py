@@ -106,6 +106,21 @@ def _kb(delta, width: int, beta: float):
     return jnp.where(inside, val, 0.0) / float(np.i0(beta))
 
 
+def _kb_d(delta, width: int, beta: float):
+    r"""dφ/dδ of :func:`_kb`. Chains ``i0'`` via ``jax.jvp`` of the
+    SAME ``_i0`` polynomial the weights use, so trajectory gradients
+    from the derivative-weight kernels match the XLA autodiff of
+    ``_kb`` to f32 roundoff (the clamp differs only at the
+    measure-zero tap edge ``|δ| = W/2``, where autodiff NaNs)."""
+    arg = 1.0 - (2.0 * delta / width) ** 2
+    inside = arg > 1e-12
+    s = jnp.sqrt(jnp.where(inside, arg, 1.0))
+    x = beta * s
+    i0p = jax.jvp(_i0, (x,), (jnp.ones_like(x),))[1]
+    d = i0p * beta * (-4.0 * delta / width ** 2) / s
+    return jnp.where(inside, d, 0.0) / float(np.i0(beta))
+
+
 def _kb_ft(xi, width: int, beta: float):
     r"""Continuous Fourier transform of the (I₀(β)-normalized) KB kernel
     at reduced frequency ``xi = (p − ctr)/G`` (host numpy, plan build):
@@ -375,21 +390,9 @@ def _fwd_core(plan: NufftPlan, img, ktraj, chunk):
             return jnp.stack([sr, si], -1)            # (chunk, 2)
     elif plan.interp == 'pallas':                     # d = 3, VMEM
         from mrphy_tpu.ops import nufft_pallas as _np3
-        from mrphy_tpu.ops._diffwrap import pallas_with_xla_vjp
         from mrphy_tpu.ops.pallas_kernels import _on_tpu
-        interp_flag = not _on_tpu()
-
-        def _pl(br_, bi_, k_):
-            return _np3.sample3d(plan, br_, bi_, k_,
-                                 interpret=interp_flag)
-
-        def _xla(br_, bi_, k_):                       # gather oracle
-            fi, fw = _taps(plan, *_coords(plan, k_))
-            sr = (br_.reshape(-1)[fi] * fw).sum(-1)
-            si = (bi_.reshape(-1)[fi] * fw).sum(-1)
-            return jnp.stack([sr, si], -1)
-
-        return pallas_with_xla_vjp(_pl, _xla, xr, xi, ktraj)
+        return _np3.sample3d_vjp(plan, xr, xi, ktraj,
+                                 interpret=not _on_tpu())
     else:
         br, bi = xr.reshape(-1), xi.reshape(-1)       # (ΠG,)
 
@@ -568,23 +571,9 @@ def _adj_scatter(plan: NufftPlan, s, ktraj, chunk):
             return jnp.stack([br.reshape(-1), bi.reshape(-1)])
     elif plan.interp == 'pallas':                     # d = 3, VMEM
         from mrphy_tpu.ops import nufft_pallas as _np3
-        from mrphy_tpu.ops._diffwrap import pallas_with_xla_vjp
         from mrphy_tpu.ops.pallas_kernels import _on_tpu
-        interp_flag = not _on_tpu()
-
-        def _pl(s_, k_):
-            return _np3.scatter3d(plan, s_, k_, interpret=interp_flag)
-
-        def _xla(s_, k_):                             # scatter oracle
-            fi, fw = _taps(plan, *_coords(plan, k_))
-            z = jnp.zeros((nG,), s_.dtype)
-            br = z.at[fi.reshape(-1)].add(
-                (fw * s_[:, :1]).reshape(-1))
-            bi = z.at[fi.reshape(-1)].add(
-                (fw * s_[:, 1:]).reshape(-1))
-            return jnp.stack([br, bi])
-
-        return pallas_with_xla_vjp(_pl, _xla, s, ktraj)
+        return _np3.scatter3d_vjp(plan, s, ktraj,
+                                  interpret=not _on_tpu())
     else:
         def scatter(k_c, s_c):
             fi, fw = _taps(plan, *_coords(plan, k_c.T))

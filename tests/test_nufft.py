@@ -437,6 +437,36 @@ def test_pallas_interp_3d_matches_gather():
     assert rel < 1e-4, rel
 
 
+def test_pallas_interp_3d_adjoint_grads_match_gather():
+    r"""Adjoint-side gradients of the native 3-D Pallas VJP (round 4):
+    d/d(samples) and d/d(ktraj) of ``nufft_adjoint(interp='pallas')``
+    vs the gather path — this exercises :func:`scatter3d_vjp`'s
+    sample-cotangent transpose (``sample3d`` of the grid cotangent)
+    and the role-swapped ``dk3d`` call, neither of which the forward
+    test touches."""
+    rng = np.random.default_rng(67)
+    im_size, fov = (10, 12, 8), (15.0, 18.0, 12.0)
+    k = _ktraj(rng, 3, im_size, fov, nT=257)
+    y = jnp.asarray(rng.standard_normal((257, 2)), F64)
+    pg = nf.nufft_plan(im_size, fov, width=4, dtype=F64,
+                       interp='gather')
+    pp = nf.nufft_plan(im_size, fov, width=4, dtype=F64,
+                       interp='pallas')
+    tgt = jnp.asarray(rng.standard_normal(im_size + (2,)), F64)
+
+    def loss(plan, s, kk):
+        return jnp.sum((nf.nufft_adjoint(plan, s, kk) - tgt) ** 2)
+
+    gs_g, gk_g = jax.grad(lambda s, kk: loss(pg, s, kk),
+                          argnums=(0, 1))(y, k)
+    gs_p, gk_p = jax.grad(lambda s, kk: loss(pp, s, kk),
+                          argnums=(0, 1))(y, k)
+    rel = float(jnp.abs(gs_g - gs_p).max() / jnp.abs(gs_g).max())
+    assert rel < 1e-4, rel
+    rel = float(jnp.abs(gk_g - gk_p).max() / jnp.abs(gk_g).max())
+    assert rel < 1e-4, rel
+
+
 def test_mesh_sharded_parity():
     r"""Sample-sharded NUFFT on the 8-virtual-device mesh must match
     the unsharded operators bit-for-bit-ish (1e-12): df-free and
