@@ -980,11 +980,30 @@ def bench_mrf_fisp():
         argnums=(0, 1, 2)))
     t_fwd = _timeit_device(fwd, T1, T2, trs, repeats=4)
     t_grad = _timeit_device(gradf, T1, T2, trs, repeats=4)
+
+    # + per-TR crusher diffusion (round 4 continued): the kernel
+    # recomputes the per-order attenuation planes per step from the
+    # D*dk^2 rate row (3 extra (K, TA) exps/step)
+    Dv = jnp.asarray(rng.uniform(0.4e-5, 3.2e-5, nA), jnp.float32)
+
+    def gend(t1, t2, trv, d):
+        return epg.epg_spgr(flips, phis, T1=t1, T2=t2, tr=trv,
+                            te=2e-3, zinit=epg.ir_prep(0.018, t1),
+                            D=d, dk=500.0, K=K, backend='pallas')
+
+    fwdd = jax.jit(gend)
+    gradd = jax.jit(jax.grad(
+        lambda t1, t2, trv, d: jnp.sum(w * gend(t1, t2, trv, d)),
+        argnums=(0, 1, 2, 3)))
+    t_fwdd = _timeit_device(fwdd, T1, T2, trs, Dv, repeats=4)
+    t_gradd = _timeit_device(gradd, T1, T2, trs, Dv, repeats=4)
     return {'metric': 'canonical MRF-FISP dictionary (65k atoms x '
                       '400 TR, K=48, IR prep + variable TR)',
             'fused_fwd_ms': round(t_fwd * 1e3, 1),
             'fused_fwd_Matoms_per_s': round(nA / t_fwd / 1e6, 2),
             'full_grad_ms': round(t_grad * 1e3, 1),
+            'diff_fwd_ms': round(t_fwdd * 1e3, 1),
+            'diff_grad_ms': round(t_gradd * 1e3, 1),
             'unit': 'ms'}
 
 

@@ -393,6 +393,35 @@ def _spgr_diffusion_parity(interpret: bool):
             f'in-kernel spoiler diffusion: fwd rel {rel:.1e} '
             f'(tol 2e-4), dD {rd:.1e}, dT2 {rt2:.1e} (tol {tol:.0e})')
 
+    # variable-TR crusher schedule (round 4 continued): per-step
+    # attenuation planes from the rate row; dD + the tr train's
+    # diffusion row chained by the in-kernel adjoint
+    trs = jnp.asarray(rng.uniform(9e-3, 15e-3, ntr), DT32)
+
+    def loss_v(be, d, trv):
+        return jnp.sum(w * epg.epg_spgr(flips, phis, T1=T1, T2=T2,
+                                        tr=trv, te=3e-3, K=K, D=d,
+                                        dk=500.0, backend=be))
+
+    xv = jax.jit(lambda d: epg.epg_spgr(flips, phis, D=d, T1=T1,
+                                        T2=T2, tr=trs, te=3e-3, K=K,
+                                        dk=500.0, backend='xla'))(Dv)
+    pv = jax.jit(lambda d: epg.epg_spgr(flips, phis, D=d, T1=T1,
+                                        T2=T2, tr=trs, te=3e-3, K=K,
+                                        dk=500.0,
+                                        backend='pallas'))(Dv)
+    relv = _rel(np.asarray(pv), np.asarray(xv))
+    gxv = jax.jit(jax.grad(lambda *a: loss_v('xla', *a),
+                           argnums=(0, 1)))(Dv, trs)
+    gpv = jax.jit(jax.grad(lambda *a: loss_v('pallas', *a),
+                           argnums=(0, 1)))(Dv, trs)
+    rdv, rtr = _rel(gpv[0], gxv[0]), _rel(gpv[1], gxv[1])
+    okv = relv < 2e-4 and rdv < tol and rtr < tol
+    _record('spgr_diffusion_vartr', okv,
+            f'variable-TR crushers: fwd rel {relv:.1e} (tol 2e-4), '
+            f'dD {rdv:.1e}, dtr {rtr:.1e} (tol {tol:.0e})')
+    ok = ok and okv
+
 
 def _cpmg_adjoint_parity(interpret: bool):
     r"""Round 3: the in-kernel CPMG adjoint vs XLA autodiff grads on

@@ -53,6 +53,11 @@ def main():
                          'standard diffusion-MRF design')
     ap.add_argument('--K', type=int, default=32)
     ap.add_argument('--iters', type=int, default=250)
+    ap.add_argument('--vartr', action='store_true',
+                    help='Perlin-ish variable-TR trains (the '
+                         'canonical FISP schedule) — the kernel '
+                         'recomputes the per-order diffusion planes '
+                         'per TR from the D*dk^2 rate row')
     args = ap.parse_args()
 
     import jax
@@ -81,10 +86,16 @@ def main():
     from mrphy_tpu.ops.pallas_kernels import _on_tpu
     backend = 'pallas' if _on_tpu() else 'xla'
 
+    if args.vartr:   # variable-TR FISP schedule + diffusion (round 4)
+        trs = jnp.asarray(args.tr * (1 + 0.25 * np.sin(
+            2 * np.pi * t / 47)), jnp.float32)
+    else:
+        trs = args.tr
+
     def gen(t1, t2, d, be=backend):
         r"""Two crusher-strength segments concatenated on the echo
         axis — the fingerprint carries both b-value regimes."""
-        segs = [epg.epg_spgr(flips, phis, T1=t1, T2=t2, tr=args.tr,
+        segs = [epg.epg_spgr(flips, phis, T1=t1, T2=t2, tr=trs,
                              te=2e-3, zinit=epg.ir_prep(0.018, t1),
                              D=d, dk=dkv, K=args.K, backend=be)
                 for dkv in args.dk]

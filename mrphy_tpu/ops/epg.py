@@ -207,7 +207,9 @@ def epg_cpmg(flips, *, T1, T2, esp, M0=1.0, phi_ex=pi / 2,
           resolved echo trains (each slice position sees its own
           excitation AND refocusing angles).
         - ``T1``/``T2``: `()` ⊻ `(*batch,)`, "Sec"; ``esp``: echo
-          spacing, "Sec".
+          spacing, "Sec" — scalar, or a `(nEcho,)` per-echo train
+          (round 4; variable echo spacing runs the XLA scan — the
+          fused kernel precomputes per-atom half-interval factors).
         - ``D``/``dk``: enable diffusion weighting
           (:func:`epg_diffusion`): diffusivity `()` ⊻ `(*batch,)`,
           "cm²/Sec", and the per-half-esp crusher dephasing, "Rad/cm".
@@ -243,6 +245,12 @@ def epg_cpmg(flips, *, T1, T2, esp, M0=1.0, phi_ex=pi / 2,
             mesh, flips, T1=T1, T2=T2, esp=esp, M0=M0, phi_ex=phi_ex,
             alpha_ex=alpha_ex, b1=b1, backend=backend, **dkw)
     if backend == 'pallas':
+        if jnp.ndim(esp) == 1:   # variable echo spacing (round 4):
+            # the fused kernel precomputes half-interval factors per
+            # atom; per-echo trains run the XLA scan
+            return epg_cpmg(flips, T1=T1, T2=T2, esp=esp, M0=M0,
+                            phi_ex=phi_ex, alpha_ex=alpha_ex, b1=b1,
+                            D=D, dk=dk, backend='xla')
         assert D is None, 'pallas backend does not model diffusion'
         from mrphy_tpu.ops import epg_pallas
         from mrphy_tpu.ops.epg_pallas import epg_cpmg_pallas
@@ -296,20 +304,24 @@ def _epg_cpmg_body(flips, T1, T2, esp, M0, phi_ex, D=None, dk=0.0,
     flips_t = jnp.moveaxis(flips_b, -1, 0)      # (nE, *batch)
 
     Db = None if D is None else jnp.asarray(D, dtype)
+    varesp = esp.ndim == 1                 # per-echo spacing train
 
-    def half(s):
-        s = epg_relax(s, esp / 2, T1b, T2b, M0)
+    def half(s, espn):
+        s = epg_relax(s, espn / 2, T1b, T2b, M0)
         if Db is not None:
-            s = epg_diffusion(s, Db, dk, esp / 2, delta=1)
+            s = epg_diffusion(s, Db, dk, espn / 2, delta=1)
         return epg_grad(s)
 
-    def step(s, a):
-        s = half(s)
+    def step(s, x):
+        a = x[0]
+        espn = x[1] if varesp else esp
+        s = half(s, espn)
         s = epg_rf(s, a, 0.0)
-        s = half(s)
+        s = half(s, espn)
         return s, s[..., 0, 0, :]
 
-    _, echoes = jax.lax.scan(step, s, flips_t)
+    xs = (flips_t,) + ((esp,) if varesp else ())
+    _, echoes = jax.lax.scan(step, s, xs)
     return jnp.moveaxis(echoes, 0, -2)          # (*batch, nE, 2)
 
 
@@ -387,7 +399,8 @@ def epg_spgr(flips, phis=None, *, T1, T2, tr, te=0.0, M0=1.0,
     (:func:`mrphy_tpu.ops.epg_pallas.epg_spgr_pallas` — the whole
     train's state lives in VMEM; measured 7.5× the XLA scan at MRF
     dictionary scale). Dictionary workload only: shared 1-D trains,
-    1-D atom batch, no diffusion; differentiable NATIVELY — the
+    1-D atom batch, in-kernel spoiler diffusion (constant OR
+    variable-TR crusher schedules); differentiable NATIVELY — the
     in-kernel hand-transposed adjoint (round 3,
     ``epg_pallas._spgr_bwd_kernel``; round 4 adds the variable-TR/TE
     in-kernel factor chains) runs gradients at kernel speed when it
@@ -405,8 +418,6 @@ def epg_spgr(flips, phis=None, *, T1, T2, tr, te=0.0, M0=1.0,
     if backend == 'pallas':
         from mrphy_tpu.ops import epg_pallas
         from mrphy_tpu.ops._diffwrap import pallas_with_xla_vjp
-        assert D is None or (jnp.ndim(tr) == 0 and jnp.ndim(te) == 0),\
-            'pallas diffusion needs scalar tr/te'
         fl_a = jnp.asarray(flips)
         nA_g = max([1] + [jnp.shape(v)[0] for v in
                           (T1, T2, M0, b1, zinit, D)
@@ -697,6 +708,11 @@ def epgx_cpmg(flips, *, T1a, T2a, T1b, T2b, kab, kba, esp, M0a=1.0,
         from mrphy_tpu.ops import epg_pallas
         from mrphy_tpu.ops.epg_pallas import epgx_cpmg_pallas
         from mrphy_tpu.ops._diffwrap import pallas_with_xla_vjp
+        if jnp.ndim(esp) == 1:   # per-echo spacing train: XLA scan
+            return epgx_cpmg(
+                flips, T1a=T1a, T2a=T2a, T1b=T1b, T2b=T2b, kab=kab,
+                kba=kba, esp=esp, M0a=M0a, M0b=M0b, dfb=dfb,
+                phi_ex=phi_ex, b1=b1, backend='xla')
         fl_a = jnp.asarray(flips)
         nA_g = max([1] + [jnp.shape(v)[0] for v in
                           (T1a, T2a, T1b, T2b, kab, kba, M0a, M0b,
@@ -738,18 +754,22 @@ def epgx_cpmg(flips, *, T1a, T2a, T1b, T2b, kab, kba, esp, M0a=1.0,
     flips_t = jnp.moveaxis(jnp.broadcast_to(flips, batch + (nE,)),
                            -1, 0)
     esp = jnp.asarray(esp, dtype)
+    varesp = esp.ndim == 1                 # per-echo spacing train
 
-    def half(s):
-        s = epgx_relax(s, esp / 2, **kw)
+    def half(s, espn):
+        s = epgx_relax(s, espn / 2, **kw)
         return epg_grad(s)                       # pool axis = batch
 
-    def step(s, a):
-        s = half(s)
+    def step(s, x):
+        a = x[0]
+        espn = x[1] if varesp else esp
+        s = half(s, espn)
         s = epgx_rf(s, a, 0.0)
-        s = half(s)
+        s = half(s, espn)
         return s, s[..., 0, 0, :].sum(-2)        # Fa+(0) + Fb+(0)
 
-    _, echoes = jax.lax.scan(step, s, flips_t)
+    xs = (flips_t,) + ((esp,) if varesp else ())
+    _, echoes = jax.lax.scan(step, s, xs)
     return jnp.moveaxis(echoes, 0, -2)
 
 
@@ -760,7 +780,10 @@ def epgx_spgr(flips, phis=None, *, T1a, T2a, T1b, T2b, kab, kba, tr,
     EPG-X dictionaries for exchange-sensitive MRF. Per TR: RF on both
     pools, demodulated total ``F+(0)`` readout, exact
     exchange-relaxation over TR, spoiler shift. See :func:`epg_spgr`
-    for the single-pool conventions.
+    for the single-pool conventions. ``tr`` may be scalar or a
+    `(nTR,)` variable train (round 4 — exchange-MRF-X with the
+    canonical variable-TR schedule; exact per-step 2x2 expm
+    propagators, XLA scan).
 
     Outputs: ``signals`` `(*batch, nTR, 2)`.
 
@@ -783,6 +806,14 @@ def epgx_spgr(flips, phis=None, *, T1a, T2a, T1b, T2b, kab, kba, tr,
         from mrphy_tpu.ops import epg_pallas
         from mrphy_tpu.ops.epg_pallas import epgx_spgr_pallas
         from mrphy_tpu.ops._diffwrap import pallas_with_xla_vjp
+        if jnp.ndim(tr) == 1:    # variable-TR train (round 4): the
+            # fused kernel holds per-atom exchange propagators for ONE
+            # interval; per-TR schedules run the XLA scan (exact
+            # per-step 2x2 expm propagators)
+            return epgx_spgr(
+                flips, phis, T1a=T1a, T2a=T2a, T1b=T1b, T2b=T2b,
+                kab=kab, kba=kba, tr=tr, M0a=M0a, M0b=M0b, dfb=dfb,
+                b1=b1, kshift=kshift, K=K, backend='xla')
         fl_a = jnp.asarray(flips)
         nA_g = max([1] + [jnp.shape(v)[0] for v in
                           (T1a, T2a, T1b, T2b, kab, kba, M0a, M0b,
@@ -830,19 +861,22 @@ def epgx_spgr(flips, phis=None, *, T1a, T2a, T1b, T2b, kab, kba, tr,
     phis_t = jnp.moveaxis(jnp.broadcast_to(phis, batch + (nTR,)),
                           -1, 0)
     tr = jnp.asarray(tr, dtype)
+    vartr = tr.ndim == 1                   # per-TR train (round 4)
 
     def step(s, x):
-        a, phi = x
+        a, phi = x[0], x[1]
+        trn = x[2] if vartr else tr
         s = epgx_rf(s, a, phi)
         fr = s[..., 0, 0, 0].sum(-1)             # total F+(0)
         fi = s[..., 0, 0, 1].sum(-1)
         c, si = jnp.cos(phi), jnp.sin(phi)
         sig = jnp.stack([c * fr + si * fi, c * fi - si * fr], -1)
-        s = epgx_relax(s, tr, **kw)
+        s = epgx_relax(s, trn, **kw)
         s = epg_grad(s, kshift)
         return s, sig
 
-    _, sigs = jax.lax.scan(step, s, (flips_t, phis_t))
+    xs = (flips_t, phis_t) + ((tr,) if vartr else ())
+    _, sigs = jax.lax.scan(step, s, xs)
     return jnp.moveaxis(sigs, 0, -2)
 
 
@@ -975,6 +1009,12 @@ def epgx_mt_spgr(flips, phis=None, *, T1a, T2a, T1b, kab, kba, tr,
         from mrphy_tpu.ops import epg_pallas
         from mrphy_tpu.ops.epg_pallas import epgx_mt_spgr_pallas
         from mrphy_tpu.ops._diffwrap import pallas_with_xla_vjp
+        if jnp.ndim(tr) == 1:    # per-TR schedule: XLA scan (exact
+            # per-step two-pool propagators)
+            return epgx_mt_spgr(
+                flips, phis, T1a=T1a, T2a=T2a, T1b=T1b, kab=kab,
+                kba=kba, tr=tr, wt=wt, M0a=M0a, M0b=M0b, b1=b1,
+                kshift=kshift, K=K, backend='xla')
         fl_a = jnp.asarray(flips)
         nA_g = max([1] + [jnp.shape(v)[0] for v in
                           (T1a, T2a, T1b, kab, kba, M0a, M0b, b1)
@@ -1024,16 +1064,19 @@ def epgx_mt_spgr(flips, phis=None, *, T1a, T2a, T1b, kab, kba, tr,
                           -1, 0)
     wt_t = jnp.moveaxis(jnp.broadcast_to(wt_b, batch + (nTR,)), -1, 0)
     tr = jnp.asarray(tr, dtype)
+    vartr = tr.ndim == 1                   # per-TR train (round 4)
 
     def step(s, x):
-        a, phi, w = x
+        a, phi, w = x[0], x[1], x[2]
+        trn = x[3] if vartr else tr
         s = epgx_mt_rf(s, a, phi, w)
         fr, fi = s[..., 0, 0, 0, 0], s[..., 0, 0, 0, 1]
         c, si = jnp.cos(phi), jnp.sin(phi)
         sig = jnp.stack([c * fr + si * fi, c * fi - si * fr], -1)
-        s = epgx_mt_relax(s, tr, **kw)
+        s = epgx_mt_relax(s, trn, **kw)
         s = epg_grad(s, kshift)
         return s, sig
 
-    _, sigs = jax.lax.scan(step, s, (flips_t, phis_t, wt_t))
+    xs = (flips_t, phis_t, wt_t) + ((tr,) if vartr else ())
+    _, sigs = jax.lax.scan(step, s, xs)
     return jnp.moveaxis(sigs, 0, -2)

@@ -67,24 +67,52 @@ def _spgr_factors_t(vartr, coef_ref, t, p1, p2, p3, p4):
     return 1 - a1, jnp.exp(-trn * p2), jnp.exp(-ten * p2), p3 * a1
 
 
+def _spgr_diff_c(K: int, kshift: int, TA: int, dtype):
+    r"""Static per-order b-factor coefficient planes: ``cT±(k) =
+    k^2 ± k*delta + delta^2/3`` (F- carries -k) and ``cL(k) = k^2`` —
+    exactly :func:`mrphy_tpu.ops.epg.epg_diffusion` with
+    ``delta = kshift``. The iota must be INTEGER (Mosaic's
+    ``tpu.iota`` rejects float results — an interpret-mode-invisible
+    constraint) and is cast after."""
+    k = jax.lax.broadcasted_iota(jnp.int32, (K, TA), 0).astype(dtype)
+    d = float(kshift)
+    return (k * k + k * d + d * d / 3, k * k - k * d + d * d / 3,
+            k * k)
+
+
 def _spgr_diff_att(K: int, kshift: int, dq, dtype):
     r"""Per-order diffusion attenuations (and their b-factor
     coefficient planes, for the adjoint's dD chain) from the prescaled
-    per-atom row ``dq = D*dk^2*tr``: ``A = exp(-dq*c(k))`` with
-    ``cT±(k) = k^2 ± k*delta + delta^2/3`` (F- carries -k) and
-    ``cL(k) = k^2`` — exactly :func:`mrphy_tpu.ops.epg.epg_diffusion`
-    with ``delta = kshift``. Computed ONCE per atom tile (constant-TR
-    mode only): 3 (K, TA) exps outside the time loop. The iota must
-    be INTEGER (Mosaic's ``tpu.iota`` rejects float results — an
-    interpret-mode-invisible constraint) and is cast after."""
+    per-atom row ``dq = D*dk^2*tr``: ``A = exp(-dq*c(k))``. Computed
+    ONCE per atom tile (constant-TR mode): 3 (K, TA) exps outside the
+    time loop."""
     TA = dq.shape[1]
-    k = jax.lax.broadcasted_iota(jnp.int32, (K, TA), 0).astype(dtype)
-    d = float(kshift)
-    cTp = k * k + k * d + d * d / 3
-    cTm = k * k - k * d + d * d / 3
-    cL = k * k
+    cTp, cTm, cL = _spgr_diff_c(K, kshift, TA, dtype)
     return (jnp.exp(-dq * cTp), jnp.exp(-dq * cTm), jnp.exp(-dq * cL),
             cTp, cTm, cL)
+
+
+def _spgr_att_t(has_d: bool, vartr: bool, K: int, kshift: int,
+                dq_ref, coef_ref, dtype):
+    r"""Per-step attenuation closure: constant-TR mode returns the
+    tile-constant planes; variable-TR mode (round 4) recomputes them
+    per step from the per-atom RATE row ``dq = D*dk^2`` and the SMEM
+    tr train (3 (K, TA) exps/step — the price of a per-TR crusher
+    b-value schedule). Returns ``(att(t), cplanes)``."""
+    if not has_d:
+        return (lambda t: None), None
+    TA = dq_ref.shape[1]
+    cpl = _spgr_diff_c(K, kshift, TA, dtype)
+    if not vartr:
+        att = _spgr_diff_att(K, kshift, dq_ref[...], dtype)[:3]
+        return (lambda t: att), cpl
+    dq = dq_ref[...]
+
+    def att(t):
+        dqt = dq * coef_ref[9, t]
+        return tuple(jnp.exp(-dqt * c) for c in cpl)
+
+    return att, cpl
 
 
 def _spgr_kernel(K: int, nTR: int, kshift: int, has_b1: bool,
@@ -104,9 +132,8 @@ def _spgr_kernel(K: int, nTR: int, kshift: int, has_b1: bool,
     row = jax.lax.broadcasted_iota(jnp.int32, (K, TA), 0)
     is0, islast = row == 0, row == K - 1
     zero = jnp.zeros((K, TA), E1.dtype)
-    if has_d:
-        ATp, ATm, AL = _spgr_diff_att(K, kshift, dq_ref[...],
-                                      E1.dtype)[:3]
+    att_f, _ = _spgr_att_t(has_d, vartr, K, kshift, dq_ref, coef_ref,
+                           E1.dtype)
 
     def step(t, s):
         Fpr, Fpi, Fmr, Fmi, Zr, Zi = s
@@ -147,6 +174,7 @@ def _spgr_kernel(K: int, nTR: int, kshift: int, has_b1: bool,
 
         # spoiler diffusion (before the shift, like epg_diffusion)
         if has_d:
+            ATp, ATm, AL = att_f(t)
             Fp1r, Fp1i = ATp * Fp1r, ATp * Fp1i
             Fm1r, Fm1i = ATm * Fm1r, ATm * Fm1i
             Z1r, Z1i = AL * Z1r, AL * Z1i
@@ -223,13 +251,15 @@ def _spgr_dispatch(flips, phis, T1, T2, tr, te, M0, zinit, b1, D, dk,
     b1 = jnp.broadcast_to(jnp.asarray(b1, f32), (1, nA))
     if has_d:
         # prescaled per-atom diffusion row: A(k) = exp(-dq*c(k)) with
-        # c(k) static (iota in-kernel); dD/dtr/ddk chain through this
-        # product by autodiff
-        assert not vartr, \
-            'pallas diffusion needs scalar tr/te (constant-TR mode)'
-        dq = jnp.broadcast_to(
-            (jnp.asarray(D, f32) * jnp.asarray(dk, f32) ** 2
-             * jnp.asarray(tr, f32)), (1, nA)).astype(f32)
+        # c(k) static (iota in-kernel); dD/ddk (and dtr in constant
+        # mode) chain through this product by autodiff. Variable-TR
+        # mode (round 4): the row carries the RATE D*dk^2 and the
+        # kernel forms dq_t = rate*tr_t per step from the SMEM tr
+        # train (its adjoint emits the per-TR diffusion tr row).
+        dq = jnp.asarray(D, f32) * jnp.asarray(dk, f32) ** 2
+        if not vartr:
+            dq = dq * jnp.asarray(tr, f32)
+        dq = jnp.broadcast_to(dq, (1, nA)).astype(f32)
     else:
         dq = jnp.zeros((1, nA), f32)
 
@@ -955,11 +985,14 @@ def epg_spgr_pallas(flips, phis=None, *, T1, T2, tr, te=0.0, M0=1.0,
     (``_spgr_bwd_kernel``; variable-TR/TE factor chains in-kernel).
     ``D``/``dk`` `(nAtoms,)`/scalar (round 4): spoiler-diffusion
     attenuation IN-KERNEL — per-order planes ``exp(-D·dk²·tr·c(k))``
-    computed once per atom tile (constant-TR mode only; exactly
+    computed once per atom tile in constant-TR mode, per step from
+    the rate row ``D·dk²`` under a variable `(nTR,)` ``tr`` train
+    (3 extra (K, TA) exps/step — the per-TR crusher b-value schedule
+    of diffusion-MRF; exactly
     :func:`mrphy_tpu.ops.epg.epg_diffusion` with ``delta=kshift``),
-    with the dD chain carried by the adjoint — diffusion-MRF
-    (T1, T2, D) dictionaries and continuous ADC refinement at kernel
-    speed. ``tile`` atoms are processed per grid step (lane multiples;
+    with the dD chain (and, variable-TR, the per-TR diffusion tr row)
+    carried by the adjoint — diffusion-MRF (T1, T2, D) dictionaries
+    and continuous ADC refinement at kernel speed. ``tile`` atoms are processed per grid step (lane multiples;
     the atom batch is padded internally). ``interpret`` defaults to
     Mosaic on TPU, interpreter elsewhere.
     """
@@ -986,8 +1019,6 @@ def epg_spgr_pallas(flips, phis=None, *, T1, T2, tr, te=0.0, M0=1.0,
     K = nTR * abs(int(kshift)) + 1 if K is None else int(K)
     assert tile % _LANE == 0, f'tile must be a multiple of {_LANE}'
     vartr = jnp.ndim(tr) == 1 or jnp.ndim(te) == 1
-    assert not (vartr and D is not None), \
-        'pallas diffusion needs scalar tr/te (constant-TR mode)'
     sig = _spgr_dispatch(flips, phis, T1, T2,
                          jnp.asarray(tr, jnp.float32),
                          jnp.asarray(te, jnp.float32),
@@ -1132,8 +1163,8 @@ def _spgr_fwd_chk_kernel(K: int, tc: int, ntc: int, kshift: int,
     b1 = b1_ref[...]
     row = jax.lax.broadcasted_iota(jnp.int32, (K, TA), 0)
     masks = (row == 0, row == K - 1, jnp.zeros((K, TA), E1.dtype))
-    att = (_spgr_diff_att(K, kshift, dq_ref[...], E1.dtype)[:3]
-           if has_d else None)
+    att_f, _ = _spgr_att_t(has_d, vartr, K, kshift, dq_ref, coef_ref,
+                           E1.dtype)
     j = pl.program_id(1)
     t0 = j * tc
 
@@ -1158,7 +1189,7 @@ def _spgr_fwd_chk_kernel(K: int, tc: int, ntc: int, kshift: int,
         outr_ref[pl.ds(t, 1), :] = E2tet * (c1 * fp0r + s1c * fp0i)
         outi_ref[pl.ds(t, 1), :] = E2tet * (c1 * fp0i - s1c * fp0r)
         return _spgr_relax_shift(kshift, masks, E1t, E2t, rect, s1,
-                                 att)
+                                 att_f(t))
 
     u = math.gcd(tc, _UNROLL)
 
@@ -1202,8 +1233,8 @@ def _spgr_bwd_kernel(K: int, tc: int, ntc: int, kshift: int,
     row = jax.lax.broadcasted_iota(jnp.int32, (K, TA), 0)
     masks = (row == 0, row == K - 1, jnp.zeros((K, TA), E1.dtype))
     is0 = masks[0]
-    att = (_spgr_diff_att(K, kshift, dq_ref[...], E1.dtype)
-           if has_d else None)
+    att_f, cpl = _spgr_att_t(has_d, vartr, K, kshift, dq_ref,
+                             coef_ref, E1.dtype)
     j = pl.program_id(1)
     t0 = (ntc - 1 - j) * tc
 
@@ -1221,8 +1252,7 @@ def _spgr_bwd_kernel(K: int, tc: int, ntc: int, kshift: int,
         E1t, E2t, _, rect = _spgr_factors_t(vartr, coef_ref, t,
                                             E1, E2, E2te, rec)
         return _spgr_relax_shift(kshift, masks, E1t, E2t, rect,
-                                 _spgr_mix(tg, s),
-                                 None if att is None else att[:3])
+                                 _spgr_mix(tg, s), att_f(t))
 
     u = math.gcd(tc, _UNROLL)
 
@@ -1251,19 +1281,30 @@ def _spgr_bwd_kernel(K: int, tc: int, ntc: int, kshift: int,
         for _ in range(abs(kshift)):
             h = _spgr_shift_T(kshift, masks, h)
 
+        d_tr_diff = None
         if has_d:
-            # diffusion transpose: h *= A; dDq -= sum_k c*A*(h.s2)
-            # with s2 the post-relax state (recomputed from s1)
-            ATp, ATm, AL, cTp, cTm, cL = att
+            # diffusion transpose: h *= A; the dq chain contracts
+            # contr = -sum_k c*A*(h.s2) with s2 the post-relax state
+            # (recomputed from s1). Constant TR: dq IS D*dk^2*tr, so
+            # dDq += contr. Variable TR (round 4): dq holds the RATE
+            # D*dk^2 and dq_t = dq*tr_t, so dDq += tr_t*contr and the
+            # tr train gains a per-TR diffusion row dq*contr.
+            ATp, ATm, AL = att_f(t)
+            cTp, cTm, cL = cpl
             is0m = masks[0]
             s2F = (E2t * s1[0], E2t * s1[1], E2t * s1[2], E2t * s1[3])
             s2Zr = jnp.where(is0m, E1t * s1[4] + rect, E1t * s1[4])
             s2Zi = E1t * s1[5]
-            aDq = aDq - jnp.sum(
+            contr = -jnp.sum(
                 cTp * ATp * (h[0] * s2F[0] + h[1] * s2F[1])
                 + cTm * ATm * (h[2] * s2F[2] + h[3] * s2F[3])
                 + cL * AL * (h[4] * s2Zr + h[5] * s2Zi),
                 axis=0, keepdims=True)
+            if vartr:
+                aDq = aDq + coef_ref[9, t] * contr
+                d_tr_diff = dq_ref[...] * contr
+            else:
+                aDq = aDq + contr
             h = (ATp * h[0], ATp * h[1], ATm * h[2], ATm * h[3],
                  AL * h[4], AL * h[5])
 
@@ -1303,6 +1344,8 @@ def _spgr_bwd_kernel(K: int, tc: int, ntc: int, kshift: int,
             aE2 = aE2 - trn * E2t * d_E2_t \
                 - ten * E2tet * d_E2te_t                   # dR2
             d_tr_row = -E1 * E1t * d_E1tot - E2 * E2t * d_E2_t
+            if d_tr_diff is not None:
+                d_tr_row = d_tr_row + d_tr_diff
             d_te_row = -E2 * E2tet * d_E2te_t
         else:
             aE1 = aE1 + d_E1_t

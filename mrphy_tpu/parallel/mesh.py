@@ -438,8 +438,10 @@ def epg_cpmg_sharded_traceable(mesh: Mesh, flips, **kw):
 
     sp = mesh.shape[SPIN_AXIS]
 
-    def vox_spec(x):
+    def vox_spec(x, key=None):
         x = jnp.asarray(x)
+        if key == 'esp':                  # shared echo-spacing train
+            return P()
         if x.ndim >= 1 and x.shape[0] == nV:
             return P(SPIN_AXIS, *([None] * (x.ndim - 1)))
         return P()
@@ -453,16 +455,19 @@ def epg_cpmg_sharded_traceable(mesh: Mesh, flips, **kw):
     # voxel count: leading axis of any (nV, ...) operand.  A 1-D flips
     # train is ALWAYS the shared echo axis (never sharded), so it is
     # excluded both here and from vox_spec below — otherwise an
-    # accidental nEcho == nV would silently shard the echoes.
+    # accidental nEcho == nV would silently shard the echoes. A 1-D
+    # esp is the shared per-echo spacing train (round 4) — likewise
+    # excluded and replicated.
     cands = [flips.shape[0]] if flips.ndim == 2 else []
-    cands += [v.shape[0] for v in arrs.values() if v.ndim >= 1]
+    cands += [v.shape[0] for k, v in arrs.items()
+              if v.ndim >= 1 and k != 'esp']
     assert cands, 'no per-voxel operand; nothing to shard'
     nV = max(cands)
     assert nV % sp == 0, (f'nV={nV} not divisible by spin mesh extent '
                           f'{sp}')
     names = tuple(sorted(arrs))
     flips_spec = vox_spec(flips) if flips.ndim == 2 else P()
-    in_specs = (flips_spec,) + tuple(vox_spec(arrs[k])
+    in_specs = (flips_spec,) + tuple(vox_spec(arrs[k], k)
                                      for k in names)
     f = _epg_cpmg_sharded_jit(mesh, names,
                               tuple(sorted(static.items())), in_specs)
@@ -877,7 +882,7 @@ def epgx_train_sharded_traceable(mesh: Mesh, train: str, flips,
         assert flips.ndim == 1      # the per-voxel parameter arrays
         nT = flips.shape[0]
         _c = [jnp.asarray(v).shape[0] for k, v in kw.items()
-              if k not in ('wt',) and hasattr(v, 'ndim')
+              if k not in ('wt', 'tr', 'esp') and hasattr(v, 'ndim')
               and jnp.asarray(v).ndim == 1]
         assert _c, 'no per-voxel operand; nothing to shard'
         nV = max(_c)
@@ -887,6 +892,8 @@ def epgx_train_sharded_traceable(mesh: Mesh, train: str, flips,
     def per_voxel(k, v):
         if v.ndim < 1 or v.shape[0] != nV:
             return False
+        if k in ('tr', 'esp') and v.ndim == 1:
+            return False     # shared per-TR/per-echo interval trains
         if k == 'wt' and v.ndim == 1 and nV == nT:
             raise ValueError(
                 "mesh=: 1-D wt with nTR == nV is ambiguous; pass "

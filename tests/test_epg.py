@@ -740,6 +740,54 @@ class TestSpgrMRFSchedule:
                           / (jnp.max(jnp.abs(xg)) + 1e-30))
                 assert r < 5e-5, (ks, n, r)
 
+    def test_diffusion_in_kernel_variable_tr(self):
+        r"""Round 4 (continued): spoiler diffusion composed with the
+        variable-TR/TE canonical-FISP schedule — the kernel recomputes
+        the attenuation planes per step from the rate row ``D·dk²``
+        and the SMEM tr train, and the adjoint chains dD (per-TR
+        weighted) AND the tr train's diffusion row. Gradient parity
+        vs the XLA scan at f64/kernel-f32 tolerance."""
+        import jax
+        from mrphy_tpu.ops import epg
+        rng = np.random.default_rng(23)
+        ntr, nA = 24, 5
+        F = jnp.float64
+        flips = jnp.asarray(np.deg2rad(rng.uniform(10, 60, ntr)), F)
+        phis = jnp.asarray(epg.rf_spoil_phases(ntr), F)
+        trs = jnp.asarray(rng.uniform(9e-3, 15e-3, ntr), F)
+        tes = jnp.asarray(rng.uniform(2e-3, 4e-3, ntr), F)
+        T1 = jnp.asarray(rng.uniform(0.3, 2.0, nA), F)
+        T2 = jnp.asarray(rng.uniform(0.03, 0.3, nA), F)
+        Dv = jnp.asarray(rng.uniform(0.5e-5, 3e-5, nA), F)
+        b1 = jnp.asarray(rng.uniform(0.7, 1.3, nA), F)
+        w = jnp.asarray(rng.standard_normal((nA, ntr, 2)), F)
+        for ks, b1v in ((1, None), (2, b1)):
+            kw = dict(T1=T1, T2=T2, K=14 + 6 * ks, dk=500.0,
+                      kshift=ks, b1=b1v, te=tes)
+            x = epg.epg_spgr(flips, phis, D=Dv, tr=trs,
+                             backend='xla', **kw)
+            p = epg.epg_spgr(flips, phis, D=Dv, tr=trs,
+                             backend='pallas', **kw)
+            rel = float(jnp.max(jnp.abs(x - p)) / jnp.max(jnp.abs(x)))
+            assert rel < 2e-5, (ks, rel)
+            p0 = epg.epg_spgr(flips, phis, tr=trs, backend='pallas',
+                              **kw)
+            assert float(jnp.max(jnp.abs(p0 - p))) > 1e-3
+
+            def loss(be, t2, d, trv):
+                return jnp.sum(w * epg.epg_spgr(
+                    flips, phis, D=d, tr=trv, backend=be,
+                    **{**kw, 'T2': t2}))
+
+            gx = jax.grad(lambda *a: loss('xla', *a),
+                          argnums=(0, 1, 2))(T2, Dv, trs)
+            gp = jax.grad(lambda *a: loss('pallas', *a),
+                          argnums=(0, 1, 2))(T2, Dv, trs)
+            for n, xg, pg in zip(('T2', 'D', 'tr'), gx, gp):
+                r = float(jnp.max(jnp.abs(xg - pg))
+                          / (jnp.max(jnp.abs(xg)) + 1e-30))
+                assert r < 5e-5, (ks, n, r)
+
     def test_sharded_mesh_parity(self):
         from mrphy_tpu.ops import epg
         from mrphy_tpu.parallel import make_mesh
@@ -937,3 +985,152 @@ class TestFusedEpgxAdjoints:
                      b1),
                     ('flips', 'T1a', 'T2a', 'kab', 'wt', 'M0b', 'b1'),
                     2e-5)
+
+
+class TestVariableIntervalTrains:
+    r"""Round 4 (continued): per-TR / per-echo interval trains across
+    EVERY family's XLA scan (epg_cpmg esp, epgx_spgr tr, epgx_cpmg
+    esp, epgx_mt_spgr tr), with the pallas dispatches routing them to
+    the XLA scan. Oracles: scalar-interval equality when the train is
+    constant, the closed-form CPMG decay under 180° refocusing for a
+    genuinely variable train, and the decoupled two-pool limit against
+    the (independently validated) single-pool variable-TR paths."""
+
+    def test_constant_train_equals_scalar(self):
+        from mrphy_tpu.ops import epg
+        F = jnp.float64
+        rng = np.random.default_rng(5)
+        fl = jnp.asarray(np.deg2rad(rng.uniform(100, 180, 12)), F)
+        T1, T2 = jnp.asarray([0.9, 1.4], F), jnp.asarray([0.07, .12], F)
+        esp_t = jnp.full((12,), 0.011, F)
+        a = epg.epg_cpmg(fl, T1=T1, T2=T2, esp=0.011)
+        b = epg.epg_cpmg(fl, T1=T1, T2=T2, esp=esp_t)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-13)
+        flg = jnp.asarray(np.deg2rad(rng.uniform(10, 60, 12)), F)
+        kwx = dict(T1a=T1, T2a=T2, T1b=jnp.asarray(0.5, F),
+                   T2b=jnp.asarray(0.02, F), kab=jnp.asarray(2.0, F),
+                   kba=jnp.asarray(8.0, F), M0b=0.2)
+        a = epg.epgx_spgr(flg, tr=0.011, **kwx)
+        b = epg.epgx_spgr(flg, tr=jnp.full((12,), 0.011, F), **kwx)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-13)
+        a = epg.epgx_cpmg(fl, esp=0.011, **kwx)
+        b = epg.epgx_cpmg(fl, esp=esp_t, **kwx)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-13)
+        kwm = dict(T1a=T1, T2a=T2, T1b=jnp.asarray(1.0, F),
+                   kab=jnp.asarray(4.0, F), kba=jnp.asarray(20.0, F),
+                   wt=0.3, M0b=0.15)
+        a = epg.epgx_mt_spgr(flg, tr=0.011, **kwm)
+        b = epg.epgx_mt_spgr(flg, tr=jnp.full((12,), 0.011, F), **kwm)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-13)
+
+    def test_cpmg_varesp_closed_form(self):
+        r"""Perfect 180° refocusing: |echo_n| = M0 exp(-sum esp_i/T2)
+        exactly, for ANY spacing train (T1 drops out of F+(0))."""
+        from mrphy_tpu.ops import epg
+        F = jnp.float64
+        rng = np.random.default_rng(7)
+        nE = 10
+        esp_t = jnp.asarray(rng.uniform(0.006, 0.02, nE), F)
+        T2 = jnp.asarray([0.05, 0.11], F)
+        fl = jnp.full((nE,), np.pi, F)
+        e = epg.epg_cpmg(fl, T1=1.2, T2=T2, esp=esp_t, M0=0.9)
+        mag = np.hypot(np.asarray(e)[..., 0], np.asarray(e)[..., 1])
+        want = 0.9 * np.exp(-np.cumsum(np.asarray(esp_t))
+                            / np.asarray(T2)[:, None])
+        np.testing.assert_allclose(mag, want, rtol=1e-10)
+
+    def test_two_pool_decoupled_limits(self):
+        r"""kab = kba = 0, M0b = 0: the a-pool evolves as a single
+        pool — every two-pool variable-interval train must match its
+        single-pool counterpart (validated against the isochromat
+        ensemble / fused adjoints elsewhere)."""
+        from mrphy_tpu.ops import epg
+        F = jnp.float64
+        rng = np.random.default_rng(11)
+        nTR = 16
+        flg = jnp.asarray(np.deg2rad(rng.uniform(10, 60, nTR)), F)
+        phis = jnp.asarray(epg.rf_spoil_phases(nTR), F)
+        trs = jnp.asarray(rng.uniform(0.009, 0.016, nTR), F)
+        T1 = jnp.asarray([0.8, 1.6], F)
+        T2 = jnp.asarray([0.06, 0.13], F)
+        one = epg.epg_spgr(flg, phis, T1=T1, T2=T2, tr=trs, te=0.0)
+        two = epg.epgx_spgr(flg, phis, T1a=T1, T2a=T2, T1b=1.0,
+                            T2b=0.02, kab=0.0, kba=0.0, M0b=0.0,
+                            tr=trs)
+        np.testing.assert_allclose(np.asarray(two), np.asarray(one),
+                                   atol=1e-12)
+        mt = epg.epgx_mt_spgr(flg, phis, T1a=T1, T2a=T2, T1b=1.0,
+                              kab=0.0, kba=0.0, M0b=0.0, wt=5.0,
+                              tr=trs)
+        np.testing.assert_allclose(np.asarray(mt), np.asarray(one),
+                                   atol=1e-12)
+        fl = jnp.asarray(np.deg2rad(rng.uniform(120, 180, nTR)), F)
+        esp_t = jnp.asarray(rng.uniform(0.008, 0.014, nTR), F)
+        onec = epg.epg_cpmg(fl, T1=T1, T2=T2, esp=esp_t)
+        twoc = epg.epgx_cpmg(fl, T1a=T1, T2a=T2, T1b=1.0, T2b=0.02,
+                             kab=0.0, kba=0.0, M0b=0.0, esp=esp_t)
+        np.testing.assert_allclose(np.asarray(twoc), np.asarray(onec),
+                                   atol=1e-12)
+
+    def test_pallas_routes_and_grads(self):
+        r"""backend='pallas' with a variable train routes to the XLA
+        scan (identical values) and stays differentiable (incl. the
+        interval trains themselves — schedule optimization)."""
+        from mrphy_tpu.ops import epg
+        F = jnp.float64
+        rng = np.random.default_rng(13)
+        nTR = 10
+        flg = jnp.asarray(np.deg2rad(rng.uniform(10, 60, nTR)), F)
+        trs = jnp.asarray(rng.uniform(0.009, 0.016, nTR), F)
+        kwx = dict(T1a=jnp.asarray([0.9], F), T2a=jnp.asarray([.08], F),
+                   T1b=0.5, T2b=0.02, kab=2.0, kba=8.0, M0b=0.2)
+        a = epg.epgx_spgr(flg, tr=trs, **kwx)
+        b = epg.epgx_spgr(flg, tr=trs, backend='pallas', **kwx)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-13)
+        g = jax.grad(lambda t: jnp.sum(
+            epg.epgx_spgr(flg, tr=t, **kwx) ** 2))(trs)
+        assert bool(jnp.all(jnp.isfinite(g))) and float(
+            jnp.abs(g).max()) > 0
+        esp_t = jnp.asarray(rng.uniform(0.008, 0.014, nTR), F)
+        fl = jnp.asarray(np.deg2rad(rng.uniform(120, 180, nTR)), F)
+        a = epg.epg_cpmg(fl, T1=1.0, T2=0.08, esp=esp_t)
+        b = epg.epg_cpmg(fl, T1=1.0, T2=0.08, esp=esp_t,
+                         backend='pallas')
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=1e-13)
+        g = jax.grad(lambda e: jnp.sum(epg.epg_cpmg(
+            fl, T1=1.0, T2=0.08, esp=e) ** 2))(esp_t)
+        assert bool(jnp.all(jnp.isfinite(g))) and float(
+            jnp.abs(g).max()) > 0
+
+    def test_sharded_interval_trains_replicate(self):
+        r"""mesh=: a variable interval train whose length happens to
+        EQUAL the voxel count must still replicate (excluded from the
+        nV inference), and results must match unsharded."""
+        from mrphy_tpu.ops import epg
+        from mrphy_tpu.parallel import make_mesh
+        mesh = make_mesh()
+        rng = np.random.default_rng(17)
+        nV = 16                                   # == nE on purpose
+        fl = jnp.asarray(np.deg2rad(rng.uniform(120, 180, nV)),
+                         jnp.float32)
+        esp_t = jnp.asarray(rng.uniform(0.008, 0.014, nV), jnp.float32)
+        T2 = jnp.asarray(rng.uniform(0.04, 0.2, nV), jnp.float32)
+        a = epg.epg_cpmg(fl, T1=1.0, T2=T2, esp=esp_t)
+        b = epg.epg_cpmg(fl, T1=1.0, T2=T2, esp=esp_t, mesh=mesh)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-7)
+        trs = esp_t
+        T1a = jnp.asarray(rng.uniform(0.5, 2.0, nV), jnp.float32)
+        a = epg.epgx_spgr(fl, T1a=T1a, T2a=0.08, T1b=0.5, T2b=0.02,
+                          kab=2.0, kba=8.0, M0b=0.2, tr=trs, K=8)
+        b = epg.epgx_spgr(fl, T1a=T1a, T2a=0.08, T1b=0.5, T2b=0.02,
+                          kab=2.0, kba=8.0, M0b=0.2, tr=trs, K=8,
+                          mesh=mesh)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-7)

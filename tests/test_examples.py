@@ -47,6 +47,10 @@ CASES = [
     # diffusion: two-crusher dictionary -> match -> refinement
     ('mrf_diffusion.py', ['--ntr', '60', '--nt1', '6', '--nt2', '6',
                           '--nd', '5', '--K', '16', '--iters', '150']),
+    # variable-TR crusher schedule: per-step in-kernel attenuation
+    ('mrf_diffusion.py', ['--ntr', '60', '--nt1', '6', '--nt2', '6',
+                          '--nd', '5', '--K', '16', '--iters', '150',
+                          '--vartr']),
     ('qmt_fit.py', ['--nvox', '6', '--iters', '300', '--ntr', '150']),
     ('pc_venc.py', ['--nspins', '16']),
     ('traj_optim.py', ['--iters', '100']),
