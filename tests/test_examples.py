@@ -51,6 +51,9 @@ CASES = [
     ('mrf_diffusion.py', ['--ntr', '60', '--nt1', '6', '--nt2', '6',
                           '--nd', '5', '--K', '16', '--iters', '150',
                           '--vartr']),
+    # exchange-MRF through the variable-TR two-pool train (round 4)
+    ('mrfx_exchange.py', ['--ntr', '80', '--nt1', '6', '--nk', '5',
+                          '--K', '12', '--iters', '150']),
     ('qmt_fit.py', ['--nvox', '6', '--iters', '300', '--ntr', '150']),
     ('pc_venc.py', ['--nspins', '16']),
     ('traj_optim.py', ['--iters', '100']),
