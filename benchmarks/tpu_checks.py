@@ -420,7 +420,6 @@ def _spgr_diffusion_parity(interpret: bool):
     _record('spgr_diffusion_vartr', okv,
             f'variable-TR crushers: fwd rel {relv:.1e} (tol 2e-4), '
             f'dD {rdv:.1e}, dtr {rtr:.1e} (tol {tol:.0e})')
-    ok = ok and okv
 
 
 def _cpmg_adjoint_parity(interpret: bool):

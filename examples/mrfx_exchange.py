@@ -42,6 +42,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument('--backend', default='auto',
+                    choices=['auto', 'xla', 'pallas'])
     ap.add_argument('--ntr', type=int, default=150)
     ap.add_argument('--nt1', type=int, default=10)
     ap.add_argument('--nk', type=int, default=8)
@@ -65,7 +67,7 @@ def main():
         2 * np.pi * t / 41)), jnp.float32)
 
     # fixed (literature-style) bound-pool properties; (T1a, kab) free
-    pool = dict(T1b=1.0, T2b=0.02, M0b=0.15, T2a=0.08, kba=None)
+    pool = dict(T1b=1.0, T2b=0.02, M0b=0.15, T2a=0.08)
     t1g = np.geomspace(0.4, 2.2, args.nt1)
     kg = np.linspace(1.0, 15.0, args.nk)
     T1g, Kg = np.meshgrid(t1g, kg, indexing='ij')
@@ -73,13 +75,24 @@ def main():
     Kab = jnp.asarray(Kg.ravel(), jnp.float32)
     nA = int(T1.shape[0])
 
+    if args.backend == 'auto':
+        from mrphy_tpu.ops.pallas_kernels import _on_tpu
+        backend = 'pallas' if _on_tpu() else 'xla'
+    else:
+        backend = args.backend
+    print(f'backend: {backend}'
+          + (' (round 5: variable-TR two-pool trains run the fused'
+             ' kernel with native adjoints)' if backend == 'pallas'
+             else ''))
+
     def seg(t1a, kab, fscale, trv):
         # detailed balance: kba = kab * M0a / M0b
         return epg.epgx_spgr(flips * fscale, phis, T1a=t1a,
                              T2a=pool['T2a'], T1b=pool['T1b'],
                              T2b=pool['T2b'], kab=kab,
                              kba=kab * 1.0 / pool['M0b'], M0a=1.0,
-                             M0b=pool['M0b'], tr=trv, K=args.K)
+                             M0b=pool['M0b'], tr=trv, K=args.K,
+                             backend=backend)
 
     def gen(t1a, kab):
         return jnp.concatenate([seg(t1a, kab, 0.5, trs),

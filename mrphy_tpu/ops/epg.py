@@ -232,10 +232,13 @@ def epg_cpmg(flips, *, T1, T2, esp, M0=1.0, phi_ex=pi / 2,
     (:func:`mrphy_tpu.ops.epg_pallas.epg_cpmg_pallas`; measured 25×
     the XLA scan at 1M voxels × 32 echoes — B1-scaled trains go
     through its ``b1``). Mapping workload only (shared 1-D flips, 1-D
-    voxel batch, no diffusion); differentiable NATIVELY via the
-    in-kernel two-pool CPMG adjoint (round 3 — whole-brain MWF
-    fitting at ~3.3 Mvox/s per gradient step; the recompute VJP
-    remains the fallback when the kernel budgets don't fit).
+    voxel batch); since round 5 ``esp`` may be a `(nEcho,)` spacing
+    train and ``D``/``dk`` spoiler diffusion runs IN-KERNEL (both
+    with native grads — volume (T2, D) echo-train fitting);
+    differentiable NATIVELY via the in-kernel CPMG adjoint (round 3
+    — whole-brain MWF fitting at ~3.3 Mvox/s per gradient step; the
+    recompute VJP remains the fallback when the kernel budgets don't
+    fit).
     """
     if mesh is not None:        # composes with backend='pallas': each
         # device runs the fused kernel on its voxel shard
@@ -245,30 +248,37 @@ def epg_cpmg(flips, *, T1, T2, esp, M0=1.0, phi_ex=pi / 2,
             mesh, flips, T1=T1, T2=T2, esp=esp, M0=M0, phi_ex=phi_ex,
             alpha_ex=alpha_ex, b1=b1, backend=backend, **dkw)
     if backend == 'pallas':
-        if jnp.ndim(esp) == 1:   # variable echo spacing (round 4):
-            # the fused kernel precomputes half-interval factors per
-            # atom; per-echo trains run the XLA scan
-            return epg_cpmg(flips, T1=T1, T2=T2, esp=esp, M0=M0,
-                            phi_ex=phi_ex, alpha_ex=alpha_ex, b1=b1,
-                            D=D, dk=dk, backend='xla')
-        assert D is None, 'pallas backend does not model diffusion'
         from mrphy_tpu.ops import epg_pallas
         from mrphy_tpu.ops.epg_pallas import epg_cpmg_pallas
         from mrphy_tpu.ops._diffwrap import pallas_with_xla_vjp
         fl_a = jnp.asarray(flips)
         nA_g = max([1] + [jnp.shape(v)[0] for v in
-                          (T1, T2, M0, b1, phi_ex, alpha_ex)
+                          (T1, T2, M0, b1, phi_ex, alpha_ex, D)
                           if v is not None and jnp.ndim(v) >= 1])
+        dkw = {} if D is None else {'D': D, 'dk': dk}
         if (fl_a.ndim == 1 and epg_pallas.cpmg_bwd_is_available(
-                nE=fl_a.shape[-1], nA=nA_g)):
+                nE=fl_a.shape[-1], nA=nA_g,
+                varint=jnp.ndim(esp) == 1)):
             # natively differentiable: the in-kernel hand-transposed
-            # CPMG adjoint (round 3) — volume T2/MWF fitting gradients
-            # at kernel speed (the recompute-through-XLA reverse holds
-            # O(nE*nV*K) scan residuals and OOMs at volume scale)
+            # CPMG adjoint (round 3; round 5 adds `(nEcho,)` spacing
+            # trains + in-kernel diffusion) — volume T2/MWF/ADC
+            # fitting gradients at kernel speed (the recompute-
+            # through-XLA reverse holds O(nE*nV*K) scan residuals and
+            # OOMs at volume scale)
             return epg_cpmg_pallas(flips, T1=T1, T2=T2, esp=esp,
                                    M0=M0, phi_ex=phi_ex,
-                                   alpha_ex=alpha_ex, b1=b1)
+                                   alpha_ex=alpha_ex, b1=b1, **dkw)
         return pallas_with_xla_vjp(
+            lambda fl, t1, t2, es, m0, pex, aex, b, d:
+                epg_cpmg_pallas(fl, T1=t1, T2=t2, esp=es, M0=m0,
+                                phi_ex=pex, alpha_ex=aex, b1=b,
+                                D=d, dk=dk),
+            lambda fl, t1, t2, es, m0, pex, aex, b, d:
+                epg_cpmg(fl, T1=t1, T2=t2, esp=es, M0=m0, phi_ex=pex,
+                         alpha_ex=aex, b1=b, D=d, dk=dk,
+                         backend='xla'),
+            flips, T1, T2, esp, M0, phi_ex, alpha_ex, b1, D) \
+            if D is not None else pallas_with_xla_vjp(
             lambda fl, t1, t2, es, m0, pex, aex, b:
                 epg_cpmg_pallas(fl, T1=t1, T2=t2, esp=es, M0=m0,
                                 phi_ex=pex, alpha_ex=aex, b1=b),
@@ -694,8 +704,10 @@ def epgx_cpmg(flips, *, T1a, T2a, T1b, T2b, kab, kba, esp, M0a=1.0,
     ``backend='pallas'``: the fused TPU kernel
     (:func:`mrphy_tpu.ops.epg_pallas.epgx_cpmg_pallas`) for
     volume-scale MWF dictionaries/forwards (shared 1-D flips, 1-D
-    voxel batch); differentiable via the recompute-through-XLA VJP
-    (``ops/_diffwrap.py`` — gradients are the XLA backend's).
+    voxel batch; since round 5 also `(nEcho,)` per-echo spacing
+    trains); differentiable NATIVELY via the in-kernel two-pool
+    adjoint (recompute-through-XLA VJP as the fallback when the
+    kernel budgets don't fit).
     """
     if mesh is not None:        # composes with backend='pallas'
         from mrphy_tpu.parallel.mesh import (
@@ -708,18 +720,14 @@ def epgx_cpmg(flips, *, T1a, T2a, T1b, T2b, kab, kba, esp, M0a=1.0,
         from mrphy_tpu.ops import epg_pallas
         from mrphy_tpu.ops.epg_pallas import epgx_cpmg_pallas
         from mrphy_tpu.ops._diffwrap import pallas_with_xla_vjp
-        if jnp.ndim(esp) == 1:   # per-echo spacing train: XLA scan
-            return epgx_cpmg(
-                flips, T1a=T1a, T2a=T2a, T1b=T1b, T2b=T2b, kab=kab,
-                kba=kba, esp=esp, M0a=M0a, M0b=M0b, dfb=dfb,
-                phi_ex=phi_ex, b1=b1, backend='xla')
         fl_a = jnp.asarray(flips)
         nA_g = max([1] + [jnp.shape(v)[0] for v in
                           (T1a, T2a, T1b, T2b, kab, kba, M0a, M0b,
                            dfb, phi_ex, b1)
                           if v is not None and jnp.ndim(v) >= 1])
         if (fl_a.ndim == 1 and epg_pallas.xcpmg_bwd_is_available(
-                nE=fl_a.shape[-1], nA=nA_g)):
+                nE=fl_a.shape[-1], nA=nA_g,
+                varint=jnp.ndim(esp) == 1)):
             # natively differentiable: in-kernel two-pool CPMG
             # adjoint (round 3) — volume MWF fitting at kernel speed
             return epgx_cpmg_pallas(
@@ -783,7 +791,7 @@ def epgx_spgr(flips, phis=None, *, T1a, T2a, T1b, T2b, kab, kba, tr,
     for the single-pool conventions. ``tr`` may be scalar or a
     `(nTR,)` variable train (round 4 — exchange-MRF-X with the
     canonical variable-TR schedule; exact per-step 2x2 expm
-    propagators, XLA scan).
+    propagators — fused under ``backend='pallas'`` since round 5).
 
     Outputs: ``signals`` `(*batch, nTR, 2)`.
 
@@ -806,14 +814,6 @@ def epgx_spgr(flips, phis=None, *, T1a, T2a, T1b, T2b, kab, kba, tr,
         from mrphy_tpu.ops import epg_pallas
         from mrphy_tpu.ops.epg_pallas import epgx_spgr_pallas
         from mrphy_tpu.ops._diffwrap import pallas_with_xla_vjp
-        if jnp.ndim(tr) == 1:    # variable-TR train (round 4): the
-            # fused kernel holds per-atom exchange propagators for ONE
-            # interval; per-TR schedules run the XLA scan (exact
-            # per-step 2x2 expm propagators)
-            return epgx_spgr(
-                flips, phis, T1a=T1a, T2a=T2a, T1b=T1b, T2b=T2b,
-                kab=kab, kba=kba, tr=tr, M0a=M0a, M0b=M0b, dfb=dfb,
-                b1=b1, kshift=kshift, K=K, backend='xla')
         fl_a = jnp.asarray(flips)
         nA_g = max([1] + [jnp.shape(v)[0] for v in
                           (T1a, T2a, T1b, T2b, kab, kba, M0a, M0b,
@@ -822,9 +822,12 @@ def epgx_spgr(flips, phis=None, *, T1a, T2a, T1b, T2b, kab, kba, tr,
         K_g = (fl_a.shape[-1] * abs(int(kshift)) + 1 if K is None
                else int(K))
         if (fl_a.ndim == 1 and epg_pallas.xspgr_bwd_is_available(
-                nTR=fl_a.shape[-1], K=K_g, nA=nA_g)):
+                nTR=fl_a.shape[-1], K=K_g, nA=nA_g,
+                varint=jnp.ndim(tr) == 1)):
             # natively differentiable: in-kernel two-pool adjoint
-            # (round 3) — exchange-MRF fitting at kernel speed
+            # (round 3; round 5 adds `(nTR,)` variable-TR trains via
+            # streamed per-step propagator planes)
+            # — exchange-MRF fitting at kernel speed
             return epgx_spgr_pallas(
                 flips, phis, T1a=T1a, T2a=T2a, T1b=T1b, T2b=T2b,
                 kab=kab, kba=kba, tr=tr, M0a=M0a, M0b=M0b, dfb=dfb,
@@ -1009,12 +1012,6 @@ def epgx_mt_spgr(flips, phis=None, *, T1a, T2a, T1b, kab, kba, tr,
         from mrphy_tpu.ops import epg_pallas
         from mrphy_tpu.ops.epg_pallas import epgx_mt_spgr_pallas
         from mrphy_tpu.ops._diffwrap import pallas_with_xla_vjp
-        if jnp.ndim(tr) == 1:    # per-TR schedule: XLA scan (exact
-            # per-step two-pool propagators)
-            return epgx_mt_spgr(
-                flips, phis, T1a=T1a, T2a=T2a, T1b=T1b, kab=kab,
-                kba=kba, tr=tr, wt=wt, M0a=M0a, M0b=M0b, b1=b1,
-                kshift=kshift, K=K, backend='xla')
         fl_a = jnp.asarray(flips)
         nA_g = max([1] + [jnp.shape(v)[0] for v in
                           (T1a, T2a, T1b, kab, kba, M0a, M0b, b1)
@@ -1023,9 +1020,11 @@ def epgx_mt_spgr(flips, phis=None, *, T1a, T2a, T1b, kab, kba, tr,
                else int(K))
         if (fl_a.ndim == 1 and jnp.ndim(wt) <= 1
                 and epg_pallas.mt_bwd_is_available(
-                    nTR=fl_a.shape[-1], K=K_g, nA=nA_g)):
-            # natively differentiable: in-kernel MT adjoint (round 3)
-            # — volume qMT fitting at kernel speed
+                    nTR=fl_a.shape[-1], K=K_g, nA=nA_g,
+                    varint=jnp.ndim(tr) == 1)):
+            # natively differentiable: in-kernel MT adjoint (round 3;
+            # round 5 adds `(nTR,)` variable-TR trains) — volume qMT
+            # fitting at kernel speed
             return epgx_mt_spgr_pallas(
                 flips, phis, T1a=T1a, T2a=T2a, T1b=T1b, kab=kab,
                 kba=kba, tr=tr, wt=wt, M0a=M0a, M0b=M0b, b1=b1,

@@ -220,6 +220,11 @@ def nufft_plan(im_size: Sequence[int], fov, *, osf: float = 2.0,
           ``'auto'`` (matmul for d ≤ 2; pallas for d = 3 when the
           padded grid fits VMEM and a TPU is present, else gather).
           All modes are value-identical up to float sum order.
+          NOTE: ``'pallas'``'s native VJP computes data/trajectory
+          cotangents in f32 kernels regardless of ``dtype`` (TPU has
+          no f64); with a f64 plan, use ``'gather'`` when full-dtype
+          gradient precision matters (its autodiff differentiates the
+          f64 gather path).
     """
     im_size = tuple(int(n) for n in im_size)
     fov = tuple(float(f) for f in np.asarray(fov).reshape(-1))

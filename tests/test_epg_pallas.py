@@ -54,17 +54,20 @@ class TestEPGPallasParity:
         assert self._pair(kshift=2, M0=M0) < 2e-6
 
     def test_backend_kwarg_dispatch(self):
-        r"""`epg_spgr(backend='pallas')` routes to the kernel (and
-        refuses diffusion)."""
+        r"""`epg_spgr(backend='pallas')` routes to the kernel —
+        including the fused spoiler-diffusion path (round 4)."""
         out = epg.epg_spgr(FLIPS, PHIS, T1=T1, T2=T2, tr=TR, te=TE,
                            K=K, backend='pallas')
         # interpret-mode reference through the same dispatch surface
         ref = epg_spgr_pallas(FLIPS, PHIS, T1=T1, T2=T2, tr=TR, te=TE,
                               K=K, tile=128, interpret=True)
         assert float(jnp.max(jnp.abs(out - ref))) < 2e-6
-        with pytest.raises(AssertionError):
-            epg.epg_spgr(FLIPS, PHIS, T1=T1, T2=T2, tr=TR, D=1e-5,
-                         backend='pallas')
+        # diffusion is a supported fused feature now: parity vs XLA
+        dkw = dict(T1=T1, T2=T2, tr=TR, te=TE, K=K, D=1e-5, dk=30.0)
+        d_out = epg.epg_spgr(FLIPS, PHIS, backend='pallas', **dkw)
+        d_ref = epg.epg_spgr(FLIPS, PHIS, backend='xla', **dkw)
+        assert d_out.shape == d_ref.shape
+        assert float(jnp.max(jnp.abs(d_out - d_ref))) < 2e-5
 
     def test_vs_f64_oracle(self):
         r"""Absolute accuracy: the f32 kernel sits at f32 rounding of
