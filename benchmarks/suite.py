@@ -598,6 +598,23 @@ def bench_mrf():
                                            K=48, backend='pallas',
                                            **d))
     tx = _timeit(genx, xkw, repeats=4)
+    # VARIABLE-TR two-pool train (round 5: fused — streamed per-step
+    # exact propagators; was XLA-routed, and its XLA reverse needs
+    # 39 GB of scan residuals at this scale)
+    xtrs = jnp.asarray(12e-3 + 6e-3 * rng.random(ntr), jnp.float32)
+    genxv = jax.jit(lambda d: epg.epgx_spgr(flips, None, tr=xtrs,
+                                            K=24, backend='pallas',
+                                            **d))
+    genxv_x = jax.jit(lambda d: epg.epgx_spgr(flips, None, tr=xtrs,
+                                              K=24, backend='xla',
+                                              **d))
+    txv = _timeit(genxv, xkw, repeats=4)
+    txv_x = _timeit(genxv_x, xkw, repeats=4)
+    gxv = jax.jit(jax.grad(
+        lambda t1a, k_: jnp.sum(epg.epgx_spgr(
+            flips, None, tr=xtrs, K=24, backend='pallas',
+            **{**xkw, 'T1a': t1a, 'kab': k_}) ** 2), argnums=(0, 1)))
+    tgxv = _timeit_device(gxv, T1, xkw['kab'], repeats=6)
     # full dictionary GRADIENT through the in-kernel SPGR adjoint
     # (round 3): d/d(flips, T1, T2) — the recompute-through-XLA
     # reverse OOMs at this scale (58.6 GB of scan residuals)
@@ -669,6 +686,9 @@ def bench_mrf():
                          'through-XLA reverse OOMs at this scale',
             'pallas_abs_dev': f'{dev:.1e}',
             'epgx_pallas_atoms_per_s': round(natoms / tx, 0),
+            'epgx_vartr_pallas_atoms_per_s': round(natoms / txv, 0),
+            'epgx_vartr_xla_atoms_per_s': round(natoms / txv_x, 0),
+            'epgx_vartr_grad_device_ms': round(tgxv * 1e3, 1),
             'cpmg32_pallas_Mvox_per_s': round(natoms / tc / 1e6, 2),
             'epgx_cpmg32_pallas_Mvox_per_s': round(
                 natoms / txc / 1e6, 2),

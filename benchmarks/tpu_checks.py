@@ -506,6 +506,80 @@ def _epgx_adjoint_parity(interpret: bool):
                 + f' (tol {tol:.0e})')
 
 
+def _varint_adjoint_parity(interpret: bool):
+    r"""Round 5: fused VARIABLE-INTERVAL trains with native adjoints
+    for all four families — epgx_spgr `(nTR,)` TR trains,
+    epgx_cpmg/epg_cpmg `(nEcho,)` spacing trains, epgx_mt_spgr TR
+    trains — plus in-kernel CPMG spoiler diffusion. Per-step
+    propagator planes are streamed; the adjoints emit per-step
+    entry-cotangent rows chained outside by autodiff. Pins the
+    Mosaic lowering of the dynamic leading-dim pkt reads."""
+    from mrphy_tpu.ops import epg, epg_pallas
+    rng = np.random.default_rng(41)
+    n, nA = 32, 1024
+    assert epg_pallas.xspgr_bwd_is_available(nTR=n, K=16, nA=nA,
+                                             varint=True)
+    assert epg_pallas.xcpmg_bwd_is_available(nE=n, nA=nA, varint=True)
+    assert epg_pallas.mt_bwd_is_available(nTR=n, K=16, nA=nA,
+                                          varint=True)
+    assert epg_pallas.cpmg_bwd_is_available(nE=n, nA=nA, varint=True)
+    flips = jnp.asarray(np.deg2rad(rng.uniform(60, 180, n)), DT32)
+    T1a = jnp.asarray(rng.uniform(0.5, 2.0, nA), DT32)
+    kab = jnp.asarray(rng.uniform(2.0, 8.0, nA), DT32)
+    ivs = jnp.asarray(rng.uniform(0.008, 0.018, n), DT32)
+    w = jnp.asarray(rng.standard_normal((nA, n, 2)), DT32)
+
+    def loss_s(be, fl, t1a, k_, iv):
+        s = epg.epgx_spgr(fl, None, T1a=t1a, T2a=0.08, T1b=1.0,
+                          T2b=0.02, kab=k_, kba=20.0, tr=iv, K=16,
+                          backend=be)
+        return jnp.sum(w * s)
+
+    def loss_c(be, fl, t1a, k_, iv):
+        s = epg.epgx_cpmg(fl, T1a=t1a, T2a=0.08, T1b=1.0, T2b=0.015,
+                          kab=k_, kba=18.0, esp=iv, dfb=30.0,
+                          backend=be)
+        return jnp.sum(w * s)
+
+    wt = jnp.asarray(rng.uniform(0.0, 30.0, n), DT32)
+
+    def loss_m(be, fl, t1a, k_, iv):
+        s = epg.epgx_mt_spgr(fl, None, T1a=t1a, T2a=0.08, T1b=1.0,
+                             kab=k_, kba=20.0, tr=iv, wt=wt, K=16,
+                             M0b=0.15, backend=be)
+        return jnp.sum(w * s)
+
+    Dv = jnp.asarray(rng.uniform(0.5, 3.0, nA) * 1e-3, DT32)
+
+    def loss_d(be, fl, t2, d, iv):
+        s = epg.epg_cpmg(fl, T1=1.0, T2=t2, esp=iv, D=d, dk=25.0,
+                         backend=be)
+        return jnp.sum(w * s)
+
+    T2v = jnp.asarray(rng.uniform(0.04, 0.2, nA), DT32)
+    tol = 1e-3
+    cases = (('xspgr_vartr', loss_s, (flips, T1a, kab, ivs),
+              ('flips', 'T1a', 'kab', 'trs')),
+             ('xcpmg_varesp', loss_c, (flips, T1a, kab, ivs),
+              ('flips', 'T1a', 'kab', 'esps')),
+             ('mt_vartr', loss_m, (flips, T1a, kab, ivs),
+              ('flips', 'T1a', 'kab', 'trs')),
+             ('cpmg_varesp_diff', loss_d, (flips, T2v, Dv, ivs),
+              ('flips', 'T2', 'D', 'esps')))
+    an = (0, 1, 2, 3)
+    for nm, loss, args, names in cases:
+        gx = jax.jit(jax.grad(lambda *a: loss('xla', *a),
+                              argnums=an))(*args)
+        gp = jax.jit(jax.grad(lambda *a: loss('pallas', *a),
+                              argnums=an))(*args)
+        rels = {m: _rel(p, x) for m, x, p in zip(names, gx, gp)}
+        ok = all(r < tol for r in rels.values())
+        _record(f'{nm}_adjoint', ok,
+                'fused variable-interval adjoint vs XLA grads: '
+                + ', '.join(f'd{m} {r:.1e}' for m, r in rels.items())
+                + f' (tol {tol:.0e})')
+
+
 def _epg_kernel_parity(interpret: bool):
     r"""Fused EPG dictionary kernel (ops/epg_pallas.py) vs the XLA scan,
     f32: pins the Mosaic lowering of the sublane rolls, k=0 hemisphere
@@ -1162,6 +1236,7 @@ def main():
     _spgr_diffusion_parity(interpret=args.interpret)
     _cpmg_adjoint_parity(interpret=args.interpret)
     _epgx_adjoint_parity(interpret=args.interpret)
+    _varint_adjoint_parity(interpret=args.interpret)
     _cpmg_kernel_parity(interpret=args.interpret)
     _epgx_kernel_parity(interpret=args.interpret)
     _epgx_cpmg_kernel_parity(interpret=args.interpret)

@@ -248,17 +248,14 @@ def epg_cpmg(flips, *, T1, T2, esp, M0=1.0, phi_ex=pi / 2,
             mesh, flips, T1=T1, T2=T2, esp=esp, M0=M0, phi_ex=phi_ex,
             alpha_ex=alpha_ex, b1=b1, backend=backend, **dkw)
     if backend == 'pallas':
-        from mrphy_tpu.ops import epg_pallas
         from mrphy_tpu.ops.epg_pallas import epg_cpmg_pallas
         from mrphy_tpu.ops._diffwrap import pallas_with_xla_vjp
-        fl_a = jnp.asarray(flips)
-        nA_g = max([1] + [jnp.shape(v)[0] for v in
-                          (T1, T2, M0, b1, phi_ex, alpha_ex, D)
-                          if v is not None and jnp.ndim(v) >= 1])
+        from mrphy_tpu.ops.routing import route
+        r = route('epg_cpmg', backend='pallas', flips=flips, T1=T1,
+                  T2=T2, esp=esp, M0=M0, phi_ex=phi_ex,
+                  alpha_ex=alpha_ex, b1=b1, D=D)
         dkw = {} if D is None else {'D': D, 'dk': dk}
-        if (fl_a.ndim == 1 and epg_pallas.cpmg_bwd_is_available(
-                nE=fl_a.shape[-1], nA=nA_g,
-                varint=jnp.ndim(esp) == 1)):
+        if r['path'] == 'pallas-native-adjoint':
             # natively differentiable: the in-kernel hand-transposed
             # CPMG adjoint (round 3; round 5 adds `(nEcho,)` spacing
             # trains + in-kernel diffusion) — volume T2/MWF/ADC
@@ -428,14 +425,11 @@ def epg_spgr(flips, phis=None, *, T1, T2, tr, te=0.0, M0=1.0,
     if backend == 'pallas':
         from mrphy_tpu.ops import epg_pallas
         from mrphy_tpu.ops._diffwrap import pallas_with_xla_vjp
-        fl_a = jnp.asarray(flips)
-        nA_g = max([1] + [jnp.shape(v)[0] for v in
-                          (T1, T2, M0, b1, zinit, D)
-                          if v is not None and jnp.ndim(v) >= 1])
-        K_g = (fl_a.shape[-1] * abs(int(kshift)) + 1 if K is None
-               else int(K))
-        if (fl_a.ndim == 1 and epg_pallas.spgr_bwd_is_available(
-                nTR=fl_a.shape[-1], K=K_g, nA=nA_g)):
+        from mrphy_tpu.ops.routing import route
+        r = route('epg_spgr', backend='pallas', flips=flips, T1=T1,
+                  T2=T2, tr=tr, te=te, M0=M0, zinit=zinit, b1=b1,
+                  D=D, kshift=kshift, K=K)
+        if r['path'] == 'pallas-native-adjoint':
             # natively differentiable: the hand-transposed fused
             # adjoint kernel (round 3) — gradients at kernel speed
             return epg_pallas.epg_spgr_pallas(
@@ -717,17 +711,14 @@ def epgx_cpmg(flips, *, T1a, T2a, T1b, T2b, kab, kba, esp, M0a=1.0,
             T2b=T2b, kab=kab, kba=kba, esp=esp, M0a=M0a,
             M0b=M0b, dfb=dfb, phi_ex=phi_ex, b1=b1, backend=backend)
     if backend == 'pallas':
-        from mrphy_tpu.ops import epg_pallas
         from mrphy_tpu.ops.epg_pallas import epgx_cpmg_pallas
         from mrphy_tpu.ops._diffwrap import pallas_with_xla_vjp
-        fl_a = jnp.asarray(flips)
-        nA_g = max([1] + [jnp.shape(v)[0] for v in
-                          (T1a, T2a, T1b, T2b, kab, kba, M0a, M0b,
-                           dfb, phi_ex, b1)
-                          if v is not None and jnp.ndim(v) >= 1])
-        if (fl_a.ndim == 1 and epg_pallas.xcpmg_bwd_is_available(
-                nE=fl_a.shape[-1], nA=nA_g,
-                varint=jnp.ndim(esp) == 1)):
+        from mrphy_tpu.ops.routing import route
+        r = route('epgx_cpmg', backend='pallas', flips=flips,
+                  T1a=T1a, T2a=T2a, T1b=T1b, T2b=T2b, kab=kab,
+                  kba=kba, esp=esp, M0a=M0a, M0b=M0b, dfb=dfb,
+                  phi_ex=phi_ex, b1=b1)
+        if r['path'] == 'pallas-native-adjoint':
             # natively differentiable: in-kernel two-pool CPMG
             # adjoint (round 3) — volume MWF fitting at kernel speed
             return epgx_cpmg_pallas(
@@ -811,19 +802,14 @@ def epgx_spgr(flips, phis=None, *, T1a, T2a, T1b, T2b, kab, kba, tr,
             M0a=M0a, M0b=M0b, dfb=dfb, b1=b1, kshift=kshift, K=K,
             backend=backend)
     if backend == 'pallas':
-        from mrphy_tpu.ops import epg_pallas
         from mrphy_tpu.ops.epg_pallas import epgx_spgr_pallas
         from mrphy_tpu.ops._diffwrap import pallas_with_xla_vjp
-        fl_a = jnp.asarray(flips)
-        nA_g = max([1] + [jnp.shape(v)[0] for v in
-                          (T1a, T2a, T1b, T2b, kab, kba, M0a, M0b,
-                           dfb, b1)
-                          if v is not None and jnp.ndim(v) >= 1])
-        K_g = (fl_a.shape[-1] * abs(int(kshift)) + 1 if K is None
-               else int(K))
-        if (fl_a.ndim == 1 and epg_pallas.xspgr_bwd_is_available(
-                nTR=fl_a.shape[-1], K=K_g, nA=nA_g,
-                varint=jnp.ndim(tr) == 1)):
+        from mrphy_tpu.ops.routing import route
+        r = route('epgx_spgr', backend='pallas', flips=flips,
+                  T1a=T1a, T2a=T2a, T1b=T1b, T2b=T2b, kab=kab,
+                  kba=kba, tr=tr, M0a=M0a, M0b=M0b, dfb=dfb, b1=b1,
+                  kshift=kshift, K=K)
+        if r['path'] == 'pallas-native-adjoint':
             # natively differentiable: in-kernel two-pool adjoint
             # (round 3; round 5 adds `(nTR,)` variable-TR trains via
             # streamed per-step propagator planes)
@@ -1009,19 +995,14 @@ def epgx_mt_spgr(flips, phis=None, *, T1a, T2a, T1b, kab, kba, tr,
             T1b=T1b, kab=kab, kba=kba, tr=tr, wt=wt, M0a=M0a,
             M0b=M0b, b1=b1, kshift=kshift, K=K, backend=backend)
     if backend == 'pallas':
-        from mrphy_tpu.ops import epg_pallas
         from mrphy_tpu.ops.epg_pallas import epgx_mt_spgr_pallas
         from mrphy_tpu.ops._diffwrap import pallas_with_xla_vjp
-        fl_a = jnp.asarray(flips)
-        nA_g = max([1] + [jnp.shape(v)[0] for v in
-                          (T1a, T2a, T1b, kab, kba, M0a, M0b, b1)
-                          if v is not None and jnp.ndim(v) >= 1])
-        K_g = (fl_a.shape[-1] * abs(int(kshift)) + 1 if K is None
-               else int(K))
-        if (fl_a.ndim == 1 and jnp.ndim(wt) <= 1
-                and epg_pallas.mt_bwd_is_available(
-                    nTR=fl_a.shape[-1], K=K_g, nA=nA_g,
-                    varint=jnp.ndim(tr) == 1)):
+        from mrphy_tpu.ops.routing import route
+        r = route('epgx_mt_spgr', backend='pallas', flips=flips,
+                  T1a=T1a, T2a=T2a, T1b=T1b, kab=kab, kba=kba,
+                  tr=tr, wt=wt, M0a=M0a, M0b=M0b, b1=b1,
+                  kshift=kshift, K=K)
+        if r['path'] == 'pallas-native-adjoint':
             # natively differentiable: in-kernel MT adjoint (round 3;
             # round 5 adds `(nTR,)` variable-TR trains) — volume qMT
             # fitting at kernel speed

@@ -2483,8 +2483,13 @@ def xspgr_bwd_is_available(*, nTR: int, K: int, nA: int,
     ntiles = -(-nA // _BWD_TILE)
     chk = ntc * 12 * K * ntiles * _BWD_TILE * 4
     dcf = ntiles * nTR * 9 * _BWD_TILE * 4
-    if varint:        # the per-step entry-cotangent planes (round 5)
-        dcf += ntiles * nTR * 14 * _BWD_TILE * 4
+    if varint:
+        # the per-step entry-cotangent planes (round 5); the varint
+        # dcf is SMEM-scalar-reduced so dpkt is the only per-atom
+        # time-resolved output (1.5 GB at the canonical 64k x 400)
+        dcf = ntiles * nTR * 14 * _BWD_TILE * 4
+        return (scr <= 20 * 1024 * 1024 and chk <= 2 * 1024 ** 3
+                and dcf <= 4 * 1024 ** 3)
     return (scr <= 20 * 1024 * 1024 and chk <= 2 * 1024 ** 3
             and dcf <= 2 * 1024 ** 3)
 
@@ -2736,7 +2741,11 @@ def _xv_bwd_kernel(K: int, tc: int, ntc: int, kshift: int,
     14 propagator-entry grads are EMITTED per step (``dpkt``
     `(1, tc, 14, tile)` blocks) instead of accumulated — autodiff
     chains them to the rates/interval train outside. ``dpar`` `(3,
-    TA)` = [dM0a(init), dM0b(init), db1]; ``dcf`` as in SPGR."""
+    TA)` = [dM0a(init), dM0b(init), db1]; ``dcf`` `(tc, 9)` is
+    SMEM-scalar-reduced in-kernel (the coefficient rows are shared
+    train quantities, reduced over atoms afterwards anyway — keeping
+    them lane-resolved would double this path's HBM output on top of
+    the unavoidable per-atom ``dpkt``)."""
     TA = pk_ref.shape[1]
     b1 = _xv_pk3(pk_ref)[2]
     row = jax.lax.broadcasted_iota(jnp.int32, (K, TA), 0)
@@ -2810,18 +2819,19 @@ def _xv_bwd_kernel(K: int, tc: int, ntc: int, kshift: int,
         d_s1 = sa * (d_ss + 0.5 * d_hs) + d_s1e
         d_c1 = sa * (d_sc + 0.5 * d_hc) + d_c1e
 
-        zrow = jnp.zeros((1, TA), gr_ref.dtype)
+        zs = jnp.zeros((), gr_ref.dtype)
         if has_b1:
             d_al = (0.5 * sa * (d_sa2 - d_ca2) + ca * d_sa
                     - sa * d_ca)
             ab1 = ab1 + d_al * coef_ref[8, t]
-            rows = (zrow, zrow, zrow, zrow, d_c1, d_s1, d_c2, d_s2,
-                    d_al * b1)
+            rows = (zs, zs, zs, zs, jnp.sum(d_c1), jnp.sum(d_s1),
+                    jnp.sum(d_c2), jnp.sum(d_s2), jnp.sum(d_al * b1))
         else:
-            rows = (d_ca2, d_sa2, d_sa, d_ca, d_c1, d_s1, d_c2, d_s2,
-                    zrow)
+            rows = (jnp.sum(d_ca2), jnp.sum(d_sa2), jnp.sum(d_sa),
+                    jnp.sum(d_ca), jnp.sum(d_c1), jnp.sum(d_s1),
+                    jnp.sum(d_c2), jnp.sum(d_s2), zs)
         for c in range(9):
-            dcf_ref[0, tl, c] = rows[c][0]
+            dcf_ref[0, tl, c] = rows[c]
 
         h = _x_mix_T(tg, h)
         return h + (ab1,)
@@ -2932,12 +2942,13 @@ def _xspgr_core_v_bwd(K, kshift, interpret, has_b1, res, g):
                   pl.BlockSpec((3, tile), lambda i, j: (0, i)),
                   pkts, chk, gsp, gsp],
         out_specs=[pl.BlockSpec((3, tile), lambda i, j: (0, i)),
-                   pl.BlockSpec((1, tc, 9, tile),
-                                lambda i, j: (i, ntc - 1 - j, 0, 0)),
+                   pl.BlockSpec((1, tc, 9),
+                                lambda i, j: (i, ntc - 1 - j, 0),
+                                memory_space=pltpu.SMEM),
                    pl.BlockSpec((1, tc, 14, tile),
                                 lambda i, j: (i, ntc - 1 - j, 0, 0))],
         out_shape=[jax.ShapeDtypeStruct((3, nAp), jnp.float32),
-                   jax.ShapeDtypeStruct((ntiles, nTR, 9, tile),
+                   jax.ShapeDtypeStruct((ntiles, nTR, 9),
                                         jnp.float32),
                    jax.ShapeDtypeStruct((ntiles, nTR, 14, tile),
                                         jnp.float32)],
@@ -2948,7 +2959,7 @@ def _xspgr_core_v_bwd(K, kshift, interpret, has_b1, res, g):
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(coefp, pkp, pktp, chka, grp, gip)
-    dcoef = jnp.sum(dcf, axis=(0, 3)).T              # (9, nTR)
+    dcoef = jnp.sum(dcf, axis=0).T                   # (9, nTR)
     dpkt = jnp.moveaxis(dpkt, 0, 2).reshape(nTR, 14, nAp)
     return dcoef, dpar[:, :nA], dpkt[:, :, :nA]
 
@@ -3201,8 +3212,13 @@ def xcpmg_bwd_is_available(*, nE: int, nA: int,
     ntiles = -(-nA // _BWD_TILE)
     chk = ntc * 12 * K * ntiles * _BWD_TILE * 4
     dcf = ntiles * nE * 5 * _BWD_TILE * 4
-    if varint:        # the per-step entry-cotangent planes (round 5)
-        dcf += ntiles * nE * 14 * _BWD_TILE * 4
+    if varint:
+        # per-echo entry-cotangent planes (round 5); the varesp dcf
+        # is SMEM-scalar-reduced so dpkt is the only per-atom
+        # time-resolved output
+        dcf = ntiles * nE * 14 * _BWD_TILE * 4
+        return (scr <= 20 * 1024 * 1024 and chk <= 2 * 1024 ** 3
+                and dcf <= 4 * 1024 ** 3)
     return (scr <= 20 * 1024 * 1024 and chk <= 2 * 1024 ** 3
             and dcf <= 2 * 1024 ** 3)
 
@@ -3482,16 +3498,17 @@ def _xcv_bwd_kernel(K: int, tc: int, ntc: int, has_b1: bool,
         d_sa2 = d_sc2
         d_sa = d_sc + 0.5 * d_hc
 
-        zrow = jnp.zeros((1, TA), gr_ref.dtype)
+        zs = jnp.zeros((), gr_ref.dtype)
         if has_b1:
             d_al = (0.5 * sa * (d_sa2 - d_ca2) + ca * d_sa
                     - sa * d_ca)
             ab1 = ab1 + d_al * coef_ref[4, t]
-            rows = (zrow, zrow, zrow, zrow, d_al * b1)
+            rows = (zs, zs, zs, zs, jnp.sum(d_al * b1))
         else:
-            rows = (d_ca2, d_sa2, d_sa, d_ca, zrow)
+            rows = (jnp.sum(d_ca2), jnp.sum(d_sa2), jnp.sum(d_sa),
+                    jnp.sum(d_ca), zs)
         for c in range(5):
-            dcf_ref[0, tl, c] = rows[c][0]
+            dcf_ref[0, tl, c] = rows[c]
 
         h = _x_mix_T(tg, h)
 
@@ -3607,12 +3624,13 @@ def _xcpmg_core_v_bwd(K, interpret, has_b1, res, g):
                   pl.BlockSpec((5, tile), lambda i, j: (0, i)),
                   pkts, chk, gsp, gsp],
         out_specs=[pl.BlockSpec((5, tile), lambda i, j: (0, i)),
-                   pl.BlockSpec((1, tc, 5, tile),
-                                lambda i, j: (i, ntc - 1 - j, 0, 0)),
+                   pl.BlockSpec((1, tc, 5),
+                                lambda i, j: (i, ntc - 1 - j, 0),
+                                memory_space=pltpu.SMEM),
                    pl.BlockSpec((1, tc, 14, tile),
                                 lambda i, j: (i, ntc - 1 - j, 0, 0))],
         out_shape=[jax.ShapeDtypeStruct((5, nAp), jnp.float32),
-                   jax.ShapeDtypeStruct((ntiles, nE, 5, tile),
+                   jax.ShapeDtypeStruct((ntiles, nE, 5),
                                         jnp.float32),
                    jax.ShapeDtypeStruct((ntiles, nE, 14, tile),
                                         jnp.float32)],
@@ -3623,7 +3641,7 @@ def _xcpmg_core_v_bwd(K, interpret, has_b1, res, g):
             vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(coefp, pkp, pktp, chka, grp, gip)
-    dcoef = jnp.sum(dcf, axis=(0, 3)).T              # (5, nE)
+    dcoef = jnp.sum(dcf, axis=0).T                   # (5, nE)
     dpkt = jnp.moveaxis(dpkt, 0, 2).reshape(nE, 14, nAp)
     return dcoef, dpar[:, :nA], dpkt[:, :, :nA]
 
@@ -3943,7 +3961,7 @@ def mt_bwd_is_available(*, nTR: int, K: int, nA: int,
     # HBM — never gates (47 MB even at 1M voxels x 150 TR)
     if varint:        # the per-TR entry-cotangent planes (round 5)
         dpkt = ntiles * nTR * 7 * _BWD_TILE * 4
-        if dpkt > 2 * 1024 ** 3:
+        if dpkt > 4 * 1024 ** 3:
             return False
     return scr <= 20 * 1024 * 1024 and chk <= 2 * 1024 ** 3
 

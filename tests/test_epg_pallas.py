@@ -145,9 +145,13 @@ class TestCPMGPallasParity:
         ref = epg_cpmg_pallas(self.CFLIPS, T1=T1, T2=T2, esp=self.ESP,
                               tile=128, interpret=True)
         assert float(jnp.max(jnp.abs(out - ref))) < 3e-6
-        with pytest.raises(AssertionError):
-            epg.epg_cpmg(self.CFLIPS, T1=1.0, T2=0.1, esp=self.ESP,
-                         D=1e-5, backend='pallas')
+        # diffusion is a supported fused feature now (round 5):
+        # parity vs the XLA scan through the same dispatch surface
+        dkw = dict(T1=T1, T2=T2, esp=self.ESP, D=1e-5, dk=30.0)
+        d_out = epg.epg_cpmg(self.CFLIPS, backend='pallas', **dkw)
+        d_ref = epg.epg_cpmg(self.CFLIPS, backend='xla', **dkw)
+        assert d_out.shape == d_ref.shape
+        assert float(jnp.max(jnp.abs(d_out - d_ref))) < 2e-5
 
 
 class TestEPGXPallasParity:
