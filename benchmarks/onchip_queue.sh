@@ -23,7 +23,7 @@ timeout 1800 python bench.py >> "$LOG" 2>&1
 say "bench rc=$?"
 
 # scenarios, most-stale first (mrf reports all four dictionary kernels)
-for sc in mrf mrf_pipeline mrf_fisp bssfp_fit nufft nufft3d kspace field signal cest beffstream longpulse deeptime throughput recon freeprec32 tiny design64; do
+for sc in mrf mrf_pipeline mrf_fisp mrf_kspace bssfp_fit nufft nufft3d kspace field signal cest beffstream longpulse deeptime throughput recon freeprec32 tiny design64; do
   say "--- suite: $sc ---"
   timeout 2400 python benchmarks/suite.py "$sc" >> "$LOG" 2>&1
   say "suite[$sc] rc=$?"

@@ -1027,6 +1027,100 @@ def bench_mrf_fisp():
             'unit': 'ms'}
 
 
+def bench_mrf_kspace():
+    r"""k-space MRF end to end (round 5): golden-angle spoke-per-TR
+    acquisition → subspace CG reconstruction → fused compressed
+    matching, all jitted, at clinical matrix size. Reports device
+    time per stage, end-to-end voxels/s, and map accuracy vs the
+    phantom truth (grid-cell-level errors expected from the
+    8-iteration CG at ~100× per-frame undersampling)."""
+    import jax
+    import jax.numpy as jnp
+    from mrphy_tpu.ops import epg, mrf
+    from mrphy_tpu.ops.nufft import nufft_plan, nufft
+    rng = np.random.default_rng(0)
+    N = int(os.environ.get('MRPHY_KMRF_N', 128))
+    nTR = int(os.environ.get('MRPHY_KMRF_NTR', 400))
+    nRO, fov, rank, cg_iters = 2 * N, 24.0, 8, 8
+    t = np.arange(nTR)
+    flips = jnp.asarray(np.deg2rad(
+        10 + 50 * np.abs(np.sin(np.pi * t / 75))), jnp.float32)
+    trs = jnp.asarray(
+        0.012 + 0.004 * np.sin(2 * np.pi * t / 57) ** 2, jnp.float32)
+
+    def gen(T1v, T2v):
+        return epg.epg_spgr(flips, None, T1=T1v, T2=T2v, tr=trs,
+                            te=0.002, K=24,
+                            zinit=epg.ir_prep(0.02, T1v),
+                            backend='pallas')
+
+    t1g = np.geomspace(0.3, 4.0, 48)
+    t2g = np.geomspace(0.02, 0.6, 32)
+    T1g, T2g = np.meshgrid(t1g, t2g, indexing='ij')
+    keep = T2g < T1g
+    T1a = jnp.asarray(T1g[keep], jnp.float32)
+    T2a = jnp.asarray(T2g[keep], jnp.float32)
+    D = jax.jit(gen)(T1a, T2a)
+    basis = mrf.svd_basis(D, rank=rank)
+    Dc = mrf.compress(D, basis)
+
+    yy, xx = np.mgrid[:N, :N]
+    c = (N - 1) / 2
+    mask = np.hypot(yy - c, xx - c) < 0.45 * N
+    T1m = np.where(xx < c, 0.8, 1.5)
+    T2m = np.where(yy < c, 0.06, 0.12)
+    iy, ix = np.nonzero(mask)
+    T1v = jnp.asarray(T1m[mask], jnp.float32)
+    T2v = jnp.asarray(T2m[mask], jnp.float32)
+    X = jax.jit(gen)(T1v, T2v)
+    imgs = jnp.zeros((nTR, N, N, 2), jnp.float32
+                     ).at[:, iy, ix, :].set(jnp.moveaxis(X, 0, 1))
+
+    kmax = N / (2 * fov)
+    rad = np.linspace(-kmax, kmax, nRO, endpoint=False)
+    ga = np.pi * (np.sqrt(5) - 1) / 2
+    phi = ga * np.arange(nTR)
+    ktrajs = jnp.asarray(np.stack([np.cos(phi)[:, None] * rad,
+                                   np.sin(phi)[:, None] * rad], 1),
+                         jnp.float32)
+    plan = nufft_plan((N, N), (fov, fov))
+
+    @jax.jit
+    def acquire(im):
+        return jax.lax.scan(
+            lambda _, tx: (None, nufft(plan, tx[0], tx[1])),
+            None, (im, ktrajs))[1]
+
+    s = acquire(imgs)
+    s = s + 2e-3 * float(jnp.abs(s).max()) * jnp.asarray(
+        rng.standard_normal(s.shape), jnp.float32)
+    recon = jax.jit(lambda sv: mrf.kspace_subspace_recon(
+        plan, ktrajs, basis, sv, iters=cg_iters))
+    alpha = recon(s)
+    probes = jnp.moveaxis(alpha, 0, -1)[iy, ix]
+    res = mrf.dict_match_compressed(Dc, probes, basis)
+    e1 = float(np.median(np.abs(np.asarray(T1a[res.idx] / T1v) - 1)))
+    e2 = float(np.median(np.abs(np.asarray(T2a[res.idx] / T2v) - 1)))
+    t_acq = _timeit_device(acquire, imgs, repeats=3)
+    t_rec = _timeit_device(recon, s, repeats=3)
+    match = jax.jit(lambda p: mrf.dict_match_compressed(
+        Dc, p, basis).idx)
+    t_match = _timeit(match, probes, repeats=3)
+    nV = int(mask.sum())
+    total = t_acq + t_rec + t_match
+    return {'metric': f'k-space MRF end-to-end: {N}x{N}, {nTR} '
+                      f'spokes x {nRO} ro, rank {rank}, '
+                      f'CG {cg_iters}',
+            'value': round(nV / total, 0), 'unit': 'voxels/s',
+            'acquire_dev_ms': round(t_acq * 1e3, 1),
+            'recon_dev_ms': round(t_rec * 1e3, 1),
+            'match_ms': round(t_match * 1e3, 1),
+            'atoms': int(D.shape[0]),
+            'undersampling_per_frame': round(N * N / nRO, 1),
+            'median_T1_err': round(e1, 4),
+            'median_T2_err': round(e2, 4)}
+
+
 ALL = {'tiny': bench_tiny, 'freeprec32': bench_freeprec32,
        'design64': bench_design64, 'throughput': bench_throughput,
        'deeptime': bench_deeptime, 'longpulse': bench_longpulse,
@@ -1035,7 +1129,7 @@ ALL = {'tiny': bench_tiny, 'freeprec32': bench_freeprec32,
        'kspace': bench_kspace, 'field': bench_field, 'mrf': bench_mrf,
        'mrf_pipeline': bench_mrf_pipeline, 'cest': bench_cest,
        'nufft3d': bench_nufft3d, 'bssfp_fit': bench_bssfp_fit,
-       'mrf_fisp': bench_mrf_fisp}
+       'mrf_fisp': bench_mrf_fisp, 'mrf_kspace': bench_mrf_kspace}
 
 
 def main():

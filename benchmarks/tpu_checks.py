@@ -1081,6 +1081,86 @@ def _mrf_match_parity():
     return ok and ok_h
 
 
+def _mrf_kspace_check():
+    r"""k-space MRF composition (round 5): spoke-per-TR acquisition →
+    subspace CG → compressed match recovers a two-region phantom's
+    (T1, T2) within ~one dictionary cell, AND the subspace encode/
+    adjoint pair is numerically adjoint on-chip (the CG operator's
+    positive-definiteness rests on it)."""
+    from mrphy_tpu.ops import epg, mrf
+    from mrphy_tpu.ops.nufft import nufft_plan, nufft
+    rng = np.random.default_rng(5)
+    N, nTR, rank = 48, 200, 6
+    nRO, fov = 2 * N, 20.0
+    t = np.arange(nTR)
+    flips = jnp.asarray(np.deg2rad(
+        10 + 50 * np.abs(np.sin(np.pi * t / 40))), DT32)
+    trs = jnp.asarray(
+        0.012 + 0.004 * np.sin(2 * np.pi * t / 31) ** 2, DT32)
+
+    def gen(T1v, T2v):
+        return epg.epg_spgr(flips, None, T1=T1v, T2=T2v, tr=trs,
+                            te=0.002, K=16,
+                            zinit=epg.ir_prep(0.02, T1v),
+                            backend='pallas')
+
+    t1g = np.geomspace(0.3, 3.0, 16)
+    t2g = np.geomspace(0.03, 0.4, 10)
+    T1g, T2g = np.meshgrid(t1g, t2g, indexing='ij')
+    keep = T2g < T1g
+    T1a = jnp.asarray(T1g[keep], DT32)
+    T2a = jnp.asarray(T2g[keep], DT32)
+    D = jax.jit(gen)(T1a, T2a)
+    basis = mrf.svd_basis(D, rank=rank)
+    kmax = N / (2 * fov)
+    rad = np.linspace(-kmax, kmax, nRO, endpoint=False)
+    ga = np.pi * (np.sqrt(5) - 1) / 2
+    phi = ga * np.arange(nTR)
+    ktrajs = jnp.asarray(np.stack([np.cos(phi)[:, None] * rad,
+                                   np.sin(phi)[:, None] * rad], 1),
+                         DT32)
+    plan = nufft_plan((N, N), (fov, fov))
+
+    # adjointness of the subspace system (f32 on-chip)
+    x = jnp.asarray(rng.standard_normal((rank, N, N)), DT32)
+    y = jnp.asarray(rng.standard_normal((nTR, nRO, 2)), DT32)
+    Ax = jax.jit(lambda v: mrf.subspace_encode(
+        plan, ktrajs, basis, v))(x)
+    AHy = jax.jit(lambda v: mrf.subspace_adjoint(
+        plan, ktrajs, basis, v))(y)
+    lhs = float(jnp.sum(Ax * y))
+    rhs = float(jnp.sum(x * AHy))
+    adj_rel = abs(lhs - rhs) / max(1e-30, abs(lhs))
+
+    yy, xx = np.mgrid[:N, :N]
+    c = (N - 1) / 2
+    mask = np.hypot(yy - c, xx - c) < 0.45 * N
+    T1m = np.where(xx < c, 0.8, 1.5)
+    T2m = np.where(yy < c, 0.06, 0.12)
+    iy, ix = np.nonzero(mask)
+    T1v = jnp.asarray(T1m[mask], DT32)
+    T2v = jnp.asarray(T2m[mask], DT32)
+    X = jax.jit(gen)(T1v, T2v)
+    imgs = jnp.zeros((nTR, N, N, 2), DT32
+                     ).at[:, iy, ix, :].set(jnp.moveaxis(X, 0, 1))
+    s = jax.jit(lambda im: jax.lax.scan(
+        lambda _, tx: (None, nufft(plan, tx[0], tx[1])),
+        None, (im, ktrajs))[1])(imgs)
+    alpha = jax.jit(lambda sv: mrf.kspace_subspace_recon(
+        plan, ktrajs, basis, sv, iters=8))(s)
+    probes = jnp.moveaxis(alpha, 0, -1)[iy, ix]
+    res = mrf.dict_match_compressed(mrf.compress(D, basis), probes,
+                                    basis)
+    e1 = float(np.median(np.abs(np.asarray(T1a[res.idx] / T1v) - 1)))
+    e2 = float(np.median(np.abs(np.asarray(T2a[res.idx] / T2v) - 1)))
+    ok = adj_rel < 1e-4 and e1 < 0.17 and e2 < 0.30
+    _record('mrf_kspace_pipeline', ok,
+            f'adjointness rel {adj_rel:.1e} (tol 1e-4); median map '
+            f'errs T1 {e1 * 100:.1f}%, T2 {e2 * 100:.1f}% '
+            f'(grid cells 16%/30%) from {N * N // nRO}x-undersampled '
+            f'spokes')
+
+
 def _nufft_parity():
     r"""Gridding NUFFT (ops/nufft.py) vs the exact signal operator, f32
     on the real chip: the DFT-stage tensordots and the Toeplitz
@@ -1228,6 +1308,7 @@ def main():
     if not args.interpret:
         _mrf_match_parity()
         _mrf_pipeline_check()
+        _mrf_kspace_check()
     _nufft_parity()
     _nufft3d_kernel_parity(interpret=args.interpret)
     _epg_kernel_parity(interpret=args.interpret)

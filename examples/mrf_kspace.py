@@ -1,0 +1,195 @@
+r"""k-space MRF end to end: golden-angle radial acquisition →
+subspace reconstruction → fused matching → continuous refinement.
+
+Real fingerprinting does not hand you clean per-voxel time series: it
+hands you ONE radial spoke (or spiral interleaf) of k-space per TR,
+~100× below Nyquist per frame. This example composes the package's
+whole acquisition/recon/dictionary stack into that pipeline
+(VERDICT round 4 item 3):
+
+1. **Schedule** — the canonical MRF-FISP acquisition (Jiang 2015):
+   adiabatic inversion (``ir_prep``), variable flips, variable TRs.
+2. **Dictionary** — ``epg_spgr`` over a log (T1, T2) grid (the fused
+   Pallas kernel on TPU), SVD subspace (``svd_basis``, rank 8).
+3. **Truth** — a disk phantom's per-voxel evolutions through the SAME
+   physics, embedded as frame images.
+4. **Acquisition** — one golden-angle spoke per TR through the exact
+   NUFFT (``subspace_encode``'s per-frame model; `utils.traj.radial`
+   gives the gradient-true version of the same spokes), plus noise.
+5. **Reconstruction** — subspace-constrained least squares by CG on
+   the normal equations (``kspace_subspace_recon``; McGivney SVD-MRF
+   / low-rank MRF): the recovered coefficient images ARE the
+   compressed probes — no decompression anywhere.
+6. **Matching + refinement** — ``dict_match_compressed`` on the α
+   maps, then ``match_refine`` THROUGH the compressed signal model
+   (one fused train per Adam iteration, ``batched=True``).
+
+Asserts median in-mask T1/T2 accuracy from 8×-undersampled data.
+
+Usage::
+
+    python examples/mrf_kspace.py [--n 64] [--ntr 300] [--iters 8]
+"""
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(
+    __file__))))
+
+
+def phantom_maps(N):
+    r"""Disk phantom: (T1, T2, mask) with brain-ish tissue classes."""
+    yy, xx = np.mgrid[:N, :N]
+    cy = cx = (N - 1) / 2
+    rr = np.hypot(yy - cy, xx - cx)
+    mask = rr < 0.45 * N
+    T1 = np.full((N, N), 1.1)                  # GM-ish background
+    T2 = np.full((N, N), 0.085)
+
+    def disk(y, x, r, t1, t2):
+        d = np.hypot(yy - cy - y * N, xx - cx - x * N) < r * N
+        T1[d], T2[d] = t1, t2
+
+    disk(-0.18, -0.15, 0.10, 0.75, 0.055)      # WM-ish
+    disk(-0.18, 0.17, 0.08, 1.60, 0.110)       # lesion-ish
+    disk(0.16, -0.12, 0.07, 3.00, 0.45)        # CSF-ish
+    disk(0.18, 0.16, 0.05, 0.45, 0.035)        # fat/muscle-ish
+    return T1, T2, mask
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument('--n', type=int, default=64)
+    ap.add_argument('--ntr', type=int, default=300)
+    ap.add_argument('--nro', type=int, default=0,
+                    help='samples per spoke (default 2N)')
+    ap.add_argument('--iters', type=int, default=8, help='CG iters')
+    ap.add_argument('--rank', type=int, default=8)
+    ap.add_argument('--noise', type=float, default=2e-3,
+                    help='k-space noise std relative to DC')
+    ap.add_argument('--refine-iters', type=int, default=60)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from mrphy_tpu.ops import epg, mrf
+    from mrphy_tpu.ops.nufft import nufft_plan
+
+    N, nTR = args.n, args.ntr
+    nRO = args.nro or 2 * N
+    fov = 24.0
+    rng = np.random.default_rng(0)
+    t = np.arange(nTR)
+
+    # 1. schedule (MRF-FISP: IR prep + variable flips/TRs)
+    flips = jnp.asarray(np.deg2rad(
+        10 + 50 * np.abs(np.sin(np.pi * t / 75))), jnp.float32)
+    trs = jnp.asarray(0.012 + 0.004 * np.sin(2 * np.pi * t / 57) ** 2,
+                      jnp.float32)
+    ti = 0.02
+
+    def gen(T1v, T2v):
+        return epg.epg_spgr(
+            flips, None, T1=T1v, T2=T2v, tr=trs, te=0.002, K=24,
+            zinit=epg.ir_prep(ti, T1v), backend='pallas')
+
+    # 2. dictionary + subspace
+    t1g = np.geomspace(0.3, 4.0, 40)
+    t2g = np.geomspace(0.02, 0.6, 24)
+    T1g, T2g = np.meshgrid(t1g, t2g, indexing='ij')
+    keep = T2g < T1g                       # physical atoms only
+    T1a = jnp.asarray(T1g[keep], jnp.float32)
+    T2a = jnp.asarray(T2g[keep], jnp.float32)
+    t0 = time.time()
+    D = jax.jit(gen)(T1a, T2a)
+    basis = mrf.svd_basis(D, rank=args.rank)
+    Dc = mrf.compress(D, basis)
+    print(f'dictionary {D.shape[0]} atoms x {nTR} TR, subspace rank '
+          f'{basis.B.shape[1]} ({time.time() - t0:.1f} s)')
+
+    # 3. phantom truth series -> frame images
+    T1m, T2m, mask = phantom_maps(N)
+    iy, ix = np.nonzero(mask)
+    T1v = jnp.asarray(T1m[mask], jnp.float32)
+    T2v = jnp.asarray(T2m[mask], jnp.float32)
+    X = jax.jit(gen)(T1v, T2v)                       # (nV, nTR, 2)
+    imgs = jnp.zeros((nTR, N, N, 2), jnp.float32)
+    imgs = imgs.at[:, iy, ix, :].set(jnp.moveaxis(X, 0, 1))
+
+    # 4. golden-angle radial acquisition: one spoke per TR
+    kmax = N / (2 * fov)
+    rad = np.linspace(-kmax, kmax, nRO, endpoint=False)
+    ga = np.pi * (np.sqrt(5) - 1) / 2
+    phi = ga * np.arange(nTR)
+    ks = np.stack([np.cos(phi)[:, None] * rad,
+                   np.sin(phi)[:, None] * rad], 1)   # (nTR, 2, nRO)
+    ktrajs = jnp.asarray(ks, jnp.float32)
+    plan = nufft_plan((N, N), (fov, fov))
+
+    @jax.jit
+    def acquire(imgs):
+        from mrphy_tpu.ops.nufft import nufft
+
+        def step(_, tx):
+            img, k = tx
+            return None, nufft(plan, img, k)
+
+        return jax.lax.scan(step, None, (imgs, ktrajs))[1]
+
+    s = acquire(imgs)                                # (nTR, nRO, 2)
+    dc = float(jnp.abs(s).max())
+    s = s + args.noise * dc * jnp.asarray(
+        rng.standard_normal(s.shape), jnp.float32)
+    under = N * N / nRO
+    print(f'acquired {nTR} spokes x {nRO} samples '
+          f'({under:.0f}x undersampled per frame)')
+
+    # 5. subspace CG recon -> coefficient images = compressed probes
+    t0 = time.time()
+    alpha = jax.jit(lambda sv: mrf.kspace_subspace_recon(
+        plan, ktrajs, basis, sv, iters=args.iters))(s)
+    alpha.block_until_ready()
+    print(f'subspace CG ({args.iters} iters): {time.time() - t0:.1f} s '
+          f'-> alpha {alpha.shape}')
+
+    # 6. match + continuous refinement (all in compressed space)
+    probes = jnp.moveaxis(alpha, 0, -1)[iy, ix]      # (nV, r)
+    res = mrf.dict_match_compressed(Dc, probes, basis)
+    T1hat = T1a[res.idx]
+    T2hat = T2a[res.idx]
+
+    def err(est, tru):
+        return float(jnp.median(jnp.abs(est / tru - 1)))
+
+    e1, e2 = err(T1hat, T1v), err(T2hat, T2v)
+    print(f'grid match:  median |dT1|/T1 {e1 * 100:.2f}%, '
+          f'|dT2|/T2 {e2 * 100:.2f}%')
+    # grid spacing is ~6.9%/15% per step; matching should land within
+    # about one cell despite 8x undersampling
+    assert e1 < 0.08 and e2 < 0.18, (e1, e2)
+
+    p0 = jnp.stack([jnp.log(T1hat), jnp.log(T2hat)], -1)
+
+    def sig_c(P):
+        return mrf.compress(gen(jnp.exp(P[:, 0]), jnp.exp(P[:, 1])),
+                            basis)
+
+    p, score = mrf.match_refine(sig_c, p0, probes,
+                                iters=args.refine_iters, lr=0.03,
+                                batched=True)
+    T1r, T2r = jnp.exp(p[:, 0]), jnp.exp(p[:, 1])
+    e1r, e2r = err(T1r, T1v), err(T2r, T2v)
+    print(f'refined:     median |dT1|/T1 {e1r * 100:.2f}%, '
+          f'|dT2|/T2 {e2r * 100:.2f}% '
+          f'(mean corr {float(score.mean()):.4f})')
+    assert e1r < e1 + 0.01 and e2r < e2 + 0.02, (e1r, e2r)
+    print('OK')
+
+
+if __name__ == '__main__':
+    main()
