@@ -105,6 +105,15 @@ CASES = [
     # total time) + inversion time, through zinit/ir_prep + vartr
     ('mrf_seq_optim.py', ['--natoms', '64', '--ntr', '32', '--K', '10',
                           '--iters', '30', '--schedule', 'full']),
+    # k-space MRF end to end (round 5): spoke-per-TR acquisition ->
+    # subspace CG recon -> compressed match -> refinement
+    ('mrf_kspace.py', ['--n', '24', '--ntr', '60', '--iters', '6',
+                       '--rank', '6', '--refine-iters', '12']),
+    # slice-profile-integrated dictionaries (round 5): SLR profile ->
+    # b1-axis sub-slice integration; corrected-vs-naive bias
+    ('mrf_sliceprofile.py', ['--ntr', '120', '--nsub', '7',
+                             '--nsub-truth', '15', '--nprobe', '64',
+                             '--K', '16']),
     # true-3D koosh-ball CG recon through the 3-D Pallas NUFFT
     ('recon3d.py', ['--n', '12', '--spokes', '120', '--iters', '8']),
     # deployment lifecycle: design -> AOT artifacts -> serve (bit-exact)

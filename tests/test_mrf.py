@@ -362,3 +362,44 @@ def test_kspace_pipeline_recovers_maps():
     # grid steps are 23%/45% (geomspace ratios); within ~one cell
     # despite the 12x per-frame undersampling
     assert e1 < 0.20 and e2 < 0.35, (e1, e2)
+
+
+def test_slice_profile_integrate_identities():
+    r"""Round 5: the profile-integration helper. A flat unit profile
+    reproduces the naive dictionary exactly; a general profile equals
+    the hand-built weighted sum of per-scale trains; scalar pars pass
+    through untiled."""
+    rng = np.random.default_rng(4)
+    nTR, nA = 24, 7
+    flips = jnp.asarray(np.deg2rad(rng.uniform(10, 60, nTR)),
+                        jnp.float64)
+    T1 = jnp.asarray(rng.uniform(0.5, 2.0, nA), jnp.float64)
+    T2 = jnp.asarray(rng.uniform(0.04, 0.2, nA), jnp.float64)
+
+    def gen(b1, T1v, T2v):
+        return epg.epg_spgr(flips, None, T1=T1v, T2=T2v, tr=0.012,
+                            te=0.002, K=12, b1=b1)
+
+    pars = dict(T1v=T1, T2v=T2)
+    flat = mrf.slice_profile_integrate(gen, pars,
+                                       jnp.ones(3, jnp.float64))
+    naive = gen(jnp.ones(nA, jnp.float64), T1, T2)
+    np.testing.assert_allclose(np.asarray(flat), np.asarray(naive),
+                               atol=1e-12)
+
+    prof = jnp.asarray([0.4, 0.9, 1.0, 0.7], jnp.float64)
+    w = jnp.asarray([1.0, 2.0, 2.0, 1.0], jnp.float64)
+    got = mrf.slice_profile_integrate(gen, pars, prof, weights=w)
+    want = sum(float(wj) * gen(pj * jnp.ones(nA, jnp.float64), T1, T2)
+               for pj, wj in zip(prof, w)) / float(w.sum())
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-12)
+
+    # b1 axis composes multiplicatively with the profile
+    b1 = jnp.asarray(rng.uniform(0.8, 1.2, nA), jnp.float64)
+    got = mrf.slice_profile_integrate(gen, pars, prof, b1=b1,
+                                      weights=w)
+    want = sum(float(wj) * gen(pj * b1, T1, T2)
+               for pj, wj in zip(prof, w)) / float(w.sum())
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-12)
