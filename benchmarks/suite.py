@@ -1077,7 +1077,10 @@ def bench_mrf_kspace():
                      ).at[:, iy, ix, :].set(jnp.moveaxis(X, 0, 1))
 
     kmax = N / (2 * fov)
-    rad = np.linspace(-kmax, kmax, nRO, endpoint=False)
+    # half-sample-offset spokes: sampling AT -kmax (the Nyquist
+    # bin) is ambiguous between the exact operator and the wrapped
+    # gridded one; interior samples keep every operator consistent
+    rad = (np.arange(nRO) - nRO / 2 + 0.5) * (2 * kmax / nRO)
     ga = np.pi * (np.sqrt(5) - 1) / 2
     phi = ga * np.arange(nTR)
     ktrajs = jnp.asarray(np.stack([np.cos(phi)[:, None] * rad,
@@ -1095,7 +1098,9 @@ def bench_mrf_kspace():
     s = s + 2e-3 * float(jnp.abs(s).max()) * jnp.asarray(
         rng.standard_normal(s.shape), jnp.float32)
     recon = jax.jit(lambda sv: mrf.kspace_subspace_recon(
-        plan, ktrajs, basis, sv, iters=cg_iters))
+        plan, ktrajs, basis, sv, iters=cg_iters))   # auto -> toeplitz
+    recon_fr = jax.jit(lambda sv: mrf.kspace_subspace_recon(
+        plan, ktrajs, basis, sv, iters=cg_iters, method='frames'))
     alpha = recon(s)
     probes = jnp.moveaxis(alpha, 0, -1)[iy, ix]
     res = mrf.dict_match_compressed(Dc, probes, basis)
@@ -1103,6 +1108,7 @@ def bench_mrf_kspace():
     e2 = float(np.median(np.abs(np.asarray(T2a[res.idx] / T2v) - 1)))
     t_acq = _timeit_device(acquire, imgs, repeats=3)
     t_rec = _timeit_device(recon, s, repeats=3)
+    t_rec_fr = _timeit_device(recon_fr, s, repeats=2)
     match = jax.jit(lambda p: mrf.dict_match_compressed(
         Dc, p, basis).idx)
     t_match = _timeit(match, probes, repeats=3)
@@ -1114,6 +1120,7 @@ def bench_mrf_kspace():
             'value': round(nV / total, 0), 'unit': 'voxels/s',
             'acquire_dev_ms': round(t_acq * 1e3, 1),
             'recon_dev_ms': round(t_rec * 1e3, 1),
+            'recon_frames_dev_ms': round(t_rec_fr * 1e3, 1),
             'match_ms': round(t_match * 1e3, 1),
             'atoms': int(D.shape[0]),
             'undersampling_per_frame': round(N * N / nRO, 1),

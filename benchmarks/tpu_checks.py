@@ -1113,7 +1113,10 @@ def _mrf_kspace_check():
     D = jax.jit(gen)(T1a, T2a)
     basis = mrf.svd_basis(D, rank=rank)
     kmax = N / (2 * fov)
-    rad = np.linspace(-kmax, kmax, nRO, endpoint=False)
+    # half-sample-offset spokes: sampling AT -kmax (the Nyquist
+    # bin) is ambiguous between the exact operator and the wrapped
+    # gridded one; interior samples keep every operator consistent
+    rad = (np.arange(nRO) - nRO / 2 + 0.5) * (2 * kmax / nRO)
     ga = np.pi * (np.sqrt(5) - 1) / 2
     phi = ga * np.arange(nTR)
     ktrajs = jnp.asarray(np.stack([np.cos(phi)[:, None] * rad,

@@ -131,7 +131,10 @@ def main():
 
     # 4. golden-angle radial acquisition: one spoke per TR
     kmax = N / (2 * fov)
-    rad = np.linspace(-kmax, kmax, nRO, endpoint=False)
+    # half-sample-offset spokes: sampling AT -kmax (the Nyquist
+    # bin) is ambiguous between the exact operator and the wrapped
+    # gridded one; interior samples keep every operator consistent
+    rad = (np.arange(nRO) - nRO / 2 + 0.5) * (2 * kmax / nRO)
     ga = np.pi * (np.sqrt(5) - 1) / 2
     phi = ga * np.arange(nTR)
     ks = np.stack([np.cos(phi)[:, None] * rad,

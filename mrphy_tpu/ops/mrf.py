@@ -46,7 +46,9 @@ from jax.lax import Precision
 __all__ = ['Basis', 'MatchResult', 'pair_rotate', 'svd_basis',
            'compress', 'dict_match', 'dict_match_compressed',
            'match_refine', 'subspace_encode', 'subspace_adjoint',
-           'kspace_subspace_recon', 'slice_profile_integrate']
+           'kspace_subspace_recon', 'subspace_toeplitz_kernels',
+           'subspace_toeplitz_apply',
+           'slice_profile_integrate']
 
 
 class Basis(NamedTuple):
@@ -565,7 +567,8 @@ def subspace_adjoint(plan, ktrajs, basis: Basis, s, *, dcf=None):
 
 
 def kspace_subspace_recon(plan, ktrajs, basis: Basis, s, *,
-                          iters: int = 8, lam: float = 0.0):
+                          iters: int = 8, lam: float = 0.0,
+                          method: str = 'auto', G=None):
     r"""Subspace-constrained least-squares reconstruction of
     undersampled dynamic (MRF) k-space by CG on the normal equations
     ``(AᵀA + λI) α = Aᵀ s`` with ``A`` = :func:`subspace_encode`.
@@ -578,16 +581,47 @@ def kspace_subspace_recon(plan, ktrajs, basis: Basis, s, *,
           all frames; 8 suffices for matching-grade α at 4-8× radial
           undersampling — pinned by ``tests/test_mrf.py``).
         - ``lam``: Tikhonov weight (0 = plain least squares).
+        - ``method``: ``'frames'`` applies the normal operator as
+          encode∘adjoint sweeps (2·nF NUFFTs per CG iteration,
+          ~11 ms at 128² × 400 spokes); ``'toeplitz'`` prebuilds the
+          factored spectral kernels
+          (:func:`subspace_toeplitz_kernels`; ~88 ms, one frame
+          sweep) after which every iteration costs 2r `(2n)`-grid
+          DFT pairs + r² spectral multiplies (~0.2 ms) —
+          frame-count-independent and exact-encoding (vs the plan's
+          ~1e-3 KB interpolation). ``'auto'`` picks toeplitz at ≥8
+          iterations or when a prebuilt ``G`` is passed.
+        - ``G``: precomputed :func:`subspace_toeplitz_kernels` output
+          — reuse it across slices/datasets acquired with the SAME
+          spoke schedule (the multi-slice MRF pattern): the recon
+          then costs iterations only.
     Outputs:
         - ``alpha``: `(r, *im_size)` coefficient images — directly
           the compressed probes for :func:`dict_match_compressed`
           (transpose the leading axis to the back).
     """
-    def normal(al):
-        out = subspace_adjoint(plan, ktrajs, basis,
-                               subspace_encode(plan, ktrajs, basis,
-                                               al))
-        return out + lam * al if lam else out
+    assert method in ('auto', 'frames', 'toeplitz'), method
+    if method == 'auto':
+        # kernel BUILD costs ~one frame sweep, each iteration then
+        # ~nothing (measured 128^2 x 400 spokes: build 88 ms, apply
+        # 0.2 ms vs ~11 ms/iter for the frame sweep) -> toeplitz
+        # pays off above ~8 iterations, or immediately with a
+        # precomputed/reused G (multi-slice: same spokes per slice)
+        method = ('toeplitz' if G is not None or iters >= 8
+                  else 'frames')
+    if method == 'toeplitz':
+        if G is None:
+            G = subspace_toeplitz_kernels(plan, ktrajs, basis)
+
+        def normal(al):
+            out = subspace_toeplitz_apply(plan, G, al)
+            return out + lam * al if lam else out
+    else:
+        def normal(al):
+            out = subspace_adjoint(plan, ktrajs, basis,
+                                   subspace_encode(plan, ktrajs,
+                                                   basis, al))
+            return out + lam * al if lam else out
 
     rhs = subspace_adjoint(plan, ktrajs, basis, s)
 
@@ -658,3 +692,79 @@ def slice_profile_integrate(gen, pars: dict, profile, *, b1=None,
     Ds = D.reshape((nA, nS) + D.shape[1:])
     return jnp.einsum('as...,s->a...', Ds, w,
                       precision=Precision.HIGHEST)
+
+
+def subspace_toeplitz_kernels(plan, ktrajs, basis: Basis, *,
+                              chunk: int = 4096):
+    r"""Spectral kernels of the subspace normal operator,
+    Toeplitz-factored (round 5): ``G_ll' = Σ_t conj(w_tl)·w_tl'·T̂_t``
+    with ``w_tl = B[(t,re),l] + i·B[(t,im),l]`` and ``T̂_t`` frame
+    ``t``'s exact Toeplitz spectrum
+    (:func:`mrphy_tpu.ops.nufft.toeplitz_kernel`). One sweep over the
+    frames builds `(r, r, *2n, 2)` kernels; afterwards EVERY
+    application of ``AᵀA`` costs ``r`` forward + ``r`` inverse
+    `(2n)`-grid DFT pairs and ``r²`` spectral multiplies —
+    independent of the number of frames (the frame-sweep operator
+    pays ``2·nF`` NUFFTs per CG iteration instead).
+
+    Note the Toeplitz path realizes the normal operator of the EXACT
+    encoding ``e^{−i2πk·x}`` (zero gridding error), while
+    :func:`subspace_encode` carries the plan's Kaiser–Bessel
+    interpolation error (~1e-3 at width 4) — for measured data the
+    Toeplitz operator is the more faithful one.
+    """
+    from mrphy_tpu.ops.nufft import toeplitz_kernel
+    B2 = _b2(basis)                                # (nF, 2, r)
+    r = basis.B.shape[1]
+    d = plan.ndim
+    shape2n = tuple(2 * n for n in plan.im_size)
+    dtype = jnp.asarray(ktrajs).dtype
+
+    def step(G, tx):
+        b2, k = tx
+        that = toeplitz_kernel(plan, k, chunk=chunk)
+        wr, wi = b2[0].astype(dtype), b2[1].astype(dtype)
+        cr = (wr[:, None] * wr[None] + wi[:, None] * wi[None]
+              ).reshape((r, r) + (1,) * d)
+        ci = (wr[:, None] * wi[None] - wi[:, None] * wr[None]
+              ).reshape((r, r) + (1,) * d)
+        tr_, ti_ = that[..., 0], that[..., 1]
+        Gr = G[..., 0] + cr * tr_ - ci * ti_
+        Gi = G[..., 1] + cr * ti_ + ci * tr_
+        return jnp.stack([Gr, Gi], -1), None
+
+    G0 = jnp.zeros((r, r) + shape2n + (2,), dtype)
+    return jax.lax.scan(step, G0, (B2, jnp.asarray(ktrajs)))[0]
+
+
+def subspace_toeplitz_apply(plan, G, alpha):
+    r"""Apply the Toeplitz-factored subspace normal operator:
+    ``out_l = Re crop F⁻¹ Σ_l' G_ll' · F pad(α_l')`` — exactly
+    ``subspace_adjoint ∘ subspace_encode`` with the plan's
+    interpolation replaced by the exact encoding (see
+    :func:`subspace_toeplitz_kernels`)."""
+    from mrphy_tpu.ops.nufft import _dft2n, _dft_axis
+    alpha = jnp.asarray(alpha)
+    assert alpha.shape[1:] == plan.im_size, (alpha.shape,
+                                             plan.im_size)
+    dtype = alpha.dtype
+    pads = [(0, 0)] + [(0, n) for n in plan.im_size]
+    xr = jnp.pad(alpha, pads)
+    xi = jnp.zeros_like(xr)
+    for a, n in enumerate(plan.im_size):
+        mr, mi = _dft2n(2 * n, dtype)
+        xr, xi = _dft_axis(xr, xi, mr, mi, a + 1)
+    Gr, Gi = G[..., 0].astype(dtype), G[..., 1].astype(dtype)
+    yr = (jnp.einsum('lk...,k...->l...', Gr, xr, precision=Precision.HIGHEST)
+          - jnp.einsum('lk...,k...->l...', Gi, xi,
+                       precision=Precision.HIGHEST))
+    yi = (jnp.einsum('lk...,k...->l...', Gr, xi, precision=Precision.HIGHEST)
+          + jnp.einsum('lk...,k...->l...', Gi, xr,
+                       precision=Precision.HIGHEST))
+    scale = 1.0
+    for a, n in enumerate(plan.im_size):
+        mr, mi = _dft2n(2 * n, dtype)
+        yr, yi = _dft_axis(yr, yi, mr.T, -mi.T, a + 1)
+        scale /= 2 * n
+    sl = (slice(None),) + tuple(slice(0, n) for n in plan.im_size)
+    return yr[sl] * scale

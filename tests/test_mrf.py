@@ -300,7 +300,10 @@ def _kspace_setup(N=24, nTR=48, nRO=None, rank=6):
     D = gen(T1a, T2a)
     basis = mrf.svd_basis(D, rank=rank)
     kmax = N / (2 * fov)
-    rad = np.linspace(-kmax, kmax, nRO, endpoint=False)
+    # half-sample-offset spokes: sampling AT -kmax (the Nyquist
+    # bin) is ambiguous between the exact operator and the wrapped
+    # gridded one; interior samples keep every operator consistent
+    rad = (np.arange(nRO) - nRO / 2 + 0.5) * (2 * kmax / nRO)
     ga = np.pi * (np.sqrt(5) - 1) / 2
     phi = ga * np.arange(nTR)
     ktrajs = jnp.asarray(np.stack([np.cos(phi)[:, None] * rad,
@@ -403,3 +406,31 @@ def test_slice_profile_integrate_identities():
                for pj, wj in zip(prof, w)) / float(w.sum())
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                atol=1e-12)
+
+
+def test_subspace_toeplitz_matches_frames():
+    r"""Round 5: the Toeplitz-factored subspace normal operator
+    (frame-count-independent CG iterations) equals the
+    encode∘adjoint frame sweep at the plan's interpolation accuracy
+    (width-6 KB: ~1e-5; the Toeplitz side is the EXACT encoding)."""
+    gen, (T1a, T2a, D, basis), plan, ktrajs, rng = _kspace_setup()
+    r = basis.B.shape[1]
+    N = plan.im_size[0]
+    alpha = jnp.asarray(rng.standard_normal((r, N, N)))
+    out_f = mrf.subspace_adjoint(
+        plan, ktrajs, basis,
+        mrf.subspace_encode(plan, ktrajs, basis, alpha))
+    G = mrf.subspace_toeplitz_kernels(plan, ktrajs, basis)
+    out_t = mrf.subspace_toeplitz_apply(plan, G, alpha)
+    rel = float(jnp.max(jnp.abs(out_t - out_f))
+                / jnp.max(jnp.abs(out_f)))
+    assert rel < 1e-3, rel
+    # and the full CG recon agrees between methods at the same order
+    nE = ktrajs.shape[0]
+    s = jnp.asarray(rng.standard_normal((nE, ktrajs.shape[2], 2)))
+    a1 = mrf.kspace_subspace_recon(plan, ktrajs, basis, s, iters=5,
+                                   method='frames')
+    a2 = mrf.kspace_subspace_recon(plan, ktrajs, basis, s, iters=5,
+                                   method='toeplitz')
+    rel2 = float(jnp.max(jnp.abs(a1 - a2)) / jnp.max(jnp.abs(a1)))
+    assert rel2 < 5e-3, rel2
