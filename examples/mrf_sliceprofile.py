@@ -137,11 +137,12 @@ def main():
           f'(profile-integrated: {args.nsub} sub-slices per atom)')
 
     # truth probes: off-grid tissues, DENSE profile integral + noise
-    T1t = jnp.asarray(rng.uniform(0.4, 3.0, args.nprobe), jnp.float32)
+    T1t_np = rng.uniform(0.4, 3.0, args.nprobe)
+    T1t = jnp.asarray(T1t_np, jnp.float32)
+    # cap T2 by the probe's OWN T1 (stay inside the physical
+    # dictionary region T2 < T1 with margin)
     T2t = jnp.asarray(np.minimum(rng.uniform(0.03, 0.4, args.nprobe),
-                                 0.45 * rng.uniform(0.4, 3.0,
-                                                    args.nprobe)),
-                      jnp.float32)
+                                 0.45 * T1t_np), jnp.float32)
     X = jax.jit(lambda: mrf.slice_profile_integrate(
         lambda b1, T1v, T2v: gen(T1v, T2v, b1=b1),
         dict(T1v=T1t, T2v=T2t),

@@ -265,6 +265,10 @@ def epg_cpmg(flips, *, T1, T2, esp, M0=1.0, phi_ex=pi / 2,
             return epg_cpmg_pallas(flips, T1=T1, T2=T2, esp=esp,
                                    M0=M0, phi_ex=phi_ex,
                                    alpha_ex=alpha_ex, b1=b1, **dkw)
+        if r['path'] == 'xla-fallback':   # outside the kernel scope
+            return epg_cpmg(flips, T1=T1, T2=T2, esp=esp, M0=M0,
+                            phi_ex=phi_ex, alpha_ex=alpha_ex, b1=b1,
+                            D=D, dk=dk, backend='xla')
         return pallas_with_xla_vjp(
             lambda fl, t1, t2, es, m0, pex, aex, b, d:
                 epg_cpmg_pallas(fl, T1=t1, T2=t2, esp=es, M0=m0,
@@ -435,6 +439,11 @@ def epg_spgr(flips, phis=None, *, T1, T2, tr, te=0.0, M0=1.0,
             return epg_pallas.epg_spgr_pallas(
                 flips, phis, T1=T1, T2=T2, tr=tr, te=te, M0=M0,
                 zinit=zinit, b1=b1, D=D, dk=dk, kshift=kshift, K=K)
+        if r['path'] == 'xla-fallback':   # outside the kernel scope
+            # (per-voxel 2-D trains): the XLA scan carries it
+            return epg_spgr(flips, phis, T1=T1, T2=T2, tr=tr, te=te,
+                            M0=M0, zinit=zinit, b1=b1, kshift=kshift,
+                            D=D, dk=dk, K=K, backend='xla')
         return pallas_with_xla_vjp(
             lambda fl, ph, t1, t2, trv, tev, m0, zi, b, d:
                 epg_pallas.epg_spgr_pallas(
@@ -718,6 +727,11 @@ def epgx_cpmg(flips, *, T1a, T2a, T1b, T2b, kab, kba, esp, M0a=1.0,
                   T1a=T1a, T2a=T2a, T1b=T1b, T2b=T2b, kab=kab,
                   kba=kba, esp=esp, M0a=M0a, M0b=M0b, dfb=dfb,
                   phi_ex=phi_ex, b1=b1)
+        if r['path'] == 'xla-fallback':   # outside the kernel scope
+            return epgx_cpmg(flips, T1a=T1a, T2a=T2a, T1b=T1b,
+                             T2b=T2b, kab=kab, kba=kba, esp=esp,
+                             M0a=M0a, M0b=M0b, dfb=dfb,
+                             phi_ex=phi_ex, b1=b1, backend='xla')
         if r['path'] == 'pallas-native-adjoint':
             # natively differentiable: in-kernel two-pool CPMG
             # adjoint (round 3) — volume MWF fitting at kernel speed
@@ -809,6 +823,11 @@ def epgx_spgr(flips, phis=None, *, T1a, T2a, T1b, T2b, kab, kba, tr,
                   T1a=T1a, T2a=T2a, T1b=T1b, T2b=T2b, kab=kab,
                   kba=kba, tr=tr, M0a=M0a, M0b=M0b, dfb=dfb, b1=b1,
                   kshift=kshift, K=K)
+        if r['path'] == 'xla-fallback':   # outside the kernel scope
+            return epgx_spgr(flips, phis, T1a=T1a, T2a=T2a, T1b=T1b,
+                             T2b=T2b, kab=kab, kba=kba, tr=tr,
+                             M0a=M0a, M0b=M0b, dfb=dfb, b1=b1,
+                             kshift=kshift, K=K, backend='xla')
         if r['path'] == 'pallas-native-adjoint':
             # natively differentiable: in-kernel two-pool adjoint
             # (round 3; round 5 adds `(nTR,)` variable-TR trains via
@@ -1002,6 +1021,12 @@ def epgx_mt_spgr(flips, phis=None, *, T1a, T2a, T1b, kab, kba, tr,
                   T1a=T1a, T2a=T2a, T1b=T1b, kab=kab, kba=kba,
                   tr=tr, wt=wt, M0a=M0a, M0b=M0b, b1=b1,
                   kshift=kshift, K=K)
+        if r['path'] == 'xla-fallback':   # outside the kernel scope
+            # (per-voxel flips or batched wt): the XLA scan carries it
+            return epgx_mt_spgr(flips, phis, T1a=T1a, T2a=T2a,
+                                T1b=T1b, kab=kab, kba=kba, tr=tr,
+                                wt=wt, M0a=M0a, M0b=M0b, b1=b1,
+                                kshift=kshift, K=K, backend='xla')
         if r['path'] == 'pallas-native-adjoint':
             # natively differentiable: in-kernel MT adjoint (round 3;
             # round 5 adds `(nTR,)` variable-TR trains) — volume qMT

@@ -535,8 +535,10 @@ def subspace_encode(plan, ktrajs, basis: Basis, alpha):
     def step(_, tx):
         b2, k = tx
         img = jnp.stack(
-            [jnp.tensordot(b2[0], alpha, axes=(0, 0)),
-             jnp.tensordot(b2[1], alpha, axes=(0, 0))], -1)
+            [jnp.tensordot(b2[0], alpha, axes=(0, 0),
+                           precision=Precision.HIGHEST),
+             jnp.tensordot(b2[1], alpha, axes=(0, 0),
+                           precision=Precision.HIGHEST)], -1)
         return None, nufft(plan, img, k)
 
     return jax.lax.scan(step, None, (B2, ktrajs))[1]
@@ -557,8 +559,10 @@ def subspace_adjoint(plan, ktrajs, basis: Basis, s, *, dcf=None):
         if dcf is not None:
             st = st * dcf[:, None]
         bp = nufft_adjoint(plan, st, k)           # (*im, 2)
-        upd = (jnp.tensordot(b2[0], bp[..., 0], axes=0)
-               + jnp.tensordot(b2[1], bp[..., 1], axes=0))
+        upd = (jnp.tensordot(b2[0], bp[..., 0], axes=0,
+                             precision=Precision.HIGHEST)
+               + jnp.tensordot(b2[1], bp[..., 1], axes=0,
+                               precision=Precision.HIGHEST))
         return acc + upd, None
 
     r = basis.B.shape[1]
@@ -626,7 +630,9 @@ def kspace_subspace_recon(plan, ktrajs, basis: Basis, s, *,
     rhs = subspace_adjoint(plan, ktrajs, basis, s)
 
     def dot(a, b):
-        return jnp.sum(a * b, dtype=jnp.float32)
+        # operand-dtype accumulation: truncating to f32 would cap an
+        # f64 solve's achievable residual for no reason
+        return jnp.sum(a * b)
 
     def body(carry, _):
         al, rr, p, rs = carry
@@ -683,7 +689,8 @@ def slice_profile_integrate(gen, pars: dict, profile, *, b1=None,
                  if jnp.ndim(v) >= 1 else v)
              for k, v in pars.items()}
     b1a = (jnp.ones((nA,), profile.dtype) if b1 is None
-           else jnp.asarray(b1))
+           else jnp.broadcast_to(jnp.atleast_1d(jnp.asarray(b1)),
+                                 (nA,)))
     b1E = (b1a[:, None] * profile[None, :]).reshape(-1)
     D = gen(b1=b1E, **parsE)                     # (nA*nS, nT, ...)
     w = (jnp.full((nS,), 1.0 / nS, D.dtype) if weights is None

@@ -5,7 +5,7 @@ The fused Pallas kernels cover the dictionary/mapping workload (shared
 1-D trains, 1-D atom batch) with NATIVE in-kernel adjoints, but each
 family also has gated fallbacks — the recompute-through-XLA VJP when
 the adjoint's scratch/HBM budgets don't fit, and shape restrictions
-that make ``backend='pallas'`` invalid outright. A fallback is
+that send the call back to the XLA scan. A fallback is
 10–30× slower at dictionary scale (measured, benchmarks/RESULTS.md),
 so silent degradation is a real trap: :func:`route` answers, without
 running anything, *which* execution path
@@ -25,12 +25,15 @@ Paths:
 - ``'pallas-xla-vjp'`` — fused kernel primal, recompute-through-XLA
   reverse (``ops/_diffwrap.py``): fast forward, 10-30× slower
   gradient step, O(nT·nA·K) reverse residuals.
-- ``'invalid'`` — the call will raise (workload outside the kernel's
-  asserted scope, e.g. per-voxel 2-D trains under
-  ``backend='pallas'``).
+- ``'xla-fallback'`` — the workload is outside the fused kernels'
+  scope (per-voxel 2-D trains, batched ``wt``, a prepared ``Minit``)
+  and the dispatcher runs the XLA scan instead (full generality, no
+  fused speed).
 
-``mesh=`` prefixes the per-shard decision with ``'mesh+'`` (each
-device runs the chosen backend on its voxel shard).
+``mesh=`` prefixes the PER-SHARD decision with ``'mesh+'`` (each
+device runs the chosen backend on its voxel shard, so the budget
+gates are evaluated at the per-device atom count, not the global
+one).
 
 No reference counterpart (`/root/reference/mrphy` has a single
 execution path); this is the introspection layer VERDICT round 4
@@ -50,9 +53,11 @@ def _nd(v):
 
 
 def _n_atoms(kw, names):
-    return max([1] + [jnp.shape(kw[n])[0] for n in names
-                      if kw.get(n) is not None
-                      and jnp.ndim(kw[n]) >= 1])
+    nA = max([1] + [jnp.shape(kw[n])[0] for n in names
+                    if kw.get(n) is not None
+                    and jnp.ndim(kw[n]) >= 1])
+    # under mesh= the kernels see the per-device voxel shard
+    return -(-nA // int(kw.get('_shards', 1)))
 
 
 def _mk(path, reason, **extra):
@@ -76,9 +81,9 @@ def _decide_epg_spgr(kw):
     from mrphy_tpu.ops import epg_pallas
     nd, nT = _train_ndim(kw, 'flips')
     if nd != 1:
-        return _mk('invalid', 'pallas backend needs a shared (nTR,) '
-                   f'flips train (got ndim={nd}); per-voxel trains '
-                   "run backend='xla'")
+        return _mk('xla-fallback', 'per-voxel trains are outside '
+                   f'the fused kernels (flips ndim={nd}); the '
+                   'dispatcher runs the XLA scan')
     nA = _n_atoms(kw, ('T1', 'T2', 'M0', 'b1', 'zinit', 'D'))
     K = _k_orders(kw, nT)
     varint = _nd(kw.get('tr')) == 1 or _nd(kw.get('te')) == 1
@@ -100,8 +105,9 @@ def _decide_epg_cpmg(kw):
     from mrphy_tpu.ops import epg_pallas
     nd, nE = _train_ndim(kw, 'flips')
     if nd != 1:
-        return _mk('invalid', 'pallas backend needs a shared (nE,) '
-                   f'flips train (got ndim={nd})')
+        return _mk('xla-fallback', 'per-voxel trains are outside '
+                   f'the fused kernels (flips ndim={nd}); the '
+                   'dispatcher runs the XLA scan')
     nA = _n_atoms(kw, ('T1', 'T2', 'M0', 'b1', 'phi_ex', 'alpha_ex',
                        'D'))
     varint = _nd(kw.get('esp')) == 1
@@ -120,8 +126,9 @@ def _decide_epgx_spgr(kw):
     from mrphy_tpu.ops import epg_pallas
     nd, nT = _train_ndim(kw, 'flips')
     if nd != 1:
-        return _mk('invalid', 'pallas backend needs a shared (nTR,) '
-                   f'flips train (got ndim={nd})')
+        return _mk('xla-fallback', 'per-voxel trains are outside '
+                   f'the fused kernels (flips ndim={nd}); the '
+                   'dispatcher runs the XLA scan')
     nA = _n_atoms(kw, ('T1a', 'T2a', 'T1b', 'T2b', 'kab', 'kba',
                        'M0a', 'M0b', 'dfb', 'b1'))
     K = _k_orders(kw, nT)
@@ -143,8 +150,9 @@ def _decide_epgx_cpmg(kw):
     from mrphy_tpu.ops import epg_pallas
     nd, nE = _train_ndim(kw, 'flips')
     if nd != 1:
-        return _mk('invalid', 'pallas backend needs a shared (nE,) '
-                   f'flips train (got ndim={nd})')
+        return _mk('xla-fallback', 'per-voxel trains are outside '
+                   f'the fused kernels (flips ndim={nd}); the '
+                   'dispatcher runs the XLA scan')
     nA = _n_atoms(kw, ('T1a', 'T2a', 'T1b', 'T2b', 'kab', 'kba',
                        'M0a', 'M0b', 'dfb', 'phi_ex', 'b1'))
     varint = _nd(kw.get('esp')) == 1
@@ -161,11 +169,13 @@ def _decide_epgx_mt_spgr(kw):
     from mrphy_tpu.ops import epg_pallas
     nd, nT = _train_ndim(kw, 'flips')
     if nd != 1:
-        return _mk('invalid', 'pallas backend needs a shared (nTR,) '
-                   f'flips train (got ndim={nd})')
+        return _mk('xla-fallback', 'per-voxel trains are outside '
+                   f'the fused kernels (flips ndim={nd}); the '
+                   'dispatcher runs the XLA scan')
     if _nd(kw.get('wt')) > 1:
-        return _mk('invalid', 'pallas backend needs a shared (nTR,) '
-                   'wt train; express per-atom saturation via wscale')
+        return _mk('xla-fallback', 'batched wt is outside the fused '
+                   'MT kernel (express per-atom saturation via '
+                   'wscale); the dispatcher runs the XLA scan')
     nA = _n_atoms(kw, ('T1a', 'T2a', 'T1b', 'kab', 'kba', 'M0a',
                        'M0b', 'b1', 'wscale'))
     K = _k_orders(kw, nT)
@@ -184,11 +194,13 @@ def _decide_bssfp_train(kw):
     from mrphy_tpu.ops import ssfp_pallas
     nd, nT = _train_ndim(kw, 'flips')
     if nd != 1:
-        return _mk('invalid', 'pallas backend needs a shared (nTR,) '
-                   f'flips train (got ndim={nd})')
+        return _mk('xla-fallback', 'per-voxel trains are outside '
+                   f'the fused kernels (flips ndim={nd}); the '
+                   'dispatcher runs the XLA scan')
     if kw.get('Minit') is not None:
-        return _mk('invalid', 'pallas backend starts from equilibrium '
-                   '(Minit unsupported)')
+        return _mk('xla-fallback', 'the fused bSSFP kernel starts '
+                   'from equilibrium; a prepared Minit runs the XLA '
+                   'scan')
     nA = _n_atoms(kw, ('T1', 'T2', 'df', 'M0', 'b1'))
     fits = ssfp_pallas.bssfp_bwd_is_available(nTR=nT, nA=nA)
     return _mk('pallas-native-adjoint',
@@ -219,12 +231,15 @@ def route(family: str, *, backend: str = 'xla', mesh=None, **kw):
     arrays, or scalars — only shapes/dims are inspected; nothing is
     computed). Returns ``{'path', 'fused', 'reason'}`` with ``path``
     one of ``'xla' | 'pallas-native-adjoint' | 'pallas-xla-vjp' |
-    'invalid'`` (``'mesh+'``-prefixed under ``mesh=``).
+    'xla-fallback'`` (``'mesh+'``-prefixed under ``mesh=``; gates
+    evaluated per voxel shard).
     """
     assert family in _DECIDERS, (family, FAMILIES)
     if mesh is not None:
-        sub = route(family, backend=backend, mesh=None, **kw)
-        nsh = mesh.devices.size
+        from mrphy_tpu.parallel.mesh import SPIN_AXIS
+        nsh = int(mesh.shape.get(SPIN_AXIS, 1))
+        sub = route(family, backend=backend, mesh=None,
+                    **{**kw, '_shards': nsh})
         return dict(sub, path='mesh+' + sub['path'],
                     reason=f'voxel-sharded over {nsh} device(s); '
                     'per shard: ' + sub['reason'])

@@ -125,7 +125,15 @@ def bssfp_train(flips, *, T1, T2, tr, df=0.0, te=None, phis=None,
             mesh, flips, T1=T1, T2=T2, tr=tr, df=df, te=te, phis=phis,
             dphi=dphi, M0=M0, b1=b1, Minit=Minit, backend=backend)
     if backend == 'pallas':
-        assert Minit is None, 'pallas backend starts from equilibrium'
+        from mrphy_tpu.ops.routing import route
+        r = route('bssfp_train', backend='pallas', flips=flips,
+                  T1=T1, T2=T2, tr=tr, te=te, df=df, M0=M0, b1=b1,
+                  Minit=Minit)
+        if r['path'] == 'xla-fallback':   # outside the kernel scope
+            # (a prepared Minit or per-voxel trains): XLA carries it
+            return bssfp_train(flips, T1=T1, T2=T2, tr=tr, df=df,
+                               te=te, phis=phis, dphi=dphi, M0=M0,
+                               b1=b1, Minit=Minit, backend='xla')
         from mrphy_tpu.ops.ssfp_pallas import bssfp_train_pallas
         # natively differentiable: the in-kernel hand-transposed bSSFP
         # adjoint (round 4, ``ssfp_pallas._bssfp_bwd_kernel``) — volume

@@ -55,9 +55,10 @@ class TestFusedMatrix:
                       {'tr': 0.01, 'b1': A}):
             r = route('epg_spgr', flips=FL, **kw, **extra)
             assert r['path'] == 'pallas-native-adjoint', (extra, r)
-        # per-voxel 2-D trains: invalid under pallas
+        # per-voxel 2-D trains: XLA fallback (the dispatcher runs
+        # the scan — round 5 review fix; formerly a kernel assert)
         r = route('epg_spgr', flips=FL2D, **kw, tr=0.01)
-        assert r['path'] == 'invalid'
+        assert r['path'] == 'xla-fallback'
         # budget blowout -> recompute VJP (huge K at long nTR)
         r = route('epg_spgr', backend='pallas', T1=A, T2=A, tr=0.01,
                   flips=jnp.zeros(4096), K=4097)
@@ -72,7 +73,7 @@ class TestFusedMatrix:
             r = route('epg_cpmg', flips=FL, **kw, **extra)
             assert r['path'] == 'pallas-native-adjoint', (extra, r)
         r = route('epg_cpmg', flips=FL2D, **kw, esp=0.01)
-        assert r['path'] == 'invalid'
+        assert r['path'] == 'xla-fallback'
 
     def test_epgx_spgr(self):
         kw = dict(backend='pallas', T1a=A, T2a=A * 0.1, T1b=1.0,
@@ -87,7 +88,7 @@ class TestFusedMatrix:
                   kba=30.0, tr=jnp.zeros(400), K=24)
         assert r['path'] == 'pallas-native-adjoint', r
         r = route('epgx_spgr', flips=FL2D, **kw, tr=0.01)
-        assert r['path'] == 'invalid'
+        assert r['path'] == 'xla-fallback'
 
     def test_epgx_cpmg(self):
         kw = dict(backend='pallas', T1a=A, T2a=A * 0.1, T1b=0.6,
@@ -103,11 +104,12 @@ class TestFusedMatrix:
         for extra in ({'tr': 0.01}, {'tr': IV}, {'tr': IV, 'b1': A}):
             r = route('epgx_mt_spgr', flips=FL, **kw, **extra)
             assert r['path'] == 'pallas-native-adjoint', (extra, r)
-        # per-atom 2-D wt: invalid (use wscale)
+        # per-atom 2-D wt: XLA fallback (use wscale for fused)
         r = route('epgx_mt_spgr', flips=FL, backend='pallas', T1a=A,
                   T2a=A * 0.1, T1b=1.0, kab=5.0, kba=20.0,
                   wt=jnp.zeros((100, NT)), tr=0.01)
-        assert r['path'] == 'invalid' and 'wscale' in r['reason']
+        assert r['path'] == 'xla-fallback'
+        assert 'wscale' in r['reason']
 
     def test_bssfp_train(self):
         r = route('bssfp_train', backend='pallas', flips=FL, T1=A,
@@ -115,7 +117,7 @@ class TestFusedMatrix:
         assert r['path'] == 'pallas-native-adjoint'
         r = route('bssfp_train', backend='pallas', flips=FL, T1=A,
                   T2=A * 0.1, tr=0.005, Minit=jnp.zeros((100, 3)))
-        assert r['path'] == 'invalid'
+        assert r['path'] == 'xla-fallback'
 
 
 class TestDispatchAgreement:
@@ -146,3 +148,74 @@ class TestDispatchAgreement:
             backend='pallas') ** 2))(T1)
         assert bool(jnp.all(jnp.isfinite(g)))
         del a
+
+    def test_2d_trains_fall_back_to_xla(self):
+        r"""Round-5 review fix: per-voxel 2-D trains (and variable
+        intervals with them) under backend='pallas' run the XLA scan
+        instead of tripping a kernel assert — values must equal the
+        XLA backend exactly."""
+        from mrphy_tpu.ops import epg
+        nTR, nA = 12, 4
+        fl2 = jnp.asarray(RNG.uniform(0.2, 1.0, (nA, nTR)),
+                          jnp.float32)
+        T1 = jnp.asarray(RNG.uniform(0.5, 2.0, nA), jnp.float32)
+        iv = jnp.asarray(RNG.uniform(0.008, 0.016, nTR), jnp.float32)
+        for kwv in ({'tr': 0.01}, {'tr': iv}):
+            a = epg.epg_spgr(fl2, None, T1=T1, T2=0.08, K=8,
+                             backend='xla', **kwv)
+            b = epg.epg_spgr(fl2, None, T1=T1, T2=0.08, K=8,
+                             backend='pallas', **kwv)
+            np.testing.assert_array_equal(np.asarray(a),
+                                          np.asarray(b))
+        flc = jnp.asarray(RNG.uniform(1.5, 3.1, (nA, nTR)),
+                          jnp.float32)
+        a = epg.epg_cpmg(flc, T1=T1, T2=0.08, esp=iv, backend='xla')
+        b = epg.epg_cpmg(flc, T1=T1, T2=0.08, esp=iv,
+                         backend='pallas')
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        a = epg.epgx_spgr(fl2, None, T1a=T1, T2a=0.08, T1b=1.0,
+                          T2b=0.02, kab=3.0, kba=12.0, tr=iv, K=8,
+                          backend='xla')
+        b = epg.epgx_spgr(fl2, None, T1a=T1, T2a=0.08, T1b=1.0,
+                          T2b=0.02, kab=3.0, kba=12.0, tr=iv, K=8,
+                          backend='pallas')
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # batched wt under MT, prepared Minit under bssfp
+        wt2 = jnp.asarray(RNG.uniform(0, 20, (nA, nTR)), jnp.float32)
+        fl1 = fl2[0]
+        a = epg.epgx_mt_spgr(fl1, None, T1a=T1, T2a=0.08, T1b=1.0,
+                             kab=3.0, kba=12.0, tr=0.02, wt=wt2, K=8,
+                             backend='xla')
+        b = epg.epgx_mt_spgr(fl1, None, T1a=T1, T2a=0.08, T1b=1.0,
+                             kab=3.0, kba=12.0, tr=0.02, wt=wt2, K=8,
+                             backend='pallas')
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        from mrphy_tpu.ops import ssfp
+        Minit = jnp.tile(jnp.asarray([0.1, 0.0, 0.9], jnp.float32),
+                         (nA, 1))
+        a = ssfp.bssfp_train(fl1, T1=T1, T2=0.08, tr=0.005,
+                             Minit=Minit, backend='xla')
+        b = ssfp.bssfp_train(fl1, T1=T1, T2=0.08, tr=0.005,
+                             Minit=Minit, backend='pallas')
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_mesh_gates_use_per_shard_atoms(self):
+        r"""Round-5 review fix: under mesh= the budget gates see the
+        PER-DEVICE voxel shard, not the global count — a volume that
+        fails the gate globally but fits per shard reports native."""
+        import jax
+        if len(jax.devices()) < 8:
+            pytest.skip('needs the 8-vdev mesh')
+        from mrphy_tpu.parallel import make_mesh
+        from mrphy_tpu.ops import epg_pallas
+        mesh = make_mesh()
+        nE = 32
+        nA_global = 4_000_000
+        assert not epg_pallas.cpmg_bwd_is_available(nE=nE,
+                                                    nA=nA_global)
+        assert epg_pallas.cpmg_bwd_is_available(nE=nE,
+                                                nA=nA_global // 8)
+        big = jnp.zeros(nA_global)  # shape-only; never computed with
+        r = route('epg_cpmg', backend='pallas', mesh=mesh,
+                  flips=jnp.zeros(nE), T1=big, T2=0.08, esp=0.01)
+        assert r['path'] == 'mesh+pallas-native-adjoint', r
