@@ -515,7 +515,7 @@ def _b2(basis: Basis):
     return basis.B.reshape(basis.tail + (r,))
 
 
-def subspace_encode(plan, ktrajs, basis: Basis, alpha):
+def subspace_encode(plan, ktrajs, basis: Basis, alpha, *, sens=None):
     r"""Forward model of the subspace-constrained dynamic acquisition:
     coefficient images → per-frame k-space samples.
 
@@ -525,54 +525,119 @@ def subspace_encode(plan, ktrajs, basis: Basis, alpha):
         - ``ktrajs``: `(nF, d, nRO)` — frame ``t`` samples ITS OWN
           trajectory (e.g. one golden-angle spoke per TR).
         - ``basis``: `(nF, 2)`-tailed pair :class:`Basis`.
-        - ``alpha``: `(r, *im_size)` REAL coefficient images.
+        - ``alpha``: `(r, *im_size)` REAL coefficient images, or —
+          with ``sens`` — `(r, *im_size, 2)` COMPLEX re/im pairs (coil
+          phases make the coefficient maps complex; McGivney SVD-MRF
+          generalized to SENSE as in Assländer MRM 79:83, 2018).
+    Optionals:
+        - ``sens``: `(nC, *im_size, 2)` re/im receive sensitivities —
+          frame images are coil-weighted before sampling (SENSE
+          forward model; every coil sees the same spoke).
     Outputs:
-        - ``s``: `(nF, nRO, 2)` re/im samples.
+        - ``s``: `(nF, nRO, 2)`, or `(nC, nF, nRO, 2)` with ``sens``.
     """
-    from mrphy_tpu.ops.nufft import nufft
+    from mrphy_tpu.ops.nufft import _cmul, nufft
     B2 = _b2(basis).astype(alpha.dtype)           # (nF, 2, r)
+    if sens is None:
+        def step(_, tx):
+            b2, k = tx
+            img = jnp.stack(
+                [jnp.tensordot(b2[0], alpha, axes=(0, 0),
+                               precision=Precision.HIGHEST),
+                 jnp.tensordot(b2[1], alpha, axes=(0, 0),
+                               precision=Precision.HIGHEST)], -1)
+            return None, nufft(plan, img, k)
+
+        return jax.lax.scan(step, None, (B2, ktrajs))[1]
+
+    sens = jnp.asarray(sens, alpha.dtype)
+    r = basis.B.shape[1]
+    assert alpha.shape == (r,) + plan.im_size + (2,), (
+        alpha.shape, 'with sens=, alpha must be (r, *im_size, 2) '
+        'complex pairs')
+    assert sens.shape[1:] == plan.im_size + (2,), (sens.shape,
+                                                   plan.im_size)
+    nC = sens.shape[0]
+
+    def td(w, a):
+        return jnp.tensordot(w, a, axes=(0, 0),
+                             precision=Precision.HIGHEST)
 
     def step(_, tx):
         b2, k = tx
-        img = jnp.stack(
-            [jnp.tensordot(b2[0], alpha, axes=(0, 0),
-                           precision=Precision.HIGHEST),
-             jnp.tensordot(b2[1], alpha, axes=(0, 0),
-                           precision=Precision.HIGHEST)], -1)
-        return None, nufft(plan, img, k)
+        # frame image (w_t = b2r + i·b2i against complex alpha)
+        fr = td(b2[0], alpha[..., 0]) - td(b2[1], alpha[..., 1])
+        fi = td(b2[0], alpha[..., 1]) + td(b2[1], alpha[..., 0])
+        outs = []
+        for c in range(nC):               # static, small; shared
+            wr, wi = _cmul(fr, fi,        # interp factors CSE-merge
+                           sens[c, ..., 0], sens[c, ..., 1])
+            outs.append(nufft(plan, jnp.stack([wr, wi], -1), k))
+        return None, jnp.stack(outs)      # (nC, nRO, 2)
 
-    return jax.lax.scan(step, None, (B2, ktrajs))[1]
+    s = jax.lax.scan(step, None, (B2, ktrajs))[1]
+    return jnp.moveaxis(s, 1, 0)          # (nC, nF, nRO, 2)
 
 
-def subspace_adjoint(plan, ktrajs, basis: Basis, s, *, dcf=None):
+def subspace_adjoint(plan, ktrajs, basis: Basis, s, *, dcf=None,
+                     sens=None):
     r"""Exact adjoint of :func:`subspace_encode` (Φ-weighted
     back-projection): per-frame samples → `(r, *im_size)` coefficient
-    images. ``dcf`` `(nRO,)` optionally density-compensates each
-    frame's samples (e.g. the radial ramp ``|k|``) — then this is the
-    classic one-shot sliding-window/SVD-MRF gridding estimate rather
-    than the exact adjoint (use ``dcf=None`` inside CG)."""
-    from mrphy_tpu.ops.nufft import nufft_adjoint
+    images (`(r, *im_size, 2)` complex pairs with ``sens``, which
+    conj-weights and sums the per-coil back-projections). ``dcf``
+    `(nRO,)` optionally density-compensates each frame's samples
+    (e.g. the radial ramp ``|k|``) — then this is the classic
+    one-shot sliding-window/SVD-MRF gridding estimate rather than the
+    exact adjoint (use ``dcf=None`` inside CG)."""
+    from mrphy_tpu.ops.nufft import _cmul, nufft_adjoint
     B2 = _b2(basis).astype(s.dtype)
+    r = basis.B.shape[1]
+    if sens is None:
+        def step(acc, tx):
+            b2, k, st = tx
+            if dcf is not None:
+                st = st * dcf[:, None]
+            bp = nufft_adjoint(plan, st, k)       # (*im, 2)
+            upd = (jnp.tensordot(b2[0], bp[..., 0], axes=0,
+                                 precision=Precision.HIGHEST)
+                   + jnp.tensordot(b2[1], bp[..., 1], axes=0,
+                                   precision=Precision.HIGHEST))
+            return acc + upd, None
+
+        acc0 = jnp.zeros((r,) + plan.im_size, s.dtype)
+        return jax.lax.scan(step, acc0, (B2, ktrajs, s))[0]
+
+    sens = jnp.asarray(sens, s.dtype)
+    nC = sens.shape[0]
+    assert s.shape[0] == nC and s.ndim == 4, (s.shape, nC)
+
+    def t0(w, a):
+        return jnp.tensordot(w, a, axes=0, precision=Precision.HIGHEST)
 
     def step(acc, tx):
-        b2, k, st = tx
+        b2, k, st = tx                            # st: (nC, nRO, 2)
         if dcf is not None:
             st = st * dcf[:, None]
-        bp = nufft_adjoint(plan, st, k)           # (*im, 2)
-        upd = (jnp.tensordot(b2[0], bp[..., 0], axes=0,
-                             precision=Precision.HIGHEST)
-               + jnp.tensordot(b2[1], bp[..., 1], axes=0,
-                               precision=Precision.HIGHEST))
-        return acc + upd, None
+        br = jnp.zeros(plan.im_size, s.dtype)
+        bi = jnp.zeros(plan.im_size, s.dtype)
+        for c in range(nC):                       # static, small
+            bp = nufft_adjoint(plan, st[c], k)
+            xr, xi = _cmul(bp[..., 0], bp[..., 1],      # conj(S_c)⊙bp
+                           sens[c, ..., 0], -sens[c, ..., 1])
+            br, bi = br + xr, bi + xi
+        # conj(w_t) · (br + i·bi) per subspace row
+        upr = t0(b2[0], br) + t0(b2[1], bi)
+        upi = t0(b2[0], bi) - t0(b2[1], br)
+        return acc + jnp.stack([upr, upi], -1), None
 
-    r = basis.B.shape[1]
-    acc0 = jnp.zeros((r,) + plan.im_size, s.dtype)
-    return jax.lax.scan(step, acc0, (B2, ktrajs, s))[0]
+    acc0 = jnp.zeros((r,) + plan.im_size + (2,), s.dtype)
+    return jax.lax.scan(step, acc0,
+                        (B2, ktrajs, jnp.moveaxis(s, 0, 1)))[0]
 
 
 def kspace_subspace_recon(plan, ktrajs, basis: Basis, s, *,
                           iters: int = 8, lam: float = 0.0,
-                          method: str = 'auto', G=None):
+                          method: str = 'auto', G=None, sens=None):
     r"""Subspace-constrained least-squares reconstruction of
     undersampled dynamic (MRF) k-space by CG on the normal equations
     ``(AᵀA + λI) α = Aᵀ s`` with ``A`` = :func:`subspace_encode`.
@@ -598,11 +663,21 @@ def kspace_subspace_recon(plan, ktrajs, basis: Basis, s, *,
         - ``G``: precomputed :func:`subspace_toeplitz_kernels` output
           — reuse it across slices/datasets acquired with the SAME
           spoke schedule (the multi-slice MRF pattern): the recon
-          then costs iterations only.
+          then costs iterations only. ``G`` depends ONLY on spokes +
+          basis, so the same kernels serve the SENSE path too.
+        - ``sens``: `(nC, *im_size, 2)` receive sensitivities — SENSE
+          reconstruction from multi-coil samples
+          `(nC, nF, nRO, 2)`. The normal operator becomes
+          ``Σ_c S_cᴴ (AᵀA) S_c`` (one per-coil sandwich around the
+          SAME Toeplitz kernels) and the coefficient images come back
+          complex.
     Outputs:
-        - ``alpha``: `(r, *im_size)` coefficient images — directly
+        - ``alpha``: `(r, *im_size)` coefficient images
+          (`(r, *im_size, 2)` complex pairs with ``sens``) — directly
           the compressed probes for :func:`dict_match_compressed`
-          (transpose the leading axis to the back).
+          (transpose the leading axis to the back; for the pair form
+          the compressed probe is ``α_re + jc·α_im``, see
+          ``examples/mrf_kspace.py --coils``).
     """
     assert method in ('auto', 'frames', 'toeplitz'), method
     if method == 'auto':
@@ -613,21 +688,36 @@ def kspace_subspace_recon(plan, ktrajs, basis: Basis, s, *,
         # precomputed/reused G (multi-slice: same spokes per slice)
         method = ('toeplitz' if G is not None or iters >= 8
                   else 'frames')
+    if sens is not None:
+        sens = jnp.asarray(sens, jnp.asarray(s).dtype)
     if method == 'toeplitz':
+        from mrphy_tpu.ops.nufft import _cmul
         if G is None:
             G = subspace_toeplitz_kernels(plan, ktrajs, basis)
 
         def normal(al):
-            out = subspace_toeplitz_apply(plan, G, al)
+            if sens is None:
+                out = subspace_toeplitz_apply(plan, G, al)
+            else:
+                out = jnp.zeros_like(al)
+                for c in range(sens.shape[0]):    # static, small
+                    sr, si = sens[c, ..., 0], sens[c, ..., 1]
+                    xr, xi = _cmul(al[..., 0], al[..., 1], sr, si)
+                    y = subspace_toeplitz_apply(
+                        plan, G, jnp.stack([xr, xi], -1))
+                    zr, zi = _cmul(y[..., 0], y[..., 1], sr, -si)
+                    out = out + jnp.stack([zr, zi], -1)
             return out + lam * al if lam else out
     else:
         def normal(al):
             out = subspace_adjoint(plan, ktrajs, basis,
                                    subspace_encode(plan, ktrajs,
-                                                   basis, al))
+                                                   basis, al,
+                                                   sens=sens),
+                                   sens=sens)
             return out + lam * al if lam else out
 
-    rhs = subspace_adjoint(plan, ktrajs, basis, s)
+    rhs = subspace_adjoint(plan, ktrajs, basis, s, sens=sens)
 
     def dot(a, b):
         # operand-dtype accumulation: truncating to f32 would cap an
@@ -749,15 +839,23 @@ def subspace_toeplitz_apply(plan, G, alpha):
     ``out_l = Re crop F⁻¹ Σ_l' G_ll' · F pad(α_l')`` — exactly
     ``subspace_adjoint ∘ subspace_encode`` with the plan's
     interpolation replaced by the exact encoding (see
-    :func:`subspace_toeplitz_kernels`)."""
+    :func:`subspace_toeplitz_kernels`). ``alpha`` may be REAL
+    `(r, *im_size)` or a COMPLEX pair `(r, *im_size, 2)` (the SENSE
+    path's coefficient images) — the pair form skips the Re crop and
+    returns a pair."""
     from mrphy_tpu.ops.nufft import _dft2n, _dft_axis
     alpha = jnp.asarray(alpha)
-    assert alpha.shape[1:] == plan.im_size, (alpha.shape,
-                                             plan.im_size)
+    pair = alpha.shape[1:] == plan.im_size + (2,)
+    assert pair or alpha.shape[1:] == plan.im_size, (alpha.shape,
+                                                     plan.im_size)
     dtype = alpha.dtype
     pads = [(0, 0)] + [(0, n) for n in plan.im_size]
-    xr = jnp.pad(alpha, pads)
-    xi = jnp.zeros_like(xr)
+    if pair:
+        xr = jnp.pad(alpha[..., 0], pads)
+        xi = jnp.pad(alpha[..., 1], pads)
+    else:
+        xr = jnp.pad(alpha, pads)
+        xi = jnp.zeros_like(xr)
     for a, n in enumerate(plan.im_size):
         mr, mi = _dft2n(2 * n, dtype)
         xr, xi = _dft_axis(xr, xi, mr, mi, a + 1)
@@ -774,4 +872,6 @@ def subspace_toeplitz_apply(plan, G, alpha):
         yr, yi = _dft_axis(yr, yi, mr.T, -mi.T, a + 1)
         scale /= 2 * n
     sl = (slice(None),) + tuple(slice(0, n) for n in plan.im_size)
+    if pair:
+        return jnp.stack([yr[sl], yi[sl]], -1) * scale
     return yr[sl] * scale

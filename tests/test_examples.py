@@ -109,6 +109,12 @@ CASES = [
     # subspace CG recon -> compressed match -> refinement
     ('mrf_kspace.py', ['--n', '24', '--ntr', '60', '--iters', '6',
                        '--rank', '6', '--refine-iters', '12']),
+    # multi-coil SENSE variant: coil-weighted acquisition + object
+    # phase -> sens= normal equations -> jc-composed probes + m0
+    # phase check
+    ('mrf_kspace.py', ['--n', '24', '--ntr', '60', '--iters', '6',
+                       '--rank', '6', '--refine-iters', '12',
+                       '--coils', '3']),
     # slice-profile-integrated dictionaries (round 5): SLR profile ->
     # b1-axis sub-slice integration; corrected-vs-naive bias
     ('mrf_sliceprofile.py', ['--ntr', '120', '--nsub', '7',
@@ -143,9 +149,14 @@ _SLOW = {'cest_fit.py', 'spectral_spatial.py', 'qmt_fit.py',
 
 
 def _case(n, a):
-    marks = [pytest.mark.slow] if (n in _SLOW or '--mesh' in a) else []
-    return pytest.param(n, a, marks=marks,
-                        id=f'{n}{"-coarse" if "--coarse" in a else ""}')
+    # --coils: the SENSE physics is fast-tier-covered by
+    # tests/test_mrf.py; the example composition is slow-tier
+    marks = ([pytest.mark.slow]
+             if (n in _SLOW or '--mesh' in a or '--coils' in a)
+             else [])
+    sfx = ('-coarse' if '--coarse' in a
+           else '-coils' if '--coils' in a else '')
+    return pytest.param(n, a, marks=marks, id=f'{n}{sfx}')
 
 
 @pytest.mark.parametrize('name,args', [_case(n, a) for n, a in CASES])

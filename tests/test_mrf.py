@@ -434,3 +434,137 @@ def test_subspace_toeplitz_matches_frames():
                                    method='toeplitz')
     rel2 = float(jnp.max(jnp.abs(a1 - a2)) / jnp.max(jnp.abs(a1)))
     assert rel2 < 5e-3, rel2
+
+
+# ------------------------------------------------------------------
+# Multi-coil SENSE subspace recon (round 5)
+# ------------------------------------------------------------------
+
+def _sens_maps(N, nC):
+    r"""Smooth birdcage-ish complex maps, `(nC, N, N, 2)` — gain
+    falls off away from each port, with a smooth spatial phase (the
+    pattern of ``examples/recon_sense.py``)."""
+    yy, xx = (np.mgrid[:N, :N] / (N - 1)) - 0.5
+    maps = []
+    for c in range(nC):
+        th = 2 * np.pi * c / nC
+        cx, cy = 0.6 * np.cos(th), 0.6 * np.sin(th)
+        d2 = (xx - cx) ** 2 + (yy - cy) ** 2
+        mag = np.exp(-d2 / 0.8)
+        ph = 2 * np.pi * 0.3 * (xx * np.cos(th) + yy * np.sin(th))
+        maps.append(np.stack([mag * np.cos(ph), mag * np.sin(ph)],
+                             -1))
+    return jnp.asarray(np.stack(maps))
+
+
+def test_subspace_sense_adjoint_exact():
+    r"""SENSE path: <A x, y> == <x, A^H y> at f64 over complex pair
+    coefficient images and multi-coil samples."""
+    gen, (T1a, T2a, D, basis), plan, ktrajs, rng = _kspace_setup()
+    r = basis.B.shape[1]
+    N = plan.im_size[0]
+    nC = 4
+    sens = _sens_maps(N, nC)
+    x = jnp.asarray(rng.standard_normal((r, N, N, 2)))
+    y = jnp.asarray(rng.standard_normal(
+        (nC, ktrajs.shape[0], ktrajs.shape[2], 2)))
+    Ax = mrf.subspace_encode(plan, ktrajs, basis, x, sens=sens)
+    AHy = mrf.subspace_adjoint(plan, ktrajs, basis, y, sens=sens)
+    assert Ax.shape == y.shape and AHy.shape == x.shape
+    lhs = float(jnp.sum(Ax * y))
+    rhs = float(jnp.sum(x * AHy))
+    assert abs(lhs - rhs) < 1e-9 * max(1.0, abs(lhs)), (lhs, rhs)
+
+
+def test_subspace_sense_toeplitz_matches_frames():
+    r"""The per-coil sensitivity sandwich around the SHARED Toeplitz
+    kernels equals the multi-coil encode∘adjoint frame sweep (at the
+    plan's interpolation accuracy), and both CG methods agree."""
+    gen, (T1a, T2a, D, basis), plan, ktrajs, rng = _kspace_setup()
+    r = basis.B.shape[1]
+    N = plan.im_size[0]
+    sens = _sens_maps(N, 3)
+    alpha = jnp.asarray(rng.standard_normal((r, N, N, 2)))
+    out_f = mrf.subspace_adjoint(
+        plan, ktrajs, basis,
+        mrf.subspace_encode(plan, ktrajs, basis, alpha, sens=sens),
+        sens=sens)
+    G = mrf.subspace_toeplitz_kernels(plan, ktrajs, basis)
+    from mrphy_tpu.ops.nufft import _cmul
+    out_t = jnp.zeros_like(alpha)
+    for c in range(sens.shape[0]):
+        sr, si = sens[c, ..., 0], sens[c, ..., 1]
+        xr, xi = _cmul(alpha[..., 0], alpha[..., 1], sr, si)
+        yv = mrf.subspace_toeplitz_apply(plan, G,
+                                         jnp.stack([xr, xi], -1))
+        zr, zi = _cmul(yv[..., 0], yv[..., 1], sr, -si)
+        out_t = out_t + jnp.stack([zr, zi], -1)
+    rel = float(jnp.max(jnp.abs(out_t - out_f))
+                / jnp.max(jnp.abs(out_f)))
+    assert rel < 1e-3, rel
+    nE = ktrajs.shape[0]
+    s = jnp.asarray(rng.standard_normal((3, nE, ktrajs.shape[2], 2)))
+    a1 = mrf.kspace_subspace_recon(plan, ktrajs, basis, s, iters=5,
+                                   method='frames', sens=sens)
+    a2 = mrf.kspace_subspace_recon(plan, ktrajs, basis, s, iters=5,
+                                   method='toeplitz', sens=sens,
+                                   G=G)
+    rel2 = float(jnp.max(jnp.abs(a1 - a2)) / jnp.max(jnp.abs(a1)))
+    assert rel2 < 5e-3, rel2
+
+
+def test_kspace_sense_pipeline_recovers_maps():
+    r"""Multi-coil pipeline: coil-weighted spoke-per-TR acquisition
+    of a phantom WITH per-voxel receive phase -> SENSE subspace CG ->
+    compressed match on ``α_re + jc·α_im`` recovers (T1, T2) AND the
+    voxel phase in ``m0``."""
+    from mrphy_tpu.ops.nufft import _cmul, nufft
+    gen, (T1a, T2a, D, basis), plan, ktrajs, rng = _kspace_setup()
+    N = plan.im_size[0]
+    nTR = ktrajs.shape[0]
+    nC = 4
+    sens = _sens_maps(N, nC)
+    yy, xx = np.mgrid[:N, :N]
+    c = (N - 1) / 2
+    mask = np.hypot(yy - c, xx - c) < 0.45 * N
+    T1m = np.where(xx < c, 0.8, 1.5)
+    T2m = np.where(yy < c, 0.06, 0.12)
+    iy, ix = np.nonzero(mask)
+    T1v = jnp.asarray(T1m[mask])
+    T2v = jnp.asarray(T2m[mask])
+    X = gen(T1v, T2v)                               # (nV, nTR, 2)
+    # per-voxel object phase (B0/receive chain): X_v <- e^{i φ_v} X_v
+    phv = jnp.asarray(0.8 * np.sin(2 * np.pi * xx[mask] / N)
+                      + 0.3)
+    xr, xi = _cmul(X[..., 0], X[..., 1],
+                   jnp.cos(phv)[:, None], jnp.sin(phv)[:, None])
+    X = jnp.stack([xr, xi], -1)
+    imgs = jnp.zeros((nTR, N, N, 2)).at[:, iy, ix, :].set(
+        jnp.moveaxis(X, 0, 1))
+
+    def step(_, tx):
+        img, k = tx
+        outs = []
+        for cc in range(nC):
+            wr, wi = _cmul(img[..., 0], img[..., 1],
+                           sens[cc, ..., 0], sens[cc, ..., 1])
+            outs.append(nufft(plan, jnp.stack([wr, wi], -1), k))
+        return None, jnp.stack(outs)
+
+    s = jnp.moveaxis(jax.lax.scan(step, None, (imgs, ktrajs))[1],
+                     0, 1)                          # (nC, nF, nRO, 2)
+    alpha = mrf.kspace_subspace_recon(plan, ktrajs, basis, s,
+                                      iters=8, sens=sens)
+    al = jnp.moveaxis(alpha, 0, -2)[iy, ix]         # (nV, r, 2)
+    probes = al[..., 0] + jnp.einsum('lk,vk->vl', basis.jc,
+                                     al[..., 1])
+    Dc = mrf.compress(D, basis)
+    res = mrf.dict_match_compressed(Dc, probes, basis)
+    e1 = np.median(np.abs(np.asarray(T1a[res.idx] / T1v) - 1))
+    e2 = np.median(np.abs(np.asarray(T2a[res.idx] / T2v) - 1))
+    assert e1 < 0.20 and e2 < 0.35, (e1, e2)
+    # recovered complex scale carries the object phase
+    ph_est = np.arctan2(np.asarray(res.m0[..., 1]),
+                        np.asarray(res.m0[..., 0]))
+    dph = np.angle(np.exp(1j * (ph_est - np.asarray(phv))))
+    assert np.median(np.abs(dph)) < 0.2, np.median(np.abs(dph))
