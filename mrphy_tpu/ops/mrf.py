@@ -515,7 +515,8 @@ def _b2(basis: Basis):
     return basis.B.reshape(basis.tail + (r,))
 
 
-def subspace_encode(plan, ktrajs, basis: Basis, alpha, *, sens=None):
+def subspace_encode(plan, ktrajs, basis: Basis, alpha, *, sens=None,
+                    df=None, T2s=None, dt=None, nseg: int = 8):
     r"""Forward model of the subspace-constrained dynamic acquisition:
     coefficient images → per-frame k-space samples.
 
@@ -533,10 +534,16 @@ def subspace_encode(plan, ktrajs, basis: Basis, alpha, *, sens=None):
         - ``sens``: `(nC, *im_size, 2)` re/im receive sensitivities —
           frame images are coil-weighted before sampling (SENSE
           forward model; every coil sees the same spoke).
+        - ``df``/``T2s``/``dt``/``nseg``: off-resonance and T2* maps
+          on the grid, modeled within each frame's readout by the
+          NUFFT's hat time segmentation (see
+          :func:`mrphy_tpu.ops.nufft.nufft`; every frame shares the
+          same dwell/readout timing) — the B0-informed MRF encode.
     Outputs:
         - ``s``: `(nF, nRO, 2)`, or `(nC, nF, nRO, 2)` with ``sens``.
     """
     from mrphy_tpu.ops.nufft import _cmul, nufft
+    kw = dict(df=df, T2s=T2s, dt=dt, nseg=nseg)
     B2 = _b2(basis).astype(alpha.dtype)           # (nF, 2, r)
     if sens is None:
         def step(_, tx):
@@ -546,7 +553,7 @@ def subspace_encode(plan, ktrajs, basis: Basis, alpha, *, sens=None):
                                precision=Precision.HIGHEST),
                  jnp.tensordot(b2[1], alpha, axes=(0, 0),
                                precision=Precision.HIGHEST)], -1)
-            return None, nufft(plan, img, k)
+            return None, nufft(plan, img, k, **kw)
 
         return jax.lax.scan(step, None, (B2, ktrajs))[1]
 
@@ -572,7 +579,8 @@ def subspace_encode(plan, ktrajs, basis: Basis, alpha, *, sens=None):
         for c in range(nC):               # static, small; shared
             wr, wi = _cmul(fr, fi,        # interp factors CSE-merge
                            sens[c, ..., 0], sens[c, ..., 1])
-            outs.append(nufft(plan, jnp.stack([wr, wi], -1), k))
+            outs.append(nufft(plan, jnp.stack([wr, wi], -1), k,
+                              **kw))
         return None, jnp.stack(outs)      # (nC, nRO, 2)
 
     s = jax.lax.scan(step, None, (B2, ktrajs))[1]
@@ -580,7 +588,8 @@ def subspace_encode(plan, ktrajs, basis: Basis, alpha, *, sens=None):
 
 
 def subspace_adjoint(plan, ktrajs, basis: Basis, s, *, dcf=None,
-                     sens=None):
+                     sens=None, df=None, T2s=None, dt=None,
+                     nseg: int = 8):
     r"""Exact adjoint of :func:`subspace_encode` (Φ-weighted
     back-projection): per-frame samples → `(r, *im_size)` coefficient
     images (`(r, *im_size, 2)` complex pairs with ``sens``, which
@@ -588,8 +597,11 @@ def subspace_adjoint(plan, ktrajs, basis: Basis, s, *, dcf=None,
     `(nRO,)` optionally density-compensates each frame's samples
     (e.g. the radial ramp ``|k|``) — then this is the classic
     one-shot sliding-window/SVD-MRF gridding estimate rather than the
-    exact adjoint (use ``dcf=None`` inside CG)."""
+    exact adjoint (use ``dcf=None`` inside CG). ``df``/``T2s``/``dt``
+    keep the adjoint exact w.r.t. the segmented encode (see
+    :func:`mrphy_tpu.ops.nufft.nufft_adjoint`)."""
     from mrphy_tpu.ops.nufft import _cmul, nufft_adjoint
+    kw = dict(df=df, T2s=T2s, dt=dt, nseg=nseg)
     B2 = _b2(basis).astype(s.dtype)
     r = basis.B.shape[1]
     if sens is None:
@@ -597,7 +609,7 @@ def subspace_adjoint(plan, ktrajs, basis: Basis, s, *, dcf=None,
             b2, k, st = tx
             if dcf is not None:
                 st = st * dcf[:, None]
-            bp = nufft_adjoint(plan, st, k)       # (*im, 2)
+            bp = nufft_adjoint(plan, st, k, **kw)  # (*im, 2)
             upd = (jnp.tensordot(b2[0], bp[..., 0], axes=0,
                                  precision=Precision.HIGHEST)
                    + jnp.tensordot(b2[1], bp[..., 1], axes=0,
@@ -621,7 +633,7 @@ def subspace_adjoint(plan, ktrajs, basis: Basis, s, *, dcf=None,
         br = jnp.zeros(plan.im_size, s.dtype)
         bi = jnp.zeros(plan.im_size, s.dtype)
         for c in range(nC):                       # static, small
-            bp = nufft_adjoint(plan, st[c], k)
+            bp = nufft_adjoint(plan, st[c], k, **kw)
             xr, xi = _cmul(bp[..., 0], bp[..., 1],      # conj(S_c)⊙bp
                            sens[c, ..., 0], -sens[c, ..., 1])
             br, bi = br + xr, bi + xi
@@ -637,7 +649,8 @@ def subspace_adjoint(plan, ktrajs, basis: Basis, s, *, dcf=None,
 
 def kspace_subspace_recon(plan, ktrajs, basis: Basis, s, *,
                           iters: int = 8, lam: float = 0.0,
-                          method: str = 'auto', G=None, sens=None):
+                          method: str = 'auto', G=None, sens=None,
+                          df=None, T2s=None, dt=None, nseg: int = 8):
     r"""Subspace-constrained least-squares reconstruction of
     undersampled dynamic (MRF) k-space by CG on the normal equations
     ``(AᵀA + λI) α = Aᵀ s`` with ``A`` = :func:`subspace_encode`.
@@ -671,6 +684,11 @@ def kspace_subspace_recon(plan, ktrajs, basis: Basis, s, *,
           ``Σ_c S_cᴴ (AᵀA) S_c`` (one per-coil sandwich around the
           SAME Toeplitz kernels) and the coefficient images come back
           complex.
+        - ``df``/``T2s``/``dt``/``nseg``: B0/T2* maps — the encode
+          models the in-readout phase accrual by time segmentation
+          and the recon deblurs it (conjugate-phase-in-CG; forces
+          ``method='frames'``, the Toeplitz kernels don't model
+          segmentation).
     Outputs:
         - ``alpha``: `(r, *im_size)` coefficient images
           (`(r, *im_size, 2)` complex pairs with ``sens``) — directly
@@ -680,14 +698,21 @@ def kspace_subspace_recon(plan, ktrajs, basis: Basis, s, *,
           ``examples/mrf_kspace.py --coils``).
     """
     assert method in ('auto', 'frames', 'toeplitz'), method
+    seg = df is not None or T2s is not None
     if method == 'auto':
         # kernel BUILD costs ~one frame sweep, each iteration then
         # ~nothing (measured 128^2 x 400 spokes: build 88 ms, apply
         # 0.2 ms vs ~11 ms/iter for the frame sweep) -> toeplitz
         # pays off above ~8 iterations, or immediately with a
         # precomputed/reused G (multi-slice: same spokes per slice)
-        method = ('toeplitz' if G is not None or iters >= 8
+        method = ('frames' if seg
+                  else 'toeplitz' if G is not None or iters >= 8
                   else 'frames')
+    assert not (seg and method == 'toeplitz'), (
+        'the Toeplitz kernels do not model df/T2s time segmentation '
+        "(cross-segment kernels would cost r^2*nseg^2 grids); use "
+        "method='frames'")
+    kw = dict(df=df, T2s=T2s, dt=dt, nseg=nseg)
     if sens is not None:
         sens = jnp.asarray(sens, jnp.asarray(s).dtype)
     if method == 'toeplitz':
@@ -713,11 +738,11 @@ def kspace_subspace_recon(plan, ktrajs, basis: Basis, s, *,
             out = subspace_adjoint(plan, ktrajs, basis,
                                    subspace_encode(plan, ktrajs,
                                                    basis, al,
-                                                   sens=sens),
-                                   sens=sens)
+                                                   sens=sens, **kw),
+                                   sens=sens, **kw)
             return out + lam * al if lam else out
 
-    rhs = subspace_adjoint(plan, ktrajs, basis, s, sens=sens)
+    rhs = subspace_adjoint(plan, ktrajs, basis, s, sens=sens, **kw)
 
     def dot(a, b):
         # operand-dtype accumulation: truncating to f32 would cap an

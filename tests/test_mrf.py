@@ -568,3 +568,61 @@ def test_kspace_sense_pipeline_recovers_maps():
                         np.asarray(res.m0[..., 0]))
     dph = np.angle(np.exp(1j * (ph_est - np.asarray(phv))))
     assert np.median(np.abs(dph)) < 0.2, np.median(np.abs(dph))
+
+
+def test_subspace_b0_informed_recon():
+    r"""df= threads the NUFFT's time segmentation through the
+    subspace stack: the adjoint stays exact w.r.t. the segmented
+    encode, and CG with the df model recovers a B0-blurred
+    acquisition substantially better than the uninformed recon."""
+    from mrphy_tpu.ops.nufft import nufft
+    gen, (T1a, T2a, D, basis), plan, ktrajs, rng = _kspace_setup()
+    r = basis.B.shape[1]
+    N = plan.im_size[0]
+    nTR = ktrajs.shape[0]
+    yy, xx = np.mgrid[:N, :N]
+    cen = (N - 1) / 2
+    df = jnp.asarray(150.0 * np.sin(2 * np.pi * xx / N)
+                     * np.cos(np.pi * yy / N))      # ±150 Hz
+    dt = 4e-5                                       # ~1.9 ms readout
+    kw = dict(df=df, dt=dt, nseg=8)
+
+    # exact adjointness under segmentation
+    x = jnp.asarray(rng.standard_normal((r, N, N)))
+    y = jnp.asarray(rng.standard_normal(
+        (nTR, ktrajs.shape[2], 2)))
+    Ax = mrf.subspace_encode(plan, ktrajs, basis, x, **kw)
+    AHy = mrf.subspace_adjoint(plan, ktrajs, basis, y, **kw)
+    lhs = float(jnp.sum(Ax * y))
+    rhs = float(jnp.sum(x * AHy))
+    assert abs(lhs - rhs) < 1e-9 * max(1.0, abs(lhs)), (lhs, rhs)
+
+    # B0-informed CG beats the uninformed recon on df-encoded data
+    mask = np.hypot(yy - cen, xx - cen) < 0.45 * N
+    iy, ix = np.nonzero(mask)
+    T1m = np.where(xx < cen, 0.8, 1.5)
+    T2m = np.where(yy < cen, 0.06, 0.12)
+    X = gen(jnp.asarray(T1m[mask]), jnp.asarray(T2m[mask]))
+    imgs = jnp.zeros((nTR, N, N, 2)).at[:, iy, ix, :].set(
+        jnp.moveaxis(X, 0, 1))
+
+    def step(_, tx):
+        img, k = tx
+        return None, nufft(plan, img, k, df=df, dt=dt, nseg=16)
+
+    s = jax.lax.scan(step, None, (imgs, ktrajs))[1]
+    a_ref = mrf.kspace_subspace_recon(plan, jnp.asarray(ktrajs),
+                                      basis, s, iters=8,
+                                      method='frames', **kw)
+    a_bad = mrf.kspace_subspace_recon(plan, jnp.asarray(ktrajs),
+                                      basis, s, iters=8,
+                                      method='frames')
+    # truth coefficients of the clean series
+    Xc = mrf.compress(X, basis)
+    a_true = jnp.zeros((N, N, r)).at[iy, ix].set(Xc)
+    a_true = jnp.moveaxis(a_true, -1, 0)
+    e_ref = float(jnp.linalg.norm(a_ref - a_true)
+                  / jnp.linalg.norm(a_true))
+    e_bad = float(jnp.linalg.norm(a_bad - a_true)
+                  / jnp.linalg.norm(a_true))
+    assert e_ref < 0.7 * e_bad, (e_ref, e_bad)
