@@ -1278,6 +1278,147 @@ def _export_artifact(*, nM, nT):
     return ok
 
 
+def _mrf_sense_check():
+    r"""Multi-coil SENSE subspace recon (round 5): on-chip adjointness
+    of the coil-weighted encode/adjoint pair over complex pair
+    coefficient images, the per-coil Toeplitz sandwich vs the frame
+    sweep, the df-segmented pair's adjointness, and the full SENSE
+    pipeline (coil acquisition + object phase → sens= CG → jc-composed
+    probes → match) recovering maps AND phase."""
+    from mrphy_tpu.ops import epg, mrf
+    from mrphy_tpu.ops.nufft import _cmul, nufft_plan, nufft
+    rng = np.random.default_rng(6)
+    N, nTR, rank, nC = 48, 200, 6, 4
+    nRO, fov = 2 * N, 20.0
+    t = np.arange(nTR)
+    flips = jnp.asarray(np.deg2rad(
+        10 + 50 * np.abs(np.sin(np.pi * t / 40))), DT32)
+    trs = jnp.asarray(
+        0.012 + 0.004 * np.sin(2 * np.pi * t / 31) ** 2, DT32)
+
+    def gen(T1v, T2v):
+        return epg.epg_spgr(flips, None, T1=T1v, T2=T2v, tr=trs,
+                            te=0.002, K=16,
+                            zinit=epg.ir_prep(0.02, T1v),
+                            backend='pallas')
+
+    t1g = np.geomspace(0.3, 3.0, 16)
+    t2g = np.geomspace(0.03, 0.4, 10)
+    T1g, T2g = np.meshgrid(t1g, t2g, indexing='ij')
+    keep = T2g < T1g
+    T1a = jnp.asarray(T1g[keep], DT32)
+    T2a = jnp.asarray(T2g[keep], DT32)
+    D = jax.jit(gen)(T1a, T2a)
+    basis = mrf.svd_basis(D, rank=rank)
+    kmax = N / (2 * fov)
+    rad = (np.arange(nRO) - nRO / 2 + 0.5) * (2 * kmax / nRO)
+    ga = np.pi * (np.sqrt(5) - 1) / 2
+    phi = ga * np.arange(nTR)
+    ktrajs = jnp.asarray(np.stack([np.cos(phi)[:, None] * rad,
+                                   np.sin(phi)[:, None] * rad], 1),
+                         DT32)
+    plan = nufft_plan((N, N), (fov, fov))
+
+    # birdcage-ish maps with smooth phase
+    yyn, xxn = (np.mgrid[:N, :N] / (N - 1)) - 0.5
+    maps = []
+    for c in range(nC):
+        th = 2 * np.pi * c / nC
+        d2 = ((xxn - 0.6 * np.cos(th)) ** 2
+              + (yyn - 0.6 * np.sin(th)) ** 2)
+        mag = np.exp(-d2 / 0.8)
+        ph = 2 * np.pi * 0.3 * (xxn * np.cos(th) + yyn * np.sin(th))
+        maps.append(np.stack([mag * np.cos(ph), mag * np.sin(ph)],
+                             -1))
+    sens = jnp.asarray(np.stack(maps), DT32)
+
+    # 1. SENSE adjointness over complex pair alpha
+    x = jnp.asarray(rng.standard_normal((rank, N, N, 2)), DT32)
+    y = jnp.asarray(rng.standard_normal((nC, nTR, nRO, 2)), DT32)
+    Ax = jax.jit(lambda v: mrf.subspace_encode(
+        plan, ktrajs, basis, v, sens=sens))(x)
+    AHy = jax.jit(lambda v: mrf.subspace_adjoint(
+        plan, ktrajs, basis, v, sens=sens))(y)
+    adj_rel = abs(float(jnp.sum(Ax * y)) - float(jnp.sum(x * AHy))) \
+        / max(1e-30, abs(float(jnp.sum(Ax * y))))
+
+    # 2. per-coil Toeplitz sandwich == multi-coil frame sweep
+    a1 = jax.jit(lambda sv: mrf.kspace_subspace_recon(
+        plan, ktrajs, basis, sv, iters=5, method='frames',
+        sens=sens))(y)
+    a2 = jax.jit(lambda sv: mrf.kspace_subspace_recon(
+        plan, ktrajs, basis, sv, iters=5, method='toeplitz',
+        sens=sens))(y)
+    toep_rel = float(jnp.max(jnp.abs(a1 - a2))
+                     / jnp.max(jnp.abs(a1)))
+
+    # 3. df-segmented adjointness (B0-informed encode)
+    df = jnp.asarray(150.0 * np.sin(2 * np.pi * np.mgrid[:N, :N][1]
+                                    / N), DT32)
+    x3 = jnp.asarray(rng.standard_normal((rank, N, N)), DT32)
+    y3 = jnp.asarray(rng.standard_normal((nTR, nRO, 2)), DT32)
+    Ax3 = jax.jit(lambda v: mrf.subspace_encode(
+        plan, ktrajs, basis, v, df=df, dt=4e-5))(x3)
+    AHy3 = jax.jit(lambda v: mrf.subspace_adjoint(
+        plan, ktrajs, basis, v, df=df, dt=4e-5))(y3)
+    adj_df = abs(float(jnp.sum(Ax3 * y3))
+                 - float(jnp.sum(x3 * AHy3))) \
+        / max(1e-30, abs(float(jnp.sum(Ax3 * y3))))
+
+    # 4. full SENSE pipeline with object phase
+    yy, xx = np.mgrid[:N, :N]
+    cen = (N - 1) / 2
+    mask = np.hypot(yy - cen, xx - cen) < 0.45 * N
+    T1m = np.where(xx < cen, 0.8, 1.5)
+    T2m = np.where(yy < cen, 0.06, 0.12)
+    iy, ix = np.nonzero(mask)
+    T1v = jnp.asarray(T1m[mask], DT32)
+    T2v = jnp.asarray(T2m[mask], DT32)
+    X = jax.jit(gen)(T1v, T2v)
+    phv = jnp.asarray(0.8 * np.sin(2 * np.pi * xx[mask] / N) + 0.3,
+                      DT32)
+    xr, xi = _cmul(X[..., 0], X[..., 1],
+                   jnp.cos(phv)[:, None], jnp.sin(phv)[:, None])
+    imgs = jnp.zeros((nTR, N, N, 2), DT32).at[:, iy, ix, :].set(
+        jnp.moveaxis(jnp.stack([xr, xi], -1), 0, 1))
+
+    @jax.jit
+    def acquire(im):
+        def step(_, tx):
+            img, k = tx
+            outs = []
+            for c in range(nC):
+                wr, wi = _cmul(img[..., 0], img[..., 1],
+                               sens[c, ..., 0], sens[c, ..., 1])
+                outs.append(nufft(plan, jnp.stack([wr, wi], -1), k))
+            return None, jnp.stack(outs)
+        return jnp.moveaxis(
+            jax.lax.scan(step, None, (im, ktrajs))[1], 0, 1)
+
+    s = acquire(imgs)
+    alpha = jax.jit(lambda sv: mrf.kspace_subspace_recon(
+        plan, ktrajs, basis, sv, iters=8, sens=sens))(s)
+    alpha.block_until_ready()
+    al = jnp.moveaxis(alpha, 0, -2)[iy, ix]
+    probes = al[..., 0] + jnp.einsum('lk,vk->vl', basis.jc,
+                                     al[..., 1])
+    res = mrf.dict_match_compressed(mrf.compress(D, basis), probes,
+                                    basis)
+    e1 = float(np.median(np.abs(np.asarray(T1a[res.idx] / T1v) - 1)))
+    e2 = float(np.median(np.abs(np.asarray(T2a[res.idx] / T2v) - 1)))
+    ph_est = np.arctan2(np.asarray(res.m0[..., 1]),
+                        np.asarray(res.m0[..., 0]))
+    dph = float(np.median(np.abs(np.angle(
+        np.exp(1j * (ph_est - np.asarray(phv)))))))
+    ok = (adj_rel < 1e-4 and toep_rel < 2e-2 and adj_df < 1e-4
+          and e1 < 0.17 and e2 < 0.30 and dph < 0.1)
+    _record('mrf_kspace_sense', ok,
+            f'SENSE adjointness {adj_rel:.1e}, toeplitz-sandwich vs '
+            f'frames {toep_rel:.1e}, df adjointness {adj_df:.1e}; '
+            f'{nC}-coil pipeline map errs T1 {e1 * 100:.1f}%, T2 '
+            f'{e2 * 100:.1f}%, phase {dph:.3f} rad')
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument('--interpret', action='store_true',
@@ -1312,6 +1453,7 @@ def main():
         _mrf_match_parity()
         _mrf_pipeline_check()
         _mrf_kspace_check()
+        _mrf_sense_check()
     _nufft_parity()
     _nufft3d_kernel_parity(interpret=args.interpret)
     _epg_kernel_parity(interpret=args.interpret)
