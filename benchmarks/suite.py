@@ -1109,6 +1109,26 @@ def bench_mrf_kspace():
     t_acq = _timeit_device(acquire, imgs, repeats=3)
     t_rec = _timeit_device(recon, s, repeats=3)
     t_rec_fr = _timeit_device(recon_fr, s, repeats=2)
+
+    # multi-coil SENSE recon (round 5): 8 birdcage-ish coils, complex
+    # pair alpha, per-coil Toeplitz sandwich around ONE kernel set
+    nC = 8
+    yn, xn = (np.mgrid[:N, :N] / (N - 1)) - 0.5
+    smaps = []
+    for cc in range(nC):
+        th = 2 * np.pi * cc / nC
+        d2 = ((xn - 0.6 * np.cos(th)) ** 2
+              + (yn - 0.6 * np.sin(th)) ** 2)
+        mag = np.exp(-d2 / 0.8)
+        ph = 2 * np.pi * 0.3 * (xn * np.cos(th) + yn * np.sin(th))
+        smaps.append(np.stack([mag * np.cos(ph), mag * np.sin(ph)],
+                              -1))
+    sens = jnp.asarray(np.stack(smaps), jnp.float32)
+    s8 = jnp.broadcast_to(s, (nC,) + s.shape)
+    recon_sense = jax.jit(lambda sv: mrf.kspace_subspace_recon(
+        plan, ktrajs, basis, sv, iters=cg_iters, method='toeplitz',
+        sens=sens))
+    t_rec_sense = _timeit_device(recon_sense, s8, repeats=2)
     match = jax.jit(lambda p: mrf.dict_match_compressed(
         Dc, p, basis).idx)
     t_match = _timeit(match, probes, repeats=3)
@@ -1121,6 +1141,7 @@ def bench_mrf_kspace():
             'acquire_dev_ms': round(t_acq * 1e3, 1),
             'recon_dev_ms': round(t_rec * 1e3, 1),
             'recon_frames_dev_ms': round(t_rec_fr * 1e3, 1),
+            'recon_sense8_dev_ms': round(t_rec_sense * 1e3, 1),
             'match_ms': round(t_match * 1e3, 1),
             'atoms': int(D.shape[0]),
             'undersampling_per_frame': round(N * N / nRO, 1),

@@ -179,6 +179,20 @@ def epg_diffusion(FpFmZ, D, dk, tau, delta: int = 0):
     return FpFmZ * att[..., None]
 
 
+def _scalar_batch(*xs) -> bool:
+    r"""True iff every batch-like argument is a scalar (or None) — the
+    XLA paths then return an UNBATCHED `(nT, 2)` train, while the
+    fused kernels promote scalars to a 1-atom batch. The dispatchers
+    squeeze that promoted axis so ``backend=`` never changes the
+    output shape (pinned by ``tests/test_epg.py``)."""
+    return all(x is None or jnp.ndim(x) == 0 for x in xs)
+
+
+def _unbatch(out, scalar: bool):
+    r"""Drop the kernel's promoted 1-atom axis for all-scalar calls."""
+    return out[0] if scalar else out
+
+
 def _apply_b1(flips, b1):
     r"""Per-voxel transmit scale: ``b1`` `(*batch,)` multiplies the
     flip train — the dictionary's B1+ dimension, uniform across every
@@ -255,6 +269,8 @@ def epg_cpmg(flips, *, T1, T2, esp, M0=1.0, phi_ex=pi / 2,
                   T2=T2, esp=esp, M0=M0, phi_ex=phi_ex,
                   alpha_ex=alpha_ex, b1=b1, D=D)
         dkw = {} if D is None else {'D': D, 'dk': dk}
+        sq = (jnp.ndim(flips) == 1
+              and _scalar_batch(T1, T2, M0, alpha_ex, phi_ex, b1, D))
         if r['path'] == 'pallas-native-adjoint':
             # natively differentiable: the in-kernel hand-transposed
             # CPMG adjoint (round 3; round 5 adds `(nEcho,)` spacing
@@ -262,14 +278,15 @@ def epg_cpmg(flips, *, T1, T2, esp, M0=1.0, phi_ex=pi / 2,
             # fitting gradients at kernel speed (the recompute-
             # through-XLA reverse holds O(nE*nV*K) scan residuals and
             # OOMs at volume scale)
-            return epg_cpmg_pallas(flips, T1=T1, T2=T2, esp=esp,
-                                   M0=M0, phi_ex=phi_ex,
-                                   alpha_ex=alpha_ex, b1=b1, **dkw)
+            return _unbatch(
+                epg_cpmg_pallas(flips, T1=T1, T2=T2, esp=esp,
+                                M0=M0, phi_ex=phi_ex,
+                                alpha_ex=alpha_ex, b1=b1, **dkw), sq)
         if r['path'] == 'xla-fallback':   # outside the kernel scope
             return epg_cpmg(flips, T1=T1, T2=T2, esp=esp, M0=M0,
                             phi_ex=phi_ex, alpha_ex=alpha_ex, b1=b1,
                             D=D, dk=dk, backend='xla')
-        return pallas_with_xla_vjp(
+        return _unbatch(pallas_with_xla_vjp(
             lambda fl, t1, t2, es, m0, pex, aex, b, d:
                 epg_cpmg_pallas(fl, T1=t1, T2=t2, esp=es, M0=m0,
                                 phi_ex=pex, alpha_ex=aex, b1=b,
@@ -286,7 +303,7 @@ def epg_cpmg(flips, *, T1, T2, esp, M0=1.0, phi_ex=pi / 2,
             lambda fl, t1, t2, es, m0, pex, aex, b:
                 epg_cpmg(fl, T1=t1, T2=t2, esp=es, M0=m0, phi_ex=pex,
                          alpha_ex=aex, b1=b, backend='xla'),
-            flips, T1, T2, esp, M0, phi_ex, alpha_ex, b1)
+            flips, T1, T2, esp, M0, phi_ex, alpha_ex, b1), sq)
     assert backend == 'xla', backend
     flips = _apply_b1(jnp.asarray(flips), b1)
     return _epg_cpmg_body(flips, T1, T2, esp, M0, phi_ex, D, dk,
@@ -433,18 +450,21 @@ def epg_spgr(flips, phis=None, *, T1, T2, tr, te=0.0, M0=1.0,
         r = route('epg_spgr', backend='pallas', flips=flips, T1=T1,
                   T2=T2, tr=tr, te=te, M0=M0, zinit=zinit, b1=b1,
                   D=D, kshift=kshift, K=K)
+        sq = (jnp.ndim(flips) == 1
+              and _scalar_batch(T1, T2, M0, zinit, b1, D))
         if r['path'] == 'pallas-native-adjoint':
             # natively differentiable: the hand-transposed fused
             # adjoint kernel (round 3) — gradients at kernel speed
-            return epg_pallas.epg_spgr_pallas(
+            return _unbatch(epg_pallas.epg_spgr_pallas(
                 flips, phis, T1=T1, T2=T2, tr=tr, te=te, M0=M0,
-                zinit=zinit, b1=b1, D=D, dk=dk, kshift=kshift, K=K)
+                zinit=zinit, b1=b1, D=D, dk=dk, kshift=kshift, K=K),
+                sq)
         if r['path'] == 'xla-fallback':   # outside the kernel scope
             # (per-voxel 2-D trains): the XLA scan carries it
             return epg_spgr(flips, phis, T1=T1, T2=T2, tr=tr, te=te,
                             M0=M0, zinit=zinit, b1=b1, kshift=kshift,
                             D=D, dk=dk, K=K, backend='xla')
-        return pallas_with_xla_vjp(
+        return _unbatch(pallas_with_xla_vjp(
             lambda fl, ph, t1, t2, trv, tev, m0, zi, b, d:
                 epg_pallas.epg_spgr_pallas(
                     fl, ph, T1=t1, T2=t2, tr=trv, te=tev,
@@ -454,7 +474,7 @@ def epg_spgr(flips, phis=None, *, T1, T2, tr, te=0.0, M0=1.0,
                 epg_spgr(fl, ph, T1=t1, T2=t2, tr=trv, te=tev, M0=m0,
                          zinit=zi, b1=b, D=d, dk=dk, kshift=kshift,
                          K=K, backend='xla'),
-            flips, phis, T1, T2, tr, te, M0, zinit, b1, D)
+            flips, phis, T1, T2, tr, te, M0, zinit, b1, D), sq)
     assert backend == 'xla', backend
     flips = _apply_b1(jnp.asarray(flips), b1)
     nTR = flips.shape[-1]
@@ -727,6 +747,9 @@ def epgx_cpmg(flips, *, T1a, T2a, T1b, T2b, kab, kba, esp, M0a=1.0,
                   T1a=T1a, T2a=T2a, T1b=T1b, T2b=T2b, kab=kab,
                   kba=kba, esp=esp, M0a=M0a, M0b=M0b, dfb=dfb,
                   phi_ex=phi_ex, b1=b1)
+        sq = (jnp.ndim(flips) == 1
+              and _scalar_batch(T1a, T2a, T1b, T2b, kab, kba, M0a,
+                                M0b, dfb, phi_ex, b1))
         if r['path'] == 'xla-fallback':   # outside the kernel scope
             return epgx_cpmg(flips, T1a=T1a, T2a=T2a, T1b=T1b,
                              T2b=T2b, kab=kab, kba=kba, esp=esp,
@@ -735,11 +758,11 @@ def epgx_cpmg(flips, *, T1a, T2a, T1b, T2b, kab, kba, esp, M0a=1.0,
         if r['path'] == 'pallas-native-adjoint':
             # natively differentiable: in-kernel two-pool CPMG
             # adjoint (round 3) — volume MWF fitting at kernel speed
-            return epgx_cpmg_pallas(
+            return _unbatch(epgx_cpmg_pallas(
                 flips, T1a=T1a, T2a=T2a, T1b=T1b, T2b=T2b, kab=kab,
                 kba=kba, esp=esp, M0a=M0a, M0b=M0b, dfb=dfb,
-                phi_ex=phi_ex, b1=b1)
-        return pallas_with_xla_vjp(
+                phi_ex=phi_ex, b1=b1), sq)
+        return _unbatch(pallas_with_xla_vjp(
             lambda fl, *p: epgx_cpmg_pallas(
                 fl, **dict(zip(('T1a', 'T2a', 'T1b', 'T2b', 'kab',
                                 'kba', 'esp', 'M0a', 'M0b', 'dfb',
@@ -750,7 +773,7 @@ def epgx_cpmg(flips, *, T1a, T2a, T1b, T2b, kab, kba, esp, M0a=1.0,
                             'esp', 'M0a', 'M0b', 'dfb', 'phi_ex',
                             'b1'), p))),
             flips, T1a, T2a, T1b, T2b, kab, kba, esp, M0a, M0b, dfb,
-            phi_ex, b1)
+            phi_ex, b1), sq)
     assert backend == 'xla', backend
     flips = _apply_b1(jnp.asarray(flips), b1)
     nE = flips.shape[-1]
@@ -823,6 +846,9 @@ def epgx_spgr(flips, phis=None, *, T1a, T2a, T1b, T2b, kab, kba, tr,
                   T1a=T1a, T2a=T2a, T1b=T1b, T2b=T2b, kab=kab,
                   kba=kba, tr=tr, M0a=M0a, M0b=M0b, dfb=dfb, b1=b1,
                   kshift=kshift, K=K)
+        sq = (jnp.ndim(flips) == 1
+              and _scalar_batch(T1a, T2a, T1b, T2b, kab, kba, M0a,
+                                M0b, dfb, b1))
         if r['path'] == 'xla-fallback':   # outside the kernel scope
             return epgx_spgr(flips, phis, T1a=T1a, T2a=T2a, T1b=T1b,
                              T2b=T2b, kab=kab, kba=kba, tr=tr,
@@ -833,20 +859,20 @@ def epgx_spgr(flips, phis=None, *, T1a, T2a, T1b, T2b, kab, kba, tr,
             # (round 3; round 5 adds `(nTR,)` variable-TR trains via
             # streamed per-step propagator planes)
             # — exchange-MRF fitting at kernel speed
-            return epgx_spgr_pallas(
+            return _unbatch(epgx_spgr_pallas(
                 flips, phis, T1a=T1a, T2a=T2a, T1b=T1b, T2b=T2b,
                 kab=kab, kba=kba, tr=tr, M0a=M0a, M0b=M0b, dfb=dfb,
-                b1=b1, kshift=kshift, K=K)
+                b1=b1, kshift=kshift, K=K), sq)
         names = ('T1a', 'T2a', 'T1b', 'T2b', 'kab', 'kba', 'tr',
                  'M0a', 'M0b', 'dfb', 'b1')
-        return pallas_with_xla_vjp(
+        return _unbatch(pallas_with_xla_vjp(
             lambda fl, ph, *p: epgx_spgr_pallas(
                 fl, ph, kshift=kshift, K=K, **dict(zip(names, p))),
             lambda fl, ph, *p: epgx_spgr(
                 fl, ph, backend='xla', kshift=kshift, K=K,
                 **dict(zip(names, p))),
             flips, phis, T1a, T2a, T1b, T2b, kab, kba, tr, M0a, M0b,
-            dfb, b1)
+            dfb, b1), sq)
     assert backend == 'xla', backend
     flips = _apply_b1(jnp.asarray(flips), b1)
     nTR = flips.shape[-1]
@@ -1021,6 +1047,9 @@ def epgx_mt_spgr(flips, phis=None, *, T1a, T2a, T1b, kab, kba, tr,
                   T1a=T1a, T2a=T2a, T1b=T1b, kab=kab, kba=kba,
                   tr=tr, wt=wt, M0a=M0a, M0b=M0b, b1=b1,
                   kshift=kshift, K=K)
+        sq = (jnp.ndim(flips) == 1
+              and _scalar_batch(T1a, T2a, T1b, kab, kba, M0a, M0b,
+                                b1))
         if r['path'] == 'xla-fallback':   # outside the kernel scope
             # (per-voxel flips or batched wt): the XLA scan carries it
             return epgx_mt_spgr(flips, phis, T1a=T1a, T2a=T2a,
@@ -1031,19 +1060,20 @@ def epgx_mt_spgr(flips, phis=None, *, T1a, T2a, T1b, kab, kba, tr,
             # natively differentiable: in-kernel MT adjoint (round 3;
             # round 5 adds `(nTR,)` variable-TR trains) — volume qMT
             # fitting at kernel speed
-            return epgx_mt_spgr_pallas(
+            return _unbatch(epgx_mt_spgr_pallas(
                 flips, phis, T1a=T1a, T2a=T2a, T1b=T1b, kab=kab,
                 kba=kba, tr=tr, wt=wt, M0a=M0a, M0b=M0b, b1=b1,
-                kshift=kshift, K=K)
+                kshift=kshift, K=K), sq)
         names = ('T1a', 'T2a', 'T1b', 'kab', 'kba', 'tr', 'wt',
                  'M0a', 'M0b', 'b1')
-        return pallas_with_xla_vjp(
+        return _unbatch(pallas_with_xla_vjp(
             lambda fl, ph, *p: epgx_mt_spgr_pallas(
                 fl, ph, kshift=kshift, K=K, **dict(zip(names, p))),
             lambda fl, ph, *p: epgx_mt_spgr(
                 fl, ph, backend='xla', kshift=kshift, K=K,
                 **dict(zip(names, p))),
-            flips, phis, T1a, T2a, T1b, kab, kba, tr, wt, M0a, M0b, b1)
+            flips, phis, T1a, T2a, T1b, kab, kba, tr, wt, M0a, M0b,
+            b1), sq)
     assert backend == 'xla', backend
     flips = _apply_b1(jnp.asarray(flips), b1)
     nTR = flips.shape[-1]

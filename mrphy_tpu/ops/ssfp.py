@@ -140,8 +140,16 @@ def bssfp_train(flips, *, T1, T2, tr, df=0.0, te=None, phis=None,
         # direct-fit / sequence-design gradients at kernel speed (the
         # recompute-through-XLA reverse held O(nTR·nV) scan residuals)
         pkw = {'phis': phis} if phis is not None else {'dphi': dphi}
-        return bssfp_train_pallas(flips, T1=T1, T2=T2, tr=tr, df=df,
-                                  te=te, M0=M0, b1=b1, **pkw)
+        out = bssfp_train_pallas(flips, T1=T1, T2=T2, tr=tr, df=df,
+                                 te=te, M0=M0, b1=b1, **pkw)
+        # all-scalar batch: the XLA path returns an unbatched
+        # (nTR, 2) train — drop the kernel's promoted 1-atom axis so
+        # backend= never changes the output shape
+        if jnp.ndim(flips) == 1 and all(
+                x is None or jnp.ndim(x) == 0
+                for x in (T1, T2, df, M0, b1)):
+            out = out[0]
+        return out
     assert backend == 'xla', backend
     if b1 is not None:          # per-voxel transmit scale (B1+ dim)
         flips = jnp.asarray(b1)[..., None] * jnp.asarray(flips)
