@@ -34,10 +34,14 @@ per-coil sensitivity sandwich), matching runs on ``α_re + jc·α_im``,
 and refinement on the m0-dephased probes. The recovered ``m0`` phase
 is checked against the object phase.
 
+``--traj spiral`` swaps the spoke for a golden-angle-rotated spiral
+interleaf (`utils.traj.spiral2d`, slew/amplitude-true) — the original
+Ma 2013 MRF acquisition — through the unchanged subspace pipeline.
+
 Usage::
 
     python examples/mrf_kspace.py [--n 64] [--ntr 300] [--iters 8]
-                                  [--coils 8]
+                                  [--coils 8] [--traj spiral]
 """
 
 import argparse
@@ -101,6 +105,14 @@ def main():
     ap.add_argument('--refine-iters', type=int, default=60)
     ap.add_argument('--coils', type=int, default=0,
                     help='receive coils (0 = single-coil pipeline)')
+    ap.add_argument('--traj', default='radial',
+                    choices=['radial', 'spiral'],
+                    help='per-TR readout: golden-angle radial spoke '
+                         'or golden-angle-rotated spiral interleaf '
+                         '(the original Ma 2013 MRF acquisition)')
+    ap.add_argument('--interleaves', type=int, default=32,
+                    help='spiral design interleaves (sets the pitch; '
+                         'one interleaf is played per TR)')
     ap.add_argument('--backend', default='auto',
                     choices=['auto', 'xla', 'pallas'])
     args = ap.parse_args()
@@ -169,16 +181,36 @@ def main():
     imgs = jnp.zeros((nTR, N, N, 2), jnp.float32)
     imgs = imgs.at[:, iy, ix, :].set(jnp.moveaxis(X, 0, 1))
 
-    # 4. golden-angle radial acquisition: one spoke per TR
+    # 4. one readout per TR: golden-angle radial spoke, or a
+    # golden-angle-rotated spiral interleaf (Ma et al., Nature 2013)
     kmax = N / (2 * fov)
-    # half-sample-offset spokes: sampling AT -kmax (the Nyquist
-    # bin) is ambiguous between the exact operator and the wrapped
-    # gridded one; interior samples keep every operator consistent
-    rad = (np.arange(nRO) - nRO / 2 + 0.5) * (2 * kmax / nRO)
-    ga = np.pi * (np.sqrt(5) - 1) / 2
-    phi = ga * np.arange(nTR)
-    ks = np.stack([np.cos(phi)[:, None] * rad,
-                   np.sin(phi)[:, None] * rad], 1)   # (nTR, 2, nRO)
+    if args.traj == 'radial':
+        # half-sample-offset spokes: sampling AT -kmax (the Nyquist
+        # bin) is ambiguous between the exact operator and the
+        # wrapped gridded one; interior samples keep every operator
+        # consistent
+        rad = (np.arange(nRO) - nRO / 2 + 0.5) * (2 * kmax / nRO)
+        ga = np.pi * (np.sqrt(5) - 1) / 2
+        phi = ga * np.arange(nTR)
+        ks = np.stack([np.cos(phi)[:, None] * rad,
+                       np.sin(phi)[:, None] * rad], 1)  # (nTR, 2, nRO)
+    else:
+        from mrphy_tpu.utils.traj import spiral2d
+        _, kone = spiral2d(fov, N, nshots=args.interleaves,
+                           direction='out', rewind=False)
+        kxy = np.asarray(kone)[0, :2]                # (2, nS)
+        # stay strictly inside the Nyquist bin (cf. the radial
+        # half-sample offset): the gridded and exact operators
+        # disagree exactly AT +-kmax
+        kxy = kxy * (1 - 0.5 / N)
+        nRO = kxy.shape[1]
+        # golden-angle interleaf rotation per TR
+        ga = 2 * np.pi * (1 - 2 / (1 + np.sqrt(5)))  # ~222.5 deg
+        phi = ga * np.arange(nTR)
+        c, sn = np.cos(phi), np.sin(phi)
+        ks = np.stack([c[:, None] * kxy[0] - sn[:, None] * kxy[1],
+                       sn[:, None] * kxy[0] + c[:, None] * kxy[1]],
+                      1)                              # (nTR, 2, nRO)
     ktrajs = jnp.asarray(ks, jnp.float32)
     plan = nufft_plan((N, N), (fov, fov))
 

@@ -115,6 +115,11 @@ CASES = [
     ('mrf_kspace.py', ['--n', '24', '--ntr', '60', '--iters', '6',
                        '--rank', '6', '--refine-iters', '12',
                        '--coils', '3']),
+    # golden-angle-rotated spiral interleaves (the Ma 2013 MRF
+    # acquisition) through the same subspace pipeline
+    ('mrf_kspace.py', ['--n', '24', '--ntr', '60', '--iters', '6',
+                       '--rank', '6', '--refine-iters', '12',
+                       '--traj', 'spiral', '--interleaves', '12']),
     # slice-profile-integrated dictionaries (round 5): SLR profile ->
     # b1-axis sub-slice integration; corrected-vs-naive bias
     ('mrf_sliceprofile.py', ['--ntr', '120', '--nsub', '7',
@@ -152,10 +157,12 @@ def _case(n, a):
     # --coils: the SENSE physics is fast-tier-covered by
     # tests/test_mrf.py; the example composition is slow-tier
     marks = ([pytest.mark.slow]
-             if (n in _SLOW or '--mesh' in a or '--coils' in a)
+             if (n in _SLOW or '--mesh' in a or '--coils' in a
+                 or 'spiral' in a)
              else [])
     sfx = ('-coarse' if '--coarse' in a
-           else '-coils' if '--coils' in a else '')
+           else '-coils' if '--coils' in a
+           else '-spiral' if 'spiral' in a else '')
     return pytest.param(n, a, marks=marks, id=f'{n}{sfx}')
 
 
