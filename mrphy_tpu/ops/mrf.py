@@ -516,7 +516,8 @@ def _b2(basis: Basis):
 
 
 def subspace_encode(plan, ktrajs, basis: Basis, alpha, *, sens=None,
-                    df=None, T2s=None, dt=None, nseg: int = 8):
+                    df=None, T2s=None, dt=None, nseg: int = 8,
+                    mesh=None):
     r"""Forward model of the subspace-constrained dynamic acquisition:
     coefficient images → per-frame k-space samples.
 
@@ -539,11 +540,15 @@ def subspace_encode(plan, ktrajs, basis: Basis, alpha, *, sens=None,
           NUFFT's hat time segmentation (see
           :func:`mrphy_tpu.ops.nufft.nufft`; every frame shares the
           same dwell/readout timing) — the B0-informed MRF encode.
+        - ``mesh``: a ``(batch, spins)`` :class:`jax.sharding.Mesh` —
+          each frame's samples (the interpolation tap tables, the
+          memory bound) shard over the spin axis; the grid stages
+          replicate (see :func:`mrphy_tpu.ops.nufft.nufft`).
     Outputs:
         - ``s``: `(nF, nRO, 2)`, or `(nC, nF, nRO, 2)` with ``sens``.
     """
     from mrphy_tpu.ops.nufft import _cmul, nufft
-    kw = dict(df=df, T2s=T2s, dt=dt, nseg=nseg)
+    kw = dict(df=df, T2s=T2s, dt=dt, nseg=nseg, mesh=mesh)
     B2 = _b2(basis).astype(alpha.dtype)           # (nF, 2, r)
     if sens is None:
         def step(_, tx):
@@ -589,7 +594,7 @@ def subspace_encode(plan, ktrajs, basis: Basis, alpha, *, sens=None,
 
 def subspace_adjoint(plan, ktrajs, basis: Basis, s, *, dcf=None,
                      sens=None, df=None, T2s=None, dt=None,
-                     nseg: int = 8):
+                     nseg: int = 8, mesh=None):
     r"""Exact adjoint of :func:`subspace_encode` (Φ-weighted
     back-projection): per-frame samples → `(r, *im_size)` coefficient
     images (`(r, *im_size, 2)` complex pairs with ``sens``, which
@@ -601,7 +606,7 @@ def subspace_adjoint(plan, ktrajs, basis: Basis, s, *, dcf=None,
     keep the adjoint exact w.r.t. the segmented encode (see
     :func:`mrphy_tpu.ops.nufft.nufft_adjoint`)."""
     from mrphy_tpu.ops.nufft import _cmul, nufft_adjoint
-    kw = dict(df=df, T2s=T2s, dt=dt, nseg=nseg)
+    kw = dict(df=df, T2s=T2s, dt=dt, nseg=nseg, mesh=mesh)
     B2 = _b2(basis).astype(s.dtype)
     r = basis.B.shape[1]
     if sens is None:
@@ -650,7 +655,8 @@ def subspace_adjoint(plan, ktrajs, basis: Basis, s, *, dcf=None,
 def kspace_subspace_recon(plan, ktrajs, basis: Basis, s, *,
                           iters: int = 8, lam: float = 0.0,
                           method: str = 'auto', G=None, sens=None,
-                          df=None, T2s=None, dt=None, nseg: int = 8):
+                          df=None, T2s=None, dt=None, nseg: int = 8,
+                          mesh=None):
     r"""Subspace-constrained least-squares reconstruction of
     undersampled dynamic (MRF) k-space by CG on the normal equations
     ``(AᵀA + λI) α = Aᵀ s`` with ``A`` = :func:`subspace_encode`.
@@ -712,7 +718,7 @@ def kspace_subspace_recon(plan, ktrajs, basis: Basis, s, *,
         'the Toeplitz kernels do not model df/T2s time segmentation '
         "(cross-segment kernels would cost r^2*nseg^2 grids); use "
         "method='frames'")
-    kw = dict(df=df, T2s=T2s, dt=dt, nseg=nseg)
+    kw = dict(df=df, T2s=T2s, dt=dt, nseg=nseg, mesh=mesh)
     if sens is not None:
         sens = jnp.asarray(sens, jnp.asarray(s).dtype)
     if method == 'toeplitz':

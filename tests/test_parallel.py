@@ -424,3 +424,52 @@ def test_enable_persistent_cache(tmp_path, monkeypatch):
         assert got is not None and got.startswith(d + '-')
     finally:
         jax.config.update('jax_compilation_cache_dir', None)
+
+
+class TestSubspaceMeshParity:
+    r"""Round 5: `mesh=` pass-through in the subspace MRF stack — each
+    frame's NUFFT samples shard over the spin axis; the sharded
+    encode/adjoint/recon equal the unsharded ones."""
+
+    def _setup(self):
+        from mrphy_tpu.ops import mrf
+        from mrphy_tpu.ops.nufft import nufft_plan
+        rng = np.random.default_rng(11)
+        N, nTR, nRO = 16, 12, 40
+        fov = 20.0
+        # a random J-closed pair basis is enough for operator parity
+        M = rng.standard_normal((nTR * 2, 4))
+        Q, _ = np.linalg.qr(M)
+        basis = mrf.Basis(B=jnp.asarray(Q), jc=None, s=jnp.ones(4),
+                          tail=(nTR, 2))
+        kmax = N / (2 * fov)
+        rad = (np.arange(nRO) - nRO / 2 + 0.5) * (2 * kmax / nRO)
+        phi = np.pi * (np.sqrt(5) - 1) / 2 * np.arange(nTR)
+        ktrajs = jnp.asarray(np.stack([np.cos(phi)[:, None] * rad,
+                                       np.sin(phi)[:, None] * rad],
+                                      1))
+        plan = nufft_plan((N, N), (fov, fov), dtype=jnp.float64)
+        return mrf, plan, ktrajs, basis, rng
+
+    def test_subspace_encode_adjoint_recon_sharded(self):
+        mrf, plan, ktrajs, basis, rng = self._setup()
+        mesh = make_mesh()                        # 1 x 8
+        N = plan.im_size[0]
+        x = jnp.asarray(rng.standard_normal((4, N, N)))
+        y = jnp.asarray(rng.standard_normal(
+            (ktrajs.shape[0], ktrajs.shape[2], 2)))
+        e0 = mrf.subspace_encode(plan, ktrajs, basis, x)
+        e1 = mrf.subspace_encode(plan, ktrajs, basis, x, mesh=mesh)
+        np.testing.assert_allclose(np.asarray(e1), np.asarray(e0),
+                                   atol=1e-11)
+        a0 = mrf.subspace_adjoint(plan, ktrajs, basis, y)
+        a1 = mrf.subspace_adjoint(plan, ktrajs, basis, y, mesh=mesh)
+        np.testing.assert_allclose(np.asarray(a1), np.asarray(a0),
+                                   atol=1e-11)
+        r0 = mrf.kspace_subspace_recon(plan, ktrajs, basis, y,
+                                       iters=4, method='frames')
+        r1 = mrf.kspace_subspace_recon(plan, ktrajs, basis, y,
+                                       iters=4, method='frames',
+                                       mesh=mesh)
+        np.testing.assert_allclose(np.asarray(r1), np.asarray(r0),
+                                   atol=1e-9)
