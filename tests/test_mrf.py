@@ -626,3 +626,72 @@ def test_subspace_b0_informed_recon():
     e_bad = float(jnp.linalg.norm(a_bad - a_true)
                   / jnp.linalg.norm(a_true))
     assert e_ref < 0.7 * e_bad, (e_ref, e_bad)
+
+
+def test_kspace_sense_espirit_calibrated():
+    r"""Data-driven SENSE MRF: coil maps ESTIMATED by ESPIRiT from a
+    Cartesian calibration prescan (not the oracle maps) drive
+    ``kspace_subspace_recon(sens=)`` to the same map accuracy as the
+    oracle-map recon — the composition a real scan uses."""
+    from mrphy_tpu.ops.nufft import _cmul, nufft
+    from mrphy_tpu.utils.coils import espirit_maps
+    gen, (T1a, T2a, D, basis), plan, ktrajs, rng = _kspace_setup()
+    N = plan.im_size[0]
+    nTR = ktrajs.shape[0]
+    nC = 4
+    sens = _sens_maps(N, nC)
+    yy, xx = np.mgrid[:N, :N]
+    cen = (N - 1) / 2
+    mask = np.hypot(yy - cen, xx - cen) < 0.45 * N
+    T1m = np.where(xx < cen, 0.8, 1.5)
+    T2m = np.where(yy < cen, 0.06, 0.12)
+    iy, ix = np.nonzero(mask)
+    T1v = jnp.asarray(T1m[mask])
+    T2v = jnp.asarray(T2m[mask])
+    X = gen(T1v, T2v)
+    imgs = jnp.zeros((nTR, N, N, 2)).at[:, iy, ix, :].set(
+        jnp.moveaxis(X, 0, 1))
+
+    # calibration prescan: Cartesian ACS of the coil-weighted PD image
+    Sc = np.asarray(sens[..., 0] + 1j * sens[..., 1])
+    obj = mask.astype(float)
+    ksp = np.fft.fftshift(np.fft.fftn(
+        np.fft.ifftshift(Sc * obj[None], axes=(1, 2)), axes=(1, 2)),
+        axes=(1, 2))
+    cs = 16
+    sl = (slice(None), slice(N // 2 - cs // 2, N // 2 + cs // 2),
+          slice(N // 2 - cs // 2, N // 2 + cs // 2))
+    calib = np.stack([ksp[sl].real, ksp[sl].imag], -1)
+    maps, lam = espirit_maps(calib, (N, N), kernel=6, crop=0.8)
+    sens_est = jnp.asarray(np.moveaxis(maps, (2, 3), (3, 0)))
+
+    # multi-coil acquisition with the TRUE maps
+    def step(_, tx):
+        img, k = tx
+        outs = []
+        for cc in range(nC):
+            wr, wi = _cmul(img[..., 0], img[..., 1],
+                           sens[cc, ..., 0], sens[cc, ..., 1])
+            outs.append(nufft(plan, jnp.stack([wr, wi], -1), k))
+        return None, jnp.stack(outs)
+
+    s = jnp.moveaxis(jax.lax.scan(step, None, (imgs, ktrajs))[1],
+                     0, 1)
+
+    def match_errs(sv):
+        alpha = mrf.kspace_subspace_recon(plan, ktrajs, basis, s,
+                                          iters=8, sens=sv)
+        al = jnp.moveaxis(alpha, 0, -2)[iy, ix]
+        probes = al[..., 0] + jnp.einsum('lk,vk->vl', basis.jc,
+                                         al[..., 1])
+        res = mrf.dict_match_compressed(mrf.compress(D, basis),
+                                        probes, basis)
+        return (np.median(np.abs(np.asarray(T1a[res.idx] / T1v) - 1)),
+                np.median(np.abs(np.asarray(T2a[res.idx] / T2v) - 1)))
+
+    e1o, e2o = match_errs(sens)
+    e1e, e2e = match_errs(sens_est)
+    # espirit-calibrated recon within 1.3x the oracle-map errors
+    # (and inside the absolute budget of the oracle pipeline test)
+    assert e1e < max(1.3 * e1o, 0.20) and \
+        e2e < max(1.3 * e2o, 0.35), (e1e, e2e, e1o, e2o)
